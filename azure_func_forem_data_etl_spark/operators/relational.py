@@ -1,0 +1,502 @@
+"""Core relational surface: scans, filters, projections, aggregations,
+joins, windows, sort/limit, set ops, scalar functions (SURVEY.md §2b).
+
+Also the reference-parity queries re-expressed relationally:
+
+- ``watermark_incremental``: the flagship incremental-ingest pipeline —
+  watermark filter (reference fetch_articles.py:102-104, operator F1),
+  timestamp projection (:95-97, P1), running MAX + counts (:107-111,
+  A1/A2) — as one declarative DataFrame chain.
+- ``malformed_filter``: the malformed-record skip path
+  (fetch_articles.py:94-100, F2) as a NULL-routing filter.
+- ``dedup_replay``: the at-least-once replay dedup the reference implies
+  but never implements (data committed before watermark,
+  fetch_articles.py:128-136 — §4.3).
+
+Scale notes (100 TB design point):
+- Dimension joins broadcast explicitly (``F.broadcast``) — region/nation/
+  customer-sized sides never shuffle the fact table.
+- Fact-fact joins rely on sort-merge + AQE skew splitting; no collect().
+- Top-k per group uses ``row_number() <= k`` (per-partition heap) rather
+  than a global sort.
+- All money aggregates go through ``functions.exact`` so results are
+  bit-identical across engines and partition orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from azure_func_forem_data_etl_spark.functions.exact import (
+    DEC,
+    SQL_CHARGE,
+    SQL_REVENUE,
+    charge,
+    davg,
+    decsum,
+    dsum,
+    revenue,
+    sql_davg,
+    sql_decsum,
+    sql_dsum,
+)
+from azure_func_forem_data_etl_spark.plans.registry import register
+from azure_func_forem_data_etl_spark.sources.tables import table
+
+# Watermark constant for the flagship query: mid-range of the events table
+# (2024-01-01 .. 2024-01-30). Plays the role of the persisted
+# ``latest_timestamp`` state (fetch_articles.py:17,33-55).
+WATERMARK = "2024-01-15 00:00:00"
+
+
+@register(
+    "watermark_incremental",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           MAX(ts) AS max_ts,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    WHERE ts > TIMESTAMP '{WATERMARK}'
+    GROUP BY event_type
+    """,
+    doc="Flagship: watermark filter + per-type counts + running MAX (F1/P1/A1/A2/L2).",
+)
+def watermark_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("ts") > F.lit(WATERMARK).cast("timestamp"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("ts").alias("max_ts"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "malformed_filter",
+    oracle=r"""
+    SELECT event_type,
+           COUNT(*) AS n_valid,
+           {davg} AS avg_k
+    FROM (
+        SELECT event_type,
+               CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        FROM events
+        WHERE regexp_extract(props, '"k": (\d+)', 1) <> ''
+    )
+    WHERE k > 50
+    GROUP BY event_type
+    """.replace("{davg}", sql_davg("k")),
+    doc="Malformed-record routing (F2): unparseable rows dropped, not fatal.",
+)
+def malformed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    k_str = F.regexp_extract("props", r'"k": (\d+)', 1)
+    return (
+        events.select("event_type", k_str.alias("k_str"))
+        .filter(F.col("k_str") != "")
+        .select("event_type", F.col("k_str").cast("bigint").alias("k"))
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_valid"), davg("k").alias("avg_k"))
+    )
+
+
+@register(
+    "dedup_replay",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_unique
+    FROM (
+        SELECT DISTINCT * FROM (
+            SELECT * FROM events
+            UNION ALL
+            SELECT * FROM events WHERE event_type = 'click'
+        )
+    )
+    GROUP BY event_type
+    """,
+    doc="At-least-once replay dedup (§4.3): duplicate batch union'd in, exact dedup out.",
+)
+def dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    replayed = events.unionByName(events.filter(F.col("event_type") == "click"))
+    return replayed.distinct().groupBy("event_type").agg(F.count("*").alias("n_unique"))
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_decsum(SQL_REVENUE)} AS sum_disc_price,
+           {sql_decsum(SQL_CHARGE)} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style pricing summary: wide hash aggregate with partial map-side combine.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            decsum(revenue()).alias("sum_disc_price"),
+            decsum(charge()).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "filter_like_project",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_retailprice
+    FROM part
+    WHERE p_type LIKE '%a%' AND p_size >= 10
+    """,
+    doc="Predicate + projection pushed into the parquet scan (PushedFilters).",
+)
+def filter_like_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    return part.filter(F.col("p_type").like("%a%") & (F.col("p_size") >= 10)).select(
+        "p_partkey", "p_name", "p_brand", "p_retailprice"
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Distinct aggregate (expand + two-phase agg under the hood).",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+@register(
+    "cube_orders",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping sets (status × priority matrix incl. grand totals).",
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+@register(
+    "rollup_lineitem",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP hierarchy totals.",
+)
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "join_broadcast_dims",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           COUNT(*) AS n_customers,
+           {sql_dsum('c.c_acctbal')} AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    doc="Two-hop dimension join; both dims broadcast — fact side never shuffles for the join.",
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"), dsum("c_acctbal").alias("sum_acctbal"))
+    )
+
+
+@register(
+    "join_fact_fact",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           {sql_decsum(SQL_REVENUE)} AS revenue
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Fact-fact equi-join (sort-merge at scale, AQE skew-split) + aggregate.",
+)
+def join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"), decsum(revenue()).alias("revenue"))
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45
+    )
+    """,
+    doc="Left-semi join (EXISTS): dedup-free existence check, no row multiplication.",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select("s_suppkey", "s_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Left-anti join (NOT EXISTS): snapshot diffing / orphan detection.",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "window_topk",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rnk
+        FROM orders
+    )
+    WHERE rnk <= 3
+    """,
+    doc="Top-k per group via row_number (per-partition heap; avoids global sort).",
+)
+def window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@register(
+    "window_lag_delta",
+    oracle="""
+    SELECT user_id, event_id,
+           date_diff('microsecond',
+                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) AS delta_us
+    FROM events
+    """,
+    doc="lag/lead: inter-event gap per user in exact integer microseconds.",
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.withColumn("_prev", F.lag("ts").over(w)).select(
+        "user_id",
+        "event_id",
+        F.expr("timestampdiff(MICROSECOND, _prev, ts)").alias("delta_us"),
+    )
+
+
+@register(
+    "window_rolling_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+    doc="Rolling frame: per-customer running spend (exact decimal window sum).",
+)
+def window_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "sort_limit_topn",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    doc="Global top-N (TakeOrderedAndProject — no full sort materialized).",
+)
+def sort_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(20)
+    )
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="EXCEPT (distinct): snapshot diffing between ingests.",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    a = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.subtract(b)  # EXCEPT (distinct) semantics
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    doc="INTERSECT (distinct): retained customers year-over-year.",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    a = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "scalar_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS lname,
+           upper(p_brand) AS ubrand,
+           length(p_name) AS name_len,
+           substr(p_type, 1, 3) AS type_prefix,
+           concat(p_brand, ':', p_type) AS brand_type,
+           replace(p_name, ' ', '_') AS snake_name
+    FROM part
+    WHERE p_size BETWEEN 5 AND 40
+    """,
+    doc="Scalar string functions (lower/upper/length/substr/concat/replace).",
+)
+def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    return part.filter(F.col("p_size").between(5, 40)).select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.upper("p_brand").alias("ubrand"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 3).alias("type_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake_name"),
+    )
+
+
+@register(
+    "scalar_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS o_year,
+           month(o_orderdate) AS o_month,
+           day(o_orderdate) AS o_day,
+           quarter(o_orderdate) AS o_quarter,
+           date_trunc('month', o_orderdate) AS month_start,
+           date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1996-01-01'
+    """,
+    doc="Scalar date functions (year/month/day/quarter/date_trunc/datediff).",
+)
+def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")).select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+    )

@@ -1,0 +1,152 @@
+"""Temporal joins Spark lacks as single operators: as-of join and range
+join, composed from shuffles Spark already does well (SURVEY.md §2b).
+
+As-of join strategy (scale-first): the classic distributed formulation —
+union both sides tagged, one shuffle on the join key, a single ordered
+window pass carrying the last-seen right payload forward.  No range
+explosion, no per-key collect, O(n log n) per partition.  This is how
+kdb-style ``aj`` is expressed on a shuffle engine.
+
+Range join strategy: equi-join on the key (hash/SMJ — Catalyst picks) with
+the range predicate evaluated as a join residual, so the shuffle is keyed
+and bounded; never a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from azure_func_forem_data_etl_spark.plans.registry import register
+from azure_func_forem_data_etl_spark.sources.tables import table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the right row with the
+    greatest ``right_ts <= left_ts`` within the same ``on`` key.
+
+    Right payload columns come back NULL when no prior right row exists.
+    ``tiebreak`` orders right rows that share (key, ts); the greatest wins.
+    """
+    pay = F.struct(*[F.col(c) for c in [right_ts, *right_payload]])
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        pay.alias("__rpay"),
+        *(
+            [F.col(tiebreak).alias("__tb")]
+            if tiebreak
+            else [F.lit(0).alias("__tb")]
+        ),
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(r.schema["__rpay"].dataType).alias("__rpay"),
+        F.lit(0).alias("__tb"),
+    )
+    # Right rows sort before left rows at equal ts => inclusive (<=) match.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__is_left", "__tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = l.unionByName(r, allowMissingColumns=True).withColumn(
+        "__match", F.last("__rpay", ignorenulls=True).over(w)
+    )
+    out = matched.filter(F.col("__is_left") == 1)
+    for c in [right_ts, *right_payload]:
+        out = out.withColumn(c, F.col("__match").getField(c))
+    return out.drop("__ts", "__is_left", "__rpay", "__tb", "__match")
+
+
+@register(
+    "asof_join_purchase",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, p_ts, p_event_id FROM (
+            SELECT user_id, ts AS p_ts, event_id AS p_event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'purchase'
+        ) WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id, e.ts, p.p_ts, p.p_event_id
+    FROM events e
+    ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.p_ts
+    """,
+    doc="As-of join: each event annotated with the user's most recent purchase at-or-before it.",
+)
+def asof_join_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_event_id"),
+        )
+    )
+    return asof_join(
+        events.select("event_id", "user_id", "ts"),
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="p_ts",
+        right_payload=["p_event_id"],
+    ).select("event_id", "user_id", "ts", "p_ts", "p_event_id")
+
+
+@register(
+    "range_join_followup",
+    oracle="""
+    SELECT s.event_id AS signup_event_id,
+           s.user_id,
+           COUNT(e.event_id) AS n_followup
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
+    LEFT JOIN events e
+      ON e.user_id = s.user_id
+     AND e.ts > s.ts
+     AND e.ts <= s.ts + INTERVAL '1 hour'
+    GROUP BY s.event_id, s.user_id
+    """,
+    doc="Range join: events within 1h after each signup, keyed on user (equi-join + range residual).",
+)
+def range_join_followup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    signups = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event_id"),
+        F.col("user_id").alias("s_user_id"),
+        F.col("ts").alias("s_ts"),
+    )
+    e = events.select(
+        F.col("event_id").alias("e_event_id"),
+        F.col("user_id").alias("e_user_id"),
+        F.col("ts").alias("e_ts"),
+    )
+    cond = (
+        (e.e_user_id == signups.s_user_id)
+        & (e.e_ts > signups.s_ts)
+        & (e.e_ts <= signups.s_ts + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        signups.join(e, cond, "left")
+        .groupBy("signup_event_id", F.col("s_user_id").alias("user_id"))
+        .agg(F.count("e_event_id").alias("n_followup"))
+    )

@@ -1,0 +1,108 @@
+"""Time-window aggregations over the events table — the batch-equivalent
+semantics of the streaming jobs in ``streaming/`` (tumbling, sliding,
+session), oracle-checkable in SQL.
+
+The reference's implicit windowing is its date-partitioned sink
+(fetch_articles.py:126 — one partition per UTC day); these generalize that
+to arbitrary tumbling/sliding/session windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azure_func_forem_data_etl_spark.functions.exact import dsum, sql_dsum
+from azure_func_forem_data_etl_spark.plans.registry import register
+from azure_func_forem_data_etl_spark.sources.tables import table
+
+
+@register(
+    "tumbling_window_agg",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1h windows per event type (epoch-aligned, same as streaming window()).",
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "sliding_window_agg",
+    oracle=f"""
+    WITH w AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value FROM events
+    )
+    SELECT window_start,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM w
+    GROUP BY 1
+    """,
+    doc="Sliding windows (1h length, 30m slide): each event lands in exactly two windows.",
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@register(
+    "session_window_agg",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         < INTERVAL '10 minutes'
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+    ), grp AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '10 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM grp
+    GROUP BY user_id, session_id
+    """,
+    doc="Session windows, 10-minute gap, per user (merge iff next < prev + gap, like session_window).",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,68 @@
+"""SparkSession construction.
+
+The reference validates config + builds its blob client eagerly at module
+import (fetch_articles.py:21-30); our equivalent is a single tuned session
+build per driver.  All defaults are chosen for the 100 TB design point and
+scale *down* to local[32] testing:
+
+- AQE on: runtime coalescing, skew-join splitting, join re-planning.
+- UTC session timezone: the reference does all timestamp math in UTC
+  (fetch_articles.py:124-125); deterministic cross-engine comparison
+  requires it.
+- Arrow on: every Pandas UDF path transfers columnar batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "forem-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def ensure_query_session_conf(spark: SparkSession) -> None:
+    """Make a caller-provided session deterministic for oracle comparison.
+
+    The correctness driver runs our queries under *its* session; timestamps
+    only hash-match DuckDB when rendered in UTC, so set the (runtime
+    mutable) session timezone defensively.  Idempotent and cheap.
+
+    ``nanosAsLong``: the events table stores TIMESTAMP(NANOS) parquet,
+    which Spark otherwise refuses ([PARQUET_TYPE_ILLEGAL]).  We read the
+    raw int64 nanos and truncate to microseconds in the loader — exactly
+    what DuckDB's parquet reader does natively — so both engines see
+    identical µs values.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,45 @@
+"""Parquet table loaders for the driver-generated test tables (TESTDATA.md).
+
+At 100 TB these reads are partitioned cloud-storage scans; everything here
+is a plain ``spark.read.parquet`` so Catalyst keeps predicate pushdown,
+column pruning and partition pruning (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azure_func_forem_data_etl_spark.session import ensure_query_session_conf
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table. Lazy — no I/O until an action runs.
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet: read as int64 nanos
+    (legacy.parquet.nanosAsLong) and truncate to µs — matching DuckDB's
+    native ns→µs truncation so oracle comparisons are exact.
+    """
+    ensure_query_session_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every test table as a dict of lazy DataFrames."""
+    return {name: table(spark, sf_dir, name) for name in TABLES}

@@ -1,0 +1,82 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: ``{"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}``.
+
+Each query executes end-to-end into the noop sink — full compute, no
+driver-side result transfer — so the number reflects scan+shuffle+agg cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from azure_func_forem_data_etl_spark.plans.registry import load_all  # noqa: E402
+from azure_func_forem_data_etl_spark.session import get_spark  # noqa: E402
+
+# Headline queries: the heavy representatives of each operator family.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "join_fact_fact",
+    "join_broadcast_dims",
+    "cube_orders",
+    "window_topk",
+    "window_rolling_sum",
+    "asof_join_purchase",
+    "range_join_followup",
+    "tumbling_window_agg",
+    "session_window_agg",
+    "dedup_exact_text",
+    "minhash_lsh_neardup",
+    "knn_bruteforce",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    registry = load_all()
+    spark = get_spark(app_name="forem-etl-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/session on a trivial action so query 1 isn't charged
+    # session startup.
+    spark.range(1).collect()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        q = registry.get(name)
+        if q is None:
+            continue
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,43 @@
+"""Oracle-differential parity for every registered query (SURVEY.md §5.1).
+
+Parametrized over the registry, so adding a query automatically adds its
+parity test.  Queries without an oracle get a rows-only sanity check.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from azure_func_forem_data_etl_spark.plans.registry import load_all
+from tests.oracle import assert_matches_oracle
+
+REGISTRY = load_all()
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_parity(spark, sf_dir, name):
+    q = REGISTRY[name]
+    df = q.fn(spark, sf_dir)
+    if q.oracle is None:
+        # Rows-only: must run and produce a stable schema.
+        assert df.columns
+        df.collect()
+    else:
+        assert_matches_oracle(df, q.oracle, sf_dir)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert len(df.columns) > 0
+    assert df.count() > 0
+
+
+def test_contract_shape():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    os_ = e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert qs, "registry must not be empty"
