@@ -1,1 +1,305 @@
-"""Placeholder — filled in during this round."""
+"""Deduplication suite over the documents table (north-star LLM pipeline):
+
+- exact: hash-groupBy on a 128-bit fingerprint — the shuffle key is 32
+  bytes, never the document body.
+- n-gram Jaccard: exact pairwise similarity on a sampled subset
+  (oracle-checkable); the all-pairs scale path is MinHash-LSH below.
+- MinHash-LSH: shingle -> k minhashes -> banded bucket join -> candidate
+  pairs -> exact-Jaccard verification.  Only candidate pairs ever meet,
+  so cost is ~linear in corpus size for fixed near-dup density.
+- SimHash: 32-bit fingerprints, banded hamming candidate search.
+
+The reference's only dedup is implied-by-id (SURVEY.md §4.3); everything
+here is engine surface.  Hash functions are engine-deterministic
+(xxhash64 seed 42 + fixed odd multipliers), so results are stable across
+runs/partitionings — required for the driver's rows-only repeatability.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azure_func_forem_data_etl_spark.plans.registry import register
+from azure_func_forem_data_etl_spark.sources.tables import table
+
+# ---------------------------------------------------------------------------
+# shared shingle machinery
+
+def word_shingles(df: DataFrame, n: int, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams per document."""
+    words = F.split(F.col(text_col), " ")
+    grams = F.expr(
+        f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}), "
+        f"i -> array_join(slice(split({text_col}, ' '), i, {n}), ' '))"
+    )
+    return (
+        df.filter(F.size(words) >= n)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def _sql_shingles(n: int, source_filter: str = "TRUE") -> str:
+    """DuckDB twin of word_shingles (distinct word n-grams)."""
+    joins = " || ' ' || ".join(f"words[i + {j}]" for j in range(n))
+    return f"""
+        SELECT DISTINCT doc_id, {joins} AS shingle
+        FROM (
+            SELECT doc_id, string_split(text, ' ') AS words
+            FROM documents WHERE {source_filter}
+        ), UNNEST(generate_series(1, len(words) - {n - 1})) AS t(i)
+        WHERE len(words) >= {n}
+    """
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+@register(
+    "dedup_exact_text",
+    oracle="""
+    SELECT md5(text) AS fingerprint,
+           MIN(doc_id) AS representative_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="Exact dedup: group by 128-bit content hash; representative = min id.",
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("representative_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard on a sample (the correctness oracle for LSH)
+
+JACCARD_SAMPLE_MOD = 5  # doc_id % 5 == 0 => 20% sample; pairs stay bounded
+JACCARD_NGRAM = 2
+JACCARD_THRESHOLD = 0.05
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS ({_sql_shingles(JACCARD_NGRAM, f"doc_id % {JACCARD_SAMPLE_MOD} = 0")}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_inter,
+           sa.n_sh + sb.n_sh - n_inter AS n_union,
+           CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
+    """,
+    doc="Exact bigram-shingle Jaccard on a 20% sample; ground truth for the LSH path.",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % JACCARD_SAMPLE_MOD == 0
+    )
+    sh = word_shingles(docs, JACCARD_NGRAM)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_union", F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_inter"))
+        .withColumn("jaccard", F.col("n_inter").cast("double") / F.col("n_union"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return out.select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the 100 TB near-dup path)
+
+MINHASH_K = 32          # permutations
+MINHASH_BANDS = 8       # bands of r = 4 rows: P(candidate | J=0.8) ≈ 0.97
+MINHASH_NGRAM = 3
+MINHASH_VERIFY_THRESHOLD = 0.4
+
+_rng = random.Random(42)
+_MERSENNE61 = (1 << 61) - 1
+MINHASH_COEFFS = [
+    (_rng.randrange(1, 1 << 30), _rng.randrange(0, _MERSENNE61)) for _ in range(MINHASH_K)
+]
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}): min over shingles of k affine hashes
+    ``(a * x + b) mod (2^61-1)`` of a 31-bit fold of xxhash64(shingle).
+
+    Bounds keep every intermediate below 2^62, so ANSI-mode long
+    arithmetic never overflows: x < 2^31, a < 2^30 => a*x < 2^61, plus
+    b < 2^61.  Fully deterministic across runs and partitionings.
+    """
+    x = F.pmod(F.xxhash64("shingle"), F.lit((1 << 31) - 1))
+    aggs = [
+        F.min(F.pmod(x * F.lit(a) + F.lit(b), F.lit(_MERSENNE61))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Banded LSH: hash r consecutive minhashes per band, bucket-join."""
+    r = MINHASH_K // MINHASH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_id"),
+                F.xxhash64(*[f"mh_{bi * r + j}" for j in range(r)]).alias("band_hash"),
+            )
+            for bi in range(MINHASH_BANDS)
+        ]
+    )
+    exploded = sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def verify_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard, computed only for candidate pairs."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b")), "doc_b")
+        .withColumn("n_union", F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_inter"))
+        .withColumn("jaccard", F.col("n_inter").cast("double") / F.col("n_union"))
+    )
+    return out.select("doc_a", "doc_b", "jaccard")
+
+
+@register(
+    "minhash_lsh_neardup",
+    oracle=None,  # engine-specific hashes: rows-only check; recall unit-tested
+    doc="MinHash-LSH near-dup: shingle -> 32 minhashes -> 8 banded buckets -> verified pairs.",
+)
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = MINHASH_VERIFY_THRESHOLD) -> DataFrame:
+    """Reusable pipeline so tests can run it on planted-duplicate corpora."""
+    sh = word_shingles(docs, MINHASH_NGRAM)
+    sig = minhash_signatures(sh)
+    cand = lsh_candidate_pairs(sig)
+    return verify_jaccard(cand, sh).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+SIMHASH_BITS = 32
+SIMHASH_BAND_BITS = 8
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): sign-aggregated 32-bit fingerprint over word
+    hashes.  Bit i of xxhash64(word) votes +1/-1; majority sets the bit."""
+    words = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
+    )
+    h = F.xxhash64("word")
+    votes = [
+        F.sum(F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)).alias(f"v_{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = words.groupBy("doc_id").agg(*votes)
+    bits = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bits = term if bits is None else bits + term
+    return agg.select("doc_id", bits.cast("long").alias("simhash"))
+
+
+@register(
+    "simhash_neardup",
+    oracle=None,  # engine-specific hashes: rows-only; behavior unit-tested
+    doc="SimHash near-dup: 32-bit fingerprints, banded search, hamming <= 3.",
+)
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return simhash_pairs(docs)
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    fp = simhash_fingerprints(docs)
+    nbands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_id"),
+                F.shiftright("simhash", bi * SIMHASH_BAND_BITS)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for bi in range(nbands)
+        ]
+    )
+    ex = fp.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
+        "doc_id", "simhash", F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val")
+    )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,1 +1,174 @@
-"""Placeholder — filled in during this round."""
+"""Text analysis over the documents table (SURVEY.md §2b, north-star LLM
+pipeline): quality scoring, token counting, language ID, fingerprinting.
+
+Everything stays JVM-side (built-in string/array/lambda expressions inside
+whole-stage codegen) — no Python UDFs in these paths, so they scale to
+100 TB limited only by scan + one optional shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azure_func_forem_data_etl_spark.plans.registry import register
+from azure_func_forem_data_etl_spark.sources.tables import table
+
+# Shared stopword list (kept tiny and identical in Spark + SQL twins).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# Token pattern: word runs or single non-word non-space chars (BPE-ish
+# pre-tokenization split, cf. GPT-2 pattern's word/punct split).
+TOKEN_RE = r"[a-z0-9]+|[^a-z0-9\s]"
+
+# Language marker words (the point is the argmax machinery, not NLP
+# accuracy; corpus vocabulary is English tech words).
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "is", "of"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "y", "las", "una"),
+    "de": ("der", "die", "das", "und", "ein"),
+}
+
+
+def _hits(words_col: str, markers: tuple[str, ...]) -> F.Column:
+    inlist = ", ".join(f"'{w}'" for w in markers)
+    return F.expr(f"size(filter({words_col}, w -> w IN ({inlist})))")
+
+
+def _sql_hits(markers: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in markers)
+    return f"len(list_filter(words, w -> w IN ({inlist})))"
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           n_words,
+           n_distinct_words,
+           avg_word_len,
+           stopword_ratio,
+           0.5 * stopword_ratio
+             + 0.3 * least(n_words / 100.0, 1.0)
+             + 0.2 * (n_distinct_words / n_words) AS quality_score
+    FROM (
+        SELECT doc_id,
+               len(words) AS n_words,
+               len(list_distinct(words)) AS n_distinct_words,
+               length(replace(text, ' ', '')) / len(words) AS avg_word_len,
+               len(list_filter(words, w -> w IN ({_SW_SQL}))) / len(words) AS stopword_ratio
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)
+        WHERE len(words) > 0
+    )
+    """,
+    doc="Quality scoring: length/stopword/distinctness ratios -> composite score.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    d = docs.withColumn("words", F.split("text", " ")).filter(F.size("words") > 0)
+    d = d.select(
+        "doc_id",
+        F.size("words").alias("n_words"),
+        F.size(F.array_distinct("words")).alias("n_distinct_words"),
+        (F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / F.size("words")).alias(
+            "avg_word_len"
+        ),
+        (_hits("words", STOPWORDS) / F.size("words")).alias("stopword_ratio"),
+    )
+    return d.withColumn(
+        "quality_score",
+        0.5 * F.col("stopword_ratio")
+        + 0.3 * F.least(F.col("n_words") / 100.0, F.lit(1.0))
+        + 0.2 * (F.col("n_distinct_words") / F.col("n_words")),
+    )
+
+
+@register(
+    "token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens,
+           n_chars,
+           len(regexp_extract_all(text, '{TOKEN_RE}')) / greatest(n_chars, 1) AS tokens_per_char
+    FROM documents
+    """,
+    doc="BPE-ish pre-tokenization count (word runs + punctuation singletons).",
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        "n_chars",
+        (n_tokens / F.greatest("n_chars", F.lit(1))).alias("tokens_per_char"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(concat(lang, ':', trim(text))) AS fingerprint,
+           substr(md5(concat(lang, ':', trim(text))), 1, 8) AS shard_key
+    FROM documents
+    """,
+    doc="Deterministic content fingerprint (md5 over normalized text); shard prefix for routing.",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat(F.col("lang"), F.lit(":"), F.trim("text")))
+    return docs.select(
+        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("shard_key")
+    )
+
+
+_LANG_CASE_SQL = """
+    CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+         WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+         WHEN s_es >= s_de THEN 'es'
+         ELSE 'de' END
+"""
+
+
+@register(
+    "lang_id_markers",
+    oracle=f"""
+    SELECT doc_id, s_en, s_fr, s_es, s_de,
+           {_LANG_CASE_SQL} AS predicted_lang,
+           lang AS actual_lang,
+           CAST(({_LANG_CASE_SQL}) = lang AS INT) AS is_match
+    FROM (
+        SELECT doc_id, lang,
+               {_sql_hits(LANG_MARKERS['en'])} AS s_en,
+               {_sql_hits(LANG_MARKERS['fr'])} AS s_fr,
+               {_sql_hits(LANG_MARKERS['es'])} AS s_es,
+               {_sql_hits(LANG_MARKERS['de'])} AS s_de
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents)
+    )
+    """,
+    doc="Language ID via marker-word scores + deterministic argmax.",
+)
+def lang_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    d = docs.withColumn("words", F.split("text", " ")).select(
+        "doc_id",
+        "lang",
+        _hits("words", LANG_MARKERS["en"]).alias("s_en"),
+        _hits("words", LANG_MARKERS["fr"]).alias("s_fr"),
+        _hits("words", LANG_MARKERS["es"]).alias("s_es"),
+        _hits("words", LANG_MARKERS["de"]).alias("s_de"),
+    )
+    predicted = F.expr(_LANG_CASE_SQL)
+    return d.select(
+        "doc_id",
+        "s_en",
+        "s_fr",
+        "s_es",
+        "s_de",
+        predicted.alias("predicted_lang"),
+        F.col("lang").alias("actual_lang"),
+        (predicted == F.col("lang")).cast("int").alias("is_match"),
+    )

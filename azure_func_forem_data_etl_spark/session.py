@@ -15,10 +15,37 @@ scale *down* to local[32] testing:
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+_SHIPPED_APPS: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executors regardless of driver cwd.
+
+    Queries using mapInPandas/pandas UDFs pickle closures that reference
+    module-level helpers by import path; Python workers must be able to
+    ``import azure_func_forem_data_etl_spark``.  On a real cluster this is
+    the wheel you ship with spark-submit; here we zip the package once per
+    session and ``addPyFile`` it.
+    """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED_APPS:
+        return
+    pkg_root = Path(__file__).resolve().parent
+    zip_path = Path(tempfile.gettempdir()) / f"forem_etl_pkg_{os.getpid()}.zip"
+    if not zip_path.exists():
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for py in sorted(pkg_root.rglob("*.py")):
+                zf.write(py, arcname=f"{pkg_root.name}/{py.relative_to(pkg_root)}")
+    spark.sparkContext.addPyFile(str(zip_path))
+    _SHIPPED_APPS.add(app_id)
 
 
 def get_spark(
@@ -66,3 +93,4 @@ def ensure_query_session_conf(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ship_package(spark)
