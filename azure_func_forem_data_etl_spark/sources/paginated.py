@@ -1,0 +1,135 @@
+"""Paginated REST source, Spark-shaped.
+
+The reference fetches pages sequentially on one thread with retry/backoff
+and an inter-page sleep (S1-S3, fetch_articles.py:58-76,112).  The engine
+keeps the same *per-call* policy (retries, exponential backoff, rate
+limit, abort-page-on-exhaustion) but executes page fetches in parallel on
+executors: the driver enumerates page ids, the fetch callable runs inside
+``mapInPandas`` partitions, and results come back as raw JSON rows that
+parse through the explicit article schema.
+
+At scale this is the standard "side-input ingest" shape: fetch tasks are
+pure + idempotent, a failed task re-fetches only its pages
+(spark.task.maxFailures), and the per-partition rate limit bounds the
+aggregate request rate at ``partitions / rate_limit_s`` req/s.
+
+For tests, the "endpoint" is a directory of ``page_{n}.json`` fixture
+files (pretty-printed JSON arrays — the reference's own sink format) with
+an optional deterministic failure injector.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azure_func_forem_data_etl_spark.session import ensure_query_session_conf
+from azure_func_forem_data_etl_spark.sources.bronze import ARTICLE_SCHEMA
+
+PageFetcher = Callable[[int], list[dict]]
+
+
+@dataclass(frozen=True)
+class FetchPolicy:
+    """Mirrors the reference's constants (fetch_articles.py:13-15)."""
+
+    max_retries: int = 3          # MAX_RETRIES
+    backoff_base: float = 2.0     # sleep(2**attempt)
+    rate_limit_s: float = 0.0     # SLEEP_DELAY (1.0 incremental / 0.5 backfill)
+
+
+def fetch_pages_raw(
+    spark: SparkSession,
+    page_ids: list[int],
+    fetcher: PageFetcher,
+    policy: FetchPolicy = FetchPolicy(),
+    parallelism: int | None = None,
+) -> DataFrame:
+    """(page, raw) rows: one JSON document string per article.
+
+    Retry semantics per page match fetch_articles.py:62-76: up to
+    ``max_retries`` attempts with ``backoff_base**attempt`` sleeps; an
+    exhausted page yields no rows (the reference returns ``[]``).
+    """
+    ensure_query_session_conf(spark)
+    if not page_ids:
+        return spark.createDataFrame([], "page INT, raw STRING")
+    n = parallelism or min(len(page_ids), spark.sparkContext.defaultParallelism)
+    pages_df = spark.createDataFrame([(int(p),) for p in page_ids], "page INT").repartition(
+        n, "page"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_page, out_raw = [], []
+            for page in pdf["page"]:
+                page = int(page)
+                articles: list[dict] = []
+                for attempt in range(policy.max_retries):
+                    try:
+                        articles = fetcher(page)
+                        break
+                    except Exception:
+                        if attempt + 1 >= policy.max_retries:
+                            articles = []  # abort page, keep pipeline alive
+                        else:
+                            time.sleep(policy.backoff_base ** (attempt + 1))
+                for a in articles:
+                    out_page.append(page)
+                    out_raw.append(json.dumps(a))
+                if policy.rate_limit_s:
+                    time.sleep(policy.rate_limit_s)
+            yield pd.DataFrame({"page": out_page, "raw": out_raw})
+
+    return pages_df.mapInPandas(run, schema="page INT, raw STRING")
+
+
+def parse_raw_articles(raw_df: DataFrame) -> DataFrame:
+    """Raw JSON rows -> typed article columns + quarantine flag."""
+    parsed = raw_df.withColumn(
+        "article",
+        F.from_json("raw", ARTICLE_SCHEMA, {"mode": "PERMISSIVE"}),
+    )
+    return parsed.select(
+        "page",
+        F.col("article.*"),
+        F.col("article").isNull().alias("is_corrupt"),
+    )
+
+
+def directory_fetcher(fixture_dir: str) -> PageFetcher:
+    """Fixture endpoint: ``{dir}/page_{n}.json`` JSON-array files; a
+    missing file is an empty page (end of pagination, F3)."""
+
+    def fetch(page: int) -> list[dict]:
+        try:
+            with open(f"{fixture_dir}/page_{page}.json") as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return []
+
+    return fetch
+
+
+def flaky_fetcher(
+    inner: PageFetcher, fail_first_attempts: int, fail_pages: set[int] | None = None
+) -> PageFetcher:
+    """Deterministic failure injector: raises on the first N attempts for
+    the given pages (worker-local counter — retries happen in-process)."""
+    attempts: dict[int, int] = {}
+
+    def fetch(page: int) -> list[dict]:
+        if fail_pages is None or page in fail_pages:
+            seen = attempts.get(page, 0)
+            attempts[page] = seen + 1
+            if seen < fail_first_attempts:
+                raise ConnectionError(f"injected failure {seen + 1} for page {page}")
+        return inner(page)
+
+    return fetch

@@ -1,0 +1,259 @@
+"""Ingestion-core tests (SURVEY.md §5.2-5.3): watermark boundary semantics,
+malformed-record quarantine, retry/backoff, cursor clamp, bounded backfill,
+rerun idempotence, and the at-least-once crash window + silver dedup."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_func_forem_data_etl_spark.plans.backfill import run_backfill
+from azure_func_forem_data_etl_spark.plans.incremental import (
+    compact_silver,
+    run_incremental,
+)
+from azure_func_forem_data_etl_spark.sources.bronze import (
+    parse_articles,
+    quarantine_split,
+    read_bronze_json,
+)
+from azure_func_forem_data_etl_spark.sources.paginated import (
+    FetchPolicy,
+    directory_fetcher,
+    fetch_pages_raw,
+    flaky_fetcher,
+    parse_raw_articles,
+)
+from azure_func_forem_data_etl_spark.sources.state import (
+    load_cursor,
+    load_watermark,
+    save_cursor,
+    save_watermark,
+)
+from tests.fixtures import make_article, ts, write_pages
+
+FAST = FetchPolicy(max_retries=3, backoff_base=0.001)
+
+
+# --------------------------------------------------------------------------
+# bronze reader
+
+
+def test_bronze_multiline_array_with_quarantine(spark, tmp_path):
+    # a reference-format blob: pretty-printed JSON array
+    arts = [
+        make_article(1, ts(10)),
+        make_article(2, None),               # missing published_at
+        make_article(3, "not-a-timestamp"),  # malformed
+    ]
+    p = tmp_path / "2024-03-10"
+    p.mkdir()
+    (p / "page=1_x.json").write_text(json.dumps(arts, indent=2))
+    bronze = read_bronze_json(spark, str(p), multi_line=True)
+    clean, bad = quarantine_split(parse_articles(bronze))
+    assert {r.id for r in clean.collect()} == {1}
+    assert {r.id for r in bad.collect()} == {2, 3}
+
+
+def test_bronze_z_suffix_parses_utc(spark, tmp_path):
+    (tmp_path / "a.json").write_text(json.dumps([make_article(1, "2024-03-10T12:30:00Z")]))
+    bronze = read_bronze_json(spark, str(tmp_path / "a.json"), multi_line=True)
+    row = parse_articles(bronze).select("published_at_ts").collect()[0]
+    assert row.published_at_ts == dt.datetime(2024, 3, 10, 12, 30)
+
+
+# --------------------------------------------------------------------------
+# paginated source
+
+
+def test_fetch_pages_parallel_and_empty_termination(spark, tmp_path):
+    write_pages(tmp_path, [[make_article(i, ts(1)) for i in range(5)], []])
+    raw = fetch_pages_raw(spark, [1, 2, 3], directory_fetcher(str(tmp_path)), FAST)
+    rows = raw.collect()
+    assert len(rows) == 5  # pages 2,3 empty/missing contribute nothing
+    parsed = parse_raw_articles(raw)
+    assert parsed.filter(~F.col("is_corrupt")).count() == 5
+
+
+def test_fetch_retry_succeeds_after_backoff(spark, tmp_path):
+    write_pages(tmp_path, [[make_article(1, ts(1))]])
+    f = flaky_fetcher(directory_fetcher(str(tmp_path)), fail_first_attempts=2)
+    raw = fetch_pages_raw(spark, [1], f, FAST, parallelism=1)
+    assert raw.count() == 1  # third attempt (max_retries=3) succeeds
+
+
+def test_fetch_aborts_page_after_max_retries(spark, tmp_path):
+    write_pages(tmp_path, [[make_article(1, ts(1))], [make_article(2, ts(1))]])
+    f = flaky_fetcher(directory_fetcher(str(tmp_path)), fail_first_attempts=5, fail_pages={1})
+    raw = fetch_pages_raw(spark, [1, 2], f, FAST, parallelism=1)
+    rows = raw.collect()
+    assert len(rows) == 1  # page 1 aborted to [], page 2 delivered
+    assert json.loads(rows[0].raw)["id"] == 2
+
+
+# --------------------------------------------------------------------------
+# state
+
+
+def test_watermark_roundtrip_and_cold_start(spark, tmp_path):
+    path = str(tmp_path / "wm")
+    assert load_watermark(spark, path) is None          # missing => cold start
+    save_watermark(spark, path, None)                   # no-op
+    assert load_watermark(spark, path) is None
+    wm = dt.datetime(2024, 3, 15, 12, 0)
+    save_watermark(spark, path, wm)
+    assert load_watermark(spark, path) == wm
+
+
+def test_cursor_default_and_clamp(spark, tmp_path):
+    path = str(tmp_path / "cur")
+    assert load_cursor(spark, path) == 1                # missing => 1
+    save_cursor(spark, path, 0)                         # falsy => no-op
+    assert load_cursor(spark, path) == 1
+    save_cursor(spark, path, -5)
+    assert load_cursor(spark, path) == 1
+    save_cursor(spark, path, 7)
+    assert load_cursor(spark, path) == 7
+
+
+# --------------------------------------------------------------------------
+# incremental pipeline
+
+
+@pytest.fixture()
+def incremental_fixture(tmp_path):
+    """3 pages newest-first (like /api/articles/latest), 4 articles each."""
+    pages = []
+    i = 0
+    for day in (20, 19, 18):
+        pages.append([make_article(100 + i + j, ts(day, hour=12 - j)) for j in range(4)])
+        i += 4
+    write_pages(tmp_path / "api", pages)
+    return tmp_path
+
+
+def test_incremental_cold_start_ingests_all(spark, incremental_fixture):
+    base = incremental_fixture
+    res = run_incremental(
+        spark,
+        directory_fetcher(str(base / "api")),
+        str(base / "bronze"),
+        str(base / "wm"),
+        FAST,
+        chunk_pages=2,
+    )
+    assert res.n_ingested == 12
+    assert res.watermark == dt.datetime(2024, 3, 20, 12, 0)
+    assert load_watermark(spark, str(base / "wm")) == res.watermark
+
+
+def test_incremental_second_run_is_noop_and_keeps_watermark(spark, incremental_fixture):
+    base = incremental_fixture
+    args = (
+        spark,
+        directory_fetcher(str(base / "api")),
+        str(base / "bronze"),
+        str(base / "wm"),
+        FAST,
+    )
+    first = run_incremental(*args, chunk_pages=2)
+    second = run_incremental(*args, chunk_pages=2)
+    assert second.n_ingested == 0
+    assert second.watermark == first.watermark  # L2: state untouched
+    bronze = spark.read.json(str(base / "bronze"))
+    assert bronze.count() == 12  # no duplicate ingestion
+
+
+def test_incremental_strict_watermark_boundary(spark, tmp_path):
+    """Reference uses strict > (fetch_articles.py:102): a row exactly AT
+    the watermark must NOT be re-ingested."""
+    write_pages(tmp_path / "api", [[make_article(1, ts(15, 12)), make_article(2, ts(15, 11))]])
+    wm_path = str(tmp_path / "wm")
+    save_watermark(spark, wm_path, dt.datetime(2024, 3, 15, 12, 0))
+    res = run_incremental(
+        spark,
+        directory_fetcher(str(tmp_path / "api")),
+        str(tmp_path / "bronze"),
+        wm_path,
+        FAST,
+    )
+    assert res.n_ingested == 0
+
+
+def test_incremental_quarantines_malformed(spark, tmp_path):
+    write_pages(
+        tmp_path / "api",
+        [[make_article(1, ts(10)), make_article(2, None), make_article(3, "garbage")]],
+    )
+    res = run_incremental(
+        spark,
+        directory_fetcher(str(tmp_path / "api")),
+        str(tmp_path / "bronze"),
+        str(tmp_path / "wm"),
+        FAST,
+    )
+    assert res.n_ingested == 1
+    assert res.n_quarantined == 2
+
+
+def test_at_least_once_replay_deduped_in_silver(spark, tmp_path):
+    """Crash window §4.3: data written, watermark write lost => next run
+    re-ingests; silver dedups by id."""
+    write_pages(tmp_path / "api", [[make_article(i, ts(12, 6 - i)) for i in range(3)]])
+    fetcher = directory_fetcher(str(tmp_path / "api"))
+    bronze, wm = str(tmp_path / "bronze"), str(tmp_path / "wm")
+    run_incremental(spark, fetcher, bronze, wm, FAST)
+    # simulate the crash: lose the watermark (data already committed)
+    import shutil
+
+    shutil.rmtree(wm)
+    run_incremental(spark, fetcher, bronze, wm, FAST)
+    assert spark.read.json(bronze).count() == 6  # bronze holds the replay
+    n = compact_silver(spark, bronze, str(tmp_path / "silver"))
+    assert n == 3  # silver is exactly-once by id
+    silver = spark.read.parquet(str(tmp_path / "silver"))
+    assert silver.select("id").distinct().count() == 3
+
+
+# --------------------------------------------------------------------------
+# backfill pipeline
+
+
+def test_backfill_bounded_run_and_cursor_advance(spark, tmp_path):
+    write_pages(tmp_path / "api", [[make_article(100 * p + j, ts(5)) for j in range(3)] for p in range(20)])
+    args = (
+        spark,
+        directory_fetcher(str(tmp_path / "api")),
+        str(tmp_path / "bronze"),
+        str(tmp_path / "cur"),
+        FAST,
+    )
+    r1 = run_backfill(*args)
+    assert (r1.first_page, r1.next_page, r1.n_ingested) == (1, 16, 45)  # 15 pages x 3
+    r2 = run_backfill(*args)
+    assert r2.first_page == 16
+    assert r2.n_ingested == 15  # pages 16-20 exist (5 x 3), 21+ empty
+    assert r2.exhausted
+    assert r2.next_page == 21
+    assert spark.read.json(str(tmp_path / "bronze")).count() == 60
+
+
+def test_backfill_discards_pages_after_first_empty(spark, tmp_path):
+    """Sequential reference stops at the first empty page; parallel fetch
+    must not ingest later pages even if they have data."""
+    write_pages(tmp_path / "api", [[make_article(1, ts(5))], []])
+    write_pages(tmp_path / "api", [[make_article(99, ts(5))]], start_page=5)  # orphan after gap
+    r = run_backfill(
+        spark,
+        directory_fetcher(str(tmp_path / "api")),
+        str(tmp_path / "bronze"),
+        str(tmp_path / "cur"),
+        FAST,
+    )
+    assert r.n_ingested == 1
+    assert r.next_page == 2
+    ids = [json.loads(row.raw)["id"] for row in spark.read.json(str(tmp_path / "bronze")).select("raw").collect()]
+    assert ids == [1]
