@@ -57,5 +57,9 @@ def load_all() -> dict[str, Query]:
         text,
         windows,
     )
+    from azure_func_forem_data_etl_spark.streaming import (  # noqa: F401
+        sessionize,
+        windows as streaming_windows,
+    )
 
     return REGISTRY

@@ -1,0 +1,74 @@
+"""Structured Streaming plumbing shared by the streaming operators.
+
+The reference's incrementality is hand-rolled state in well-known blobs
+(watermark: fetch_articles.py:33-55; page cursor:
+fetch_articles_backfill.py:36-55) with an at-least-once crash window
+(SURVEY.md §4.3).  Structured Streaming replaces all of it: the
+checkpoint's offset + commit logs are the watermark/cursor, written
+atomically, giving exactly-once file pickup for free.
+
+``Trigger.AvailableNow`` is the reference's bounded-run pattern
+(MAX_PAGES_PER_RUN, fetch_articles_backfill.py:20,88) done right: process
+everything available in rate-limited micro-batches, then stop — a "run"
+that resumes from the checkpoint next invocation.
+
+Helpers here run a streaming DataFrame to completion into a uniquely-named
+memory sink and hand back the result as a batch DataFrame, so streaming
+operators can register in the same ``queries()`` registry the batch
+operators use (the memory sink holds aggregated/deduped results, never the
+raw stream — driver-side size stays bounded).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azure_func_forem_data_etl_spark.session import ensure_query_session_conf
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """File-source stream over one test table (TESTDATA.md).
+
+    The file source needs a directory, so we stream the sf dir with a
+    ``pathGlobFilter`` selecting the one table.  Schema comes from a batch
+    read of the same file (a real deployment pins the schema explicitly —
+    streaming sources cannot infer).  ``events.ts`` gets the same
+    TIMESTAMP(NANOS) → µs normalization as the batch loader
+    (sources/tables.py).
+    """
+    ensure_query_session_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    if name == "events" and dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf
+
+
+def run_available_now(sdf: DataFrame, output_mode: str) -> DataFrame:
+    """Run a streaming plan to completion; return the memory-sink table.
+
+    Each run gets a fresh checkpoint + sink name so registry queries are
+    re-runnable within one session (the driver runs each query more than
+    once).  Durable jobs (streaming/ingest.py) pass their own long-lived
+    checkpoint instead.
+    """
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="forem_etl_ckpt_")
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return sdf.sparkSession.table(name)

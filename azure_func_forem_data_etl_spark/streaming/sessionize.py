@@ -1,0 +1,145 @@
+"""Custom stateful sessionization via ``applyInPandasWithState``.
+
+The built-in ``session_window`` agg (operators/windows.py) covers the
+common case; this operator is the escape hatch the SURVEY §2b streaming row
+calls for — arbitrary per-key state logic (here: gap-based sessions that
+also carry the per-session event count), the engine's analog of
+flatMapGroupsWithState.
+
+Protocol: per user, events arrive in micro-batches; the open (possibly
+continuing) session lives in the state store between batches.  Each batch
+emits every session it saw — closed sessions once, and the still-open
+session in its current shape; a later batch that extends the open session
+re-emits it with the same ``session_start`` and a larger count, so the
+finalizing pass keeps MAX(session_end), MAX(n_events) per
+(user_id, session_start).  Within one batch per-user events are sorted
+in-memory; across batches we assume per-key event-time order (standard for
+log ingest; the watermarked ``session_window`` agg handles disorder).
+
+At 100 TB: state is partitioned by user_id across executors and holds one
+fixed-width row per user — memory is O(active users), not O(events).
+Arrow-batched pandas transfer keeps the Python hop vectorized.
+
+Oracle: classic gaps-and-islands SQL — exact because with a single parquet
+file the source is one micro-batch (multi-batch merge behavior is covered
+by tests/test_streaming.py, which feeds files one batch at a time).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from azure_func_forem_data_etl_spark.plans.registry import register
+from azure_func_forem_data_etl_spark.streaming.core import (
+    run_available_now,
+    stream_table,
+)
+
+GAP = pd.Timedelta(minutes=10)
+
+OUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
+)
+# Open-session carryover: (start, last) as epoch-µs longs + event count.
+STATE_SCHEMA = "open_start long, open_last long, open_n long"
+
+_US = "int64"
+
+
+def _sessionize_group(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    ts = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values().reset_index(drop=True)
+    if state.exists:
+        open_start, open_last, open_n = state.get
+    else:
+        open_start = open_last = open_n = None
+
+    out: list[tuple[int, pd.Timestamp, pd.Timestamp, int]] = []
+    us = ts.astype(_US) // 1000  # ns -> µs
+    gap_us = GAP.value // 1000
+    for t in us:
+        if open_last is not None and t - open_last <= gap_us:
+            open_last = t
+            open_n += 1
+        else:
+            if open_last is not None:
+                out.append((user_id, open_start, open_last, open_n))
+            open_start, open_last, open_n = t, t, 1
+    if open_last is not None:
+        out.append((user_id, open_start, open_last, open_n))
+        state.update((int(open_start), int(open_last), int(open_n)))
+
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series([r[0] for r in out], dtype="int64"),
+            "session_start": pd.to_datetime([r[1] for r in out], unit="us"),
+            "session_end": pd.to_datetime([r[2] + GAP.value // 1000 for r in out], unit="us"),
+            "n_events": pd.Series([r[3] for r in out], dtype="int64"),
+        }
+    )
+
+
+def sessionize_stream(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Raw emitted sessions (pre-finalization) from a streaming events df."""
+    assert gap == "10 minutes", "GAP constant is module-level for picklability"
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def finalize_sessions(emitted: DataFrame) -> DataFrame:
+    """Collapse re-emissions of a continued session to its final shape."""
+    return emitted.groupBy("user_id", "session_start").agg(
+        F.max("session_end").alias("session_end"),
+        F.max("n_events").alias("n_events"),
+    )
+
+
+@register(
+    "streaming_sessionize_state",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL '10 minutes'
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+    ), grp AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '10 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM grp
+    GROUP BY user_id, session_id
+    """,
+    doc="Custom stateful sessionization (applyInPandasWithState), 10-min gap.",
+)
+def streaming_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = stream_table(spark, sf_dir, "events")
+    emitted = run_available_now(sessionize_stream(events), "append")
+    return finalize_sessions(emitted)

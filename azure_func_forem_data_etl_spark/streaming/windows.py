@@ -1,0 +1,116 @@
+"""Streaming window aggregations + watermark dedup over the events stream.
+
+True ``readStream`` versions of the batch window aggs (operators/windows.py)
+— same semantics, same oracle SQL, but computed by the streaming engine
+with event-time watermarks.  The watermark generalizes the reference's
+single persisted ``latest_timestamp`` (fetch_articles.py:33-55): instead of
+silently dropping out-of-order rows (fetch_articles.py:102-104, SURVEY.md
+§2a F1 gap), lateness is an explicit bound and the engine tracks per-key
+state under it.
+
+``streaming_dedup_watermark`` is the engine's fix for the reference's
+at-least-once replay window (data committed before state,
+fetch_articles.py:128-136): duplicates inside the lateness bound are
+dropped by key with bounded state — the streaming version of the silver
+compaction's ``dropDuplicates("id")``.
+
+Scale notes: windowed aggs and watermark dedup keep per-key state in the
+state store (RocksDB on a real cluster), partitioned by key across
+executors; state is evicted as the watermark passes, so memory is bounded
+by (keys in flight × lateness), not stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azure_func_forem_data_etl_spark.functions.exact import dsum, sql_dsum
+from azure_func_forem_data_etl_spark.plans.registry import register
+from azure_func_forem_data_etl_spark.streaming.core import (
+    run_available_now,
+    stream_table,
+)
+
+
+@register(
+    "streaming_tumbling_window",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1h streaming agg (readStream + watermark, complete mode).",
+)
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = stream_table(spark, sf_dir, "events")
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    # Complete mode: every window emits, incl. those still open at end of
+    # stream — exactly the batch result, so the oracle is exact.
+    return run_available_now(agg, "complete")
+
+
+@register(
+    "streaming_sliding_window",
+    oracle=f"""
+    WITH w AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value FROM events
+    )
+    SELECT window_start,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM w
+    GROUP BY 1
+    """,
+    doc="Sliding 1h/30m streaming agg (readStream + watermark, complete mode).",
+)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = stream_table(spark, sf_dir, "events")
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+    return run_available_now(agg, "complete")
+
+
+@register(
+    "streaming_dedup_watermark",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_unique
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="dropDuplicatesWithinWatermark over a replayed stream: exactly-once repair.",
+)
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Simulate the reference's replay window: the same source unioned with
+    # itself = every event delivered twice within the lateness bound.
+    a = stream_table(spark, sf_dir, "events")
+    b = stream_table(spark, sf_dir, "events")
+    deduped = (
+        a.unionByName(b)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    out = run_available_now(deduped, "append")
+    # Aggregate the deduped rows batch-side: the streaming part is the
+    # stateful dedup; the count keeps the result (and the memory sink
+    # comparison surface) small and oracle-friendly.
+    return out.groupBy("event_type").agg(F.count("*").alias("n_unique"))

@@ -1,0 +1,181 @@
+"""Structured Streaming tests: window aggs, watermark dedup, stateful
+sessionization (incl. cross-batch state carry), and checkpointed ingest
+(exactly-once file pickup, rerun idempotence)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_func_forem_data_etl_spark.streaming.core import run_available_now
+from azure_func_forem_data_etl_spark.streaming.ingest import run_streaming_ingest
+from azure_func_forem_data_etl_spark.streaming.sessionize import (
+    finalize_sessions,
+    sessionize_stream,
+)
+from fixtures import make_article, ts  # tests/fixtures.py
+from oracle import assert_matches_oracle
+
+
+# ---------------------------------------------------------------- windows
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir):
+    from azure_func_forem_data_etl_spark.streaming.windows import (
+        streaming_tumbling_window,
+    )
+    from azure_func_forem_data_etl_spark.operators.windows import tumbling_window_agg
+
+    got = streaming_tumbling_window(spark, sf_dir).toPandas()
+    want = tumbling_window_agg(spark, sf_dir).toPandas()
+    key = ["window_start", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got[key + ["n_events", "sum_value"]].equals(
+        want[key + ["n_events", "sum_value"]]
+    )
+
+
+def test_streaming_dedup_drops_replayed_batch(spark, sf_dir):
+    from azure_func_forem_data_etl_spark.streaming.windows import (
+        streaming_dedup_watermark,
+    )
+
+    out = streaming_dedup_watermark(spark, sf_dir)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert out.agg(F.sum("n_unique")).collect()[0][0] == events.count()
+
+
+# ------------------------------------------------------------ sessionize
+
+
+def _event_rows(spark, rows):
+    return spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+
+
+def test_sessionize_single_batch_islands(spark, tmp_path):
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:05:00"),  # same session (5m gap)
+        (1, "2024-01-01 00:30:00"),  # new session (25m gap)
+        (2, "2024-01-01 00:00:00"),  # separate user
+    ]
+    df = spark.createDataFrame(
+        [(u, t) for u, t in rows], "user_id bigint, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    path = str(tmp_path / "ev")
+    df.write.parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    out = finalize_sessions(run_available_now(sessionize_stream(stream), "append"))
+    got = {
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, "2024-01-01 00:00:00", 2),
+        (1, "2024-01-01 00:30:00", 1),
+        (2, "2024-01-01 00:00:00", 1),
+    }
+
+
+def test_sessionize_state_carries_across_batches(spark, tmp_path):
+    """A session split across two micro-batches merges via the state store.
+
+    Files are written one-per-batch with strictly increasing mtimes so the
+    file source delivers them in event-time order (the operator's documented
+    cross-batch assumption)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    land = tmp_path / "land"
+    land.mkdir()
+
+    def write_batch(name, rows, mtime):
+        pdf = pd.DataFrame(
+            {
+                "user_id": pd.Series([u for u, _ in rows], dtype="int64"),
+                "ts": pd.to_datetime([t for _, t in rows]).astype("datetime64[us]"),
+            }
+        )
+        path = str(land / name)
+        pq.write_table(pa.Table.from_pandas(pdf), path)
+        os.utime(path, (mtime, mtime))
+
+    write_batch("b1.parquet", [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:08:00")], 1_700_000_000)
+    write_batch("b2.parquet", [(1, "2024-01-01 00:12:00"), (1, "2024-01-01 01:00:00")], 1_700_000_100)
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)  # force multi-batch
+        .option("latestFirst", "false")
+        .parquet(str(land))
+    )
+    out = finalize_sessions(run_available_now(sessionize_stream(stream), "append"))
+    rows = {(str(r["session_start"]), r["n_events"]) for r in out.collect()}
+    # 00:00 + 00:08 + 00:12 merge (gaps <= 10m) => one 3-event session;
+    # 01:00 starts a fresh one.
+    assert ("2024-01-01 01:00:00", 1) in rows
+    merged = [r for r in rows if r[0] == "2024-01-01 00:00:00"]
+    assert merged and max(n for _, n in merged) == 3
+
+
+def test_sessionize_registry_query_matches_oracle(spark):
+    from azure_func_forem_data_etl_spark.streaming.sessionize import (
+        streaming_sessionize_state,
+    )
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    q = load_all()["streaming_sessionize_state"]
+    sf = "/root/testdata/sf0.001"
+    assert_matches_oracle(streaming_sessionize_state(spark, sf), q.oracle, sf)
+
+
+# ---------------------------------------------------------------- ingest
+
+
+def _write_page(dirpath, page, n, start_id):
+    arts = [make_article(start_id + i, ts(day=1 + i)) for i in range(n)]
+    (dirpath / f"page_{page}.json").write_text(json.dumps(arts, indent=2))
+    return arts
+
+
+def test_streaming_ingest_exactly_once_per_file(spark, tmp_path):
+    land = tmp_path / "land"
+    land.mkdir()
+    bronze = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ckpt")
+    _write_page(land, 1, 5, start_id=100)
+
+    r1 = run_streaming_ingest(spark, str(land), bronze, ckpt)
+    assert r1.rows_written == 5
+    assert spark.read.parquet(bronze).count() == 5
+
+    # Rerun with nothing new: checkpoint suppresses re-ingest entirely.
+    r2 = run_streaming_ingest(spark, str(land), bronze, ckpt)
+    assert r2.rows_written == 0
+    assert spark.read.parquet(bronze).count() == 5
+
+    # New file appears: only it is picked up.
+    _write_page(land, 2, 3, start_id=200)
+    r3 = run_streaming_ingest(spark, str(land), bronze, ckpt)
+    assert r3.rows_written == 3
+    df = spark.read.parquet(bronze)
+    assert df.count() == 8
+    assert df.select("id").distinct().count() == 8
+
+
+def test_streaming_ingest_quarantines_malformed(spark, tmp_path):
+    land = tmp_path / "land"
+    land.mkdir()
+    arts = [make_article(i, ts(day=i)) for i in range(1, 4)]
+    arts[1]["published_at"] = "not-a-timestamp"
+    (land / "page_1.json").write_text(json.dumps(arts, indent=2))
+    bronze = str(tmp_path / "bronze")
+    run_streaming_ingest(spark, str(land), bronze, str(tmp_path / "ckpt"))
+    df = spark.read.parquet(bronze)
+    assert df.count() == 3
+    assert df.filter(F.col("published_at_ts").isNull()).count() == 1
