@@ -1,0 +1,195 @@
+"""Remaining scalar/relational surface from SURVEY.md §2b: grouping sets,
+approximate distinct, array/explode functions, JSON functions, map
+functions, union set-op, pivot.
+
+The reference passes its JSON payloads through opaquely (`dict[str, Any]`,
+fetch_articles.py:58,79-82); these operators are what a consumer of the
+landed lake uses to actually pick the payloads apart — all built-in
+Catalyst expressions inside whole-stage codegen, no Python in any hot
+path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azure_func_forem_data_etl_spark.functions.exact import dsum, sql_dsum
+from azure_func_forem_data_etl_spark.plans.registry import register
+from azure_func_forem_data_etl_spark.sources.tables import table
+
+
+@register(
+    "grouping_sets_orders",
+    oracle=f"""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="GROUPING SETS with GROUPING() markers (tag x day style matrices).",
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__gs_orders")
+    # Grouping sets have no DataFrame-API form; SQL is the idiomatic route
+    # and compiles to the same Expand + partial/final agg as cube/rollup.
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus,
+               o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketches are engine-specific; error bound unit-tested
+    doc="approx_count_distinct (HyperLogLog++): constant-memory distincts at 100 TB.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_custkeys"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "array_functions_docs",
+    oracle="""
+    SELECT doc_id,
+           len(tokens) AS n_tokens,
+           len(list_distinct(tokens)) AS n_distinct,
+           CAST(list_contains(tokens, 'spark') AS INT) AS has_spark,
+           array_to_string(list_slice(tokens, 1, 3), '-') AS first3,
+           tokens[-1] AS last_token
+    FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+    """,
+    doc="Array functions: size/distinct/contains/slice/join/element_at.",
+)
+def array_functions_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    d = docs.withColumn("tokens", F.split("text", " "))
+    return d.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).alias("n_distinct"),
+        F.array_contains("tokens", "spark").cast("int").alias("has_spark"),
+        F.array_join(F.slice("tokens", 1, 3), "-").alias("first3"),
+        F.element_at("tokens", -1).alias("last_token"),
+    )
+
+
+@register(
+    "explode_token_counts",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+    doc="explode -> corpus-wide term frequencies, deterministic top-20.",
+)
+def explode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+@register(
+    "json_functions_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k_doubled
+    FROM events
+    """,
+    doc="JSON functions: get_json_object path extract + from_json typed struct.",
+)
+def json_functions_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    k_path = F.get_json_object("props", "$.k").cast("bigint")
+    k_struct = F.from_json("props", "k BIGINT")["k"]
+    return events.select(
+        "event_id",
+        k_path.alias("k"),
+        k_struct.alias("k_struct"),
+        (k_path * 2).alias("k_doubled"),
+    )
+
+
+@register(
+    "map_functions_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           len(json_keys(props)) AS n_keys
+    FROM events
+    """,
+    doc="Map functions: str_to_map / element_at / map_keys over the props payload.",
+)
+def map_functions_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    m = F.str_to_map(F.regexp_replace("props", r'[{}" ]', ""), F.lit(","), F.lit(":"))
+    return events.select(
+        "event_id",
+        F.element_at(m, "k").cast("bigint").alias("k"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@register(
+    "union_snapshots",
+    oracle="""
+    SELECT DISTINCT o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        UNION ALL
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    )
+    """,
+    doc="UNION (distinct) of two snapshot projections — the set-op triple with intersect/except.",
+)
+def union_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    a = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "pivot_event_values",
+    oracle="SELECT user_id % 10 AS user_bucket, "
+    + ", ".join(
+        "CAST(SUM(CAST(value AS DECIMAL(18,4)))"
+        f" FILTER (WHERE event_type = '{t}') AS DOUBLE) AS {t}"
+        for t in ("click", "error", "purchase", "signup", "view")
+    )
+    + " FROM events GROUP BY 1",
+    doc="Pivot (long->wide): per-bucket value totals, one column per event type.",
+)
+def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    # Explicit value list: no extra distinct-values job, stable columns.
+    return (
+        events.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(dsum("value"))
+    )

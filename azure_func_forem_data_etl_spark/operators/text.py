@@ -125,6 +125,64 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               CAST(FLOOR(tf.tf * 1000000.0 * n.n_docs / df.df) AS BIGINT) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term
+        ) AS rn
+        FROM scored
+    )
+    WHERE rn <= 3
+    """,
+    doc=(
+        "TF-IDF top-3 terms per doc. Rational idf (N/df, scaled+floored to "
+        "int) instead of log so scores are bit-identical across engines; "
+        "ranking is order-isomorphic to log idf. The ml.feature HashingTF+IDF "
+        "path is the fitted-pipeline alternative."
+    ),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")  # df side is |vocab|-sized; Catalyst broadcasts it
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.floor(F.col("tf") * 1000000.0 * F.col("n_docs") / F.col("df")).cast(
+                "bigint"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score")
+    )
+
+
 _LANG_CASE_SQL = """
     CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
          WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'

@@ -52,6 +52,7 @@ def load_all() -> dict[str, Query]:
         dedup,
         multimodal,
         relational,
+        scalars,
         similarity,
         temporal,
         text,
