@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from azure_func_forem_data_etl_spark.plans.registry import register
-from azure_func_forem_data_etl_spark.sources.tables import table
+from azure_func_forem_data_etl_spark.sources.tables import scale_out, table
 
 # ---------------------------------------------------------------------------
 # shared shingle machinery
@@ -158,7 +158,10 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
         F.min(F.pmod(x * F.lit(a) + F.lit(b), F.lit(_MERSENNE61))).alias(f"mh_{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    # n_sh rides along in the same shuffle: verification needs per-doc
+    # shingle counts, and folding them here saves a full shingle
+    # recompute + second aggregation exchange.
+    return sh.groupBy("doc_id").agg(*aggs, F.count("*").alias("n_sh"))
 
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
@@ -190,9 +193,16 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
-def verify_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact Jaccard, computed only for candidate pairs."""
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+def verify_jaccard(
+    pairs: DataFrame, sh: DataFrame, sizes: DataFrame | None = None
+) -> DataFrame:
+    """Exact Jaccard, computed only for candidate pairs.
+
+    ``sizes`` (doc_id, n_sh) can be supplied by a caller that already
+    aggregated per-doc — e.g. minhash_signatures — to avoid re-counting.
+    """
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
@@ -224,10 +234,11 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = MINHASH_VERIFY_THRESHOLD) -> DataFrame:
     """Reusable pipeline so tests can run it on planted-duplicate corpora."""
-    sh = word_shingles(docs, MINHASH_NGRAM)
+    sh = word_shingles(scale_out(docs, "doc_id"), MINHASH_NGRAM)
     sig = minhash_signatures(sh)
     cand = lsh_candidate_pairs(sig)
-    return verify_jaccard(cand, sh).filter(F.col("jaccard") >= threshold)
+    sizes = sig.select("doc_id", "n_sh")
+    return verify_jaccard(cand, sh, sizes).filter(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -268,7 +279,7 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
-    fp = simhash_fingerprints(docs)
+    fp = simhash_fingerprints(scale_out(docs, "doc_id"))
     nbands = SIMHASH_BITS // SIMHASH_BAND_BITS
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = F.array(

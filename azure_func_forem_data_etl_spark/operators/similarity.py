@@ -31,7 +31,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from azure_func_forem_data_etl_spark.plans.registry import register
-from azure_func_forem_data_etl_spark.sources.tables import table
+from azure_func_forem_data_etl_spark.sources.tables import scale_out, table
 
 KNN_K = 5
 KNN_QUERY_MOD = 100  # vec_id % 100 == 0 -> 1% of vectors are queries
@@ -174,9 +174,10 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qids = qpd["vec_id"].to_numpy()
     Q = _np_matrix(qpd["embedding"])
-    partial = emb.select("vec_id", "embedding").mapInPandas(
-        _partial_topk_mapper(qids, Q, KNN_K), schema=_KNN_SCHEMA
-    )
+    # One-file corpus scans as one partition; widen so every core runs a
+    # BLAS batch (no-op when the scan is already split).
+    corpus = scale_out(emb.select("vec_id", "embedding"), "vec_id")
+    partial = corpus.mapInPandas(_partial_topk_mapper(qids, Q, KNN_K), schema=_KNN_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         partial.withColumn("rnk", F.row_number().over(w))
@@ -235,7 +236,9 @@ def lsh_topk(
     """ANN top-k: same-bucket candidates only, exact cosine rescoring."""
     dim = 64
     mapper, sig_schema = _signature_mapper(_hyperplanes(dim))
-    sigs = emb.select("vec_id", "embedding").mapInPandas(mapper, schema=sig_schema)
+    sigs = scale_out(emb.select("vec_id", "embedding"), "vec_id").mapInPandas(
+        mapper, schema=sig_schema
+    )
     # Multi-probe: each query also probes the LSH_BITS hamming-1 buckets,
     # lifting candidate recall ~3x for a 7x (tiny) lookup cost.
     probes = F.array(

@@ -43,3 +43,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every test table as a dict of lazy DataFrames."""
     return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def scale_out(df: DataFrame, *by: str) -> DataFrame:
+    """Widen an under-partitioned input to the session's parallelism.
+
+    A small source (one parquet file at test SFs, one under-split blob in
+    production) scans as a single partition, serializing every downstream
+    expensive transform (shingling, hashing, vector math).  One narrow
+    shuffle of the *input* rows buys full parallelism for the heavy work
+    after it; hashing by key keeps later same-key aggregations co-located.
+    No-op when the scan is already wide enough — at 100 TB the file splits
+    themselves provide the parallelism and this adds nothing.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    # inputFiles() is a listing, not a plan compile (df.rdd would be); file
+    # count under-estimates splits (row groups) but only near the boundary.
+    if len(df.inputFiles()) >= max(2, target // 2):
+        return df
+    return df.repartition(target, *by) if by else df.repartition(target)
