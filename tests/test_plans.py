@@ -1,0 +1,80 @@
+"""Physical-plan audits: assert the optimizations we designed for actually
+appear in the compiled plans (SURVEY.md §4.2).  These are the properties
+that decide whether a query survives a 100x scale-up:
+
+- dimension joins broadcast (no fact-table shuffle),
+- predicates and projections reach the parquet scan,
+- global top-N compiles to TakeOrderedAndProject (no full sort),
+- hot aggregations use partial (map-side) aggregation,
+- nothing in the LSH/knn paths degenerates to a cartesian product.
+"""
+
+from __future__ import annotations
+
+from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+
+def _formatted_plan(df) -> str:
+    jdf = df._jdf
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jdf.queryExecution().explainString(mode)
+
+
+def _plan(spark, sf_dir, name) -> str:
+    return _formatted_plan(load_all()[name].fn(spark, sf_dir))
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_broadcast_dims")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation and region builds
+    assert "SortMergeJoin" not in plan  # the fact side never shuffles
+
+
+def test_filter_and_projection_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_like_project")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(p_size,10)" in plan
+    assert "StringContains(p_type,a)" in plan
+    # column pruning: unused p_size/p_type are scanned (filter needs them)
+    # but p_name-only projection must not drag every column at the sink.
+    assert "ReadSchema" in plan
+
+
+def test_q1_scan_prunes_columns_and_pushes_shipdate(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate at the scan
+    # only the 7 needed columns of 11 are read
+    read = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_global_topn_avoids_full_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sort_limit_topn")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_topk_per_group_is_single_shuffle(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, sf_dir, "window_topk")
+    # one hash exchange for the window partition key; no extra exchanges
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+    # rank-limit pushdown: per-partition top-k before the shuffle
+    assert "WindowGroupLimit" in plan
+
+
+def test_lsh_and_knn_never_cartesian(spark, sf_dir):
+    for name in ["minhash_lsh_neardup", "simhash_neardup", "knn_bruteforce"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_asof_join_is_one_shuffle_one_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "asof_join_purchase")
+    assert "CartesianProduct" not in plan
+    assert "WindowExec" in plan or "Window" in plan

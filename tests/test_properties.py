@@ -1,0 +1,125 @@
+"""Property-based tests (SURVEY.md §5.4): random article batches — shuffled
+timestamps, missing/garbage fields, duplicate ids — through the incremental
+pipeline; invariants that must hold for ANY input:
+
+- ingested ids are a subset of input ids,
+- silver has no duplicate ids after compaction,
+- the committed watermark equals max(published_at) over ingested rows,
+- an immediate rerun ingests nothing (idempotence under strict >),
+- minhash signatures are independent of physical partitioning.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import shutil
+import tempfile
+from pathlib import Path
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from azure_func_forem_data_etl_spark.plans.incremental import (
+    compact_silver,
+    run_incremental,
+)
+from azure_func_forem_data_etl_spark.sources.paginated import (
+    FetchPolicy,
+    directory_fetcher,
+)
+from azure_func_forem_data_etl_spark.sources.state import load_watermark
+from tests.fixtures import make_article
+
+# (id, published_at) pairs: small id range forces duplicates; published_at
+# mixes valid ISO-Z, None, and garbage.
+_valid_ts = st.builds(
+    lambda d, h, m: f"2024-03-{d:02d}T{h:02d}:{m:02d}:00Z",
+    st.integers(1, 28),
+    st.integers(0, 23),
+    st.integers(0, 59),
+)
+_published = st.one_of(_valid_ts, st.none(), st.just("not-a-timestamp"))
+_batches = st.lists(
+    st.tuples(st.integers(1, 15), _published), min_size=0, max_size=25
+)
+
+
+def _parse(ts: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(ts.replace("Z", "+00:00")).replace(tzinfo=None)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batch=_batches)
+def test_incremental_pipeline_invariants(spark, batch):
+    work = Path(tempfile.mkdtemp(prefix="prop_"))
+    try:
+        pages = work / "pages"
+        pages.mkdir()
+        arts = [make_article(i, ts) for i, ts in batch]
+        (pages / "page_1.json").write_text(json.dumps(arts, indent=2))
+
+        bronze, silver, state = str(work / "bronze"), str(work / "silver"), str(work / "state")
+        res = run_incremental(
+            spark, directory_fetcher(str(pages)), bronze, state, FetchPolicy()
+        )
+
+        valid = [(i, _parse(ts)) for i, ts in batch if ts not in (None, "not-a-timestamp")]
+        assert res.n_ingested == len(valid)
+        assert res.n_quarantined == len(batch) - len(valid)
+
+        if valid:
+            # watermark == max ingested published_at, committed after data
+            assert load_watermark(spark, state) == max(t for _, t in valid)
+            n_silver = compact_silver(spark, bronze, silver)
+            silver_ids = {
+                r["id"] for r in spark.read.parquet(silver).select("id").collect()
+            }
+            assert silver_ids == {i for i, _ in valid}  # subset AND complete
+            assert n_silver == len(silver_ids)  # no duplicate ids survive
+        else:
+            # empty batch: no state write (L2)
+            assert load_watermark(spark, state) is None
+
+        # rerun: strict > watermark filter ingests nothing new
+        res2 = run_incremental(
+            spark, directory_fetcher(str(pages)), bronze, state, FetchPolicy()
+        )
+        assert res2.n_ingested == 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@settings(max_examples=3, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(nparts=st.integers(1, 7), seed=st.integers(0, 10_000))
+def test_minhash_signatures_partition_invariant(spark, nparts, seed):
+    """Signatures (and thus candidate pairs) must not depend on physical
+    partitioning — required for the driver's rows-only repeatability."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from azure_func_forem_data_etl_spark.operators.dedup import (
+        MINHASH_NGRAM,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    rng = random.Random(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12))))
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    base = minhash_signatures(word_shingles(docs.coalesce(1), MINHASH_NGRAM))
+    other = minhash_signatures(
+        word_shingles(docs.repartition(nparts, "doc_id"), MINHASH_NGRAM)
+    )
+    a = sorted(map(tuple, base.collect()))
+    b = sorted(map(tuple, other.collect()))
+    assert a == b
