@@ -141,3 +141,53 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_full_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return extract_media_features(with_binary_column(docs))
+
+
+# ---------------------------------------------------------------------------
+# resize (thumbnail) stub
+
+THUMB_SIDE = 8  # fixed-size "thumbnail": 8x8 mean-pooled byte grid
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("thumb_w", T.IntegerType()),
+        T.StructField("thumb_h", T.IntegerType()),
+        T.StructField("thumbnail", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _resize_mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB resize — mean-pool the payload bytes onto a fixed THUMB_SIDE^2
+    grid (stand-in for PIL ``Image.resize``; the Arrow/partition plumbing
+    is what a real decoder would run inside)."""
+    n_cells = THUMB_SIDE * THUMB_SIDE
+    for pdf in batches:
+        rows = []
+        for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.float32)
+            if len(arr) == 0:
+                arr = np.zeros(1, dtype=np.float32)
+            # mean-pool into n_cells buckets (ragged-safe)
+            idx = (np.arange(len(arr)) * n_cells) // len(arr)
+            sums = np.bincount(idx, weights=arr, minlength=n_cells)
+            cnts = np.maximum(np.bincount(idx, minlength=n_cells), 1)
+            rows.append((doc_id, THUMB_SIDE, THUMB_SIDE, (sums / cnts).astype(np.float32).tolist()))
+        yield pd.DataFrame(rows, columns=[f.name for f in _RESIZE_SCHEMA.fields])
+
+
+def resize_media(media: DataFrame) -> DataFrame:
+    return media.select("doc_id", "payload").mapInPandas(
+        _resize_mapper, schema=_RESIZE_SCHEMA
+    )
+
+
+@register(
+    "multimodal_resize",
+    oracle=None,  # pooled values Spark-side only; shape + determinism unit-tested
+    doc="Resize stub: payload bytes mean-pooled to a fixed 8x8 thumbnail grid.",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return resize_media(with_binary_column(docs))

@@ -276,3 +276,106 @@ def lsh_topk(
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Approximate NN: IVF (inverted-file) coarse quantizer
+
+# Centroids are a deterministic corpus sample (vec_id % MOD == 7) instead of
+# a k-means fit — same inverted-list machinery, no training job; a real
+# deployment swaps in trained centroids without touching the dataflow.
+IVF_CENTROID_MOD = 37
+IVF_NPROBE = 8
+
+_ASSIGN_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cluster_id", T.LongType()),
+    ]
+)
+
+
+def _assign_mapper(cids: np.ndarray, C: np.ndarray):
+    """Nearest-centroid assignment per Arrow batch (cosine; ties -> lowest
+    centroid id, deterministic)."""
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    order = np.argsort(cids)
+    cids_sorted, Cn_sorted = cids[order], Cn[order]
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = _np_matrix(pdf["embedding"])
+            En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+            best = np.argmax(En @ Cn_sorted.T, axis=1)  # first max = lowest id
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "cluster_id": cids_sorted[best]}
+            )
+
+    return mapper
+
+
+def ivf_topk(
+    emb: DataFrame, query_mod: int = KNN_QUERY_MOD, k: int = KNN_K, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """IVF ANN: assign corpus to inverted lists once; queries probe their
+    ``nprobe`` nearest lists; exact cosine rescoring of list members only.
+
+    At 100 TB the assignment is a single corpus pass against broadcast
+    centroids, the inverted lists shuffle by cluster_id (bounded skew:
+    sampled centroids track data density), and rescoring touches
+    ~nprobe/n_centroids of the corpus per query.
+    """
+    spark = emb.sparkSession
+    cpd = emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 7).select(
+        "vec_id", "embedding"
+    ).toPandas()
+    cids = cpd["vec_id"].to_numpy()
+    C = _np_matrix(cpd["embedding"])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    corpus = scale_out(emb.select("vec_id", "embedding"), "vec_id")
+    assignments = corpus.mapInPandas(_assign_mapper(cids, C), schema=_ASSIGN_SCHEMA)
+
+    # Query probe lists, computed driver-side (queries are a ~1% sample).
+    qpd = emb.filter(F.col("vec_id") % query_mod == 0).select(
+        "vec_id", "embedding"
+    ).toPandas()
+    Q = _np_matrix(qpd["embedding"])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(cids)
+    sims = Qn @ Cn[order].T
+    probes = []
+    for qi, qid in enumerate(qpd["vec_id"].to_numpy()):
+        top = np.argsort(-sims[qi], kind="stable")[:nprobe]
+        probes.extend((int(qid), int(cids[order][t])) for t in top)
+    probe_df = spark.createDataFrame(probes, "query_id LONG, cluster_id LONG")
+
+    cands = (
+        F.broadcast(probe_df)
+        .join(assignments, "cluster_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    scored = (
+        cands.join(e.withColumnsRenamed({"vec_id": "query_id", "e": "qe"}), "query_id")
+        .join(e.withColumnsRenamed({"vec_id": "neighbor_id", "e": "ne"}), "neighbor_id")
+        .withColumn("cos_sim", F.round(cosine_expr("qe", "ne"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # approximate by design: recall vs brute force unit-tested
+    doc="ANN top-k via IVF inverted lists (sampled centroids, nprobe=8), exact rescoring.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(table(spark, sf_dir, "embeddings"))

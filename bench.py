@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "simhash_neardup",
     "knn_bruteforce",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "text_quality_score",
     "tfidf_top_terms",
     "explode_token_counts",
