@@ -1,0 +1,98 @@
+"""UDF framework surface (SURVEY.md §2b, last row): vectorized scalar
+``pandas_udf`` and ``applyInPandas`` custom per-group aggregation.
+
+Placement rules these demonstrate (and the rest of the engine follows):
+- built-in Catalyst expressions wherever possible (every other operator
+  module) — whole-stage codegen, no Python;
+- when Python is genuinely needed, Arrow-vectorized ``pandas_udf`` /
+  ``applyInPandas`` — never row-at-a-time ``udf`` in a hot path.  A
+  row-at-a-time ``udf`` is ~10-100x slower (tested in
+  tests/test_udfs.py::test_pandas_udf_matches_row_udf).
+
+At 100 TB: the scalar UDF is embarrassingly parallel over Arrow batches;
+the grouped agg shuffles once on the group key and holds one group per
+invocation in memory — groups here are event types (5), so a real
+deployment salts or pre-aggregates if a single group outgrows an executor.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from azure_func_forem_data_etl_spark.plans.registry import register
+from azure_func_forem_data_etl_spark.sources.tables import table
+
+
+def _burstiness_fn(values: pd.Series) -> pd.Series:
+    """Vectorized scalar: |value| distance from its bucket center —
+    arbitrary-but-deterministic arithmetic; the point is the
+    Arrow-vectorized plumbing, not the formula.
+
+    Wrapped with ``pandas_udf`` at call time (not module level with a DDL
+    string): executors re-import this module inside UDF workers, where no
+    SparkSession exists to parse a DDL return type."""
+    v = values.to_numpy(dtype=np.float64)
+    bucket = np.floor(v / 10.0) * 10.0 + 5.0
+    return pd.Series(np.abs(v - bucket))
+
+
+@register(
+    "pandas_udf_scalar",
+    oracle="""
+    SELECT event_id,
+           value,
+           abs(value - (floor(value / 10.0) * 10.0 + 5.0)) AS burstiness
+    FROM events
+    """,
+    doc="Vectorized scalar pandas_udf (Arrow batches); oracle mirrors the arithmetic.",
+)
+def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    burstiness = pandas_udf(_burstiness_fn, T.DoubleType())
+    return events.select("event_id", "value", burstiness("value").alias("burstiness"))
+
+
+_QUANTILE_SCHEMA = "event_type string, p25 double, median double, p75 double, n bigint"
+
+
+def _group_quantiles(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Custom per-group aggregate: exact quantiles via numpy (linear
+    interpolation — the quantile_cont definition DuckDB uses)."""
+    v = pdf["value"].to_numpy(dtype=np.float64)
+    q25, q50, q75 = np.quantile(v, [0.25, 0.5, 0.75])
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "p25": [round(q25, 6)],
+            "median": [round(q50, 6)],
+            "p75": [round(q75, 6)],
+            "n": [len(v)],
+        }
+    )
+
+
+@register(
+    "applyinpandas_quantiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.50), 6) AS median,
+           round(quantile_cont(value, 0.75), 6) AS p75,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="applyInPandas custom aggregation: exact per-group quantiles (quantile_cont).",
+)
+def applyinpandas_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return (
+        events.select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(_group_quantiles, schema=_QUANTILE_SCHEMA)
+    )

@@ -56,6 +56,7 @@ def load_all() -> dict[str, Query]:
         similarity,
         temporal,
         text,
+        udfs,
         windows,
     )
     from azure_func_forem_data_etl_spark.streaming import (  # noqa: F401
