@@ -193,3 +193,72 @@ def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
         .agg(dsum("value"))
     )
+
+
+@register(
+    "scalar_math_functions",
+    oracle="""
+    SELECT o_orderkey,
+           abs(o_totalprice - 100000.0) AS dist,
+           CAST(ceil(o_totalprice / 1000.0) AS BIGINT) AS price_k_ceil,
+           CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_k_floor,
+           round(o_totalprice, 1) AS price_r1,
+           sqrt(o_totalprice) AS price_sqrt,
+           o_orderkey % 7 AS key_mod,
+           greatest(o_totalprice, 50000.0) AS floored_at_50k,
+           CAST(sign(o_totalprice - 100000.0) AS INT) AS above_100k
+    FROM orders
+    """,
+    doc="Scalar math functions (abs/ceil/floor/round/sqrt/mod/greatest/sign; "
+    "all IEEE-exact cross-engine — no libm-dependent pow/exp/trig).",
+)
+def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.abs(F.col("o_totalprice") - 100000.0).alias("dist"),
+        F.ceil(F.col("o_totalprice") / 1000.0).alias("price_k_ceil"),
+        F.floor(F.col("o_totalprice") / 1000.0).alias("price_k_floor"),
+        F.round("o_totalprice", 1).alias("price_r1"),
+        F.sqrt("o_totalprice").alias("price_sqrt"),
+        (F.col("o_orderkey") % 7).alias("key_mod"),
+        F.greatest(F.col("o_totalprice"), F.lit(50000.0)).alias("floored_at_50k"),
+        F.signum(F.col("o_totalprice") - 100000.0).cast("int").alias("above_100k"),
+    )
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="EXCEPT ALL (bag semantics): multiplicity-aware snapshot diff.",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.exceptAll(b)
+
+
+@register(
+    "agg_argmax_countif",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_max(o_custkey, o_orderkey) AS last_custkey,
+           arg_min(o_custkey, o_orderkey) AS first_custkey,
+           CAST(count_if(o_totalprice > 150000.0) AS BIGINT) AS n_big
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="min_by/max_by (arg-extrema, keyed by the unique orderkey: deterministic) + count_if.",
+)
+def agg_argmax_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.max_by("o_custkey", "o_orderkey").alias("last_custkey"),
+        F.min_by("o_custkey", "o_orderkey").alias("first_custkey"),
+        F.count_if(F.col("o_totalprice") > 150000.0).alias("n_big"),
+    )

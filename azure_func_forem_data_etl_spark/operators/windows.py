@@ -106,3 +106,41 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "window_range_frame",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_last_hour
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW
+    )
+    """,
+    doc="RANGE window frame: per-user trailing-1h count/sum (value-based, not row-based).",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = table(spark, sf_dir, "events")
+    # rangeBetween needs a numeric ordering column: order on epoch MICROS
+    # (sub-second ties would otherwise merge into peer groups the
+    # µs-precision SQL frame keeps distinct), frame = [-1h, 0] in µs.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    # dsum() can't be used directly: .over() must attach to the SUM, with
+    # the decimal->double cast applied to the windowed result.
+    wsum = F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double")
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n_last_hour"),
+        wsum.alias("sum_last_hour"),
+    )
