@@ -262,3 +262,60 @@ def agg_argmax_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("o_custkey", "o_orderkey").alias("first_custkey"),
         F.count_if(F.col("o_totalprice") > 150000.0).alias("n_big"),
     )
+
+
+@register(
+    "intersect_all_snapshots",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="INTERSECT ALL (bag semantics): multiplicity-aware snapshot overlap.",
+)
+def intersect_all_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersectAll(b)
+
+
+_SCALAR_SUBQ_SQL = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM {orders}
+    WHERE o_totalprice > (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        FROM {orders}
+    )
+"""
+
+
+@register(
+    "scalar_subquery_filter",
+    oracle=_SCALAR_SUBQ_SQL.format(orders="orders"),
+    doc="Scalar subquery in a predicate (above-average filter; decimal-exact mean).",
+)
+def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__sq_orders")
+    return spark.sql(_SCALAR_SUBQ_SQL.format(orders="__sq_orders"))
+
+
+_EXISTS_SQL = """
+    SELECT o_orderkey, o_totalprice
+    FROM {orders} o
+    WHERE EXISTS (
+        SELECT 1 FROM {lineitem} l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49
+    )
+"""
+
+
+@register(
+    "exists_subquery",
+    oracle=_EXISTS_SQL.format(orders="orders", lineitem="lineitem"),
+    doc="Correlated EXISTS (decorrelates to a left-semi hash join).",
+)
+def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__ex_orders")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("__ex_lineitem")
+    return spark.sql(_EXISTS_SQL.format(orders="__ex_orders", lineitem="__ex_lineitem"))
