@@ -34,6 +34,8 @@ from azure_func_forem_data_etl_spark.session import get_spark  # noqa: E402
 # Headline queries: the heavy representatives of each operator family.
 BENCH_QUERIES = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "join_fact_fact",
     "join_broadcast_dims",
     "cube_orders",
