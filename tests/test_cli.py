@@ -1,0 +1,68 @@
+"""CLI entry point (C1/C2/C3): mode dispatch, error barrier exit codes."""
+
+from __future__ import annotations
+
+import json
+
+from azure_func_forem_data_etl_spark.cli import run
+from tests.fixtures import make_article, ts
+
+
+def test_cli_incremental_mode(spark, tmp_path):
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    arts = [make_article(i, ts(day=1 + i)) for i in range(4)]
+    (pages / "page_1.json").write_text(json.dumps(arts, indent=2))
+    rc = run(
+        [
+            "--mode",
+            "incremental",
+            "--pages",
+            str(pages),
+            "--bronze",
+            str(tmp_path / "bronze"),
+            "--state",
+            str(tmp_path / "state"),
+        ]
+    )
+    assert rc == 0
+    assert spark.read.json(str(tmp_path / "bronze")).count() == 4
+
+
+def test_cli_backfill_mode(spark, tmp_path):
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    (pages / "page_1.json").write_text(
+        json.dumps([make_article(i, ts(day=2)) for i in range(3)], indent=2)
+    )
+    rc = run(
+        [
+            "--mode",
+            "backfill",
+            "--pages",
+            str(pages),
+            "--bronze",
+            str(tmp_path / "bronze"),
+            "--state",
+            str(tmp_path / "cursor"),
+        ]
+    )
+    assert rc == 0
+    assert spark.read.json(str(tmp_path / "bronze")).count() == 3
+
+
+def test_cli_error_barrier_nonzero_exit(tmp_path):
+    # C2: broken input (missing dirs) -> logged failure, exit 1, no raise
+    rc = run(
+        [
+            "--mode",
+            "silver",
+            "--landing",
+            str(tmp_path / "missing"),
+            "--silver",
+            str(tmp_path / "s"),
+            "--checkpoint",
+            str(tmp_path / "c"),
+        ]
+    )
+    assert rc == 1
