@@ -78,3 +78,25 @@ def test_asof_join_is_one_shuffle_one_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "asof_join_purchase")
     assert "CartesianProduct" not in plan
     assert "WindowExec" in plan or "Window" in plan
+
+
+def test_q3_topn_and_join_strategy(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan  # top-10 never global-sorts
+    assert "CartesianProduct" not in plan
+    # one shuffle for the aggregation; joins broadcast at this SF (AQE
+    # upgrades the orders-lineitem side to SMJ at scale)
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2
+    assert "partial_sum" in plan
+
+
+def test_q5_snowflake_broadcasts(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, sf_dir, "q5_local_supplier_volume")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 3
+    # region filter pruned before the join arm is built
+    assert "r_name" in plan and "EqualTo(r_name,ASIA)" in plan
