@@ -319,3 +319,33 @@ def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("__ex_orders")
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("__ex_lineitem")
     return spark.sql(_EXISTS_SQL.format(orders="__ex_orders", lineitem="__ex_lineitem"))
+
+
+@register(
+    "higher_order_array_functions",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(list_transform(string_split(text, ' '), w -> length(w)) [1:5], ',') AS first5_lens,
+           len(list_filter(string_split(text, ' '), w -> length(w) > 4)) AS n_long_words,
+           list_reduce(
+               list_transform(string_split(text, ' '), w -> length(w)),
+               (acc, x) -> acc + x
+           ) AS total_chars
+    FROM documents
+    """,
+    doc="Higher-order lambdas: transform (word lengths), filter (long words), aggregate (fold).",
+)
+def higher_order_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "array_join(slice(transform(split(text, ' '), w -> length(w)), 1, 5), ',')"
+        ).alias("first5_lens"),
+        F.expr("size(filter(split(text, ' '), w -> length(w) > 4))").alias(
+            "n_long_words"
+        ),
+        F.expr(
+            "aggregate(transform(split(text, ' '), w -> length(w)), 0, (acc, x) -> acc + x)"
+        ).alias("total_chars"),
+    )
