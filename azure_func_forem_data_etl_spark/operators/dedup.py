@@ -235,6 +235,12 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = MINHASH_VERIFY_THRESHOLD) -> DataFrame:
     """Reusable pipeline so tests can run it on planted-duplicate corpora."""
     sh = word_shingles(scale_out(docs, "doc_id"), MINHASH_NGRAM)
+    # Materialize the shingle set once: three consumers (signatures, both
+    # sides of the verification join) would otherwise re-shingle the corpus
+    # 3x.  localCheckpoint = executor-local MEMORY_AND_DISK blocks, cleaned
+    # up by the ContextCleaner when the plan is GC'd; the 100 TB version of
+    # this line is an explicit parquet materialization of the shingle table.
+    sh = sh.localCheckpoint(eager=True)
     sig = minhash_signatures(sh)
     cand = lsh_candidate_pairs(sig)
     sizes = sig.select("doc_id", "n_sh")
@@ -279,7 +285,9 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
-    fp = simhash_fingerprints(scale_out(docs, "doc_id"))
+    # One row per doc; materialized so the band self-join's two sides don't
+    # recompute the 32-vote aggregation twice (same rationale as minhash).
+    fp = simhash_fingerprints(scale_out(docs, "doc_id")).localCheckpoint(eager=True)
     nbands = SIMHASH_BITS // SIMHASH_BAND_BITS
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = F.array(
