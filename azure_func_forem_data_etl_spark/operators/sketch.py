@@ -1,0 +1,97 @@
+"""Count-Min sketch over the token stream — the fixed-memory frequency
+sketch for heavy-hitter queries at 100 TB (cf. Cormode & Muthukrishnan;
+Spark also ships a binary ``count_min_sketch`` aggregate, but building the
+counter matrix relationally keeps it queryable, mergeable by plain SUM,
+and engine-deterministic).
+
+Sketch = DEPTH x WIDTH counters: row d hashes each token with
+``xxhash64(token, d)`` into one of WIDTH buckets; estimate(token) =
+min over rows of its bucket counts.  Overestimates only (collisions add),
+error <= N * e / WIDTH with prob 1 - e^-DEPTH — both bounds unit-tested.
+
+Scale shape: building is one groupBy over (depth x bucket) keys — at most
+DEPTH*WIDTH rows out regardless of corpus size; merging two sketches is
+SUM by (depth, bucket); estimating k tokens joins a k*DEPTH probe table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azure_func_forem_data_etl_spark.plans.registry import register
+from azure_func_forem_data_etl_spark.sources.tables import table
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _bucket(token_col, depth: int):
+    return F.pmod(F.xxhash64(token_col, F.lit(depth)), F.lit(CMS_WIDTH))
+
+
+def cms_build(tokens: DataFrame, token_col: str = "token") -> DataFrame:
+    """(depth, bucket, cnt) counter matrix from a token stream."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("depth"),
+                _bucket(F.col(token_col), d).alias("bucket"),
+            )
+            for d in range(CMS_DEPTH)
+        ]
+    )
+    return (
+        tokens.select(F.explode(rows).alias("r"))
+        .select("r.depth", "r.bucket")
+        .groupBy("depth", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(cms: DataFrame, probe_tokens: DataFrame, token_col: str = "token") -> DataFrame:
+    """(token, est): min over depths of the token's bucket counts."""
+    probes = probe_tokens.select(
+        token_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("depth"),
+                        _bucket(F.col(token_col), d).alias("bucket"),
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("r"),
+    ).select(token_col, "r.depth", "r.bucket")
+    return (
+        F.broadcast(probes)
+        .join(cms, ["depth", "bucket"], "left")
+        .na.fill({"cnt": 0})
+        .groupBy(token_col)
+        .agg(F.min("cnt").alias("est"))
+    )
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=None,  # hash-family-specific counters; bounds unit-tested
+    doc="Count-Min sketch: 4x1024 counter matrix, heavy-hitter estimates for the top-10 exact tokens.",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    cms = cms_build(tokens)
+    top = (
+        tokens.groupBy("token")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "token")
+        .limit(10)
+    )
+    return (
+        cms_estimate(cms, top.select("token"))
+        .join(top, "token")
+        .select("token", "true_cnt", "est")
+        .orderBy(F.col("true_cnt").desc(), "token")
+    )

@@ -54,6 +54,7 @@ def load_all() -> dict[str, Query]:
         relational,
         scalars,
         similarity,
+        sketch,
         skew,
         temporal,
         text,

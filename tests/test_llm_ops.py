@@ -161,3 +161,19 @@ def test_multimodal_resize_shape_and_determinism(spark, sf_dir):
         assert len(r.thumbnail) == THUMB_SIDE * THUMB_SIDE
         assert r.thumbnail == rows2[doc_id].thumbnail  # deterministic
         assert all(0.0 <= v <= 255.0 for v in r.thumbnail)
+
+
+def test_count_min_sketch_bounds(spark, sf_dir):
+    """CMS never underestimates; overestimate bounded by eps*N."""
+    from azure_func_forem_data_etl_spark.operators.sketch import CMS_WIDTH
+
+    rows = REGISTRY["cms_heavy_hitters"].fn(spark, sf_dir).collect()
+    assert rows, "no heavy hitters returned"
+    docs = table(spark, sf_dir, "documents")
+    n_tokens = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("n")
+    ).collect()[0]["n"]
+    eps_bound = 2.0 * n_tokens / CMS_WIDTH  # e/WIDTH, generous constant
+    for r in rows:
+        assert r["est"] >= r["true_cnt"], r  # one-sided error
+        assert r["est"] - r["true_cnt"] <= eps_bound, r

@@ -243,3 +243,67 @@ def test_progress_recorder_counts_rows(spark, tmp_path):
         assert rec.started  # query lifecycle observed
     finally:
         spark.streams.removeListener(rec)
+
+
+def test_streaming_rollup_equals_batch_aggregate(spark, tmp_path):
+    """Hypertable-style continuous aggregate: after N incremental merges the
+    rollup equals the from-scratch hourly aggregate."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from azure_func_forem_data_etl_spark.streaming.rollup import (
+        read_rollup,
+        run_streaming_rollup,
+    )
+
+    land = tmp_path / "events"
+    land.mkdir()
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_events(name, rows, mtime):
+        pdf = pd.DataFrame(
+            {
+                "event_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "ts": pd.to_datetime([r[1] for r in rows]).astype("datetime64[us]"),
+                "user_id": pd.Series([1] * len(rows), dtype="int64"),
+                "event_type": [r[2] for r in rows],
+                "value": pd.Series([r[3] for r in rows], dtype="float64"),
+                "props": ["{}"] * len(rows),
+            }
+        )
+        path = str(land / name)
+        pq.write_table(pa.Table.from_pandas(pdf), path)
+        os.utime(path, (mtime, mtime))
+
+    write_events(
+        "b1.parquet",
+        [(1, "2024-01-01 00:10:00", "click", 1.5), (2, "2024-01-01 00:50:00", "view", 2.0)],
+        1_700_000_000,
+    )
+    assert run_streaming_rollup(spark, str(land), rollup, ckpt) == 2
+
+    # second file: same bucket as event 1 (accumulate) + a new bucket
+    write_events(
+        "b2.parquet",
+        [(3, "2024-01-01 00:20:00", "click", 4.0), (4, "2024-01-01 02:05:00", "click", 8.0)],
+        1_700_000_100,
+    )
+    assert run_streaming_rollup(spark, str(land), rollup, ckpt) == 2
+
+    got = {
+        (str(r["bucket_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in read_rollup(spark, rollup).collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", "click"): (2, 5.5),
+        ("2024-01-01 00:00:00", "view"): (1, 2.0),
+        ("2024-01-01 02:00:00", "click"): (1, 8.0),
+    }
+
+    # idempotent rerun
+    assert run_streaming_rollup(spark, str(land), rollup, ckpt) == 0
+    assert len(read_rollup(spark, rollup).collect()) == 3
