@@ -71,25 +71,26 @@ def run_incremental(
         parsed = parse_raw_articles(raw).withColumn(
             "published_at_ts", F.try_to_timestamp("published_at")
         )
-        # cache: one fetch, three consumers (counts + write)
+        # cache: one fetch, two consumers (stats + write)
         parsed = parsed.cache()
         try:
-            n_rows = parsed.count()
-            if n_rows == 0:
-                break  # F3: end of pagination
-            bad = parsed.filter(
-                F.col("is_corrupt") | F.col("published_at_ts").isNull()
-            )
-            fresh = parsed.filter(
-                ~F.col("is_corrupt") & F.col("published_at_ts").isNotNull()
-            )
+            bad_cond = F.col("is_corrupt") | F.col("published_at_ts").isNull()
+            fresh_cond = ~bad_cond
             if watermark is not None:
-                fresh = fresh.filter(F.col("published_at_ts") > F.lit(watermark))
-            agg = fresh.agg(
-                F.count("*").alias("n"), F.max("published_at_ts").alias("mx")
+                fresh_cond = fresh_cond & (F.col("published_at_ts") > F.lit(watermark))
+            # one driver action per chunk: all chunk statistics in a single
+            # conditional aggregation (vs separate count/agg/bad-count jobs)
+            stats = parsed.agg(
+                F.count("*").alias("n_rows"),
+                F.count_if(bad_cond).alias("n_bad"),
+                F.count_if(fresh_cond).alias("n_new"),
+                F.max(F.when(fresh_cond, F.col("published_at_ts"))).alias("mx"),
             ).collect()[0]
-            n_new, chunk_max = agg["n"], agg["mx"]
-            total_bad += bad.count()
+            if stats["n_rows"] == 0:
+                break  # F3: end of pagination
+            fresh = parsed.filter(fresh_cond)
+            n_new, chunk_max = stats["n_new"], stats["mx"]
+            total_bad += stats["n_bad"]
             pages_fetched += len(chunk)
             if n_new == 0:
                 break  # F1 analog: whole chunk at-or-below watermark
