@@ -100,3 +100,34 @@ def test_q5_snowflake_broadcasts(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 3
     # region filter pruned before the join arm is built
     assert "r_name" in plan and "EqualTo(r_name,ASIA)" in plan
+
+
+def test_plan_lint_every_registry_query(spark):
+    """Sweep every (batch) registry query's compiled plan for the two
+    always-wrong patterns at 100 TB:
+
+    - CartesianProduct / unbounded BroadcastNestedLoopJoin — quadratic
+      data movement (allowlisted: embedding_cosine_pairs, whose BNLJ is a
+      documented bounded-sample pairwise op);
+    - BatchEvalPython — row-at-a-time Python UDF in the plan (all Python
+      must go through Arrow: ArrowEvalPython / MapInPandas / ...InPandas).
+
+    Streaming queries are excluded: building them executes the stream.
+    Runs at sf0.001 so build-time jobs (knn/ivf query matrices) stay cheap.
+    """
+    sf = "/root/testdata/sf0.001"
+    BNLJ_OK = {
+        "embedding_cosine_pairs",  # bounded-sample pairwise op (documented)
+        "tfidf_top_terms",  # 1-row broadcast (corpus size scalar) — O(n)·1
+    }
+    checked = 0
+    for name, q in sorted(load_all().items()):
+        if q.fn.__module__.split(".")[-2] == "streaming":
+            continue
+        plan = _formatted_plan(q.fn(spark, sf))
+        assert "CartesianProduct" not in plan, name
+        if name not in BNLJ_OK:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        checked += 1
+    assert checked >= 55
