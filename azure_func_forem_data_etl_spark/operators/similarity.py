@@ -172,6 +172,8 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .toPandas()
     )
+    if len(qpd) == 0:  # empty corpus/queries: empty result, not a crash
+        return spark.createDataFrame([], _KNN_SCHEMA)
     qids = qpd["vec_id"].to_numpy()
     Q = _np_matrix(qpd["embedding"])
     # One-file corpus scans as one partition; widen so every core runs a
@@ -328,9 +330,12 @@ def ivf_topk(
     ~nprobe/n_centroids of the corpus per query.
     """
     spark = emb.sparkSession
+    empty = "query_id long, neighbor_id long, cos_sim double, rnk int"
     cpd = emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 7).select(
         "vec_id", "embedding"
     ).toPandas()
+    if len(cpd) == 0:  # empty corpus: no centroids -> empty result
+        return spark.createDataFrame([], empty)
     cids = cpd["vec_id"].to_numpy()
     C = _np_matrix(cpd["embedding"])
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
@@ -342,6 +347,8 @@ def ivf_topk(
     qpd = emb.filter(F.col("vec_id") % query_mod == 0).select(
         "vec_id", "embedding"
     ).toPandas()
+    if len(qpd) == 0:
+        return spark.createDataFrame([], empty)
     Q = _np_matrix(qpd["embedding"])
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     order = np.argsort(cids)

@@ -1,0 +1,70 @@
+"""Empty-corpus robustness: every heavy operator must degrade to an empty
+result, not crash, when a table has zero rows (a real state during cold
+starts and backfill gaps; the sf oracles never exercise it)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    """An sf dir whose documents/embeddings/events have correct schemas
+    and zero rows."""
+    d = tmp_path_factory.mktemp("empty_sf")
+    spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(d / "documents.parquet"))
+    spark.createDataFrame(
+        [], "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(str(d / "embeddings.parquet"))
+    spark.createDataFrame(
+        [],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+def test_dedup_suite_on_empty_corpus(spark, empty_sf):
+    from azure_func_forem_data_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+    from azure_func_forem_data_etl_spark.sources.tables import table
+
+    docs = table(spark, empty_sf, "documents")
+    assert minhash_lsh_pairs(docs).count() == 0
+    assert simhash_pairs(docs).count() == 0
+
+
+def test_similarity_on_empty_corpus(spark, empty_sf):
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    reg = load_all()
+    assert reg["knn_bruteforce"].fn(spark, empty_sf).count() == 0
+    assert reg["ann_lsh_topk"].fn(spark, empty_sf).count() == 0
+
+
+def test_ivf_on_empty_corpus(spark, empty_sf):
+    from azure_func_forem_data_etl_spark.operators.similarity import ivf_topk
+    from azure_func_forem_data_etl_spark.sources.tables import table
+
+    assert ivf_topk(table(spark, empty_sf, "embeddings")).count() == 0
+
+
+def test_text_and_sketch_on_empty_corpus(spark, empty_sf):
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    reg = load_all()
+    for name in ["tfidf_top_terms", "text_quality_score", "cms_heavy_hitters"]:
+        assert reg[name].fn(spark, empty_sf).count() == 0, name
+
+
+def test_streaming_windows_on_empty_events(spark, empty_sf):
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    reg = load_all()
+    assert reg["streaming_tumbling_window"].fn(spark, empty_sf).count() == 0
+    assert reg["streaming_sessionize_state"].fn(spark, empty_sf).count() == 0
