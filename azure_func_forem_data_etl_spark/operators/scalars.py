@@ -349,3 +349,26 @@ def higher_order_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aggregate(transform(split(text, ' '), w -> length(w)), 0, (acc, x) -> acc + x)"
         ).alias("total_chars"),
     )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, val
+    FROM (
+        UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+                 FROM lineitem WHERE l_orderkey % 100 = 0)
+        ON l_quantity, l_extendedprice, l_discount
+        INTO NAME measure VALUE val
+    )
+    """,
+    doc="Unpivot (wide->long): measure columns melt to (measure, val) rows.",
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )

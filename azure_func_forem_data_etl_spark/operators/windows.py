@@ -144,3 +144,50 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_last_hour"),
         wsum.alias("sum_last_hour"),
     )
+
+
+@register(
+    "window_value_functions",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER w_full AS last_price,
+           lead(o_orderkey, 1) OVER w AS next_orderkey,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_custkey ORDER BY o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ),
+    w_full AS (
+        PARTITION BY o_custkey ORDER BY o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+    doc="Value window functions (first/last/lead/ntile) with explicit frames; "
+    "unique orderkey ordering keeps every output deterministic.",
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_ord = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.lead("o_orderkey", 1).over(w_ord).alias("next_orderkey"),
+        F.ntile(4).over(w_ord).alias("quartile"),
+    )
