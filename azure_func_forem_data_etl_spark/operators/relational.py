@@ -590,3 +590,28 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(decsum(revenue()).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle=f"""
+    SELECT o_orderkey,
+           o_custkey,
+           {sql_dsum('l_quantity')} AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_custkey
+    HAVING {sql_dsum('l_quantity')} > 150
+    ORDER BY total_qty DESC, o_orderkey
+    """,
+    doc="TPC-H Q18 analog: fact-fact join, aggregate with HAVING, ordered output.",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)  # HAVING
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+    )

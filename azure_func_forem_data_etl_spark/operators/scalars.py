@@ -372,3 +372,17 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="val",
     )
+
+
+@register(
+    "agg_approx_percentile",
+    oracle=None,  # t-digest-style sketch is engine-specific; bounds unit-tested
+    doc="percentile_approx (quantile sketch): constant-memory percentiles at 100 TB.",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10_000).alias("p50_approx"),
+        F.percentile_approx("value", 0.95, 10_000).alias("p95_approx"),
+        F.count("*").alias("n"),
+    )

@@ -66,3 +66,27 @@ def test_cli_error_barrier_nonzero_exit(tmp_path):
         ]
     )
     assert rc == 1
+
+
+def test_cli_silver_mode_happy_path(spark, tmp_path):
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "p1.json").write_text(
+        json.dumps([make_article(i, ts(day=3)) for i in range(5)], indent=2)
+    )
+    rc = run(
+        [
+            "--mode",
+            "silver",
+            "--landing",
+            str(land),
+            "--silver",
+            str(tmp_path / "silver"),
+            "--checkpoint",
+            str(tmp_path / "ckpt"),
+        ]
+    )
+    assert rc == 0
+    out = spark.read.parquet(str(tmp_path / "silver"))
+    assert out.count() == 5
+    assert out.select("id").distinct().count() == 5

@@ -56,3 +56,25 @@ def test_grouping_sets_covers_three_sets(spark, sf_dir):
     assert len(grand) == 1
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     assert grand[0]["n_orders"] == orders.count()
+
+
+def test_approx_percentile_bounds(spark, sf_dir):
+    """Sketch percentiles must land within a small rank-error band of the
+    exact quantiles."""
+    import numpy as np
+
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    got = {
+        r["event_type"]: (r["p50_approx"], r["p95_approx"])
+        for r in load_all()["agg_approx_percentile"].fn(spark, sf_dir).collect()
+    }
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for etype, (p50, p95) in got.items():
+        vals = np.array(
+            [r["value"] for r in events.filter(F.col("event_type") == etype).collect()]
+        )
+        lo50, hi50 = np.quantile(vals, [0.45, 0.55])
+        lo95, hi95 = np.quantile(vals, [0.92, 0.98])
+        assert lo50 <= p50 <= hi50, (etype, p50, lo50, hi50)
+        assert lo95 <= p95 <= hi95, (etype, p95, lo95, hi95)
