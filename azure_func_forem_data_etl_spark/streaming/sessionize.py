@@ -143,3 +143,81 @@ def streaming_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = stream_table(spark, sf_dir, "events")
     emitted = run_available_now(sessionize_stream(events), "append")
     return finalize_sessions(emitted)
+
+
+# ---------------------------------------------------------------------------
+# watermark-driven variant: sessions close by event-time TIMEOUT
+
+def _sessionize_timeout_group(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Emit-on-close protocol: a session is emitted exactly once, when the
+    event-time watermark passes ``last_event + gap`` (the state timeout) or
+    when a later in-key event breaks the gap.  Open sessions live only in
+    the state store — nothing is emitted optimistically, so downstream needs
+    no finalization pass.  Sessions still open at end-of-stream stay
+    unemitted (they are genuinely not closed yet); a later run resumes them
+    from the checkpoint."""
+    (user_id,) = key
+    gap_us = GAP.value // 1000
+
+    if state.hasTimedOut:
+        open_start, open_last, open_n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([user_id], dtype="int64"),
+                "session_start": pd.to_datetime([open_start], unit="us"),
+                "session_end": pd.to_datetime([open_last + gap_us], unit="us"),
+                "n_events": pd.Series([open_n], dtype="int64"),
+            }
+        )
+        return
+
+    ts = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values().reset_index(drop=True)
+    if state.exists:
+        open_start, open_last, open_n = state.get
+    else:
+        open_start = open_last = open_n = None
+
+    closed: list[tuple[int, int, int]] = []
+    us = ts.astype(_US) // 1000
+    for t in us:
+        if open_last is not None and t - open_last <= gap_us:
+            open_last = int(t)
+            open_n += 1
+        else:
+            if open_last is not None:
+                closed.append((open_start, open_last, open_n))
+            open_start, open_last, open_n = int(t), int(t), 1
+    if open_last is not None:
+        state.update((int(open_start), int(open_last), int(open_n)))
+        # close when the watermark passes last event + gap (both in epoch ms)
+        state.setTimeoutTimestamp(open_last // 1000 + GAP.value // 1_000_000)
+
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series([user_id] * len(closed), dtype="int64"),
+            "session_start": pd.to_datetime([c[0] for c in closed], unit="us"),
+            "session_end": pd.to_datetime([c[1] + gap_us for c in closed], unit="us"),
+            "n_events": pd.Series([c[2] for c in closed], dtype="int64"),
+        }
+    )
+
+
+def sessionize_stream_timeout(events: DataFrame, lateness: str = "0 seconds") -> DataFrame:
+    """Watermark-closed sessions: emit exactly once, state evicted on close."""
+    return (
+        events.select("user_id", "ts")
+        .withWatermark("ts", lateness)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_timeout_group,
+            outputStructType=OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

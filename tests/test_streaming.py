@@ -307,3 +307,55 @@ def test_streaming_rollup_equals_batch_aggregate(spark, tmp_path):
     # idempotent rerun
     assert run_streaming_rollup(spark, str(land), rollup, ckpt) == 0
     assert len(read_rollup(spark, rollup).collect()) == 3
+
+
+def test_sessionize_timeout_closes_by_watermark(spark, tmp_path):
+    """Event-time-timeout sessionization: a session is emitted exactly once
+    when the watermark passes last_event + gap; still-open sessions stay in
+    state (not emitted)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from azure_func_forem_data_etl_spark.streaming.sessionize import (
+        sessionize_stream_timeout,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+
+    def write_batch(name, rows, mtime):
+        pdf = pd.DataFrame(
+            {
+                "user_id": pd.Series([u for u, _ in rows], dtype="int64"),
+                "ts": pd.to_datetime([t for _, t in rows]).astype("datetime64[us]"),
+            }
+        )
+        path = str(land / name)
+        pq.write_table(pa.Table.from_pandas(pdf), path)
+        os.utime(path, (mtime, mtime))
+
+    # batch 1: user 1 session (2 events); batch 2 far later -> watermark
+    # jumps past session1+gap, timing it out; batch 2's own session stays
+    # open at end-of-stream (never emitted).
+    write_batch(
+        "b1.parquet",
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:05:00")],
+        1_700_000_000,
+    )
+    write_batch("b2.parquet", [(2, "2024-01-01 03:00:00")], 1_700_000_100)
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    out = run_available_now(sessionize_stream_timeout(stream), "append")
+    rows = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in out.collect()
+    }
+    assert rows == {
+        (1, "2024-01-01 00:00:00", "2024-01-01 00:15:00", 2)
+    }, rows
