@@ -615,3 +615,159 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_qty") > 150)  # HAVING
         .orderBy(F.col("total_qty").desc(), "o_orderkey")
     )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 analog: priority counts for orders with a late-shipped line "
+    "(correlated EXISTS -> left-semi join with a non-equi residual).",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS with a correlated date predicate.
+
+    Decorrelates to a left-semi hash/sort-merge join on ``orderkey`` with
+    the date comparison as a join residual — the semi join keeps exactly one
+    probe hit per order, so no row multiplication and no distinct needed.
+    """
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        orders.join(lineitem, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "q12_late_shipments",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1
+    """,
+    doc="TPC-H Q12 analog: conditional aggregation (CASE inside SUM) over a "
+    "fact-fact join with a non-equi residual filter.",
+)
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+    WITH m AS (
+        SELECT date_trunc('month', l_shipdate) AS ship_month,
+               CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {SQL_REVENUE}
+                             ELSE CAST(0 AS DECIMAL(13,4)) END) AS DOUBLE)
+                   AS promo_revenue,
+               CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1
+    )
+    SELECT ship_month, promo_revenue, total_revenue,
+           ROUND(100.0 * promo_revenue / total_revenue, 6) AS promo_pct
+    FROM m
+    """,
+    doc="TPC-H Q14 analog: promo revenue share per ship month — broadcast "
+    "dim join + conditional exact-decimal aggregate.",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part is a dimension: broadcast it so the fact side never shuffles.
+
+    Both sums stay in the exact decimal domain (functions/exact.py); the
+    ratio is computed once per output row from the two already-deterministic
+    doubles, so it is bit-identical across engines too.
+    """
+    lineitem = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    m = (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            decsum(
+                F.when(F.col("p_type") == "PROMO", revenue()).otherwise(
+                    F.lit(0).cast("decimal(13,4)")
+                )
+            ).alias("promo_revenue"),
+            decsum(revenue()).alias("total_revenue"),
+        )
+    )
+    return m.select(
+        "ship_month",
+        "promo_revenue",
+        "total_revenue",
+        F.round(F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 6).alias(
+            "promo_pct"
+        ),
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 analog: returned-item revenue per customer — fact-fact SMJ "
+    "with broadcast customer/nation dims, exact-decimal agg, deterministic top-20.",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returnflag filter is pushed into the lineitem scan; customer and
+    nation broadcast; the top-20 compiles to TakeOrderedAndProject (per-
+    partition heaps, no global sort materialization).  Ties at the cutoff
+    are impossible to mis-order: revenue is exact decimal and the sort key
+    includes the unique custkey."""
+    lineitem = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(decsum(revenue()).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )

@@ -386,3 +386,78 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.95, 10_000).alias("p95_approx"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "string_agg_priorities",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+               AS priorities_csv
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Ordered string aggregation (listagg/string_agg): sorted distinct CSV "
+    "per group via collect_set -> array_sort -> array_join.",
+)
+def string_agg_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark has no ordered string_agg aggregate; the idiomatic spelling is
+    collect_set (partial-aggregated, bounded by distinct-count) + array_sort
+    + array_join, which makes the output order explicit rather than
+    accidental — the only way a distributed string_agg is deterministic."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), "|"
+            ).alias("priorities_csv"),
+        )
+    )
+
+
+@register(
+    "agg_variance_stddev",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(9,4))) AS DOUBLE) AS sm,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(9,4))
+                        * CAST(l_quantity AS DECIMAL(9,4))) AS DOUBLE) AS ss
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           ROUND((ss - sm * sm / n) / (n - 1), 6) AS var_qty,
+           ROUND(SQRT(ROUND((ss - sm * sm / n) / (n - 1), 6)), 6) AS std_qty
+    FROM s
+    """,
+    doc="Sample variance/stddev from exact decimal sum + sum-of-squares "
+    "(single pass, order-independent), finished in deterministic doubles.",
+)
+def agg_variance_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in var_samp/stddev accumulate doubles in partition order, which
+    is nondeterministic under parallelism (and engine-specific).  This
+    computes the two exact decimal moments in one pass — same shuffle shape
+    as any hash agg — then finishes with a fixed double expression tree, so
+    the result is bit-identical on any engine at any parallelism."""
+    q = F.col("l_quantity").cast("decimal(9,4)")
+    s = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum(q).cast("double").alias("sm"),
+            F.sum(q * q).cast("double").alias("ss"),
+        )
+    )
+    var = (F.col("ss") - F.col("sm") * F.col("sm") / F.col("n")) / (F.col("n") - 1)
+    return s.select(
+        "l_returnflag",
+        F.round(var, 6).alias("var_qty"),
+        F.round(F.sqrt(F.round(var, 6)), 6).alias("std_qty"),
+    )

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from azure_func_forem_data_etl_spark.functions.exact import dsum, sql_dsum
 from azure_func_forem_data_etl_spark.plans.registry import register
 from azure_func_forem_data_etl_spark.sources.tables import table
 
@@ -149,4 +150,77 @@ def range_join_followup(spark: SparkSession, sf_dir: str) -> DataFrame:
         signups.join(e, cond, "left")
         .groupBy("signup_event_id", F.col("s_user_id").alias("user_id"))
         .agg(F.count("e_event_id").alias("n_followup"))
+    )
+
+
+@register(
+    "gapfill_hourly_locf",
+    oracle=f"""
+    WITH span AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '1 hour', MIN(ts)) AS h0,
+               time_bucket(INTERVAL '1 hour', MAX(ts)) AS h1
+        FROM events GROUP BY event_type
+    ),
+    spine AS (
+        SELECT event_type,
+               unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS hour_start
+        FROM span
+    ),
+    agg AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+               COUNT(*) AS n,
+               {sql_dsum('value')} AS sv
+        FROM events GROUP BY 1, 2
+    )
+    SELECT s.event_type, s.hour_start,
+           COALESCE(a.n, 0) AS n_events,
+           CAST(a.n IS NULL AS INT) AS was_gap,
+           last_value(a.sv IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.hour_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+    FROM spine s LEFT JOIN agg a USING (event_type, hour_start)
+    """,
+    doc="Hypertable-style gap-fill: dense hourly spine per series (explode of "
+    "sequence(min,max)) + LOCF of the last observed hourly sum.",
+)
+def gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + last-observation-carried-forward, all narrow after one agg.
+
+    The spine derives from a per-series min/max aggregate and an
+    ``explode(sequence(...))`` — no cross join, no driver-side loop, so the
+    plan scales with #series x #hours, never with raw event count.  The
+    reference's date-partitioned sink (fetch_articles.py:126) is the
+    degenerate daily version of this: its "missing day" is simply an absent
+    partition; here the gap becomes an explicit zero row plus carried value.
+    """
+    events = table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count("*").alias("n"), dsum("value").alias("sv"))
+    spine = (
+        events.groupBy("event_type")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("h0"),
+            F.date_trunc("hour", F.max("ts")).alias("h1"),
+        )
+        .select(
+            "event_type",
+            F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias(
+                "hour_start"
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(hourly, ["event_type", "hour_start"], "left").select(
+        "event_type",
+        "hour_start",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.col("n").isNull().cast("int").alias("was_gap"),
+        F.last("sv", ignorenulls=True).over(w).alias("filled_sum"),
     )

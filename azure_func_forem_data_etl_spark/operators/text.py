@@ -230,3 +230,31 @@ def lang_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("actual_lang"),
         (predicted == F.col("lang")).cast("int").alias("is_match"),
     )
+
+
+@register(
+    "regexp_text_functions",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, 's[a-z]+') AS first_s_word,
+           CAST(length(regexp_extract_all(text, 's[a-z]+')) AS INT) AS n_s_words,
+           substr(regexp_replace(text, '[aeiou]', '', 'g'), 1, 40)
+               AS devoweled_prefix
+    FROM documents
+    """,
+    doc="Regex scalar functions (extract / extract_all count / global "
+    "replace) — pure codegen string expressions, no shuffle at all.",
+)
+def regexp_text_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A narrow map-only plan: per-row regex work parallelizes with the file
+    splits, so 100 TB costs exactly one scan.  Patterns stick to character
+    classes + quantifiers, the regex subset with identical semantics in
+    Java (Spark) and RE2 (DuckDB/oracle)."""
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_extract("text", "s[a-z]+", 0).alias("first_s_word"),
+        F.size(F.expr("regexp_extract_all(text, 's[a-z]+', 0)")).alias("n_s_words"),
+        F.substring(F.regexp_replace("text", "[aeiou]", ""), 1, 40).alias(
+            "devoweled_prefix"
+        ),
+    )

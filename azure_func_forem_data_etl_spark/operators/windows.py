@@ -9,7 +9,7 @@ to arbitrary tumbling/sliding/session windows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from azure_func_forem_data_etl_spark.functions.exact import dsum, sql_dsum
@@ -190,4 +190,38 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w_full).alias("last_price"),
         F.lead("o_orderkey", 1).over(w_ord).alias("next_orderkey"),
         F.ntile(4).over(w_ord).alias("quartile"),
+    )
+
+
+@register(
+    "window_rank_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           ROUND(percent_rank() OVER w, 9) AS pct_rank,
+           ROUND(cume_dist()    OVER w, 9) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="Ranking-distribution window functions (rank/dense_rank/percent_rank/"
+    "cume_dist) with a unique-keyed deterministic ordering.",
+)
+def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hash shuffle on the partition key + one in-partition sort serves
+    all four ranking functions (a single Window physical node).  The order
+    key ends in the unique o_orderkey so every rank is deterministic; the
+    two distribution values are integer-ratio doubles, identical on any
+    IEEE-754 engine."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
     )
