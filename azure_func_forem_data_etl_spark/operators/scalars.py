@@ -461,3 +461,38 @@ def agg_variance_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var, 6).alias("var_qty"),
         F.round(F.sqrt(F.round(var, 6)), 6).alias("std_qty"),
     )
+
+
+@register(
+    "histogram_event_values",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               CASE WHEN value <= 0.0 THEN 0
+                    WHEN value >= 100.0 THEN 21
+                    ELSE CAST(floor(value / 5.0) AS INT) + 1 END AS bucket
+        FROM events
+    )
+    SELECT event_type, bucket, COUNT(*) AS n
+    FROM b GROUP BY event_type, bucket
+    """,
+    doc="Fixed-width histogram (width_bucket semantics: 20 buckets over "
+    "[0,100) plus under/overflow) as pure arithmetic, one hash agg.",
+)
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogramming at scale is a two-column group-by: bucket ids from a
+    fixed arithmetic expression (kept identical in both engines rather than
+    width_bucket(), whose edge rounding is implementation-defined), then one
+    partial-aggregated count shuffle of at most #types x #buckets rows."""
+    v = F.col("value")
+    bucket = (
+        F.when(v <= 0.0, 0)
+        .when(v >= 100.0, 21)
+        .otherwise(F.floor(v / 5.0).cast("int") + 1)
+    )
+    return (
+        table(spark, sf_dir, "events")
+        .select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n"))
+    )

@@ -258,3 +258,82 @@ def regexp_text_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "devoweled_prefix"
         ),
     )
+
+
+@register(
+    "doc_chunking",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    c AS (
+        SELECT doc_id, words,
+               unnest(generate_series(1, greatest(len(words), 1), 25)) AS start
+        FROM w
+    )
+    SELECT doc_id,
+           CAST((start - 1) / 25 AS INT) AS chunk_id,
+           array_to_string(list_slice(words, start, start + 49), ' ')
+               AS chunk_text,
+           CAST(len(list_slice(words, start, start + 49)) AS INT) AS n_tokens
+    FROM c
+    """,
+    doc="LLM-pipeline document chunking: overlapping 50-token windows with "
+    "stride 25 via sequence+explode+slice — no UDF, scales with the scan.",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunker: each doc becomes ceil(len/25) overlapping
+    chunks of <=50 tokens.  The whole operator is three codegen expressions
+    (sequence, explode, slice) — per-row fanout is bounded by doc length, so
+    a 100 TB corpus chunks in one map-only pass with zero shuffle."""
+    w = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    c = w.select(
+        "doc_id",
+        "words",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("words"), F.lit(1)), F.lit(25))
+        ).alias("start"),
+    )
+    chunk = F.slice("words", F.col("start"), F.lit(50))
+    return c.select(
+        "doc_id",
+        ((F.col("start") - 1) / 25).cast("int").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_tokens"),
+    )
+
+
+@register(
+    "dataset_split_hash",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, n_chars,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hx
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN hx BETWEEN '0' AND 'b' THEN 'train'
+                WHEN hx IN ('c', 'd') THEN 'val'
+                ELSE 'test' END AS split,
+           n_chars
+    FROM h
+    """,
+    doc="Deterministic train/val/test split (75/12.5/12.5) from the first "
+    "md5 hex nibble of the stable id — engine-portable, rerun-stable.",
+)
+def dataset_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based dataset splitting, the LLM-pipeline alternative to
+    randomSplit: md5 is identical everywhere (unlike engine-native hash
+    functions), so the assignment survives reruns, engine swaps, and
+    repartitioning — and joins against any future version of the corpus."""
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(hx.between("0", "b"), "train")
+        .when(hx.isin("c", "d"), "val")
+        .otherwise("test")
+        .alias("split"),
+        "n_chars",
+    )

@@ -114,3 +114,41 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stateful dedup; the count keeps the result (and the memory sink
     # comparison surface) small and oracle-friendly.
     return out.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+
+
+@register(
+    "streaming_static_enrich",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           c_mktsegment,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="Stream-static enrichment join: streaming events x broadcast "
+    "customer dim, then a watermarked tumbling agg per segment.",
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard streaming enrichment shape: a stateless broadcast hash
+    join against a static dimension (re-read per micro-batch, no state
+    store involvement), feeding a watermarked window agg.  At scale the dim
+    broadcast is per-executor-once per batch; the only keyed state is the
+    window agg's."""
+    from azure_func_forem_data_etl_spark.sources.tables import table
+
+    events = stream_table(spark, sf_dir, "events")
+    segments = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        events.join(F.broadcast(segments), F.col("user_id") == F.col("c_custkey"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_available_now(agg, "complete")

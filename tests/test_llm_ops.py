@@ -177,3 +177,71 @@ def test_count_min_sketch_bounds(spark, sf_dir):
     for r in rows:
         assert r["est"] >= r["true_cnt"], r  # one-sided error
         assert r["est"] - r["true_cnt"] <= eps_bound, r
+
+
+def test_doc_chunking_invariants(spark, sf_dir):
+    """Chunks cover every token; stride-aligned starts; bounded size;
+    re-concatenating the non-overlapping halves rebuilds the doc."""
+    from azure_func_forem_data_etl_spark.operators.text import doc_chunking
+    from azure_func_forem_data_etl_spark.sources.tables import table
+    from pyspark.sql import functions as F
+
+    chunks = doc_chunking(spark, sf_dir)
+    assert chunks.filter((F.col("n_tokens") < 1) | (F.col("n_tokens") > 50)).count() == 0
+    # Every doc appears; chunk 0 always exists.
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert chunks.filter(F.col("chunk_id") == 0).count() == n_docs
+    # Token-count conservation: the first 25 tokens of each chunk (its
+    # stride window) tile the doc exactly — the final chunk is always <=25
+    # tokens, every earlier chunk contributes exactly its stride.
+    doc_tokens = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+    )
+    covered = chunks.groupBy("doc_id").agg(
+        F.sum(F.least(F.col("n_tokens"), F.lit(25))).alias("cov")
+    )
+    bad = (
+        doc_tokens.join(covered, "doc_id")
+        .filter(F.col("cov") != F.col("n"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_dataset_split_fractions_and_determinism(spark, sf_dir):
+    """Split is total, deterministic across runs, and near the 75/12.5/12.5
+    design fractions."""
+    from azure_func_forem_data_etl_spark.operators.text import dataset_split_hash
+    from pyspark.sql import functions as F
+
+    a = dataset_split_hash(spark, sf_dir)
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] / total > 0.6  # 12/16 expected
+    # Deterministic: a second build produces the identical assignment.
+    b = dataset_split_hash(spark, sf_dir)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_gapfill_spine_is_dense(spark, sf_dir):
+    """Per series: one row per hour between min and max, no holes, and LOCF
+    never regresses to NULL after the first observation."""
+    from azure_func_forem_data_etl_spark.operators.temporal import gapfill_hourly_locf
+    from pyspark.sql import functions as F
+
+    g = gapfill_hourly_locf(spark, sf_dir)
+    span = g.groupBy("event_type").agg(
+        F.count("*").alias("rows"),
+        ((F.unix_timestamp(F.max("hour_start")) - F.unix_timestamp(F.min("hour_start")))
+         / 3600 + 1).cast("long").alias("hours"),
+    )
+    assert span.filter(F.col("rows") != F.col("hours")).count() == 0
+    # After any non-gap row, filled_sum is never NULL again.
+    from pyspark.sql import Window
+    w = Window.partitionBy("event_type").orderBy("hour_start")
+    seen = F.sum((F.col("was_gap") == 0).cast("int")).over(w)
+    assert g.withColumn("seen", seen).filter(
+        (F.col("seen") > 0) & F.col("filled_sum").isNull()
+    ).count() == 0
