@@ -45,6 +45,10 @@ BENCH_QUERIES = [
     "window_rolling_sum",
     "asof_join_purchase",
     "range_join_followup",
+    "gapfill_hourly_locf",
+    "q10_returned_items",
+    "q12_late_shipments",
+    "doc_chunking",
     "tumbling_window_agg",
     "session_window_agg",
     "streaming_tumbling_window",

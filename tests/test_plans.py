@@ -102,6 +102,25 @@ def test_q5_snowflake_broadcasts(spark, sf_dir):
     assert "r_name" in plan and "EqualTo(r_name,ASIA)" in plan
 
 
+def test_q10_broadcast_dims_and_topn(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, sf_dir, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan  # top-20 never global-sorts
+    # customer and nation explicitly broadcast - the fact side shuffles
+    # only for the orderkey join + final aggregation
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 2
+    # returnflag filter pushed into the lineitem scan
+    assert "l_returnflag" in plan and "EqualTo(l_returnflag,R)" in plan
+
+
+def test_gapfill_no_cross_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "gapfill_hourly_locf")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Explode" in plan or "Generate" in plan
+
+
 def test_plan_lint_every_registry_query(spark):
     """Sweep every (batch) registry query's compiled plan for the two
     always-wrong patterns at 100 TB:
