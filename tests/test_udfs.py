@@ -76,3 +76,53 @@ def test_nested_field_predicate_on_articles(spark, tmp_path):
 
     tagged = bronze.filter(F.array_contains("tag_list", "data"))
     assert {r["id"] for r in tagged.collect()} == {i for i in range(30) if i % 2 == 1}
+
+
+def test_arrow_normalize_contract(spark, sf_dir):
+    """mapInArrow normalizer: every output is unit-length (norm of the
+    returned unit vector == 1), norm matches a JVM-side recompute, and the
+    op is deterministic across runs."""
+    from azure_func_forem_data_etl_spark.operators.udfs import (
+        arrow_normalize_embeddings,
+    )
+    from azure_func_forem_data_etl_spark.sources.tables import table
+    from pyspark.sql import functions as F
+
+    out = arrow_normalize_embeddings(spark, sf_dir)
+    # JVM-side recompute of the norm (aggregate over the float array).
+    jvm = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            ),
+            6,
+        ).alias("jvm_norm"),
+    )
+    joined = out.join(jvm, "vec_id")
+    assert joined.filter(F.abs(F.col("norm") - F.col("jvm_norm")) > 1e-6).count() == 0
+    a = out.collect()
+    b = arrow_normalize_embeddings(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_deterministic_sample_fraction(spark, sf_dir):
+    """The md5-nibble sample is ~2/16 of the table (binomial tolerance)."""
+    from azure_func_forem_data_etl_spark.operators.scalars import (
+        deterministic_sample,
+    )
+    from azure_func_forem_data_etl_spark.sources.tables import table
+    from pyspark.sql import functions as F
+
+    total = table(spark, sf_dir, "lineitem").count()
+    sampled = (
+        deterministic_sample(spark, sf_dir)
+        .agg(F.sum("n_rows").alias("n"))
+        .collect()[0]["n"]
+    )
+    frac = sampled / total
+    assert 0.09 < frac < 0.16, frac
