@@ -771,3 +771,70 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
+                    * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 analog: pure scan-filter-aggregate — every predicate "
+    "pushed to the parquet scan, zero shuffle to one output row.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical pushdown benchmark: all four predicates reach
+    PushedFilters (min/max row-group skipping at scale), and the agg is a
+    single partial+final sum — the whole 100 TB question costs one scan of
+    the pruned row groups."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(9,2)")
+            * F.col("l_discount").cast("decimal(3,2)")
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "lateral_top_order_per_customer",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+    """,
+    doc="LATERAL correlated subquery (top-1 order per customer): Catalyst "
+    "decorrelates to WindowGroupLimit + one equi-join — never per-row re-execution.",
+)
+def lateral_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A lateral subquery looks like per-customer re-execution; both engines
+    rewrite it to the set-based plan (per-key top-1 via window-group-limit
+    heaps, then a join).  Registered via SQL — LATERAL has no DataFrame-API
+    form, and the SQL route proves the decorrelation path end-to-end."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("__lat_customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM __lat_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM __lat_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        """
+    )

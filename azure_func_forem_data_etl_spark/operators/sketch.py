@@ -95,3 +95,32 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", "true_cnt", "est")
         .orderBy(F.col("true_cnt").desc(), "token")
     )
+
+
+@register(
+    "hll_sketch_union",
+    oracle=None,  # binary HLL sketches are engine-specific; error bound unit-tested
+    doc="HyperLogLog sketch build + union (hll_sketch_agg / hll_union_agg): "
+    "per-day user sketches merged to rolling distincts — the mergeable-"
+    "aggregate pattern pre-aggregation needs at 100 TB.",
+)
+def hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why sketches and not approx_count_distinct: the sketch is a VALUE —
+    persist per-day sketches (a few KB each) and answer any later
+    cross-day distinct question by unioning them, without rescanning the
+    raw 100 TB.  Build is one partial-aggregated shuffle; union reduces
+    #days rows.  The final row carries the all-days estimate next to the
+    per-day ones via a second, tiny union agg."""
+    events = table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    per_day = daily.select(
+        "day",
+        F.hll_sketch_estimate("sk").alias("distinct_users"),
+    )
+    overall = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users")
+    ).select(F.lit(None).cast("timestamp").alias("day"), "distinct_users")
+    return per_day.unionByName(overall)

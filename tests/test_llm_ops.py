@@ -245,3 +245,80 @@ def test_gapfill_spine_is_dense(spark, sf_dir):
     assert g.withColumn("seen", seen).filter(
         (F.col("seen") > 0) & F.col("filled_sum").isNull()
     ).count() == 0
+
+
+def test_connected_components_planted_graphs(spark):
+    """Chain, star, isolated self-loop: every vertex gets the min reachable
+    id; disjoint groups never merge."""
+    from azure_func_forem_data_etl_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (5, 5)],
+        "a: long, b: long",
+    )
+    got = {
+        (r["id"], r["comp"])
+        for r in connected_components(edges, "a", "b").collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+        (5, 5),
+    }
+
+
+def test_neardup_clusters_are_consistent(spark, sf_dir):
+    """Cluster invariants on the real corpus: cluster_id == min(member),
+    exactly one representative per cluster, one row per doc, and every
+    LSH-verified pair lands in the same cluster."""
+    from azure_func_forem_data_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        neardup_cluster_components,
+    )
+    from azure_func_forem_data_etl_spark.sources.tables import table
+    from pyspark.sql import functions as F
+
+    clusters = neardup_cluster_components(spark, sf_dir).cache()
+    per = clusters.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("mn"),
+        F.sum("is_representative").alias("n_rep"),
+        F.count("*").alias("n"),
+        F.max("cluster_size").alias("sz"),
+    )
+    assert per.filter(
+        (F.col("mn") != F.col("cluster_id"))
+        | (F.col("n_rep") != 1)
+        | (F.col("n") != F.col("sz"))
+    ).count() == 0
+    assert clusters.groupBy("doc_id").count().filter("count > 1").count() == 0
+    pairs = minhash_lsh_pairs(table(spark, sf_dir, "documents"))
+    a = clusters.select(F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("ca"))
+    b = clusters.select(F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("cb"))
+    assert pairs.join(a, "doc_a").join(b, "doc_b").filter("ca != cb").count() == 0
+    clusters.unpersist()
+
+
+def test_hll_sketch_union_error_bound(spark, sf_dir):
+    """HLL estimates: per-day and unioned overall within the standard
+    ~1.6% relative error (lgConfigK=12 default) of exact distincts."""
+    from azure_func_forem_data_etl_spark.operators.sketch import hll_sketch_union
+    from azure_func_forem_data_etl_spark.sources.tables import table
+    from pyspark.sql import functions as F
+
+    rows = hll_sketch_union(spark, sf_dir).collect()
+    events = table(spark, sf_dir, "events")
+    exact_overall = events.select("user_id").distinct().count()
+    est_overall = [r["distinct_users"] for r in rows if r["day"] is None][0]
+    assert abs(est_overall - exact_overall) <= max(3, 0.05 * exact_overall)
+    exact_daily = {
+        r["day"]: r["n"]
+        for r in events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        if r["day"] is None:
+            continue
+        ex = exact_daily[r["day"]]
+        assert abs(r["distinct_users"] - ex) <= max(3, 0.05 * ex), (r, ex)
