@@ -838,3 +838,123 @@ def lateral_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
         """
     )
+
+
+@register(
+    "q19_disjunctive_join",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           {sql_decsum(SQL_REVENUE)} AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity < 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity < 35)
+    """,
+    doc="TPC-H Q19 analog: disjunctive (OR-of-ANDs) mixed-table predicate "
+    "over a broadcast join — per-table conjuncts still push into each scan.",
+)
+def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst factors the OR: the union of each branch's single-table
+    bounds (brand IN (...), size <= 30, quantity < 35) pushes into the
+    scans as residual-safe prefilters, and the exact disjunction evaluates
+    post-join — the standard way a 100 TB engine keeps OR predicates from
+    disabling pushdown entirely."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    b1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") < 20)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & (F.col("l_quantity") < 35)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(b1 | b2)
+        .agg(F.count("*").alias("n_rows"), decsum(revenue()).alias("revenue"))
+    )
+
+
+@register(
+    "null_safe_join",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, nullif(event_type, 'click') AS k FROM events
+    ),
+    d AS (
+        SELECT * FROM (VALUES ('signup', 'acquisition'),
+                              (NULL, 'engagement')) AS t(k, category)
+    )
+    SELECT d.category, COUNT(e.event_id) AS n_events
+    FROM e JOIN d ON e.k IS NOT DISTINCT FROM d.k
+    GROUP BY d.category
+    """,
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match each other instead of silently dropping.",
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain equi-join semantics drop every NULL-keyed row (NULL = NULL is
+    unknown); ``<=>`` makes NULL a first-class join key, and Spark still
+    plans it as a hash join (NULL hashes to a regular bucket under the
+    null-safe comparator) — no fallback to nested loops."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id", F.nullif(F.col("event_type"), F.lit("click")).alias("k")
+    )
+    d = spark.createDataFrame(
+        [("signup", "acquisition"), (None, "engagement")], "k: string, category: string"
+    )
+    return (
+        e.join(F.broadcast(d), e["k"].eqNullSafe(d["k"]))
+        .groupBy("category")
+        .agg(F.count("event_id").alias("n_events"))
+    )
+
+
+@register(
+    "q21_semi_anti_combo",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = o.o_orderkey
+          AND l2.l_quantity > 45
+    )
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q21-style EXISTS + NOT EXISTS combo: chained left-semi then "
+    "left-anti join on the same fact — no row multiplication anywhere.",
+)
+def q21_semi_anti_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both subqueries decorrelate to existence joins against lineitem:
+    semi keeps orders with a late line, anti then removes orders with any
+    big-quantity line.  Each pass is one keyed shuffle (or reuses the same
+    orderkey partitioning back-to-back); output stays one row per order by
+    construction, the property that makes EXISTS cheaper than JOIN+DISTINCT
+    at 100 TB."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .join(
+            li.filter(F.col("l_quantity") > 45),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
