@@ -526,3 +526,38 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n_rows"), dsum("l_quantity").alias("sum_qty"))
     )
+
+
+@register(
+    "variant_shred_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="VARIANT semi-structured path (Spark 4): parse_json once into the "
+    "binary variant encoding, variant_get typed extraction, then aggregate.",
+)
+def variant_shred_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern replacement for schema-on-read string JSON (the
+    reference's payloads are exactly this shape — opaque dicts,
+    fetch_articles.py:58): VARIANT parses once into a binary encoding that
+    downstream typed extractions read without re-parsing, and Parquet
+    shredding stores hot paths columnar.  Extraction is codegen'd, so this
+    stays a one-scan plan like every other scalar query."""
+    e = table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
