@@ -68,3 +68,31 @@ def test_streaming_windows_on_empty_events(spark, empty_sf):
     reg = load_all()
     assert reg["streaming_tumbling_window"].fn(spark, empty_sf).count() == 0
     assert reg["streaming_sessionize_state"].fn(spark, empty_sf).count() == 0
+
+
+def test_new_ops_on_empty_inputs(spark, empty_sf):
+    """Round-late additions degrade to empty (or all-zero) results on
+    zero-row tables: gap-fill, chunking, split, clustering, arrow
+    normalizer, HLL union."""
+    from azure_func_forem_data_etl_spark.operators.dedup import (
+        connected_components,
+        neardup_cluster_components,
+    )
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    reg = load_all()
+    for name in [
+        "gapfill_hourly_locf",
+        "doc_chunking",
+        "dataset_split_hash",
+        "arrow_normalize_embeddings",
+        "neardup_cluster_components",
+        "histogram_event_values",
+    ]:
+        assert reg[name].fn(spark, empty_sf).count() == 0, name
+    # HLL union over zero days: only the overall row, estimating 0.
+    rows = reg["hll_sketch_union"].fn(spark, empty_sf).collect()
+    assert len(rows) == 1 and rows[0]["day"] is None
+    # components on an explicitly empty edge list
+    edges = spark.createDataFrame([], "a: long, b: long")
+    assert connected_components(edges, "a", "b").count() == 0
