@@ -386,3 +386,28 @@ def ivf_topk(
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embedding_neardup_clusters",
+    oracle=None,  # composes the iterative component fixpoint; invariants unit-tested
+    doc="Embedding-space near-dup clustering: cosine candidate pairs -> "
+    "connected components -> keep-one-representative groups.",
+)
+def embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering contract as the text near-dup path
+    (``neardup_cluster_components``) but with cosine-similarity edges: the
+    component operator is edge-source-agnostic, which is the point — any
+    pairwise similarity (MinHash, SimHash, cosine, exact hash) feeds one
+    shared keep-one-per-cluster dedup step."""
+    from azure_func_forem_data_etl_spark.operators.dedup import connected_components
+
+    pairs = embedding_cosine_pairs(spark, sf_dir)
+    comp = connected_components(pairs, "vec_a", "vec_b")
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "comp").select(
+        F.col("id").alias("vec_id"),
+        F.col("comp").alias("cluster_id"),
+        "cluster_size",
+        (F.col("id") == F.col("comp")).cast("int").alias("is_representative"),
+    )

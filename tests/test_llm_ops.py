@@ -322,3 +322,23 @@ def test_hll_sketch_union_error_bound(spark, sf_dir):
             continue
         ex = exact_daily[r["day"]]
         assert abs(r["distinct_users"] - ex) <= max(3, 0.05 * ex), (r, ex)
+
+
+def test_embedding_clusters_consistent_with_pairs(spark, sf_dir):
+    """Embedding clustering: every cosine pair co-clusters; cluster_id is
+    the min member; one representative per cluster."""
+    from azure_func_forem_data_etl_spark.operators.similarity import (
+        embedding_cosine_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    clusters = REGISTRY["embedding_neardup_clusters"].fn(spark, sf_dir).cache()
+    per = clusters.groupBy("cluster_id").agg(
+        F.min("vec_id").alias("mn"), F.sum("is_representative").alias("n_rep")
+    )
+    assert per.filter((F.col("mn") != F.col("cluster_id")) | (F.col("n_rep") != 1)).count() == 0
+    pairs = embedding_cosine_pairs(spark, sf_dir)
+    a = clusters.select(F.col("vec_id").alias("vec_a"), F.col("cluster_id").alias("ca"))
+    b = clusters.select(F.col("vec_id").alias("vec_b"), F.col("cluster_id").alias("cb"))
+    assert pairs.join(a, "vec_a").join(b, "vec_b").filter("ca != cb").count() == 0
+    clusters.unpersist()

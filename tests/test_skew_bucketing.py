@@ -88,3 +88,45 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     assert joined.count() == 4000
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_items")
+
+
+def test_range_partitioned_silver_write_enables_file_skipping(spark, sf_dir, tmp_path):
+    """Range-repartition + sort-within-partitions before the silver write:
+    each output file owns a disjoint ts range (parquet min/max footers then
+    skip whole files for time-window predicates at 100 TB)."""
+    import pyarrow.parquet as pq
+    from azure_func_forem_data_etl_spark.sources.tables import table
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "silver_range")
+    # int64 micros column: Spark may write timestamps as INT96, which has
+    # no parquet min/max statistics — the 100 TB deployment sets
+    # outputTimestampType=TIMESTAMP_MICROS for the same reason.
+    events = table(spark, sf_dir, "events").withColumn(
+        "ts", F.unix_micros("ts")
+    )
+    (
+        events.repartitionByRange(4, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    import glob
+    spans = []
+    for f in glob.glob(out + "/part-*.parquet"):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "ts"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        if mins:
+            spans.append((min(mins), max(maxs)))
+    spans.sort()
+    assert len(spans) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, "file ts ranges overlap - no skipping possible"
