@@ -561,3 +561,39 @@ def variant_shred_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@register(
+    "conditional_null_functions",
+    oracle="""
+    SELECT event_id,
+           nullif(event_type, 'error') AS non_error_type,
+           coalesce(nullif(event_type, 'error'), 'REDACTED') AS type_or_default,
+           CASE WHEN value > 50 THEN 'high' WHEN value > 10 THEN 'mid'
+                ELSE 'low' END AS band,
+           least(CAST(value AS DOUBLE), 25.0) AS capped,
+           greatest(CAST(user_id % 7 AS BIGINT), 3) AS floored
+    FROM events
+    """,
+    doc="NULL-handling conditionals (nullif/coalesce/CASE/least/greatest) — "
+    "pure codegen row expressions, the quarantine-column toolkit.",
+)
+def conditional_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expression toolkit the bronze->silver quarantine path is built
+    from (route bad values to NULL, default them, band them); all fold into
+    one codegen'd projection with zero shuffle."""
+    e = table(spark, sf_dir, "events")
+    ne = F.nullif(F.col("event_type"), F.lit("error"))
+    return e.select(
+        "event_id",
+        ne.alias("non_error_type"),
+        F.coalesce(ne, F.lit("REDACTED")).alias("type_or_default"),
+        F.when(F.col("value") > 50, "high")
+        .when(F.col("value") > 10, "mid")
+        .otherwise("low")
+        .alias("band"),
+        F.least(F.col("value").cast("double"), F.lit(25.0)).alias("capped"),
+        F.greatest((F.col("user_id") % 7).cast("long"), F.lit(3).cast("long")).alias(
+            "floored"
+        ),
+    )
