@@ -55,6 +55,68 @@ def _sql_shingles(n: int, source_filter: str = "TRUE") -> str:
 
 
 # ---------------------------------------------------------------------------
+# hot-bucket-bounded candidate generation (shared by MinHash / SimHash / IVF)
+
+MAX_BUCKET_ALLPAIRS = 64  # all-pairs only below this; oversized buckets -> star
+
+
+def capped_bucket_pairs(
+    ex: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    cap: int = MAX_BUCKET_ALLPAIRS,
+    payload: tuple[str, ...] = (),
+) -> DataFrame:
+    """Within-bucket candidate pairs with a hot-bucket bound.
+
+    Buckets with <= ``cap`` members emit all within-bucket pairs (the
+    normal LSH candidate self-join).  Oversized buckets — one boilerplate
+    cluster would otherwise go quadratic — fall back to a linear *star*:
+    every member pairs with the bucket's min-id hub.  Near-dup groups are
+    near-cliques, so the star keeps them connected for downstream
+    verification/clustering while bounding the candidate count at
+    O(cap^2 + bucket_size) per bucket instead of O(bucket_size^2).
+
+    ``payload`` columns (functionally dependent on ``id_col``, e.g. the
+    simhash fingerprint) ride along as ``{p}_a``/``{p}_b``.  Output ids
+    satisfy ``{id}_a < {id}_b`` and pairs are distinct across buckets.
+    """
+    sizes = ex.groupBy(*bucket_cols).agg(
+        F.count("*").alias("_bsz"),
+        # struct-min orders by id first => hub is the bucket's min id
+        F.min(F.struct(id_col, *payload)).alias("_hub"),
+    )
+    ex2 = ex.join(sizes, bucket_cols)
+
+    def side(df: DataFrame, suffix: str) -> DataFrame:
+        cols = [F.col(c) for c in bucket_cols]
+        cols.append(F.col(id_col).alias(f"{id_col}_{suffix}"))
+        cols.extend(F.col(p).alias(f"{p}_{suffix}") for p in payload)
+        return df.select(*cols)
+
+    small = ex2.filter(F.col("_bsz") <= cap)
+    a, b = side(small, "a"), side(small, "b")
+    cond = a[f"{id_col}_a"] < b[f"{id_col}_b"]
+    for c in bucket_cols:
+        cond = cond & (a[c] == b[c])
+    out_cols = [f"{id_col}_a", f"{id_col}_b"]
+    out_cols.extend(f"{p}_{s}" for p in payload for s in ("a", "b"))
+    pairs_small = a.join(b, cond).select(*out_cols)
+
+    big = ex2.filter(
+        (F.col("_bsz") > cap) & (F.col(id_col) != F.col(f"_hub.{id_col}"))
+    )
+    star_cols = [F.col(f"_hub.{id_col}").alias(f"{id_col}_a")]
+    star_cols.append(F.col(id_col).alias(f"{id_col}_b"))
+    for p in payload:
+        star_cols.append(F.col(f"_hub.{p}").alias(f"{p}_a"))
+        star_cols.append(F.col(p).alias(f"{p}_b"))
+    star = big.select(*star_cols)
+
+    return pairs_small.unionByName(star.select(*out_cols)).distinct()
+
+
+# ---------------------------------------------------------------------------
 # exact dedup
 
 @register(
@@ -164,8 +226,16 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs, F.count("*").alias("n_sh"))
 
 
-def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
-    """Banded LSH: hash r consecutive minhashes per band, bucket-join."""
+def lsh_candidate_pairs(
+    sig: DataFrame, cap: int = MAX_BUCKET_ALLPAIRS
+) -> DataFrame:
+    """Banded LSH: hash r consecutive minhashes per band, bucket-join.
+
+    Bucket membership is bounded by ``capped_bucket_pairs`` — a single
+    boilerplate cluster (every doc sharing a banner paragraph) lands in
+    one bucket and would otherwise produce O(n^2) candidates; the cap
+    turns that into a linear hub-star while small buckets keep exact
+    all-pairs behavior."""
     r = MINHASH_K // MINHASH_BANDS
     bands = F.array(
         *[
@@ -179,18 +249,10 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     exploded = sig.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    pairs = capped_bucket_pairs(exploded, ["band_id", "band_hash"], "doc_id", cap)
+    return pairs.select(
+        F.col("doc_id_a").alias("doc_a"), F.col("doc_id_b").alias("doc_b")
+    ).distinct()
 
 
 def verify_jaccard(
@@ -284,7 +346,11 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs)
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    cap: int = MAX_BUCKET_ALLPAIRS,
+) -> DataFrame:
     # One row per doc; materialized so the band self-join's two sides don't
     # recompute the 32-vote aggregation twice (same rationale as minhash).
     fp = simhash_fingerprints(scale_out(docs, "doc_id")).localCheckpoint(eager=True)
@@ -304,19 +370,17 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
     ex = fp.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
         "doc_id", "simhash", F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val")
     )
-    a = ex.alias("a")
-    b = ex.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # Hot-bucket bound: identical fingerprints (boilerplate) collapse to a
+    # hub-star instead of an all-pairs blow-up; the fingerprint rides along
+    # as payload so the hamming filter needs no extra join.
+    pairs = capped_bucket_pairs(
+        ex, ["band_id", "band_val"], "doc_id", cap, payload=("simhash",)
+    )
+    hamming = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+        pairs.select(
+            F.col("doc_id_a").alias("doc_a"),
+            F.col("doc_id_b").alias("doc_b"),
             hamming.alias("hamming"),
         )
         .distinct()

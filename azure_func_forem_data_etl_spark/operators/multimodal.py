@@ -139,8 +139,31 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Full multimodal feature set incl. frame CRCs and byte embedding (rows-only check).",
 )
 def multimodal_full_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array columns (frame_crcs, byte_embedding) are projected to scalar
+    surrogates for the registry-facing result — the driver's rows-only
+    canonicalizer hashes values and cannot sort lists.  The full-array
+    variant stays available via ``extract_media_features`` (unit-tested in
+    tests/test_llm_ops.py)."""
     docs = table(spark, sf_dir, "documents")
-    return extract_media_features(with_binary_column(docs))
+    feats = extract_media_features(with_binary_column(docs))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        "crc32",
+        "n_frames",
+        F.element_at("frame_crcs", 1).alias("frame_crc_first"),
+        F.expr("aggregate(frame_crcs, 0L, (a, x) -> a + x)").alias("frame_crc_sum"),
+        F.size("byte_embedding").alias("emb_dim"),
+        F.round(F.element_at("byte_embedding", 1).cast("double"), 6).alias("emb_x0"),
+        F.round(
+            F.expr(
+                "aggregate(byte_embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))"
+            ),
+            6,
+        ).alias("emb_sum"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -189,5 +212,23 @@ def resize_media(media: DataFrame) -> DataFrame:
     doc="Resize stub: payload bytes mean-pooled to a fixed 8x8 thumbnail grid.",
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``thumbnail`` array is reduced to scalar surrogates (first cell,
+    mean, dim) for the registry-facing result — the driver's canonicalizer
+    cannot hash list values.  ``resize_media`` keeps the full array and is
+    unit-tested for shape/determinism."""
     docs = table(spark, sf_dir, "documents")
-    return resize_media(with_binary_column(docs))
+    thumbs = resize_media(with_binary_column(docs))
+    return thumbs.select(
+        "doc_id",
+        "thumb_w",
+        "thumb_h",
+        F.size("thumbnail").alias("n_cells"),
+        F.round(F.element_at("thumbnail", 1).cast("double"), 4).alias("thumb_x0"),
+        F.round(
+            F.expr(
+                "aggregate(thumbnail, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))"
+            )
+            / F.size("thumbnail"),
+            4,
+        ).alias("thumb_mean"),
+    )

@@ -467,7 +467,8 @@ def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("p_brand").alias("ubrand"),
         F.length("p_name").alias("name_len"),
         F.substring("p_type", 1, 3).alias("type_prefix"),
-        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        # concat (not concat_ws): NULL in => NULL out, matching the oracle
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake_name"),
     )
 

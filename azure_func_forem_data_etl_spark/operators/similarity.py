@@ -35,6 +35,11 @@ from azure_func_forem_data_etl_spark.sources.tables import scale_out, table
 
 KNN_K = 5
 KNN_QUERY_MOD = 100  # vec_id % 100 == 0 -> 1% of vectors are queries
+# Hard bounds on the driver-side query set: a fraction of the corpus is NOT
+# a bound at 100 TB.  Total cap fails loudly; per-pass cap sizes each
+# broadcast (4096 x 1024-dim f64 = 32 MB worst case).
+KNN_MAX_QUERIES_TOTAL = 65_536
+KNN_MAX_QUERIES_PER_PASS = 4_096
 PAIRS_SAMPLE_MOD = 5
 PAIRS_THRESHOLD = 0.3
 
@@ -49,6 +54,12 @@ _KNN_SCHEMA = T.StructType(
 
 def _np_matrix(pdf_embedding: pd.Series) -> np.ndarray:
     return np.array([np.asarray(e, dtype=np.float64) for e in pdf_embedding])
+
+
+def _corpus_dim(emb: DataFrame) -> int | None:
+    """Embedding width from the data (one-row driver read); None if empty."""
+    row = emb.select(F.size("embedding").alias("d")).head()
+    return None if row is None else int(row["d"])
 
 
 def cosine_expr(a: str, b: str) -> Column:
@@ -106,12 +117,22 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _partial_topk_mapper(qids: np.ndarray, Q: np.ndarray, k: int):
-    """Per-Arrow-batch cosine + partial top-k against the broadcast query
-    matrix.  Emits at most len(qids) * k rows per batch."""
-    qn = np.linalg.norm(Q, axis=1)
+def _partial_topk_mapper(bq, k: int):
+    """Per-Arrow-batch cosine + partial top-k against the query matrix.
+
+    ``bq`` is a ``sparkContext.broadcast`` of ``(qids, Q)`` — one torrent
+    transfer per executor instead of a per-task closure copy.  Emits at
+    most len(qids) * k rows per batch.
+
+    Tie handling: after ``argpartition`` (value-only), the cut is widened
+    to include every candidate tied with the k-th value, so the final
+    ``lexsort`` by (cos DESC, neighbor_id) sees the full tie set — the
+    partial top-k under that total order then exactly agrees with the
+    oracle's deterministic (cos DESC, id) ranking."""
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids, Q = bq.value
+        qn = np.linalg.norm(Q, axis=1)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -120,16 +141,19 @@ def _partial_topk_mapper(qids: np.ndarray, Q: np.ndarray, k: int):
             cn = np.linalg.norm(C, axis=1)
             S = np.round((C @ Q.T) / np.outer(cn, qn), 6)  # n x m
             out_q, out_n, out_c = [], [], []
-            kk = min(k + 32, len(ids))  # slack so boundary ties survive
             for j, qid in enumerate(qids):
                 col = S[:, j]
                 mask = ids != qid
                 cids, cvals = ids[mask], col[mask]
                 if len(cids) == 0:
                     continue
+                kk = min(k, len(cids))
                 if len(cids) > kk:
-                    part = np.argpartition(-cvals, kk - 1)[:kk]
-                    cids, cvals = cids[part], cvals[part]
+                    part = np.argpartition(-cvals, kk - 1)
+                    cut = cvals[part[kk - 1]]
+                    rest = part[kk:]
+                    keep = np.concatenate([part[:kk], rest[cvals[rest] >= cut]])
+                    cids, cvals = cids[keep], cvals[keep]
                 order = np.lexsort((cids, -cvals))[:k]
                 out_q.extend([qid] * len(order))
                 out_n.extend(cids[order])
@@ -166,24 +190,53 @@ def _partial_topk_mapper(qids: np.ndarray, Q: np.ndarray, k: int):
     doc="Exact k-NN baseline: broadcast queries, BLAS cosine per Arrow batch, partial+global top-k.",
 )
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
-    qpd = (
-        emb.filter(F.col("vec_id") % KNN_QUERY_MOD == 0)
-        .select("vec_id", "embedding")
-        .toPandas()
-    )
+    return knn_bruteforce_topk(table(spark, sf_dir, "embeddings"))
+
+
+def knn_bruteforce_topk(
+    emb: DataFrame,
+    query_mod: int = KNN_QUERY_MOD,
+    k: int = KNN_K,
+    max_queries: int = KNN_MAX_QUERIES_TOTAL,
+    queries_per_pass: int = KNN_MAX_QUERIES_PER_PASS,
+) -> DataFrame:
+    """Exact k-NN with a *bounded* driver-side query set.
+
+    The query matrix is collected with a hard cap (``LIMIT max_queries+1``
+    then fail loudly — never an unbounded fraction of the corpus), shipped
+    to executors via ``sparkContext.broadcast`` (one copy per executor,
+    not per task closure), and chunked into passes of ``queries_per_pass``
+    so each broadcast stays small even at the cap.  Driver memory is
+    O(max_queries * dim) by construction, independent of corpus size."""
+    spark = emb.sparkSession
+    q = emb.filter(F.col("vec_id") % query_mod == 0).select("vec_id", "embedding")
+    qpd = q.orderBy("vec_id").limit(max_queries + 1).toPandas()
     if len(qpd) == 0:  # empty corpus/queries: empty result, not a crash
         return spark.createDataFrame([], _KNN_SCHEMA)
+    if len(qpd) > max_queries:
+        raise ValueError(
+            f"knn_bruteforce query set exceeds the {max_queries}-query bound; "
+            "raise the cap explicitly or thin the query sample (query_mod)"
+        )
     qids = qpd["vec_id"].to_numpy()
     Q = _np_matrix(qpd["embedding"])
     # One-file corpus scans as one partition; widen so every core runs a
     # BLAS batch (no-op when the scan is already split).
     corpus = scale_out(emb.select("vec_id", "embedding"), "vec_id")
-    partial = corpus.mapInPandas(_partial_topk_mapper(qids, Q, KNN_K), schema=_KNN_SCHEMA)
+    sc = spark.sparkContext
+    partials = []
+    for lo in range(0, len(qids), queries_per_pass):
+        bq = sc.broadcast((qids[lo : lo + queries_per_pass], Q[lo : lo + queries_per_pass]))
+        partials.append(
+            corpus.mapInPandas(_partial_topk_mapper(bq, k), schema=_KNN_SCHEMA)
+        )
+    partial = partials[0]
+    for p in partials[1:]:
+        partial = partial.unionByName(p)
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         partial.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= KNN_K)
+        .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
 
@@ -236,7 +289,11 @@ def lsh_topk(
     emb: DataFrame, query_mod: int = KNN_QUERY_MOD, k: int = KNN_K
 ) -> DataFrame:
     """ANN top-k: same-bucket candidates only, exact cosine rescoring."""
-    dim = 64
+    dim = _corpus_dim(emb)
+    if dim is None:  # empty corpus
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rnk int"
+        )
     mapper, sig_schema = _signature_mapper(_hyperplanes(dim))
     sigs = scale_out(emb.select("vec_id", "embedding"), "vec_id").mapInPandas(
         mapper, schema=sig_schema
@@ -274,7 +331,7 @@ def lsh_topk(
 @register(
     "ann_lsh_topk",
     oracle=None,  # approximate by design: recall vs brute force unit-tested
-    doc="ANN top-k via random-hyperplane LSH (8 tables x 8 bits), exact rescoring of candidates.",
+    doc=f"ANN top-k via random-hyperplane LSH ({LSH_TABLES} tables x {LSH_BITS} bits), exact rescoring of candidates.",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(table(spark, sf_dir, "embeddings"))
@@ -283,11 +340,28 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Approximate NN: IVF (inverted-file) coarse quantizer
 
-# Centroids are a deterministic corpus sample (vec_id % MOD == 7) instead of
-# a k-means fit — same inverted-list machinery, no training job; a real
-# deployment swaps in trained centroids without touching the dataflow.
-IVF_CENTROID_MOD = 37
+# Centroids are a deterministic corpus sample instead of a k-means fit —
+# same inverted-list machinery, no training job; a real deployment swaps
+# in trained centroids without touching the dataflow.  The count is sized
+# so the expected inverted-list length stays ~constant (cost per probe is
+# then O(IVF_TARGET_LIST) at any corpus size) and HARD-clamped at
+# IVF_MAX_CENTROIDS so driver memory is O(budget * dim) — never a corpus
+# fraction (the round-1 flaw).  Corpora big enough to hit the clamp swap
+# in trained centroids and a larger explicit budget.
+IVF_MAX_CENTROIDS = 4096
+IVF_TARGET_LIST = 48
 IVF_NPROBE = 8
+IVF_ASSIGN_PROBES = 8  # multi-assignment width for the pair-generation path
+
+
+def _centroid_budget(
+    n_vectors: int, probes: int = 1, target_list: int = IVF_TARGET_LIST
+) -> int:
+    """#centroids giving expected list length ≈ target_list under
+    ``probes``-way assignment, clamped to the hard driver budget."""
+    import math
+
+    return max(4, min(IVF_MAX_CENTROIDS, math.ceil(n_vectors * probes / target_list)))
 
 _ASSIGN_SCHEMA = T.StructType(
     [
@@ -297,9 +371,24 @@ _ASSIGN_SCHEMA = T.StructType(
 )
 
 
-def _assign_mapper(cids: np.ndarray, C: np.ndarray):
+def _sample_centroids(emb: DataFrame, n: int) -> pd.DataFrame:
+    """Deterministic fixed-budget centroid sample: order by a hash of
+    vec_id, take n.  ``orderBy + limit`` compiles to TakeOrdered — only n
+    rows ever reach the driver, so this is O(n * dim) driver memory at any
+    corpus size (the fix for the round-1 fraction-based collect)."""
+    return (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(n)
+        .toPandas()
+    )
+
+
+def _assign_mapper(cids: np.ndarray, C: np.ndarray, n_probes: int = 1):
     """Nearest-centroid assignment per Arrow batch (cosine; ties -> lowest
-    centroid id, deterministic)."""
+    centroid id, deterministic).  ``n_probes > 1`` multi-assigns each
+    vector to its n nearest lists — used by the pair-generation path so
+    near-dups split across a Voronoi boundary still share a list."""
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
     order = np.argsort(cids)
     cids_sorted, Cn_sorted = cids[order], Cn[order]
@@ -310,9 +399,13 @@ def _assign_mapper(cids: np.ndarray, C: np.ndarray):
                 continue
             E = _np_matrix(pdf["embedding"])
             En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
-            best = np.argmax(En @ Cn_sorted.T, axis=1)  # first max = lowest id
+            sims = En @ Cn_sorted.T
+            p = min(n_probes, sims.shape[1])
+            # stable sort => ties resolve to the lowest centroid id
+            best = np.argsort(-sims, axis=1, kind="stable")[:, :p]
+            ids = np.repeat(pdf["vec_id"].to_numpy(), p)
             yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].to_numpy(), "cluster_id": cids_sorted[best]}
+                {"vec_id": ids, "cluster_id": cids_sorted[best].ravel()}
             )
 
     return mapper
@@ -331,11 +424,10 @@ def ivf_topk(
     """
     spark = emb.sparkSession
     empty = "query_id long, neighbor_id long, cos_sim double, rnk int"
-    cpd = emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 7).select(
-        "vec_id", "embedding"
-    ).toPandas()
-    if len(cpd) == 0:  # empty corpus: no centroids -> empty result
+    n_vectors = emb.count()
+    if n_vectors == 0:  # empty corpus: no centroids -> empty result
         return spark.createDataFrame([], empty)
+    cpd = _sample_centroids(emb, _centroid_budget(n_vectors))
     cids = cpd["vec_id"].to_numpy()
     C = _np_matrix(cpd["embedding"])
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
@@ -343,12 +435,22 @@ def ivf_topk(
     corpus = scale_out(emb.select("vec_id", "embedding"), "vec_id")
     assignments = corpus.mapInPandas(_assign_mapper(cids, C), schema=_ASSIGN_SCHEMA)
 
-    # Query probe lists, computed driver-side (queries are a ~1% sample).
-    qpd = emb.filter(F.col("vec_id") % query_mod == 0).select(
-        "vec_id", "embedding"
-    ).toPandas()
+    # Query probe lists, computed driver-side under the same hard bound as
+    # knn_bruteforce (a sample *fraction* is not a bound at 100 TB).
+    qpd = (
+        emb.filter(F.col("vec_id") % query_mod == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(KNN_MAX_QUERIES_TOTAL + 1)
+        .toPandas()
+    )
     if len(qpd) == 0:
         return spark.createDataFrame([], empty)
+    if len(qpd) > KNN_MAX_QUERIES_TOTAL:
+        raise ValueError(
+            f"ivf_topk query set exceeds the {KNN_MAX_QUERIES_TOTAL}-query bound; "
+            "thin the query sample (query_mod) or raise the cap explicitly"
+        )
     Q = _np_matrix(qpd["embedding"])
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     order = np.argsort(cids)
@@ -382,27 +484,70 @@ def ivf_topk(
 @register(
     "ann_ivf_topk",
     oracle=None,  # approximate by design: recall vs brute force unit-tested
-    doc="ANN top-k via IVF inverted lists (sampled centroids, nprobe=8), exact rescoring.",
+    doc=f"ANN top-k via IVF inverted lists (fixed-budget centroids, nprobe={IVF_NPROBE}), exact rescoring.",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(table(spark, sf_dir, "embeddings"))
 
 
+def ivf_candidate_pairs(
+    emb: DataFrame,
+    threshold: float = PAIRS_THRESHOLD,
+    assign_probes: int = IVF_ASSIGN_PROBES,
+) -> DataFrame:
+    """Scalable cosine candidate pairs: IVF multi-assignment buckets the
+    corpus (each vector joins its ``assign_probes`` nearest inverted
+    lists), within-list candidates are hot-bucket-bounded (star fallback),
+    and only candidates get exact cosine scoring.
+
+    This is the 100 TB edge source for embedding clustering: cost is one
+    corpus pass for assignment + a bucketed self-join — never the O(n^2)
+    all-pairs shape (``embedding_cosine_pairs`` stays a bounded-sample
+    ground-truth op only).  Recall vs the exact pairs is unit-tested."""
+    from azure_func_forem_data_etl_spark.operators.dedup import capped_bucket_pairs
+
+    spark = emb.sparkSession
+    n_vectors = emb.count()
+    if n_vectors == 0:
+        return spark.createDataFrame([], "vec_a long, vec_b long, cos_sim double")
+    cpd = _sample_centroids(emb, _centroid_budget(n_vectors, probes=assign_probes))
+    cids = cpd["vec_id"].to_numpy()
+    C = _np_matrix(cpd["embedding"])
+    corpus = scale_out(emb.select("vec_id", "embedding"), "vec_id")
+    assignments = corpus.mapInPandas(
+        _assign_mapper(cids, C, n_probes=assign_probes), schema=_ASSIGN_SCHEMA
+    )
+    cand = capped_bucket_pairs(assignments, ["cluster_id"], "vec_id")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    scored = (
+        cand.select(F.col("vec_id_a").alias("vec_a"), F.col("vec_id_b").alias("vec_b"))
+        .join(e.withColumnsRenamed({"vec_id": "vec_a", "e": "ea"}), "vec_a")
+        .join(e.withColumnsRenamed({"vec_id": "vec_b", "e": "eb"}), "vec_b")
+        .withColumn("cos_sim", F.round(cosine_expr("ea", "eb"), 6))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    return scored.select("vec_a", "vec_b", "cos_sim")
+
+
 @register(
     "embedding_neardup_clusters",
     oracle=None,  # composes the iterative component fixpoint; invariants unit-tested
-    doc="Embedding-space near-dup clustering: cosine candidate pairs -> "
-    "connected components -> keep-one-representative groups.",
+    doc="Embedding-space near-dup clustering: IVF-bucketed cosine candidate "
+    "pairs -> connected components -> keep-one-representative groups.",
 )
 def embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same clustering contract as the text near-dup path
     (``neardup_cluster_components``) but with cosine-similarity edges: the
     component operator is edge-source-agnostic, which is the point — any
     pairwise similarity (MinHash, SimHash, cosine, exact hash) feeds one
-    shared keep-one-per-cluster dedup step."""
+    shared keep-one-per-cluster dedup step.
+
+    Edges come from ``ivf_candidate_pairs`` (bucketed, ~linear), NOT the
+    all-pairs sampled ``embedding_cosine_pairs`` — at 100 TB the clustering
+    path must never inherit an O(n^2) edge source."""
     from azure_func_forem_data_etl_spark.operators.dedup import connected_components
 
-    pairs = embedding_cosine_pairs(spark, sf_dir)
+    pairs = ivf_candidate_pairs(table(spark, sf_dir, "embeddings"))
     comp = connected_components(pairs, "vec_a", "vec_b")
     sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
     return comp.join(sizes, "comp").select(

@@ -93,18 +93,25 @@ def run_incremental(
             total_bad += stats["n_bad"]
             pages_fetched += len(chunk)
             if n_new == 0:
-                break  # F1 analog: whole chunk at-or-below watermark
-            # L1: data BEFORE state, date-partitioned, line-delimited
-            (
-                fresh.withColumn("ingest_date", F.current_date())
-                .drop("published_at_ts")
-                .write.mode("append")
-                .partitionBy("ingest_date")
-                .json(bronze_dir)
-            )
-            total_new += n_new
-            if max_ts is None or (chunk_max is not None and chunk_max > max_ts):
-                max_ts = chunk_max
+                # Stop only when the chunk had VALID rows all at-or-below
+                # the watermark (F1 analog).  A fully-quarantined chunk
+                # proves nothing about pagination order — the reference
+                # skips malformed rows and keeps going (F2,
+                # fetch_articles.py:98-100), so we keep paging too.
+                if stats["n_rows"] > stats["n_bad"]:
+                    break
+            else:
+                # L1: data BEFORE state, date-partitioned, line-delimited
+                (
+                    fresh.withColumn("ingest_date", F.current_date())
+                    .drop("published_at_ts")
+                    .write.mode("append")
+                    .partitionBy("ingest_date")
+                    .json(bronze_dir)
+                )
+                total_new += n_new
+                if max_ts is None or (chunk_max is not None and chunk_max > max_ts):
+                    max_ts = chunk_max
         finally:
             parsed.unpersist()
         page += chunk_pages

@@ -17,11 +17,63 @@ from __future__ import annotations
 import os
 import tempfile
 import zipfile
+from collections.abc import Mapping
+from dataclasses import dataclass, field
 from pathlib import Path
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+@dataclass(frozen=True)
+class StorageConfig:
+    """Cloud-storage credentials, validated eagerly at session build.
+
+    The reference refuses to start when ``BLOB_CONN_STR`` is unset — its
+    blob client is constructed at module import and raises immediately
+    (fetch_articles.py:21-30).  This is the Spark analog: pass a
+    ``StorageConfig`` to :func:`get_spark` and a missing/empty required
+    setting fails at session build, not as an opaque task failure
+    mid-job hours into a 100 TB run.
+
+    ``settings`` are applied as Hadoop configs (``spark.hadoop.`` prefix).
+    Recipes:
+
+    - **abfss** (Azure Data Lake Gen2)::
+
+        StorageConfig(scheme="abfss", settings={
+            "fs.azure.account.key.ACCT.dfs.core.windows.net": key})
+
+    - **s3a**::
+
+        StorageConfig(scheme="s3a", settings={
+            "fs.s3a.access.key": ak, "fs.s3a.secret.key": sk})
+        # or role/instance-profile auth:
+        StorageConfig(scheme="s3a", settings={
+            "fs.s3a.aws.credentials.provider":
+                "com.amazonaws.auth.InstanceProfileCredentialsProvider"},
+            required=("fs.s3a.aws.credentials.provider",))
+
+    ``required`` defaults to every key in ``settings`` (all must be
+    non-empty); pass a subset to relax.
+    """
+
+    scheme: str
+    settings: Mapping[str, str] = field(default_factory=dict)
+    required: tuple[str, ...] | None = None
+
+    def validate(self) -> None:
+        keys = tuple(self.settings) if self.required is None else self.required
+        missing = [k for k in keys if not (self.settings.get(k) or "").strip()]
+        if not self.settings:
+            missing = [f"<no settings for scheme {self.scheme!r}>"]
+        if missing:
+            raise ValueError(
+                f"storage config for scheme {self.scheme!r} is missing required "
+                f"settings: {missing} — refusing to build a session that would "
+                "fail at first read/write (reference parity: fetch_articles.py:21-30)"
+            )
 
 _SHIPPED_APPS: set[str] = set()
 
@@ -53,8 +105,15 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    storage: StorageConfig | None = None,
 ) -> SparkSession:
-    """Build (or fetch) the tuned SparkSession."""
+    """Build (or fetch) the tuned SparkSession.
+
+    ``storage`` is validated eagerly (C3 parity: fail at build, not
+    mid-job) and its settings applied as ``spark.hadoop.*`` configs.
+    """
+    if storage is not None:
+        storage.validate()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
@@ -75,6 +134,9 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    if storage is not None:
+        for k, v in storage.settings.items():
+            builder = builder.config(f"spark.hadoop.{k}", v)
     return builder.getOrCreate()
 
 

@@ -103,6 +103,50 @@ def parse_raw_articles(raw_df: DataFrame) -> DataFrame:
     )
 
 
+def http_fetcher(
+    base_url: str,
+    per_page: int = 300,
+    timeout_s: float = 10.0,
+    params: dict[str, str] | None = None,
+    headers: dict[str, str] | None = None,
+) -> PageFetcher:
+    """Real paginated-HTTP endpoint fetcher, matching the reference's
+    request loop (fetch_articles.py:58-76):
+
+    - GET ``{base_url}?per_page=N&page=P`` (config fetch_articles.py:12-15);
+    - 10 s timeout (``requests.get(..., timeout=10)``, :64);
+    - HTTP >= 400 raises (``raise_for_status``, :65) so the retry/backoff
+      policy in :func:`fetch_pages_raw` kicks in;
+    - a body that fails to JSON-decode aborts the page — returns ``[]``
+      without retrying (:73-75) — keeping the pipeline alive;
+    - a non-list JSON body is treated the same as undecodable.
+
+    stdlib ``urllib`` only — no third-party HTTP dependency.  The callable
+    is pickled into executor tasks, so it closes over plain strings/ints.
+    """
+    import urllib.parse
+
+    base_headers = {"User-Agent": "forem-etl-spark", **(headers or {})}
+    extra_params = dict(params or {})
+
+    def fetch(page: int) -> list[dict]:
+        import urllib.request
+
+        q = {"per_page": per_page, "page": page, **extra_params}
+        url = f"{base_url}?{urllib.parse.urlencode(q)}"
+        req = urllib.request.Request(url, headers=base_headers)
+        # HTTPError (>=400) and URLError propagate: retried with backoff
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            body = resp.read()
+        try:
+            data = json.loads(body)
+        except json.JSONDecodeError:
+            return []  # malformed page payload: abort page, don't retry
+        return data if isinstance(data, list) else []
+
+    return fetch
+
+
 def directory_fetcher(fixture_dir: str) -> PageFetcher:
     """Fixture endpoint: ``{dir}/page_{n}.json`` JSON-array files; a
     missing file is an empty page (end of pagination, F3)."""

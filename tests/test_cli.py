@@ -90,3 +90,48 @@ def test_cli_silver_mode_happy_path(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "silver"))
     assert out.count() == 5
     assert out.select("id").distinct().count() == 5
+
+
+# --------------------------------------------------------------------------
+# storage config: eager validation at session build (C3 parity)
+
+
+def test_storage_config_missing_key_fails_at_build():
+    import pytest
+
+    from azure_func_forem_data_etl_spark.session import StorageConfig, get_spark
+
+    cfg = StorageConfig(scheme="s3a", settings={"fs.s3a.access.key": "AK", "fs.s3a.secret.key": ""})
+    with pytest.raises(ValueError, match="fs.s3a.secret.key"):
+        get_spark(storage=cfg)
+
+
+def test_storage_config_empty_settings_fails():
+    import pytest
+
+    from azure_func_forem_data_etl_spark.session import StorageConfig
+
+    with pytest.raises(ValueError, match="no settings"):
+        StorageConfig(scheme="abfss", settings={}).validate()
+
+
+def test_storage_config_valid_builds_and_applies(spark):
+    from azure_func_forem_data_etl_spark.session import StorageConfig, get_spark
+
+    cfg = StorageConfig(
+        scheme="s3a",
+        settings={"fs.s3a.aws.credentials.provider": "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"},
+    )
+    s = get_spark(storage=cfg)  # getOrCreate: reuses the test session, no error
+    assert s is not None
+
+
+def test_storage_config_required_subset():
+    from azure_func_forem_data_etl_spark.session import StorageConfig
+
+    # optional tuning key may be empty when not listed in required
+    StorageConfig(
+        scheme="s3a",
+        settings={"fs.s3a.access.key": "AK", "fs.s3a.secret.key": "SK", "fs.s3a.endpoint": ""},
+        required=("fs.s3a.access.key", "fs.s3a.secret.key"),
+    ).validate()

@@ -257,3 +257,90 @@ def test_backfill_discards_pages_after_first_empty(spark, tmp_path):
     assert r.next_page == 2
     ids = [json.loads(row.raw)["id"] for row in spark.read.json(str(tmp_path / "bronze")).select("raw").collect()]
     assert ids == [1]
+
+
+# --------------------------------------------------------------------------
+# real HTTP fetcher against a local fixture server (S1-S3 end-to-end)
+
+
+@pytest.fixture(scope="module")
+def http_server():
+    """Local paginated-API fixture: /articles?per_page=&page= serves JSON
+    pages; page 2 fails with HTTP 500 on its first two hits (retry path);
+    page 3 returns malformed JSON (decode-abort path); page >= 4 is 404."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    hits: dict[int, int] = {}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):
+            pass
+
+        def do_GET(self):
+            q = parse_qs(urlparse(self.path).query)
+            page = int(q.get("page", ["1"])[0])
+            hits[page] = hits.get(page, 0) + 1
+            if page == 2 and hits[page] <= 2:
+                self.send_response(500)
+                self.end_headers()
+                return
+            if page == 3:
+                body = b"{not valid json"
+            elif page >= 4:
+                self.send_response(404)
+                self.end_headers()
+                return
+            else:
+                arts = [make_article(page * 10 + i, ts(page * 10 + i)) for i in range(3)]
+                body = json.dumps(arts).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/articles", hits
+    srv.shutdown()
+
+
+def test_http_fetcher_happy_path_and_params(http_server):
+    from azure_func_forem_data_etl_spark.sources.paginated import http_fetcher
+
+    url, _ = http_server
+    fetch = http_fetcher(url, per_page=3)
+    arts = fetch(1)
+    assert [a["id"] for a in arts] == [10, 11, 12]
+
+
+def test_http_fetcher_retries_through_spark_pipeline(spark, http_server):
+    """HTTP 500s on page 2 are retried by fetch_pages_raw's policy; the
+    malformed page 3 aborts without retry; 404 pages exhaust retries and
+    yield no rows — all through the real executor-side code path."""
+    from azure_func_forem_data_etl_spark.sources.paginated import http_fetcher
+
+    url, hits = http_server
+    hits.clear()
+    fetch = http_fetcher(url, per_page=3)
+    raw = fetch_pages_raw(spark, [1, 2, 3, 4], fetch, FAST)
+    rows = raw.collect()
+    pages = {r.page for r in rows}
+    assert pages == {1, 2}           # page 3 decode-abort, page 4 404-exhausted
+    assert len(rows) == 6            # 3 articles per good page
+    assert hits[2] == 3              # two 500s + one success
+    assert hits[3] == 1              # decode abort does NOT retry
+    assert hits[4] == FAST.max_retries  # 404 retried to exhaustion
+
+
+def test_http_fetcher_404_returns_no_rows(http_server):
+    import urllib.error
+
+    from azure_func_forem_data_etl_spark.sources.paginated import http_fetcher
+
+    url, _ = http_server
+    fetch = http_fetcher(url)
+    with pytest.raises(urllib.error.HTTPError):
+        fetch(99)  # raises so the policy layer can retry/abort

@@ -325,10 +325,13 @@ def test_hll_sketch_union_error_bound(spark, sf_dir):
 
 
 def test_embedding_clusters_consistent_with_pairs(spark, sf_dir):
-    """Embedding clustering: every cosine pair co-clusters; cluster_id is
-    the min member; one representative per cluster."""
+    """Embedding clustering (IVF-bucketed edges): cluster_id is the min
+    member; one representative per cluster; every IVF candidate edge
+    co-clusters; and the approximate edge source recovers most of the
+    exact sampled cosine pairs (recall floor)."""
     from azure_func_forem_data_etl_spark.operators.similarity import (
         embedding_cosine_pairs,
+        ivf_candidate_pairs,
     )
     from pyspark.sql import functions as F
 
@@ -337,8 +340,98 @@ def test_embedding_clusters_consistent_with_pairs(spark, sf_dir):
         F.min("vec_id").alias("mn"), F.sum("is_representative").alias("n_rep")
     )
     assert per.filter((F.col("mn") != F.col("cluster_id")) | (F.col("n_rep") != 1)).count() == 0
-    pairs = embedding_cosine_pairs(spark, sf_dir)
     a = clusters.select(F.col("vec_id").alias("vec_a"), F.col("cluster_id").alias("ca"))
     b = clusters.select(F.col("vec_id").alias("vec_b"), F.col("cluster_id").alias("cb"))
-    assert pairs.join(a, "vec_a").join(b, "vec_b").filter("ca != cb").count() == 0
+    # the edges the clustering consumed must co-cluster exactly
+    edges = ivf_candidate_pairs(table(spark, sf_dir, "embeddings"))
+    assert edges.join(a, "vec_a").join(b, "vec_b").filter("ca != cb").count() == 0
+    # approximate edge source vs the exact sampled ground truth: most
+    # exact pairs end up in one cluster (transitivity can only help);
+    # measured ~0.93 at test SF on worst-case gaussian data
+    exact = embedding_cosine_pairs(spark, sf_dir)
+    n_exact = exact.count()
+    if n_exact:
+        co = exact.join(a, "vec_a").join(b, "vec_b").filter("ca = cb").count()
+        assert co / n_exact >= 0.6, f"cluster recall {co}/{n_exact}"
     clusters.unpersist()
+
+def test_capped_bucket_pairs_allpairs_and_star(spark):
+    """Small buckets emit exact all-pairs; oversized buckets collapse to a
+    min-id hub star (linear), keeping the group connected."""
+    from azure_func_forem_data_etl_spark.operators.dedup import capped_bucket_pairs
+
+    rows = [(i, 1) for i in range(5)] + [(100 + i, 2) for i in range(10)]
+    ex = spark.createDataFrame(rows, "doc_id long, bucket long")
+    pairs = capped_bucket_pairs(ex, ["bucket"], "doc_id", cap=6)
+    got = {(r.doc_id_a, r.doc_id_b) for r in pairs.collect()}
+    small_expected = {(i, j) for i in range(5) for j in range(i + 1, 5)}
+    star_expected = {(100, 100 + i) for i in range(1, 10)}
+    assert got == small_expected | star_expected
+    # every pair ordered, distinct
+    assert all(a < b for a, b in got)
+
+
+def test_capped_bucket_pairs_payload_rides_along(spark):
+    from azure_func_forem_data_etl_spark.operators.dedup import capped_bucket_pairs
+
+    rows = [(1, 7, 11), (2, 7, 22), (3, 7, 33)]
+    ex = spark.createDataFrame(rows, "doc_id long, bucket long, fp long")
+    pairs = capped_bucket_pairs(ex, ["bucket"], "doc_id", cap=2, payload=("fp",))
+    got = {(r.doc_id_a, r.doc_id_b, r.fp_a, r.fp_b) for r in pairs.collect()}
+    # bucket of 3 > cap 2 -> star around hub doc 1 (fp 11)
+    assert got == {(1, 2, 11, 22), (1, 3, 11, 33)}
+
+
+def test_minhash_hot_bucket_bounded_and_connected(spark):
+    """A planted boilerplate cluster (many identical docs) must not go
+    quadratic in candidates, yet must still cluster into one component."""
+    from azure_func_forem_data_etl_spark.operators.dedup import (
+        MAX_BUCKET_ALLPAIRS,
+        MINHASH_BANDS,
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        minhash_lsh_pairs,
+    )
+
+    n_hot = 4 * MAX_BUCKET_ALLPAIRS  # 4x over the cap
+    text = "the same boilerplate banner paragraph repeated on every page of this site"
+    rows = [(i, text) for i in range(n_hot)]
+    rows += [(10_000 + i, f"unique document number {i} with distinct words {i * 7} {i * 13}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = word_shingles(docs, 3)
+    cand = lsh_candidate_pairs(minhash_signatures(sh))
+    n_cand = cand.count()
+    # all-pairs would be n_hot*(n_hot-1)/2 = 32640; the star bound is
+    # (n_hot - 1) hub pairs (+ small-bucket pairs from the unique docs)
+    assert n_cand < MINHASH_BANDS * (MAX_BUCKET_ALLPAIRS**2 + n_hot), n_cand
+    assert n_cand < n_hot * (n_hot - 1) / 4, f"quadratic blow-up: {n_cand}"
+
+    verified = minhash_lsh_pairs(docs, threshold=0.9)
+    comp = connected_components(verified, "doc_a", "doc_b")
+    hot = comp.filter(F.col("id") < n_hot)
+    assert hot.count() == n_hot  # every boilerplate doc is in the graph
+    assert hot.select("comp").distinct().count() == 1  # ... in ONE cluster
+
+
+def test_knn_chunked_passes_match_single_pass(spark, sf_dir):
+    from azure_func_forem_data_etl_spark.operators.similarity import (
+        knn_bruteforce_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    one = {tuple(r) for r in knn_bruteforce_topk(emb).collect()}
+    chunked = {tuple(r) for r in knn_bruteforce_topk(emb, queries_per_pass=2).collect()}
+    assert one == chunked and len(one) > 0
+
+
+def test_knn_query_cap_raises(spark, sf_dir):
+    from azure_func_forem_data_etl_spark.operators.similarity import (
+        knn_bruteforce_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="query set exceeds"):
+        # query_mod=1 makes every vector a query; tiny cap must fail loudly
+        knn_bruteforce_topk(emb, query_mod=1, max_queries=10)
