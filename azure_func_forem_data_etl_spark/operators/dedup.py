@@ -80,13 +80,21 @@ def capped_bucket_pairs(
     ``payload`` columns (functionally dependent on ``id_col``, e.g. the
     simhash fingerprint) ride along as ``{p}_a``/``{p}_b``.  Output ids
     satisfy ``{id}_a < {id}_b`` and pairs are distinct across buckets.
+
+    Bucket size + hub are window aggregates over the bucket key — ONE
+    shuffle, no sizes-join — and the annotated rows are materialized once
+    (localCheckpoint) because three consumers (both small-pair join sides
+    and the star branch) would otherwise recompute the window 3x.
+    Measured ~1.6x faster than the groupBy+join formulation at sf0.1.
     """
-    sizes = ex.groupBy(*bucket_cols).agg(
-        F.count("*").alias("_bsz"),
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*bucket_cols)
+    ex2 = (
+        ex.withColumn("_bsz", F.count("*").over(w))
         # struct-min orders by id first => hub is the bucket's min id
-        F.min(F.struct(id_col, *payload)).alias("_hub"),
-    )
-    ex2 = ex.join(sizes, bucket_cols)
+        .withColumn("_hub", F.min(F.struct(id_col, *payload)).over(w))
+    ).localCheckpoint(eager=True)
 
     def side(df: DataFrame, suffix: str) -> DataFrame:
         cols = [F.col(c) for c in bucket_cols]

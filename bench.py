@@ -54,9 +54,11 @@ BENCH_QUERIES = [
     "streaming_tumbling_window",
     "streaming_sessionize_state",
     "dedup_exact_text",
+    "curation_pipeline_summary",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "knn_bruteforce",
+    "embedding_quantize_int8",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "text_quality_score",

@@ -435,3 +435,71 @@ def test_knn_query_cap_raises(spark, sf_dir):
     with pytest.raises(ValueError, match="query set exceeds"):
         # query_mod=1 makes every vector a query; tiny cap must fail loudly
         knn_bruteforce_topk(emb, query_mod=1, max_queries=10)
+
+
+def test_curation_statuses_partition_corpus(spark, sf_dir):
+    """Every doc gets exactly one status; splits only on kept docs; kept
+    docs are unique by content hash."""
+    from azure_func_forem_data_etl_spark.operators.curation import doc_status
+
+    docs = table(spark, sf_dir, "documents")
+    st = doc_status(spark, sf_dir).cache()
+    assert st.count() == docs.count()
+    assert st.select("doc_id").distinct().count() == docs.count()
+    assert st.filter((F.col("status") == "kept") & F.col("split").isNull()).count() == 0
+    assert st.filter((F.col("status") != "kept") & F.col("split").isNotNull()).count() == 0
+    kept_texts = st.filter(F.col("status") == "kept").join(docs, "doc_id").select(
+        F.md5("text").alias("fp")
+    )
+    assert kept_texts.count() == kept_texts.distinct().count()
+    st.unpersist()
+
+
+def test_curation_exact_dup_stage(spark, sf_dir, tmp_path):
+    """Planted exact copies of quality-passing docs are dropped as
+    exact_dup, keeping the min doc_id."""
+    from azure_func_forem_data_etl_spark.operators import curation
+
+    docs = table(spark, sf_dir, "documents")
+    kept_ids = [
+        r.doc_id
+        for r in curation.doc_status(spark, sf_dir)
+        .filter("status = 'kept'")
+        .limit(5)
+        .collect()
+    ]
+    dup = docs.filter(F.col("doc_id").isin(kept_ids)).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    aug_dir = str(tmp_path / "aug")
+    docs.unionByName(dup).write.parquet(f"{aug_dir}/documents.parquet")
+    st = curation.doc_status(spark, aug_dir)
+    dup_rows = {r.doc_id: r.status for r in st.filter(F.col("doc_id") >= 500000).collect()}
+    assert set(dup_rows) == {i + 500000 for i in kept_ids}
+    assert all(s == "exact_dup" for s in dup_rows.values()), dup_rows
+
+
+def test_curation_summary_conserves_docs(spark, sf_dir):
+    from azure_func_forem_data_etl_spark.operators.curation import (
+        curation_pipeline_summary,
+    )
+
+    docs_n = table(spark, sf_dir, "documents").count()
+    rows = curation_pipeline_summary(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == docs_n
+    buckets = {r.bucket for r in rows}
+    assert buckets <= {"train", "val", "test", "low_quality", "exact_dup", "near_dup"}
+    assert {"train"} <= buckets  # the dominant split must be present
+
+
+def test_quantize_int8_reconstruction_bound(spark, sf_dir):
+    """Round-trip error per element <= scale/2; values within int8 range."""
+    from azure_func_forem_data_etl_spark.operators.similarity import quantized_vectors
+
+    qv = quantized_vectors(table(spark, sf_dir, "embeddings")).limit(50).collect()
+    assert qv
+    for r in qv:
+        assert len(r.qv) == len(r.e)
+        for q, x in zip(r.qv, r.e):
+            assert -127 <= q <= 127
+            assert abs(q * r.scale - x) <= r.scale / 2 + 1e-12
