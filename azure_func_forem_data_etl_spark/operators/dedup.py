@@ -466,3 +466,69 @@ def neardup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("id") == F.col("comp")).cast("int").alias("is_representative"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# edit-distance fuzzy dedup (blocked)
+
+FUZZY_PREFIX_LEN = 40    # compare fixed-length prefixes, not whole bodies
+FUZZY_BLOCK_CHARS = 20   # blocking key: (lang, n_chars div 20)
+FUZZY_MAX_DIST = 12
+
+
+@register(
+    "fuzzy_levenshtein_pairs",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               substring(text, 1, {FUZZY_PREFIX_LEN}) AS head,
+               CAST(floor(n_chars / {FUZZY_BLOCK_CHARS}) AS BIGINT) AS blk
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.head, b.head) AS edit_dist
+    FROM s a JOIN s b
+      ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= {FUZZY_MAX_DIST}
+    """,
+    doc="Edit-distance near-dup pairs: blocked (lang, length-band) "
+    "self-join, levenshtein over fixed-length prefixes.",
+)
+def fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third dedup modality after set-overlap (MinHash/Jaccard) and
+    bit-fingerprint (SimHash): character-level edit distance, the right
+    tool for short near-identical strings (titles, URLs, product names).
+
+    Levenshtein is O(len^2) per pair, so the join is *blocked*: only docs
+    sharing (lang, length-band) ever compare, and only fixed-length
+    prefixes are compared.  At 100 TB the same shape swaps the blocking
+    key join for ``capped_bucket_pairs`` (hot length-bands bounded) —
+    here it stays a plain equi-join so the DuckDB oracle can mirror it
+    exactly.  No sampling: the (lang, length-band) blocking alone bounds
+    the comparisons (~2.7 per doc on the test corpus)."""
+    docs = table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, FUZZY_PREFIX_LEN).alias("head"),
+        F.floor(F.col("n_chars") / FUZZY_BLOCK_CHARS).cast("long").alias("blk"),
+    )
+    a = s.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("la"),
+        F.col("head").alias("ha"), F.col("blk").alias("ba"),
+    )
+    b = s.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lb"),
+        F.col("head").alias("hb"), F.col("blk").alias("bb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("la") == F.col("lb"))
+            & (F.col("ba") == F.col("bb"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .withColumn("edit_dist", F.levenshtein("ha", "hb"))
+        .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+        .select("doc_a", "doc_b", "edit_dist")
+    )

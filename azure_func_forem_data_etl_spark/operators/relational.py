@@ -959,3 +959,79 @@ def q21_semi_anti_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+# ---------------------------------------------------------------------------
+# pure-SQL entry path: one ANSI string runs verbatim on Spark AND the oracle
+
+# TPC-H Q7 analog (volume shipping between two nations).  Written once in
+# engine-portable SQL: Spark executes it via spark.sql over temp views,
+# DuckDB via the driver's pre-registered views — byte-identical text, which
+# is the point: the engine's SQL surface is first-class, not a DataFrame
+# veneer (SURVEY.md §2b "DataFrame/SQL").
+_Q7_SQL = f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_decsum("volume")} AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               {SQL_REVENUE} AS volume
+        FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        WHERE s_suppkey = l_suppkey
+          AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey
+          AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register(
+    "q7_volume_shipping_sql",
+    oracle=_Q7_SQL,
+    doc="TPC-H Q7 analog run through spark.sql — the identical SQL string "
+    "is the oracle (engine-portable ANSI SQL, decimal-domain money math).",
+)
+def q7_volume_shipping_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API entry path: register temp views, run the SAME text the
+    oracle runs.  Catalyst still plans it like the DataFrame queries —
+    broadcast for the two nation dims, SMJ for lineitem-orders — because
+    SQL and DataFrame compile to the same logical plan."""
+    from azure_func_forem_data_etl_spark.sources.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_Q7_SQL)
+
+
+@register(
+    "agg_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles per group (JVM percentile(), no "
+    "Python) — the built-in complement to applyinpandas_quantiles.",
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's ``percentile`` is the exact linear-interpolation quantile
+    (same definition as DuckDB ``quantile_cont``), computed JVM-side with
+    a per-group sort — at 100 TB prefer ``approx_percentile`` (registered
+    as agg_approx_percentile) unless exactness is required; this query IS
+    the exactness contract for that tradeoff."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", 0.9), 6).alias("p90"),
+        F.round(F.percentile("l_extendedprice", 0.99), 6).alias("p99"),
+        F.count("*").alias("n"),
+    )

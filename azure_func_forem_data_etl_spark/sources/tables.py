@@ -45,6 +45,14 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 
 
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every table as a session temp view for the ``spark.sql``
+    entry path — the same names the DuckDB oracle pre-registers, so a
+    single ANSI SQL string can run verbatim on both engines."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
 def scale_out(df: DataFrame, *by: str) -> DataFrame:
     """Widen an under-partitioned input to the session's parallelism.
 

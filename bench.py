@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "join_fact_fact",
     "join_broadcast_dims",
     "cube_orders",
+    "agg_exact_percentiles",
     "grouping_sets_orders",
     "pivot_event_values",
     "window_topk",

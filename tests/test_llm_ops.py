@@ -503,3 +503,32 @@ def test_quantize_int8_reconstruction_bound(spark, sf_dir):
         for q, x in zip(r.qv, r.e):
             assert -127 <= q <= 127
             assert abs(q * r.scale - x) <= r.scale / 2 + 1e-12
+
+
+def test_fuzzy_levenshtein_finds_planted_edits(spark, sf_dir, tmp_path):
+    """Docs with a few character edits (same lang + length band) must pair;
+    unrelated docs must not."""
+    from azure_func_forem_data_etl_spark.operators.dedup import (
+        FUZZY_MAX_DIST,
+        fuzzy_levenshtein_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    # mutate 3 chars of the prefix; same n_chars => same block
+    mutated = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.concat(F.lit("xyz"), F.expr("substring(text, 4)")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    aug = str(tmp_path / "fz")
+    docs.unionByName(mutated).write.parquet(f"{aug}/documents.parquet")
+    pairs = {
+        (r.doc_a, r.doc_b): r.edit_dist
+        for r in fuzzy_levenshtein_pairs(spark, aug).collect()
+    }
+    for i in range(10):
+        assert (i, 700000 + i) in pairs, f"missing planted fuzzy pair {i}"
+        assert pairs[(i, 700000 + i)] <= 3
+    assert all(d <= FUZZY_MAX_DIST for d in pairs.values())
