@@ -57,6 +57,7 @@ def load_all() -> dict[str, Query]:
         similarity,
         sketch,
         skew,
+        subqueries,
         temporal,
         text,
         udfs,

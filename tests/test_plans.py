@@ -138,6 +138,11 @@ def test_plan_lint_every_registry_query(spark):
     BNLJ_OK = {
         "embedding_cosine_pairs",  # bounded-sample pairwise op (documented)
         "tfidf_top_terms",  # 1-row broadcast (corpus size scalar) — O(n)·1
+        # decorrelated scalar subqueries: the subquery side is a one-row
+        # aggregate broadcast against the outer relation — O(n)·1
+        "q11_important_volume",
+        "q15_top_supplier",
+        "q22_dormant_customers",
     }
     checked = 0
     for name, q in sorted(load_all().items()):
