@@ -1,0 +1,189 @@
+"""Distributed Lloyd's k-means over the embeddings table, and the
+trained-centroid IVF path built on it.
+
+This is the "swap in trained centroids" upgrade the IVF module documents
+(similarity.py): ``kmeans_fit`` produces k centroids with driver memory
+O(k · dim) and per-iteration cost of one corpus pass, and
+``ann_ivf_trained_topk`` feeds them into the existing inverted-list
+machinery unchanged.
+
+Execution shape per iteration (the same one Spark MLlib's KMeans uses —
+partial aggregation, then a driver-side reduce of k-bounded partials):
+
+1. broadcast the k×dim centroid matrix into an Arrow-batched
+   ``mapInPandas`` pass — each batch emits at most k rows of
+   (cluster_id, count, vector_sum) partials, so executor output is
+   bounded by k per batch, NOT by corpus size;
+2. collect the partials (≤ k · n_batches tiny rows — bounded by cluster
+   parallelism, not data volume) and reduce them with numpy on the
+   driver in sorted order (deterministic for a fixed partitioning);
+3. recompute centroids; empty clusters keep their previous centroid.
+
+Assignment is euclidean argmin with ties resolving to the lowest cluster
+id (numpy argmin).  Initialization reuses ``_sample_centroids`` — a
+deterministic TakeOrdered-by-hash sample, O(k·dim) on the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azure_func_forem_data_etl_spark.operators.similarity import (
+    _np_matrix,
+    _sample_centroids,
+    ivf_topk,
+)
+from azure_func_forem_data_etl_spark.plans.registry import register
+from azure_func_forem_data_etl_spark.sources.tables import scale_out, table
+
+KMEANS_K = 32
+KMEANS_ITERS = 5
+
+_PARTIAL_SCHEMA = "cluster_id long, cnt long, vsum array<double>"
+
+
+def _dist2(E: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Squared euclidean distance matrix, |E| x k."""
+    return (
+        (E**2).sum(axis=1, keepdims=True) - 2.0 * (E @ C.T) + (C**2).sum(axis=1)
+    )
+
+
+def _partial_mapper(C: np.ndarray):
+    """Per-batch assignment + partial (count, vector-sum) per centroid.
+
+    Emits ≤ k rows per Arrow batch regardless of batch size — the
+    map-side combine that makes the shuffle-free collect safe."""
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = _np_matrix(pdf["embedding"]).astype(np.float64)
+            assign = np.argmin(_dist2(E, C), axis=1)
+            out_cid, out_cnt, out_sum = [], [], []
+            for cid in np.unique(assign):
+                mask = assign == cid
+                out_cid.append(int(cid))
+                out_cnt.append(int(mask.sum()))
+                out_sum.append(E[mask].sum(axis=0))
+            yield pd.DataFrame(
+                {"cluster_id": out_cid, "cnt": out_cnt, "vsum": out_sum}
+            )
+
+    return mapper
+
+
+def _inertia(corpus: DataFrame, C: np.ndarray) -> float:
+    """True k-means objective: one corpus pass, one partial row per batch."""
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = _np_matrix(pdf["embedding"]).astype(np.float64)
+            d2 = np.maximum(_dist2(E, C).min(axis=1), 0.0)
+            yield pd.DataFrame({"s": [float(d2.sum())]})
+
+    parts = corpus.mapInPandas(mapper, schema="s double").toPandas()
+    return float(parts["s"].sum())
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    trace_inertia: bool = False,
+) -> tuple[np.ndarray, list[float]]:
+    """Lloyd's iterations; returns (k×dim centroid matrix, inertia trace).
+
+    The trace (one extra corpus pass per iteration) is opt-in for tests;
+    production fits skip it, costing exactly one pass per iteration.
+    Driver memory is O(k·dim + k·n_batches) — bounded by cluster
+    parallelism, never by corpus size."""
+    corpus = scale_out(emb.select("vec_id", "embedding"), "vec_id")
+    init = _sample_centroids(emb, k)
+    C = _np_matrix(init["embedding"]).astype(np.float64)
+    k = C.shape[0]  # corpus may be smaller than requested k
+    trace: list[float] = []
+    for _ in range(iters):
+        partials = corpus.mapInPandas(
+            _partial_mapper(C), schema=_PARTIAL_SCHEMA
+        ).toPandas()
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros_like(C)
+        for cid, grp in partials.groupby("cluster_id", sort=True):
+            counts[int(cid)] = grp["cnt"].sum()
+            sums[int(cid)] = np.vstack(grp["vsum"].to_numpy()).sum(axis=0)
+        nonempty = counts > 0
+        C_new = C.copy()  # empty clusters keep their previous centroid
+        C_new[nonempty] = sums[nonempty] / counts[nonempty, None]
+        C = C_new
+        if trace_inertia:
+            trace.append(_inertia(corpus, C))
+    return C, trace
+
+
+def kmeans_assignments(emb: DataFrame, C: np.ndarray) -> DataFrame:
+    """(vec_id, cluster_id): one final broadcast-assignment pass."""
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = _np_matrix(pdf["embedding"]).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cluster_id": np.argmin(_dist2(E, C), axis=1),
+                }
+            )
+
+    corpus = scale_out(emb.select("vec_id", "embedding"), "vec_id")
+    return corpus.mapInPandas(mapper, schema="vec_id long, cluster_id long")
+
+
+@register(
+    "kmeans_cluster_profile",
+    oracle=None,  # iterative fit: engine-specific float trajectories
+    doc=f"Distributed Lloyd k-means (k={KMEANS_K}, {KMEANS_ITERS} iters): "
+    "per-cluster sizes and centroid norms after training.",
+)
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile of the trained clustering: size and centroid L2 norm per
+    cluster.  The fit is the iterative-algorithm stress case the
+    similarity family implies (IVF's trained-centroid upgrade path);
+    convergence (non-increasing true inertia) is unit-tested."""
+    emb = table(spark, sf_dir, "embeddings")
+    C, _ = kmeans_fit(emb)
+    spark_norms = spark.createDataFrame(
+        [
+            (int(i), round(float(np.linalg.norm(C[i])), 6))
+            for i in range(C.shape[0])
+        ],
+        "cluster_id long, centroid_norm double",
+    )
+    return (
+        kmeans_assignments(emb, C)
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n_vectors"))
+        .join(F.broadcast(spark_norms), "cluster_id")
+        .select("cluster_id", "n_vectors", "centroid_norm")
+    )
+
+
+@register(
+    "ann_ivf_trained_topk",
+    oracle=None,  # approximate by design: recall vs brute force unit-tested
+    doc="ANN top-k via IVF with kmeans-TRAINED centroids (vs the sampled-"
+    "centroid ann_ivf_topk): same inverted-list machinery, better lists.",
+)
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    C, _ = kmeans_fit(emb)
+    return ivf_topk(emb, centroids=(np.arange(C.shape[0]), C))

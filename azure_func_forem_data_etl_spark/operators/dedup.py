@@ -532,3 +532,65 @@ def fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
         .select("doc_a", "doc_b", "edit_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# pyspark.ml bridge: MinHashLSH + approxSimilarityJoin
+
+ML_LSH_TABLES = 8
+ML_JACCARD_SIM = 0.4  # pair threshold: estimated Jaccard similarity >= 0.4
+
+
+def ml_minhash_pairs(docs: DataFrame, threshold: float = ML_JACCARD_SIM) -> DataFrame:
+    """MinHash near-dup pairs via the stock ``pyspark.ml.feature`` stack
+    (SURVEY.md §2b names this exact composition): RegexTokenizer ->
+    3-gram shingles -> HashingTF binary vectors -> MinHashLSH ->
+    ``approxSimilarityJoin``.
+
+    Same algorithm as the hand-rolled ``minhash_lsh_pairs`` but executed
+    by Spark ML's JVM implementation — the bucketed self-join and
+    candidate verification happen inside ``approxSimilarityJoin`` (an
+    explode-on-hash-table equi-join, NOT all-pairs), so the scale shape
+    matches the hand-rolled path.  Seeded: deterministic across runs.
+    The hand-rolled variant remains the primary path because it exposes
+    the banding/capping knobs (``capped_bucket_pairs``) ML hides.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
+
+    tok = RegexTokenizer(
+        inputCol="text", outputCol="toks", pattern=r"\s+", toLowercase=True
+    )
+    ng = NGram(n=3, inputCol="toks", outputCol="shingles")
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    staged = tf.transform(ng.transform(tok.transform(docs)))
+    # MinHashLSH requires >=1 non-zero feature: 3-gram shingling needs
+    # at least 3 tokens (corpus min is 10).
+    staged = staged.filter(F.size("shingles") > 0).select("doc_id", "features")
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=ML_LSH_TABLES, seed=42
+    )
+    model = lsh.fit(staged)
+    joined = model.approxSimilarityJoin(
+        staged, staged, 1.0 - threshold, distCol="jaccard_dist"
+    )
+    return (
+        joined.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1.0 - F.col("jaccard_dist"), 6).alias("jaccard_sim"),
+        )
+    )
+
+
+@register(
+    "ml_minhash_neardup",
+    oracle=None,  # engine-specific hash buckets; recall unit-tested instead
+    doc="MinHash-LSH near-dup pairs via pyspark.ml MinHashLSH + "
+    "approxSimilarityJoin (the SURVEY §2b stock-ML composition).",
+)
+def ml_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return ml_minhash_pairs(docs)

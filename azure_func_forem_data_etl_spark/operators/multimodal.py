@@ -232,3 +232,69 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("thumb_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# frame sampling: one row per sampled frame (oracle-checked explode path)
+
+FRAME_STRIDE_CHARS = 64
+MAX_FRAMES_PER_DOC = 16
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(f - 1 AS INT) AS frame_idx,
+           md5(substring(text, (f - 1) * {FRAME_STRIDE_CHARS} + 1,
+                         {FRAME_STRIDE_CHARS})) AS frame_md5,
+           CAST(least({FRAME_STRIDE_CHARS},
+                      n_chars - (f - 1) * {FRAME_STRIDE_CHARS}) AS INT)
+               AS frame_len
+    FROM documents,
+         UNNEST(range(1, least(CAST(ceil(n_chars / {FRAME_STRIDE_CHARS}.0)
+                                    AS BIGINT),
+                               {MAX_FRAMES_PER_DOC}) + 1)) AS t(f)
+    """,
+    doc="Frame sampling: payload cut into fixed-stride frames, one row "
+    "per frame with content digest; fanout capped per document.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling expressed as a pure JVM explode — the
+    oracle-checkable sibling of `_feature_mapper`'s in-Python frame CRCs
+    (the stub decoder corpus is UTF-8 text, so character slicing IS byte
+    slicing and DuckDB can mirror the digest exactly).
+
+    The per-doc fanout is HARD-capped at {MAX_FRAMES_PER_DOC} frames: at
+    100 TB an unbounded explode on payload length turns one hour-long
+    "video" into millions of rows in a single task; the cap bounds task
+    output (real pipelines sample frames, not take all of them).  Map-only
+    — zero shuffles; frame digests feed the dedup family downstream."""
+    docs = table(spark, sf_dir, "documents")
+    n_frames = F.least(
+        F.ceil(F.col("n_chars") / float(FRAME_STRIDE_CHARS)).cast("long"),
+        F.lit(MAX_FRAMES_PER_DOC),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            "n_chars",
+            F.explode(F.sequence(F.lit(1), n_frames)).alias("f"),
+        )
+        .select(
+            "doc_id",
+            (F.col("f") - 1).cast("int").alias("frame_idx"),
+            F.expr(
+                f"md5(substring(text, (f - 1) * {FRAME_STRIDE_CHARS} + 1,"
+                f" {FRAME_STRIDE_CHARS}))"
+            ).alias("frame_md5"),
+            F.least(
+                F.lit(FRAME_STRIDE_CHARS),
+                F.col("n_chars") - (F.col("f") - 1) * FRAME_STRIDE_CHARS,
+            )
+            .cast("int")
+            .alias("frame_len"),
+        )
+        .drop("_drop")
+    )

@@ -1035,3 +1035,54 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", 0.99), 6).alias("p99"),
         F.count("*").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts over the events stream table
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    cohort AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+    )
+    SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(datediff('day', c.cohort_day, a.day) AS INT) AS day_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY strftime(c.cohort_day, '%Y-%m-%d'),
+             CAST(datediff('day', c.cohort_day, a.day) AS INT)
+    """,
+    doc="Retention cohorts: users grouped by first-seen day, counted at "
+    "each day-offset of later activity (classic product analytics).",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix from raw events: distinct (user, day)
+    activity, each user's first day, then user counts per (cohort_day,
+    offset).  All-integer/date math — bit-exact across engines.
+
+    Scale shape: the distinct and both aggregations all shuffle on
+    user_id (AQE reuses the exchange); the final (cohort_day, offset)
+    aggregation has ~days² keys — tiny.  The cohort table is NOT
+    broadcast: it is user-count-sized; the join is a co-partitioned SMJ
+    on the exchange the distinct already created."""
+    events = table(spark, sf_dir, "events")
+    activity = events.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(cohort, "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_day").cast("int"))
+        .groupBy(
+            # ISO string, not DATE: engines render bare dates differently
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -412,7 +412,11 @@ def _assign_mapper(cids: np.ndarray, C: np.ndarray, n_probes: int = 1):
 
 
 def ivf_topk(
-    emb: DataFrame, query_mod: int = KNN_QUERY_MOD, k: int = KNN_K, nprobe: int = IVF_NPROBE
+    emb: DataFrame,
+    query_mod: int = KNN_QUERY_MOD,
+    k: int = KNN_K,
+    nprobe: int = IVF_NPROBE,
+    centroids: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> DataFrame:
     """IVF ANN: assign corpus to inverted lists once; queries probe their
     ``nprobe`` nearest lists; exact cosine rescoring of list members only.
@@ -427,9 +431,14 @@ def ivf_topk(
     n_vectors = emb.count()
     if n_vectors == 0:  # empty corpus: no centroids -> empty result
         return spark.createDataFrame([], empty)
-    cpd = _sample_centroids(emb, _centroid_budget(n_vectors))
-    cids = cpd["vec_id"].to_numpy()
-    C = _np_matrix(cpd["embedding"])
+    if centroids is None:
+        cpd = _sample_centroids(emb, _centroid_budget(n_vectors))
+        cids = cpd["vec_id"].to_numpy()
+        C = _np_matrix(cpd["embedding"])
+    else:
+        # trained centroids (e.g. clustering.kmeans_fit): ids are just
+        # list labels — callers pass arange(k)
+        cids, C = centroids
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
 
     corpus = scale_out(emb.select("vec_id", "embedding"), "vec_id")

@@ -337,3 +337,186 @@ def dataset_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
         "n_chars",
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition quality rules
+
+# Thresholds sit inside the corpus distributions (uniq_word_frac median
+# ~0.46, top_word_frac ~0.09, top_bigram_frac ~0.03) so the keep flag
+# splits the corpus non-trivially rather than rubber-stamping everything.
+REP_MIN_UNIQ_FRAC = 0.35
+REP_MAX_TOP_WORD_FRAC = 0.12
+REP_MAX_TOP_BIGRAM_FRAC = 0.06
+
+
+@register(
+    "quality_repetition_rules",
+    oracle=rf"""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+        FROM documents
+    ),
+    wc AS (SELECT doc_id, UNNEST(ws) AS word FROM d),
+    bc AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(ws)),
+                                     i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        FROM d
+    ),
+    wstat AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+               COUNT(*) AS n_uniq, MAX(c) AS top_word_cnt
+        FROM (SELECT doc_id, word, COUNT(*) AS c FROM wc
+              GROUP BY doc_id, word) t
+        GROUP BY doc_id
+    ),
+    bstat AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               MAX(c) AS top_bigram_cnt
+        FROM (SELECT doc_id, bigram, COUNT(*) AS c FROM bc
+              GROUP BY doc_id, bigram) t
+        GROUP BY doc_id
+    )
+    SELECT w.doc_id, n_words,
+           round(n_uniq / CAST(n_words AS DOUBLE), 6) AS uniq_word_frac,
+           round(top_word_cnt / CAST(n_words AS DOUBLE), 6) AS top_word_frac,
+           round(top_bigram_cnt / CAST(n_bigrams AS DOUBLE), 6)
+               AS top_bigram_frac,
+           CAST(round(n_uniq / CAST(n_words AS DOUBLE), 6)
+                    >= {REP_MIN_UNIQ_FRAC}
+                AND round(top_word_cnt / CAST(n_words AS DOUBLE), 6)
+                    <= {REP_MAX_TOP_WORD_FRAC}
+                AND round(top_bigram_cnt / CAST(n_bigrams AS DOUBLE), 6)
+                    <= {REP_MAX_TOP_BIGRAM_FRAC} AS INT) AS keep
+    FROM wstat w JOIN bstat b ON w.doc_id = b.doc_id
+    """,
+    doc="Repetition-based quality rules (Gopher-style): unique-word "
+    "fraction, top-word fraction, top-bigram fraction -> keep flag.",
+)
+def quality_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals are the curation rules length/stopword ratios
+    can't see: a doc that loops one phrase has normal length stats but an
+    abnormal top-bigram share (Rae et al., Gopher appendix A1.1 — public
+    methodology).
+
+    Bigrams come from a JVM-side ``transform(sequence(...))`` lambda over
+    the split array — no explode-with-position, no window, no Python.
+    Per-doc mode counts shuffle (doc_id, gram) keyed partials, then one
+    (doc_id) reduce: two narrow-key shuffles regardless of doc length,
+    the same shape at 100 TB.  Fractions are ratios of exact int64
+    counts, rounded to 6dp — engine-stable."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.split(F.lower("text"), r"\s+").alias("ws"),
+    )
+    d = d.withColumn(
+        "bs",
+        F.expr(
+            "transform(sequence(1, size(ws) - 1),"
+            " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+        ),
+    )
+    wc = (
+        d.select("doc_id", F.explode("ws").alias("word"))
+        .groupBy("doc_id", "word")
+        .count()
+    )
+    wstat = wc.groupBy("doc_id").agg(
+        F.sum("count").alias("n_words"),
+        F.count("*").alias("n_uniq"),
+        F.max("count").alias("top_word_cnt"),
+    )
+    bc = (
+        d.select("doc_id", F.explode("bs").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .count()
+    )
+    bstat = bc.groupBy("doc_id").agg(
+        F.sum("count").alias("n_bigrams"),
+        F.max("count").alias("top_bigram_cnt"),
+    )
+    uniq_frac = F.round(F.col("n_uniq") / F.col("n_words").cast("double"), 6)
+    topw_frac = F.round(F.col("top_word_cnt") / F.col("n_words").cast("double"), 6)
+    topb_frac = F.round(
+        F.col("top_bigram_cnt") / F.col("n_bigrams").cast("double"), 6
+    )
+    return wstat.join(bstat, "doc_id").select(
+        "doc_id",
+        "n_words",
+        uniq_frac.alias("uniq_word_frac"),
+        topw_frac.alias("top_word_frac"),
+        topb_frac.alias("top_bigram_frac"),
+        (
+            (uniq_frac >= REP_MIN_UNIQ_FRAC)
+            & (topw_frac <= REP_MAX_TOP_WORD_FRAC)
+            & (topb_frac <= REP_MAX_TOP_BIGRAM_FRAC)
+        )
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus-LM fluency score (CCNet-style unigram log-prob)
+
+
+@register(
+    "unigram_logprob_score",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id, UNNEST(string_split_regex(lower(text), '\s+')) AS word
+        FROM documents
+    ),
+    freq AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+    tot AS (SELECT COUNT(*) AS t FROM w),
+    scored AS (
+        SELECT w.doc_id,
+               CAST(round(log10(cnt / CAST(t AS DOUBLE)), 4)
+                    AS DECIMAL(18,4)) AS logp
+        FROM w JOIN freq ON w.word = freq.word CROSS JOIN tot
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(logp) AS DOUBLE) AS sum_log10_prob
+    FROM scored GROUP BY doc_id
+    """,
+    doc="CCNet-style fluency score: mean unigram log10-probability under "
+    "the corpus's own word distribution (decimal-domain sum).",
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The language-model filter of CCNet/C4-style curation (public
+    methodology), reduced to its unigram core: score each doc by the mean
+    log-probability of its words under the corpus unigram distribution.
+    Low scorers are gibberish / rare-token soup; high scorers are
+    made of common words.
+
+    Scale shape: ONE explode pass feeds both the frequency table and the
+    scoring join; the frequency table is vocabulary-sized (≪ corpus) and
+    broadcasts; the total-count scalar is a one-row broadcast.  Per-word
+    log10 values are quantized at 4dp (margin ≫ any libm-vs-JVM 1-ulp
+    difference) and summed as DECIMAL so the aggregation is
+    associative-exact (same trick as functions/exact.py) — results don't
+    depend on partition order or engine; consumers derive the mean as
+    sum_log10_prob / n_words."""
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    )
+    freq = w.groupBy("word").agg(F.count("*").alias("cnt"))
+    tot = w.agg(F.count("*").alias("t"))
+    scored = (
+        w.join(F.broadcast(freq), "word")
+        .join(F.broadcast(tot))
+        .withColumn(
+            "logp",
+            F.round(
+                F.log10(F.col("cnt") / F.col("t").cast("double")), 4
+            ).cast("decimal(18,4)"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("logp").cast("double").alias("sum_log10_prob"),
+    )

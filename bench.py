@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "join_fact_fact",
     "join_broadcast_dims",
     "cube_orders",
+    "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
     "agg_exact_percentiles",
     "grouping_sets_orders",
     "pivot_event_values",
@@ -57,6 +59,9 @@ BENCH_QUERIES = [
     "dedup_exact_text",
     "curation_pipeline_summary",
     "minhash_lsh_neardup",
+    "quality_repetition_rules",
+    "unigram_logprob_score",
+    "retention_cohorts",
     "simhash_neardup",
     "knn_bruteforce",
     "embedding_quantize_int8",

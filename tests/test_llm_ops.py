@@ -532,3 +532,50 @@ def test_fuzzy_levenshtein_finds_planted_edits(spark, sf_dir, tmp_path):
         assert (i, 700000 + i) in pairs, f"missing planted fuzzy pair {i}"
         assert pairs[(i, 700000 + i)] <= 3
     assert all(d <= FUZZY_MAX_DIST for d in pairs.values())
+
+
+def test_ml_minhash_finds_planted_neardups(planted_docs):
+    """The pyspark.ml MinHashLSH path must recover the same planted
+    near-dups as the hand-rolled banded implementation."""
+    from azure_func_forem_data_etl_spark.operators.dedup import ml_minhash_pairs
+
+    pairs = ml_minhash_pairs(planted_docs, threshold=0.4).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    planted = {(i, 100000 + i) for i in range(50)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.8, f"ml MinHashLSH recall {recall} on planted near-dups"
+    for r in pairs:
+        assert r.jaccard_sim >= 0.4 - 1e-9
+
+
+def test_kmeans_inertia_nonincreasing_and_trained_ivf_recall(spark, sf_dir):
+    """Lloyd's objective must be non-increasing across iterations, and
+    IVF with trained centroids must beat (or match) the recall floor of
+    the sampled-centroid path."""
+    import numpy as np
+
+    from azure_func_forem_data_etl_spark.operators.clustering import (
+        kmeans_assignments,
+        kmeans_fit,
+    )
+    from azure_func_forem_data_etl_spark.operators.similarity import ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    C, trace = kmeans_fit(emb, k=16, iters=4, trace_inertia=True)
+    assert len(trace) == 4
+    for a, b in zip(trace, trace[1:]):
+        assert b <= a + 1e-6, f"inertia increased: {trace}"
+    sizes = kmeans_assignments(emb, C).groupBy("cluster_id").count().collect()
+    assert sum(r["count"] for r in sizes) == emb.count()
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["knn_bruteforce"].fn(spark, sf_dir).collect()
+    }
+    C5, _ = kmeans_fit(emb)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, centroids=(np.arange(C5.shape[0]), C5)).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.35, f"trained-IVF recall@5 {recall}"
