@@ -224,3 +224,123 @@ def gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").isNull().cast("int").alias("was_gap"),
         F.last("sv", ignorenulls=True).over(w).alias("filled_sum"),
     )
+
+
+@register(
+    "gapfill_hourly_interp",
+    oracle=f"""
+    WITH span AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '1 hour', MIN(ts)) AS h0,
+               time_bucket(INTERVAL '1 hour', MAX(ts)) AS h1
+        FROM events GROUP BY event_type
+    ),
+    spine AS (
+        SELECT event_type,
+               unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS hour_start
+        FROM span
+    ),
+    agg AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+               {sql_dsum('value')} AS sv
+        FROM events GROUP BY 1, 2
+    ),
+    ctx AS (
+        SELECT s.event_type, s.hour_start, a.sv,
+               last_value(a.sv IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.hour_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN a.sv IS NOT NULL THEN s.hour_start END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.hour_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+               first_value(a.sv IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.hour_start
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN a.sv IS NOT NULL THEN s.hour_start END
+                           IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.hour_start
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        FROM spine s LEFT JOIN agg a USING (event_type, hour_start)
+    )
+    SELECT event_type, hour_start,
+           CAST(sv IS NULL AS INT) AS was_gap,
+           round(CASE
+               WHEN sv IS NOT NULL THEN sv
+               WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                   pv + (nv - pv)
+                        * (CAST(date_diff('hour', ph, hour_start) AS DOUBLE)
+                           / CAST(date_diff('hour', ph, nh) AS DOUBLE))
+               ELSE COALESCE(pv, nv)
+           END, 6) AS filled_sum
+    FROM ctx
+    """,
+    doc="Gap-fill with LINEAR interpolation between neighboring observed "
+    "hourly sums (LOCF's sibling; edges fall back to nearest value).",
+)
+def gapfill_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across gaps: each missing hour gets
+    ``prev + (next - prev) * elapsed/gap_width``; leading/trailing gaps
+    fall back to the nearest observed value (LOCF/NOCB).
+
+    Same dense-spine construction as ``gapfill_hourly_locf`` (explode of
+    per-series sequence — never a cross join) plus ONE window over the
+    spine providing all four context values (prev/next value and hour) in
+    a single sort: the forward and backward frames share the partition
+    ordering, so Catalyst plans one exchange + two sorts, costs that scale
+    with #series × #hours.  The interpolation weight is a ratio of exact
+    integer hour deltas; the arithmetic runs on decimal-exact doubles —
+    engine-stable under round(6)."""
+    events = table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(dsum("value").alias("sv"))
+    spine = (
+        events.groupBy("event_type")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("h0"),
+            F.date_trunc("hour", F.max("ts")).alias("h1"),
+        )
+        .select(
+            "event_type",
+            F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias(
+                "hour_start"
+            ),
+        )
+    )
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("sv").isNotNull(), F.col("hour_start"))
+    ctx = (
+        spine.join(hourly, ["event_type", "hour_start"], "left")
+        .withColumn("pv", F.last("sv", ignorenulls=True).over(back))
+        .withColumn("ph", F.last(obs_hour, ignorenulls=True).over(back))
+        .withColumn("nv", F.first("sv", ignorenulls=True).over(fwd))
+        .withColumn("nh", F.first(obs_hour, ignorenulls=True).over(fwd))
+    )
+    frac = F.expr("timestampdiff(HOUR, ph, hour_start)").cast("double") / F.expr(
+        "timestampdiff(HOUR, ph, nh)"
+    ).cast("double")
+    return ctx.select(
+        "event_type",
+        "hour_start",
+        F.col("sv").isNull().cast("int").alias("was_gap"),
+        F.round(
+            F.when(F.col("sv").isNotNull(), F.col("sv"))
+            .when(
+                F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+                F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+            )
+            .otherwise(F.coalesce("pv", "nv")),
+            6,
+        ).alias("filled_sum"),
+    )

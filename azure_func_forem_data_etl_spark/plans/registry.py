@@ -65,6 +65,7 @@ def load_all() -> dict[str, Query]:
         windows,
     )
     from azure_func_forem_data_etl_spark.streaming import (  # noqa: F401
+        rollup as streaming_rollup,
         sessionize,
         windows as streaming_windows,
     )

@@ -109,3 +109,57 @@ def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
         "n_events",
         F.col("sum_value").cast("double").alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# registry query: the maintained rollup must equal the batch aggregate
+
+from azure_func_forem_data_etl_spark.functions.exact import sql_dsum  # noqa: E402
+from azure_func_forem_data_etl_spark.plans.registry import register  # noqa: E402
+from azure_func_forem_data_etl_spark.streaming.core import stream_table  # noqa: E402
+import tempfile  # noqa: E402
+
+
+@register(
+    "streaming_hypertable_rollup",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Continuous hourly rollup maintained by foreachBatch merges; the "
+    "oracle is the from-scratch aggregate — incremental == batch, exactly.",
+)
+def streaming_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the real maintenance loop — event stream drained AvailableNow,
+    each micro-batch partially aggregated and merged into the rollup
+    table by key — then returns the rollup.  Matching the DuckDB
+    from-scratch aggregate hash-exactly IS the correctness contract of
+    incremental view maintenance: count and decimal sum are decomposable,
+    so merge order and batch boundaries can't change the result."""
+    base = tempfile.mkdtemp(prefix="forem_etl_rollup_q_")
+    rollup_dir = f"{base}/rollup"
+    ckpt = f"{base}/ckpt"
+    stream = stream_table(spark, sf_dir, "events")
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_rollup(spark, _batch_partial(batch_df), rollup_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.exists(rollup_dir):  # empty source
+        return spark.createDataFrame(
+            [], "bucket_start timestamp, event_type string, "
+            "n_events bigint, sum_value double"
+        )
+    return read_rollup(spark, rollup_dir)

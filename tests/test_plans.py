@@ -143,6 +143,7 @@ def test_plan_lint_every_registry_query(spark):
         "q11_important_volume",
         "q15_top_supplier",
         "q22_dormant_customers",
+        "unigram_logprob_score",  # 1-row corpus-total broadcast — O(n)·1
     }
     checked = 0
     for name, q in sorted(load_all().items()):
@@ -155,3 +156,50 @@ def test_plan_lint_every_registry_query(spark):
         assert "BatchEvalPython" not in plan, name
         checked += 1
     assert checked >= 55
+
+
+def test_q2_decorrelated_min_broadcasts_dims(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, sf_dir, "q2_min_cost_supplier")
+    assert "CartesianProduct" not in plan
+    # part (filtered) and supplier broadcast; only the per-part MIN
+    # aggregate and its join-back shuffle the fact side
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 2
+    # size/type filters prune part before the join arm is built
+    assert "p_size" in plan and "p_type" in plan
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, sf_dir, "q16_supplier_part_counts")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    # single COUNT(DISTINCT): planner rewrites to two aggregate levels
+    # (group+key dedup, then count) — no Expand, no extra shuffle beyond
+    # the one repartition on the grouping keys
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 3
+
+
+def test_q17_catalyst_decorrelates_avg_subquery(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q17_small_quantity_revenue")
+    # the correlated scalar AVG must become an aggregate + join,
+    # never a per-row subquery execution or a cartesian shape
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan or "partial_avg" in plan
+
+
+def test_gapfill_interp_single_window_exchange(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, sf_dir, "gapfill_hourly_interp")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # forward+backward frames share one partitioning+ordering: the
+    # chained Window nodes sit on a SINGLE sort (no re-sort, no
+    # re-exchange between frames)
+    n_sort = len(re.findall(r"\(\d+\) Sort\b", plan))
+    assert n_sort == 1, f"expected 1 Sort feeding the windows, got {n_sort}"
+    n_exch = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exch <= 3, f"expected <=3 Exchanges, got {n_exch}"
