@@ -579,3 +579,87 @@ def test_kmeans_inertia_nonincreasing_and_trained_ivf_recall(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.35, f"trained-IVF recall@5 {recall}"
+
+
+def test_repetition_rules_invariants(spark, sf_dir):
+    """Fractions bounded, keep is 0/1, and a pathologically repetitive doc
+    must be rejected while a diverse doc survives."""
+    from azure_func_forem_data_etl_spark.operators.text import (
+        quality_repetition_rules,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    loop_doc = docs.limit(1).select(
+        F.lit(800000).alias("doc_id"),
+        F.lit(" ".join(["spam ham"] * 40)).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("synthetic").alias("source"),
+        F.lit(640).alias("n_chars"),
+    )
+    import tempfile
+
+    aug = tempfile.mkdtemp(prefix="rep_rules_")
+    docs.unionByName(loop_doc).write.mode("overwrite").parquet(
+        f"{aug}/documents.parquet"
+    )
+    rows = {r.doc_id: r for r in quality_repetition_rules(spark, aug).collect()}
+    for r in rows.values():
+        assert 0.0 < r.uniq_word_frac <= 1.0
+        assert 0.0 < r.top_word_frac <= 1.0
+        assert 0.0 < r.top_bigram_frac <= 1.0
+        assert r.keep in (0, 1)
+    planted = rows[800000]
+    assert planted.keep == 0, "80x-repeated bigram doc must be rejected"
+    assert planted.top_bigram_frac > 0.4
+
+
+def test_retention_cohort_invariants(spark, sf_dir):
+    """Offset-0 count equals cohort size (everyone is active on their own
+    first day) and no offset is negative."""
+    from azure_func_forem_data_etl_spark.operators.relational import (
+        retention_cohorts,
+    )
+
+    rows = retention_cohorts(spark, sf_dir).collect()
+    assert rows
+    by_cohort: dict[str, dict[int, int]] = {}
+    for r in rows:
+        assert r.day_offset >= 0
+        by_cohort.setdefault(r.cohort_day, {})[r.day_offset] = r.n_users
+    for cohort, offsets in by_cohort.items():
+        assert 0 in offsets, f"cohort {cohort} missing day-0 row"
+        assert offsets[0] == max(offsets.values()), (
+            f"cohort {cohort}: day-0 must be the largest retention bucket"
+        )
+
+
+def test_unigram_logprob_monotone_in_word_rarity(spark, sf_dir):
+    """A doc made entirely of the corpus's most common word must score
+    higher (less negative per-word) than one of the rarest word."""
+    from azure_func_forem_data_etl_spark.operators.text import (
+        unigram_logprob_score,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+    freq = w.groupBy("word").count().collect()
+    common = max(freq, key=lambda r: r["count"])["word"]
+    rare = min(freq, key=lambda r: r["count"])["word"]
+    extra = spark.createDataFrame(
+        [
+            (900000, " ".join([common] * 20), "en", "synthetic", 0),
+            (900001, " ".join([rare] * 20), "en", "synthetic", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).withColumn("n_chars", F.length("text"))
+    import tempfile
+
+    aug = tempfile.mkdtemp(prefix="unigram_")
+    docs.unionByName(extra).write.mode("overwrite").parquet(
+        f"{aug}/documents.parquet"
+    )
+    rows = {r.doc_id: r for r in unigram_logprob_score(spark, aug).collect()}
+    per_word = {
+        i: rows[i].sum_log10_prob / rows[i].n_words for i in (900000, 900001)
+    }
+    assert per_word[900000] > per_word[900001], per_word
