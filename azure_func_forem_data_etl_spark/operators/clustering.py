@@ -108,6 +108,8 @@ def kmeans_fit(
     parallelism, never by corpus size."""
     corpus = scale_out(emb.select("vec_id", "embedding"), "vec_id")
     init = _sample_centroids(emb, k)
+    if len(init) == 0:  # empty corpus: no centroids, no iterations
+        return np.zeros((0, 0)), []
     C = _np_matrix(init["embedding"]).astype(np.float64)
     k = C.shape[0]  # corpus may be smaller than requested k
     trace: list[float] = []

@@ -17,7 +17,7 @@ engine-specific hashes, invariants unit-tested in tests/test_llm_ops.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from azure_func_forem_data_etl_spark.operators.text import _SW_SQL, text_quality_score
@@ -159,4 +159,204 @@ def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum(F.coalesce("n_words", F.lit(0))).alias("n_words_total"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-then-chunk pretraining windows)
+
+PACK_BUDGET_TOKENS = 512
+
+
+@register(
+    "sequence_packing_greedy",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(string_split_regex(text, '\s+')) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum_tokens
+        FROM t
+    )
+    SELECT source,
+           CAST(floor((cum_tokens - n_tokens)
+                      / {PACK_BUDGET_TOKENS}) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total
+    FROM c
+    GROUP BY source, CAST(floor((cum_tokens - n_tokens)
+                                / {PACK_BUDGET_TOKENS}) AS BIGINT)
+    """,
+    doc=f"Sequence packing: per-source token cumsum chunked into "
+    f"{PACK_BUDGET_TOKENS}-token pretraining windows (concat-then-chunk).",
+)
+def sequence_packing_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining dataloader's packing step as a query: documents
+    concatenate in a deterministic order and cut into fixed token-budget
+    windows; a doc belongs to the pack where it STARTS (boundary docs
+    straddle, as in real concat-then-chunk loaders).
+
+    Packing is per-source, not global: the cumulative sum needs an
+    ordered sequential pass, and a per-source window keeps that pass
+    parallel across sources (a single global ORDER BY would serialize
+    100 TB through one task chain).  All-integer math — engine-exact."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(F.split("text", r"\s+")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    pack = (
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / PACK_BUDGET_TOKENS)
+    ).cast("long")
+    return (
+        c.groupBy("source", pack.alias("pack_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# language-mixture sampling (deterministic per-lang keep rates)
+
+MIXTURE_KEEP_PCT = {"en": 50, "de": 90, "es": 90, "fr": 90, "zh": 100}
+MIXTURE_DEFAULT_PCT = 100
+
+
+def _mix_sql_case() -> str:
+    arms = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(MIXTURE_KEEP_PCT.items())
+    )
+    return f"CASE {arms} ELSE {MIXTURE_DEFAULT_PCT} END"
+
+
+@register(
+    "mixture_sampling_weighted",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN CAST(('0x' || substring(
+                        md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100
+                         < {_mix_sql_case()} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Data-mixture rebalancing: deterministic per-language keep rates "
+    "from an md5 bucket of the doc id (rerun- and engine-stable).",
+)
+def mixture_sampling_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture reweighting — the step that turns a raw crawl into a
+    training mixture (downsample over-represented languages, keep all of
+    the scarce ones).  The keep decision is a pure function of
+    (doc_id, lang): an md5 bucket in [0,100) compared to the per-lang
+    rate — the same engine-portable-hash discipline as
+    ``dataset_split_hash``, so the sampled set is reproducible anywhere
+    and stable under repartitioning.  Map-only + one tiny aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = F.lit(MIXTURE_DEFAULT_PCT)
+    for k, v in sorted(MIXTURE_KEEP_PCT.items()):
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((bucket < rate).cast("int")).cast("long").alias("n_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap vs held-out split)
+
+DECONTAM_NGRAM = 5
+
+
+@register(
+    "decontamination_ngram_overlap",
+    oracle=rf"""
+    WITH split AS (
+        SELECT doc_id, text,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                         BETWEEN '0' AND 'b' THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                         IN ('c', 'd') THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, split,
+               UNNEST(list_transform(
+                   range(1, len(string_split_regex(lower(text), '\s+'))
+                            - {DECONTAM_NGRAM} + 2),
+                   i -> array_to_string(
+                       list_slice(string_split_regex(lower(text), '\s+'),
+                                  i, i + {DECONTAM_NGRAM} - 1), ' ')))
+                   AS gram
+        FROM split
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE split = 'test')
+    SELECT g.doc_id,
+           COUNT(DISTINCT g.gram) AS n_contaminated_grams
+    FROM grams g JOIN bench b ON g.gram = b.gram
+    WHERE g.split = 'train'
+    GROUP BY g.doc_id
+    """,
+    doc=f"Benchmark decontamination: train docs sharing any "
+    f"{DECONTAM_NGRAM}-gram with the held-out test split, with overlap "
+    "counts.",
+)
+def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination pass every serious pretraining corpus runs
+    (public methodology: GPT-3 appendix C, The Pile, FineWeb): flag
+    training documents that share word n-grams with held-out benchmark
+    text.  Here the "benchmark" is the corpus's own md5-hash test split,
+    so the whole check is self-contained and oracle-verifiable.
+
+    Scale shape: the benchmark gram set is (test fraction × grams/doc) —
+    ≪ corpus — and BROADCASTS into the train-side join, so the train
+    corpus never shuffles; per-doc counts aggregate on doc_id.  N-grams
+    are built by a JVM transform over the split array (no Python)."""
+    docs = table(spark, sf_dir, "documents")
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = docs.select(
+        "doc_id",
+        F.when(hx.between("0", "b"), "train")
+        .when(hx.isin("c", "d"), "val")
+        .otherwise("test")
+        .alias("split"),
+        F.split(F.lower("text"), r"\s+").alias("ws"),
+    )
+    n = DECONTAM_NGRAM
+    grams = split.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(ws) - {n} + 1, 0)),"
+                f" i -> array_join(slice(ws, i, {n}), ' '))"
+            )
+        ).alias("gram"),
+    )
+    bench = (
+        grams.filter(F.col("split") == "test").select("gram").distinct()
+    )
+    return (
+        grams.filter(F.col("split") == "train")
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_contaminated_grams"))
     )

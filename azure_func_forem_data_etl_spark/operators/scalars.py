@@ -597,3 +597,67 @@ def conditional_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "floored"
         ),
     )
+
+
+@register(
+    "bitwise_functions_events",
+    oracle="""
+    SELECT event_id,
+           xor(event_id, user_id) AS xor_id,
+           event_id & 255 AS and_mask,
+           event_id | 4096 AS or_flag,
+           CAST(event_id * 16 AS BIGINT) AS shl4,
+           CAST(floor(event_id / 4) AS BIGINT) AS shr2,
+           bit_count(CAST(event_id AS BIGINT)) AS popcount
+    FROM events
+    """,
+    doc="Bitwise scalar functions: xor/and/or, shifts (as exact integer "
+    "arithmetic twins), popcount — the fingerprint-math primitives.",
+)
+def bitwise_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bit-math surface SimHash/LSH build on, exposed as scalars.
+    Shifts are expressed as *2^k / div-2^k in the oracle (DuckDB's << on
+    non-negative ints is identical); all values stay in int64 so both
+    engines agree bit-for-bit."""
+    events = table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.col("event_id").bitwiseXOR(F.col("user_id")).alias("xor_id"),
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("and_mask"),
+        F.col("event_id").bitwiseOR(F.lit(4096)).alias("or_flag"),
+        F.shiftleft(F.col("event_id"), 4).cast("long").alias("shl4"),
+        F.shiftright(F.col("event_id"), 2).cast("long").alias("shr2"),
+        F.bit_count(F.col("event_id").cast("long")).alias("popcount"),
+    )
+
+
+@register(
+    "string_pad_functions",
+    oracle="""
+    SELECT p_partkey,
+           lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+           rpad(p_brand, 12, '.') AS padded_brand,
+           reverse(p_type) AS rev_type,
+           repeat(left(p_name, 3), 2) AS name3x2,
+           translate(p_name, 'aeiou', 'AEIOU') AS shouty_vowels,
+           ascii(p_type) AS type_ascii0,
+           right(p_name, 4) AS name_tail
+    FROM part
+    """,
+    doc="String shaping scalars: lpad/rpad (fixed-width keys), reverse, "
+    "repeat, translate, ascii, left/right slicing.",
+)
+def string_pad_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width key padding (the classic sort-key trick), character
+    translation and slicing — all JVM codegen, map-only."""
+    part = table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.rpad("p_brand", 12, ".").alias("padded_brand"),
+        F.reverse("p_type").alias("rev_type"),
+        F.repeat(F.expr("left(p_name, 3)"), 2).alias("name3x2"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("shouty_vowels"),
+        F.ascii("p_type").alias("type_ascii0"),
+        F.expr("right(p_name, 4)").alias("name_tail"),
+    )

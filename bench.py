@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "quality_repetition_rules",
     "unigram_logprob_score",
     "retention_cohorts",
+    "decontamination_ngram_overlap",
+    "sequence_packing_greedy",
     "simhash_neardup",
     "knn_bruteforce",
     "embedding_quantize_int8",

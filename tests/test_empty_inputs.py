@@ -96,3 +96,37 @@ def test_new_ops_on_empty_inputs(spark, empty_sf):
     # components on an explicitly empty edge list
     edges = spark.createDataFrame([], "a: long, b: long")
     assert connected_components(edges, "a", "b").count() == 0
+
+
+def test_new_curation_ops_on_empty_corpus(spark, empty_sf):
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    reg = load_all()
+    for name in [
+        "quality_repetition_rules",
+        "unigram_logprob_score",
+        "sequence_packing_greedy",
+        "mixture_sampling_weighted",
+        "decontamination_ngram_overlap",
+        "fuzzy_levenshtein_pairs",
+        "ml_minhash_neardup",
+        "multimodal_frame_sample",
+        "retention_cohorts",
+        "gapfill_hourly_interp",
+    ]:
+        assert reg[name].fn(spark, empty_sf).count() == 0, name
+
+
+def test_kmeans_on_empty_corpus(spark, empty_sf):
+    """kmeans_fit on an empty corpus returns an empty centroid matrix
+    and assignments are empty (not a crash)."""
+    from azure_func_forem_data_etl_spark.operators.clustering import (
+        kmeans_assignments,
+        kmeans_fit,
+    )
+    from azure_func_forem_data_etl_spark.sources.tables import table
+
+    emb = table(spark, empty_sf, "embeddings")
+    C, trace = kmeans_fit(emb, k=4, iters=1)
+    assert C.shape[0] == 0
+    assert kmeans_assignments(emb, C).count() == 0
