@@ -8,7 +8,7 @@ whole-stage codegen) — no Python UDFs in these paths, so they scale to
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from azure_func_forem_data_etl_spark.plans.registry import register
@@ -519,4 +519,141 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_words"),
         F.sum("logp").cast("double").alias("sum_log10_prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring against a fixed query
+
+BM25_QUERY_TERMS = ("spark", "window", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 50
+
+
+@register(
+    "bm25_topk_docs",
+    oracle=rf"""
+    WITH w AS (
+        SELECT doc_id, UNNEST(string_split_regex(lower(text), '\s+')) AS word
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS d_len FROM w GROUP BY doc_id),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               CAST(SUM(d_len) AS DOUBLE) / COUNT(*) AS avg_dl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf FROM w
+        WHERE word IN ('spark', 'window', 'stream')
+        GROUP BY doc_id, word
+    ),
+    df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(round(
+                   ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * (tf.tf * ({BM25_K1} + 1))
+                   / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                        + {BM25_B} * dl.d_len / stats.avg_dl)), 4)
+                   AS DECIMAL(18,4)) AS term_score
+        FROM tf JOIN df USING (word)
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN stats
+    )
+    SELECT doc_id, CAST(SUM(term_score) AS DOUBLE) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {BM25_TOP}
+    """,
+    doc="BM25 top-k document ranking for a fixed term query (Okapi "
+    "formula, 4dp-quantized per-term scores, decimal-exact sum).",
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 — the lexical-retrieval baseline every RAG/IR stack
+    ships next to its embedding index (public formula, Robertson &
+    Zaragoza 2009).  Documents ranked against a fixed 3-term query.
+
+    Scale shape: term frequencies only materialize for the QUERY terms
+    (the WHERE prunes the exploded stream before any shuffle), document
+    frequency is a query-terms-sized broadcast, and the global n/avgdl
+    stats are a one-row broadcast.  Top-k is TakeOrdered, never a global
+    sort.  Per-term scores are 4dp-quantized then summed in the decimal
+    domain — same engine-exactness discipline as unigram_logprob_score
+    (ln/idf is the only float transcendental, and its 1-ulp risk is ≪
+    the 1e-4 quantum)."""
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    )
+    dl = w.groupBy("doc_id").agg(F.count("*").alias("d_len"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("d_len").cast("double") / F.count("*")).alias("avg_dl"),
+    )
+    tf = (
+        w.filter(F.col("word").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("d_len") / F.col("avg_dl")
+    )
+    term_score = F.round(idf * (F.col("tf") * (BM25_K1 + 1)) / denom, 4).cast(
+        "decimal(18,4)"
+    )
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select("doc_id", term_score.alias("term_score"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("term_score").cast("double").alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact-size stratified sampling
+
+STRATA_SAMPLE_N = 10
+
+
+@register(
+    "stratified_sample_per_lang",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rn
+        FROM documents
+    ) t WHERE rn <= {STRATA_SAMPLE_N}
+    """,
+    doc=f"Exact-size stratified sample: {STRATA_SAMPLE_N} docs per "
+    "language, ordered by md5 of the id (deterministic, engine-portable).",
+)
+def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-n-per-stratum sampling — what ``sampleBy`` can't give you
+    (it is probabilistic per row).  Ordering by the md5 of the id makes
+    the pick pseudo-random yet identical on any engine, rerun, or
+    partitioning; ``row_number <= n`` compiles to WindowGroupLimit, so
+    each partition keeps a per-stratum heap and the shuffle carries at
+    most n rows per stratum — never the full corpus ordering."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= STRATA_SAMPLE_N)
+        .select("doc_id", "lang")
     )

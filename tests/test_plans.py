@@ -144,6 +144,7 @@ def test_plan_lint_every_registry_query(spark):
         "q15_top_supplier",
         "q22_dormant_customers",
         "unigram_logprob_score",  # 1-row corpus-total broadcast — O(n)·1
+        "bm25_topk_docs",  # 1-row n_docs/avgdl stats broadcast — O(n)·1
     }
     checked = 0
     for name, q in sorted(load_all().items()):
