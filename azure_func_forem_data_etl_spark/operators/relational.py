@@ -1086,3 +1086,129 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# funnel conversion over the events stream table
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        FROM events GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN u ON e.user_id = u.user_id
+        WHERE e.event_type = 'click' AND e.ts > u.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT '1_view' AS step, COUNT(t_view) AS n_users FROM u
+    UNION ALL
+    SELECT '2_click' AS step, COUNT(*) AS n_users FROM c
+    UNION ALL
+    SELECT '3_purchase' AS step, COUNT(*) AS n_users FROM p
+    """,
+    doc="Ordered funnel: users with a view, then a click AFTER their "
+    "first view, then a purchase after that click (event-order funnel).",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis — each step requires the event to happen
+    AFTER the user's qualifying previous step, not merely coexist.
+
+    Scale shape: three aggregations all keyed on user_id, so one
+    partitioning serves every stage (AQE reuses the exchange); the step
+    counts union three one-row aggregates.  Strictly-ordered semantics
+    make it a behavioral query the plain groupBy/pivot family can't
+    express."""
+    events = table(spark, sf_dir, "events")
+    u = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(u, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("_n"))
+    )
+    return (
+        u.agg(F.count("t_view").alias("n_users")).select(
+            F.lit("1_view").alias("step"), "n_users"
+        )
+        .unionByName(
+            c.agg(F.count("*").alias("n_users")).select(
+                F.lit("2_click").alias("step"), "n_users"
+            )
+        )
+        .unionByName(
+            p.agg(F.count("*").alias("n_users")).select(
+                F.lit("3_purchase").alias("step"), "n_users"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# percent-of-total (ratio-to-report) window
+
+
+@register(
+    "pct_of_total_revenue",
+    oracle=f"""
+    WITH r AS (
+        SELECT n_name AS nation, {sql_decsum(SQL_REVENUE)} AS revenue
+        FROM lineitem, supplier, nation
+        WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        GROUP BY n_name
+    )
+    SELECT nation, revenue,
+           round(revenue / SUM(revenue) OVER (), 6) AS pct_of_total,
+           CAST(rank() OVER (ORDER BY revenue DESC, nation) AS INT) AS rev_rank
+    FROM r
+    """,
+    doc="Ratio-to-report: each nation's revenue share of the global total "
+    "(empty-partition window AFTER aggregation) + revenue rank.",
+)
+def pct_of_total_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The report-window shape: a global (unpartitioned) window — safe
+    ONLY because it runs on the post-aggregation relation (one row per
+    nation), never on raw rows; the fact table reduces through a keyed
+    agg first.  Shares are ratios of decimal-exact doubles; the global
+    sum is over ≤ |nations| values in a deterministic single partition."""
+    li = table(spark, sf_dir, "lineitem")
+    supp_nat = table(spark, sf_dir, "supplier").join(
+        F.broadcast(table(spark, sf_dir, "nation").select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    r = (
+        li.join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation")
+        .agg(decsum(revenue()).alias("revenue"))
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.col("revenue").desc(), "nation")
+    return r.select(
+        "nation",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w_all), 6).alias(
+            "pct_of_total"
+        ),
+        F.rank().over(w_rank).cast("int").alias("rev_rank"),
+    )
