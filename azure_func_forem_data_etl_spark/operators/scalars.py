@@ -661,3 +661,64 @@ def string_pad_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ascii("p_type").alias("type_ascii0"),
         F.expr("right(p_name, 4)").alias("name_tail"),
     )
+
+
+@register(
+    "agg_correlation",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(9,4))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sy,
+               -- DECIMAL(19,..) operands force DuckDB's int128 multiply path
+               -- (two <=18-precision decimals stay int64 and overflow).
+               CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                        * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                        * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                        * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS corr_qty_price,
+           round((n * sxy - sx * sy) / (n * n - n), 6) AS covar_samp_scaled
+    FROM m
+    """,
+    doc="Pearson correlation + covariance from exact decimal moments "
+    "(one pass, order-independent — built-in corr() is not).",
+)
+def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same discipline as agg_variance_stddev: built-in ``corr``/
+    ``covar_samp`` accumulate doubles in partition order (nondeterministic
+    under parallelism); the five exact decimal moments make the finish a
+    fixed double expression tree, bit-identical anywhere."""
+    x = F.col("l_quantity").cast("decimal(9,4)")
+    y = F.col("l_extendedprice").cast("decimal(12,4)")
+    m = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(x * x).cast("double").alias("sxx"),
+            F.sum(y * y).cast("double").alias("syy"),
+            F.sum(x * y).cast("double").alias("sxy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "l_returnflag",
+        F.round(num / den, 6).alias("corr_qty_price"),
+        F.round(num / (F.col("n") * F.col("n") - F.col("n")), 6).alias(
+            "covar_samp_scaled"
+        ),
+    )

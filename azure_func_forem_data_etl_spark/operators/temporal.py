@@ -344,3 +344,102 @@ def gapfill_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("filled_sum"),
     )
+
+
+@register(
+    "time_weighted_avg_events",
+    oracle="""
+    WITH o AS (
+        SELECT event_type, value, ts,
+               lead(ts) OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS next_ts
+        FROM events
+    ),
+    seg AS (
+        SELECT event_type,
+               CAST(date_diff('second', ts, next_ts) AS BIGINT) AS dt,
+               CAST(value AS DECIMAL(18,4)) AS v
+        FROM o WHERE next_ts IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(SUM(v * CAST(dt AS DECIMAL(12,0))) AS DOUBLE)
+               / CAST(SUM(dt) AS DOUBLE) AS twa_value,
+           CAST(SUM(dt) AS BIGINT) AS total_seconds
+    FROM seg GROUP BY event_type
+    """,
+    doc="Time-weighted average per series: each value weighted by the "
+    "seconds until the next observation (hypertable time_weight).",
+)
+def time_weighted_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The timeseries mean that irregular sampling actually needs: a
+    value that held for an hour outweighs one that held a second —
+    ``avg(value)`` can't see that.  Last observation per series carries
+    no duration and is excluded (the standard hypertable time_weight
+    "LOCF until next point" definition).
+
+    One window (per-series sort) + one aggregation, both keyed on
+    event_type.  Weights are exact integer seconds; weighted products
+    stay in the decimal domain — engine-exact division at the end."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    o = events.withColumn("next_ts", F.lead("ts").over(w)).filter(
+        F.col("next_ts").isNotNull()
+    )
+    seg = o.select(
+        "event_type",
+        (
+            F.unix_timestamp("next_ts") - F.unix_timestamp("ts")
+        ).cast("long").alias("dt"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    return seg.groupBy("event_type").agg(
+        (
+            F.sum(F.col("v") * F.col("dt").cast("decimal(12,0)")).cast("double")
+            / F.sum("dt").cast("double")
+        ).alias("twa_value"),
+        F.sum("dt").cast("long").alias("total_seconds"),
+    )
+
+
+@register(
+    "rolling_distinct_users",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT u.user_id) AS users_7d
+    FROM days d JOIN du u
+      ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY strftime(d.day, '%Y-%m-%d')
+    """,
+    doc="Rolling 7-day distinct users per day (the DAU/WAU shape): "
+    "day-spine range join over the deduped (day, user) relation.",
+)
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct counts don't decompose over sliding frames (a user active
+    on 3 days must count once), so the rolling window becomes a range
+    join: dedup to (day, user) first — the ONLY pass over raw events —
+    then join the tiny day spine against it and count distinct per day.
+
+    Scale shape: the (day, user) relation is ≤ days × active-users (≪
+    events); the day spine broadcasts; each (day,user) row lands in ≤ 7
+    spine rows, so the join output is bounded at 7× the deduped
+    relation.  At a larger horizon the exact path swaps for per-day HLL
+    sketch unions (hll_sketch_union) — same query, mergeable state."""
+    events = table(spark, sf_dir, "events")
+    du = events.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct().withColumnRenamed("day", "spine_day")
+    return (
+        du.join(
+            F.broadcast(days),
+            (F.col("day") >= F.date_sub(F.col("spine_day"), 6))
+            & (F.col("day") <= F.col("spine_day")),
+        )
+        .groupBy(F.date_format("spine_day", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+    )
