@@ -1212,3 +1212,63 @@ def pct_of_total_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.rank().over(w_rank).cast("int").alias("rev_rank"),
     )
+
+
+@register(
+    "join_full_outer_snapshot",
+    oracle="""
+    WITH h1 AS (
+        SELECT o_custkey, COUNT(*) AS n_h1
+        FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY o_custkey
+    ),
+    h2 AS (
+        SELECT o_custkey, COUNT(*) AS n_h2
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        GROUP BY o_custkey
+    )
+    SELECT coalesce(h1.o_custkey, h2.o_custkey) AS custkey,
+           CAST(coalesce(n_h1, 0) AS BIGINT) AS n_h1,
+           CAST(coalesce(n_h2, 0) AS BIGINT) AS n_h2,
+           CASE WHEN h1.o_custkey IS NULL THEN 'h2_only'
+                WHEN h2.o_custkey IS NULL THEN 'h1_only'
+                ELSE 'both' END AS presence
+    FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey
+    """,
+    doc="FULL OUTER join of two period snapshots per customer: era diff "
+    "with both-sided null handling (the set-op completing the join family).",
+)
+def join_full_outer_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diffing with a FULL OUTER join — customers active in
+    either era, labeled both/h1_only/h2_only.  The inputs are already
+    aggregated (one row per custkey per side) before the join, so the
+    outer join shuffles |customers| rows, not |orders|; partial
+    aggregation collapses the fact table map-side.  Full outer cannot
+    broadcast (both sides need null-extension) — SMJ on the agg output is
+    the right plan and AQE handles any residual skew."""
+    orders = table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    h1 = (
+        orders.filter(F.col("o_orderdate") < cut)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_h1"))
+    )
+    h2 = (
+        orders.filter(F.col("o_orderdate") >= cut)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_h2"))
+    )
+    j = h1.withColumnRenamed("o_custkey", "k1").join(
+        h2.withColumnRenamed("o_custkey", "k2"),
+        F.col("k1") == F.col("k2"),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce("k1", "k2").alias("custkey"),
+        F.coalesce("n_h1", F.lit(0)).cast("long").alias("n_h1"),
+        F.coalesce("n_h2", F.lit(0)).cast("long").alias("n_h2"),
+        F.when(F.col("k1").isNull(), "h2_only")
+        .when(F.col("k2").isNull(), "h1_only")
+        .otherwise("both")
+        .alias("presence"),
+    )

@@ -722,3 +722,44 @@ def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "covar_samp_scaled"
         ),
     )
+
+
+@register(
+    "agg_filter_clause",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE value > 50) AS BIGINT) AS n_high,
+           CAST(COUNT(*) FILTER (WHERE value <= 50) AS BIGINT) AS n_low,
+           CAST(coalesce(SUM(CAST(value AS DECIMAL(18,4)))
+                             FILTER (WHERE value > 50), 0) AS DOUBLE)
+               AS sum_high,
+           CAST(COUNT(DISTINCT user_id) FILTER (WHERE value > 50) AS BIGINT)
+               AS users_high
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Filtered aggregation (SQL FILTER clause): conditional counts, "
+    "sums, and distincts in one grouped pass over the fact table.",
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FILTER-clause family expressed Spark-side as count_if /
+    conditional-CASE aggregates — one pass, one shuffle, all measures
+    partial-aggregated map-side (vs the naive multi-scan + join of one
+    sub-aggregate per predicate).  The distinct measure rewrites to an
+    expand + two-phase agg by Catalyst; money math in exact decimal."""
+    e = table(spark, sf_dir, "events")
+    high = F.col("value") > 50
+    return e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.count_if(high).cast("long").alias("n_high"),
+        F.count_if(~high).cast("long").alias("n_low"),
+        F.coalesce(
+            F.sum(F.when(high, F.col("value")).cast("decimal(18,4)")), F.lit(0)
+        )
+        .cast("double")
+        .alias("sum_high"),
+        F.count_distinct(F.when(high, F.col("user_id")))
+        .cast("long")
+        .alias("users_high"),
+    )

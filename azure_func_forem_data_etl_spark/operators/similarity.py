@@ -678,3 +678,60 @@ def embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.col("id") == F.col("comp")).cast("int").alias("is_representative"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-dimension corpus statistics (feature scaling / drift monitoring)
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    WITH x AS (
+        SELECT i - 1 AS dim,
+               CAST(round(CAST(embedding[i] AS DOUBLE), 9)
+                    AS DECIMAL(13,9)) AS q,
+               CAST(embedding[i] AS DOUBLE) AS xd
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(q) AS DOUBLE) / COUNT(*), 6) AS mean,
+           round((CAST(SUM(q * q) AS DOUBLE)
+                  - CAST(SUM(q) AS DOUBLE) * CAST(SUM(q) AS DOUBLE) / COUNT(*))
+                 / (COUNT(*) - 1), 6) AS var,
+           min(xd) AS mn,
+           max(xd) AS mx
+    FROM x
+    GROUP BY dim
+    """,
+    doc="Per-dimension embedding stats (n/mean/var/min/max) via posexplode; "
+    "exact decimal moments so results are partition-order-independent.",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-scaling statistics per embedding dimension — the input to
+    whitening / standardization and the standard drift monitor for an
+    embedding column.
+
+    Shape: posexplode (map-side fanout x dim) -> one hash agg keyed by
+    dim.  The shuffle carries only (dim, decimal moment) partials — with
+    64 dims and map-side combine the shuffle is O(partitions x dims),
+    independent of corpus size.  Double sums are order-dependent, so
+    moments accumulate in exact DECIMAL (inputs pre-rounded to 9dp,
+    squares exact at (26,18)); min/max of doubles are order-safe as-is."""
+    emb = table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "xd")
+    ).select(
+        "dim", "xd", F.round("xd", 9).cast("decimal(13,9)").alias("q")
+    )
+    n = F.count("*")
+    s = F.sum("q").cast("double")
+    ss = F.sum(F.col("q") * F.col("q")).cast("double")
+    return x.groupBy(F.col("dim").cast("int").alias("dim")).agg(
+        n.cast("long").alias("n"),
+        F.round(s / n, 6).alias("mean"),
+        F.round((ss - s * s / n) / (n - F.lit(1)), 6).alias("var"),
+        F.min("xd").alias("mn"),
+        F.max("xd").alias("mx"),
+    )

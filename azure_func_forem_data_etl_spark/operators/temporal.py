@@ -420,26 +420,32 @@ def time_weighted_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct counts don't decompose over sliding frames (a user active
-    on 3 days must count once), so the rolling window becomes a range
-    join: dedup to (day, user) first — the ONLY pass over raw events —
-    then join the tiny day spine against it and count distinct per day.
+    on 3 days must count once), so the rolling window is re-expressed as
+    a bounded EXPLODE: dedup to (day, user) first — the ONLY pass over
+    raw events — then each (day, user) row contributes to the 7 report
+    days it falls into (sequence+explode, map-side), an equi semi-join
+    against the observed-day spine drops report days with no events, and
+    one distinct-agg per report day finishes.
 
     Scale shape: the (day, user) relation is ≤ days × active-users (≪
-    events); the day spine broadcasts; each (day,user) row lands in ≤ 7
-    spine rows, so the join output is bounded at 7× the deduped
-    relation.  At a larger horizon the exact path swaps for per-day HLL
-    sketch unions (hll_sketch_union) — same query, mergeable state."""
+    events); fanout is a hard ×7; every join is equi (broadcast spine —
+    a range-condition spine join would compile to BroadcastNestedLoopJoin,
+    banned by the plan lint).  At a larger horizon the exact path swaps
+    for per-day HLL sketch unions (hll_sketch_union) — same query,
+    mergeable state."""
     events = table(spark, sf_dir, "events")
     du = events.select(
         F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
     ).distinct()
     days = du.select("day").distinct().withColumnRenamed("day", "spine_day")
+    contrib = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("spine_day"),
+        "user_id",
+    )
     return (
-        du.join(
-            F.broadcast(days),
-            (F.col("day") >= F.date_sub(F.col("spine_day"), 6))
-            & (F.col("day") <= F.col("spine_day")),
-        )
+        contrib.join(F.broadcast(days), "spine_day", "left_semi")
         .groupBy(F.date_format("spine_day", "yyyy-MM-dd").alias("day"))
         .agg(F.countDistinct("user_id").alias("users_7d"))
     )

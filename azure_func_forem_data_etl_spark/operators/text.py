@@ -345,6 +345,24 @@ def dataset_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Thresholds sit inside the corpus distributions (uniq_word_frac median
 # ~0.46, top_word_frac ~0.09, top_bigram_frac ~0.03) so the keep flag
 # splits the corpus non-trivially rather than rubber-stamping everything.
+
+
+def _max_run_expr(arr_col: str) -> F.Column:
+    """Highest term frequency in an array column, computed row-locally:
+    sort the array, then a single run-length fold.  NULL init + null-safe
+    compare make the first element start a fresh run."""
+    return F.expr(
+        f"""aggregate(
+          array_sort({arr_col}),
+          struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS best),
+          (acc, x) -> struct(
+              x AS prev,
+              IF(x <=> acc.prev, acc.run + 1L, 1L) AS run,
+              GREATEST(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L)) AS best),
+          acc -> acc.best)"""
+    )
+
+
 REP_MIN_UNIQ_FRAC = 0.35
 REP_MAX_TOP_WORD_FRAC = 0.12
 REP_MAX_TOP_BIGRAM_FRAC = 0.06
@@ -394,22 +412,6 @@ REP_MAX_TOP_BIGRAM_FRAC = 0.06
     doc="Repetition-based quality rules (Gopher-style): unique-word "
     "fraction, top-word fraction, top-bigram fraction -> keep flag.",
 )
-def _max_run_expr(arr_col: str) -> F.Column:
-    """Highest term frequency in an array column, computed row-locally:
-    sort the array, then a single run-length fold.  NULL init + null-safe
-    compare make the first element start a fresh run."""
-    return F.expr(
-        f"""aggregate(
-          array_sort({arr_col}),
-          struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS best),
-          (acc, x) -> struct(
-              x AS prev,
-              IF(x <=> acc.prev, acc.run + 1L, 1L) AS run,
-              GREATEST(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L)) AS best),
-          acc -> acc.best)"""
-    )
-
-
 def quality_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition signals are the curation rules length/stopword ratios
     can't see: a doc that loops one phrase has normal length stats but an
@@ -666,4 +668,45 @@ def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= STRATA_SAMPLE_N)
         .select("doc_id", "lang")
+    )
+
+
+@register(
+    "doc_length_quartiles",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               ntile(4) OVER (ORDER BY n_chars, doc_id) AS tile
+        FROM documents
+    )
+    SELECT CAST(tile AS INT) AS tile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM t
+    GROUP BY tile
+    """,
+    doc="Length-quartile assignment (ntile) + per-tile size profile: the "
+    "binning step behind length-balanced training mixtures.",
+)
+def doc_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile binning via ntile over a unique (n_chars, doc_id) order —
+    deterministic tile assignment, then a tiny per-tile profile agg.
+
+    Scale note: a global ntile needs a total order; Spark executes it as
+    one window over a range-partitioned sort, which is acceptable because
+    the windowed relation is (doc_id, n_chars) — 16 bytes/row, not
+    document bodies.  For 100 TB corpora the approx-percentile cut-point
+    variant (compute 3 cut points, broadcast, map-assign) avoids the sort
+    entirely; that shape is ``width_bucket_histogram``'s and the exact
+    ntile here doubles as its oracle."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    t = docs.select("doc_id", "n_chars", F.ntile(4).over(w).alias("tile"))
+    return t.groupBy(F.col("tile").cast("int").alias("tile")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
     )

@@ -225,3 +225,38 @@ def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 9).alias("cume"),
     )
+
+
+@register(
+    "event_transition_counts",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM s
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+    doc="Per-user event transition matrix: lag window -> (prev, next) "
+    "pair counts (Markov-chain edge weights over the event stream).",
+)
+def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix — the aggregate behind session-flow
+    analysis and Markov churn models.  One shuffle partitions by user for
+    the lag window ((ts, event_id) ordering is unique so lag is
+    deterministic), then the pair count reuses partial map-side agg; the
+    output is |event_types|^2 rows regardless of corpus size."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    return (
+        s.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )

@@ -52,6 +52,7 @@ def load_all() -> dict[str, Query]:
         clustering,
         curation,
         dedup,
+        hygiene,
         multimodal,
         relational,
         scalars,

@@ -29,14 +29,23 @@ TABLES = (
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table. Lazy — no I/O until an action runs.
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet: read as int64 nanos
-    (legacy.parquet.nanosAsLong) and truncate to µs — matching DuckDB's
-    native ns→µs truncation so oracle comparisons are exact.
+    ``events.ts`` normalization: the generated parquet has shipped as both
+    TIMESTAMP(NANOS) (reads as int64 under legacy nanosAsLong) and
+    TIMESTAMP(MICROS, ntz) (reads as TIMESTAMP_NTZ).  Either way we
+    normalize to a session-TZ TIMESTAMP in UTC wall time — NTZ carries no
+    zone, and the session TZ is pinned UTC (ensure_query_session_conf),
+    so the cast is value-preserving and matches DuckDB's naive reading.
+    Event-time ops (withWatermark, unix_micros, window()) require the
+    zoned TIMESTAMP type, which is why NTZ can't flow through raw.
     """
     ensure_query_session_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) via nanosAsLong
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

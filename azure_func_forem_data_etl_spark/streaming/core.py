@@ -47,8 +47,13 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         .option("pathGlobFilter", f"{name}.parquet")
         .parquet(sf_dir)
     )
-    if name == "events" and dict(sdf.dtypes).get("ts") == "bigint":
-        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(sdf.dtypes).get("ts")
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) via nanosAsLong
+            sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # session TZ is UTC (ensure_query_session_conf): value-preserving
+            sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
     return sdf
 
 

@@ -18,6 +18,15 @@ REGISTRY = load_all()
 def test_query_parity(spark, sf_dir, name):
     q = REGISTRY[name]
     df = q.fn(spark, sf_dir)
+    # Driver-canonicalizer contract: registry-facing outputs must be flat
+    # scalar columns — pandas sort_values/hashing chokes on list/map/struct
+    # cells (the exact failure behind the two r01 hard errors).
+    from pyspark.sql import types as T
+
+    for f in df.schema.fields:
+        assert not isinstance(
+            f.dataType, (T.ArrayType, T.MapType, T.StructType)
+        ), f"{name}.{f.name}: complex type {f.dataType} breaks driver canonicalization"
     if q.oracle is None:
         # Rows-only: must run and produce a stable schema.
         assert df.columns

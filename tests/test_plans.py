@@ -204,3 +204,40 @@ def test_gapfill_interp_single_window_exchange(spark, sf_dir):
     assert n_sort == 1, f"expected 1 Sort feeding the windows, got {n_sort}"
     n_exch = len(re.findall(r"\(\d+\) Exchange\b", plan))
     assert n_exch <= 3, f"expected <=3 Exchanges, got {n_exch}"
+
+
+def test_hygiene_ops_are_map_only(spark, sf_dir):
+    # Scrubbing passes must stay embarrassingly parallel: no Exchange at all.
+    for name in ("pii_redaction", "text_normalize_stats"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_full_outer_aggregates_before_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_full_outer_snapshot")
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    # partial aggregation collapses the fact table before the join's shuffle:
+    # each side shuffles HashAggregate output, not raw orders rows.
+    assert plan.count("HashAggregate") >= 4  # partial+final per side
+
+
+def test_embedding_dim_stats_partial_agg(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, sf_dir, "embedding_dim_stats")
+    # one shuffle keyed by dim, with map-side combine before it
+    n_exch = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exch == 1, f"expected 1 Exchange, got {n_exch}"
+    assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_transition_counts_single_exchange_chain(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, sf_dir, "event_transition_counts")
+    # window by user (1 exchange) + pair agg (1 exchange); no more
+    n_exch = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exch == 2, f"expected 2 Exchanges (window + agg), got {n_exch}"
+    assert "partial_count" in plan  # map-side combine before the pair shuffle
+    assert "BatchEvalPython" not in plan
