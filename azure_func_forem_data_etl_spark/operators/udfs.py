@@ -147,3 +147,53 @@ def arrow_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("unit", 1), 6).alias("unit_x0"),
         F.size("unit").alias("dim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (table function) — Spark 4 surface, Arrow-optimized
+
+
+@register(
+    "udtf_repeated_terms",
+    oracle="""
+    SELECT doc_id, word, CAST(COUNT(*) AS INT) AS cnt
+    FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+        FROM documents
+    ) t
+    GROUP BY doc_id, word
+    HAVING COUNT(*) >= 2
+    """,
+    doc="Python UDTF (LATERAL, Arrow-optimized): per-doc repeated terms "
+    "with in-row counting — the table-function UDF surface.",
+)
+def udtf_repeated_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDTF completes the UDF family (scalar pandas_udf, grouped
+    applyInPandas, mapInArrow, and now table functions): one input row ->
+    many output rows with per-row Python state, which neither a scalar
+    UDF nor explode can express when the fanout logic is imperative.
+
+    Arrow-optimized (``useArrow=True`` -> ArrowEvalPythonUDTF in the
+    plan, never row-pickled BatchEvalPython).  The counting is row-local,
+    so the operator is map-only — fanout happens executor-side with zero
+    shuffles, and at 100 TB it parallelizes with file splits exactly like
+    doc_chunking's JVM explode."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, cnt int", useArrow=True)
+    class RepeatedTerms:
+        def eval(self, doc_id, text):  # noqa: ANN001 (Spark calls positionally)
+            from collections import Counter
+
+            for w, c in Counter((text or "").split()).items():
+                if c >= 2:
+                    yield w, int(c)
+
+    spark.udtf.register("repeated_terms_udtf", RepeatedTerms)
+    table(spark, sf_dir, "documents").select("doc_id", "text").createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        "SELECT doc_id, t.word, t.cnt "
+        "FROM _udtf_docs, LATERAL repeated_terms_udtf(doc_id, text) t"
+    )

@@ -155,4 +155,16 @@ def ensure_query_session_conf(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Right-size shuffle/state partitioning for a caller session still on
+    # the global default (200).  AQE coalesces batch shuffles at runtime,
+    # but STREAMING state partitioning is fixed at query start — a
+    # stream-stream join under 200 state-store partitions on a laptop-class
+    # runner pays ~25x state-maintenance overhead (observed 45 s -> ~2 s for
+    # streaming_interval_join at sf0.01).  An explicit non-default setting
+    # is the caller's sizing decision; leave it alone.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(8, spark.sparkContext.defaultParallelism)),
+        )
     ship_package(spark)
