@@ -180,6 +180,34 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kmeans_partition_invariants",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           1 AS clusters_within_k,
+           1 AS sizes_positive
+    FROM embeddings
+    """,
+    doc=f"Hash-checkable k-means invariants: assignments partition the "
+    f"corpus exactly (sum of cluster sizes = corpus count), cluster count "
+    f"<= k={KMEANS_K}, all sizes positive.  The float cluster profile "
+    "itself stays rows-only (engine-specific trajectories).",
+)
+def kmeans_partition_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-able slice of ``kmeans_cluster_profile``: whatever the
+    float trajectory does, a correct Lloyd implementation must assign every
+    vector to exactly one cluster — so the size histogram must sum to the
+    corpus count, have at most k bars, and no empty bars.  Those integer
+    invariants hash-check against DuckDB; centroid values are covered by
+    the convergence unit tests instead."""
+    profile = kmeans_cluster_profile(spark, sf_dir)
+    return profile.agg(
+        F.sum("n_vectors").cast("long").alias("n_points"),
+        (F.count("*") <= F.lit(KMEANS_K)).cast("int").alias("clusters_within_k"),
+        (F.min("n_vectors") > 0).cast("int").alias("sizes_positive"),
+    )
+
+
+@register(
     "ann_ivf_trained_topk",
     oracle=None,  # approximate by design: recall vs brute force unit-tested
     doc="ANN top-k via IVF with kmeans-TRAINED centroids (vs the sampled-"

@@ -47,12 +47,14 @@ def doc_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.round("quality_score", 6).alias("qs"), "n_words"
     )
     d = docs.select("doc_id", "text").join(q, "doc_id", "left")
-    passing = d.filter(F.col("qs") >= QUALITY_THRESHOLD)
-    reps = (
-        passing.groupBy(F.md5("text").alias("fp"))
-        .agg(F.min("doc_id").alias("rep_id"))
+    # Compute the content fingerprint ONCE and carry it as a column: the
+    # rep-join then keys on a column reference instead of re-hashing the
+    # full text on both join sides (one md5 pass over the corpus, not two).
+    passing = d.filter(F.col("qs") >= QUALITY_THRESHOLD).withColumn(
+        "fp", F.md5("text")
     )
-    with_rep = passing.join(reps, F.md5(passing["text"]) == reps["fp"], "left")
+    reps = passing.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
+    with_rep = passing.join(reps, "fp", "left")
     status = (
         d.join(with_rep.select("doc_id", "rep_id"), "doc_id", "left")
         .withColumn(
@@ -71,9 +73,9 @@ def doc_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "curation_doc_status",
-    oracle=f"""
+# Shared oracle CTE chain for the SQL-expressible pipeline prefix; ends in
+# a ``docstat`` relation with (doc_id, quality_score, status, split, n_words).
+_DOC_STATUS_SQL_CTES = f"""
     WITH q AS (
         SELECT doc_id, n_words,
                round(0.5 * stopword_ratio
@@ -101,21 +103,67 @@ def doc_status(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE 'kept' END AS status
         FROM d LEFT JOIN passing p ON d.doc_id = p.doc_id
                LEFT JOIN reps r ON md5(p.text) = r.fp
+    ),
+    docstat AS (
+        SELECT doc_id, qs AS quality_score, status,
+               CASE WHEN status = 'kept' THEN
+                   CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) BETWEEN '0' AND 'b' THEN 'train'
+                        WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+                        ELSE 'test' END
+               END AS split,
+               n_words
+        FROM status
     )
-    SELECT doc_id, qs AS quality_score, status,
-           CASE WHEN status = 'kept' THEN
-               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) BETWEEN '0' AND 'b' THEN 'train'
-                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
-                    ELSE 'test' END
-           END AS split,
-           n_words
-    FROM status
+"""
+
+
+@register(
+    "curation_doc_status",
+    oracle=f"""
+    {_DOC_STATUS_SQL_CTES}
+    SELECT doc_id, quality_score, status, split, n_words FROM docstat
     """,
     doc="Curation pipeline prefix: quality filter -> exact dedup (among "
     "survivors, keep min id) -> split assignment; one status row per doc.",
 )
 def curation_doc_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_status(spark, sf_dir)
+
+
+@register(
+    "curation_summary_no_neardup",
+    oracle=f"""
+    {_DOC_STATUS_SQL_CTES}
+    SELECT CASE WHEN status <> 'kept' THEN status ELSE split END AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(COALESCE(n_words, 0)) AS BIGINT) AS n_words_total
+    FROM docstat
+    GROUP BY CASE WHEN status <> 'kept' THEN status ELSE split END
+    """,
+    doc="Curation funnel counts WITHOUT the near-dup stage — the "
+    "hash-checkable twin of curation_pipeline_summary (which stays "
+    "rows-only because MinHash bucket hashes are engine-specific).",
+)
+def curation_summary_no_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same per-bucket doc/word counts as ``curation_pipeline_summary``
+    minus the MinHash near-dup stage, so the funnel arithmetic (quality
+    drop, exact-dup drop, split fractions) gets full value-hash oracle
+    coverage; the near-dup delta on top is covered by the rows-only twin
+    plus the recall unit tests."""
+    status = doc_status(spark, sf_dir)
+    return (
+        status.withColumn(
+            "bucket",
+            F.when(F.col("status") != "kept", F.col("status")).otherwise(
+                F.col("split")
+            ),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce("n_words", F.lit(0))).alias("n_words_total"),
+        )
+    )
 
 
 @register(
@@ -136,7 +184,10 @@ def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents")
-    status = doc_status(spark, sf_dir)
+    # doc_status is consumed twice (kept-set below, final bucket join) and
+    # recomputes the full quality scan + dedup join each time — materialize
+    # it once; it is one short row per doc.
+    status = doc_status(spark, sf_dir).localCheckpoint(eager=True)
     kept = status.filter(F.col("status") == "kept").select("doc_id", "split", "n_words")
     kept_docs = kept.join(docs.select("doc_id", "text"), "doc_id")
     pairs = minhash_lsh_pairs(kept_docs)

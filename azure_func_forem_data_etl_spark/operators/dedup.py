@@ -176,9 +176,15 @@ JACCARD_THRESHOLD = 0.05
     doc="Exact bigram-shingle Jaccard on a 20% sample; ground truth for the LSH path.",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_func_forem_data_etl_spark.operators._guards import assert_bounded_input
+
     docs = table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % JACCARD_SAMPLE_MOD == 0
     )
+    # The shingle self-join over this sample grows quadratically with the
+    # per-shingle doc count; this tier is ground truth for MinHash-LSH and
+    # must stay sample-sized — fail loudly rather than go O(n²) silently.
+    assert_bounded_input(docs.select("doc_id"), "ngram_jaccard_pairs")
     sh = word_shingles(docs, JACCARD_NGRAM)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
@@ -426,18 +432,23 @@ def connected_components(
         msgs = und.join(labels, und["src"] == labels["id"]).select(
             F.col("dst").alias("id"), F.col("comp")
         )
-        new = (
-            labels.unionByName(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
-        ).localCheckpoint(eager=True)
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
+        # Convergence detection is fused into the label aggregation: the
+        # vertex's own (previous) label is tagged and carried through the
+        # same min-agg, so "did anything change" is a join-free filter over
+        # the freshly checkpointed blocks — one tiny follow-up job instead
+        # of the labels⋈labels shuffle a separate diff would cost per round.
+        ann = (
+            labels.withColumn("_own", F.lit(True))
+            .unionByName(msgs.withColumn("_own", F.lit(False)))
+            .groupBy("id")
+            .agg(
+                F.min("comp").alias("comp"),
+                F.min(F.when(F.col("_own"), F.col("comp"))).alias("_prev"),
+            )
+            .localCheckpoint(eager=True)
         )
-        labels = new
-        if changed == 0:
+        labels = ann.select("id", "comp")
+        if ann.filter(F.col("comp") < F.col("_prev")).limit(1).count() == 0:
             break
     return labels
 

@@ -118,11 +118,17 @@ def cosine_expr(a: str, b: str) -> Column:
     doc="Near-dup candidate pairs by embedding cosine on a 20% sample (JVM-side fold).",
 )
 def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from azure_func_forem_data_etl_spark.operators._guards import assert_bounded_input
+
     emb = (
         table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") % PAIRS_SAMPLE_MOD == 0)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"), "label")
     )
+    # The a.vec_id < b.vec_id theta-join below is a BroadcastNestedLoopJoin —
+    # intentional (exact ground truth for the ANN paths) but quadratic, so
+    # refuse to build the plan if the sampled input outgrew its bound.
+    assert_bounded_input(emb.select("vec_id"), "embedding_cosine_pairs")
     a = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("label").alias("la")
     )

@@ -120,9 +120,24 @@ def _l2_normalize_batches(batches):
 
 @register(
     "arrow_normalize_embeddings",
-    oracle=None,  # float32->float64 vector math; contract tested in tests/test_udfs.py
+    # The surfaced scalars (norm, first unit component, dim) are plain
+    # float64 math, identical on both engines at 6 dp — summation-order
+    # ulps are far below the rounding grain for O(1..100) norms.
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+                   AS nrm
+        FROM embeddings
+    )
+    SELECT vec_id,
+           round(nrm, 6) AS norm,
+           round(CASE WHEN nrm > 0 THEN e[1] / nrm ELSE e[1] END, 6) AS unit_x0,
+           CAST(len(e) AS INT) AS dim
+    FROM s
+    """,
     doc="mapInArrow embedding L2-normalization: numpy directly on Arrow "
-    "batches, zero pandas overhead — rows-only check + unit-tested contract.",
+    "batches, zero pandas overhead; surfaced scalars oracle-checked.",
 )
 def arrow_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The third Python-integration tier after pandas_udf/applyInPandas:
@@ -161,6 +176,7 @@ def arrow_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
         FROM documents
     ) t
+    WHERE word <> ''
     GROUP BY doc_id, word
     HAVING COUNT(*) >= 2
     """,
@@ -185,8 +201,12 @@ def udtf_repeated_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, doc_id, text):  # noqa: ANN001 (Spark calls positionally)
             from collections import Counter
 
-            for w, c in Counter((text or "").split()).items():
-                if c >= 2:
+            # split(" ") — single-space delimiter, identical to the oracle's
+            # string_split(text, ' '); empty tokens dropped on BOTH sides so
+            # the tokenizers are defined identically, not coincidentally
+            # equal on a corpus with no runs of whitespace.
+            for w, c in Counter((text or "").split(" ")).items():
+                if c >= 2 and w:
                     yield w, int(c)
 
     spark.udtf.register("repeated_terms_udtf", RepeatedTerms)

@@ -45,6 +45,67 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return _wrap
 
 
+# The correctness driver samples only the FIRST 50 entries of load_all()
+# per round, so registration order decides which queries accumulate official
+# evidence.  We order the dict so queries with no official CORRECTNESS row yet
+# come first (a few known-green sentinels lead, as a canary for harness-level
+# breakage), which rotates the whole registry through the driver's window
+# across rounds.  Correctness of each query is unaffected — only dict order.
+
+#: Known-green, cheap queries placed at the head of the ordering each round.
+_SENTINELS = ("dedup_exact_text", "agg_distinct", "filter_like_project")
+
+#: Tie-break among never-checked queries: lower = earlier.  Streaming, UDF,
+#: temporal, window, and subquery surfaces had zero official rows after r2
+#: (VERDICT.md "What's missing" #1), so they outrank everything else.
+_MODULE_PRIORITY = {
+    "streaming.windows": 0,
+    "streaming.rollup": 0,
+    "streaming.sessionize": 0,
+    "operators.udfs": 1,
+    "operators.temporal": 2,
+    "operators.windows": 3,
+    "operators.subqueries": 4,
+    "operators.skew": 5,
+    "operators.relational": 6,
+    "operators.scalars": 7,
+}
+
+
+def _officially_checked() -> frozenset[str]:
+    """Names that already appear in any official CORRECTNESS_r*.json."""
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    names: set[str] = set()
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            names.update(json.loads(path.read_text()))
+        except (OSError, ValueError):
+            continue
+    return frozenset(names)
+
+
+def _driver_order(registry: dict[str, Query]) -> dict[str, Query]:
+    checked = _officially_checked()
+    reg_index = {name: i for i, name in enumerate(registry)}
+
+    def mod_key(name: str) -> int:
+        mod = registry[name].fn.__module__
+        suffix = ".".join(mod.split(".")[-2:])
+        return _MODULE_PRIORITY.get(suffix, 99)
+
+    sentinels = [n for n in _SENTINELS if n in registry]
+    rest = [n for n in registry if n not in sentinels]
+    never = sorted(
+        (n for n in rest if n not in checked),
+        key=lambda n: (mod_key(n), reg_index[n]),
+    )
+    seen = [n for n in rest if n in checked]
+    return {n: registry[n] for n in (*sentinels, *never, *seen)}
+
+
 def load_all() -> dict[str, Query]:
     """Import every operator module so its ``@register`` calls run."""
     # Imports are here (not module top) to avoid circular imports.
@@ -71,4 +132,4 @@ def load_all() -> dict[str, Query]:
         windows as streaming_windows,
     )
 
-    return REGISTRY
+    return _driver_order(REGISTRY)

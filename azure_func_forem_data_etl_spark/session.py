@@ -160,9 +160,18 @@ def ensure_query_session_conf(spark: SparkSession) -> None:
     # but STREAMING state partitioning is fixed at query start — a
     # stream-stream join under 200 state-store partitions on a laptop-class
     # runner pays ~25x state-maintenance overhead (observed 45 s -> ~2 s for
-    # streaming_interval_join at sf0.01).  An explicit non-default setting
-    # is the caller's sizing decision; leave it alone.
-    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+    # streaming_interval_join at sf0.01).  An explicit setting — via
+    # builder/spark-submit conf (visible in the SparkConf) or a value we
+    # didn't write ourselves — is the caller's sizing decision; leave it
+    # alone.  The value-equals-"200" sniff alone can't distinguish an
+    # explicit 200, so both signals gate the override.
+    explicitly_set = spark.sparkContext.getConf().contains(
+        "spark.sql.shuffle.partitions"
+    )
+    if (
+        not explicitly_set
+        and spark.conf.get("spark.sql.shuffle.partitions", "200") == "200"
+    ):
         spark.conf.set(
             "spark.sql.shuffle.partitions",
             str(max(8, spark.sparkContext.defaultParallelism)),

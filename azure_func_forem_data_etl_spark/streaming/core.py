@@ -37,8 +37,10 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``pathGlobFilter`` selecting the one table.  Schema comes from a batch
     read of the same file (a real deployment pins the schema explicitly —
     streaming sources cannot infer).  ``events.ts`` gets the same
-    TIMESTAMP(NANOS) → µs normalization as the batch loader
-    (sources/tables.py).
+    normalization as the batch loader (sources/tables.py), covering both
+    physical types the generator has shipped: TIMESTAMP(NANOS) (read as
+    bigint via nanosAsLong, truncated to µs) and TIMESTAMP_NTZ (cast to a
+    session-TZ timestamp; value-preserving because the session is UTC).
     """
     ensure_query_session_conf(spark)
     schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema

@@ -105,23 +105,30 @@ def main() -> None:
 
     cold = run_all()   # pass 1: includes JIT/codegen warm-up
     warm = run_all()   # pass 2: steady state
-    times = {k: min(cold[k], warm[k]) for k in warm}
+    times = {k: round(min(cold[k], warm[k]), 2) for k in warm}
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "cold_value": round(sum(cold.values()), 3),
-                "queries_cold": cold,
-            }
-        )
+    headline = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    # Full detail (incl. cold pass) goes to a file; stdout gets ONE compact
+    # line as the very last output.  The driver captures only a bounded tail
+    # of stdout, so the printed line must stay well under ~1.5 KB — r2's
+    # headline was unparseable because queries_cold pushed it past the
+    # window (VERDICT.md "What's missing" #2).
+    detail = dict(headline)
+    detail["cold_value"] = round(sum(cold.values()), 3)
+    detail["queries_cold"] = cold
+    Path(REPO, "BENCH_headline.json").write_text(
+        json.dumps(detail, separators=(",", ":"))
     )
     spark.stop()
+    sys.stdout.flush()
+    print(json.dumps(headline, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

@@ -663,3 +663,50 @@ def test_unigram_logprob_monotone_in_word_rarity(spark, sf_dir):
         i: rows[i].sum_log10_prob / rows[i].n_words for i in (900000, 900001)
     }
     assert per_word[900000] > per_word[900001], per_word
+
+
+# ---------------------------------------------------------------------------
+# quadratic-tier guards + curation funnel twin
+
+
+def test_quadratic_guard_raises_on_oversized_input(spark, sf_dir):
+    """The all-pairs oracle tiers must refuse inputs beyond their sample
+    bound instead of silently compiling an O(n^2) join."""
+    from azure_func_forem_data_etl_spark.operators._guards import (
+        assert_bounded_input,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    with pytest.raises(ValueError, match="all-pairs bound"):
+        assert_bounded_input(docs, "test_tier", bound=5)
+    # Bounded input passes through unchanged.
+    assert assert_bounded_input(docs.limit(3), "test_tier", bound=5) is not None
+
+
+def test_curation_summary_twin_consistent_with_full_pipeline(spark, sf_dir):
+    """The oracle-backed no-neardup twin must agree with the full pipeline
+    on everything except the near-dup reassignment: identical totals,
+    identical low_quality/exact_dup buckets, and the near_dup bucket drains
+    only from the split buckets."""
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    reg = load_all()
+    full = {
+        r["bucket"]: (r["n_docs"], r["n_words_total"])
+        for r in reg["curation_pipeline_summary"].fn(spark, sf_dir).collect()
+    }
+    twin = {
+        r["bucket"]: (r["n_docs"], r["n_words_total"])
+        for r in reg["curation_summary_no_neardup"].fn(spark, sf_dir).collect()
+    }
+    assert sum(v[0] for v in full.values()) == sum(v[0] for v in twin.values())
+    for b in ("low_quality", "exact_dup"):
+        assert full.get(b) == twin.get(b), b
+    n_near = full.get("near_dup", (0, 0))[0]
+    for b in ("train", "val", "test"):
+        assert full.get(b, (0, 0))[0] <= twin.get(b, (0, 0))[0]
+    drained = sum(
+        twin.get(b, (0, 0))[0] - full.get(b, (0, 0))[0]
+        for b in ("train", "val", "test")
+    )
+    assert drained == n_near
