@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from azure_func_forem_data_etl_spark.operators.text import _SW_SQL, text_quality_score
+from azure_func_forem_data_etl_spark.operators.text import _SW_SQL, _hits, STOPWORDS
 from azure_func_forem_data_etl_spark.plans.registry import register
 from azure_func_forem_data_etl_spark.sources.tables import table
 
@@ -41,12 +41,28 @@ def _split_expr(id_col: str) -> F.Column:
 def doc_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, quality_score, status, split): the SQL-expressible pipeline
     prefix.  status ∈ {low_quality, exact_dup, kept}; split only for kept.
-    Exact dedup runs among quality survivors (keep min doc_id per md5)."""
+    Exact dedup runs among quality survivors (keep min doc_id per md5).
+
+    The quality score is computed INLINE on the scan (same formula as
+    ``text_quality_score``) rather than joining that query's output back
+    on doc_id: both sides of that join were the same documents scan, so
+    inlining deletes a full-corpus self-join + shuffle from the plan.
+    Empty docs get NULL qs/n_words via the CASE guard — identical to the
+    left join against the size>0-filtered quality output."""
     docs = table(spark, sf_dir, "documents")
-    q = text_quality_score(spark, sf_dir).select(
-        "doc_id", F.round("quality_score", 6).alias("qs"), "n_words"
+    words = F.split("text", " ")
+    nw = F.size(words)
+    qs_raw = (
+        0.5 * (_hits("split(text, ' ')", STOPWORDS) / nw)
+        + 0.3 * F.least(nw / 100.0, F.lit(1.0))
+        + 0.2 * (F.size(F.array_distinct(words)) / nw)
     )
-    d = docs.select("doc_id", "text").join(q, "doc_id", "left")
+    d = docs.select(
+        "doc_id",
+        "text",
+        F.when(nw > 0, F.round(qs_raw, 6)).alias("qs"),
+        F.when(nw > 0, nw).alias("n_words"),
+    )
     # Compute the content fingerprint ONCE and carry it as a column: the
     # rep-join then keys on a column reference instead of re-hashing the
     # full text on both join sides (one md5 pass over the corpus, not two).

@@ -21,6 +21,7 @@ import random
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from azure_func_forem_data_etl_spark.plans.registry import register
 from azure_func_forem_data_etl_spark.sources.tables import scale_out, table
@@ -317,7 +318,10 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = MINHASH_VERIFY_THRESHO
     # up by the ContextCleaner when the plan is GC'd; the 100 TB version of
     # this line is an explicit parquet materialization of the shingle table.
     sh = sh.localCheckpoint(eager=True)
-    sig = minhash_signatures(sh)
+    # One short row per doc, consumed by TWO branches (banding and the
+    # verification sizes): materialize it or the signature aggregation
+    # runs twice over the shingle table.
+    sig = minhash_signatures(sh).localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(sig)
     sizes = sig.select("doc_id", "n_sh")
     return verify_jaccard(cand, sh, sizes).filter(F.col("jaccard") >= threshold)
@@ -406,23 +410,78 @@ def simhash_pairs(
 # Near-dup clustering: connected components over the verified-pair graph
 
 
+#: Below this many (undirected) edges the component graph fits trivially on
+#: the driver and a union-find beats ~8 tiny Spark jobs of label
+#: propagation — the same adaptive-threshold idea as broadcast joins.
+CC_DRIVER_EDGE_BOUND = 100_000
+
+
+def _driver_union_find(rows, id_type) -> list[tuple]:
+    """Min-root union-find over collected edge rows; path-compressed."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            # attach the larger root under the smaller -> root == min id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(v, find(v)) for v in parent]
+
+
 def connected_components(
     edges: DataFrame, src: str, dst: str, max_iter: int = 20
 ) -> DataFrame:
     """Min-label propagation -> (id, comp): every vertex labeled with the
     smallest id reachable from it; one cluster per duplicate group.
 
-    Each iteration is one join + one min-agg (both keyed shuffles), with
+    Scale-adaptive: the deduplicated edge set is materialized once, and if
+    it is under ``CC_DRIVER_EDGE_BOUND`` the components are solved with a
+    driver-side union-find (near-dup graphs are SPARSE — edges ~ dup pairs,
+    not corpus size — so this is the common case and costs zero extra Spark
+    jobs).  Larger graphs run distributed min-label propagation: each
+    iteration is one join + one min-agg (both keyed shuffles), with
     ``localCheckpoint`` truncating the lineage so plan depth stays constant
     — the iterative-algorithm pattern Spark supports well.  Converges in
     O(graph diameter) rounds; dup graphs are near-clique, so diameter is
     tiny.  At 100 TB-scale graphs the same loop is upgraded to the
     large-star/small-star exchange (Kiveris et al.), which bounds message
-    volume per round; the loop skeleton is unchanged.
+    volume per round; the loop skeleton is unchanged.  Both paths produce
+    the identical labeling (min reachable id), so the cutover is invisible
+    to callers.
     """
-    und = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    und = und.unionByName(
-        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # Materialize the edge list ONCE before anything fans out: the
+    # symmetric-closure union below has two branches over this plan, and
+    # callers typically pass an expensive un-materialized pair pipeline
+    # (MinHash verify join) — without the checkpoint that plan executes
+    # twice.
+    base = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
+
+    n_edges = base.count()  # cheap: counts the checkpointed blocks
+    if n_edges <= CC_DRIVER_EDGE_BOUND:
+        # Union-find needs neither direction-doubling nor dedup — raw
+        # directed edges suffice, so the driver path skips those shuffles.
+        id_type = base.schema[0].dataType
+        labeled = _driver_union_find(
+            [(r["src"], r["dst"]) for r in base.collect()], id_type
+        )
+        out_schema = T.StructType(
+            [T.StructField("id", id_type), T.StructField("comp", id_type)]
+        )
+        return edges.sparkSession.createDataFrame(labeled, out_schema)
+
+    und = base.unionByName(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     und = und.localCheckpoint(eager=True)
     labels = (
