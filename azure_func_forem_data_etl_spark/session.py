@@ -137,7 +137,17 @@ def get_spark(
     if storage is not None:
         for k, v in storage.settings.items():
             builder = builder.config(f"spark.hadoop.{k}", v)
-    return builder.getOrCreate()
+    session = builder.getOrCreate()
+    if storage is not None:
+        # getOrCreate may have REUSED an existing SparkContext, whose Hadoop
+        # configuration was frozen at startup — builder configs never reach
+        # it.  Apply the storage settings onto the live Hadoop conf too so
+        # attaching credentials to an existing session works instead of
+        # silently failing at first read/write.  Idempotent for new sessions.
+        hconf = session.sparkContext._jsc.hadoopConfiguration()
+        for k, v in storage.settings.items():
+            hconf.set(k, v)
+    return session
 
 
 def ensure_query_session_conf(spark: SparkSession) -> None:

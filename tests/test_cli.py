@@ -135,3 +135,29 @@ def test_storage_config_required_subset():
         settings={"fs.s3a.access.key": "AK", "fs.s3a.secret.key": "SK", "fs.s3a.endpoint": ""},
         required=("fs.s3a.access.key", "fs.s3a.secret.key"),
     ).validate()
+
+
+def test_storage_config_fake_cloud_roundtrip(spark, tmp_path):
+    """End-to-end proof of the StorageConfig -> spark.hadoop.* plumbing
+    with a NON-file:// scheme and zero network: Hadoop's viewfs resolves
+    purely from configuration, so a mount-table entry injected through
+    StorageConfig is only visible to the write/read below if the settings
+    actually reached the Hadoop conf the DataFrame reader/writer uses —
+    the same path an abfss account key or s3a credential takes
+    (reference parity: fetch_articles.py:21-30, container write :128-133).
+    """
+    from azure_func_forem_data_etl_spark.session import StorageConfig, get_spark
+
+    target = tmp_path / "bronze"
+    cfg = StorageConfig(
+        scheme="viewfs",
+        settings={
+            "fs.viewfs.mounttable.fauxcloud.link./bronze": f"file://{target}"
+        },
+    )
+    s = get_spark(app_name="cloud-smoke", storage=cfg)  # reuses test session
+    df = s.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df.write.mode("overwrite").parquet("viewfs://fauxcloud/bronze/t")
+    back = s.read.parquet("viewfs://fauxcloud/bronze/t")
+    assert sorted((r.id, r.v) for r in back.collect()) == [(1, "a"), (2, "b")]
+    assert (target / "t").exists()  # landed through the mount, on disk
