@@ -330,8 +330,14 @@ def lsh_topk(
             [], "query_id long, neighbor_id long, cos_sim double, rnk int"
         )
     mapper, sig_schema = _signature_mapper(_hyperplanes(dim))
-    sigs = scale_out(emb.select("vec_id", "embedding"), "vec_id").mapInPandas(
-        mapper, schema=sig_schema
+    # The signature table feeds BOTH sides of the bucket join (query probes
+    # and corpus postings); materialize it once or the Python signature
+    # pass runs twice.  It is 16 short rows per vector — the persisted
+    # index table of a real ANN deployment.
+    sigs = (
+        scale_out(emb.select("vec_id", "embedding"), "vec_id")
+        .mapInPandas(mapper, schema=sig_schema)
+        .localCheckpoint(eager=True)
     )
     # Multi-probe: each query also probes the LSH_BITS hamming-1 buckets,
     # lifting candidate recall ~3x for a 7x (tiny) lookup cost.
