@@ -110,6 +110,7 @@ def load_all() -> dict[str, Query]:
     """Import every operator module so its ``@register`` calls run."""
     # Imports are here (not module top) to avoid circular imports.
     from azure_func_forem_data_etl_spark.operators import (  # noqa: F401
+        cdc,
         clustering,
         curation,
         dedup,
