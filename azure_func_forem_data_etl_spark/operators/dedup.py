@@ -437,32 +437,126 @@ def _driver_union_find(rows, id_type) -> list[tuple]:
     return [(v, find(v)) for v in parent]
 
 
-def connected_components(
-    edges: DataFrame, src: str, dst: str, max_iter: int = 20
-) -> DataFrame:
-    """Min-label propagation -> (id, comp): every vertex labeled with the
-    smallest id reachable from it; one cluster per duplicate group.
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., CC in MapReduce and Beyond).
 
-    Scale-adaptive: the deduplicated edge set is materialized once, and if
-    it is under ``CC_DRIVER_EDGE_BOUND`` the components are solved with a
-    driver-side union-find (near-dup graphs are SPARSE — edges ~ dup pairs,
-    not corpus size — so this is the common case and costs zero extra Spark
-    jobs).  Larger graphs run distributed min-label propagation: each
-    iteration is one join + one min-agg (both keyed shuffles), with
-    ``localCheckpoint`` truncating the lineage so plan depth stays constant
-    — the iterative-algorithm pattern Spark supports well.  Converges in
-    O(graph diameter) rounds; dup graphs are near-clique, so diameter is
-    tiny.  At 100 TB-scale graphs the same loop is upgraded to the
-    large-star/small-star exchange (Kiveris et al.), which bounds message
-    volume per round; the loop skeleton is unchanged.  Both paths produce
-    the identical labeling (min reachable id), so the cutover is invisible
-    to callers.
+    For every node ``u`` with neighborhood Γ(u) (edges viewed undirected)
+    and m = min(Γ(u) ∪ {u}), emit (v, m) for each strictly-larger neighbor
+    v > u.  Hangs every high node directly off the local minimum, halving
+    long chains each round.  One groupBy + one join, both keyed on node id.
     """
-    # Materialize the edge list ONCE before anything fans out: the
-    # symmetric-closure union below has two branches over this plan, and
-    # callers typically pass an expensive un-materialized pair pipeline
-    # (MinHash verify join) — without the checkpoint that plan executes
-    # twice.
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    mins = und.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return (
+        und.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: edges directed high→low (src > dst); for each
+    node u with low-neighborhood N(u) and m = min(N(u)), emit (v, m) for
+    every v ∈ N(u) ∪ {u} except m itself.  Flattens the low side into a
+    star around the minimum."""
+    d = (
+        e.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    mins = d.groupBy("src").agg(F.min("dst").alias("m"))  # m < src by dir.
+    return (
+        d.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .unionByName(mins.select("src", F.col("m").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 50
+) -> DataFrame:
+    """Distributed connected components via alternating large-star /
+    small-star rounds -> (id, comp), comp = min id in the component.
+
+    Unlike min-label propagation (O(graph diameter) rounds — linear on a
+    path graph), the star exchange converges in O(log² n) rounds with
+    per-round message volume bounded by the current edge count, which only
+    shrinks — the property that makes it the standard 100 TB-scale CC
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14; same family as GraphFrames' default CC).  Every round is two
+    keyed shuffles (groupBy min + join back) with ``localCheckpoint``
+    truncating lineage so plan depth stays constant.  Convergence is
+    detected by an edge-set fingerprint (count + sum + bit-XOR of
+    xxhash64) — one tiny agg job per round instead of a set-diff join.
+    """
+    base = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("src"),
+            F.least(F.col(src), F.col(dst)).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Vertex universe from the ORIGINAL edges (self-loops included): nodes
+    # that end up as star centers or isolated still need an output row.
+    verts = (
+        base.select(F.col("src").alias("id"))
+        .unionByName(base.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    e = base.filter(F.col("src") != F.col("dst"))
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        h = F.xxhash64("src", "dst")
+        # decimal(38,0) sum: 64-bit hash sums overflow long under ANSI mode
+        sig = tuple(
+            e.agg(
+                F.count(F.lit(1)),
+                F.sum(h.cast("decimal(38,0)")),
+                F.bit_xor(h),
+            ).first()
+        )
+        if sig == prev_sig:  # star set stable -> converged
+            break
+        prev_sig = sig
+    # Converged edge set is a disjoint star forest: (member, component min).
+    return verts.join(
+        e.withColumnRenamed("src", "id"), "id", "left"
+    ).select("id", F.coalesce("dst", "id").alias("comp"))
+
+
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 50
+) -> DataFrame:
+    """Adaptive connected components -> (id, comp): every vertex labeled
+    with the smallest id reachable from it; one cluster per dup group.
+
+    The deduplicated edge set is materialized once, and if it is under
+    ``CC_DRIVER_EDGE_BOUND`` the components are solved with a driver-side
+    union-find (near-dup graphs are SPARSE — edges ~ dup pairs, not corpus
+    size — so this is the common case and costs zero extra Spark jobs).
+    Larger graphs run the large-star/small-star exchange
+    (``connected_components_star``), whose round count is O(log² n)
+    regardless of graph diameter.  Both paths produce the identical
+    labeling (min reachable id), so the cutover is invisible to callers —
+    the same adaptive-threshold idea as broadcast-vs-shuffle joins.
+    """
+    # Materialize the edge list ONCE before anything fans out: callers
+    # typically pass an expensive un-materialized pair pipeline (MinHash
+    # verify join) — without the checkpoint the fan-out below would
+    # execute that plan repeatedly.
     base = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).localCheckpoint(eager=True)
@@ -480,36 +574,7 @@ def connected_components(
         )
         return edges.sparkSession.createDataFrame(labeled, out_schema)
 
-    und = base.unionByName(
-        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    und = und.localCheckpoint(eager=True)
-    labels = (
-        und.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
-    )
-    for _ in range(max_iter):
-        msgs = und.join(labels, und["src"] == labels["id"]).select(
-            F.col("dst").alias("id"), F.col("comp")
-        )
-        # Convergence detection is fused into the label aggregation: the
-        # vertex's own (previous) label is tagged and carried through the
-        # same min-agg, so "did anything change" is a join-free filter over
-        # the freshly checkpointed blocks — one tiny follow-up job instead
-        # of the labels⋈labels shuffle a separate diff would cost per round.
-        ann = (
-            labels.withColumn("_own", F.lit(True))
-            .unionByName(msgs.withColumn("_own", F.lit(False)))
-            .groupBy("id")
-            .agg(
-                F.min("comp").alias("comp"),
-                F.min(F.when(F.col("_own"), F.col("comp"))).alias("_prev"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        labels = ann.select("id", "comp")
-        if ann.filter(F.col("comp") < F.col("_prev")).limit(1).count() == 0:
-            break
-    return labels
+    return connected_components_star(base, "src", "dst", max_iter=max_iter)
 
 
 @register(

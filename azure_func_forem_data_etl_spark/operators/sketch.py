@@ -124,3 +124,43 @@ def hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users")
     ).select(F.lit(None).cast("timestamp").alias("day"), "distinct_users")
     return per_day.unionByName(overall)
+
+
+@register(
+    "theta_sketch_setops",
+    oracle=None,  # binary theta sketches are engine-specific; error bounds unit-tested
+    doc="Theta sketch set algebra (theta_sketch_agg / union / intersection / "
+    "difference): distinct-user estimates for two event types plus their "
+    "union, overlap, and A-minus-B — the sketch family that answers "
+    "audience-overlap questions at 100 TB without a distinct-join.",
+)
+def theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why theta over HLL here: HLL only unions; theta sketches support
+    intersection and difference, so 'users who did A and B' never needs
+    the raw data again.  Build is one partial-aggregated groupBy (a few
+    KB per sketch); every set operation is driver-cheap scalar algebra
+    on two binary values.  The two event types are the lexicographic
+    first two — deterministic without data-dependent constants."""
+    events = table(spark, sf_dir, "events")
+    types = events.select("event_type").distinct().orderBy("event_type").limit(2)
+    sks = (
+        events.join(F.broadcast(types), "event_type", "left_semi")
+        .groupBy("event_type")
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+    )
+    two = sks.agg(
+        F.min_by("event_type", "event_type").alias("type_a"),
+        F.max_by("event_type", "event_type").alias("type_b"),
+        F.min_by("sk", "event_type").alias("sk_a"),
+        F.max_by("sk", "event_type").alias("sk_b"),
+    )
+    est = F.theta_sketch_estimate
+    return two.select(
+        "type_a",
+        "type_b",
+        F.round(est("sk_a"), 1).alias("distinct_a"),
+        F.round(est("sk_b"), 1).alias("distinct_b"),
+        F.round(est(F.theta_union("sk_a", "sk_b")), 1).alias("union_est"),
+        F.round(est(F.theta_intersection("sk_a", "sk_b")), 1).alias("inter_est"),
+        F.round(est(F.theta_difference("sk_a", "sk_b")), 1).alias("a_minus_b_est"),
+    )

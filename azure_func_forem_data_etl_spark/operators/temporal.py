@@ -449,3 +449,59 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("spine_day", "yyyy-MM-dd").alias("day"))
         .agg(F.countDistinct("user_id").alias("users_7d"))
     )
+
+
+@register(
+    "sessionize_gap_islands",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT *, SUM(is_start) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS session_no
+        FROM marked
+    )
+    SELECT user_id,
+           CAST(session_no AS INT) AS session_no,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           {sql_dsum("value")} AS total_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+    doc="Batch sessionization (gap-and-islands): 30-min inactivity gap "
+    "starts a new session; lag-mark + running-sum island ids + one "
+    "per-session aggregate.",
+)
+def sessionize_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch twin of ``streaming_sessionize_state``: both window
+    passes (gap mark, island number) and the final groupBy all key on
+    user_id, so Catalyst plans ONE shuffle feeding two Window operators
+    and a partial-aggregated groupBy — the cheapest shape for
+    sessionization at rest.  Contrast with the streaming path, which
+    needs per-key state because it cannot see the whole timeline.
+    event_id breaks ts ties exactly like the oracle's WINDOW clause."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_min = (
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    ) / 60.0
+    marked = events.withColumn(
+        "is_start",
+        F.when(gap_min <= 30, F.lit(0)).otherwise(F.lit(1)),
+    )
+    numbered = marked.withColumn(
+        "session_no", F.sum("is_start").over(w).cast("int")
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        dsum("value").alias("total_value"),
+    )

@@ -268,6 +268,65 @@ def test_connected_components_planted_graphs(spark):
     }
 
 
+def test_connected_components_star_matches_union_find(spark):
+    """The distributed large-star/small-star tier labels identically to the
+    driver union-find on adversarial shapes: a 200-node path (worst case
+    for label propagation — O(n) rounds there, O(log n) star rounds), two
+    cliques bridged by one edge, random sparse noise, and self-loops."""
+    import random as _random
+
+    from azure_func_forem_data_etl_spark.operators.dedup import (
+        _driver_union_find,
+        connected_components_star,
+    )
+
+    rng = _random.Random(7)
+    chain = [(i, i + 1) for i in range(1000, 1200)]
+    cliques = [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+    cliques += [(a, b) for a in range(20, 25) for b in range(a + 1, 25)]
+    bridge = [(14, 20)]
+    noise = [(rng.randrange(500, 600), rng.randrange(500, 600)) for _ in range(80)]
+    loops = [(3000, 3000)]
+    all_edges = chain + cliques + bridge + noise + loops
+
+    edges = spark.createDataFrame(all_edges, "a: long, b: long")
+    got = {
+        (r["id"], r["comp"])
+        for r in connected_components_star(edges, "a", "b").collect()
+    }
+    expect = set(_driver_union_find(all_edges, None))
+    assert got == expect
+    # one row per distinct vertex
+    verts = {v for e in all_edges for v in e}
+    assert len(got) == len(verts)
+    # every component label is the component minimum
+    comp_min: dict = {}
+    for vid, comp in got:
+        comp_min.setdefault(comp, []).append(vid)
+    for comp, members in comp_min.items():
+        assert comp == min(members + [comp])
+
+
+def test_connected_components_dispatch_equivalence(spark):
+    """The adaptive wrapper (driver tier at this size) and the distributed
+    star path agree on the same planted graph."""
+    from azure_func_forem_data_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    raw = [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (5, 5)]
+    edges = spark.createDataFrame(raw, "a: long, b: long")
+    via_driver = {
+        (r["id"], r["comp"]) for r in connected_components(edges, "a", "b").collect()
+    }
+    via_star = {
+        (r["id"], r["comp"])
+        for r in connected_components_star(edges, "a", "b").collect()
+    }
+    assert via_driver == via_star
+
+
 def test_neardup_clusters_are_consistent(spark, sf_dir):
     """Cluster invariants on the real corpus: cluster_id == min(member),
     exactly one representative per cluster, one row per doc, and every
