@@ -114,6 +114,7 @@ def load_all() -> dict[str, Query]:
         clustering,
         curation,
         dedup,
+        graph,
         hygiene,
         multimodal,
         relational,
@@ -130,6 +131,7 @@ def load_all() -> dict[str, Query]:
     from azure_func_forem_data_etl_spark.streaming import (  # noqa: F401
         rollup as streaming_rollup,
         sessionize,
+        upsert as streaming_upsert,
         windows as streaming_windows,
     )
 

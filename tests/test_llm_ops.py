@@ -179,6 +179,36 @@ def test_count_min_sketch_bounds(spark, sf_dir):
         assert r["est"] - r["true_cnt"] <= eps_bound, r
 
 
+def test_theta_sketch_setops_error_bounds(spark, sf_dir):
+    """Theta estimates for A, B, A∪B, A∩B, A\\B all within 5% (+small
+    absolute slack) of the exact set algebra on user ids."""
+    rows = REGISTRY["theta_sketch_setops"].fn(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    events = table(spark, sf_dir, "events")
+    users = {
+        t: {
+            x["user_id"]
+            for x in events.filter(F.col("event_type") == t)
+            .select("user_id")
+            .distinct()
+            .collect()
+        }
+        for t in (r["type_a"], r["type_b"])
+    }
+    a, b = users[r["type_a"]], users[r["type_b"]]
+    exact = {
+        "distinct_a": len(a),
+        "distinct_b": len(b),
+        "union_est": len(a | b),
+        "inter_est": len(a & b),
+        "a_minus_b_est": len(a - b),
+    }
+    for col, want in exact.items():
+        got = r[col]
+        assert abs(got - want) <= max(5, 0.05 * want), (col, got, want)
+
+
 def test_doc_chunking_invariants(spark, sf_dir):
     """Chunks cover every token; stride-aligned starts; bounded size;
     re-concatenating the non-overlapping halves rebuilds the doc."""

@@ -359,3 +359,67 @@ def test_sessionize_timeout_closes_by_watermark(spark, tmp_path):
     assert rows == {
         (1, "2024-01-01 00:00:00", "2024-01-01 00:15:00", 2)
     }, rows
+
+
+def test_upsert_merges_across_batches(spark, tmp_path):
+    """foreachBatch latest-wins merge: a key updated in a LATER micro-batch
+    replaces its earlier state row; keys from both batches survive; an
+    older-ts replay arriving later does NOT win."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from azure_func_forem_data_etl_spark.streaming.upsert import run_upsert_stream
+
+    land = tmp_path / "land"
+    land.mkdir()
+
+    def write_batch(name, rows, mtime):
+        pdf = pd.DataFrame(
+            {
+                "event_id": pd.Series([e for e, *_ in rows], dtype="int64"),
+                "user_id": pd.Series([u for _, u, *_ in rows], dtype="int64"),
+                "ts": pd.to_datetime([t for *_, t, _ in rows]).astype(
+                    "datetime64[us]"
+                ),
+                "event_type": pd.Series([v for *_, v in rows], dtype="object"),
+            }
+        )
+        path = str(land / name)
+        pq.write_table(pa.Table.from_pandas(pdf), path)
+        os.utime(path, (mtime, mtime))
+
+    # batch 1: users 1+2.  batch 2: user 2 updated (newer ts), user 3 new,
+    # user 1 replayed with an OLDER ts (must lose).
+    write_batch(
+        "b1.parquet",
+        [(10, 1, "2024-01-01 10:00:00", "click"),
+         (11, 2, "2024-01-01 10:01:00", "view")],
+        1_700_000_000,
+    )
+    write_batch(
+        "b2.parquet",
+        [(12, 2, "2024-01-01 11:00:00", "purchase"),
+         (13, 3, "2024-01-01 11:01:00", "click"),
+         (9, 1, "2024-01-01 09:00:00", "stale_replay")],
+        1_700_000_100,
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    state = run_upsert_stream(spark, stream, str(tmp_path / "st"))
+    rows = {
+        (r["user_id"], r["event_type"], str(r["ts"]))
+        for r in spark.read.parquet(state).collect()
+    }
+    assert rows == {
+        (1, "click", "2024-01-01 10:00:00"),
+        (2, "purchase", "2024-01-01 11:00:00"),
+        (3, "click", "2024-01-01 11:01:00"),
+    }, rows
