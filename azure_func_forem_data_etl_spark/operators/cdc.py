@@ -68,3 +68,91 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().cast("int").alias("is_current"),
     )
+
+
+@register(
+    "snapshot_diff_user_state",
+    oracle="""
+    WITH bounds AS (
+        -- integer epoch-micros midpoints: engine-exact, no interval rounding
+        SELECT MIN(epoch_us(ts)) + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 2 AS t1,
+               MIN(epoch_us(ts)) + 3 * (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 4 AS t2
+        FROM events
+    ),
+    old_state AS (
+        SELECT user_id, event_type
+        FROM events, bounds WHERE epoch_us(ts) <= t1
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) = 1
+    ),
+    new_state AS (
+        SELECT user_id, event_type
+        FROM events, bounds WHERE epoch_us(ts) <= t2
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'inserted'
+                WHEN n.user_id IS NULL THEN 'deleted'
+                ELSE 'updated' END AS change_type,
+           o.event_type AS old_state,
+           n.event_type AS new_state
+    FROM old_state o FULL OUTER JOIN new_state n ON o.user_id = n.user_id
+    WHERE o.user_id IS NULL OR n.user_id IS NULL
+       OR o.event_type <> n.event_type
+    """,
+    doc="Snapshot diff (CDC derivation): latest-state-per-user at two "
+    "points in time, FULL OUTER joined on the key; emits "
+    "inserted/updated/deleted rows only — how a lakehouse derives a "
+    "changelog between table versions when the source has none.",
+)
+def snapshot_diff_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each snapshot is one keyed window pass; the diff is one full-outer
+    join on the key with payload comparison as a residual — no shuffle
+    beyond the two snapshot builds and the key join.  Snapshot times are
+    derived from the data's own ts range (50% / 75% points), so the query
+    is deterministic without wall-clock constants (reference parity:
+    fetch_articles.py derives its cutoff from persisted state, not now())."""
+    events = table(spark, sf_dir, "events").withColumn(
+        "__us", F.unix_micros("ts")
+    )
+    b = events.agg(
+        F.min("__us").alias("lo"), F.max("__us").alias("hi")
+    ).select(
+        # integer div: epoch micros (~1.7e18) exceed double's exact range
+        F.expr("lo + (hi - lo) div 2").alias("t1"),
+        F.expr("lo + 3 * (hi - lo) div 4").alias("t2"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def state_at(bound_col: str) -> DataFrame:
+        return (
+            events.crossJoin(F.broadcast(b))
+            .filter(F.col("__us") <= F.col(bound_col))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("user_id", "event_type")
+        )
+
+    old = state_at("t1").select(
+        F.col("user_id").alias("o_uid"), F.col("event_type").alias("old_state")
+    )
+    new = state_at("t2").select(
+        F.col("user_id").alias("n_uid"), F.col("event_type").alias("new_state")
+    )
+    diff = old.join(new, old["o_uid"] == new["n_uid"], "full_outer")
+    return diff.filter(
+        F.col("o_uid").isNull()
+        | F.col("n_uid").isNull()
+        | (F.col("old_state") != F.col("new_state"))
+    ).select(
+        F.coalesce("o_uid", "n_uid").alias("user_id"),
+        F.when(F.col("o_uid").isNull(), F.lit("inserted"))
+        .when(F.col("n_uid").isNull(), F.lit("deleted"))
+        .otherwise(F.lit("updated"))
+        .alias("change_type"),
+        "old_state",
+        "new_state",
+    )

@@ -137,3 +137,74 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_triangles"),
         F.lit(n_edges).cast("long").alias("n_edges"),
     )
+
+
+PAGERANK_ITERS = 8
+PAGERANK_DAMPING = "0.85"  # applied as an exact decimal literal
+_PR_DEC = "decimal(28,18)"
+
+
+def pagerank(edges: DataFrame, src: str, dst: str, iters: int = PAGERANK_ITERS) -> DataFrame:
+    """Fixed-iteration PageRank on the undirected graph -> (id, rank).
+
+    All arithmetic stays in the decimal domain (``decimal(28,18)``):
+    decimal addition is associative, so the per-iteration contribution
+    sums are bit-identical under ANY partitioning/aggregation order —
+    the same determinism trick as functions/exact.py, required for the
+    driver's repeatability check on iterative float algorithms.
+
+    Per iteration: one keyed join (contributions = rank/degree routed
+    along edges) + one keyed agg — the canonical 2-shuffle PageRank
+    round; ``localCheckpoint`` truncates lineage.  Undirected graphs
+    have no dangling nodes, so the (1-d) teleport plus d·contribs
+    conserves total rank = |V|.
+    """
+    und = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .unionByName(
+            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+    d = F.lit(PAGERANK_DAMPING).cast("decimal(3,2)")
+    one_minus_d = F.lit("0.15").cast("decimal(3,2)")
+    ranks = deg.select(
+        F.col("src").alias("id"), F.lit("1").cast(_PR_DEC).alias("rank")
+    )
+    for _ in range(iters):
+        contribs = (
+            und.join(deg, "src")
+            .join(ranks, und["src"] == ranks["id"])
+            .select(
+                F.col("dst"),
+                (F.col("rank") / F.col("deg")).cast(_PR_DEC).alias("contrib"),
+            )
+        )
+        ranks = (
+            contribs.groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("contrib").alias("acc"))
+            .select(
+                "id",
+                (one_minus_d + (d * F.col("acc"))).cast(_PR_DEC).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+@register(
+    "pagerank_copurchase",
+    oracle=None,  # iterative fixpoint is not ANSI-SQL-expressible; invariants unit-tested
+    doc="Fixed-iteration PageRank (decimal-domain, bit-deterministic) on "
+    "the co-purchase graph; top-20 parts by rank.",
+)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(spark, sf_dir)
+    pr = pagerank(edges, "src", "dst")
+    return (
+        pr.select("id", F.round(F.col("rank"), 10).alias("rank"))
+        .orderBy(F.col("rank").desc(), "id")
+        .limit(20)
+    )

@@ -1,0 +1,99 @@
+"""Column profiling — the data-quality pass every ingest runs before
+trusting a new drop: per-column null counts, exact distincts, and
+min/max, computed in ONE scan of the table.
+
+The single-scan shape is the point at 100 TB: all per-column aggregates
+ride one aggregation (Spark's multi-distinct plans one Expand + shuffle),
+then a map-side ``stack`` unpivots the 1-row result into (column, stats)
+rows.  The 100 TB variant swaps ``count(distinct)`` for
+``approx_count_distinct`` (HLL partials, no Expand) — same query shape,
+documented trade; exact distincts here keep the DuckDB oracle bit-exact.
+
+Values are rendered to strings per type (doubles via DECIMAL(18,2), dates
+via ISO format) so the profile has one uniform schema regardless of the
+table profiled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azure_func_forem_data_etl_spark.plans.registry import register
+from azure_func_forem_data_etl_spark.sources.tables import table
+
+#: (column, kind) — kinds pick the string rendering for min/max.
+_PROFILE_COLS = [
+    ("l_orderkey", "int"),
+    ("l_quantity", "double"),
+    ("l_discount", "double"),
+    ("l_returnflag", "string"),
+    ("l_shipdate", "date"),
+    ("l_linestatus", "string"),
+]
+
+
+def _render(col: Column, kind: str) -> Column:
+    """Type-aware string rendering, applied AFTER the min/max aggregate —
+    rendering first would make min/max lexicographic ('10.00' < '9.00')."""
+    if kind == "double":
+        return col.cast("decimal(18,2)").cast("string")
+    if kind == "date":
+        return F.date_format(col, "yyyy-MM-dd")
+    return col.cast("string")
+
+
+def _sql_render(expr: str, kind: str) -> str:
+    if kind == "double":
+        return f"CAST(CAST({expr} AS DECIMAL(18,2)) AS VARCHAR)"
+    if kind == "date":
+        return f"strftime({expr}, '%Y-%m-%d')"
+    return f"CAST({expr} AS VARCHAR)"
+
+
+def profile_columns(df: DataFrame, cols: list[tuple[str, str]]) -> DataFrame:
+    """One-scan profile -> (column, n_nulls, n_distinct, min_repr, max_repr)."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c, _ in cols:
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.min(c).alias(f"__mn_{c}"),
+            F.max(c).alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    (F.col("__n") - F.col(f"__nn_{c}")).alias("n_nulls"),
+                    F.col(f"__nd_{c}").alias("n_distinct"),
+                    _render(F.col(f"__mn_{c}"), kind).alias("min_repr"),
+                    _render(F.col(f"__mx_{c}"), kind).alias("max_repr"),
+                )
+                for c, kind in cols
+            ]
+        )
+    ).alias("p")
+    return one.select(stacked).select("p.*")
+
+
+@register(
+    "profile_lineitem_columns",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS "column",
+               COUNT(*) - COUNT({c}) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               {_sql_render(f"MIN({c})", kind)} AS min_repr,
+               {_sql_render(f"MAX({c})", kind)} AS max_repr
+        FROM lineitem
+        """
+        for c, kind in _PROFILE_COLS
+    ),
+    doc="Single-scan column profile of lineitem: null count, exact "
+    "distinct count, min/max per column, unpivoted to one row per column.",
+)
+def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile_columns(table(spark, sf_dir, "lineitem"), _PROFILE_COLS)

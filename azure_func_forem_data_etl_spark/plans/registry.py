@@ -117,6 +117,7 @@ def load_all() -> dict[str, Query]:
         graph,
         hygiene,
         multimodal,
+        profile,
         relational,
         scalars,
         similarity,

@@ -799,3 +799,28 @@ def test_curation_summary_twin_consistent_with_full_pipeline(spark, sf_dir):
         for b in ("train", "val", "test")
     )
     assert drained == n_near
+
+
+def test_pagerank_invariants(spark):
+    """Rank conservation (sum == |V| in exact decimal arithmetic), star
+    center dominance, and bit-determinism across two runs."""
+    from azure_func_forem_data_etl_spark.operators.graph import pagerank
+
+    star = [(1, i) for i in range(2, 12)]
+    ring = [(i, i + 1) for i in range(20, 30)] + [(30, 20)]
+    edges = spark.createDataFrame(star + ring, "a: long, b: long")
+
+    pr = pagerank(edges, "a", "b").collect()
+    ranks = {r["id"]: float(r["rank"]) for r in pr}
+    n_vertices = len({v for e in star + ring for v in e})
+    assert len(ranks) == n_vertices
+    # teleport floor and conservation
+    assert all(v >= 0.1499 for v in ranks.values())
+    assert abs(sum(ranks.values()) - n_vertices) < 0.01
+    # star center out-ranks every leaf; ring is symmetric (all equal)
+    assert ranks[1] > max(ranks[i] for i in range(2, 12)) * 2
+    ring_ranks = [ranks[i] for i in range(20, 31)]
+    assert max(ring_ranks) - min(ring_ranks) < 1e-12
+    # bit-determinism: identical output on a re-run
+    again = {r["id"]: float(r["rank"]) for r in pagerank(edges, "a", "b").collect()}
+    assert again == ranks
