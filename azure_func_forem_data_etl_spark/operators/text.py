@@ -710,3 +710,62 @@ def doc_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("max_chars"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+INVERTED_INDEX_CAP = 10   # postings kept per token
+INVERTED_INDEX_MIN_DF = 5  # drop near-unique tokens
+
+
+@register(
+    "inverted_index_postings",
+    oracle=f"""
+    WITH t AS (
+        SELECT DISTINCT doc_id, word AS token
+        FROM documents, UNNEST(string_split(text, ' ')) AS u(word)
+        WHERE word <> ''
+    )
+    SELECT token,
+           COUNT(*) AS df,
+           array_to_string((list(doc_id ORDER BY doc_id))[1:{INVERTED_INDEX_CAP}], ',')
+               AS postings
+    FROM t GROUP BY token
+    HAVING COUNT(*) >= {INVERTED_INDEX_MIN_DF}
+    """,
+    doc="Inverted index build: token -> document frequency + first-K "
+    "posting list (K=10), min-df filtered — the retrieval-index shape "
+    "with hub-token memory bounded by the cap.",
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: a stopword's full posting list at 100 TB is millions
+    of ids, so the cap is enforced BEFORE collection — a row_number over
+    (token, doc_id) keeps only the first K postings per token while df is
+    counted over the whole partition in the same window pass.  One
+    shuffle; per-token collected state is <= K ids regardless of how hot
+    the token is.  Tokenizer is the single-space split shared with the
+    oracle (empty tokens dropped on both sides)."""
+    docs = table(spark, sf_dir, "documents")
+    t = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    w = Window.partitionBy("token").orderBy("doc_id")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = t.select(
+        "token",
+        "doc_id",
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(wall).alias("df"),
+    ).filter(
+        (F.col("__rn") <= INVERTED_INDEX_CAP)
+        & (F.col("df") >= INVERTED_INDEX_MIN_DF)
+    )
+    return ranked.groupBy("token").agg(
+        F.first("df").alias("df"),
+        # string-rendered postings: uniform scalar schema for the driver
+        F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias(
+            "postings"
+        ),
+    )

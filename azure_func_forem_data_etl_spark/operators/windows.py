@@ -260,3 +260,48 @@ def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+@register(
+    "cumulative_new_users",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT first_day AS day, COUNT(*) AS new_users
+        FROM firsts GROUP BY first_day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           new_users,
+           -- DuckDB window SUM(BIGINT) -> HUGEINT (floats in pandas); pin BIGINT
+           CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+    FROM daily
+    """,
+    doc="User-acquisition curve: first-seen day per user, daily new-user "
+    "counts, and the running cumulative total.",
+)
+def cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative DISTINCT users over time without a distinct-over-frame
+    (which neither engine supports): each user collapses to a first-seen
+    day (one keyed agg), then the running sum is an ordinary window.  The
+    unpartitioned window runs over #days rows — already reduced, so the
+    single-partition sort is trivial at any corpus scale."""
+    events = table(spark, sf_dir, "events")
+    firsts = (
+        events.select(
+            "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        )
+        .groupBy("user_id")
+        .agg(F.min("day").alias("first_day"))
+    )
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("day")
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )

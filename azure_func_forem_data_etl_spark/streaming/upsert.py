@@ -94,6 +94,14 @@ def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = stream_table(spark, sf_dir, "events")
     root = tempfile.mkdtemp(prefix="forem_etl_upsert_")
     state = run_upsert_stream(spark, events, root)
+    if not os.path.isdir(state):
+        # zero micro-batches ran (empty source): no state table was ever
+        # written — the current-state view is simply empty.
+        return spark.createDataFrame(
+            [],
+            "user_id bigint, last_event_type string, "
+            "last_ts timestamp, last_value double",
+        )
     return spark.read.parquet(state).select(
         "user_id",
         F.col("event_type").alias("last_event_type"),

@@ -72,6 +72,11 @@ BENCH_QUERIES = [
     "text_quality_score",
     "tfidf_top_terms",
     "explode_token_counts",
+    # round 3 additions: one heavy representative per new family
+    "graph_triangle_count",
+    "sessionize_gap_islands",
+    "streaming_upsert_latest",
+    "inverted_index_postings",
 ]
 
 

@@ -24,6 +24,13 @@ def empty_sf(spark, tmp_path_factory):
         "event_id bigint, ts timestamp, user_id bigint, event_type string, "
         "value double, props string",
     ).write.parquet(str(d / "events.parquet"))
+    spark.createDataFrame(
+        [],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate date",
+    ).write.parquet(str(d / "lineitem.parquet"))
     return str(d)
 
 
@@ -130,3 +137,41 @@ def test_kmeans_on_empty_corpus(spark, empty_sf):
     C, trace = kmeans_fit(emb, k=4, iters=1)
     assert C.shape[0] == 0
     assert kmeans_assignments(emb, C).count() == 0
+
+
+def test_round3_ops_on_empty_inputs(spark, empty_sf):
+    """Round-3 additions degrade to empty results on zero-row tables;
+    the star-CC path and PageRank handle an explicitly empty edge list."""
+    from azure_func_forem_data_etl_spark.operators.dedup import (
+        connected_components_star,
+    )
+    from azure_func_forem_data_etl_spark.operators.graph import pagerank
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    reg = load_all()
+    for name in [
+        "sessionize_gap_islands",
+        "graph_degree_histogram",
+        "graph_triangle_count",
+        "pagerank_copurchase",
+        "snapshot_diff_user_state",
+        "cumulative_new_users",
+        "inverted_index_postings",
+        "streaming_upsert_latest",
+        "profile_lineitem_columns",
+    ]:
+        df = reg[name].fn(spark, empty_sf)
+        if name == "graph_triangle_count":
+            rows = df.collect()  # single summary row with zero counts
+            assert [(r["n_triangles"], r["n_edges"]) for r in rows] == [(0, 0)]
+        elif name == "profile_lineitem_columns":
+            rows = df.collect()  # one row per profiled column, all-null stats
+            assert len(rows) == 6
+            assert all(r["n_distinct"] == 0 and r["min_repr"] is None for r in rows)
+        else:
+            assert df.count() == 0, name
+    edges = spark.createDataFrame([], "a: long, b: long")
+    assert connected_components_star(edges, "a", "b").count() == 0
+    assert pagerank(edges, "a", "b").count() == 0
+    # theta sketch over zero events: the two-type aggregate has no rows
+    assert reg["theta_sketch_setops"].fn(spark, empty_sf).count() <= 1
