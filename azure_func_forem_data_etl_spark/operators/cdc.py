@@ -156,3 +156,54 @@ def snapshot_diff_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_state",
         "new_state",
     )
+
+
+@register(
+    "changelog_apply_roundtrip",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(epoch_us(ts)) + 3 * (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 4 AS t2
+        FROM events
+    )
+    SELECT user_id, event_type AS state
+    FROM events, bounds WHERE epoch_us(ts) <= t2
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    doc="Changelog APPLY: reconstruct the t2 snapshot by applying the "
+    "snapshot_diff changelog (inserted/updated/deleted) to the t1 "
+    "snapshot; the oracle computes the t2 snapshot directly — a "
+    "round-trip proof that diff and apply are inverse operations.",
+)
+def changelog_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply semantics (the consumer half of CDC, Delta MERGE's logic):
+    deletes drop keys from the base (left-anti join), upserts
+    (inserted+updated) overwrite-or-add via union + keep-changelog-wins.
+    Both legs are keyed joins on user_id — one exchange each at scale.
+    Correctness is self-certifying: the output must hash-match the
+    directly-computed t2 snapshot, which is exactly what the oracle does."""
+    diff = snapshot_diff_user_state(spark, sf_dir).localCheckpoint(eager=True)
+    events = table(spark, sf_dir, "events").withColumn(
+        "__us", F.unix_micros("ts")
+    )
+    b = events.agg(F.min("__us").alias("lo"), F.max("__us").alias("hi")).select(
+        F.expr("lo + (hi - lo) div 2").alias("t1")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    base = (
+        events.crossJoin(F.broadcast(b))
+        .filter(F.col("__us") <= F.col("t1"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", F.col("event_type").alias("state"))
+    )
+    deletes = diff.filter(F.col("change_type") == "deleted").select("user_id")
+    upserts = diff.filter(F.col("change_type") != "deleted").select(
+        "user_id", F.col("new_state").alias("state")
+    )
+    kept = base.join(deletes, "user_id", "left_anti").join(
+        upserts.select("user_id"), "user_id", "left_anti"
+    )
+    return kept.unionByName(upserts)

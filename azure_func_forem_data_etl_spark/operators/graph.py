@@ -219,3 +219,85 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "id")
         .limit(20)
     )
+
+
+@register(
+    "association_rules_parts",
+    oracle=f"""
+    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    pc AS (SELECT l_partkey, COUNT(*) AS cnt FROM po GROUP BY 1),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS cnt
+        FROM po a JOIN po b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {EDGE_MIN_SUPPORT}
+    ),
+    dir AS (
+        SELECT pa AS antecedent, pb AS consequent, cnt FROM pairs
+        UNION ALL
+        SELECT pb, pa, cnt FROM pairs
+    )
+    SELECT antecedent, consequent, dir.cnt AS pair_support,
+           CAST(dir.cnt AS DOUBLE) / ca.cnt AS confidence,
+           (CAST(dir.cnt AS DOUBLE) * t.n_orders) / (ca.cnt * cb.cnt) AS lift
+    FROM dir
+    JOIN pc ca ON ca.l_partkey = antecedent
+    JOIN pc cb ON cb.l_partkey = consequent
+    CROSS JOIN tot t
+    """,
+    doc="Association rules over order baskets: confidence and lift for "
+    "every supported (>=2 co-orders) part pair, both directions — the "
+    "frequent-itemset second stage (FP-growth's rule output) as plain "
+    "keyed aggregations.",
+)
+def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: basket pairs expand per-order (bounded by basket
+    size), the support>=2 HAVING prunes the long tail in the same
+    aggregation that counts it, and per-part counts broadcast onto the
+    surviving ~4k rules.  n_orders is a driver-side scalar (one count),
+    not a 1-row cross join, keeping the plan BNLJ-free.  Float division
+    order matches the oracle expression-for-expression, so confidence
+    and lift are bit-identical."""
+    li = table(spark, sf_dir, "lineitem")
+    po = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
+        eager=True
+    )
+    n_orders = po.select("l_orderkey").distinct().count()
+    pc = po.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    a, b = po.alias("a"), po.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= EDGE_MIN_SUPPORT)
+    )
+    both = pairs.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "cnt"
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "cnt"
+        )
+    )
+    ca = pc.select(F.col("l_partkey").alias("antecedent"), F.col("cnt").alias("ca"))
+    cb = pc.select(F.col("l_partkey").alias("consequent"), F.col("cnt").alias("cb"))
+    return (
+        both.join(F.broadcast(ca), "antecedent")
+        .join(F.broadcast(cb), "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("cnt").alias("pair_support"),
+            (F.col("cnt").cast("double") / F.col("ca")).alias("confidence"),
+            (
+                (F.col("cnt").cast("double") * F.lit(n_orders))
+                / (F.col("ca") * F.col("cb"))
+            ).alias("lift"),
+        )
+    )

@@ -146,6 +146,7 @@ def test_plan_lint_every_registry_query(spark):
         "unigram_logprob_score",  # 1-row corpus-total broadcast — O(n)·1
         "bm25_topk_docs",  # 1-row n_docs/avgdl stats broadcast — O(n)·1
         "snapshot_diff_user_state",  # 1-row snapshot-bounds broadcast — O(n)·1
+        "changelog_apply_roundtrip",  # same 1-row bounds broadcast as the diff
     }
     checked = 0
     for name, q in sorted(load_all().items()):
