@@ -97,3 +97,60 @@ def profile_columns(df: DataFrame, cols: list[tuple[str, str]]) -> DataFrame:
 )
 def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(table(spark, sf_dir, "lineitem"), _PROFILE_COLS)
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout: space-filling-curve clustering stats
+
+Z_BITS = 10  # low bits interleaved per dimension -> 20-bit z-space
+Z_BUCKETS_SHIFT = 15  # 2^20 z-space / 2^15 = 32 layout buckets
+
+#: Bit-interleave of (l_partkey, l_suppkey) low bits — partkey on even,
+#: suppkey on odd positions.  The SAME expression string runs in Spark
+#: (via F.expr) and DuckDB: identical integer ops, engine-exact.
+_Z_EXPR = " + ".join(
+    [f"(((l_partkey >> {i}) & 1) << {2 * i})" for i in range(Z_BITS)]
+    + [f"(((l_suppkey >> {i}) & 1) << {2 * i + 1})" for i in range(Z_BITS)]
+)
+
+
+@register(
+    "zorder_cluster_stats",
+    oracle=f"""
+    WITH z AS (
+        SELECT l_partkey, l_suppkey,
+               ({_Z_EXPR}) >> {Z_BUCKETS_SHIFT} AS zbucket
+        FROM lineitem
+    )
+    SELECT zbucket,
+           COUNT(*) AS n_rows,
+           MIN(l_partkey) AS part_lo, MAX(l_partkey) AS part_hi,
+           MIN(l_suppkey) AS supp_lo, MAX(l_suppkey) AS supp_hi
+    FROM z GROUP BY zbucket
+    """,
+    doc="Z-order layout stats: rows bucketed by the interleaved-bit "
+    "(partkey, suppkey) space-filling curve; per-bucket min/max of BOTH "
+    "dimensions shows the two-column locality a Z-ORDER table rewrite "
+    "buys (file skipping on either predicate).",
+)
+def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why this is an engine feature: data-skipping indexes (Delta/
+    Iceberg file stats) prune on per-file min/max, which only helps if
+    the layout clusters BOTH join/filter dims at once — exactly what the
+    z-curve provides (cf. Delta Lake OPTIMIZE ZORDER BY).  The stats
+    query is the before/after evidence a layout job would emit: one
+    map-side bucket id (pure bit ops, shared verbatim with the oracle)
+    + one keyed agg."""
+    li = table(spark, sf_dir, "lineitem")
+    z = li.select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(f"({_Z_EXPR}) >> {Z_BUCKETS_SHIFT}").alias("zbucket"),
+    )
+    return z.groupBy("zbucket").agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_partkey").alias("part_lo"),
+        F.max("l_partkey").alias("part_hi"),
+        F.min("l_suppkey").alias("supp_lo"),
+        F.max("l_suppkey").alias("supp_hi"),
+    )

@@ -16,7 +16,7 @@ SUM by (depth, bucket); estimating k tokens joins a k*DEPTH probe table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from azure_func_forem_data_etl_spark.plans.registry import register
@@ -163,4 +163,92 @@ def theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est(F.theta_union("sk_a", "sk_b")), 1).alias("union_est"),
         F.round(est(F.theta_intersection("sk_a", "sk_b")), 1).alias("inter_est"),
         F.round(est(F.theta_difference("sk_a", "sk_b")), 1).alias("a_minus_b_est"),
+    )
+
+
+QSK_BUCKETS = 64
+
+
+@register(
+    "bucketed_quantile_estimates",
+    oracle=f"""
+    WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+    cnts AS (
+        SELECT event_type,
+               LEAST({QSK_BUCKETS}, CAST(floor((value - lo)
+                     / ((hi - lo) / {QSK_BUCKETS})) AS BIGINT) + 1) AS bucket,
+               COUNT(*) AS cnt
+        FROM events, b GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, bucket,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+               SUM(cnt) OVER (PARTITION BY event_type) AS n
+        FROM cnts
+    ),
+    qs AS (SELECT * FROM (VALUES (50), (90), (99)) t(pct)),
+    hit AS (
+        SELECT event_type, pct, CAST(MIN(bucket) AS BIGINT) AS bucket
+        FROM cum, qs WHERE 100 * cum >= pct * n
+        GROUP BY 1, 2
+    )
+    SELECT event_type, pct,
+           lo + (bucket - 1) * ((hi - lo) / {QSK_BUCKETS}) AS est
+    FROM hit, b
+    """,
+    doc="Mergeable bucketed-quantile sketch: 64 equi-width counters per "
+    "event_type; p50/p90/p99 read off the cumulative histogram — the "
+    "fixed-memory quantile state that merges by plain SUM.",
+)
+def bucketed_quantile_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why relational buckets and not percentile_approx: the counter rows
+    ARE the sketch — persist per-partition/day histograms (64 rows each),
+    merge any subset later by SUM, and read any quantile without
+    rescanning raw data (same mergeable-value argument as
+    hll_sketch_union; approx_percentile's binary state is not SQL-
+    mergeable).  Build is one keyed agg; quantile extraction is a window
+    cumsum over <=64 rows per group.  Integer crossing test (100*cum >=
+    pct*n) and a mirrored float edge expression keep both engines
+    bit-identical."""
+    events = table(spark, sf_dir, "events")
+    b = events.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    cnts = (
+        events.crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            F.least(
+                F.lit(QSK_BUCKETS).cast("long"),
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / F.lit(QSK_BUCKETS))
+                )
+                + 1,
+            ).alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wo = Window.partitionBy("event_type").orderBy("bucket")
+    wall = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = cnts.select(
+        "event_type",
+        "bucket",
+        F.sum("cnt").over(wo).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    qs = F.explode(F.array(*[F.lit(p) for p in (50, 90, 99)])).alias("pct")
+    hit = (
+        cum.select("event_type", "bucket", "cum", "n", qs)
+        .filter(F.lit(100) * F.col("cum") >= F.col("pct") * F.col("n"))
+        .groupBy("event_type", "pct")
+        .agg(F.min("bucket").cast("long").alias("bucket"))
+    )
+    return hit.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        "pct",
+        (
+            F.col("lo")
+            + (F.col("bucket") - 1)
+            * ((F.col("hi") - F.col("lo")) / F.lit(QSK_BUCKETS))
+        ).alias("est"),
     )

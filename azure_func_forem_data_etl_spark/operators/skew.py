@@ -87,3 +87,48 @@ def salted_join(
 def salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = table(spark, sf_dir, "events")
     return salted_agg(events, key="event_type", unique_col="event_id")
+
+
+@register(
+    "salted_join_cohorts",
+    oracle=f"""
+    WITH dim AS (
+        SELECT user_id,
+               strftime(MIN(CAST(date_trunc('day', ts) AS DATE)), '%Y-%m')
+                   AS cohort
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_type, d.cohort,
+           COUNT(*) AS n,
+           {sql_dsum('e.value')} AS sum_value
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY e.event_type, d.cohort
+    """,
+    doc="Skew-safe salted fact-dim join: the user dim replicates across "
+    "16 salts, fact rows salt deterministically, join on (key, salt) — "
+    "result identical to the plain join, hot users spread over 16 tasks.",
+)
+def salted_join_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit-salt twin of AQE's skew-join split, for hot FACT keys
+    a broadcast can't fix (dim too big) and AQE won't (hash join).  Dim
+    replication is a map-side ×n_salt explode — bounded, no shuffle of
+    its own; the join shuffle then spreads each hot user over n_salt
+    reducers.  The cohort agg afterwards proves result-identity against
+    the unsalted oracle join."""
+    events = table(spark, sf_dir, "events")
+    dim = (
+        events.select(
+            "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        )
+        .groupBy("user_id")
+        .agg(F.date_format(F.min("day"), "yyyy-MM").alias("cohort"))
+    )
+    joined = salted_join(
+        events.select("event_id", "user_id", "event_type", "value"),
+        dim,
+        key="user_id",
+        fact_unique_col="event_id",
+    )
+    return joined.groupBy("event_type", "cohort").agg(
+        F.count("*").alias("n"), dsum("value").alias("sum_value")
+    )

@@ -159,6 +159,11 @@ def test_round3_ops_on_empty_inputs(spark, empty_sf):
         "inverted_index_postings",
         "streaming_upsert_latest",
         "profile_lineitem_columns",
+        "association_rules_parts",
+        "changelog_apply_roundtrip",
+        "salted_join_cohorts",
+        "bucketed_quantile_estimates",
+        "zorder_cluster_stats",
     ]:
         df = reg[name].fn(spark, empty_sf)
         if name == "graph_triangle_count":

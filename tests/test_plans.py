@@ -147,6 +147,7 @@ def test_plan_lint_every_registry_query(spark):
         "bm25_topk_docs",  # 1-row n_docs/avgdl stats broadcast — O(n)·1
         "snapshot_diff_user_state",  # 1-row snapshot-bounds broadcast — O(n)·1
         "changelog_apply_roundtrip",  # same 1-row bounds broadcast as the diff
+        "bucketed_quantile_estimates",  # 1-row min/max-bounds broadcast — O(n)·1
     }
     checked = 0
     for name, q in sorted(load_all().items()):
