@@ -11,7 +11,7 @@ path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from azure_func_forem_data_etl_spark.functions.exact import dsum, sql_dsum
@@ -762,4 +762,75 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.when(high, F.col("user_id")))
         .cast("long")
         .alias("users_high"),
+    )
+
+
+@register(
+    "distinct_users_grouping_sets",
+    oracle="""
+    SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(DISTINCT user_id) AS distinct_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY GROUPING SETS
+        ((strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d')),
+         (event_type), ())
+    """,
+    doc="Multi-dimension DISTINCT in one pass: distinct users per day, "
+    "per event_type, and overall via GROUPING SETS — one Expand + one "
+    "distinct-aggregate instead of three scans.",
+)
+def distinct_users_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rollup-dashboard shape: every breakdown a reporting layer
+    wants (daily distincts, per-type distincts, grand total) computed
+    from ONE scan — Expand replicates each row once per grouping set and
+    the distinct agg shuffles once on (set-id, keys, user), vs. three
+    separate full scans + shuffles run naively.  At 100 TB the swap to
+    approx_count_distinct (agg_approx_distinct) removes even the
+    per-set distinct state."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("__gs_events")
+    return spark.sql(
+        """
+        SELECT date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day,
+               event_type,
+               COUNT(DISTINCT user_id) AS distinct_users,
+               COUNT(*) AS n_events
+        FROM __gs_events
+        GROUP BY GROUPING SETS
+            ((date_format(date_trunc('day', ts), 'yyyy-MM-dd')),
+             (event_type), ())
+        """
+    )
+
+
+@register(
+    "quality_percentile_normalize",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, n_chars FROM documents
+    )
+    SELECT doc_id, n_chars,
+           percent_rank() OVER (ORDER BY n_chars, doc_id) AS pct_rank,
+           CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INT) AS decile
+    FROM s
+    """,
+    doc="Score-to-percentile normalization: percent_rank + decile over "
+    "(n_chars, doc_id) — how raw quality scores become corpus-relative "
+    "thresholds ('drop the bottom 10%') that survive distribution drift.",
+)
+def quality_percentile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpartitioned ranking window — fine here because the ranked
+    relation is one row per doc (already reduced).  At 100 TB the same
+    normalization runs on the bucketed histogram instead
+    (bucketed_quantile_estimates): percentiles from counters, no global
+    sort.  The (score, doc_id) tiebreak makes both engines' ranks
+    identical."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.ntile(10).over(w).cast("int").alias("decile"),
     )

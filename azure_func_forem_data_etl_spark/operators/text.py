@@ -769,3 +769,60 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "postings"
         ),
     )
+
+
+NOVELTY_NGRAM = 3
+NOVELTY_COMMON_DF = 5  # an n-gram in >= this many docs is "common"
+
+
+@register(
+    "ngram_novelty_score",
+    oracle=f"""
+    WITH g AS (
+        SELECT DISTINCT doc_id,
+               words[i] || ' ' || words[i + 1] || ' ' || words[i + 2] AS gram
+        FROM (
+            SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        ), UNNEST(generate_series(1, len(words) - {NOVELTY_NGRAM - 1})) AS t(i)
+        WHERE len(words) >= {NOVELTY_NGRAM}
+    ),
+    df AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE df.df < {NOVELTY_COMMON_DF}) AS BIGINT)
+               AS n_novel,
+           CAST(COUNT(*) FILTER (WHERE df.df < {NOVELTY_COMMON_DF}) AS DOUBLE)
+               / COUNT(*) AS novelty
+    FROM g JOIN df ON g.gram = df.gram
+    GROUP BY g.doc_id
+    """,
+    doc="N-gram novelty score: fraction of a doc's distinct 3-grams NOT "
+    "common in the corpus (df < 5) — the boilerplate/memorization "
+    "filter between exact dedup and near-dup in a curation funnel.",
+)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: (doc, gram) explodes once; document frequency is one
+    keyed agg over grams; the join back to per-doc grams is keyed on the
+    gram (both sides already shuffled by it) and the final per-doc agg is
+    the only other exchange.  No collect, no broadcast of the vocabulary
+    (it is corpus-sized): this is the canonical two-agg + join novelty
+    plan.  Shares the word_shingles tokenizer with the dedup suite."""
+    from azure_func_forem_data_etl_spark.operators.dedup import word_shingles
+
+    docs = table(spark, sf_dir, "documents")
+    g = word_shingles(docs, NOVELTY_NGRAM, text_col="text").withColumnRenamed(
+        "shingle", "gram"
+    )
+    df = g.groupBy("gram").agg(F.count("*").alias("df"))
+    novel = F.when(F.col("df") < NOVELTY_COMMON_DF, 1).otherwise(0)
+    return (
+        g.join(df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(novel).cast("long").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.col("n_novel").cast("double") / F.col("n_grams")
+        )
+    )

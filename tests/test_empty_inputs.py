@@ -164,6 +164,8 @@ def test_round3_ops_on_empty_inputs(spark, empty_sf):
         "salted_join_cohorts",
         "bucketed_quantile_estimates",
         "zorder_cluster_stats",
+        "ngram_novelty_score",
+        "quality_percentile_normalize",
     ]:
         df = reg[name].fn(spark, empty_sf)
         if name == "graph_triangle_count":
