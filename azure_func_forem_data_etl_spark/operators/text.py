@@ -801,23 +801,24 @@ NOVELTY_COMMON_DF = 5  # an n-gram in >= this many docs is "common"
     "filter between exact dedup and near-dup in a curation funnel.",
 )
 def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: (doc, gram) explodes once; document frequency is one
-    keyed agg over grams; the join back to per-doc grams is keyed on the
-    gram (both sides already shuffled by it) and the final per-doc agg is
-    the only other exchange.  No collect, no broadcast of the vocabulary
-    (it is corpus-sized): this is the canonical two-agg + join novelty
-    plan.  Shares the word_shingles tokenizer with the dedup suite."""
+    """Scale shape: (doc, gram) explodes once, then document frequency is
+    a COUNT over the gram-partitioned window — the df values ride the
+    same exchange the grouping would need, so the whole query is TWO
+    exchanges (gram window, per-doc agg) instead of the naive three
+    (df agg + gram join + doc agg).  No collect, no broadcast of the
+    vocabulary (it is corpus-sized).  Shares the word_shingles tokenizer
+    with the dedup suite."""
     from azure_func_forem_data_etl_spark.operators.dedup import word_shingles
 
     docs = table(spark, sf_dir, "documents")
     g = word_shingles(docs, NOVELTY_NGRAM, text_col="text").withColumnRenamed(
         "shingle", "gram"
     )
-    df = g.groupBy("gram").agg(F.count("*").alias("df"))
+    wg = Window.partitionBy("gram")
+    with_df = g.withColumn("df", F.count("*").over(wg))
     novel = F.when(F.col("df") < NOVELTY_COMMON_DF, 1).otherwise(0)
     return (
-        g.join(df, "gram")
-        .groupBy("doc_id")
+        with_df.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
             F.sum(novel).cast("long").alias("n_novel"),

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from azure_func_forem_data_etl_spark.functions.exact import dsum, sql_dsum
 from azure_func_forem_data_etl_spark.plans.registry import register
+from azure_func_forem_data_etl_spark.sources.tables import table
 from azure_func_forem_data_etl_spark.streaming.core import (
     run_available_now,
     stream_table,
@@ -207,3 +208,88 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_available_now(joined.select("signup_id", "purchase_id", "user_id"), "append")
     return out
+
+
+#: Boundary-exclusion margin for the OUTER interval join: null rows are
+#: only compared where watermark semantics are unambiguous.  The engine's
+#: unmatched-left flush lags the stream end by up to watermark-delay +
+#: join-interval + the left side's own delay (observed empirically between
+#: 2h05m and 2h15m on this corpus), so the margin is the full 3h + 5 min.
+_OUTER_SAFE_US = (3 * 3600 + 300) * 1_000_000
+
+
+@register(
+    "streaming_interval_join_outer",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(epoch_us(ts)) AS mx_us FROM events),
+    s AS (
+        SELECT event_id AS signup_id, user_id, ts AS s_ts
+        FROM events WHERE event_type = 'signup'
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT s.signup_id, p.purchase_id, s.user_id
+    FROM s LEFT JOIN p
+      ON p.user_id = s.user_id
+     AND p.p_ts >= s.s_ts
+     AND p.p_ts <= s.s_ts + INTERVAL 1 HOUR
+    CROSS JOIN mx
+    WHERE p.purchase_id IS NOT NULL
+       OR epoch_us(s.s_ts) <= mx.mx_us - {_OUTER_SAFE_US}
+    """,
+    doc="LEFT OUTER stream-stream interval join: unmatched signups emit a "
+    "NULL purchase row once the watermark passes their join window; "
+    "null rows in the end-of-stream boundary zone (last interval+"
+    "watermark+margin) are excluded on BOTH engines so the compare is "
+    "exact despite watermark-timing semantics.",
+)
+def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The outer variant is what CDC/attribution pipelines actually run
+    ('signups that did NOT convert in the hour').  The engine can only
+    emit an unmatched-left null AFTER the watermark passes s_ts + 1h, so
+    at AvailableNow end-of-stream the newest signups' null rows are
+    legitimately unemitted; the shared boundary filter removes that zone
+    from both sides instead of pretending the semantics away.  State
+    stays O(interval + lateness window) per key, exactly like the inner
+    join."""
+    signups = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "1 hour")
+    )
+    purchases = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    )
+    out = run_available_now(
+        joined.select("signup_id", "purchase_id", "user_id", "s_ts"), "append"
+    )
+    mx_us = (
+        table(spark, sf_dir, "events")
+        .agg(F.max(F.unix_micros("ts")).alias("mx"))
+        .collect()[0]["mx"]
+    )
+    safe = (mx_us or 0) - _OUTER_SAFE_US
+    return out.filter(
+        F.col("purchase_id").isNotNull() | (F.unix_micros("s_ts") <= safe)
+    ).select("signup_id", "purchase_id", "user_id")
