@@ -130,6 +130,7 @@ def load_all() -> dict[str, Query]:
         windows,
     )
     from azure_func_forem_data_etl_spark.streaming import (  # noqa: F401
+        drift as streaming_drift,
         rollup as streaming_rollup,
         sessionize,
         upsert as streaming_upsert,

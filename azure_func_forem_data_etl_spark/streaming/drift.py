@@ -1,0 +1,107 @@
+"""Streaming CUSUM drift detection via ``applyInPandasWithState`` — the
+second custom-stateful operator (sessionize.py is the first), covering the
+monitoring side of a data pipeline: flag when a metric's level shifts.
+
+CUSUM (Page, 1954): S_i = max(0, S_{i-1} + (x_i - k)); an alarm fires when
+S crosses h, then resets.  The recurrence is non-linear (the max-with-zero
+clamp), so unlike sessionization it has NO window-function or ANSI-SQL
+equivalent — this is the honest rows-only case the driver contract
+documents, verified instead by a pure-pandas sequential replay in
+tests/test_streaming.py.
+
+State is one float per key (the running S), partitioned by key across
+executors: O(monitored series), independent of stream length.  Events are
+sorted by (ts, event_id) inside each batch, so output is deterministic for
+a deterministic batch layout (the registry run is a single AvailableNow
+batch).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from azure_func_forem_data_etl_spark.plans.registry import register
+from azure_func_forem_data_etl_spark.streaming.core import (
+    run_available_now,
+    stream_table,
+)
+
+# Tuned to the events fixture (value ~ exp(mean 50)): k sits half a sigma
+# above the in-control mean so S drifts down between genuine high-value
+# streaks, h at ~4 sigma keeps alarms rare-but-present at every SF.
+CUSUM_K = 60.0  # reference level (slack): in-control mean + 0.2 sigma
+CUSUM_H = 200.0  # alarm threshold (~4 sigma)
+
+OUT_SCHEMA = "event_type string, drift_ts timestamp, cusum double, n_since_reset bigint"
+STATE_SCHEMA = "s double, n long"
+
+
+def cusum_replay(
+    values: pd.Series, k: float = CUSUM_K, h: float = CUSUM_H
+) -> list[tuple[int, float, int]]:
+    """Sequential CUSUM over an ordered series -> (index, S, n) alarms.
+    Shared by the streaming operator and its batch-equivalence test."""
+    s, n, out = 0.0, 0, []
+    for i, x in enumerate(values):
+        s = max(0.0, s + (float(x) - k))
+        n += 1
+        if s > h:
+            out.append((i, s, n))
+            s, n = 0.0, 0
+    return out
+
+
+def _drift_group(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (event_type,) = key
+    pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"]).reset_index(drop=True)
+    if state.exists:
+        s, n = state.get
+    else:
+        s, n = 0.0, 0
+
+    rows: list[tuple[str, pd.Timestamp, float, int]] = []
+    for _, r in pdf.iterrows():
+        s = max(0.0, s + (float(r["value"]) - CUSUM_K))
+        n += 1
+        if s > CUSUM_H:
+            rows.append((event_type, r["ts"], s, n))
+            s, n = 0.0, 0
+    state.update((float(s), int(n)))
+    yield pd.DataFrame(
+        rows, columns=["event_type", "drift_ts", "cusum", "n_since_reset"]
+    )
+
+
+def cusum_drift_stream(events: DataFrame) -> DataFrame:
+    return (
+        events.select("event_type", "ts", "event_id", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _drift_group,
+            outputStructType=OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+@register(
+    "streaming_cusum_drift",
+    oracle=None,  # non-linear recurrence: no SQL equivalent; pandas-replay tested
+    doc="Streaming CUSUM level-shift detector (applyInPandasWithState): "
+    "per-event-type running S = max(0, S + x - k), alarm + reset at h; "
+    "state is one float per monitored series.",
+)
+def streaming_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = stream_table(spark, sf_dir, "events")
+    return run_available_now(cusum_drift_stream(events), "append")

@@ -211,17 +211,25 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Boundary-exclusion margin for the OUTER interval join: null rows are
-#: only compared where watermark semantics are unambiguous.  The engine's
-#: unmatched-left flush lags the stream end by up to watermark-delay +
-#: join-interval + the left side's own delay (observed empirically between
-#: 2h05m and 2h15m on this corpus), so the margin is the full 3h + 5 min.
-_OUTER_SAFE_US = (3 * 3600 + 300) * 1_000_000
+#: only compared where watermark semantics are unambiguous.  Each side's
+#: watermark advances off ITS OWN max event time (the filtered signup /
+#: purchase sub-streams, not the whole table), and the unmatched-left
+#: flush needs watermark (delay 1h) + join interval (1h) of headroom —
+#: so the exclusion anchors at the EARLIER of the two sides' maxima,
+#: minus 2h, minus a 5-minute safety margin.
+_OUTER_SAFE_US = (2 * 3600 + 300) * 1_000_000
 
 
 @register(
     "streaming_interval_join_outer",
     oracle=f"""
-    WITH mx AS (SELECT MAX(epoch_us(ts)) AS mx_us FROM events),
+    WITH mx AS (
+        SELECT LEAST(
+            MAX(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END),
+            MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        ) AS mx_us
+        FROM events
+    ),
     s AS (
         SELECT event_id AS signup_id, user_id, ts AS s_ts
         FROM events WHERE event_type = 'signup'
@@ -286,7 +294,20 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     mx_us = (
         table(spark, sf_dir, "events")
-        .agg(F.max(F.unix_micros("ts")).alias("mx"))
+        .agg(
+            F.least(
+                F.max(
+                    F.when(
+                        F.col("event_type") == "signup", F.unix_micros("ts")
+                    )
+                ),
+                F.max(
+                    F.when(
+                        F.col("event_type") == "purchase", F.unix_micros("ts")
+                    )
+                ),
+            ).alias("mx")
+        )
         .collect()[0]["mx"]
     )
     safe = (mx_us or 0) - _OUTER_SAFE_US

@@ -423,3 +423,95 @@ def test_upsert_merges_across_batches(spark, tmp_path):
         (2, "purchase", "2024-01-01 11:00:00"),
         (3, "click", "2024-01-01 11:01:00"),
     }, rows
+
+
+def test_cusum_drift_matches_sequential_replay(spark, sf_dir):
+    """The streaming CUSUM alarms equal a pure-pandas sequential replay of
+    the same per-type ordered series (batch-equivalence for the stateful
+    operator), and are deterministic across runs."""
+    import pandas as pd
+
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+    from azure_func_forem_data_etl_spark.sources.tables import table
+    from azure_func_forem_data_etl_spark.streaming.drift import cusum_replay
+
+    reg = load_all()
+    got = reg["streaming_cusum_drift"].fn(spark, sf_dir)
+    rows = {
+        (r["event_type"], str(r["drift_ts"]), round(r["cusum"], 9), r["n_since_reset"])
+        for r in got.collect()
+    }
+    again = {
+        (r["event_type"], str(r["drift_ts"]), round(r["cusum"], 9), r["n_since_reset"])
+        for r in reg["streaming_cusum_drift"].fn(spark, sf_dir).collect()
+    }
+    assert rows == again  # deterministic
+
+    events = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["event_type", "ts", "event_id"])
+    )
+    expect = set()
+    for etype, grp in events.groupby("event_type"):
+        grp = grp.reset_index(drop=True)
+        for i, s, n in cusum_replay(grp["value"]):
+            expect.add((etype, str(grp["ts"][i]), round(s, 9), n))
+    assert rows == expect
+
+
+def test_cusum_state_carries_across_batches(spark, tmp_path):
+    """An alarm whose contributing values straddle two micro-batches still
+    fires (running S survives in the state store)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from azure_func_forem_data_etl_spark.streaming.drift import cusum_drift_stream
+    from azure_func_forem_data_etl_spark.streaming.core import run_available_now
+
+    land = tmp_path / "land"
+    land.mkdir()
+
+    def write_batch(name, rows, mtime):
+        pdf = pd.DataFrame(
+            {
+                "event_id": pd.Series([e for e, *_ in rows], dtype="int64"),
+                "event_type": pd.Series([t for _, t, *_ in rows], dtype="object"),
+                "ts": pd.to_datetime([ts for *_, ts, _ in rows]).astype(
+                    "datetime64[us]"
+                ),
+                "value": pd.Series([v for *_, v in rows], dtype="float64"),
+            }
+        )
+        path = str(land / name)
+        pq.write_table(pa.Table.from_pandas(pdf), path)
+        os.utime(path, (mtime, mtime))
+
+    # batch1 accumulates S = 2*(k+80) - 2k = 160 < h; batch2's k+80 pushes
+    # S to 240 > h=200 -> one alarm with n_since_reset=3.
+    from azure_func_forem_data_etl_spark.streaming.drift import CUSUM_K
+
+    v = CUSUM_K + 80.0
+    write_batch(
+        "b1.parquet",
+        [(1, "m", "2024-01-01 00:00:00", v), (2, "m", "2024-01-01 00:01:00", v)],
+        1_700_000_000,
+    )
+    write_batch("b2.parquet", [(3, "m", "2024-01-01 00:02:00", v)], 1_700_000_100)
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, event_type string, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    out = run_available_now(cusum_drift_stream(stream), "append")
+    rows = [
+        (r["event_type"], str(r["drift_ts"]), r["cusum"], r["n_since_reset"])
+        for r in out.collect()
+    ]
+    assert rows == [("m", "2024-01-01 00:02:00", 240.0, 3)], rows
