@@ -252,3 +252,49 @@ def bucketed_quantile_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             * ((F.col("hi") - F.col("lo")) / F.lit(QSK_BUCKETS))
         ).alias("est"),
     )
+
+
+@register(
+    "cms_join_cardinality",
+    oracle=None,  # the estimate is hash-family-specific; bounds unit-tested
+    doc="Join-size estimation from Count-Min sketches: |orders JOIN "
+    "lineitem| estimated as min over depths of the bucket-count dot "
+    "product — the optimizer-style cardinality estimate computed from "
+    "two constant-size sketches, next to the exact count.",
+)
+def cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why it matters at 100 TB: join reordering / broadcast decisions
+    need |A ⋈ B| BEFORE running the join; two CMS sketches (DEPTH×WIDTH
+    counters each, built in one pass per table) give an overestimate-only
+    bound via Σ_b cms_A[d,b]·cms_B[d,b], minimized over depths — no
+    shuffle of the join keys at all.  The exact count (one real join)
+    rides along as ground truth; the error-bound unit test asserts
+    estimate >= exact and estimate <= exact + e·N_A·N_B/WIDTH."""
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("token")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("token")
+    )
+    cms_o = cms_build(orders).withColumnRenamed("cnt", "cnt_o")
+    cms_l = cms_build(li).withColumnRenamed("cnt", "cnt_l")
+    est = (
+        cms_o.join(cms_l, ["depth", "bucket"])
+        .groupBy("depth")
+        .agg(F.sum(F.col("cnt_o") * F.col("cnt_l")).alias("dot"))
+        .agg(F.min("dot").alias("est_join_size"))
+    )
+    exact = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .join(
+            table(spark, sf_dir, "lineitem").select(
+                F.col("l_orderkey").alias("o_orderkey")
+            ),
+            "o_orderkey",
+        )
+        .count()
+    )
+    return est.select(
+        F.lit(exact).cast("long").alias("exact_join_size"), "est_join_size"
+    )

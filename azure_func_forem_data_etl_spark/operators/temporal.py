@@ -505,3 +505,52 @@ def sessionize_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         dsum("value").alias("total_value"),
     )
+
+
+@register(
+    "seasonality_dow_profile",
+    oracle=f"""
+    WITH per AS (
+        SELECT event_type,
+               -- DuckDB: Sunday=0..Saturday=6; Spark dayofweek: Sunday=1..7
+               CAST(dayofweek(ts) + 1 AS INT) AS dow,
+               COUNT(*) AS n_events,
+               {sql_dsum("value")} AS sum_value
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS type_n
+        FROM per GROUP BY event_type
+    )
+    SELECT p.event_type, p.dow, p.n_events, p.sum_value,
+           (CAST(p.n_events AS DOUBLE) * 7.0) / t.type_n AS dow_load_factor
+    FROM per p JOIN tot t ON p.event_type = t.event_type
+    """,
+    doc="Day-of-week seasonality profile: per-type x weekday event counts "
+    "and exact value sums plus the load factor (x7 vs a flat week) — the "
+    "detrending input for capacity planning / anomaly baselines.",
+)
+def seasonality_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two nested aggs over the same event_type key: the weekly profile
+    reduces to <=7 rows per type before the totals join, so the second
+    exchange moves almost nothing.  The load factor (n·7 / type_total)
+    is integer-ratio float math, mirrored with the oracle."""
+    events = table(spark, sf_dir, "events")
+    per = events.groupBy(
+        "event_type", F.dayofweek("ts").cast("int").alias("dow")
+    ).agg(
+        F.count("*").alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
+    tot = per.groupBy("event_type").agg(
+        F.sum("n_events").cast("long").alias("type_n")
+    )
+    return per.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "dow",
+        "n_events",
+        "sum_value",
+        (
+            (F.col("n_events").cast("double") * F.lit(7.0)) / F.col("type_n")
+        ).alias("dow_load_factor"),
+    )

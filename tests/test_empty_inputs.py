@@ -166,6 +166,7 @@ def test_round3_ops_on_empty_inputs(spark, empty_sf):
         "zorder_cluster_stats",
         "ngram_novelty_score",
         "quality_percentile_normalize",
+        "seasonality_dow_profile",
     ]:
         df = reg[name].fn(spark, empty_sf)
         if name == "graph_triangle_count":

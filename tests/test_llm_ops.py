@@ -824,3 +824,16 @@ def test_pagerank_invariants(spark):
     # bit-determinism: identical output on a re-run
     again = {r["id"]: float(r["rank"]) for r in pagerank(edges, "a", "b").collect()}
     assert again == ranks
+
+
+def test_cms_join_cardinality_bounds(spark, sf_dir):
+    """The sketch estimate never underestimates the true join size and
+    stays within the CMS collision bound N_a*N_b/WIDTH (generous x3)."""
+    from azure_func_forem_data_etl_spark.operators.sketch import CMS_WIDTH
+
+    row = REGISTRY["cms_join_cardinality"].fn(spark, sf_dir).collect()[0]
+    exact, est = row["exact_join_size"], row["est_join_size"]
+    assert est >= exact, (est, exact)
+    n_o = table(spark, sf_dir, "orders").count()
+    n_l = table(spark, sf_dir, "lineitem").count()
+    assert est - exact <= 3.0 * n_o * n_l / CMS_WIDTH, (est, exact)
