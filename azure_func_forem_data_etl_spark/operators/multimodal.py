@@ -298,3 +298,83 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_drop")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio-shaped path: PCM sample statistics
+
+AUDIO_SAMPLE_RATE = 8000  # stub decode contract: treat bytes as 8 kHz PCM16
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def _audio_mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB audio decode — bytes reinterpreted as little-endian PCM16
+    (a real deployment swaps in soundfile/ffmpeg; the Arrow batch shape,
+    numpy vectorization, and output schema are the production path)."""
+    for pdf in batches:
+        rows = []
+        for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(buf)
+            if len(b) % 2:
+                b = b[:-1]  # PCM16 frames are 2 bytes
+            x = np.frombuffer(b, dtype="<i2").astype(np.int64)
+            n = int(x.size)
+            if n == 0:
+                rows.append((int(doc_id), 0, 0, 0.0, 0, 0))
+                continue
+            rms = float(np.sqrt(np.mean((x.astype(np.float64)) ** 2)))
+            peak = int(np.max(np.abs(x)))
+            zc = int(np.sum((x[:-1] >= 0) != (x[1:] >= 0))) if n > 1 else 0
+            rows.append(
+                (
+                    int(doc_id),
+                    n,
+                    n * 1000 // AUDIO_SAMPLE_RATE,
+                    round(rms, 6),
+                    peak,
+                    zc,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "n_samples",
+                "duration_ms",
+                "rms",
+                "peak",
+                "zero_crossings",
+            ],
+        )
+
+
+def extract_audio_stats(media: DataFrame) -> DataFrame:
+    return media.select("doc_id", "payload").mapInPandas(
+        _audio_mapper, schema=_AUDIO_SCHEMA
+    )
+
+
+@register(
+    "multimodal_audio_stats",
+    oracle=None,  # byte-level PCM reinterpretation: no SQL twin; replay-tested
+    doc="Audio-shaped multimodal path: payload bytes as PCM16 samples -> "
+    "n_samples, duration, RMS, peak, zero-crossing rate per doc "
+    "(mapInPandas, Arrow-batched, stub decoder clearly marked).",
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Only the fixed-width stats ever shuffle (the waveform bytes stay
+    in their scan partition); numpy crunches each Arrow batch
+    vectorized.  Deterministic: stats are pure functions of the payload
+    bytes, so the driver's repeatability check holds."""
+    docs = table(spark, sf_dir, "documents")
+    return extract_audio_stats(with_binary_column(docs))

@@ -495,10 +495,27 @@ def ivf_topk(
         # trained centroids (e.g. clustering.kmeans_fit): ids are just
         # list labels — callers pass arange(k)
         cids, C = centroids
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-
     corpus = scale_out(emb.select("vec_id", "embedding"), "vec_id")
     assignments = corpus.mapInPandas(_assign_mapper(cids, C), schema=_ASSIGN_SCHEMA)
+    return _ivf_probe_rescore(emb, assignments, cids, C, query_mod, k, nprobe)
+
+
+def _ivf_probe_rescore(
+    emb: DataFrame,
+    assignments: DataFrame,
+    cids: np.ndarray,
+    C: np.ndarray,
+    query_mod: int,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """Shared IVF query half: probe-list selection (driver, hard-bounded)
+    + exact cosine rescoring of probed list members.  Used by both the
+    build-and-query path (ivf_topk) and the saved-index path
+    (ivf_query_index)."""
+    spark = emb.sparkSession
+    empty = "query_id long, neighbor_id long, cos_sim double, rnk int"
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
 
     # Query probe lists, computed driver-side under the same hard bound as
     # knn_bruteforce (a sample *fraction* is not a bound at 100 TB).
@@ -555,6 +572,72 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         table(spark, sf_dir, "embeddings"), cache_key=f"{sf_dir}/embeddings"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF index persistence: build once, query many
+
+def ivf_save_index(
+    emb: DataFrame, index_dir: str, cache_key: str | None = None
+) -> None:
+    """Persist an IVF index as two parquet tables: ``centroids`` (id +
+    vector, <= 4,096 rows) and ``assignments`` (vec_id -> cluster_id, one
+    row per corpus vector).
+
+    This is the index *lifecycle* an embedding lake needs at 100 TB:
+    the corpus-pass assignment runs ONCE at build time; every later
+    query session loads KB-sized centroids to the driver and prunes the
+    parquet-resident inverted lists by cluster_id — no re-assignment,
+    no full-corpus scan.  (Embeddings themselves stay in the lake table;
+    the index references them by vec_id, like a database secondary
+    index.)"""
+    spark = emb.sparkSession
+    n_vectors = _corpus_count(emb, cache_key)
+    if n_vectors == 0:
+        # write empty tables so the query path degrades cleanly
+        spark.createDataFrame([], "vec_id long, embedding array<float>").write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/centroids")
+        spark.createDataFrame([], _ASSIGN_SCHEMA).write.mode("overwrite").parquet(
+            f"{index_dir}/assignments"
+        )
+        return
+    cpd = _sample_centroids(emb, _centroid_budget(n_vectors), cache_key)
+    cids = cpd["vec_id"].to_numpy()
+    C = _np_matrix(cpd["embedding"])
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(cids, C)],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    corpus = scale_out(emb.select("vec_id", "embedding"), "vec_id")
+    corpus.mapInPandas(_assign_mapper(cids, C), schema=_ASSIGN_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/assignments")
+
+
+def ivf_query_index(
+    emb: DataFrame,
+    index_dir: str,
+    query_mod: int = KNN_QUERY_MOD,
+    k: int = KNN_K,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """ANN query against a saved index (``ivf_save_index``): centroids
+    load driver-side (bounded by the build-time budget), inverted lists
+    stream from parquet — identical results to the build-and-query path
+    because sampling, assignment, and rescoring are all deterministic."""
+    spark = emb.sparkSession
+    cpd = (
+        spark.read.parquet(f"{index_dir}/centroids").orderBy("vec_id").toPandas()
+    )
+    if len(cpd) == 0:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rnk int"
+        )
+    cids = cpd["vec_id"].to_numpy()
+    C = _np_matrix(cpd["embedding"])
+    assignments = spark.read.parquet(f"{index_dir}/assignments")
+    return _ivf_probe_rescore(emb, assignments, cids, C, query_mod, k, nprobe)
 
 
 @register(

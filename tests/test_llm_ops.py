@@ -837,3 +837,65 @@ def test_cms_join_cardinality_bounds(spark, sf_dir):
     n_o = table(spark, sf_dir, "orders").count()
     n_l = table(spark, sf_dir, "lineitem").count()
     assert est - exact <= 3.0 * n_o * n_l / CMS_WIDTH, (est, exact)
+
+
+def test_audio_stats_match_pure_python_replay(spark, sf_dir):
+    """mapInPandas PCM16 stats equal a pure-Python recomputation over the
+    same payload bytes (decode-stub contract), and are deterministic."""
+    import math
+
+    import numpy as np
+
+    from azure_func_forem_data_etl_spark.operators.multimodal import (
+        AUDIO_SAMPLE_RATE,
+        extract_audio_stats,
+        with_binary_column,
+    )
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 25)
+    got = {r["doc_id"]: r for r in extract_audio_stats(with_binary_column(docs)).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert got.keys() == texts.keys()
+    for doc_id, text in texts.items():
+        b = text.encode("utf-8")
+        if len(b) % 2:
+            b = b[:-1]
+        x = np.frombuffer(b, dtype="<i2").astype(np.int64)
+        r = got[doc_id]
+        assert r["n_samples"] == x.size
+        assert r["duration_ms"] == x.size * 1000 // AUDIO_SAMPLE_RATE
+        if x.size:
+            assert math.isclose(
+                r["rms"], float(np.sqrt(np.mean(x.astype(float) ** 2))), rel_tol=1e-6
+            )
+            assert r["peak"] == int(np.max(np.abs(x)))
+
+
+def test_ivf_index_save_load_roundtrip(spark, sf_dir, tmp_path):
+    """A saved IVF index (centroids + assignments parquet) answers queries
+    identically to the build-and-query path — sampling, assignment, and
+    rescoring are all deterministic — and degrades cleanly when empty."""
+    from azure_func_forem_data_etl_spark.operators.similarity import (
+        ivf_query_index,
+        ivf_save_index,
+        ivf_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf_index")
+    ivf_save_index(emb, idx, cache_key=f"{sf_dir}/embeddings")
+    live = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rnk"])
+        for r in ivf_topk(emb, cache_key=f"{sf_dir}/embeddings").collect()
+    }
+    saved = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rnk"])
+        for r in ivf_query_index(emb, idx).collect()
+    }
+    assert saved == live
+    assert len(saved) > 0
+    # empty corpus: empty index tables, empty query result, no crash
+    empty = emb.filter(F.lit(False))
+    idx2 = str(tmp_path / "ivf_empty")
+    ivf_save_index(empty, idx2, cache_key=None)
+    assert ivf_query_index(empty, idx2).count() == 0
