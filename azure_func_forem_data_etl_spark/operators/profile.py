@@ -154,3 +154,44 @@ def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_suppkey").alias("supp_lo"),
         F.max("l_suppkey").alias("supp_hi"),
     )
+
+
+@register(
+    "benford_digit_profile",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INT) AS digit
+        FROM events WHERE value >= 0.01
+    ),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT c.digit, c.n,
+           CAST(c.n AS DOUBLE) / t.total AS observed_freq,
+           log10(1.0 + 1.0 / c.digit) AS benford_freq
+    FROM c, t
+    """,
+    doc="Benford first-digit profile of event values vs the log10(1+1/d) "
+    "expectation — the forensic data-quality screen for fabricated or "
+    "truncated numeric columns.",
+)
+def benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digit extraction runs on integer cents (floor(value·100) -> first
+    character of the decimal rendering): pure integer/string ops that
+    both engines evaluate identically — no float-format dependence.
+    One map + one 9-row agg; the expected-frequency column is
+    log10(1 + 1/d), same libm call on both engines' doubles."""
+    events = table(spark, sf_dir, "events").filter(F.col("value") >= 0.01)
+    digit = F.substring(
+        F.floor(F.col("value") * 100).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    c = events.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    t = c.agg(F.sum("n").cast("long").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.col("total")).alias("observed_freq"),
+        F.log10(1.0 + 1.0 / F.col("digit")).alias("benford_freq"),
+    )

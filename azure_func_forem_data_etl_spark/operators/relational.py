@@ -1272,3 +1272,55 @@ def join_full_outer_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("both")
         .alias("presence"),
     )
+
+
+@register(
+    "keyset_pagination_orders",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ),
+    cursor_row AS (SELECT o_totalprice AS c_price, o_orderkey AS c_key
+                   FROM ranked WHERE rn = 40)
+    SELECT r.o_orderkey, r.o_custkey, r.o_totalprice
+    FROM ranked r, cursor_row c
+    WHERE r.o_totalprice < c.c_price
+       OR (r.o_totalprice = c.c_price AND r.o_orderkey > c.c_key)
+    ORDER BY r.o_totalprice DESC, r.o_orderkey
+    LIMIT 20
+    """,
+    doc="Keyset pagination: page-after-cursor via the (price, key) "
+    "tuple predicate + TopK — the O(page) pattern that replaces "
+    "OFFSET's O(offset+page) skip-scan at depth.",
+)
+def keyset_pagination_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why keyset and not OFFSET at 100 TB: OFFSET n must still produce
+    and discard n rows on every page request; the keyset predicate
+    pushes the cursor into the scan/sort so each page costs
+    O(page size) — and compiles to TakeOrderedAndProject here.  The
+    cursor row itself is fetched once (driver-side, bounded at 1 row),
+    exactly how a paging API stores the last row of the previous page."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    w = Window.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    cursor = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 40)
+        .select("o_totalprice", "o_orderkey")
+        .collect()
+    )[0]
+    c_price, c_key = cursor["o_totalprice"], cursor["o_orderkey"]
+    return (
+        orders.filter(
+            (F.col("o_totalprice") < F.lit(c_price))
+            | (
+                (F.col("o_totalprice") == F.lit(c_price))
+                & (F.col("o_orderkey") > F.lit(c_key))
+            )
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )

@@ -834,3 +834,55 @@ def quality_percentile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.ntile(10).over(w).cast("int").alias("decile"),
     )
+
+
+@register(
+    "winsorized_value_stats",
+    oracle=f"""
+    WITH cuts AS (
+        SELECT event_type,
+               percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS p05,
+               percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS p95
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(e.value < c.p05 OR e.value > c.p95 AS INT)) AS BIGINT)
+               AS n_clipped,
+           CAST(SUM(CAST(GREATEST(LEAST(e.value, c.p95), c.p05)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS winsorized_sum
+    FROM events e JOIN cuts c ON e.event_type = c.event_type
+    GROUP BY e.event_type
+    """,
+    doc="Winsorized (p05/p95-clipped) per-type value sums — the robust-"
+    "statistics pass that keeps a handful of outliers from dominating a "
+    "100 TB aggregate; exact percentile cuts, decimal-exact sums.",
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two aggs over the same event_type key: the percentile cut is a
+    per-group sort (the exact twin of bucketed_quantile_estimates'
+    sketch path — at 100 TB the cuts come from the histogram instead),
+    then the clip + sum pass re-joins the <=#types cut rows by
+    broadcast.  Spark's percentile() is the same linear-interpolation
+    definition as DuckDB's percentile_cont, and the clipped sum runs in
+    the decimal domain, so the hash compare is exact."""
+    events = table(spark, sf_dir, "events")
+    cuts = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clipped = F.greatest(F.least(F.col("value"), F.col("p95")), F.col("p05"))
+    out_of_range = (
+        (F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))
+    ).cast("int")
+    return (
+        events.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(out_of_range).cast("long").alias("n_clipped"),
+            F.sum(clipped.cast("decimal(18,4)")).cast("double").alias(
+                "winsorized_sum"
+            ),
+        )
+    )
