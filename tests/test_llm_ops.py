@@ -899,3 +899,30 @@ def test_ivf_index_save_load_roundtrip(spark, sf_dir, tmp_path):
     idx2 = str(tmp_path / "ivf_empty")
     ivf_save_index(empty, idx2, cache_key=None)
     assert ivf_query_index(empty, idx2).count() == 0
+
+
+def test_pointer_jumping_forest_and_chain(spark):
+    """Pointer jumping labels a multi-tree forest correctly, including a
+    100-deep chain (7 doubling rounds, not 100 sequential steps)."""
+    from azure_func_forem_data_etl_spark.operators.graph import (
+        pointer_jumping_roots,
+    )
+
+    chain = [(i, i - 1) for i in range(1001, 1100)] + [(1000, 1000)]
+    star = [(i, 2000) for i in range(2001, 2010)] + [(2000, 2000)]
+    singleton = [(3000, 3000)]
+    nodes = spark.createDataFrame(
+        chain + star + singleton, "id: long, parent: long"
+    )
+    got = {
+        r["id"]: (r["root"], r["depth"])
+        for r in pointer_jumping_roots(nodes, "id", "parent").collect()
+    }
+    assert got[1000] == (1000, 0)
+    for i in range(1001, 1100):
+        assert got[i] == (1000, i - 1000), i
+    assert got[2000] == (2000, 0)
+    for i in range(2001, 2010):
+        assert got[i] == (2000, 1), i
+    assert got[3000] == (3000, 0)
+    assert len(got) == len(chain) + len(star) + len(singleton)
