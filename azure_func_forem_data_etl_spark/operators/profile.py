@@ -195,3 +195,51 @@ def benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n").cast("double") / F.col("total")).alias("observed_freq"),
         F.log10(1.0 + 1.0 / F.col("digit")).alias("benford_freq"),
     )
+
+
+@register(
+    "referential_integrity_check",
+    oracle="""
+    SELECT 'lineitem->orders' AS relationship,
+           (SELECT COUNT(*) FROM lineitem) AS n_child,
+           (SELECT COUNT(*) FROM lineitem l ANTI JOIN orders o
+             ON l.l_orderkey = o.o_orderkey) AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o ANTI JOIN customer c
+             ON o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l ANTI JOIN part p
+             ON l.l_partkey = p.p_partkey)
+    """,
+    doc="Referential-integrity audit: orphan counts per FK relationship "
+    "via left-anti joins — the constraint check a lakehouse runs because "
+    "parquet enforces nothing.",
+)
+def referential_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each relationship is one anti join on its key: the parent side
+    reduces to distinct keys first (broadcast when small), so the check
+    costs one pass per child table however wide the rows are.  Spark has
+    no declarative FOREIGN KEY — this query IS the enforcement point a
+    silver layer schedules after every load."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    part = table(spark, sf_dir, "part")
+
+    rows = []
+    for rel, child, key_c, parent, key_p in (
+        ("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+        ("orders->customer", orders, "o_custkey", cust, "c_custkey"),
+        ("lineitem->part", li, "l_partkey", part, "p_partkey"),
+    ):
+        pk = parent.select(F.col(key_p).alias(key_c)).distinct()
+        n_child = child.count()
+        n_orph = child.join(F.broadcast(pk), key_c, "left_anti").count()
+        rows.append((rel, n_child, n_orph))
+    return spark.createDataFrame(
+        rows, "relationship string, n_child long, n_orphans long"
+    )

@@ -62,6 +62,8 @@ _MODULE_PRIORITY = {
     "streaming.windows": 0,
     "streaming.rollup": 0,
     "streaming.sessionize": 0,
+    "streaming.upsert": 0,
+    "streaming.drift": 0,
     "operators.udfs": 1,
     "operators.temporal": 2,
     "operators.windows": 3,
