@@ -827,3 +827,74 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty", F.col("n_novel").cast("double") / F.col("n_grams")
         )
     )
+
+
+@register(
+    "char_class_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id,
+               length(text) AS n,
+               length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+               length(regexp_replace(text, '[^ ]', '', 'g')) AS n_space
+        FROM documents WHERE length(text) > 0
+    ),
+    f AS (
+        SELECT doc_id, n, n_alpha, n_digit, n_space,
+               n - n_alpha - n_digit - n_space AS n_other
+        FROM c
+    )
+    SELECT doc_id, n_alpha, n_digit, n_space, n_other,
+           round(- (CASE WHEN n_alpha = 0 THEN 0.0
+                   ELSE (CAST(n_alpha AS DOUBLE) / n) * log2(CAST(n_alpha AS DOUBLE) / n) END
+            + CASE WHEN n_digit = 0 THEN 0.0
+                   ELSE (CAST(n_digit AS DOUBLE) / n) * log2(CAST(n_digit AS DOUBLE) / n) END
+            + CASE WHEN n_space = 0 THEN 0.0
+                   ELSE (CAST(n_space AS DOUBLE) / n) * log2(CAST(n_space AS DOUBLE) / n) END
+            + CASE WHEN n_other = 0 THEN 0.0
+                   ELSE (CAST(n_other AS DOUBLE) / n) * log2(CAST(n_other AS DOUBLE) / n) END
+           ), 9) AS class_entropy
+    FROM f
+    """,
+    doc="Character-class entropy (alpha/digit/space/other Shannon "
+    "entropy per doc): the cheap gibberish/encoded-blob detector — "
+    "natural text sits near ~1.2-1.5 bits, base64 blobs and digit "
+    "dumps collapse toward 0-1.",
+)
+def char_class_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure map-side: four regexp_replace length counts + closed-form
+    entropy, all inside whole-stage codegen — no shuffle at any scale.
+    Expression tree (p·log2 p per class, zero-guarded) mirrors the
+    oracle exactly for bit-identical doubles."""
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n = F.length("text")
+    n_alpha = F.length(F.regexp_replace("text", "[^a-z]", ""))
+    n_digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    n_space = F.length(F.regexp_replace("text", "[^ ]", ""))
+    c = docs.select(
+        "doc_id",
+        n.alias("n"),
+        n_alpha.alias("n_alpha"),
+        n_digit.alias("n_digit"),
+        n_space.alias("n_space"),
+    ).withColumn(
+        "n_other",
+        F.col("n") - F.col("n_alpha") - F.col("n_digit") - F.col("n_space"),
+    )
+
+    def term(col: str):
+        p = F.col(col).cast("double") / F.col("n")
+        return F.when(F.col(col) == 0, F.lit(0.0)).otherwise(p * F.log2(p))
+
+    return c.select(
+        "doc_id",
+        "n_alpha",
+        "n_digit",
+        "n_space",
+        "n_other",
+        F.round(
+            -(term("n_alpha") + term("n_digit") + term("n_space") + term("n_other")),
+            9,  # JVM log vs libm log2 differ in the last ulp
+        ).alias("class_entropy"),
+    )

@@ -123,3 +123,30 @@ def test_minhash_signatures_partition_invariant(spark, nparts, seed):
     a = sorted(map(tuple, base.collect()))
     b = sorted(map(tuple, other.collect()))
     assert a == b
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)), min_size=1, max_size=60
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_star_cc_matches_union_find_on_random_graphs(spark, edges):
+    """For ANY edge list (self-loops, duplicates, dense collisions), the
+    distributed large-star/small-star labeling equals the driver
+    union-find's min-id labeling."""
+    from azure_func_forem_data_etl_spark.operators.dedup import (
+        _driver_union_find,
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(edges, "a: long, b: long")
+    got = {
+        (r["id"], r["comp"])
+        for r in connected_components_star(df, "a", "b").collect()
+    }
+    assert got == set(_driver_union_find(edges, None))
