@@ -886,3 +886,88 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "regression_value_trend",
+    oracle="""
+    SELECT event_type,
+           CAST(regr_count(value, epoch_us(ts) / 3600000000.0) AS BIGINT) AS n,
+           round(regr_slope(value, epoch_us(ts) / 3600000000.0), 6) AS slope_per_hour,
+           round(regr_intercept(value, epoch_us(ts) / 3600000000.0), 4) AS intercept,
+           round(regr_r2(value, epoch_us(ts) / 3600000000.0), 6) AS r2
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Per-type OLS trend of value over time (regr_slope / intercept / "
+    "r2 over epoch-hours) — the built-in linear-regression aggregates, "
+    "single shuffle, rounded where the two engines' accumulation orders "
+    "can differ in trailing digits.",
+)
+def regression_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard REGR_* aggregates: one partial-aggregated shuffle
+    computes slope/intercept/R² per group — the decomposable-moments
+    formulation (sums of x, y, xy, x², y²), which is exactly why it
+    scales: no per-group sort, no second pass.  Both engines accumulate
+    doubles in different orders, so outputs are rounded (6/4 dp) rather
+    than bit-compared raw."""
+    events = table(spark, sf_dir, "events")
+    x = F.unix_micros("ts") / F.lit(3600000000.0)  # epoch hours
+    return events.groupBy("event_type").agg(
+        F.regr_count("value", x).cast("long").alias("n"),
+        F.round(F.regr_slope("value", x), 6).alias("slope_per_hour"),
+        F.round(F.regr_intercept("value", x), 4).alias("intercept"),
+        F.round(F.regr_r2("value", x), 6).alias("r2"),
+    )
+
+
+@register(
+    "nested_basket_stats",
+    oracle="""
+    SELECT l_orderkey,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS basket_revenue,
+           round(CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE),
+                 9) AS top_item_share
+    FROM lineitem GROUP BY l_orderkey
+    """,
+    doc="Nested-type processing: lineitems collected to array<struct> per "
+    "order, then reduced with higher-order lambdas (aggregate/transform) "
+    "back to flat basket stats — the oracle computes the same scalars "
+    "relationally, proving the nested path's arithmetic.",
+)
+def nested_basket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why go through the nested representation at all: real silver
+    tables often STORE baskets nested (one row per order, items as
+    array<struct>) to avoid join fan-out at read time; this query proves
+    the engine computes over that layout with JVM lambda expressions —
+    collect once, then ``aggregate``/``transform`` fold the array with
+    no explode and no second shuffle.  Decimal-domain folds keep the
+    sums bit-identical with the relational oracle."""
+    li = table(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(
+                F.col("l_extendedprice").cast("decimal(18,4)").alias("price")
+            )
+        ).alias("items")
+    )
+    zero = F.lit(0).cast("decimal(28,4)")
+    revenue = F.aggregate(
+        "items",
+        zero,
+        # decimal + widens the scale-carrying type; re-cast keeps the
+        # accumulator fixed at (28,4) as the lambda contract requires
+        lambda acc, it: (acc + it["price"]).cast("decimal(28,4)"),
+    )
+    max_price = F.array_max(F.transform("items", lambda it: it["price"]))
+    return nested.select(
+        "l_orderkey",
+        F.size("items").cast("long").alias("n_items"),
+        revenue.cast("double").alias("basket_revenue"),
+        F.round(
+            max_price.cast("double") / revenue.cast("double"), 9
+        ).alias("top_item_share"),
+    )
