@@ -217,3 +217,50 @@ def udtf_repeated_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, t.word, t.cnt "
         "FROM _udtf_docs, LATERAL repeated_terms_udtf(doc_id, text) t"
     )
+
+
+def _gini_fn(values: pd.Series) -> float:
+    """Gini coefficient of a non-negative series (sorted-rank formula)."""
+    x = values.sort_values().to_numpy(dtype="float64")
+    n = x.size
+    s = x.sum()
+    if n == 0 or s == 0:
+        return 0.0
+    i = pd.RangeIndex(1, n + 1).to_numpy(dtype="float64")
+    return float((2.0 * (i * x).sum()) / (n * s) - (n + 1.0) / n)
+
+
+@register(
+    "pandas_udaf_gini",
+    oracle="""
+    WITH r AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS i
+        FROM events
+    )
+    SELECT event_type,
+           round((2.0 * SUM(i * value)) / (COUNT(*) * SUM(value))
+                 - (COUNT(*) + 1.0) / COUNT(*), 9) AS gini
+    FROM r GROUP BY event_type
+    """,
+    doc="Grouped-aggregate pandas UDF (the UDAF flavor): Gini "
+    "concentration of value per event type; oracle re-derives the "
+    "sorted-rank formula with a window + aggregate.",
+)
+def pandas_udaf_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPED_AGG pandas_udf flavor — Arrow ships each group's
+    column once, the UDAF returns one scalar; Spark plans it like any
+    aggregate (partial-less: full group to Python), so groups must fit
+    an Arrow batch — true for per-type series; a 100 TB variant
+    pre-reduces per partition first.  Ties sort identically on both
+    sides because equal values contribute the same regardless of rank
+    order within the tie (i*x summed over a tie block is
+    order-invariant); rounding absorbs float-order ulps."""
+    gini = pandas_udf(_gini_fn, "double")  # Series -> scalar: GROUPED_AGG
+    events = table(spark, sf_dir, "events")
+    # NB: a GROUPED_AGG pandas UDF cannot mix with built-in aggregates
+    # in one agg() (INVALID_PANDAS_UDF_PLACEMENT) — single-output UDAF.
+    return events.groupBy("event_type").agg(
+        F.round(gini("value"), 9).alias("gini")
+    )
