@@ -217,3 +217,98 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     C, _ = kmeans_fit(emb)
     return ivf_topk(emb, centroids=(np.arange(C.shape[0]), C))
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA: mergeable (n, sum, outer-product-sum) partials -> driver
+# eigendecomposition (O(dim^2), corpus-size independent) -> broadcast project
+
+PCA_COMPONENTS = 2
+
+
+def pca_fit(emb: DataFrame, n_components: int = PCA_COMPONENTS):
+    """Fit PCA over the embedding column: returns (mean, components).
+
+    One corpus pass emits a single (n, sum_vec, outer_sum) partial row per
+    Arrow batch — the classic mergeable-moments trick, so the reduce is
+    O(batches * dim^2) on the driver and the eigendecomposition is
+    O(dim^3) regardless of corpus size (dim=64 here; at 100 TB the same
+    plan holds for any dim where dim^2 doubles fit a partial row).
+    Component signs are canonicalized (largest-|loading| coordinate made
+    positive) so refits are deterministic up to eigenvalue ties."""
+    corpus = scale_out(emb.select("vec_id", "embedding"), "vec_id")
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = _np_matrix(pdf["embedding"]).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(E)],
+                    "s": [E.sum(axis=0)],
+                    "ss": [(E.T @ E).ravel()],
+                }
+            )
+
+    parts = corpus.mapInPandas(
+        mapper, schema="n long, s array<double>, ss array<double>"
+    ).toPandas()
+    if len(parts) == 0:
+        return np.zeros(0), np.zeros((0, 0))
+    n = int(parts["n"].sum())
+    s = np.vstack(parts["s"].to_numpy()).sum(axis=0)
+    dim = s.shape[0]
+    ss = np.vstack(parts["ss"].to_numpy()).sum(axis=0).reshape(dim, dim)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T  # (n_components, dim)
+    for i in range(comps.shape[0]):  # deterministic sign
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps
+
+
+def pca_project(emb: DataFrame, mean: np.ndarray, comps: np.ndarray) -> DataFrame:
+    """(vec_id, pc1..pcK): broadcast the (K x dim) loadings, project per
+    Arrow batch with one BLAS matmul.  Map-only — no shuffle."""
+    k = comps.shape[0]
+    cols = [f"pc{i + 1}" for i in range(k)]
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = _np_matrix(pdf["embedding"]).astype(np.float64)
+            P = (E - mean) @ comps.T
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            for i, c in enumerate(cols):
+                out[c] = P[:, i]
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, " + ", ".join(f"{c} double" for c in cols)
+    return emb.select("vec_id", "embedding").mapInPandas(mapper, schema=schema)
+
+
+@register(
+    "embedding_pca_project",
+    oracle=None,  # eigendecomposition is not ANSI-SQL; invariants unit-tested
+    doc="Distributed PCA: mergeable second-moment partials -> driver "
+    "eigh -> broadcast top-2 projection per vector (rounded 6dp).",
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensionality reduction for embedding-space inspection/indexing.
+    Rows-only: the oracle cannot run eigh, but the unit tests pin the
+    linear-algebra contract (orthonormal loadings, variance ordering,
+    deterministic signs, zero-mean projections)."""
+    emb = table(spark, sf_dir, "embeddings")
+    mean, comps = pca_fit(emb)
+    proj = pca_project(emb, mean, comps)
+    return proj.select(
+        "vec_id",
+        F.round("pc1", 6).alias("pc1"),
+        F.round("pc2", 6).alias("pc2"),
+    )

@@ -351,10 +351,10 @@ def mixture_sampling_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DECONTAM_NGRAM = 5
 
-
-@register(
-    "decontamination_ngram_overlap",
-    oracle=rf"""
+#: Shared by the exact operator and the bloom-prefilter variant — the
+#: prefilter has no false negatives and exact-confirms survivors, so both
+#: produce byte-identical output.
+_DECONTAM_ORACLE_SQL = rf"""
     WITH split AS (
         SELECT doc_id, text,
                CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
@@ -381,7 +381,12 @@ DECONTAM_NGRAM = 5
     FROM grams g JOIN bench b ON g.gram = b.gram
     WHERE g.split = 'train'
     GROUP BY g.doc_id
-    """,
+    """
+
+
+@register(
+    "decontamination_ngram_overlap",
+    oracle=_DECONTAM_ORACLE_SQL,
     doc=f"Benchmark decontamination: train docs sharing any "
     f"{DECONTAM_NGRAM}-gram with the held-out test split, with overlap "
     "counts.",
@@ -397,27 +402,7 @@ def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     ≪ corpus — and BROADCASTS into the train-side join, so the train
     corpus never shuffles; per-doc counts aggregate on doc_id.  N-grams
     are built by a JVM transform over the split array (no Python)."""
-    docs = table(spark, sf_dir, "documents")
-    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    split = docs.select(
-        "doc_id",
-        F.when(hx.between("0", "b"), "train")
-        .when(hx.isin("c", "d"), "val")
-        .otherwise("test")
-        .alias("split"),
-        F.split(F.lower("text"), r"\s+").alias("ws"),
-    )
-    n = DECONTAM_NGRAM
-    grams = split.select(
-        "doc_id",
-        "split",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, greatest(size(ws) - {n} + 1, 0)),"
-                f" i -> array_join(slice(ws, i, {n}), ' '))"
-            )
-        ).alias("gram"),
-    )
+    grams = _decontam_grams(spark, sf_dir)
     bench = (
         grams.filter(F.col("split") == "test").select("gram").distinct()
     )
@@ -426,4 +411,173 @@ def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(F.broadcast(bench), "gram")
         .groupBy("doc_id")
         .agg(F.countDistinct("gram").alias("n_contaminated_grams"))
+    )
+
+
+def _decontam_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, split, gram): overlapping DECONTAM_NGRAM-word grams per doc
+    with the md5-hash train/val/test split attached.
+
+    Docs shorter than the gram width yield no grams (the ``size(ws) >= n``
+    filter; ``sequence(1, 0)`` would otherwise DESCEND in Spark and emit
+    bogus partial grams — the oracle's ``range(1, 0)`` is empty)."""
+    docs = table(spark, sf_dir, "documents")
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    n = DECONTAM_NGRAM
+    split = docs.select(
+        "doc_id",
+        F.when(hx.between("0", "b"), "train")
+        .when(hx.isin("c", "d"), "val")
+        .otherwise("test")
+        .alias("split"),
+        F.split(F.lower("text"), r"\s+").alias("ws"),
+    ).filter(F.size("ws") >= n)
+    return split.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(ws) - {n} + 1),"
+                f" i -> array_join(slice(ws, i, {n}), ' '))"
+            )
+        ).alias("gram"),
+    )
+
+
+#: Bloom sizing: 2^19 bits (64 KiB) holds ~50k grams at ~1% false-positive
+#: with BLOOM_K=5 probes — the sf0.1 benchmark-split gram count.  At 100 TB
+#: the bitmap grows with the BENCHMARK (fixed, small), not the corpus.
+BLOOM_M_BITS = 1 << 19
+BLOOM_K = 5
+#: Hard cap on the benchmark side before the driver builds the bitmap —
+#: the same loud-failure discipline as operators._guards.
+BLOOM_MAX_BENCH_GRAMS = 2_000_000
+
+
+def _bloom_positions(gram: F.Column) -> list[F.Column]:
+    """BLOOM_K bit positions for a gram: xxhash64 seeded by probe index.
+    Used identically at build (benchmark side) and probe (train side), so
+    membership is exact-by-construction for true entries."""
+    return [
+        F.pmod(F.xxhash64(gram, F.lit(i)), F.lit(BLOOM_M_BITS))
+        for i in range(BLOOM_K)
+    ]
+
+
+@register(
+    "decontamination_bloom_prefilter",
+    oracle=_DECONTAM_ORACLE_SQL,
+    doc="Benchmark decontamination with a bloom-filter prefilter: train "
+    "grams probe a 64 KiB bitmap built from benchmark grams, and only "
+    "bloom survivors reach the exact broadcast join — output is "
+    "byte-identical to decontamination_ngram_overlap (no false negatives).",
+)
+def decontamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape of decontamination: when the benchmark gram set
+    outgrows a comfortable broadcast hash table, a bloom bitmap stays
+    64 KiB forever.  Train-side grams are pre-filtered by K pure-JVM
+    bitmap probes (xxhash64 + getbit on an array<long> literal — single
+    Literal node, no Python, no shuffle), and only the ~1% surviving
+    candidates hit the exact broadcast join that removes bloom false
+    positives.  No false negatives by construction, so the output equals
+    the exact operator's and shares its DuckDB oracle.
+
+    Driver cost is bounded: the bitmap is built from the DISTINCT bit
+    positions (≤ BLOOM_M_BITS rows collected, ~512k worst case), and a
+    loud guard refuses benchmark sides past BLOOM_MAX_BENCH_GRAMS."""
+    grams = _decontam_grams(spark, sf_dir)
+    # The benchmark side feeds THREE consumers (guard count, position
+    # collect, exact-confirm join) — materialize it once instead of
+    # re-deriving grams from the corpus scan each time.  It is small by
+    # definition (the guard below enforces that).
+    bench = (
+        grams.filter(F.col("split") == "test")
+        .select("gram")
+        .distinct()
+        .localCheckpoint()
+    )
+
+    n_bench = bench.count()
+    if n_bench > BLOOM_MAX_BENCH_GRAMS:
+        raise ValueError(
+            f"decontamination_bloom_prefilter: benchmark side has {n_bench} "
+            f"grams, above BLOOM_MAX_BENCH_GRAMS={BLOOM_MAX_BENCH_GRAMS}; "
+            "grow BLOOM_M_BITS before trusting the false-positive rate."
+        )
+    positions = (
+        bench.select(
+            F.explode(F.array(*_bloom_positions(F.col("gram")))).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (BLOOM_M_BITS // 64)
+    for row in positions:
+        pos = row[0]
+        words[pos >> 6] |= 1 << (pos & 63)
+    # LongType is signed: wrap bit-63 values to negative two's complement.
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bitmap = F.lit(words)
+
+    def _bit_set(pos: F.Column) -> F.Column:
+        word = F.element_at(bitmap, F.shiftright(pos, 6).cast("int") + F.lit(1))
+        return F.getbit(word, pos.bitwiseAND(F.lit(63))) == F.lit(1)
+
+    probe = _bloom_positions(F.col("gram"))
+    might_contain = probe[0].isNotNull()  # neutral start for the AND chain
+    for p in probe:
+        might_contain = might_contain & _bit_set(p)
+
+    return (
+        grams.filter(F.col("split") == "train")
+        .filter(might_contain)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_contaminated_grams"))
+    )
+
+
+@register(
+    "grouped_split_leakage_safe",
+    oracle="""
+    SELECT source,
+           CASE WHEN substring(md5(source), 1, 1)
+                     BETWEEN '0' AND 'b' THEN 'train'
+                WHEN substring(md5(source), 1, 1) IN ('c', 'd') THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    doc="Group-aware train/val/test split: the WHOLE source is assigned "
+    "one split by hashing the source key (not the doc id), so no source "
+    "straddles splits — the leakage-safe counterpart of "
+    "dataset_split_hash.",
+)
+def grouped_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Splitting by document id leaks: near-identical docs from one
+    domain land on both sides of the train/test fence.  Hashing the GROUP
+    key (source/domain/author) assigns entire groups to one split —
+    standard leakage control in dataset curation.
+
+    Scale shape: map-side split assignment (md5 of a short key), one
+    aggregation keyed on (source, split) — and split is functionally
+    dependent on source, so cardinality equals the domain count."""
+    docs = table(spark, sf_dir, "documents")
+    hx = F.substring(F.md5(F.col("source")), 1, 1)
+    return (
+        docs.select(
+            "source",
+            F.when(hx.between("0", "b"), "train")
+            .when(hx.isin("c", "d"), "val")
+            .otherwise("test")
+            .alias("split"),
+            "n_chars",
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
     )

@@ -161,3 +161,218 @@ def prefix_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+SEGMENT_WORDS = 2  # real deployments segment on sentences/paragraphs
+
+
+@register(
+    "intradoc_segment_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    segs AS (
+        SELECT doc_id,
+               list_transform(
+                   range(CAST(ceil(len(ts) / {SEGMENT_WORDS}.0) AS BIGINT)),
+                   i -> array_to_string(
+                       ts[i * {SEGMENT_WORDS} + 1 : (i + 1) * {SEGMENT_WORDS}],
+                       ' ')) AS sg
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(sg) AS INT) AS n_segments,
+           CAST(len(list_distinct(sg)) AS INT) AS n_distinct_segments,
+           round(1.0 - len(list_distinct(sg)) / CAST(len(sg) AS DOUBLE), 6)
+               AS dup_ratio
+    FROM segs
+    """,
+    doc=f"Intra-document dedup: each doc split into consecutive "
+    f"{SEGMENT_WORDS}-word segments; repeated-segment ratio per doc "
+    "(repeated-paragraph removal signal).",
+)
+def intradoc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition detector — the intra-doc complement of
+    the cross-corpus near-dup passes (public methodology: Dolma's
+    paragraph-level dedup, RefinedWeb line-dedup).  Real deployments
+    segment on sentence/paragraph boundaries; the synthetic corpus has no
+    punctuation, so segments are fixed SEGMENT_WORDS-word windows — the
+    machinery
+    (segment → distinct-count → ratio) is identical.
+
+    Scale shape: pure map — the segment array, its distinct count, and the
+    ratio are all JVM array lambdas per row (no explode, no shuffle, no
+    Python).  At 100 TB this is a single scan, embarrassingly parallel."""
+    w = SEGMENT_WORDS
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    nseg = F.ceil(F.size(toks) / F.lit(float(w))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - F.lit(1)),
+        lambda i: F.array_join(F.slice(toks, i * F.lit(w) + 1, F.lit(w)), " "),
+    )
+    out = docs.select("doc_id", segs.alias("sg"))
+    n_seg = F.size("sg")
+    n_uniq = F.size(F.array_distinct("sg"))
+    return out.select(
+        "doc_id",
+        n_seg.alias("n_segments"),
+        n_uniq.alias("n_distinct_segments"),
+        F.round(F.lit(1.0) - n_uniq / n_seg.cast("double"), 6).alias(
+            "dup_ratio"
+        ),
+    )
+
+
+BOILERPLATE_SHINGLE = 3  # words per shingle
+BOILERPLATE_MIN_DOCS = 5  # appears in >= N distinct docs => boilerplate
+
+
+@register(
+    "boilerplate_shingles",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(ts) - {BOILERPLATE_SHINGLE} + 2),
+                   i -> array_to_string(
+                       ts[i : i + {BOILERPLATE_SHINGLE} - 1], ' '))) AS shingle
+        FROM toks
+        WHERE len(ts) >= {BOILERPLATE_SHINGLE}
+    )
+    SELECT shingle, CAST(COUNT(DISTINCT doc_id) AS INT) AS n_docs
+    FROM sh
+    GROUP BY shingle
+    HAVING COUNT(DISTINCT doc_id) >= {BOILERPLATE_MIN_DOCS}
+    """,
+    doc=f"Cross-document boilerplate: {BOILERPLATE_SHINGLE}-word shingles "
+    f"appearing in >= {BOILERPLATE_MIN_DOCS} distinct docs, with doc "
+    "frequencies (header/footer/template removal signal).",
+)
+def boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detector (public methodology: C4's
+    three-sentence dedup, RefinedWeb's repeated-line stripping): shingles
+    shared by many distinct documents are template text, not content.
+
+    Scale shape: explode fans each doc into ~n_words shingles, then ONE
+    shuffle keyed on the shingle for a distinct-doc count; the HAVING
+    threshold caps the output at the (small) boilerplate set.  At 100 TB
+    the shuffle key should be ``xxhash64(shingle)`` (8 B, not the string)
+    with the string re-attached only for the surviving heavy shingles —
+    same two-tier trick as ``dedup_exact_text``; the string key is kept
+    here because the oracle needs the literal shingle."""
+    n = BOILERPLATE_SHINGLE
+    docs = table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    sh = (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - F.lit(n - 1)),
+                    lambda i: F.array_join(F.slice(F.col("ws"), i, F.lit(n)), " "),
+                )
+            ).alias("shingle"),
+        )
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").cast("int").alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+    )
+
+
+SOURCE_QUOTA = 10  # max docs kept per source
+
+
+@register(
+    "source_quota_cap",
+    oracle=f"""
+    SELECT source, doc_id, rk
+    FROM (
+        SELECT source, doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS INT) AS rk
+        FROM documents
+    )
+    WHERE rk <= {SOURCE_QUOTA}
+    """,
+    doc=f"Per-source quota sampling: deterministic hash-ordered cap of "
+    f"{SOURCE_QUOTA} docs per source (domain-quota curation).",
+)
+def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/source quota capping (public methodology: web-corpus domain
+    caps a la Common Crawl curation — no single domain may dominate the
+    mixture).  Ordering by a hash of the id makes the kept subset
+    deterministic yet unbiased by ingestion order.
+
+    Scale shape: one shuffle keyed on source; the ``rk <= N`` filter
+    compiles to WindowGroupLimit, so each task keeps only its top-N rows
+    per source *before* the shuffle (partial top-k both map- and
+    reduce-side).  Skewed mega-sources therefore cost O(N) per task, not
+    O(rows-in-source)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SOURCE_QUOTA)
+    )
+
+
+@register(
+    "dedup_keep_decision",
+    oracle="""
+    SELECT doc_id,
+           CAST(count(*) OVER (PARTITION BY md5(text)) AS INT) AS group_size,
+           CAST(CASE WHEN row_number() OVER (
+                    PARTITION BY md5(text)
+                    ORDER BY n_chars DESC, doc_id
+                ) = 1 THEN 1 ELSE 0 END AS INT) AS keep,
+           first_value(doc_id) OVER (
+               PARTITION BY md5(text)
+               ORDER BY n_chars DESC, doc_id
+           ) AS rep_doc_id
+    FROM documents
+    """,
+    doc="Exact-dedup keep/drop decisions: one canonical representative "
+    "per content-hash group (longest doc, then lowest id), every doc "
+    "labeled keep=0/1 with its group size and representative.",
+)
+def dedup_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable output of exact dedup — not just group counts
+    (``dedup_exact_text``) but a per-document keep/drop verdict a
+    downstream writer can apply directly.  Canonical choice (longest,
+    then lowest id) is deterministic, so replays produce identical
+    decisions.
+
+    Scale shape: one shuffle keyed on the 16-byte content hash (bodies
+    never shuffle); both window functions share the single sort within
+    each hash group.  Groups are tiny (true duplicates), so no skew."""
+    from pyspark.sql import Window
+
+    fp = F.md5(F.col("text"))
+    w_ord = Window.partitionBy(fp).orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    w_all = Window.partitionBy(fp)
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.count("*").over(w_all).cast("int").alias("group_size"),
+        F.when(F.row_number().over(w_ord) == 1, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("keep"),
+        F.first_value("doc_id").over(w_ord).alias("rep_doc_id"),
+    )

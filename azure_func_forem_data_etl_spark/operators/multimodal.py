@@ -378,3 +378,62 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes, so the driver's repeatability check holds."""
     docs = table(spark, sf_dir, "documents")
     return extract_audio_stats(with_binary_column(docs))
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-dup over media payloads (dedup x multimodal)
+
+
+PHASH_BAND_BITS = 16  # exact-match band width for hamming candidate search
+
+
+@register(
+    "multimodal_phash_groups",
+    oracle=None,  # phash derives from the Python stub decode; invariants unit-tested
+    doc="Perceptual-hash near-dup candidates over media payloads: 8x8 "
+    "thumbnail -> 64-bit above-median bit signature (JVM exprs) -> "
+    "16-bit band groupBy; bands holding >= 2 docs are the candidate "
+    "groups for hamming verification.",
+)
+def multimodal_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash-style image dedup (public methodology: average/median hash
+    family): decode + downscale to an 8x8 grid, fingerprint each cell as
+    above/below the per-image median, then find near-duplicates the way
+    hamming search scales — exact match on a bit BAND proposes candidate
+    groups (any pair within hamming distance d shares at least one of
+    64/band_bits bands untouched), and only candidates pay the full
+    64-bit comparison.  Byte-identical media collide on the whole
+    signature (n_distinct_phash = 1 in their band).
+
+    Scale shape: thumbnails come from the Arrow-batched resize stub; the
+    signature is pure JVM array lambdas (sort for the median,
+    transform+concat for bits); the only shuffle carries (band, 64-char
+    signature, doc_id) — never payload bytes.  Band groups are
+    candidate-sized; the same hot-bucket cap as operators/dedup.py
+    applies if a degenerate corpus floods one band."""
+    docs = table(spark, sf_dir, "documents")
+    thumbs = resize_media(with_binary_column(docs))
+    n_cells = THUMB_SIDE * THUMB_SIDE
+    srt = F.sort_array(F.col("thumbnail"))
+    median = (
+        F.element_at(srt, n_cells // 2) + F.element_at(srt, n_cells // 2 + 1)
+    ) / F.lit(2.0)
+    bits = F.array_join(
+        F.transform(
+            F.col("thumbnail"),
+            lambda x: F.when(x > F.col("med"), "1").otherwise("0"),
+        ),
+        "",
+    )
+    sig = thumbs.withColumn("med", median).select(
+        "doc_id", bits.alias("phash")
+    )
+    return (
+        sig.groupBy(F.substring("phash", 1, PHASH_BAND_BITS).alias("band"))
+        .agg(
+            F.count("*").cast("int").alias("n_docs"),
+            F.countDistinct("phash").cast("int").alias("n_distinct_phash"),
+            F.min("doc_id").alias("rep_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -243,3 +243,88 @@ def referential_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "relationship string, n_child long, n_orphans long"
     )
+
+
+MAD_K = 3 * 1.4826  # 3 sigma-equivalents; 1.4826 makes MAD consistent with σ
+
+
+@register(
+    "event_anomaly_mad",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+    ),
+    med AS (
+        SELECT event_type, median(v) AS med FROM ev GROUP BY event_type
+    ),
+    stats AS (
+        SELECT e.event_type,
+               min(m.med) AS med,
+               median(abs(e.v - m.med)) AS mad,
+               count(*) AS n_events
+        FROM ev e JOIN med m USING (event_type)
+        GROUP BY e.event_type
+    ),
+    an AS (
+        SELECT e.event_type, count(*) AS n_anomalies
+        FROM ev e JOIN stats s USING (event_type)
+        WHERE round(abs(e.v - s.med), 6) > round({MAD_K} * s.mad, 6)
+        GROUP BY e.event_type
+    )
+    SELECT s.event_type,
+           CAST(s.n_events AS BIGINT) AS n_events,
+           round(s.med, 6) AS med,
+           round(s.mad, 6) AS mad,
+           CAST(COALESCE(an.n_anomalies, 0) AS BIGINT) AS n_anomalies
+    FROM stats s LEFT JOIN an USING (event_type)
+    """,
+    doc="Robust anomaly detection: per event type, median + MAD of the "
+    "value column and the count of |v - med| > 3σ-equivalent outliers.",
+)
+def event_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier flagging — the robust twin of z-score anomaly
+    detection (median and MAD are insensitive to the very outliers being
+    hunted, unlike mean/stddev).  Standard data-quality pass over metric
+    streams.
+
+    Scale shape: three aggregations keyed on event_type with the tiny
+    per-type stats BROADCAST back against the fact table — events never
+    shuffles.  Exact ``percentile`` does a full sort per group (the
+    oracle-exact tier); the 100 TB variant swaps in
+    ``approx_percentile`` (GK sketch, mergeable partials) with identical
+    plan shape.  Threshold comparisons are rounded to 6 dp on both
+    engines so boundary rows can't flip on float noise."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    med = ev.groupBy("event_type").agg(F.percentile("v", 0.5).alias("med"))
+    stats = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("med").alias("med"),
+            F.percentile(F.abs(F.col("v") - F.col("med")), 0.5).alias("mad"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    anomalies = (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(
+            F.round(F.abs(F.col("v") - F.col("med")), 6)
+            > F.round(F.lit(MAD_K) * F.col("mad"), 6)
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_anomalies"))
+    )
+    return (
+        stats.join(anomalies, "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            F.coalesce("n_anomalies", F.lit(0).cast("long")).alias(
+                "n_anomalies"
+            ),
+        )
+    )

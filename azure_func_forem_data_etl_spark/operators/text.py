@@ -898,3 +898,98 @@ def char_class_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,  # JVM log vs libm log2 differ in the last ulp
         ).alias("class_entropy"),
     )
+
+
+@register(
+    "bigram_lm_score",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                   range(1, len(ts)),
+                   i -> ts[i] || ' ' || ts[i + 1])) AS bgs
+        FROM toks
+        WHERE len(ts) >= 2
+    ),
+    cb AS (SELECT bgs, COUNT(*) AS c12 FROM bg GROUP BY bgs),
+    cw AS (
+        SELECT split_part(bgs, ' ', 1) AS w1, COUNT(*) AS c1
+        FROM bg GROUP BY 1
+    ),
+    scored AS (
+        SELECT bg.doc_id,
+               CAST(round(log10(cb.c12 / CAST(cw.c1 AS DOUBLE)), 4)
+                    AS DECIMAL(18,4)) AS logp
+        FROM bg
+        JOIN cb USING (bgs)
+        JOIN cw ON split_part(bg.bgs, ' ', 1) = cw.w1
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(logp) AS DOUBLE) AS sum_log10_prob
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Bigram-LM fluency score: per doc, the sum of log10 P(w2|w1) "
+    "under the corpus's own bigram model (decimal-domain sum); the "
+    "conditional-probability step up from unigram_logprob_score.",
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order language-model scoring (CCNet-style fluency, one
+    order up from ``unigram_logprob_score``): P(w2|w1) = c(w1 w2) /
+    c(w1 ·), both counted over the corpus's own bigram stream, so every
+    doc bigram has nonzero probability by construction (no smoothing
+    needed) and the whole computation is oracle-exact.
+
+    Scale shape: ONE explode pass into the bigram stream feeds the
+    bigram-count table, the prefix-count table, and the scoring join;
+    both count tables are vocabulary-sized (≪ corpus) and BROADCAST, so
+    the stream shuffles only for the final per-doc aggregation.  Per-
+    bigram logs are quantized at 4dp into DECIMAL (associative-exact sum
+    — partition-order- and engine-independent), same discipline as the
+    unigram scorer."""
+    docs = table(spark, sf_dir, "documents")
+    ts = F.split(F.lower("text"), r"\s+")
+    bg = (
+        docs.select("doc_id", ts.alias("ts"))
+        .filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.concat(
+                        F.element_at(F.col("ts"), i),
+                        F.lit(" "),
+                        F.element_at(F.col("ts"), i + F.lit(1)),
+                    ),
+                )
+            ).alias("bgs"),
+        )
+    )
+    cb = bg.groupBy("bgs").agg(F.count("*").alias("c12"))
+    cw = (
+        bg.select(F.substring_index("bgs", " ", 1).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    scored = (
+        bg.join(F.broadcast(cb), "bgs")
+        .join(
+            F.broadcast(cw),
+            F.substring_index(F.col("bgs"), " ", 1) == F.col("w1"),
+        )
+        .withColumn(
+            "logp",
+            F.round(
+                F.log10(F.col("c12") / F.col("c1").cast("double")), 4
+            ).cast("decimal(18,4)"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("logp").cast("double").alias("sum_log10_prob"),
+    )

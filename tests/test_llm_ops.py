@@ -926,3 +926,168 @@ def test_pointer_jumping_forest_and_chain(spark):
         assert got[i] == (2000, 1), i
     assert got[3000] == (3000, 0)
     assert len(got) == len(chain) + len(star) + len(singleton)
+
+
+def test_bloom_prefilter_guard_and_selectivity(spark, sf_dir, monkeypatch):
+    """The bloom guard refuses oversized benchmark sides, and the bitmap
+    probe actually prunes: non-benchmark grams rarely pass (fp rate ~1%),
+    while every benchmark gram always passes (no false negatives)."""
+    from azure_func_forem_data_etl_spark.operators import curation as C
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(C, "BLOOM_MAX_BENCH_GRAMS", 1)
+    with pytest.raises(ValueError, match="BLOOM_MAX_BENCH_GRAMS"):
+        C.decontamination_bloom_prefilter(spark, sf_dir)
+    monkeypatch.undo()
+
+    grams = C._decontam_grams(spark, sf_dir)
+    bench = grams.filter(F.col("split") == "test").select("gram").distinct()
+    positions = (
+        bench.select(
+            F.explode(F.array(*C._bloom_positions(F.col("gram")))).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (C.BLOOM_M_BITS // 64)
+    for (p,) in positions:
+        words[p >> 6] |= 1 << (p & 63)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bitmap = F.lit(words)
+
+    def bit_set(pos):
+        word = F.element_at(bitmap, F.shiftright(pos, 6).cast("int") + F.lit(1))
+        return F.getbit(word, pos.bitwiseAND(F.lit(63))) == F.lit(1)
+
+    probe = C._bloom_positions(F.col("gram"))
+    cond = probe[0].isNotNull()
+    for p in probe:
+        cond = cond & bit_set(p)
+
+    # No false negatives: every benchmark gram passes its own bitmap.
+    n_bench = bench.count()
+    assert bench.filter(cond).count() == n_bench
+
+    # Real pruning: train grams NOT in the benchmark set pass at the bloom
+    # false-positive rate, far below 50%.
+    train = grams.filter(F.col("split") == "train").select("gram")
+    true_hits = train.join(bench, "gram", "left_semi")
+    non_members = train.exceptAll(true_hits)
+    n_non = non_members.count()
+    n_pass = non_members.filter(cond).count()
+    assert n_pass <= max(10, n_non // 2), (n_pass, n_non)
+
+
+def test_intradoc_segment_dedup_counts_repeats(spark):
+    """A document made of one repeated segment has dup_ratio near 1."""
+    from azure_func_forem_data_etl_spark.operators.hygiene import (
+        SEGMENT_WORDS,
+        intradoc_segment_dedup,
+    )
+
+    assert SEGMENT_WORDS == 2  # fixture text below assumes W=2
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b", "en", "s", 15),
+            (2, "a b c d e f g h", "en", "s", 15),
+            (3, "x", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r["doc_id"]: (
+                r["n_segments"],
+                r["n_distinct_segments"],
+                r["dup_ratio"],
+            )
+            for r in intradoc_segment_dedup(spark, d).collect()
+        }
+    assert got[1] == (4, 1, 0.75)
+    assert got[2] == (4, 4, 0.0)
+    assert got[3] == (1, 1, 0.0)  # short doc: one partial segment, no crash
+
+
+def test_source_quota_cap_deterministic_and_capped(spark, sf_dir):
+    """Every source keeps at most the quota, ranks are 1..k, and the kept
+    set is stable across runs (hash-ordered, not ingestion-ordered)."""
+    from azure_func_forem_data_etl_spark.operators.hygiene import (
+        SOURCE_QUOTA,
+        source_quota_cap,
+    )
+
+    a = source_quota_cap(spark, sf_dir).collect()
+    b = source_quota_cap(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_source = {}
+    for r in a:
+        per_source.setdefault(r["source"], []).append(r["rk"])
+    for src, rks in per_source.items():
+        assert len(rks) <= SOURCE_QUOTA, src
+        assert sorted(rks) == list(range(1, len(rks) + 1)), src
+
+
+def test_pca_contract(spark, sf_dir):
+    """PCA loadings are orthonormal with deterministic signs; projections
+    are zero-mean with variance(pc1) >= variance(pc2)."""
+    import numpy as np
+
+    from azure_func_forem_data_etl_spark.operators.clustering import (
+        pca_fit,
+        pca_project,
+    )
+    from azure_func_forem_data_etl_spark.sources.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    mean, comps = pca_fit(emb)
+    assert comps.shape[0] == 2
+    gram = comps @ comps.T
+    assert np.allclose(gram, np.eye(2), atol=1e-9)
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        assert comps[i, j] > 0  # canonical sign
+
+    mean2, comps2 = pca_fit(emb)
+    assert np.allclose(mean, mean2) and np.allclose(comps, comps2)
+
+    pdf = pca_project(emb, mean, comps).toPandas()
+    assert abs(pdf["pc1"].mean()) < 1e-6 and abs(pdf["pc2"].mean()) < 1e-6
+    assert pdf["pc1"].var() >= pdf["pc2"].var() - 1e-12
+
+
+def test_phash_groups_collide_on_identical_payloads(spark):
+    """Byte-identical payloads share a phash; the signature is a 64-char
+    bit string; groups report the lowest doc_id as representative."""
+    import os
+    import tempfile
+
+    from azure_func_forem_data_etl_spark.operators.multimodal import (
+        multimodal_phash_groups,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the same payload text here", "en", "s", 26),
+            (7, "the same payload text here", "en", "s", 26),
+            (3, "a completely different body of text", "en", "s", 35),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        got = multimodal_phash_groups(spark, d).collect()
+    # the two identical payloads band-collide with one shared full phash;
+    # the third doc may only join their band by 1/2^16 chance
+    assert len(got) == 1
+    row = got[0]
+    assert row["n_docs"] == 2 and row["rep_doc_id"] == 1
+    assert row["n_distinct_phash"] == 1
+    from azure_func_forem_data_etl_spark.operators.multimodal import (
+        PHASH_BAND_BITS,
+    )
+    assert len(row["band"]) == PHASH_BAND_BITS and set(row["band"]) <= {"0", "1"}
