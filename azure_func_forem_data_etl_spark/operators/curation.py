@@ -581,3 +581,54 @@ def grouped_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+ES_SAMPLE_K = 50
+#: Knuth multiplicative constant; (id * C) % P with prime P gives a
+#: deterministic, engine-portable pseudo-uniform (no engine hash needed).
+ES_HASH_C = 2_654_435_761
+ES_HASH_P = 1_000_003
+
+
+@register(
+    "weighted_sample_es",
+    oracle=f"""
+    SELECT doc_id, n_chars, round(es_key, 8) AS es_key
+    FROM (
+        SELECT doc_id, n_chars,
+               ln((CAST((doc_id * {ES_HASH_C}) % {ES_HASH_P} AS DOUBLE) + 0.5)
+                  / {ES_HASH_P}) / n_chars AS es_key
+        FROM documents
+    )
+    ORDER BY es_key DESC, doc_id
+    LIMIT {ES_SAMPLE_K}
+    """,
+    doc=f"Weighted sampling without replacement (Efraimidis-Spirakis "
+    f"A-ES): top-{ES_SAMPLE_K} docs by ln(u)/weight with a deterministic "
+    "arithmetic-hash uniform; weight = n_chars.",
+)
+def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed weighted sampling without replacement — the standard
+    one-pass algorithm (Efraimidis & Spirakis 2006): each row draws
+    u ~ U(0,1) and keeps key u^(1/w); the global top-k keys ARE a weighted
+    sample.  Ranking by ln(u)/w is order-equivalent and better
+    conditioned.  The uniform comes from portable integer arithmetic
+    ((id*C) mod P), so the oracle reproduces it exactly — a real
+    deployment swaps in xxhash64 with a seed.
+
+    Scale shape: map-only key computation + global top-k, which compiles
+    to TakeOrderedAndProject (per-partition heaps, only k rows reach the
+    driver) — one pass, no shuffle of the corpus, exactly how you sample
+    a 100 TB corpus by token weight."""
+    docs = table(spark, sf_dir, "documents")
+    u = (
+        ((F.col("doc_id") * F.lit(ES_HASH_C)) % F.lit(ES_HASH_P)).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(ES_HASH_P))
+    key = F.log(u) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "n_chars", key.alias("k"))
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(ES_SAMPLE_K)
+        .select("doc_id", "n_chars", F.round("k", 8).alias("es_key"))
+    )

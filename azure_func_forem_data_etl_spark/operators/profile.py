@@ -328,3 +328,59 @@ def event_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+HIST_LO = 900.0
+HIST_HI = 105000.0
+HIST_BINS = 20
+_HIST_W = (HIST_HI - HIST_LO) / HIST_BINS
+
+
+@register(
+    "histogram_extendedprice",
+    oracle=f"""
+    SELECT bin_id,
+           round({HIST_LO} + bin_id * {_HIST_W}, 2) AS lo_edge,
+           round({HIST_LO} + (bin_id + 1) * {_HIST_W}, 2) AS hi_edge,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM (
+        SELECT CAST(least(greatest(
+                   floor((l_extendedprice - {HIST_LO}) / {_HIST_W}),
+                   0), {HIST_BINS - 1}) AS INT) AS bin_id
+        FROM lineitem
+    )
+    GROUP BY bin_id
+    """,
+    doc=f"Fixed-bin histogram of l_extendedprice ({HIST_BINS} bins, "
+    "clamped edges): the single-scan distribution profile.",
+)
+def histogram_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram as pure integer-bucket arithmetic (identical
+    floor/clamp semantics in both engines — no width_bucket dialect
+    drift).  One scan, one aggregation on a ≤ HIST_BINS-cardinality key:
+    partial counts combine map-side, so the shuffle is bins × partitions
+    rows regardless of table size — the same profile runs unchanged on
+    100 TB."""
+    li = table(spark, sf_dir, "lineitem")
+    bin_id = (
+        F.least(
+            F.greatest(
+                F.floor((F.col("l_extendedprice") - HIST_LO) / _HIST_W),
+                F.lit(0),
+            ),
+            F.lit(HIST_BINS - 1),
+        )
+        .cast("int")
+        .alias("bin_id")
+    )
+    return (
+        li.select(bin_id)
+        .groupBy("bin_id")
+        .agg(F.count("*").alias("n_rows"))
+        .select(
+            "bin_id",
+            F.round(F.lit(HIST_LO) + F.col("bin_id") * _HIST_W, 2).alias("lo_edge"),
+            F.round(F.lit(HIST_LO) + (F.col("bin_id") + 1) * _HIST_W, 2).alias("hi_edge"),
+            "n_rows",
+        )
+    )

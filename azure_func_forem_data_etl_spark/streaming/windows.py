@@ -314,3 +314,60 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.filter(
         F.col("purchase_id").isNotNull() | (F.unix_micros("s_ts") <= safe)
     ).select("signup_id", "purchase_id", "user_id")
+
+
+TOPK_PER_WINDOW = 3
+
+
+@register(
+    "streaming_topk_per_window",
+    oracle=f"""
+    WITH c AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, rk FROM (
+        SELECT c.*,
+               CAST(row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n_events DESC, event_type
+               ) AS INT) AS rk
+        FROM c
+    )
+    WHERE rk <= {TOPK_PER_WINDOW}
+    """,
+    doc=f"Streaming windowed top-k: tumbling-hour event-type counts from "
+    f"a readStream (complete mode), ranked to the top {TOPK_PER_WINDOW} "
+    "types per window at read time.",
+)
+def streaming_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-items over a stream — the composition every ops dashboard
+    runs: the STREAMING engine maintains per-(window, key) counts under a
+    watermark, and the rank is applied batch-side on the sink table
+    (ranking inside a streaming agg is unsupported; materialize-then-rank
+    is the production pattern, e.g. a Delta sink + view).
+
+    Scale shape: streaming state is (windows in flight × event types);
+    the sink table is aggregate-sized (not stream-sized), so the batch
+    rank costs one small window sort; rk <= k compiles to
+    WindowGroupLimit."""
+    from pyspark.sql import Window
+
+    events = stream_table(spark, sf_dir, "events")
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    tbl = run_available_now(agg, "complete")
+    rk = F.row_number().over(
+        Window.partitionBy("window_start").orderBy(
+            F.desc("n_events"), F.asc("event_type")
+        )
+    )
+    return tbl.withColumn("rk", rk).filter(F.col("rk") <= TOPK_PER_WINDOW)

@@ -245,3 +245,25 @@ def test_transition_counts_single_exchange_chain(spark, sf_dir):
     assert n_exch == 2, f"expected 2 Exchanges (window + agg), got {n_exch}"
     assert "partial_count" in plan  # map-side combine before the pair shuffle
     assert "BatchEvalPython" not in plan
+
+
+def test_weighted_sample_es_uses_takeordered(spark, sf_dir):
+    """A-ES sampling must be a per-partition-heap top-k, never a global
+    sort of the corpus."""
+    from azure_func_forem_data_etl_spark.operators.curation import (
+        weighted_sample_es,
+    )
+
+    plan = weighted_sample_es(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_source_quota_cap_uses_window_group_limit(spark, sf_dir):
+    """The quota filter must push into WindowGroupLimit so mega-sources
+    cost O(quota) per task, not a full per-source sort."""
+    from azure_func_forem_data_etl_spark.operators.hygiene import (
+        source_quota_cap,
+    )
+
+    plan = source_quota_cap(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
