@@ -384,3 +384,70 @@ def histogram_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     )
+
+
+WILSON_Z = 1.959964  # two-sided 95%
+
+
+@register(
+    "returns_rate_wilson_ci",
+    oracle=f"""
+    WITH base AS (
+        SELECT date_trunc('month', l_shipdate) AS ship_month,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_returns
+        FROM lineitem GROUP BY 1
+    )
+    SELECT ship_month, n_rows, n_returns,
+           round(p, 6) AS p_hat,
+           round((p + z2 / (2 * n) - {WILSON_Z} *
+                  sqrt(p * (1 - p) / n + z2 / (4 * n * n)))
+                 / (1 + z2 / n), 6) AS ci_lo,
+           round((p + z2 / (2 * n) + {WILSON_Z} *
+                  sqrt(p * (1 - p) / n + z2 / (4 * n * n)))
+                 / (1 + z2 / n), 6) AS ci_hi
+    FROM (
+        SELECT ship_month, n_rows, n_returns,
+               n_returns / CAST(n_rows AS DOUBLE) AS p,
+               CAST(n_rows AS DOUBLE) AS n,
+               {WILSON_Z} * {WILSON_Z} AS z2
+        FROM base
+    )
+    """,
+    doc="Monthly return-rate with Wilson 95% confidence intervals — "
+    "uncertainty-aware rate reporting from plain portable arithmetic.",
+)
+def returns_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-with-uncertainty reporting (Wilson score interval — the
+    interval that behaves at small n and extreme p, unlike the normal
+    approximation).  All arithmetic is portable +-*/sqrt, so the oracle
+    is bit-comparable after 6dp rounding.
+
+    Scale shape: one aggregation on a month key (map-side combine), then
+    scalar math on the month-grain rollup — constant-size everything
+    after the single scan."""
+    li = table(spark, sf_dir, "lineitem")
+    base = li.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("ship_month")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "n_returns"
+        ),
+    )
+    n = F.col("n_rows").cast("double")
+    p = F.col("n_returns") / n
+    z = WILSON_Z
+    z2 = z * z
+    denom = 1 + z2 / n
+    center = p + z2 / (2 * n)
+    margin = z * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+    return base.select(
+        "ship_month",
+        "n_rows",
+        "n_returns",
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - margin) / denom, 6).alias("ci_lo"),
+        F.round((center + margin) / denom, 6).alias("ci_hi"),
+    )

@@ -993,3 +993,52 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_bigrams"),
         F.sum("logp").cast("double").alias("sum_log10_prob"),
     )
+
+
+def _compression_ratio_fn(texts):
+    """Vectorized zlib compression ratio per doc (Arrow batch in/out).
+    Wrapped with ``pandas_udf`` at call time — executors re-import this
+    module in UDF workers where no session exists to parse DDL types."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    out = np.empty(len(texts), dtype=np.float64)
+    for i, t in enumerate(texts):
+        raw = (t or "").encode("utf-8")
+        out[i] = (len(zlib.compress(raw, 6)) / len(raw)) if raw else 1.0
+    return pd.Series(out)
+
+
+@register(
+    "compression_ratio_quality",
+    oracle=None,  # zlib is not expressible in SQL; invariants unit-tested
+    doc="Gopher-style compression-ratio quality signal: zlib bytes-out / "
+    "bytes-in per doc (low ratio = repetitive boilerplate, ~1 = "
+    "high-entropy gibberish), via an Arrow-vectorized pandas_udf.",
+)
+def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compressibility filter from public corpus-quality methodology
+    (Gopher/MassiveText rules, also used by RefinedWeb): natural prose
+    compresses to a mid ratio; templated/repeated text compresses far
+    lower; random noise barely compresses.  Both tails get flagged.
+
+    Scale shape: map-only over Arrow batches (the ONE family where Python
+    is justified — zlib is not expressible in Catalyst); no shuffle; CPU
+    scales with corpus bytes and parallelizes embarrassingly."""
+    from pyspark.sql.functions import pandas_udf
+
+    ratio = pandas_udf(_compression_ratio_fn, "double")
+    docs = table(spark, sf_dir, "documents")
+    r = ratio(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        F.round(r, 6).alias("compression_ratio"),
+        (
+            F.when(F.round(r, 6) < 0.35, "too_repetitive")
+            .when(F.round(r, 6) > 0.95, "too_random")
+            .otherwise("ok")
+        ).alias("verdict"),
+    )

@@ -305,3 +305,62 @@ def cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("cum_users"),
     )
+
+
+RFM_ANCHOR = "2001-09-01"  # just past the generated orderdate range
+
+
+@register(
+    "customer_rfm_scores",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_custkey AS c_custkey,
+               date_diff('day', CAST(max(o_orderdate) AS DATE),
+                         DATE '{RFM_ANCHOR}') AS recency_days,
+               CAST(count(*) AS INT) AS n_orders,
+               round(sum(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY 1
+    )
+    SELECT c_custkey, recency_days, n_orders, monetary,
+           CAST(ntile(5) OVER (ORDER BY recency_days DESC, c_custkey)
+                AS INT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY n_orders, c_custkey) AS INT)
+               AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary, c_custkey) AS INT)
+               AS m_score
+    FROM base
+    """,
+    doc="RFM customer segmentation: recency/frequency/monetary quintiles "
+    "via ntile(5) with deterministic tie-breaks; higher score = better.",
+)
+def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic marketing-analytics segmentation — three ntile windows
+    over one per-customer aggregate.  Tie-breaks pin bucket assignment so
+    replays and engines agree (NTILE splits equal-size-first in both).
+
+    Scale shape: one aggregation keyed on custkey, then three GLOBAL
+    ntile sorts over the customer-grain rollup (customers ≪ orders).  At
+    100 TB-of-orders the rollup is still customer-sized; if customers
+    themselves outgrow a single sort, swap ntile for percent_rank binning
+    over approx quantile bounds — same output contract."""
+    orders = table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.datediff(
+            F.lit(RFM_ANCHOR).cast("date"),
+            F.max(F.col("o_orderdate").cast("date")),
+        ).alias("recency_days"),
+        F.count("*").cast("int").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    w_r = Window.orderBy(F.desc("recency_days"), F.asc("c_custkey"))
+    w_f = Window.orderBy(F.asc("n_orders"), F.asc("c_custkey"))
+    w_m = Window.orderBy(F.asc("monetary"), F.asc("c_custkey"))
+    return base.select(
+        "c_custkey",
+        "recency_days",
+        "n_orders",
+        "monetary",
+        F.ntile(5).over(w_r).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    )

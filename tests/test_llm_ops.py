@@ -1091,3 +1091,59 @@ def test_phash_groups_collide_on_identical_payloads(spark):
         PHASH_BAND_BITS,
     )
     assert len(row["band"]) == PHASH_BAND_BITS and set(row["band"]) <= {"0", "1"}
+
+
+def test_compression_ratio_flags_both_tails(spark):
+    """Highly repetitive text compresses hard (flagged too_repetitive);
+    incompressible noise stays near 1 (flagged too_random); normal prose
+    lands between."""
+    import os
+    import tempfile
+
+    from azure_func_forem_data_etl_spark.operators.text import (
+        compression_ratio_quality,
+    )
+
+    import base64
+    import hashlib
+
+    # chained-hash base64: deterministic yet incompressible at zlib scale
+    chunks, seed = [], b"forem"
+    for _ in range(20):
+        seed = hashlib.sha256(seed).digest()
+        chunks.append(base64.b64encode(seed).decode())
+    noise = "".join(chunks)
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam " * 50, "en", "s", 750),
+            (2, noise, "en", "s", len(noise)),
+            (3, "the quick brown fox jumps over the lazy dog near the river "
+                "bank while morning light settles over quiet fields and a "
+                "distant train crosses the old iron bridge carrying timber "
+                "toward the coastal towns where fishermen mend their nets "
+                "before the tide turns and gulls wheel above the harbor "
+                "markets that open early with crates of silver herring and "
+                "baskets of dark bread while children race along the pier "
+                "counting sails on the horizon as the lighthouse keeper "
+                "climbs the spiral stairs to polish the great lamp before "
+                "dusk settles over the breakwater", "en", "s", 560),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r["doc_id"]: (r["compression_ratio"], r["verdict"])
+            for r in compression_ratio_quality(spark, d).collect()
+        }
+    assert got[1][1] == "too_repetitive" and got[1][0] < 0.1
+    assert got[2][0] > got[3][0]
+    assert got[3][1] == "ok"
+    # determinism
+    with tempfile.TemporaryDirectory() as d:
+        docs.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        again = {
+            r["doc_id"]: (r["compression_ratio"], r["verdict"])
+            for r in compression_ratio_quality(spark, d).collect()
+        }
+    assert got == again
