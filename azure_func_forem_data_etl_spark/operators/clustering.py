@@ -306,6 +306,10 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic signs, zero-mean projections)."""
     emb = table(spark, sf_dir, "embeddings")
     mean, comps = pca_fit(emb)
+    if comps.size == 0:  # empty corpus: no covariance, no components
+        return spark.createDataFrame(
+            [], "vec_id long, pc1 double, pc2 double"
+        )
     proj = pca_project(emb, mean, comps)
     return proj.select(
         "vec_id",

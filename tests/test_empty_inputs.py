@@ -183,3 +183,52 @@ def test_round3_ops_on_empty_inputs(spark, empty_sf):
     assert pagerank(edges, "a", "b").count() == 0
     # theta sketch over zero events: the two-type aggregate has no rows
     assert reg["theta_sketch_setops"].fn(spark, empty_sf).count() <= 1
+
+
+def test_round3_ops_on_empty_corpus(spark, empty_sf):
+    """The round-3 additions degrade to empty results on a zero-row
+    corpus: bloom decontamination (empty benchmark side), segment dedup,
+    boilerplate shingles, quotas, keep-decisions, bigram LM, PCA, phash
+    bands, ES sampling, MAD anomalies, histogram."""
+    from azure_func_forem_data_etl_spark.operators.clustering import (
+        embedding_pca_project,
+    )
+    from azure_func_forem_data_etl_spark.operators.curation import (
+        decontamination_bloom_prefilter,
+        grouped_split_leakage_safe,
+        weighted_sample_es,
+    )
+    from azure_func_forem_data_etl_spark.operators.hygiene import (
+        boilerplate_shingles,
+        dedup_keep_decision,
+        intradoc_segment_dedup,
+        source_quota_cap,
+    )
+    from azure_func_forem_data_etl_spark.operators.multimodal import (
+        multimodal_phash_groups,
+    )
+    from azure_func_forem_data_etl_spark.operators.profile import (
+        event_anomaly_mad,
+        histogram_extendedprice,
+    )
+    from azure_func_forem_data_etl_spark.operators.text import (
+        bigram_lm_score,
+        compression_ratio_quality,
+    )
+
+    for fn in (
+        decontamination_bloom_prefilter,
+        grouped_split_leakage_safe,
+        weighted_sample_es,
+        boilerplate_shingles,
+        dedup_keep_decision,
+        intradoc_segment_dedup,
+        source_quota_cap,
+        multimodal_phash_groups,
+        event_anomaly_mad,
+        histogram_extendedprice,
+        bigram_lm_score,
+        compression_ratio_quality,
+        embedding_pca_project,
+    ):
+        assert fn(spark, empty_sf).count() == 0, fn.__name__
