@@ -554,3 +554,76 @@ def seasonality_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_events").cast("double") * F.lit(7.0)) / F.col("type_n")
         ).alias("dow_load_factor"),
     )
+
+
+@register(
+    "time_to_conversion_cohort",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
+               min(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS purchase_ts
+        FROM events
+        WHERE event_type IN ('signup', 'purchase')
+        GROUP BY user_id
+    ),
+    conv AS (
+        SELECT date_trunc('day', signup_ts) AS cohort_day,
+               (epoch_us(purchase_ts) - epoch_us(signup_ts)) / 60000000.0
+                   AS minutes
+        FROM firsts
+        WHERE signup_ts IS NOT NULL AND purchase_ts IS NOT NULL
+              AND purchase_ts >= signup_ts
+    )
+    SELECT cohort_day,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           round(median(minutes), 4) AS median_minutes,
+           round(min(minutes), 4) AS min_minutes,
+           round(max(minutes), 4) AS max_minutes
+    FROM conv GROUP BY cohort_day
+    """,
+    doc="Time-to-conversion by signup cohort: per user, first signup -> "
+    "first purchase latency; per-cohort-day count and median/min/max "
+    "minutes (microsecond-exact diffs).",
+)
+def time_to_conversion_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The activation metric growth teams watch: how long from signup to
+    first purchase, cohorted by signup day.  Timestamp differences go
+    through microsecond integers (``unix_micros`` / ``epoch_us``) on
+    both engines — no truncation-rule drift.
+
+    Scale shape: the event stream is pre-filtered to the two relevant
+    types (predicate reaches the scan), aggregated once per user
+    (conditional-min — no join between the two event types), then rolled
+    up to cohort days.  Exact median per cohort sorts only the per-user
+    latencies (users ≪ events); the approx_percentile swap applies at
+    extreme scale."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "signup_ts"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "purchase_ts"
+        ),
+    )
+    minutes = (
+        F.unix_micros("purchase_ts") - F.unix_micros("signup_ts")
+    ) / F.lit(60_000_000.0)
+    conv = firsts.filter(
+        F.col("signup_ts").isNotNull()
+        & F.col("purchase_ts").isNotNull()
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+    ).select(
+        F.date_trunc("day", "signup_ts").alias("cohort_day"),
+        minutes.alias("minutes"),
+    )
+    return conv.groupBy("cohort_day").agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.percentile("minutes", 0.5), 4).alias("median_minutes"),
+        F.round(F.min("minutes"), 4).alias("min_minutes"),
+        F.round(F.max("minutes"), 4).alias("max_minutes"),
+    )

@@ -1042,3 +1042,47 @@ def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("ok")
         ).alias("verdict"),
     )
+
+
+from azure_func_forem_data_etl_spark.plans.registry import REGISTRY as _REG
+
+
+@register(
+    "lang_id_confusion_matrix",
+    oracle=f"""
+    WITH l AS ({_REG["lang_id_markers"].oracle})
+    SELECT actual_lang, predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(count(*) / CAST(sum(count(*)) OVER (
+               PARTITION BY actual_lang) AS DOUBLE), 6) AS share_of_actual
+    FROM l
+    GROUP BY actual_lang, predicted_lang
+    """,
+    doc="Language-ID quality report: actual x predicted confusion counts "
+    "with per-actual-language shares (recall on the diagonal).",
+)
+def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evaluation layer on top of ``lang_id_markers`` — the report a
+    curation team reads before trusting the detector's language routing.
+    Diagonal shares are per-language recall; off-diagonal cells show
+    which language pairs confuse the marker heuristic.
+
+    Scale shape: composes the map-only detector with one aggregation on
+    a (langs x langs)-cardinality key, then a window over that tiny
+    rollup — the corpus is scanned once and shuffles only per-cell
+    partial counts."""
+    l = lang_id_markers(spark, sf_dir)
+    from pyspark.sql import Window
+
+    counts = l.groupBy("actual_lang", "predicted_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    tot = F.sum("n_docs").over(Window.partitionBy("actual_lang"))
+    return counts.select(
+        "actual_lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / tot.cast("double"), 6).alias(
+            "share_of_actual"
+        ),
+    )

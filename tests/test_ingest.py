@@ -344,3 +344,99 @@ def test_http_fetcher_404_returns_no_rows(http_server):
     fetch = http_fetcher(url)
     with pytest.raises(urllib.error.HTTPError):
         fetch(99)  # raises so the policy layer can retry/abort
+
+
+def test_native_datasource_matches_mapinpandas_path(spark, tmp_path):
+    """The forem_rest Python DataSource returns the same rows as the
+    mapInPandas fetch path, parses through the article schema, and
+    tolerates empty/missing pages (zero rows, no failure)."""
+    from tests.fixtures import make_article, write_pages
+
+    from azure_func_forem_data_etl_spark.sources.datasource import (
+        ForemRestDataSource,
+    )
+    from azure_func_forem_data_etl_spark.sources.paginated import (
+        FetchPolicy,
+        directory_fetcher,
+        fetch_pages_raw,
+        parse_raw_articles,
+    )
+
+    write_pages(
+        tmp_path,
+        [
+            [make_article(1, "2024-01-01T00:00:00Z"),
+             make_article(2, "2024-01-02T00:00:00Z")],
+            [make_article(3, "2024-01-03T00:00:00Z")],
+        ],
+    )
+    spark.dataSource.register(ForemRestDataSource)
+    native = (
+        spark.read.format("forem_rest")
+        .option("path", str(tmp_path))
+        .option("max_pages", 5)  # pages 3-5 are missing -> empty, not fatal
+        .load()
+    )
+    classic = fetch_pages_raw(
+        spark, [1, 2, 3, 4, 5], directory_fetcher(str(tmp_path)),
+        FetchPolicy(max_retries=1, backoff_base=0.0),
+    )
+    n_rows = native.count()
+    assert n_rows == classic.count() == 3
+    assert sorted(r["raw"] for r in native.collect()) == sorted(
+        r["raw"] for r in classic.collect()
+    )
+    parsed = parse_raw_articles(native)
+    assert parsed.filter("is_corrupt").count() == 0
+    assert {r["id"] for r in parsed.select("id").collect()} == {1, 2, 3}
+
+
+def test_native_datasource_streaming_cursor(spark, tmp_path):
+    """The forem_rest streaming reader drains pages as micro-batches with
+    the cursor held in checkpoint offsets: a first run reads pages 1-2 and
+    stops at the empty page 3; after page 3 appears, a restart from the
+    SAME checkpoint reads only page 3 (no re-read, no skip)."""
+    from tests.fixtures import make_article, write_pages
+
+    from azure_func_forem_data_etl_spark.sources.datasource import (
+        ForemRestDataSource,
+    )
+
+    spark.dataSource.register(ForemRestDataSource)
+    fixture = tmp_path / "pages"
+    fixture.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    write_pages(
+        fixture,
+        [
+            [make_article(1, "2024-01-01T00:00:00Z")],
+            [make_article(2, "2024-01-02T00:00:00Z"),
+             make_article(3, "2024-01-03T00:00:00Z")],
+        ],
+    )
+
+    def drain():
+        q = (
+            spark.readStream.format("forem_rest")
+            .option("path", str(fixture))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    first = spark.read.parquet(out)
+    assert first.count() == 3
+    assert {r["page"] for r in first.select("page").collect()} == {1, 2}
+
+    write_pages(fixture, [[make_article(4, "2024-01-04T00:00:00Z")]],
+                start_page=3)
+    drain()
+    second = spark.read.parquet(out)
+    assert second.count() == 4  # page 3 arrived once, pages 1-2 not re-read
+    assert second.filter("page = 3").count() == 1
