@@ -504,20 +504,34 @@ def decontamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFra
             f"grams, above BLOOM_MAX_BENCH_GRAMS={BLOOM_MAX_BENCH_GRAMS}; "
             "grow BLOOM_M_BITS before trusting the false-positive rate."
         )
+    # Arrow transfer (toPandas), not row-by-row collect(): the distinct
+    # position set is ≤ min(K * bench grams, BLOOM_M_BITS) rows — py4j
+    # row conversion at that size costs seconds, Arrow costs milliseconds.
     positions = (
         bench.select(
             F.explode(F.array(*_bloom_positions(F.col("gram")))).alias("pos")
         )
         .distinct()
-        .collect()
+        .toPandas()["pos"]
+        .to_numpy()
     )
-    words = [0] * (BLOOM_M_BITS // 64)
-    for row in positions:
-        pos = row[0]
-        words[pos >> 6] |= 1 << (pos & 63)
-    # LongType is signed: wrap bit-63 values to negative two's complement.
-    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    bitmap = F.lit(words)
+    import numpy as np
+
+    words_u = np.zeros(BLOOM_M_BITS // 64, dtype=np.uint64)
+    np.bitwise_or.at(
+        words_u,
+        positions >> 6,
+        np.left_shift(np.uint64(1), (positions & 63).astype(np.uint64)),
+    )
+    # The bitmap literal is authored as SQL text and parsed JVM-side:
+    # F.lit(list) marshals 8k elements one py4j call each (~4 s); an
+    # array(...) SQL expression crosses the bridge as ONE string and
+    # ConstantFolding collapses it to a single array Literal, so probes
+    # execute exactly as fast as a native literal.
+    words = words_u.view(np.int64)  # two's-complement reinterpretation
+    bitmap = F.expr(
+        "array(" + ",".join(f"{w}L" for w in words) + ")"
+    )
 
     def _bit_set(pos: F.Column) -> F.Column:
         word = F.element_at(bitmap, F.shiftright(pos, 6).cast("int") + F.lit(1))

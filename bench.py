@@ -77,6 +77,11 @@ BENCH_QUERIES = [
     "sessionize_gap_islands",
     "streaming_upsert_latest",
     "inverted_index_postings",
+    # round-3 family representatives (see BENCH_NOTES.md)
+    "bigram_lm_score",
+    "decontamination_bloom_prefilter",
+    "customer_rfm_scores",
+    "streaming_topk_per_window",
 ]
 
 
