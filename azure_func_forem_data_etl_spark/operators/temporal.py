@@ -627,3 +627,168 @@ def time_to_conversion_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("minutes"), 4).alias("min_minutes"),
         F.round(F.max("minutes"), 4).alias("max_minutes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# time-series similarity search: z-normalized sliding-window pattern match
+# (the Spark shape of distributed subsequence search, cf. "Time Series
+# Similarity Search for Streaming Data in Distributed Systems", EDBT 2019)
+
+TS_WINDOW = 24  # hours per subsequence
+#: z-normalized "rising ramp" query pattern (generated from range(1, 25),
+#: rounded 6dp; identical constants embedded in the oracle SQL).
+TS_PATTERN = [
+    -1.661325, -1.516862, -1.372399, -1.227936, -1.083473, -0.93901,
+    -0.794547, -0.650084, -0.505621, -0.361158, -0.216695, -0.072232,
+    0.072232, 0.216695, 0.361158, 0.505621, 0.650084, 0.794547,
+    0.93901, 1.083473, 1.227936, 1.372399, 1.516862, 1.661325,
+]
+TS_TOPK = 10
+
+
+def _ts_pattern_sql() -> str:
+    return "[" + ", ".join(str(v) for v in TS_PATTERN) + "]"
+
+
+@register(
+    "ts_pattern_similarity",
+    oracle=f"""
+    WITH span AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '1 hour', MIN(ts)) AS h0,
+               time_bucket(INTERVAL '1 hour', MAX(ts)) AS h1
+        FROM events GROUP BY event_type
+    ),
+    spine AS (
+        SELECT event_type,
+               unnest(generate_series(h0, h1, INTERVAL '1 hour'))
+                   AS hour_start
+        FROM span
+    ),
+    agg AS (
+        SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT s.event_type, s.hour_start,
+               CAST(COALESCE(a.n, 0) AS DOUBLE) AS v
+        FROM spine s LEFT JOIN agg a USING (event_type, hour_start)
+    ),
+    win AS (
+        SELECT event_type, hour_start AS window_end,
+               list(v) OVER (
+                   PARTITION BY event_type ORDER BY hour_start
+                   ROWS BETWEEN {TS_WINDOW - 1} PRECEDING AND CURRENT ROW
+               ) AS w,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY hour_start
+               ) AS rn
+        FROM series
+    ),
+    stats AS (
+        SELECT event_type, window_end, w,
+               list_sum(w) / {TS_WINDOW}.0 AS m,
+               sqrt(list_sum(list_transform(w,
+                        x -> (x - list_sum(w) / {TS_WINDOW}.0)
+                           * (x - list_sum(w) / {TS_WINDOW}.0)))
+                    / {TS_WINDOW}.0) AS sd
+        FROM win WHERE rn >= {TS_WINDOW}
+    ),
+    dist AS (
+        SELECT event_type, window_end,
+               round(sqrt(list_sum(list_transform(
+                   range(1, {TS_WINDOW} + 1),
+                   i -> ((w[i] - m) / sd - ({_ts_pattern_sql()})[i])
+                      * ((w[i] - m) / sd - ({_ts_pattern_sql()})[i])
+               ))), 6) AS znorm_dist
+        FROM stats WHERE sd > 0
+    )
+    SELECT event_type, window_end, znorm_dist
+    FROM dist
+    ORDER BY znorm_dist, event_type, window_end
+    LIMIT {TS_TOPK}
+    """,
+    doc=f"Time-series subsequence search: z-normalized euclidean distance "
+    f"of every {TS_WINDOW}h sliding window of the hourly event-count "
+    f"series against a ramp query pattern; global top-{TS_TOPK} matches.",
+)
+def ts_pattern_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed subsequence similarity search (EDBT'19 family): find
+    where each series looked most like a query shape.  Z-normalization
+    makes the match amplitude/offset-invariant — the standard preprocessing
+    for subsequence matching (UCR suite).
+
+    Scale shape: the dense spine comes from explode(sequence) per series
+    (no cross join); windows assemble via collect_list over a bounded
+    24-row frame (state O(W) per series partition); distance is a JVM
+    array fold; the global top-k compiles to TakeOrderedAndProject.  At
+    100 TB-of-events everything is keyed by series and the per-window
+    arithmetic is O(W) — the classic distributed MASS/UCR trade where
+    Spark parallelizes across series and windows rather than FFT within
+    one series."""
+    ev = table(spark, sf_dir, "events")
+    span = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = span.select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias(
+            "hour_start"
+        ),
+    )
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count("*").alias("n"))
+    series = spine.join(agg, ["event_type", "hour_start"], "left").select(
+        "event_type",
+        "hour_start",
+        F.coalesce("n", F.lit(0)).cast("double").alias("v"),
+    )
+    w_frame = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(-(TS_WINDOW - 1), 0)
+    )
+    w_rn = Window.partitionBy("event_type").orderBy("hour_start")
+    win = series.select(
+        "event_type",
+        F.col("hour_start").alias("window_end"),
+        F.collect_list("v").over(w_frame).alias("w"),
+        F.row_number().over(w_rn).alias("rn"),
+    ).filter(F.col("rn") >= TS_WINDOW)
+    wsum = F.aggregate(
+        "w", F.lit(0.0), lambda acc, x: acc + x
+    )
+    m = (wsum / float(TS_WINDOW)).alias("m")
+    stats = win.select("event_type", "window_end", "w", m)
+    sd = F.sqrt(
+        F.aggregate(
+            "w",
+            F.lit(0.0),
+            lambda acc, x: acc + (x - F.col("m")) * (x - F.col("m")),
+        )
+        / float(TS_WINDOW)
+    ).alias("sd")
+    stats = stats.select("event_type", "window_end", "w", "m", sd).filter(
+        F.col("sd") > 0
+    )
+    pat = F.lit(TS_PATTERN)  # 24 doubles: cheap literal
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    "w", pat, lambda a, b: ((a - F.col("m")) / F.col("sd") - b)
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d * d,
+            )
+        ),
+        6,
+    ).alias("znorm_dist")
+    return (
+        stats.select("event_type", "window_end", dist)
+        .orderBy("znorm_dist", "event_type", "window_end")
+        .limit(TS_TOPK)
+    )
