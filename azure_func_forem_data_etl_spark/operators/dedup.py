@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -729,3 +729,152 @@ def ml_minhash_pairs(docs: DataFrame, threshold: float = ML_JACCARD_SIM) -> Data
 def ml_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return ml_minhash_pairs(docs)
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtering set-similarity join (AllPairs/PPJoin family — the exact
+# counterpart of the MinHash-LSH probabilistic path; cf. "Highly Efficient
+# String Similarity Search and Join over Compressed Indexes", ICDE 2022)
+
+PREFIX_JOIN_THRESHOLD = 0.6  # jaccard over distinct word-bigram sets
+
+
+@register(
+    "prefix_filter_simjoin",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    bg AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(ts)),
+                                     i -> ts[i] || ' ' || ts[i + 1])) AS tok
+        FROM toks WHERE len(ts) >= 2
+    ),
+    freq AS (SELECT tok, count(*) AS f FROM bg GROUP BY tok),
+    sizes AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
+    ranked AS (
+        SELECT bg.doc_id, bg.tok,
+               row_number() OVER (
+                   PARTITION BY bg.doc_id ORDER BY freq.f, bg.tok
+               ) AS rn,
+               sizes.n
+        FROM bg JOIN freq USING (tok) JOIN sizes USING (doc_id)
+    ),
+    prefix AS (
+        SELECT doc_id, tok FROM ranked
+        WHERE rn <= n - ((3 * n + 4) // 5) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM prefix a JOIN prefix b
+          ON a.tok = b.tok AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS i
+        FROM cand c
+        JOIN bg x ON x.doc_id = c.doc_a
+        JOIN bg y ON y.doc_id = c.doc_b AND y.tok = x.tok
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.i AS INT) AS inter_size,
+           round(i.i / CAST(sa.n + sb.n - i.i AS DOUBLE), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE i.i / CAST(sa.n + sb.n - i.i AS DOUBLE)
+          >= {PREFIX_JOIN_THRESHOLD}
+    """,
+    doc=f"Exact set-similarity self-join via prefix filtering "
+    f"(AllPairs/PPJoin): word-bigram sets, jaccard >= "
+    f"{PREFIX_JOIN_THRESHOLD}; candidates only where rare-token prefixes "
+    "collide, then exact verification.",
+)
+def prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT high-threshold near-dup path — prefix filtering
+    guarantees no missed pair above the threshold (vs MinHash-LSH's
+    probabilistic recall): a pair with jaccard >= t MUST share a token
+    within each side's first n - ceil(t*n) + 1 tokens when both sets are
+    sorted by global rarity.  Rare-first ordering makes prefix collisions
+    scarce, so the candidate set stays near-linear on real corpora.
+
+    Scale shape: tokenize once (distinct doc-bigram pairs), one
+    vocabulary-sized frequency table (broadcastable), per-doc prefix via
+    WindowGroupLimit-eligible row_number, candidate equi-join keyed on
+    prefix tokens only, and exact verification joins confined to the
+    candidate pairs.  Prefix lengths use pure integer arithmetic
+    (ceil(3n/5) = (3n+4) div 5) — no float boundary drift between
+    engines."""
+    docs = table(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    bg = (
+        docs.select("doc_id", ts.alias("ts"))
+        .filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.concat(
+                        F.element_at(F.col("ts"), i),
+                        F.lit(" "),
+                        F.element_at(F.col("ts"), i + F.lit(1)),
+                    ),
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed by freq, sizes, prefix, verify x2
+    )
+    freq = bg.groupBy("tok").agg(F.count("*").alias("f"))
+    sizes = bg.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ranked = (
+        bg.join(F.broadcast(freq), "tok")
+        .join(F.broadcast(sizes), "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("f", "tok")
+            ),
+        )
+    )
+    pref_len = F.col("n") - F.expr("(3 * n + 4) div 5") + 1
+    prefix = ranked.filter(F.col("rn") <= pref_len).select("doc_id", "tok")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    x, y = bg.alias("x"), bg.alias("y")
+    inter = (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("doc_b"))
+            & (F.col("y.tok") == F.col("x.tok")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = F.col("i") / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(j >= PREFIX_JOIN_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("i").cast("int").alias("inter_size"),
+            F.round(j, 6).alias("jaccard"),
+        )
+    )

@@ -1147,3 +1147,43 @@ def test_compression_ratio_flags_both_tails(spark):
             for r in compression_ratio_quality(spark, d).collect()
         }
     assert got == again
+
+
+def test_prefix_filter_simjoin_complete_vs_bruteforce(spark, sf_dir):
+    """Prefix filtering is EXACT: the candidate pruning may not drop any
+    pair at or above the threshold, so the join must equal the brute-force
+    all-pairs result at smoke scale."""
+    import duckdb
+
+    from azure_func_forem_data_etl_spark.operators.dedup import (
+        PREFIX_JOIN_THRESHOLD,
+        prefix_filter_simjoin,
+    )
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["inter_size"], r["jaccard"])
+        for r in prefix_filter_simjoin(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    brute = con.execute(rf"""
+        WITH toks AS (SELECT doc_id, string_split(text,' ') ts FROM documents),
+        bg AS (SELECT DISTINCT doc_id,
+                      unnest(list_transform(range(1, len(ts)),
+                             i -> ts[i] || ' ' || ts[i+1])) AS tok
+               FROM toks WHERE len(ts) >= 2),
+        sizes AS (SELECT doc_id, count(*) n FROM bg GROUP BY 1),
+        inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i
+                  FROM bg a JOIN bg b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT da, db, i
+        FROM inter JOIN sizes sa ON da = sa.doc_id
+                   JOIN sizes sb ON db = sb.doc_id
+        WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= {PREFIX_JOIN_THRESHOLD}
+    """).fetchall()
+    assert {(da, db) for da, db, _ in brute} == set(got)
+    for da, db, i in brute:
+        assert got[(da, db)][0] == i
