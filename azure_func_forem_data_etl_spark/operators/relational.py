@@ -1324,3 +1324,51 @@ def keyset_pagination_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+BACKLOG_ANCHOR = "2001-09-01"  # just past the generated orderdate range
+
+
+@register(
+    "orders_backlog_aging",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          DATE '{BACKLOG_ANCHOR}') // 365 AS INT)
+               AS age_years,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_value
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY 1, 2
+    """,
+    doc="Open-order backlog aging: non-finished orders bucketed by whole "
+    "years of age at the anchor date, with counts and value at risk.",
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operations report behind every order pipeline: how old is the
+    open backlog and how much value sits in each age band.  Age bucketing
+    is integer day arithmetic (no float boundaries).
+
+    Scale shape: status filter reaches the scan; one aggregation on a
+    (status x age-years) key of trivial cardinality — map-side combine
+    makes the shuffle a few rows per partition."""
+    orders = table(spark, sf_dir, "orders")
+    age_years = (
+        F.datediff(
+            F.lit(BACKLOG_ANCHOR).cast("date"),
+            F.col("o_orderdate").cast("date"),
+        )
+        / F.lit(365)
+    )
+    return (
+        orders.filter(F.col("o_orderstatus") != "F")
+        .groupBy(
+            "o_orderstatus",
+            F.floor(age_years).cast("int").alias("age_years"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+    )

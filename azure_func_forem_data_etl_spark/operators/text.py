@@ -1086,3 +1086,88 @@ def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_actual"
         ),
     )
+
+
+PMI_MIN_PAIR_COUNT = 20  # ignore rare pairs: PMI is noise at low counts
+
+
+@register(
+    "collocation_pmi",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+        FROM documents
+    ),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(ts)),
+                      i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) AS p
+        FROM toks WHERE len(ts) >= 2
+    ),
+    pairs AS (
+        SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(c12) AS t FROM pairs),
+    lefts AS (SELECT w1, SUM(c12) AS c1 FROM pairs GROUP BY w1),
+    rights AS (SELECT w2, SUM(c12) AS c2 FROM pairs GROUP BY w2)
+    SELECT p.w1, p.w2, CAST(p.c12 AS BIGINT) AS c12,
+           round(log10((p.c12 * t.t) /
+                       (CAST(l.c1 AS DOUBLE) * r.c2)), 6) AS pmi
+    FROM pairs p
+    JOIN lefts l USING (w1)
+    JOIN rights r USING (w2)
+    CROSS JOIN tot t
+    WHERE p.c12 >= {PMI_MIN_PAIR_COUNT}
+    """,
+    doc=f"Collocation extraction: pointwise mutual information of "
+    f"adjacent word pairs (>= {PMI_MIN_PAIR_COUNT} occurrences), from "
+    "one bigram scan feeding pair/left/right marginals.",
+)
+def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations — the classic corpus-linguistics signal for
+    multiword expressions (high PMI = the pair co-occurs far above
+    chance), used in tokenizer-vocabulary and phrase-mining pipelines.
+
+    Scale shape: ONE bigram aggregation; both marginals and the total
+    derive from the (vocabulary²-bounded) pair-count table, not from the
+    corpus, and broadcast back into the scoring join.  The count floor
+    keeps the output to statistically meaningful pairs."""
+    docs = table(spark, sf_dir, "documents")
+    ts = F.split(F.lower("text"), r"\s+")
+    bg = (
+        docs.select(ts.alias("ts"))
+        .filter(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("ts"), i).alias("w1"),
+                        F.element_at(F.col("ts"), i + F.lit(1)).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    pairs = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    tot = pairs.agg(F.sum("c12").alias("t"))
+    lefts = pairs.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    rights = pairs.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    return (
+        pairs.filter(F.col("c12") >= PMI_MIN_PAIR_COUNT)
+        .join(F.broadcast(lefts), "w1")
+        .join(F.broadcast(rights), "w2")
+        .join(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.round(
+                F.log10(
+                    (F.col("c12") * F.col("t"))
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
