@@ -1171,3 +1171,59 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+#: Lexicons drawn from the corpus vocabulary so scores are exercised;
+#: a real deployment loads AFINN/VADER-style lists the same way.
+SENTIMENT_POS = ("fast", "big")
+SENTIMENT_NEG = ("slow", "small")
+
+
+@register(
+    "sentiment_lexicon_score",
+    oracle=rf"""
+    WITH w AS (
+        SELECT doc_id,
+               string_split_regex(lower(text), '\s+') AS ws
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_pos AS INT) AS n_pos,
+           CAST(n_neg AS INT) AS n_neg,
+           round((n_pos - n_neg) / CAST(len(ws) AS DOUBLE), 6) AS polarity
+    FROM (
+        SELECT doc_id, ws,
+               len(list_filter(ws, x -> x IN {SENTIMENT_POS})) AS n_pos,
+               len(list_filter(ws, x -> x IN {SENTIMENT_NEG})) AS n_neg
+        FROM w WHERE len(ws) > 0
+    )
+    """,
+    doc="Lexicon sentiment scoring (EDBT'16 Twitter-at-scale family): "
+    "positive/negative token hits and normalized polarity per doc, "
+    "pure JVM array lambdas.",
+)
+def sentiment_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed-sentiment baseline (cf. \"Large Scale Sentiment
+    Analysis on Twitter with Spark\", EDBT 2016): lexicon hit counts and
+    a length-normalized polarity in [-1, 1].  The lexicon rides as a
+    broadcast-free literal set inside the filter lambdas.
+
+    Scale shape: map-only — token split, two array filters, one
+    division; zero shuffles, embarrassingly parallel over corpus bytes."""
+    docs = table(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), r"\s+")
+    d = docs.select("doc_id", ws.alias("ws")).filter(F.size("ws") > 0)
+    n_pos = F.size(
+        F.filter(F.col("ws"), lambda x: x.isin(*SENTIMENT_POS))
+    )
+    n_neg = F.size(
+        F.filter(F.col("ws"), lambda x: x.isin(*SENTIMENT_NEG))
+    )
+    return d.select(
+        "doc_id",
+        n_pos.alias("n_pos"),
+        n_neg.alias("n_neg"),
+        F.round(
+            (n_pos - n_neg) / F.size("ws").cast("double"), 6
+        ).alias("polarity"),
+    )

@@ -364,3 +364,89 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(w_f).alias("f_score"),
         F.ntile(5).over(w_m).alias("m_score"),
     )
+
+
+CUMTOPK_K = 5
+
+
+@register(
+    "cumulative_topk_users",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               SUM(CAST(value AS DECIMAL(18,4))) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT d.day, u.user_id
+        FROM (SELECT DISTINCT day FROM daily) d
+        CROSS JOIN (SELECT DISTINCT user_id FROM daily) u
+    ),
+    cum AS (
+        SELECT g.day, g.user_id,
+               COALESCE(SUM(dl.v) OVER (
+                   PARTITION BY g.user_id ORDER BY g.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 0) AS cum_v
+        FROM grid g LEFT JOIN daily dl USING (user_id, day)
+    )
+    SELECT day, user_id,
+           CAST(round(CAST(cum_v AS DOUBLE), 4) AS DOUBLE) AS cum_value,
+           rk
+    FROM (
+        SELECT day, user_id, cum_v,
+               CAST(row_number() OVER (
+                   PARTITION BY day ORDER BY cum_v DESC, user_id
+               ) AS INT) AS rk
+        FROM cum
+    )
+    WHERE rk <= {CUMTOPK_K}
+    """,
+    doc=f"Incremental top-k maintenance (EDBT'20 interactive-session "
+    f"family): for every day, the top-{CUMTOPK_K} users by CUMULATIVE "
+    "event value so far — the batch materialization of a continuously "
+    "maintained leaderboard.",
+)
+def cumulative_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-prefix top-k (cf. \"Incremental Based Framework for
+    Efficient Top-K Similarity Search in Interactive Data Analysis
+    Sessions\", EDBT 2020): the answer an interactive session shows
+    after each day's data lands.  Cumulative sums stay in the DECIMAL
+    domain (associative-exact, engine/partition-order independent).
+
+    Scale shape: the grid is (days x users) — rollup-grain, never event-
+    grain — and the two windows are one partitioned sort each.  The
+    truly streaming version of this leaderboard is the
+    ``streaming_upsert_latest`` + ``streaming_topk_per_window`` pair;
+    this batch twin is the oracle-checkable materialization of every
+    intermediate state."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("v"))
+    days = daily.select("day").distinct()
+    users = daily.select("user_id").distinct()
+    grid = days.crossJoin(users)
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.join(daily, ["user_id", "day"], "left").select(
+        "day",
+        "user_id",
+        F.coalesce(F.sum("v").over(w_cum), F.lit(0)).alias("cum_v"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("day").orderBy(F.desc("cum_v"), F.asc("user_id"))
+    )
+    return (
+        cum.withColumn("rk", rk)
+        .filter(F.col("rk") <= CUMTOPK_K)
+        .select(
+            "day",
+            "user_id",
+            F.round(F.col("cum_v").cast("double"), 4).alias("cum_value"),
+            "rk",
+        )
+    )
