@@ -475,7 +475,10 @@ def _bloom_positions(gram: F.Column) -> list[F.Column]:
 def decontamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB shape of decontamination: when the benchmark gram set
     outgrows a comfortable broadcast hash table, a bloom bitmap stays
-    64 KiB forever.  Train-side grams are pre-filtered by K pure-JVM
+    64 KiB forever (the join-pruning bloom-filter idea production Spark
+    engines apply internally — cf. "New Query Optimization Techniques in
+    the Spark Engine of Azure Synapse", VLDB 2021 — surfaced here as an
+    explicit, oracle-checkable operator).  Train-side grams are pre-filtered by K pure-JVM
     bitmap probes (xxhash64 + getbit on an array<long> literal — single
     Literal node, no Python, no shuffle), and only the ~1% surviving
     candidates hit the exact broadcast join that removes bloom false

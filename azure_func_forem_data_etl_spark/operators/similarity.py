@@ -830,3 +830,75 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("xd").alias("mn"),
         F.max("xd").alias("mx"),
     )
+
+
+from azure_func_forem_data_etl_spark.plans.registry import REGISTRY as _REG
+
+
+@register(
+    "knn_label_accuracy",
+    oracle=f"""
+    WITH knn AS ({_REG["knn_bruteforce"].oracle}),
+    lab AS (SELECT vec_id, CAST(label AS INT) AS label FROM embeddings),
+    votes AS (
+        SELECT k.query_id, l.label, count(*) AS c
+        FROM knn k JOIN lab l ON k.neighbor_id = l.vec_id
+        GROUP BY k.query_id, l.label
+    ),
+    pred AS (
+        SELECT query_id, label AS pred_label FROM (
+            SELECT query_id, label,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY c DESC, label
+                   ) AS rn
+            FROM votes
+        ) WHERE rn = 1
+    )
+    SELECT p.query_id,
+           ql.label AS true_label,
+           p.pred_label,
+           CAST(ql.label = p.pred_label AS INT) AS correct
+    FROM pred p JOIN lab ql ON p.query_id = ql.vec_id
+    """,
+    doc="Embedding-quality evaluation: k-NN label classification — "
+    "majority vote over the exact top-k neighbors vs the query's own "
+    "label, per query (deterministic tie-break).",
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard intrinsic embedding eval (k-NN classification): if
+    neighbors share the query's label, the space clusters semantically.
+    Composes the exact brute-force top-k with a majority vote
+    (count DESC, label ASC tie-break — fully deterministic).
+
+    Scale shape: the vote operates on the (queries x k)-sized neighbor
+    list — never the corpus — and label attachment broadcasts that small
+    side into the labels join; two tiny aggregations after."""
+    emb = table(spark, sf_dir, "embeddings")
+    lab = emb.select("vec_id", F.col("label").cast("int").alias("label"))
+    knn = knn_bruteforce_topk(emb)
+    votes = (
+        F.broadcast(knn.select("query_id", "neighbor_id"))
+        .join(lab.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("c"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("label"))
+    )
+    pred = (
+        votes.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"))
+    )
+    return (
+        F.broadcast(pred)
+        .join(lab.withColumnRenamed("vec_id", "query_id"), "query_id")
+        .select(
+            "query_id",
+            F.col("label").alias("true_label"),
+            "pred_label",
+            (F.col("label") == F.col("pred_label")).cast("int").alias(
+                "correct"
+            ),
+        )
+    )

@@ -267,3 +267,16 @@ def test_source_quota_cap_uses_window_group_limit(spark, sf_dir):
 
     plan = source_quota_cap(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_prefix_filter_simjoin_no_nested_loop(spark, sf_dir):
+    """Candidate generation must be an equi-join on prefix tokens; a
+    BroadcastNestedLoopJoin would mean the a.doc_id < b.doc_id predicate
+    became the join condition (all-pairs)."""
+    from azure_func_forem_data_etl_spark.operators.dedup import (
+        prefix_filter_simjoin,
+    )
+
+    plan = prefix_filter_simjoin(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
