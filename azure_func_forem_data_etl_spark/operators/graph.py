@@ -385,3 +385,81 @@ def tree_root_pointer_jumping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.expr("p_partkey div 2"), F.lit(1)).alias("parent"),
     )
     return pointer_jumping_roots(nodes, "id", "parent")
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    deg AS (
+        SELECT id, COUNT(*) AS deg
+        FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+        GROUP BY id
+    ),
+    ed AS (
+        SELECT ds.deg AS x, dd.deg AS y
+        FROM e JOIN deg ds ON e.src = ds.id JOIN deg dd ON e.dst = dd.id
+    ),
+    sym AS (  -- count each undirected edge in both orientations
+        SELECT x, y FROM ed UNION ALL SELECT y, x FROM ed
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM sym
+    )
+    SELECT n AS n_directed_edges,
+           round((n * sxy - sx * sy) /
+                 (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                  sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+               AS assortativity
+    FROM mom
+    """,
+    doc="Degree assortativity of the co-purchase graph: Pearson "
+    "correlation of endpoint degrees over directed edge orientations, "
+    "computed from exact integer moments (engine-identical).",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do hubs attach to hubs (assortative, r > 0) or to leaves
+    (disassortative, r < 0)?  The one-number structural summary that
+    predicts hub-join skew behavior.
+
+    Determinism: the Pearson correlation is assembled from six INTEGER
+    moment sums (degrees are ints; integer addition is associative), so
+    both engines produce bit-identical doubles — unlike a float corr()
+    aggregate, whose partial-sum order varies.  One degree agg + one
+    degree-attach join + a single-row moment agg."""
+    edges = copurchase_edges(spark, sf_dir)
+    deg = _degrees(edges)
+    ed = (
+        edges.join(
+            deg.select(F.col("id").alias("src"), F.col("deg").alias("x")),
+            "src",
+        )
+        .join(
+            deg.select(F.col("id").alias("dst"), F.col("deg").alias("y")),
+            "dst",
+        )
+        .select("x", "y")
+    )
+    sym = ed.unionByName(ed.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    mom = sym.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+        * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    )
+    return mom.select(
+        F.col("n").alias("n_directed_edges"),
+        F.round(r, 6).alias("assortativity"),
+    )

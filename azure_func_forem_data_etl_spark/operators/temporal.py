@@ -792,3 +792,50 @@ def ts_pattern_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("znorm_dist", "event_type", "window_end")
         .limit(TS_TOPK)
     )
+
+
+@register(
+    "interevent_time_profile",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ))) / 60000000.0 AS gap_min
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap_min) AS BIGINT) AS n_gaps,
+           round(median(gap_min), 4) AS p50_min,
+           round(quantile_cont(gap_min, 0.9), 4) AS p90_min,
+           round(max(gap_min), 4) AS max_min
+    FROM d
+    WHERE gap_min IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="Inter-event time distribution per event type: per-(user, type) "
+    "lag gaps in minutes (microsecond-exact), median/p90/max per type.",
+)
+def interevent_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cadence profile behind session-gap and retention thresholds:
+    how long between consecutive events of the same type for the same
+    user.  Feeds directly into choosing the sessionization gap (see
+    ``sessionize_gap_islands``) instead of hard-coding it.
+
+    Scale shape: one window (partition by user x type — high cardinality,
+    well-distributed), then an exact-percentile agg per type over the
+    gap rollup.  Timestamp diffs go through microsecond integers on both
+    engines."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    ev = table(spark, sf_dir, "events")
+    gap = (
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+        / F.lit(60_000_000.0)
+    ).alias("gap_min")
+    d = ev.select("event_type", gap).filter(F.col("gap_min").isNotNull())
+    return d.groupBy("event_type").agg(
+        F.count("gap_min").alias("n_gaps"),
+        F.round(F.percentile("gap_min", 0.5), 4).alias("p50_min"),
+        F.round(F.percentile("gap_min", 0.9), 4).alias("p90_min"),
+        F.round(F.max("gap_min"), 4).alias("max_min"),
+    )
