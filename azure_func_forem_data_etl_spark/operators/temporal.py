@@ -839,3 +839,68 @@ def interevent_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("gap_min", 0.9), 4).alias("p90_min"),
         F.round(F.max("gap_min"), 4).alias("max_min"),
     )
+
+
+LATENESS_BOUNDS_MIN = (10, 60)
+
+
+@register(
+    "watermark_lateness_audit",
+    oracle=f"""
+    WITH l AS (
+        SELECT event_type,
+               (epoch_us(max(ts) OVER (
+                   ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )) - epoch_us(ts)) / 60000000.0 AS late_min
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN late_min > {LATENESS_BOUNDS_MIN[0]}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS late_over_10m,
+           CAST(sum(CASE WHEN late_min > {LATENESS_BOUNDS_MIN[1]}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS late_over_60m,
+           round(max(late_min), 4) AS max_late_min
+    FROM l GROUP BY event_type
+    """,
+    doc="Watermark-lateness audit: per arrival order (event_id), how far "
+    "each event trails the running max event time; counts beyond 10/60 "
+    "min bounds say what a watermark setting would drop.",
+)
+def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measurement that turns watermark choice from folklore into
+    data: replay the stream in arrival order (event_id as the arrival
+    proxy), track the running max event time, and measure each event's
+    lateness against it.  The 10/60-minute exceedance counts are exactly
+    the rows ``withWatermark('ts', ...)`` at those settings would drop —
+    the engine-side version of the reference's silent out-of-order drop
+    (fetch_articles.py:102-104, SURVEY §2a F1 gap).
+
+    Scale shape: the running max is a single global arrival-order window
+    — honest for an audit REPLAY (production tracks it per partition in
+    the streaming engine itself); the exceedance rollup is one tiny
+    agg.  Microsecond-integer time math on both engines."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    late = (
+        (F.unix_micros(F.max("ts").over(w)) - F.unix_micros("ts"))
+        / F.lit(60_000_000.0)
+    ).alias("late_min")
+    lo, hi = LATENESS_BOUNDS_MIN
+    return (
+        ev.select("event_type", late)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("late_min") > lo).cast("int")).cast("long").alias(
+                "late_over_10m"
+            ),
+            F.sum((F.col("late_min") > hi).cast("int")).cast("long").alias(
+                "late_over_60m"
+            ),
+            F.round(F.max("late_min"), 4).alias("max_late_min"),
+        )
+    )
