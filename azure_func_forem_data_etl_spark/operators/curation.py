@@ -649,3 +649,119 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(ES_SAMPLE_K)
         .select("doc_id", "n_chars", F.round("k", 8).alias("es_key"))
     )
+
+
+#: Target mixture weights by language (sum to 1); unlisted -> 0.02 floor.
+MIX_TARGET_WEIGHTS = {"en": 0.55, "de": 0.15, "es": 0.12, "fr": 0.12}
+MIX_DEFAULT_WEIGHT = 0.02
+MIX_TOKEN_BUDGET = 1_000_000
+
+
+def _mix_weight_sql() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in MIX_TARGET_WEIGHTS.items()
+    )
+    return f"CASE {cases} ELSE {MIX_DEFAULT_WEIGHT} END"
+
+
+@register(
+    "mixture_budget_allocator",
+    oracle=f"""
+    WITH avail AS (
+        SELECT lang,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                   AS avail_tokens
+        FROM documents GROUP BY lang
+    )
+    SELECT lang, avail_tokens,
+           CAST(round({MIX_TOKEN_BUDGET} * ({_mix_weight_sql()}), 0)
+                AS BIGINT) AS target_tokens,
+           round(least(
+               CAST({MIX_TOKEN_BUDGET} * ({_mix_weight_sql()}) AS DOUBLE)
+                   / avail_tokens, 1.0), 6) AS sample_rate,
+           round(greatest(
+               CAST({MIX_TOKEN_BUDGET} * ({_mix_weight_sql()}) AS DOUBLE)
+                   / avail_tokens, 1.0), 6) AS epochs_needed
+    FROM avail
+    """,
+    doc=f"Mixture planning: per-language token budgets from target "
+    f"weights over a {MIX_TOKEN_BUDGET}-token training budget, with the "
+    "sampling rate (when over-supplied) or epoch count (when under-"
+    "supplied) each language needs.",
+)
+def mixture_budget_allocator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planning step ahead of ``mixture_sampling_weighted``: turn
+    target mixture weights + the measured token supply into per-source
+    sampling rates (supply > budget share) or epoch multipliers
+    (supply < budget share — the up-sampling regime public data-mixture
+    work reasons about).
+
+    Scale shape: one aggregation to language grain, then pure scalar
+    arithmetic on the rollup — the corpus is scanned once for token
+    counts."""
+    docs = table(spark, sf_dir, "documents")
+    avail = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("avail_tokens")
+    )
+    expr = None
+    for k, v in MIX_TARGET_WEIGHTS.items():
+        expr = (
+            F.when(F.col("lang") == k, v)
+            if expr is None
+            else expr.when(F.col("lang") == k, v)
+        )
+    weight = expr.otherwise(MIX_DEFAULT_WEIGHT)
+    target = F.lit(MIX_TOKEN_BUDGET) * weight
+    ratio = target.cast("double") / F.col("avail_tokens")
+    return avail.select(
+        "lang",
+        "avail_tokens",
+        F.round(target, 0).cast("long").alias("target_tokens"),
+        F.round(F.least(ratio, F.lit(1.0)), 6).alias("sample_rate"),
+        F.round(F.greatest(ratio, F.lit(1.0)), 6).alias("epochs_needed"),
+    )
+
+
+@register(
+    "dataset_card_summary",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS INT) AS n_langs,
+           CAST(count(DISTINCT source) AS INT) AS n_sources,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+               AS n_exact_dups,
+           round(avg(CAST(n_chars AS DOUBLE)), 2) AS avg_chars,
+           CAST(min(n_chars) AS INT) AS min_chars,
+           CAST(max(n_chars) AS INT) AS max_chars
+    FROM documents
+    """,
+    doc="Dataset card: the one-row corpus summary (docs, langs, sources, "
+    "chars, tokens, exact-dup count, length stats) every published "
+    "dataset ships.",
+)
+def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-a-glance numbers a dataset card publishes (public norm:
+    HF dataset cards / Datasheets for Datasets) — all from ONE scan: the
+    multi-distinct aggregate plans a single Expand, and every other
+    stat shares it.
+
+    avg is count+sum derived (both exact integers divided once), so the
+    double is engine-identical."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").cast("int").alias("n_langs"),
+        F.countDistinct("source").cast("int").alias("n_sources"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
+        (F.count("*") - F.countDistinct(F.md5("text")))
+        .cast("long")
+        .alias("n_exact_dups"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.count("*"), 2
+        ).alias("avg_chars"),
+        F.min("n_chars").cast("int").alias("min_chars"),
+        F.max("n_chars").cast("int").alias("max_chars"),
+    )
