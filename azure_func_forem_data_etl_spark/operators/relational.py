@@ -1372,3 +1372,77 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "brand_revenue_pareto",
+    oracle=f"""
+    WITH rev AS (
+        SELECT p.p_brand,
+               {{DSUM}} AS revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    ),
+    ranked AS (
+        SELECT p_brand, revenue,
+               CAST(row_number() OVER (
+                   ORDER BY revenue DESC, p_brand) AS INT) AS rk,
+               sum(revenue) OVER (
+                   ORDER BY revenue DESC, p_brand
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_rev,
+               sum(revenue) OVER (
+                   ORDER BY revenue DESC, p_brand
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING
+               ) AS tot_rev
+        FROM rev
+    )
+    SELECT p_brand, rk,
+           round(revenue, 2) AS revenue,
+           round(cum_rev / tot_rev, 6) AS cum_share
+    FROM ranked
+    """.replace("{DSUM}", "CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)"),
+    doc="Pareto (80/20) report: brands ranked by revenue with cumulative "
+    "share — decimal-domain sums, windows over the brand-grain rollup.",
+)
+def brand_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The concentration question every category manager asks: how few
+    brands carry most of the revenue.  Revenue sums stay in the DECIMAL
+    domain (associative-exact); both windows and the global total operate
+    on the brand-grain rollup, not the fact table.
+
+    Scale shape: one fact-side aggregation (broadcast part dim), then a
+    single-partition window over <=#brands rows — rollup-sized by
+    construction."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w_ord = Window.orderBy(F.desc("revenue"), F.asc("p_brand"))
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # total over the SAME ordered frame: both engines then add the same
+    # doubles in the same order (an unordered OVER () may not)
+    w_all = w_ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return rev.select(
+        "p_brand",
+        F.row_number().over(w_ord).alias("rk"),
+        F.round("revenue", 2).alias("revenue"),
+        F.round(
+            F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_all), 6
+        ).alias("cum_share"),
+    )

@@ -149,6 +149,10 @@ def test_plan_lint_every_registry_query(spark):
         "changelog_apply_roundtrip",  # same 1-row bounds broadcast as the diff
         "bucketed_quantile_estimates",  # 1-row min/max-bounds broadcast — O(n)·1
         "benford_digit_profile",  # 1-row digit-total broadcast over 9 rows
+        "collocation_pmi",  # 1-row bigram-total broadcast — O(n)·1
+        # deliberate rollup-grain grid: distinct-days x distinct-users
+        # (bounded by grain, never event-grain); see its docstring
+        "cumulative_topk_users",
     }
     checked = 0
     for name, q in sorted(load_all().items()):
