@@ -878,3 +878,99 @@ def prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(j, 6).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-doc exact substring overlap (suffix-array-dedup analog)
+#
+# Suffix-array dedup ("Deduplicating Training Data Makes Language Models
+# Better", Lee et al. 2022) finds *verbatim shared substrings* between
+# documents — a different signal from shingle Jaccard, which scores whole
+# docs.  The distributed analog: slide a fixed W-char window at stride S
+# over every document, join docs that share a window verbatim, and rank
+# pairs by how many windows they share.  Stride-S sampling still catches
+# every shared run of length >= W + S - 1 (some window of the run must
+# start on a stride point in both docs only if alignment matches; with
+# stride S both docs sample the run's windows at the same offsets relative
+# to the run's own text, because windows are content-defined here by the
+# JOIN — any window fully inside the run appears in both docs verbatim, and
+# a run of length L >= W + S - 1 contains a stride-aligned window start in
+# any alignment).  Row volume is ~len/S per doc, tunable independently of
+# precision (W).
+#
+# 100 TB shape: windows shuffle as strings here for oracle bit-parity; at
+# scale the groupBy key is xxhash64(window) (8 bytes) with the string kept
+# only through the first aggregation.  Hot windows (site boilerplate,
+# license headers) are dropped above SUBSTR_HOT_CAP docs — same bounded-
+# bucket discipline as the MinHash band join, making worst-case pair
+# fan-out O(cap^2) per window instead of O(n^2).
+
+SUBSTR_W = 40        # window width: the verbatim-match precision
+SUBSTR_STRIDE = 20   # hop: row volume is ~n_chars/20 per doc
+SUBSTR_MIN_SHARED = 2   # pairs must share >= this many distinct windows
+SUBSTR_HOT_CAP = 64  # windows in more docs than this are boilerplate
+
+
+@register(
+    "substring_overlap_pairs",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, text FROM documents WHERE length(text) >= {SUBSTR_W}
+    ),
+    w AS (
+        SELECT DISTINCT doc_id,
+               substr(text, CAST(off AS INT), {SUBSTR_W}) AS win
+        FROM d, UNNEST(range(1, length(text) - {SUBSTR_W - 2}, {SUBSTR_STRIDE})) AS t(off)
+    ),
+    eligible AS (
+        SELECT win FROM w GROUP BY win
+        HAVING COUNT(*) BETWEEN 2 AND {SUBSTR_HOT_CAP}
+    ),
+    p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.win
+        FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+        JOIN eligible e ON e.win = a.win
+    )
+    SELECT doc_a, doc_b, COUNT(DISTINCT win) AS shared_windows
+    FROM p GROUP BY doc_a, doc_b
+    HAVING COUNT(DISTINCT win) >= {SUBSTR_MIN_SHARED}
+    """,
+    doc=f"Cross-doc verbatim substring overlap: {SUBSTR_W}-char windows at stride {SUBSTR_STRIDE}, boilerplate-capped, pairs sharing >= {SUBSTR_MIN_SHARED} windows.",
+)
+def substring_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text", F.length("text").alias("len"))
+        .filter(F.col("len") >= SUBSTR_W)
+    )
+    offs = F.sequence(
+        F.lit(1), F.col("len") - F.lit(SUBSTR_W - 1), F.lit(SUBSTR_STRIDE)
+    )
+    wins = (
+        docs.select("doc_id", "text", F.explode(offs).alias("off"))
+        .select(
+            "doc_id",
+            F.expr(f"substring(text, off, {SUBSTR_W})").alias("win"),
+        )
+        .distinct()
+    )
+    # Window support counts; keep only shareable, non-boilerplate windows.
+    # The eligible set is window-keyed and duplicate-free -> broadcast-size
+    # after the cap at any corpus scale is wrong (it is corpus-sized), so
+    # this is a shuffle semi-join on win, not a broadcast.
+    eligible = (
+        wins.groupBy("win")
+        .agg(F.count("*").alias("cnt"))
+        .filter((F.col("cnt") >= 2) & (F.col("cnt") <= SUBSTR_HOT_CAP))
+        .select("win")
+    )
+    shared = wins.join(eligible, "win")
+    a = shared.select(F.col("doc_id").alias("doc_a"), "win")
+    b = shared.select(F.col("doc_id").alias("doc_b"), "win")
+    return (
+        a.join(b, ["win"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count_distinct("win").alias("shared_windows"))
+        .filter(F.col("shared_windows") >= SUBSTR_MIN_SHARED)
+    )

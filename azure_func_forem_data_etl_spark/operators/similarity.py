@@ -902,3 +902,230 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-compression ANN tier
+#
+# IVF/LSH shrink the *candidate set*; PQ shrinks the *vectors themselves*:
+# the embedding space is split into PQ_M subspaces and each subvector is
+# replaced by the id of its nearest codeword, so a dim x float32 vector
+# becomes PQ_M bytes (dim=64 float -> 256 B -> 8 B, 32x).  At 100 TB that
+# is the difference between an index that fits in cluster RAM and one that
+# does not.  Scan-time scoring is ADC (asymmetric distance computation):
+# each query precomputes a PQ_M x PQ_K table of query-subvector . codeword
+# dots, and every corpus vector's approximate dot is PQ_M table lookups —
+# no float vector is ever touched until the exact rescore of the top
+# candidates.  Training is driver-side k-means per subspace on a
+# hard-bounded sample (same bound discipline as the IVF centroid budget).
+
+PQ_M = 8              # subspaces (codes per vector)
+PQ_K = 16             # codewords per subspace (4-bit codes at demo scale)
+PQ_TRAIN_SAMPLE = 2048  # driver-side training sample (hard bound)
+PQ_KMEANS_ITERS = 10
+PQ_CAND_FACTOR = 4    # ADC keeps k*factor candidates for exact rescore
+
+_PQ_CODE_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("codes", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def _pq_subspaces(dim: int, m: int = PQ_M) -> list[tuple[int, int]]:
+    """Split [0, dim) into m contiguous, nearly-equal slices."""
+    bounds = [round(i * dim / m) for i in range(m + 1)]
+    return [(bounds[i], bounds[i + 1]) for i in range(m) if bounds[i] < bounds[i + 1]]
+
+
+def _kmeans_1d(X: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Tiny deterministic Lloyd's k-means (seeded by evenly-spaced sample
+    points, not RNG) for one subspace.  Runs on the driver over the bounded
+    training sample only: O(sample * k * subdim)."""
+    n = len(X)
+    k = min(k, n)
+    # deterministic init: evenly spaced rows of the (hash-ordered) sample
+    C = X[np.linspace(0, n - 1, k).astype(int)].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
+def pq_train(
+    emb: DataFrame, cache_key: str | None = None
+) -> list[np.ndarray] | None:
+    """Train per-subspace codebooks on a deterministic bounded sample of
+    the L2-normalized corpus.  Returns a list of (PQ_K x subdim) arrays,
+    or None on an empty corpus.  Memoized per source path."""
+    k = f"pq::{cache_key}"
+    if cache_key is not None and k in _CENTROID_CACHE:
+        return _CENTROID_CACHE[k]
+    spd = _sample_centroids(emb, PQ_TRAIN_SAMPLE, cache_key)
+    if len(spd) == 0:
+        return None
+    S = _np_matrix(spd["embedding"])
+    S = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
+    books = [
+        _kmeans_1d(S[:, lo:hi], PQ_K, PQ_KMEANS_ITERS)
+        for lo, hi in _pq_subspaces(S.shape[1])
+    ]
+    if cache_key is not None:
+        _CENTROID_CACHE[k] = books
+    return books
+
+
+def _pq_encode_mapper(books: list[np.ndarray], slices: list[tuple[int, int]]):
+    """Per-Arrow-batch PQ encoding: L2-normalize, then nearest codeword per
+    subspace (ties -> lowest codeword id via argmin)."""
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = _np_matrix(pdf["embedding"])
+            En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(En), len(slices)), dtype=np.int64)
+            for m, (lo, hi) in enumerate(slices):
+                sub = En[:, lo:hi]
+                B = books[m]
+                # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c
+                d = (sub**2).sum(1)[:, None] - 2 * sub @ B.T + (B**2).sum(1)[None, :]
+                codes[:, m] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(codes.astype(object))}
+            )
+
+    return mapper
+
+
+def _pq_adc_mapper(bq, k_keep: int):
+    """ADC scan per Arrow batch of (vec_id, codes): approximate dot via
+    per-query lookup tables, partial top-k_keep per batch.  ``bq``
+    broadcasts (qids, LUT) where LUT is (n_queries x PQ_M x PQ_K)."""
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids, LUT = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.array([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            ids = pdf["vec_id"].to_numpy()
+            # scores[n, q] = sum_m LUT[q, m, codes[n, m]]
+            scores = np.zeros((len(ids), len(qids)))
+            for m in range(codes.shape[1]):
+                scores += LUT[:, m, codes[:, m]].T
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(qids):
+                col = scores[:, j]
+                mask = ids != qid
+                cids, cvals = ids[mask], col[mask]
+                if len(cids) == 0:
+                    continue
+                kk = min(k_keep, len(cids))
+                if len(cids) > kk:
+                    part = np.argpartition(-cvals, kk - 1)[:kk]
+                    cids, cvals = cids[part], cvals[part]
+                order = np.lexsort((cids, -cvals))
+                out_q.extend([qid] * len(order))
+                out_n.extend(cids[order])
+                out_s.extend(cvals[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adc_score": out_s}
+            )
+
+    return mapper
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_mod: int = KNN_QUERY_MOD,
+    k: int = KNN_K,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """PQ-ADC ANN: encode the corpus to PQ_M-byte codes (one pass), scan
+    codes with per-query lookup tables, exact-rescore the top
+    k*PQ_CAND_FACTOR candidates.
+
+    100 TB shape: the scan touches only the code table (32x smaller than
+    the vectors), the shuffle is capped at queries x k*factor rows, and the
+    exact rescore joins back to the float vectors for just those
+    candidates.  Composes with IVF routing (probe lists first, ADC within
+    lists) without changing either side.
+    """
+    spark = emb.sparkSession
+    empty = "query_id long, neighbor_id long, cos_sim double, rnk int"
+    books = pq_train(emb, cache_key)
+    if books is None:
+        return spark.createDataFrame([], empty)
+    dim = books and sum(b.shape[1] for b in books)
+    slices = _pq_subspaces(dim)
+
+    codes = scale_out(emb.select("vec_id", "embedding"), "vec_id").mapInPandas(
+        _pq_encode_mapper(books, slices), schema=_PQ_CODE_SCHEMA
+    )
+
+    qpd = (
+        emb.filter(F.col("vec_id") % query_mod == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(KNN_MAX_QUERIES_TOTAL + 1)
+        .toPandas()
+    )
+    if len(qpd) == 0:
+        return spark.createDataFrame([], empty)
+    if len(qpd) > KNN_MAX_QUERIES_TOTAL:
+        raise ValueError(
+            f"pq_topk query set exceeds the {KNN_MAX_QUERIES_TOTAL}-query bound; "
+            "thin the query sample (query_mod) or raise the cap explicitly"
+        )
+    Q = _np_matrix(qpd["embedding"])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    qids = qpd["vec_id"].to_numpy()
+    # LUT[q, m, c] = query-subvector . codeword  (approx dot decomposes as a sum)
+    LUT = np.zeros((len(qids), len(slices), max(b.shape[0] for b in books)))
+    for m, (lo, hi) in enumerate(slices):
+        LUT[:, m, : books[m].shape[0]] = Qn[:, lo:hi] @ books[m].T
+    bq = spark.sparkContext.broadcast((qids, LUT))
+
+    cands = codes.mapInPandas(
+        _pq_adc_mapper(bq, k * PQ_CAND_FACTOR),
+        schema="query_id long, neighbor_id long, adc_score double",
+    )
+    # Global ADC top-(k*factor) per query, then exact cosine rescore.
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        cands.withColumn("arn", F.row_number().over(wa))
+        .filter(F.col("arn") <= k * PQ_CAND_FACTOR)
+        .select("query_id", "neighbor_id")
+    )
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    scored = (
+        shortlist.join(e.withColumnsRenamed({"vec_id": "query_id", "e": "qe"}), "query_id")
+        .join(e.withColumnsRenamed({"vec_id": "neighbor_id", "e": "ne"}), "neighbor_id")
+        .withColumn("cos_sim", F.round(cosine_expr("qe", "ne"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+@register(
+    "ann_pq_topk",
+    oracle=None,  # approximate by design: recall vs brute force unit-tested
+    doc=f"ANN top-k via product quantization ({PQ_M}x{PQ_K} codebooks, ADC scan), exact rescoring of the shortlist.",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_topk(
+        table(spark, sf_dir, "embeddings"), cache_key=f"{sf_dir}/embeddings"
+    )

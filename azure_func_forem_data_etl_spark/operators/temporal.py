@@ -904,3 +904,58 @@ def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("late_min"), 4).alias("max_late_min"),
         )
     )
+
+
+@register(
+    "ohlc_hourly_bars",
+    oracle="""
+    WITH b AS (
+        SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+               value, ts, event_id
+        FROM events
+    ),
+    r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, hour_start ORDER BY ts, event_id
+               ) AS rn_a,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, hour_start ORDER BY ts DESC, event_id DESC
+               ) AS rn_d
+        FROM b
+    )
+    SELECT event_type, hour_start,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS volume
+    FROM r GROUP BY event_type, hour_start
+    """,
+    doc="OHLC candlestick bars: per (event_type, hour) open/high/low/close/volume with a deterministic (ts, event_id) tie-break.",
+)
+def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series bar aggregation (the financial-rollup classic).  open/
+    close are `min_by`/`max_by` against the total order (ts, event_id) —
+    selections of existing doubles, so exact cross-engine; high/low/volume
+    are plain min/max/count.  One map-combine hash aggregate, shuffle keyed
+    on (event_type, hour): at 100 TB the per-group state is five scalars,
+    and a year of hourly bars per type is ~9k rows out."""
+    ev = table(spark, sf_dir, "events")
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hour_start"),
+            "value",
+            order_key.alias("ok"),
+        )
+        .groupBy("event_type", "hour_start")
+        .agg(
+            F.min_by("value", F.col("ok")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("ok")).alias("close"),
+            F.count("*").alias("volume"),
+        )
+    )

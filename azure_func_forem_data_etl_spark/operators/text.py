@@ -1227,3 +1227,46 @@ def sentiment_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_pos - n_neg) / F.size("ws").cast("double"), 6
         ).alias("polarity"),
     )
+
+
+@register(
+    "tokenizer_fertility_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang,
+               len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens,
+               length(text) AS n_chars
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           round(SUM(n_chars) / SUM(n_tokens), 6) AS chars_per_token,
+           round(SUM(n_tokens) / COUNT(*), 6) AS tokens_per_doc
+    FROM t GROUP BY lang
+    """,
+    doc="Tokenizer fertility per language: chars/token and tokens/doc under the BPE-ish pre-tokenizer.",
+)
+def tokenizer_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility — how many characters one token 'costs' per language — is
+    the standard lens for tokenizer equity across languages in an LLM
+    corpus (high fertility = that language pays more tokens per unit of
+    text).  One map-side tokenize + one small groupBy(lang): integer sums
+    are exact, the two ratios are single bigint/bigint double divisions —
+    bit-identical cross-engine.  At 100 TB this is a pure map-combine agg
+    with a |langs|-row shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0))
+    per_doc = docs.select(
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sum("n_chars") / F.sum("n_tokens"), 6).alias("chars_per_token"),
+        F.round(F.sum("n_tokens") / F.count("*"), 6).alias("tokens_per_doc"),
+    )

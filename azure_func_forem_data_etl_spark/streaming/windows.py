@@ -371,3 +371,79 @@ def streaming_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return tbl.withColumn("rk", rk).filter(F.col("rk") <= TOPK_PER_WINDOW)
+
+
+BLOCKLIST_MOD = 7  # c_custkey % 7 == 0 -> deterministic "blocked" users
+
+
+@register(
+    "streaming_blocklist_filter",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events e
+    WHERE NOT EXISTS (
+        SELECT 1 FROM customer c
+        WHERE c.c_custkey = e.user_id AND c.c_custkey % {BLOCKLIST_MOD} = 0
+    )
+    GROUP BY 1, 2
+    """,
+    doc="Stream-static LEFT ANTI join: streaming events minus a static "
+    "blocklist dimension, then a watermarked tumbling count per type.",
+)
+def streaming_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The negative-lookup twin of streaming_static_enrich: compliance/
+    abuse filtering drops every event from a blocklisted user *before* it
+    reaches aggregation state.  Stream-static anti join is stateless — the
+    static side is re-read per micro-batch (picking up blocklist updates)
+    and broadcast, so no state store grows with the stream; the only keyed
+    state is the downstream window agg's.  The blocklist here is a
+    deterministic slice of the customer dim so the batch oracle replays it
+    exactly."""
+    events = stream_table(spark, sf_dir, "events")
+    blocked = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % BLOCKLIST_MOD == 0)
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+    agg = (
+        events.join(F.broadcast(blocked), "user_id", "left_anti")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users_approx",
+        )
+    )
+    tbl = run_available_now(agg, "complete")
+    # COUNT(DISTINCT) is unsupported inside a streaming agg
+    # (approx_count_distinct is the streaming-native answer); the exact
+    # distinct the oracle checks is recovered batch-side from the same
+    # filtered stream replayed through the dedup path below.
+    exact = (
+        run_available_now(
+            stream_table(spark, sf_dir, "events")
+            .join(F.broadcast(blocked), "user_id", "left_anti")
+            .withWatermark("ts", "1 hour")
+            .dropDuplicates(["user_id", "event_type", "ts"])
+            .select(
+                F.window("ts", "1 hour").alias("w"), "event_type", "user_id"
+            ),
+            "append",
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "user_id")
+        .groupBy("window_start", "event_type")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+    return (
+        tbl.select("window_start", "event_type", "n_events")
+        .join(exact, ["window_start", "event_type"])
+    )

@@ -82,6 +82,10 @@ BENCH_QUERIES = [
     "decontamination_bloom_prefilter",
     "customer_rfm_scores",
     "streaming_topk_per_window",
+    # round-3 additions (third batch): PQ compression tier + suffix-array-
+    # style verbatim-overlap dedup
+    "ann_pq_topk",
+    "substring_overlap_pairs",
 ]
 
 

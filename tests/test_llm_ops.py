@@ -145,6 +145,48 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.35, f"IVF recall@5 {recall}"
 
 
+def test_ann_pq_recall_vs_bruteforce(spark, sf_dir):
+    from azure_func_forem_data_etl_spark.operators.similarity import pq_topk
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["knn_bruteforce"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_topk(table(spark, sf_dir, "embeddings")).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # 8x16 codebooks on an unclustered gaussian corpus quantize coarsely;
+    # the floor guards the encode/ADC/rescore machinery, not SOTA recall.
+    assert recall >= 0.35, f"PQ recall@5 {recall}"
+
+
+def test_pq_codes_shape_and_determinism(spark, sf_dir):
+    from azure_func_forem_data_etl_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        _pq_encode_mapper,
+        _pq_subspaces,
+        pq_train,
+    )
+    from azure_func_forem_data_etl_spark.sources.tables import scale_out
+
+    emb = table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, cache_key=f"{sf_dir}/embeddings")
+    assert len(books) == PQ_M and all(b.shape[0] <= PQ_K for b in books)
+    dim = sum(b.shape[1] for b in books)
+    codes = scale_out(emb.select("vec_id", "embedding"), "vec_id").mapInPandas(
+        _pq_encode_mapper(books, _pq_subspaces(dim)),
+        schema="vec_id long, codes array<int>",
+    )
+    rows = {r.vec_id: tuple(r.codes) for r in codes.collect()}
+    rows2 = {r.vec_id: tuple(r.codes) for r in codes.collect()}
+    assert rows == rows2  # deterministic encode
+    assert all(len(c) == PQ_M for c in rows.values())
+    assert all(0 <= x < PQ_K for c in rows.values() for x in c)
+
+
 def test_multimodal_resize_shape_and_determinism(spark, sf_dir):
     from azure_func_forem_data_etl_spark.operators.multimodal import (
         THUMB_SIDE,
