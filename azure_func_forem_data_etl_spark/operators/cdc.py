@@ -207,3 +207,62 @@ def changelog_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         upserts.select("user_id"), "user_id", "left_anti"
     )
     return kept.unionByName(upserts)
+
+
+from azure_func_forem_data_etl_spark.functions.exact import dsum, sql_dsum  # noqa: E402
+
+IVM_ORDER_MOD = 10  # o_orderkey % 10 == 0 -> "delta" (newly arrived) orders
+IVM_CUST_MOD = 13   # c_custkey % 13 == 0 -> "delta" customers
+
+
+@register(
+    "incremental_join_view",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price,
+           CAST(SUM(CASE WHEN o_orderkey % {IVM_ORDER_MOD} = 0
+                          OR c_custkey % {IVM_CUST_MOD} = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_from_delta
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Incremental view maintenance: V(A∪ΔA, B∪ΔB) rebuilt as V_old ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB; oracle is the direct full join.",
+)
+def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delta-join identity every materialized-view maintainer runs:
+
+        (A ∪ ΔA) ⋈ (B ∪ ΔB) = A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB
+
+    Deterministic mod-slices of orders/customer stand in for the arriving
+    micro-batches; the query evaluates the four legs separately and unions
+    them, and the oracle computes the direct full join — hash equality IS
+    the algebra's proof.  The 100 TB point: on a real deployment only the
+    three Δ legs run per refresh (ΔA⋈B broadcast when ΔA is batch-sized,
+    A⋈ΔB prunes A by ΔB's key set), which is O(|Δ|·fanout) instead of
+    O(|A|+|B|) per refresh; the unioned legs below are exactly those jobs.
+    Each leg keys its shuffle on the same custkey, so AQE coalesces them
+    into one exchange footprint."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    a_new = F.col("o_orderkey") % IVM_ORDER_MOD == 0
+    b_new = F.col("c_custkey") % IVM_CUST_MOD == 0
+    A, dA = orders.filter(~a_new), orders.filter(a_new)
+    B, dB = cust.filter(~b_new), cust.filter(b_new)
+    on = F.col("o_custkey") == F.col("c_custkey")
+    legs = [
+        A.join(B, on).withColumn("from_delta", F.lit(0)),
+        dA.join(B, on).withColumn("from_delta", F.lit(1)),
+        A.join(dB, on).withColumn("from_delta", F.lit(1)),
+        dA.join(dB, on).withColumn("from_delta", F.lit(1)),
+    ]
+    v = legs[0]
+    for leg in legs[1:]:
+        v = v.unionAll(leg)
+    return v.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+        F.sum("from_delta").cast("long").alias("n_from_delta"),
+    )

@@ -376,3 +376,86 @@ def dedup_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("keep"),
         F.first_value("doc_id").over(w_ord).alias("rep_doc_id"),
     )
+
+
+ERASURE_MOD = 97  # user_id/custkey % 97 == 0 -> deterministic erasure set
+
+
+@register(
+    "erasure_propagation_audit",
+    oracle=f"""
+    WITH del AS (
+        SELECT c_custkey AS uid FROM customer WHERE c_custkey % {ERASURE_MOD} = 0
+    ),
+    ev AS (
+        SELECT COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS n_subjects
+        FROM events WHERE user_id IN (SELECT uid FROM del)
+    ),
+    od AS (
+        SELECT COUNT(*) AS n_rows, COUNT(DISTINCT o_custkey) AS n_subjects
+        FROM orders WHERE o_custkey IN (SELECT uid FROM del)
+    ),
+    li AS (
+        SELECT COUNT(*) AS n_rows, COUNT(DISTINCT o_custkey) AS n_subjects
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey IN (SELECT uid FROM del)
+    )
+    SELECT 'events' AS tbl, n_rows, n_subjects FROM ev
+    UNION ALL SELECT 'orders', n_rows, n_subjects FROM od
+    UNION ALL SELECT 'lineitem', n_rows, n_subjects FROM li
+    """,
+    doc="Right-to-be-forgotten sweep: per-table row/subject counts reachable from a delete list, incl. the indirect lineitem cascade via orders.",
+)
+def erasure_propagation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-delete audit a GDPR/CCPA erasure job runs: given a subject
+    delete-list, how many rows in each table reference those subjects —
+    directly (events.user_id, orders.o_custkey) or transitively
+    (lineitem via its order's customer).  The delete-list is a broadcast
+    LEFT SEMI join against every fact table (the list is ~users-scale,
+    facts are ~100 TB; the facts never shuffle, each leg is one scan +
+    one tiny agg).  The actual deletion is these same semi-joins flipped
+    to anti-join rewrites of the underlying files."""
+    from pyspark.sql import functions as F  # noqa: F401  (module-level F in scope)
+
+    cust = table(spark, sf_dir, "customer")
+    del_list = (
+        cust.filter(F.col("c_custkey") % ERASURE_MOD == 0)
+        .select(F.col("c_custkey").alias("uid"))
+    )
+    ev = (
+        table(spark, sf_dir, "events")
+        .join(F.broadcast(del_list), F.col("user_id") == F.col("uid"), "left_semi")
+        .agg(
+            F.lit("events").alias("tbl"),
+            F.count("*").alias("n_rows"),
+            F.count_distinct("user_id").alias("n_subjects"),
+        )
+    )
+    orders = table(spark, sf_dir, "orders")
+    od = (
+        orders.join(
+            F.broadcast(del_list), F.col("o_custkey") == F.col("uid"), "left_semi"
+        )
+        .agg(
+            F.lit("orders").alias("tbl"),
+            F.count("*").alias("n_rows"),
+            F.count_distinct("o_custkey").alias("n_subjects"),
+        )
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .join(
+            orders.join(
+                F.broadcast(del_list),
+                F.col("o_custkey") == F.col("uid"),
+                "left_semi",
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .agg(
+            F.lit("lineitem").alias("tbl"),
+            F.count("*").alias("n_rows"),
+            F.count_distinct("o_custkey").alias("n_subjects"),
+        )
+    )
+    return ev.unionAll(od).unionAll(li)

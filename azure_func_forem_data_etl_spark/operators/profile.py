@@ -16,7 +16,7 @@ table profiled.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from azure_func_forem_data_etl_spark.plans.registry import register
@@ -451,3 +451,108 @@ def returns_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - margin) / denom, 6).alias("ci_lo"),
         F.round((center + margin) / denom, 6).alias("ci_hi"),
     )
+
+
+EQUIDEPTH_BUCKETS = 8
+
+
+@register(
+    "equidepth_histogram_price",
+    oracle=f"""
+    WITH t AS (
+        SELECT l_extendedprice AS v,
+               ntile({EQUIDEPTH_BUCKETS}) OVER (
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ) AS bucket
+        FROM lineitem
+    )
+    SELECT bucket, COUNT(*) AS n_rows, MIN(v) AS lo, MAX(v) AS hi
+    FROM t GROUP BY bucket
+    """,
+    doc=f"Equi-depth histogram over l_extendedprice ({EQUIDEPTH_BUCKETS} buckets): the optimizer-statistics twin of the fixed-bin histogram.",
+)
+def equidepth_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histograms are what engine optimizers
+    actually store — bucket *boundaries* adapt to the data so selectivity
+    estimates stay accurate under skew, unlike fixed-width bins.  ntile
+    over a unique total order (value, orderkey, linenumber) is
+    deterministic cross-engine.  The global sort is the cost; at 100 TB
+    the production variant is approx_percentile boundaries (one pass, no
+    sort) — this exact query is the oracle-checkable ground truth tier,
+    same exact/approx pairing as the percentile twins."""
+    li = table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_extendedprice").alias("v"),
+        F.ntile(EQUIDEPTH_BUCKETS)
+        .over(
+            Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        )
+        .alias("bucket"),
+    )
+    return t.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+
+
+#: Candidate functional dependencies to audit: determinant -> dependent.
+_FD_CANDIDATES = [
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("supplier", "s_nationkey", "s_acctbal"),
+]
+
+
+@register(
+    "functional_dependency_audit",
+    oracle="""
+    WITH """ + ",\n    ".join(
+        f"""fd{i} AS (
+        SELECT '{t}.{det}->{dep}' AS candidate,
+               COUNT(*) AS n_determinants,
+               CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating,
+               round(1.0 - SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END)
+                     / COUNT(*), 6) AS fd_strength
+        FROM (
+            SELECT {det}, COUNT(DISTINCT {dep}) AS n_dep
+            FROM {t} GROUP BY {det}
+        )
+    )"""
+        for i, (t, det, dep) in enumerate(_FD_CANDIDATES)
+    ) + """
+    SELECT * FROM fd0 UNION ALL SELECT * FROM fd1
+    UNION ALL SELECT * FROM fd2 UNION ALL SELECT * FROM fd3
+    """,
+    doc="Approximate functional-dependency audit: for each candidate det->dep, how many determinant values map to >1 dependent value.",
+)
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FD discovery is the schema-inference pass of data profiling: a
+    strength of 1.0 means det uniquely determines dep (a normalization /
+    key candidate), lower values quantify how dirty the dependency is.
+    Each candidate costs one (det, dep) distinct agg + one det agg — both
+    map-combine, keyed on the determinant; candidates are independent
+    scans unioned, so Spark runs them as parallel stages.  100 TB: swap
+    count_distinct for approx_count_distinct > 1 per group, same shape."""
+    parts = []
+    for t, det, dep in _FD_CANDIDATES:
+        per_det = (
+            table(spark, sf_dir, t)
+            .groupBy(det)
+            .agg(F.count_distinct(dep).alias("n_dep"))
+        )
+        viol = F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0))
+        parts.append(
+            per_det.agg(
+                F.lit(f"{t}.{det}->{dep}").alias("candidate"),
+                F.count("*").alias("n_determinants"),
+                viol.alias("n_violating"),
+                F.round(1.0 - viol / F.count("*"), 6).alias("fd_strength"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -1004,17 +1004,28 @@ def _pq_encode_mapper(books: list[np.ndarray], slices: list[tuple[int, int]]):
     return mapper
 
 
-def _pq_adc_mapper(bq, k_keep: int):
-    """ADC scan per Arrow batch of (vec_id, codes): approximate dot via
-    per-query lookup tables, partial top-k_keep per batch.  ``bq``
-    broadcasts (qids, LUT) where LUT is (n_queries x PQ_M x PQ_K)."""
+def _pq_encode_adc_mapper(bq, k_keep: int):
+    """Fused encode + ADC scan per Arrow batch of (vec_id, embedding):
+    PQ-encode the batch, then score codes via per-query lookup tables and
+    keep a partial top-k_keep.  One Python pass over the corpus instead of
+    encode->JVM->ADC (halves the Arrow boundary crossings; on a stored-
+    index deployment the encode half is ``_pq_encode_mapper`` at build
+    time and this degenerates to the ADC half reading codes).  ``bq``
+    broadcasts (qids, LUT, books, slices); LUT is (n_queries x M x K)."""
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qids, LUT = bq.value
+        qids, LUT, books, slices = bq.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            codes = np.array([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            E = _np_matrix(pdf["embedding"])
+            En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(En), len(slices)), dtype=np.int64)
+            for m, (lo, hi) in enumerate(slices):
+                sub = En[:, lo:hi]
+                B = books[m]
+                d = (sub**2).sum(1)[:, None] - 2 * sub @ B.T + (B**2).sum(1)[None, :]
+                codes[:, m] = d.argmin(axis=1)
             ids = pdf["vec_id"].to_numpy()
             # scores[n, q] = sum_m LUT[q, m, codes[n, m]]
             scores = np.zeros((len(ids), len(qids)))
@@ -1066,10 +1077,6 @@ def pq_topk(
     dim = books and sum(b.shape[1] for b in books)
     slices = _pq_subspaces(dim)
 
-    codes = scale_out(emb.select("vec_id", "embedding"), "vec_id").mapInPandas(
-        _pq_encode_mapper(books, slices), schema=_PQ_CODE_SCHEMA
-    )
-
     qpd = (
         emb.filter(F.col("vec_id") % query_mod == 0)
         .select("vec_id", "embedding")
@@ -1091,10 +1098,10 @@ def pq_topk(
     LUT = np.zeros((len(qids), len(slices), max(b.shape[0] for b in books)))
     for m, (lo, hi) in enumerate(slices):
         LUT[:, m, : books[m].shape[0]] = Qn[:, lo:hi] @ books[m].T
-    bq = spark.sparkContext.broadcast((qids, LUT))
+    bq = spark.sparkContext.broadcast((qids, LUT, books, slices))
 
-    cands = codes.mapInPandas(
-        _pq_adc_mapper(bq, k * PQ_CAND_FACTOR),
+    cands = scale_out(emb.select("vec_id", "embedding"), "vec_id").mapInPandas(
+        _pq_encode_adc_mapper(bq, k * PQ_CAND_FACTOR),
         schema="query_id long, neighbor_id long, adc_score double",
     )
     # Global ADC top-(k*factor) per query, then exact cosine rescore.

@@ -959,3 +959,72 @@ def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("volume"),
         )
     )
+
+
+ATTR_WINDOW_H = 24  # touches within this many hours before a purchase
+
+
+@register(
+    "attribution_multi_touch",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS p_ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id AS touch_id, user_id, ts AS c_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    m AS (
+        SELECT p.purchase_id, p.user_id, p.value,
+               c.touch_id, c.c_ts
+        FROM p JOIN c ON c.user_id = p.user_id
+            AND c.c_ts < p.p_ts
+            AND c.c_ts >= p.p_ts - INTERVAL {ATTR_WINDOW_H} HOUR
+    )
+    SELECT purchase_id, user_id,
+           COUNT(*) AS n_touches,
+           MIN(touch_id ORDER BY c_ts, touch_id) AS first_touch_id,
+           MAX(touch_id ORDER BY c_ts, touch_id) AS last_touch_id,
+           ANY_VALUE(value) / COUNT(*) AS credit_per_touch
+    FROM m GROUP BY purchase_id, user_id
+    """,
+    doc=f"Linear multi-touch attribution: each purchase splits credit across the user's clicks in the prior {ATTR_WINDOW_H}h; first/last touch identified.",
+)
+def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution, the range-join classic: purchases equi-join
+    the same user's clicks with a bounded time residual (never a cross
+    join — the shuffle is keyed on user_id and the window bound is a join
+    residual), then one keyed agg picks first/last touch on the total
+    order (c_ts, touch_id) and splits the purchase value linearly.  Credit
+    division runs in the decimal domain so the split is bit-exact
+    cross-engine.  100 TB: same shape as range_join_followup — per-user
+    event lists are small, skew capped by the join residual window."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    m = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_H} HOURS")),
+    )
+    ok = F.struct(F.col("c_ts"), F.col("touch_id"))
+    return m.groupBy("purchase_id", "user_id").agg(
+        F.count("*").alias("n_touches"),
+        F.min_by("touch_id", ok).alias("first_touch_id"),
+        F.max_by("touch_id", ok).alias("last_touch_id"),
+        # plain double / bigint division: identical IEEE operands on both
+        # engines -> bit-exact quotient (a decimal-domain divide is NOT,
+        # because the two engines pick different quotient scales)
+        (F.any_value(F.col("value")) / F.count("*")).alias("credit_per_touch"),
+    )
