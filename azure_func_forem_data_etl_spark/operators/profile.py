@@ -556,3 +556,73 @@ def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@register(
+    "chisq_independence_cells",
+    oracle="""
+    WITH j AS (
+        SELECT event_type, c_mktsegment
+        FROM events JOIN customer ON user_id = c_custkey
+    ),
+    cell AS (
+        SELECT event_type, c_mktsegment, COUNT(*) AS obs
+        FROM j GROUP BY event_type, c_mktsegment
+    ),
+    r AS (SELECT event_type, COUNT(*) AS row_tot FROM j GROUP BY event_type),
+    c AS (SELECT c_mktsegment, COUNT(*) AS col_tot FROM j GROUP BY c_mktsegment),
+    n AS (SELECT COUNT(*) AS n_tot FROM j)
+    SELECT cell.event_type, cell.c_mktsegment, obs,
+           round(CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                 / CAST(n_tot AS DOUBLE), 6) AS expected,
+           round(
+               ((CAST(obs AS DOUBLE) * CAST(n_tot AS DOUBLE)
+                 - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE))
+                * (CAST(obs AS DOUBLE) * CAST(n_tot AS DOUBLE)
+                   - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)))
+               / (CAST(n_tot AS DOUBLE) * CAST(row_tot AS DOUBLE)
+                  * CAST(col_tot AS DOUBLE)), 6) AS chi2_cell
+    FROM cell
+    JOIN r ON r.event_type = cell.event_type
+    JOIN c ON c.c_mktsegment = cell.c_mktsegment
+    CROSS JOIN n
+    """,
+    doc="Chi-square independence cells for event_type x mktsegment: observed, expected, per-cell chi2 contribution (deterministic double arithmetic on exact counts).",
+)
+def chisq_independence_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency-table independence test, per-cell: chi2_cell =
+    (obs*N - row*col)^2 / (N*row*col).  Every operand is an exact integer
+    count cast to double BEFORE arithmetic, and the expression tree is
+    written identically on both engines — each multiply/divide is then the
+    same IEEE operation on the same operands, so the rounded result is
+    bit-exact (a global chi2 SUM would not be: summation order differs
+    across partitions; the caller sums our 6dp cells, which IS
+    deterministic).  Scale: one broadcast dim join + three keyed
+    map-combine aggs; marginals are |types| and |segments| rows ->
+    broadcast back onto cells."""
+    ev = table(spark, sf_dir, "events")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = ev.join(
+        F.broadcast(cust), F.col("user_id") == F.col("c_custkey")
+    ).select("event_type", "c_mktsegment")
+    cell = j.groupBy("event_type", "c_mktsegment").agg(F.count("*").alias("obs"))
+    r = j.groupBy("event_type").agg(F.count("*").alias("row_tot"))
+    c = j.groupBy("c_mktsegment").agg(F.count("*").alias("col_tot"))
+    n = j.agg(F.count("*").alias("n_tot"))
+    obs_d = F.col("obs").cast("double")
+    row_d = F.col("row_tot").cast("double")
+    col_d = F.col("col_tot").cast("double")
+    n_d = F.col("n_tot").cast("double")
+    d = obs_d * n_d - row_d * col_d
+    return (
+        cell.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "c_mktsegment")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "c_mktsegment",
+            "obs",
+            F.round(row_d * col_d / n_d, 6).alias("expected"),
+            F.round((d * d) / (n_d * row_d * col_d), 6).alias("chi2_cell"),
+        )
+    )

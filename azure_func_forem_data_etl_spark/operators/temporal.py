@@ -1028,3 +1028,62 @@ def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # because the two engines pick different quotient scales)
         (F.any_value(F.col("value")) / F.count("*")).alias("credit_per_touch"),
     )
+
+
+#: event_type -> single char for sequence encoding (CEP pattern alphabet)
+_SEQ_CASE_SQL = (
+    "CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c' "
+    "WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' "
+    "WHEN 'error' THEN 'e' ELSE 'o' END"
+)
+#: signup, then purchase, with no error in between (non-overlapping scan)
+SEQ_PATTERN = "s[^ep]*p"
+
+
+@register(
+    "event_pattern_regex",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id,
+               string_agg({_SEQ_CASE_SQL}, '' ORDER BY ts, event_id) AS s
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           length(s) AS n_events,
+           len(regexp_extract_all(s, '{SEQ_PATTERN}')) AS n_matches
+    FROM seq
+    WHERE len(regexp_extract_all(s, '{SEQ_PATTERN}')) > 0
+    """,
+    doc="CEP-lite pattern matching: per-user ordered event sequence as a char string, regex-counted occurrences of signup->(no error)->purchase.",
+)
+def event_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing via regex over encoded sequences — the
+    MATCH_RECOGNIZE workaround every SQL engine without it uses: encode
+    each event as one char, order deterministically by (ts, event_id),
+    and let the regex engine do the state machine.  Both engines scan
+    leftmost-non-overlapping with Perl semantics (Java regex / RE2 agree
+    on this alphabet), so counts are exact.  Scale: one user_id-keyed agg;
+    per-user sequences are session-sized (chars, not rows) — a 100 TB
+    corpus shuffles only (user, seq-string) pairs.  Unbounded per-key
+    sequences would cap via sessionized sub-sequences first."""
+    ev = table(spark, sf_dir, "events")
+    enc = F.expr(_SEQ_CASE_SQL)
+    seq = (
+        ev.select("user_id", F.struct("ts", "event_id").alias("ok"), enc.alias("ch"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(ok, ch))), x -> x.ch)"),
+                "",
+            ).alias("s")
+        )
+    )
+    n_matches = F.size(F.regexp_extract_all("s", F.lit(SEQ_PATTERN), 0))
+    return (
+        seq.select(
+            "user_id",
+            F.length("s").alias("n_events"),
+            n_matches.alias("n_matches"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )

@@ -232,3 +232,20 @@ def test_round3_ops_on_empty_corpus(spark, empty_sf):
         embedding_pca_project,
     ):
         assert fn(spark, empty_sf).count() == 0, fn.__name__
+
+
+def test_round3_batch3_ops_on_empty_inputs(spark, empty_sf):
+    """PQ, substring overlap, fertility, OHLC, CEP regex on empty tables."""
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    reg = load_all()
+    for name in (
+        "ann_pq_topk",
+        "substring_overlap_pairs",
+        "tokenizer_fertility_stats",
+        "ohlc_hourly_bars",
+        "event_pattern_regex",
+        "attribution_multi_touch",
+        "equidepth_histogram_price",
+    ):
+        assert reg[name].fn(spark, empty_sf).count() == 0, name

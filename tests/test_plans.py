@@ -150,6 +150,7 @@ def test_plan_lint_every_registry_query(spark):
         "bucketed_quantile_estimates",  # 1-row min/max-bounds broadcast — O(n)·1
         "benford_digit_profile",  # 1-row digit-total broadcast over 9 rows
         "collocation_pmi",  # 1-row bigram-total broadcast — O(n)·1
+        "chisq_independence_cells",  # 1-row grand-total broadcast onto cells
         # deliberate rollup-grain grid: distinct-days x distinct-users
         # (bounded by grain, never event-grain); see its docstring
         "cumulative_topk_users",
