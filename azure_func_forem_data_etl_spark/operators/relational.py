@@ -1446,3 +1446,143 @@ def brand_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_all), 6
         ).alias("cum_share"),
     )
+
+
+@register(
+    "skyline_orders_2d",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderkey, o_totalprice, o_orderdate,
+               MAX(o_orderdate) OVER (
+                   ORDER BY o_totalprice ASC, o_orderdate DESC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS best_prev_date
+        FROM orders
+    )
+    SELECT o_orderkey, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+    FROM s
+    WHERE best_prev_date IS NULL OR best_prev_date < o_orderdate
+    """,
+    doc="2-D skyline (Pareto frontier): orders minimizing price while maximizing recency; no other order is both cheaper-or-equal and newer.",
+)
+def skyline_orders_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-dominance query: keep orders where no other order
+    is cheaper-or-equal AND newer (strictly better on one axis).  The 2-D
+    sweep: sorted by (price asc, date desc), a point survives iff the
+    running max of date over all strictly-preceding rows is below its own
+    date — which also dedups exact (price, date) ties to one
+    representative.
+
+    Distributed shape (the global sort is the naive cost): phase 1 runs
+    the same sweep per year-partition — any point dominated within its
+    partition is dominated globally, so pruning is sound — leaving a
+    frontier-sized survivor set; phase 2 runs the exact global sweep on
+    survivors only.  At 100 TB phase 1 is a keyed window over the fact
+    table and phase 2 a single-partition window over ~|frontier| rows."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+
+    def sweep(df: DataFrame, *part_cols: str) -> DataFrame:
+        w = (
+            Window.partitionBy(*part_cols)
+            if part_cols
+            else Window.partitionBy()
+        )
+        w = w.orderBy(
+            F.asc("o_totalprice"), F.desc("o_orderdate"), F.asc("o_orderkey")
+        ).rowsBetween(Window.unboundedPreceding, -1)
+        best_prev = F.max("o_orderdate").over(w)
+        return df.withColumn("_bp", best_prev).filter(
+            F.col("_bp").isNull() | (F.col("_bp") < F.col("o_orderdate"))
+        ).drop("_bp")
+
+    local = sweep(orders.withColumn("_yr", F.year("o_orderdate")), "_yr").drop("_yr")
+    return sweep(local).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+    )
+
+
+PVM_YEAR_A, PVM_YEAR_B = 1996, 1997
+
+
+@register(
+    "revenue_bridge_pvm",
+    oracle=f"""
+    WITH base AS (
+        SELECT p_brand,
+               EXTRACT(year FROM o_orderdate) AS yr,
+               l_quantity,
+               CAST(l_extendedprice AS DECIMAL(9,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                   AS rev
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE EXTRACT(year FROM o_orderdate) IN ({PVM_YEAR_A}, {PVM_YEAR_B})
+    ),
+    per AS (
+        SELECT p_brand,
+               CAST(SUM(CASE WHEN yr = {PVM_YEAR_A} THEN l_quantity END)
+                    AS DOUBLE) AS qty_a,
+               CAST(SUM(CASE WHEN yr = {PVM_YEAR_A} THEN rev END)
+                    AS DOUBLE) AS rev_a,
+               CAST(SUM(CASE WHEN yr = {PVM_YEAR_B} THEN l_quantity END)
+                    AS DOUBLE) AS qty_b,
+               CAST(SUM(CASE WHEN yr = {PVM_YEAR_B} THEN rev END)
+                    AS DOUBLE) AS rev_b
+        FROM base GROUP BY p_brand
+    )
+    SELECT p_brand, qty_a, rev_a, qty_b, rev_b,
+           round(rev_b - rev_a, 4) AS delta_revenue,
+           round((qty_b - qty_a) * (rev_a / qty_a), 6) AS volume_effect,
+           round(qty_b * (rev_b / qty_b - rev_a / qty_a), 6) AS price_effect
+    FROM per
+    WHERE qty_a > 0 AND qty_b > 0
+    """,
+    doc=f"Price-volume revenue bridge per brand between {PVM_YEAR_A} and {PVM_YEAR_B}: delta revenue decomposed into volume and price/mix effects.",
+)
+def revenue_bridge_pvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The finance-analytics waterfall: why did revenue change?  Per
+    brand, volume effect = Δqty x period-A unit price, price/mix effect =
+    period-B qty x Δunit-price; the two sum exactly to Δrevenue.  Period
+    sums are decimal-domain (exact under any partition order) cast to
+    double once; the effect formulas are then identical IEEE expression
+    trees on both engines.  One three-way join (part dim broadcast-sized)
+    + one brand-keyed agg with conditional sums — both periods in a
+    single scan instead of a self-join of per-period aggregates."""
+    from azure_func_forem_data_etl_spark.functions.exact import revenue as rev_expr
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    yr = F.year("o_orderdate")
+    base = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(yr.isin(PVM_YEAR_A, PVM_YEAR_B))
+        .select("p_brand", yr.alias("yr"), "l_quantity", rev_expr().alias("rev"))
+    )
+    def per_year(col, year):
+        return F.sum(F.when(F.col("yr") == year, F.col(col))).cast("double")
+    per = base.groupBy("p_brand").agg(
+        per_year("l_quantity", PVM_YEAR_A).alias("qty_a"),
+        per_year("rev", PVM_YEAR_A).alias("rev_a"),
+        per_year("l_quantity", PVM_YEAR_B).alias("qty_b"),
+        per_year("rev", PVM_YEAR_B).alias("rev_b"),
+    )
+    unit_a = F.col("rev_a") / F.col("qty_a")
+    unit_b = F.col("rev_b") / F.col("qty_b")
+    return per.filter((F.col("qty_a") > 0) & (F.col("qty_b") > 0)).select(
+        "p_brand",
+        "qty_a",
+        "rev_a",
+        "qty_b",
+        "rev_b",
+        F.round(F.col("rev_b") - F.col("rev_a"), 4).alias("delta_revenue"),
+        F.round((F.col("qty_b") - F.col("qty_a")) * unit_a, 6).alias("volume_effect"),
+        F.round(F.col("qty_b") * (unit_b - unit_a), 6).alias("price_effect"),
+    )

@@ -1087,3 +1087,111 @@ def event_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_matches") > 0)
     )
+
+
+@register(
+    "session_bounce_rate_daily",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT *, SUM(is_start) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS session_no
+        FROM marked
+    ),
+    sess AS (
+        SELECT user_id, session_no,
+               strftime(MIN(ts), '%Y-%m-%d') AS day,
+               COUNT(*) AS n_events
+        FROM numbered GROUP BY user_id, session_no
+    )
+    SELECT day,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           round(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS bounce_rate
+    FROM sess GROUP BY day
+    """,
+    doc="Daily bounce rate: share of 30-min-gap sessions containing exactly one event, keyed by session start day.",
+)
+def session_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engagement KPI on top of gap-island sessionization: a session
+    with one event is a bounce.  Same single user_id shuffle feeding both
+    windows and the session agg as sessionize_gap_islands, plus a
+    |days|-row re-agg; the rate is one double division of exact counts."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_min = (
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    ) / 60.0
+    numbered = (
+        events.withColumn(
+            "is_start", F.when(gap_min <= 30, F.lit(0)).otherwise(F.lit(1))
+        )
+        .withColumn(
+            "session_no",
+            F.sum("is_start").over(
+                Window.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    sess = numbered.groupBy("user_id", "session_no").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("day"),
+        F.count("*").alias("n_events"),
+    )
+    bounces = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return sess.groupBy("day").agg(
+        F.count("*").alias("n_sessions"),
+        bounces.cast("long").alias("n_bounces"),
+        F.round(bounces.cast("double") / F.count("*"), 6).alias("bounce_rate"),
+    )
+
+
+@register(
+    "period_over_period_revenue",
+    oracle="""
+    WITH weekly AS (
+        SELECT date_trunc('week', o_orderdate) AS week_start,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT week_start, n_orders, revenue,
+           lag(revenue) OVER (ORDER BY week_start) AS prev_revenue,
+           round(revenue / lag(revenue) OVER (ORDER BY week_start) - 1.0, 6)
+               AS wow_change
+    FROM weekly
+    """,
+    doc="Week-over-week revenue: weekly decimal-exact totals with a lag ratio (NULL on the first week).",
+)
+def period_over_period_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The period-over-period report every dashboard carries.  Weekly
+    totals are decimal-domain (partition-order-independent); the WoW
+    ratio is one double division of two such exact totals.  The unkeyed
+    lag window runs over |weeks| rows — aggregate-sized, not fact-sized —
+    so the single-partition Window is fine at any corpus scale."""
+    orders = table(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.date_trunc("week", "o_orderdate").alias("week_start")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+    w = Window.orderBy("week_start")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        "week_start",
+        "n_orders",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.round(F.col("revenue") / prev - 1.0, 6).alias("wow_change"),
+    )
