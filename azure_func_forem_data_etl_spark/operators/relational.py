@@ -1448,6 +1448,25 @@ def brand_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skyline_sweep(df: DataFrame, *part_cols: str) -> DataFrame:
+    """One dominance sweep of the (price min, date max) skyline: keep rows
+    whose date exceeds the running max over all strictly-preceding rows in
+    (price asc, date desc, key asc) order.  With ``part_cols`` this is the
+    sound local-prune phase (dominated-in-partition => dominated-globally);
+    without, the exact global pass.  Idempotent on its own output."""
+    w = Window.partitionBy(*part_cols) if part_cols else Window.partitionBy()
+    w = w.orderBy(
+        F.asc("o_totalprice"), F.desc("o_orderdate"), F.asc("o_orderkey")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    best_prev = F.max("o_orderdate").over(w)
+    return (
+        df.withColumn("_bp", best_prev)
+        .filter(F.col("_bp").isNull() | (F.col("_bp") < F.col("o_orderdate")))
+        .drop("_bp")
+    )
+
+
+
 @register(
     "skyline_orders_2d",
     oracle="""
@@ -1483,23 +1502,10 @@ def skyline_orders_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderdate"
     )
-
-    def sweep(df: DataFrame, *part_cols: str) -> DataFrame:
-        w = (
-            Window.partitionBy(*part_cols)
-            if part_cols
-            else Window.partitionBy()
-        )
-        w = w.orderBy(
-            F.asc("o_totalprice"), F.desc("o_orderdate"), F.asc("o_orderkey")
-        ).rowsBetween(Window.unboundedPreceding, -1)
-        best_prev = F.max("o_orderdate").over(w)
-        return df.withColumn("_bp", best_prev).filter(
-            F.col("_bp").isNull() | (F.col("_bp") < F.col("o_orderdate"))
-        ).drop("_bp")
-
-    local = sweep(orders.withColumn("_yr", F.year("o_orderdate")), "_yr").drop("_yr")
-    return sweep(local).select(
+    local = skyline_sweep(
+        orders.withColumn("_yr", F.year("o_orderdate")), "_yr"
+    ).drop("_yr")
+    return skyline_sweep(local).select(
         "o_orderkey",
         "o_totalprice",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),

@@ -1136,3 +1136,161 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(
         table(spark, sf_dir, "embeddings"), cache_key=f"{sf_dir}/embeddings"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse routing x compressed scoring in ONE corpus pass
+
+IVFPQ_NPROBE = 8
+
+
+def _ivfpq_mapper(bq, k_keep: int):
+    """Fused assign + route + encode + ADC per Arrow batch: each vector is
+    assigned to its nearest centroid, and for every query it is
+    ADC-scored ONLY if that centroid is in the query's probe list.  One
+    corpus pass does what classic IVF-PQ does in two (assign, then scan);
+    per-batch work is O(rows x (centroids + M)) and output is capped at
+    queries x k_keep per batch.  ``bq`` broadcasts
+    (qids, LUT, books, slices, C_sorted, cids_sorted, probe_sets)."""
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids, LUT, books, slices, Cn, cids, probe_sets = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = _np_matrix(pdf["embedding"])
+            En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+            # coarse assignment (ties -> lowest centroid id: stable argsort
+            # not needed, argmax on -sims with sorted cids gives lowest id
+            # via argmax's first-occurrence rule on ties)
+            sims = En @ Cn.T
+            assign = cids[np.argmax(sims, axis=1)]
+            # PQ encode
+            codes = np.empty((len(En), len(slices)), dtype=np.int64)
+            for m, (lo, hi) in enumerate(slices):
+                sub = En[:, lo:hi]
+                B = books[m]
+                d = (sub**2).sum(1)[:, None] - 2 * sub @ B.T + (B**2).sum(1)[None, :]
+                codes[:, m] = d.argmin(axis=1)
+            ids = pdf["vec_id"].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(qids):
+                probed = np.isin(assign, probe_sets[j]) & (ids != qid)
+                if not probed.any():
+                    continue
+                cids_j, codes_j = ids[probed], codes[probed]
+                scores = np.zeros(len(cids_j))
+                for m in range(codes_j.shape[1]):
+                    scores += LUT[j, m, codes_j[:, m]]
+                kk = min(k_keep, len(cids_j))
+                if len(cids_j) > kk:
+                    part = np.argpartition(-scores, kk - 1)[:kk]
+                    cids_j, scores = cids_j[part], scores[part]
+                order = np.lexsort((cids_j, -scores))
+                out_q.extend([qid] * len(order))
+                out_n.extend(cids_j[order])
+                out_s.extend(scores[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adc_score": out_s}
+            )
+
+    return mapper
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_mod: int = KNN_QUERY_MOD,
+    k: int = KNN_K,
+    nprobe: int = IVFPQ_NPROBE,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """IVF-PQ ANN: coarse centroids route each query to ``nprobe``
+    inverted lists; within the routed lists vectors are scored from their
+    PQ codes (ADC); the shortlist gets one exact cosine rescore.
+
+    The 100 TB composition argument made real: IVF cuts the *fraction of
+    the corpus touched* per query (~nprobe/n_centroids), PQ cuts the
+    *bytes per touched vector* (M bytes vs dim x 4), and both reductions
+    multiply.  Here the assign/route/encode/ADC steps fuse into a single
+    corpus pass; a stored-index deployment persists (cluster_id, codes)
+    once and scans only the probed partitions."""
+    spark = emb.sparkSession
+    empty = "query_id long, neighbor_id long, cos_sim double, rnk int"
+    n_vectors = _corpus_count(emb, cache_key)
+    if n_vectors == 0:
+        return spark.createDataFrame([], empty)
+    books = pq_train(emb, cache_key)
+    if books is None:
+        return spark.createDataFrame([], empty)
+    dim = sum(b.shape[1] for b in books)
+    slices = _pq_subspaces(dim)
+    cpd = _sample_centroids(emb, _centroid_budget(n_vectors), cache_key)
+    cids = cpd["vec_id"].to_numpy()
+    C = _np_matrix(cpd["embedding"])
+    order = np.argsort(cids)
+    cids_sorted = cids[order]
+    Cn_sorted = (C / np.linalg.norm(C, axis=1, keepdims=True))[order]
+
+    qpd = (
+        emb.filter(F.col("vec_id") % query_mod == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(KNN_MAX_QUERIES_TOTAL + 1)
+        .toPandas()
+    )
+    if len(qpd) == 0:
+        return spark.createDataFrame([], empty)
+    if len(qpd) > KNN_MAX_QUERIES_TOTAL:
+        raise ValueError(
+            f"ivfpq_topk query set exceeds the {KNN_MAX_QUERIES_TOTAL}-query "
+            "bound; thin the query sample (query_mod) or raise the cap"
+        )
+    Q = _np_matrix(qpd["embedding"])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    qids = qpd["vec_id"].to_numpy()
+    LUT = np.zeros((len(qids), len(slices), max(b.shape[0] for b in books)))
+    for m, (lo, hi) in enumerate(slices):
+        LUT[:, m, : books[m].shape[0]] = Qn[:, lo:hi] @ books[m].T
+    qsims = Qn @ Cn_sorted.T
+    p = min(nprobe, qsims.shape[1])
+    probe_sets = [
+        cids_sorted[np.argsort(-qsims[j], kind="stable")[:p]] for j in range(len(qids))
+    ]
+    bq = spark.sparkContext.broadcast(
+        (qids, LUT, books, slices, Cn_sorted, cids_sorted, probe_sets)
+    )
+    cands = scale_out(emb.select("vec_id", "embedding"), "vec_id").mapInPandas(
+        _ivfpq_mapper(bq, k * PQ_CAND_FACTOR),
+        schema="query_id long, neighbor_id long, adc_score double",
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        cands.withColumn("arn", F.row_number().over(wa))
+        .filter(F.col("arn") <= k * PQ_CAND_FACTOR)
+        .select("query_id", "neighbor_id")
+    )
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    scored = (
+        shortlist.join(e.withColumnsRenamed({"vec_id": "query_id", "e": "qe"}), "query_id")
+        .join(e.withColumnsRenamed({"vec_id": "neighbor_id", "e": "ne"}), "neighbor_id")
+        .withColumn("cos_sim", F.round(cosine_expr("qe", "ne"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=None,  # approximate by design: recall vs brute force unit-tested
+    doc=f"ANN top-k via IVF-PQ (coarse routing x ADC code scoring fused into one corpus pass, nprobe={IVFPQ_NPROBE}), exact rescoring.",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivfpq_topk(
+        table(spark, sf_dir, "embeddings"), cache_key=f"{sf_dir}/embeddings"
+    )

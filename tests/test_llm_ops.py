@@ -162,6 +162,23 @@ def test_ann_pq_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.35, f"PQ recall@5 {recall}"
 
 
+def test_ann_ivfpq_recall_vs_bruteforce(spark, sf_dir):
+    from azure_func_forem_data_etl_spark.operators.similarity import ivfpq_topk
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["knn_bruteforce"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_topk(table(spark, sf_dir, "embeddings")).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # IVF routing x PQ quantization both lose recall on a gaussian corpus;
+    # the floor guards the fused route/encode/ADC machinery.
+    assert recall >= 0.3, f"IVF-PQ recall@5 {recall}"
+
+
 def test_pq_codes_shape_and_determinism(spark, sf_dir):
     from azure_func_forem_data_etl_spark.operators.similarity import (
         PQ_K,

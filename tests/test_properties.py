@@ -150,3 +150,37 @@ def test_star_cc_matches_union_find_on_random_graphs(spark, edges):
         for r in connected_components_star(df, "a", "b").collect()
     }
     assert got == set(_driver_union_find(edges, None))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 10_000),        # price (small domain -> many ties)
+            st.integers(0, 365 * 4),       # date offset days
+        ),
+        min_size=0,
+        max_size=120,
+    )
+)
+def test_skyline_local_prune_is_sound(spark, rows):
+    """Two-phase skyline (per-year local sweep, then global sweep) must
+    equal the direct global sweep on arbitrary data, including duplicate
+    (price, date) points — the soundness claim in its docstring."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from azure_func_forem_data_etl_spark.operators.relational import skyline_sweep
+
+    data = [
+        (i, float(p), _dt.date(1995, 1, 1) + _dt.timedelta(days=d))
+        for i, (p, d) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "o_orderkey long, o_totalprice double, o_orderdate date"
+    )
+    direct = {tuple(r) for r in skyline_sweep(df).collect()}
+    local = skyline_sweep(df.withColumn("_yr", F.year("o_orderdate")), "_yr").drop("_yr")
+    two_phase = {tuple(r) for r in skyline_sweep(local).collect()}
+    assert two_phase == direct
