@@ -1270,3 +1270,95 @@ def tokenizer_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("n_chars") / F.sum("n_tokens"), 6).alias("chars_per_token"),
         F.round(F.sum("n_tokens") / F.count("*"), 6).alias("tokens_per_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Query-likelihood retrieval with Dirichlet smoothing (QL-Dirichlet)
+
+QL_QUERY_TERMS = ("spark", "window", "stream")
+QL_MU = 200
+QL_TOP = 50
+
+
+@register(
+    "ql_dirichlet_topk",
+    oracle=rf"""
+    WITH w AS (
+        SELECT doc_id, UNNEST(string_split_regex(lower(text), '\s+')) AS word
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dlen FROM w GROUP BY doc_id),
+    coll AS (
+        SELECT word, COUNT(*) AS cf FROM w
+        WHERE word IN {QL_QUERY_TERMS} GROUP BY word
+    ),
+    tot AS (SELECT COUNT(*) AS t FROM w),
+    tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf FROM w
+        WHERE word IN {QL_QUERY_TERMS} GROUP BY doc_id, word
+    ),
+    scored AS (
+        SELECT dl.doc_id,
+               CAST(round(log10(
+                   (COALESCE(tf.tf, 0) + {QL_MU} * (coll.cf / CAST(tot.t AS DOUBLE)))
+                   / (dl.dlen + {QL_MU})
+               ), 4) AS DECIMAL(18,4)) AS logp
+        FROM dl CROSS JOIN coll CROSS JOIN tot
+        LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.word = coll.word
+    ),
+    agg AS (
+        SELECT doc_id, CAST(SUM(logp) AS DOUBLE) AS ql_score FROM scored
+        GROUP BY doc_id
+    )
+    SELECT doc_id, ql_score, rk FROM (
+        SELECT doc_id, ql_score,
+               CAST(row_number() OVER (ORDER BY ql_score DESC, doc_id) AS INT) AS rk
+        FROM agg
+    ) WHERE rk <= {QL_TOP}
+    """,
+    doc=f"Query-likelihood retrieval (Dirichlet smoothing, mu={QL_MU}): top-{QL_TOP} docs for a fixed query; the LM twin of bm25_topk_docs.",
+)
+def ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The language-modeling IR scorer (Zhai & Lafferty): score(d) =
+    sum_q log p(q|d) with Dirichlet-smoothed p(q|d) =
+    (tf + mu*cf/|C|) / (dl + mu).  Completes the retrieval family
+    (TF-IDF, BM25, unigram/bigram LM): BM25 rewards saturating tf,
+    QL-Dirichlet normalizes by document length through the smoothing
+    denominator.
+
+    Determinism: per-(doc, term) log10 quantized at 4dp then summed in
+    the decimal domain (same associativity trick as unigram_logprob).
+    Scale shape: collection stats prune to the query terms BEFORE any
+    shuffle (|terms| rows broadcast); doc lengths are one map-combine
+    agg; every doc scores every query term via the broadcast cross join
+    (|docs| x |terms| rows, fanout 3) with tf left-joined on top."""
+    terms = list(QL_QUERY_TERMS)
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    )
+    dl = w.groupBy("doc_id").agg(F.count("*").alias("dlen"))
+    qw = w.filter(F.col("word").isin(terms))
+    coll = qw.groupBy("word").agg(F.count("*").alias("cf"))
+    tot = w.agg(F.count("*").alias("t"))
+    tf = qw.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    p = (
+        (F.coalesce(F.col("tf"), F.lit(0))
+         + F.lit(QL_MU) * (F.col("cf") / F.col("t").cast("double")))
+        / (F.col("dlen") + F.lit(QL_MU))
+    )
+    scored = (
+        dl.crossJoin(F.broadcast(coll))
+        .crossJoin(F.broadcast(tot))
+        .join(tf, ["doc_id", "word"], "left")
+        .withColumn("logp", F.round(F.log10(p), 4).cast("decimal(18,4)"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("logp").cast("double").alias("ql_score")
+    )
+    rk = F.row_number().over(Window.orderBy(F.desc("ql_score"), F.asc("doc_id")))
+    return (
+        agg.withColumn("rk", rk.cast("int"))
+        .filter(F.col("rk") <= QL_TOP)
+        .select("doc_id", "ql_score", "rk")
+    )

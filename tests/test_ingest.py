@@ -440,3 +440,44 @@ def test_native_datasource_streaming_cursor(spark, tmp_path):
     second = spark.read.parquet(out)
     assert second.count() == 4  # page 3 arrived once, pages 1-2 not re-read
     assert second.filter("page = 3").count() == 1
+
+
+def test_multiformat_roundtrip_orc_csv_json(spark, tmp_path):
+    """Source-format breadth: the same events slice written as ORC, CSV,
+    and line-delimited JSON reads back value-identical to the parquet
+    original (schemas pinned on read — CSV/JSON would otherwise infer
+    lossy types)."""
+    from azure_func_forem_data_etl_spark.sources.tables import table
+
+    src = (
+        table(spark, "/root/testdata/sf0.001", "events")
+        .filter(F.col("event_id") < 200)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    want = {tuple(map(str, r)) for r in src.collect()}
+    schema = src.schema
+
+    orc_d, csv_d, json_d = (str(tmp_path / n) for n in ("orc", "csv", "json"))
+    src.write.orc(orc_d)
+    src.write.option("header", True).option(
+        "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ).csv(csv_d)
+    src.write.option(
+        "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ).json(json_d)
+
+    orc_back = spark.read.schema(schema).orc(orc_d)
+    csv_back = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .csv(csv_d)
+    )
+    json_back = (
+        spark.read.schema(schema)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .json(json_d)
+    )
+    for name, df in [("orc", orc_back), ("csv", csv_back), ("json", json_back)]:
+        got = {tuple(map(str, r)) for r in df.collect()}
+        assert got == want, f"{name} roundtrip diverged"
