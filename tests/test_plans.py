@@ -285,3 +285,32 @@ def test_prefix_filter_simjoin_no_nested_loop(spark, sf_dir):
     plan = prefix_filter_simjoin(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_silver(spark, sf_dir, tmp_path):
+    """A date-partitioned silver table joined to a filtered dim must plan a
+    DynamicPruningExpression on the fact scan — the runtime partition-skip
+    that makes dim-filtered fact joins cheap at 100 TB (only the days the
+    dim selects are ever read)."""
+    from pyspark.sql import functions as F
+
+    from azure_func_forem_data_etl_spark.sources.tables import table
+
+    d = str(tmp_path / "events_by_day")
+    (
+        table(spark, sf_dir, "events")
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .write.partitionBy("day")
+        .parquet(d)
+    )
+    fact = spark.read.parquet(d)
+    dim = (
+        spark.createDataFrame(
+            [("2024-01-03", "keep"), ("2024-01-04", "drop")],
+            "day string, tag string",
+        )
+        .filter(F.col("tag") == "keep")
+    )
+    j = fact.join(dim, "day").groupBy("event_type").count()
+    plan = _formatted_plan(j)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
