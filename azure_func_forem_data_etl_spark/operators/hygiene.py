@@ -459,3 +459,37 @@ def erasure_propagation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ev.unionAll(od).unionAll(li)
+
+
+K_ANON_THRESHOLD = 5
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment, group_size,
+           CAST(group_size < {K_ANON_THRESHOLD} AS INT) AS violates_k
+    FROM g
+    """,
+    doc=f"k-anonymity audit over the (nation, segment) quasi-identifier: equivalence-class sizes, flagged below k={K_ANON_THRESHOLD}.",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The privacy-release gate: a table is k-anonymous w.r.t. its
+    quasi-identifiers iff every equivalence class has >= k members;
+    classes below k re-identify individuals when joined with outside
+    data.  One map-combine agg keyed on the QI tuple — at 100 TB this is
+    the cheapest possible audit, and the remediation (generalize or
+    suppress the violating classes) filters on its output."""
+    cust = table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("group_size"))
+        .withColumn(
+            "violates_k",
+            (F.col("group_size") < K_ANON_THRESHOLD).cast("int"),
+        )
+    )

@@ -1362,3 +1362,77 @@ def ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= QL_TOP)
         .select("doc_id", "ql_score", "rk")
     )
+
+
+ZIPF_TOP_RANKS = 100
+
+
+@register(
+    "zipf_exponent_fit",
+    oracle=rf"""
+    WITH w AS (
+        SELECT UNNEST(string_split_regex(lower(text), '\s+')) AS word
+        FROM documents
+    ),
+    freq AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+    top AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rnk
+        FROM (SELECT * FROM freq ORDER BY cnt DESC, word LIMIT {ZIPF_TOP_RANKS})
+    ),
+    pts AS (
+        SELECT CAST(round(log10(rnk), 4) AS DECIMAL(18,4)) AS x,
+               CAST(round(log10(cnt), 4) AS DECIMAL(18,4)) AS y
+        FROM top
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx
+        FROM pts
+    )
+    SELECT n AS n_ranks,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+               AS log10_intercept
+    FROM s
+    """,
+    doc=f"Zipf's-law fit over the top-{ZIPF_TOP_RANKS} word ranks: OLS slope of log10(freq) vs log10(rank); natural corpora fit slope ~ -1.",
+)
+def zipf_exponent_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics health check: natural language follows Zipf's law
+    (freq ∝ rank^-s, s≈1); big deviations flag templated/synthetic text.
+    The rank table is bounded by TakeOrdered (orderBy+limit — only
+    ZIPF_TOP_RANKS rows ever sort globally); per-point log10 values are
+    4dp-quantized then all OLS sums run in the decimal domain, so the
+    closed-form slope is one deterministic double expression at the end.
+    Scale: one explode + one vocab agg + a 100-row fit."""
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+    freq = w.groupBy("word").agg(F.count("*").alias("cnt"))
+    top = (
+        freq.orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(ZIPF_TOP_RANKS)
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("word"))),
+        )
+    )
+    pts = top.select(
+        F.round(F.log10("rnk"), 4).cast("decimal(18,4)").alias("x"),
+        F.round(F.log10("cnt"), 4).cast("decimal(18,4)").alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("log10_intercept"),
+    )
