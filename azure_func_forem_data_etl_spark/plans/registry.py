@@ -133,6 +133,7 @@ def load_all() -> dict[str, Query]:
     )
     from azure_func_forem_data_etl_spark.streaming import (  # noqa: F401
         drift as streaming_drift,
+        tws as streaming_tws,
         rollup as streaming_rollup,
         sessionize,
         upsert as streaming_upsert,
