@@ -463,3 +463,44 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_directed_edges"),
         F.round(r, 6).alias("assortativity"),
     )
+
+
+@register(
+    "tree_root_recursive_cte",
+    oracle="""
+    WITH RECURSIVE walk(id, cur, depth) AS (
+        SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey >= 1
+        UNION ALL
+        SELECT w.id, GREATEST(w.cur // 2, 1), w.depth + 1
+        FROM walk w WHERE w.cur > 1
+    )
+    SELECT id, CAST(1 AS BIGINT) AS root, CAST(MAX(depth) AS BIGINT) AS depth
+    FROM walk GROUP BY id
+    """,
+    doc="Hierarchy closure via a NATIVE Spark 4 recursive CTE (WITH RECURSIVE) — the declarative twin of tree_root_pointer_jumping; both engines run the same SQL text.",
+)
+def tree_root_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.0 finally ships ``WITH RECURSIVE`` (SPARK-24497), so the
+    hierarchy walk that previously *required* the pointer-jumping
+    reformulation can now be declared verbatim — the exact SQL the DuckDB
+    oracle runs.  Registered alongside ``tree_root_pointer_jumping`` as
+    engine-capability proof and as a cross-check: declarative recursion
+    and iterative doubling must agree row-for-row.
+
+    Scale note: Catalyst executes each recursion step as a union-loop
+    (O(depth) rounds); for deep hierarchies at 100 TB the pointer-jumping
+    operator (O(log depth) rounds) remains the performance tier — keep
+    both, pick by depth."""
+    table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(id, cur, depth) AS (
+            SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey >= 1
+            UNION ALL
+            SELECT w.id, GREATEST(w.cur DIV 2, 1), w.depth + 1
+            FROM walk w WHERE w.cur > 1
+        )
+        SELECT id, CAST(1 AS BIGINT) AS root, CAST(MAX(depth) AS BIGINT) AS depth
+        FROM walk GROUP BY id
+        """
+    )
