@@ -626,3 +626,86 @@ def chisq_independence_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((d * d) / (n_d * row_d * col_d), 6).alias("chi2_cell"),
         )
     )
+
+
+@register(
+    "dq_expectations_report",
+    oracle="""
+    WITH base AS (
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS null_qty,
+               CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                             THEN 1 ELSE 0 END) AS BIGINT) AS range_qty,
+               CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS range_disc,
+               COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+                   AS dup_pk
+        FROM lineitem
+    ),
+    fk AS (
+        SELECT COUNT(*) AS orphan_fk
+        FROM lineitem l WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+        )
+    )
+    SELECT 'quantity_not_null' AS rule, n_rows, null_qty AS violations,
+           CAST(null_qty = 0 AS INT) AS passed FROM base
+    UNION ALL
+    SELECT 'quantity_in_1_50', n_rows, range_qty,
+           CAST(range_qty = 0 AS INT) FROM base
+    UNION ALL
+    SELECT 'discount_in_0_01', n_rows, range_disc,
+           CAST(range_disc = 0 AS INT) FROM base
+    UNION ALL
+    SELECT 'pk_unique', n_rows, dup_pk, CAST(dup_pk = 0 AS INT) FROM base
+    UNION ALL
+    SELECT 'orderkey_fk_exists', (SELECT n_rows FROM base), orphan_fk,
+           CAST(orphan_fk = 0 AS INT) FROM fk
+    """,
+    doc="Deequ-style declarative DQ expectations in one scan (+1 anti join): null/range/PK-uniqueness/FK rules -> (rule, violations, passed) rows.",
+)
+def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-quality gate pattern (Deequ/dbt-test shape): a declarative
+    rule list compiled into ONE pass over the fact table — every
+    null/range/uniqueness rule is a conditional aggregate riding the same
+    scan, so adding a rule costs zero extra I/O; only the FK rule needs a
+    second relation (broadcast-keyed LEFT ANTI count).  Emitting
+    (rule, violations, passed) rows lets a pipeline fail-or-quarantine on
+    `WHERE passed = 0` without recomputing anything."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey")
+    cnt = F.count("*")
+    base = li.agg(
+        cnt.alias("n_rows"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_qty"),
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("range_qty"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("range_disc"),
+        (cnt - F.count_distinct(F.struct("l_orderkey", "l_linenumber"))).alias("dup_pk"),
+    ).first()
+    orphans = (
+        li.select("l_orderkey")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .count()
+    )
+    rules = [
+        ("quantity_not_null", base["null_qty"]),
+        ("quantity_in_1_50", base["range_qty"]),
+        ("discount_in_0_01", base["range_disc"]),
+        ("pk_unique", base["dup_pk"]),
+        ("orderkey_fk_exists", orphans),
+    ]
+    return spark.createDataFrame(
+        [(r, base["n_rows"], int(v), int(v == 0)) for r, v in rules],
+        "rule string, n_rows bigint, violations bigint, passed int",
+    )
