@@ -1436,3 +1436,121 @@ def zipf_exponent_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((sy - slope * sx) / n, 6).alias("log10_intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 (lexical) x embedding cosine (semantic), RRF-fused
+
+HYBRID_QUERY_VEC = 0   # the embedding playing "query" in the semantic leg
+HYBRID_RRF_K = 60      # standard RRF dampening constant
+HYBRID_TOP = 20
+
+from azure_func_forem_data_etl_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH bm AS ({{bm25}}),
+    lex AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+                   AS r_lex
+        FROM bm
+    ),
+    q AS (
+        SELECT embedding::DOUBLE[] AS qe FROM embeddings
+        WHERE vec_id = {HYBRID_QUERY_VEC}
+    ),
+    sem0 AS (
+        SELECT vec_id AS doc_id,
+               round(list_cosine_similarity(embedding::DOUBLE[], q.qe), 6)
+                   AS cos_sim
+        FROM embeddings CROSS JOIN q
+        WHERE vec_id <> {HYBRID_QUERY_VEC}
+    ),
+    sem AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS INT)
+                   AS r_sem
+        FROM (SELECT * FROM sem0 ORDER BY cos_sim DESC, doc_id LIMIT 50)
+    ),
+    fused AS (
+        SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+               lex.r_lex, sem.r_sem,
+               round(COALESCE(1.0 / ({HYBRID_RRF_K} + lex.r_lex), 0.0)
+                     + COALESCE(1.0 / ({HYBRID_RRF_K} + sem.r_sem), 0.0), 6)
+                   AS rrf_score
+        FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    )
+    SELECT doc_id, r_lex, r_sem, rrf_score, rk FROM (
+        SELECT fused.*,
+               CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT)
+                   AS rk
+        FROM fused
+    ) WHERE rk <= {HYBRID_TOP}
+    """.format(bm25=_REG["bm25_topk_docs"].oracle),
+    doc=f"Hybrid retrieval: BM25 lexical ranks x embedding-cosine semantic ranks fused by Reciprocal Rank Fusion (k={HYBRID_RRF_K}), top-{HYBRID_TOP}.",
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG-stack retrieval composition: lexical BM25 catches exact
+    terminology, the embedding index catches paraphrase, and Reciprocal
+    Rank Fusion (Cormack et al. 2009) merges them using only RANKS —
+    robust to the two scorers' incomparable scales.  Each leg's rank list
+    is top-k-bounded (TakeOrdered) before the fuse, so the full-outer
+    fusion join touches ≤100 rows no matter the corpus size; per-doc RRF
+    is a two-term sum of exact reciprocals (deterministic IEEE).  At
+    100 TB each leg is independently the scale path already audited
+    (BM25: query-term-pruned aggs; semantic: swap brute-force cosine for
+    the ANN tiers)."""
+    from azure_func_forem_data_etl_spark.operators.similarity import cosine_expr
+
+    bm = bm25_topk_docs(spark, sf_dir)
+    lex = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .cast("int")
+        .alias("r_lex"),
+    )
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC).select(
+        F.col("e").alias("qe")
+    )
+    sem0 = (
+        emb.filter(F.col("vec_id") != HYBRID_QUERY_VEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_expr("e", "qe"), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+        .limit(50)
+    )
+    sem = sem0.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_sim"), F.asc("doc_id")))
+        .cast("int")
+        .alias("r_sem"),
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "r_lex",
+            "r_sem",
+            F.round(
+                F.coalesce(F.lit(1.0) / (HYBRID_RRF_K + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (HYBRID_RRF_K + F.col("r_sem")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+    )
+    rk = F.row_number().over(Window.orderBy(F.desc("rrf_score"), F.asc("doc_id")))
+    return (
+        fused.withColumn("rk", rk.cast("int"))
+        .filter(F.col("rk") <= HYBRID_TOP)
+    )

@@ -151,6 +151,9 @@ def test_plan_lint_every_registry_query(spark):
         "benford_digit_profile",  # 1-row digit-total broadcast over 9 rows
         "collocation_pmi",  # 1-row bigram-total broadcast — O(n)·1
         "chisq_independence_cells",  # 1-row grand-total broadcast onto cells
+        "hybrid_search_rrf",  # 1-row query-embedding broadcast — O(n)·1
+        # |query terms| (3-row) + 1-row collection-stats broadcasts — O(n)·1
+        "ql_dirichlet_topk",
         # deliberate rollup-grain grid: distinct-days x distinct-users
         # (bounded by grain, never event-grain); see its docstring
         "cumulative_topk_users",
