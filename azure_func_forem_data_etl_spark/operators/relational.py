@@ -1592,3 +1592,37 @@ def revenue_bridge_pvm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("qty_b") - F.col("qty_a")) * unit_a, 6).alias("volume_effect"),
         F.round(F.col("qty_b") * (unit_b - unit_a), 6).alias("price_effect"),
     )
+
+
+@register(
+    "pipe_syntax_order_stats",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    doc="SQL pipe syntax (Spark 4 |> operators): the same plan as the equivalent SELECT, authored as a linear dataflow.",
+)
+def pipe_syntax_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.0 ships SQL pipe syntax (SPARK-49555, the ZetaSQL-style
+    ``|>`` chain): each operator consumes the previous result top-down —
+    the SQL text now reads in the same order Catalyst builds the logical
+    plan, and the DataFrame chain's equivalence becomes literal.  The
+    oracle is the classic SELECT; identical results prove the two
+    syntaxes hit the same semantics (and the same optimized plan)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__pipe_orders")
+    return spark.sql(
+        """
+        FROM __pipe_orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                         AS total_price
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n_orders, total_price
+        """
+    )

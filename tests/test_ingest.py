@@ -481,3 +481,25 @@ def test_multiformat_roundtrip_orc_csv_json(spark, tmp_path):
     for name, df in [("orc", orc_back), ("csv", csv_back), ("json", json_back)]:
         got = {tuple(map(str, r)) for r in df.collect()}
         assert got == want, f"{name} roundtrip diverged"
+
+
+def test_schema_evolution_mergeschema_read(spark, tmp_path):
+    """Schema evolution: a silver dir whose later files carry an extra
+    column must read whole under mergeSchema with NULLs backfilled for
+    old files — the additive-evolution contract a long-lived ingest
+    (reference parity: articles gain fields over time) depends on."""
+    d = str(tmp_path / "silver")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).write.parquet(d + "/batch=1")
+    spark.createDataFrame(
+        [(3, "c", 30.0)], "id long, name string, score double"
+    ).write.parquet(d + "/batch=2")
+    got = spark.read.option("mergeSchema", True).parquet(d)
+    assert set(got.columns) == {"id", "name", "score", "batch"}
+    rows = {r.id: r for r in got.collect()}
+    assert rows[1].score is None and rows[3].score == 30.0
+    # without mergeSchema the first-listed footer wins — document that the
+    # explicit option is what makes evolution safe
+    narrow = spark.read.parquet(d)
+    assert set(narrow.columns) <= {"id", "name", "score", "batch"}
