@@ -765,3 +765,59 @@ def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("int").alias("min_chars"),
         F.max("n_chars").cast("int").alias("max_chars"),
     )
+
+
+@register(
+    "sequence_packing_bfd",
+    oracle=None,  # BFD is inherently sequential per source: rows-only +
+    # invariant unit tests (hard budget, full coverage, determinism)
+    doc=f"Best-fit-decreasing sequence packing (budget {PACK_BUDGET_TOKENS} tokens): per-source bins via applyInPandas; hard budget honored (oversized docs get singleton bins).",
+)
+def sequence_packing_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bin-packing upgrade of ``sequence_packing_greedy``: greedy
+    cumulative fill lets a document straddle its budget boundary, BFD
+    sorts docs longest-first and places each into the fullest bin that
+    still fits — classic 11/9·OPT+1 guarantee, hard budget respected
+    (docs longer than the budget get singleton bins).  Packing is
+    inherently sequential WITHIN a source, so each source's doc list runs
+    through one ``applyInPandas`` group — parallelism across sources
+    (at 100 TB: thousands of sources / source-shards, each group's state
+    is its bin headroom list, O(bins) memory).  Deterministic: sort by
+    (n_tokens desc, doc_id), bins indexed by creation order, headroom
+    ties resolved to the lowest bin id."""
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", r"\s+")).alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        )
+        headroom: list[int] = []  # headroom per bin, index = bin id
+        assign = []
+        for n in pdf["n_tokens"]:
+            best, best_room = -1, None
+            for b, room in enumerate(headroom):
+                if room >= n and (best_room is None or room < best_room):
+                    best, best_room = b, room
+            if best < 0:
+                headroom.append(PACK_BUDGET_TOKENS - n)
+                assign.append(len(headroom) - 1)
+            else:
+                headroom[best] -= n
+                assign.append(best)
+        out = pdf.assign(pack_id=assign)
+        return out.groupby(["source", "pack_id"], as_index=False).agg(
+            n_docs=("doc_id", "size"), n_tokens_total=("n_tokens", "sum")
+        )
+
+    return (
+        docs.groupBy("source")
+        .applyInPandas(
+            pack, "source string, pack_id long, n_docs long, n_tokens_total long"
+        )
+    )

@@ -1195,3 +1195,46 @@ def period_over_period_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_revenue"),
         F.round(F.col("revenue") / prev - 1.0, 6).alias("wow_change"),
     )
+
+
+@register(
+    "rollup_cascade_daily",
+    oracle=f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Pre-aggregation cascade: minute partials -> hour partials -> day rollup, all merges on mergeable state; oracle computes directly from raw events.",
+)
+def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized-rollup cascade every metrics store runs: aggregate
+    raw events ONCE at the finest grain (minute), then derive each coarser
+    grain from the previous partials — (count, decimal sum) is mergeable
+    state, so hour = merge(minutes) and day = merge(hours) are exact.
+    The oracle aggregates raw->day directly; hash equality proves the
+    cascade loses nothing.  At 100 TB the raw table is scanned once per
+    day instead of once per dashboard query, and each cascade level is
+    ~60x smaller than the one below it."""
+    ev = table(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("m"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_dec"),
+    )
+    hour = minute.groupBy(
+        F.date_trunc("hour", "m").alias("h"), "event_type"
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_dec").alias("sum_dec"),
+    )
+    day = hour.groupBy(
+        F.date_format(F.date_trunc("day", "h"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_dec").cast("double").alias("sum_value"),
+    )
+    return day

