@@ -504,3 +504,70 @@ def tree_root_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM walk GROUP BY id
         """
     )
+
+
+KCORE_K = 2
+KCORE_MAX_ITER = 30
+
+
+def kcore_vertices(edges: DataFrame, k: int, max_iter: int = KCORE_MAX_ITER) -> DataFrame:
+    """Vertices of the k-core (max subgraph where every vertex has degree
+    >= k): iteratively peel sub-k vertices until stable.  Each round is
+    one degree agg + one semi-join on the shrinking edge set, lineage
+    truncated per round; rounds needed = peeling depth (typically ≪ V —
+    each round removes every current sub-k vertex at once)."""
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        deg = (
+            e.select(F.col("src").alias("id"))
+            .unionAll(e.select(F.col("dst").alias("id")))
+            .groupBy("id")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("id")
+        e2 = (
+            e.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if e2.count() == e.count():  # no vertex fell below k -> stable
+            e = e2
+            break
+        e = e2
+    return (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+@register(
+    "kcore_membership",
+    oracle=None,  # iterative peeling fixpoint: not single-query SQL;
+    # planted-graph unit tests pin the semantics
+    doc=f"{KCORE_K}-core membership of the co-purchase graph: iterative sub-{KCORE_K} peeling to fixpoint; per-vertex flag with final core degree.",
+)
+def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition — the standard dense-region filter before
+    community detection (and a bot-ring signal on interaction graphs):
+    the k-core survives repeated removal of weakly-connected vertices,
+    so membership is far more robust than raw degree.  Output: every
+    vertex of the support-thresholded co-purchase graph with its raw
+    degree, core membership flag, and within-core degree."""
+    edges = copurchase_edges(spark, sf_dir)
+    raw_deg = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("raw_degree"))
+    )
+    core = kcore_vertices(edges, KCORE_K).withColumn("in_core", F.lit(1))
+    return (
+        raw_deg.join(core, "id", "left")
+        .select(
+            "id",
+            "raw_degree",
+            F.coalesce("in_core", F.lit(0)).alias("in_core"),
+        )
+        .orderBy("id")
+    )

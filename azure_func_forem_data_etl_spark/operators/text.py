@@ -1554,3 +1554,54 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("rk", rk.cast("int"))
         .filter(F.col("rk") <= HYBRID_TOP)
     )
+
+
+@register(
+    "readability_flesch",
+    oracle=r"""
+    WITH m AS (
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS n_sentences,
+               len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+               AS flesch_score
+    FROM m WHERE n_words > 0
+    """,
+    doc="Flesch reading-ease per doc from regex word/sentence/vowel-group counts; identical IEEE formula tree on both engines.",
+)
+def readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring — the classic text-quality feature set next to
+    stopword/repetition ratios in LLM curation filters (C4 drops
+    low-readability boilerplate).  Words, sentences, and syllables are
+    all regex-count heuristics (vowel groups ≈ syllables) shared verbatim
+    with the oracle; the Flesch formula is pure double arithmetic on
+    exact counts — one map-only pass, no shuffle at all."""
+    docs = table(spark, sf_dir, "documents")
+    n_words = F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), 0)), F.lit(1)
+    )
+    n_syll = F.size(F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0))
+    m = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    return m.withColumn(
+        "flesch_score",
+        F.round(
+            206.835
+            - 1.015 * (F.col("n_words").cast("double") / F.col("n_sentences"))
+            - 84.6 * (F.col("n_syllables").cast("double") / F.col("n_words")),
+            4,
+        ),
+    )

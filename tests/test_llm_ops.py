@@ -1280,3 +1280,18 @@ def test_bfd_packing_invariants(spark, sf_dir):
     # determinism across physical layouts
     rows2 = sequence_packing_bfd(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_kcore_planted_graph(spark):
+    """2-core peeling on a planted graph: a triangle (2-core) survives, a
+    pendant path hanging off it is fully peeled."""
+    from azure_func_forem_data_etl_spark.operators.graph import kcore_vertices
+
+    # triangle 1-2-3 plus path 3-4-5 (4 and 5 peel off; then nothing else)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    core = sorted(r.id for r in kcore_vertices(edges, 2).collect())
+    assert core == [1, 2, 3]
+    # 3-core of the same graph is empty (triangle vertices have degree 2)
+    assert kcore_vertices(edges, 3).count() == 0
