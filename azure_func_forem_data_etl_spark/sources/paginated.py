@@ -177,3 +177,70 @@ def flaky_fetcher(
         return inner(page)
 
     return fetch
+
+
+def fetch_pages_with_dlq(
+    spark: SparkSession,
+    page_ids: list[int],
+    fetcher: PageFetcher,
+    policy: FetchPolicy = FetchPolicy(),
+    parallelism: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Like :func:`fetch_pages_raw`, but exhausted pages are captured as
+    DEAD-LETTER rows instead of vanishing — the operational upgrade over
+    the reference's silent ``[]`` (fetch_articles.py:73-76): a nightly
+    re-drive job replays the DLQ instead of a full backfill, and page
+    loss is observable.
+
+    Returns ``(data, dlq)``: data has (page, raw) as usual; dlq has
+    (page, attempts, last_error).  Both derive from ONE fetch pass (the
+    split is two filters over the same mapInPandas output, and Spark
+    re-executes only the cheap scan, not the fetch, when both sides are
+    consumed — callers that persist should checkpoint the combined frame
+    first, as plans/incremental.py does with its page results)."""
+    ensure_query_session_conf(spark)
+    combined_schema = "page INT, raw STRING, attempts INT, last_error STRING"
+    if not page_ids:
+        empty = spark.createDataFrame([], combined_schema)
+        return (
+            empty.filter("last_error IS NULL").select("page", "raw"),
+            empty.filter("last_error IS NOT NULL").select(
+                "page", "attempts", "last_error"
+            ),
+        )
+    n = parallelism or min(len(page_ids), spark.sparkContext.defaultParallelism)
+    pages_df = spark.createDataFrame(
+        [(int(p),) for p in page_ids], "page INT"
+    ).repartition(n, "page")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for page in pdf["page"]:
+                page = int(page)
+                articles: list[dict] | None = None
+                last_err = ""
+                for attempt in range(policy.max_retries):
+                    try:
+                        articles = fetcher(page)
+                        break
+                    except Exception as ex:  # noqa: BLE001
+                        last_err = f"{type(ex).__name__}: {ex}"[:500]
+                        if attempt + 1 < policy.max_retries:
+                            time.sleep(policy.backoff_base ** (attempt + 1))
+                if articles is None:
+                    rows.append((page, None, policy.max_retries, last_err))
+                else:
+                    rows.extend((page, json.dumps(a), None, None) for a in articles)
+                if policy.rate_limit_s:
+                    time.sleep(policy.rate_limit_s)
+            yield pd.DataFrame(
+                rows, columns=["page", "raw", "attempts", "last_error"]
+            )
+
+    combined = pages_df.mapInPandas(run, schema=combined_schema)
+    data = combined.filter(F.col("last_error").isNull()).select("page", "raw")
+    dlq = combined.filter(F.col("last_error").isNotNull()).select(
+        "page", "attempts", "last_error"
+    )
+    return data, dlq

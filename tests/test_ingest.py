@@ -503,3 +503,66 @@ def test_schema_evolution_mergeschema_read(spark, tmp_path):
     # explicit option is what makes evolution safe
     narrow = spark.read.parquet(d)
     assert set(narrow.columns) <= {"id", "name", "score", "batch"}
+
+
+def test_fetch_dlq_captures_exhausted_pages(spark):
+    """fetch_pages_with_dlq: good pages land as data rows, a page that
+    fails every retry lands in the DLQ with its last error — nothing is
+    silently dropped (reference drops it: fetch_articles.py:73-76)."""
+    from azure_func_forem_data_etl_spark.sources.paginated import (
+        FetchPolicy,
+        fetch_pages_with_dlq,
+    )
+
+    def fetcher(page: int) -> list[dict]:
+        if page == 3:
+            raise RuntimeError("boom on page 3")
+        return [{"id": page * 10, "title": f"t{page}"}]
+
+    data, dlq = fetch_pages_with_dlq(
+        spark,
+        [1, 2, 3, 4],
+        fetcher,
+        FetchPolicy(max_retries=2, backoff_base=0.0),
+    )
+    got_pages = sorted(r.page for r in data.collect())
+    assert got_pages == [1, 2, 4]
+    dead = dlq.collect()
+    assert len(dead) == 1
+    assert dead[0].page == 3 and dead[0].attempts == 2
+    assert "boom on page 3" in dead[0].last_error
+
+
+def test_bronze_compaction_preserves_rows_and_shrinks_files(spark, incremental_fixture):
+    """Compaction: run the real incremental ingest (many files per
+    partition), compact one partition, and verify byte-identical rows,
+    fewer files, and idempotence (a second run is a no-op)."""
+    import datetime as dt
+
+    from azure_func_forem_data_etl_spark.plans.compaction import (
+        compact_bronze_partition,
+    )
+    from azure_func_forem_data_etl_spark.sources.bronze import BRONZE_SCHEMA
+
+    base = incremental_fixture
+    run_incremental(
+        spark,
+        directory_fetcher(str(base / "api")),
+        str(base / "bronze"),
+        str(base / "wm"),
+        FAST,
+        chunk_pages=1,  # one write per page -> many files
+    )
+    bronze = str(base / "bronze")
+    day = dt.date.today().isoformat()
+    part = f"{bronze}/ingest_date={day}"
+    before = spark.read.schema(BRONZE_SCHEMA).json(part)
+    want = sorted(map(str, before.collect()))
+
+    stats = compact_bronze_partition(spark, bronze, day, target_records_per_file=1000)
+    assert stats["compacted"] and stats["files_after"] < stats["files_before"]
+    after = spark.read.schema(BRONZE_SCHEMA).json(part)
+    assert sorted(map(str, after.collect())) == want
+
+    stats2 = compact_bronze_partition(spark, bronze, day)
+    assert not stats2["compacted"]  # single file already: no-op
