@@ -946,21 +946,20 @@ def substring_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     offs = F.sequence(
         F.lit(1), F.col("len") - F.lit(SUBSTR_W - 1), F.lit(SUBSTR_STRIDE)
     )
-    wins = (
-        docs.select("doc_id", "text", F.explode(offs).alias("off"))
-        .select(
-            "doc_id",
-            F.expr(f"substring(text, off, {SUBSTR_W})").alias("win"),
-        )
-        .distinct()
+    wins = docs.select("doc_id", "text", F.explode(offs).alias("off")).select(
+        "doc_id",
+        F.expr(f"substring(text, off, {SUBSTR_W})").alias("win"),
     )
-    # Window support counts; keep only shareable, non-boilerplate windows.
-    # The eligible set is window-keyed and duplicate-free -> broadcast-size
-    # after the cap at any corpus scale is wrong (it is corpus-sized), so
-    # this is a shuffle semi-join on win, not a broadcast.
+    # Window support by DISTINCT doc (count_distinct folds the dedup into
+    # the same aggregation instead of a separate distinct() exchange);
+    # keep only shareable, non-boilerplate windows.  The eligible set is
+    # corpus-sized (windows), so this is a shuffle semi-join on win, not
+    # a broadcast.  Intra-doc repeats of a window survive into the pair
+    # join (bounded fanout: repeats within one doc) and are collapsed by
+    # the final count_distinct, so results are unchanged.
     eligible = (
         wins.groupBy("win")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.count_distinct("doc_id").alias("cnt"))
         .filter((F.col("cnt") >= 2) & (F.col("cnt") <= SUBSTR_HOT_CAP))
         .select("win")
     )
