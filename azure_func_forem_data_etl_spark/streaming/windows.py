@@ -447,3 +447,97 @@ def streaming_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl.select("window_start", "event_type", "n_events")
         .join(exact, ["window_start", "event_type"])
     )
+
+
+@register(
+    "streaming_interval_join_full",
+    oracle=f"""
+    WITH mx AS (
+        SELECT LEAST(
+            MAX(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END),
+            MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        ) AS mx_us
+        FROM events
+    ),
+    s AS (
+        SELECT event_id AS signup_id, user_id AS s_user, ts AS s_ts
+        FROM events WHERE event_type = 'signup'
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT s.signup_id, p.purchase_id,
+           COALESCE(s.s_user, p.p_user) AS user_id
+    FROM s FULL JOIN p
+      ON p.p_user = s.s_user
+     AND p.p_ts >= s.s_ts
+     AND p.p_ts <= s.s_ts + INTERVAL 1 HOUR
+    CROSS JOIN mx
+    WHERE (s.signup_id IS NOT NULL AND p.purchase_id IS NOT NULL)
+       OR (p.purchase_id IS NULL AND epoch_us(s.s_ts) <= mx.mx_us - {_OUTER_SAFE_US})
+       OR (s.signup_id IS NULL AND epoch_us(p.p_ts) <= mx.mx_us - {_OUTER_SAFE_US})
+    """,
+    doc="FULL OUTER stream-stream interval join: unmatched rows of BOTH "
+    "sides emit NULL partners once the watermark clears their windows; "
+    "the shared end-of-stream boundary zone is excluded on both engines.",
+)
+def streaming_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the stream-stream join matrix (inner / left / full):
+    full-outer is the reconciliation shape — 'every signup AND every
+    purchase, matched where possible' — and exercises both sides' state
+    eviction + null emission.  Same O(interval + lateness) keyed state as
+    the inner join; same boundary-zone discipline as the left-outer
+    (rows whose null partner could still legitimately arrive at
+    end-of-stream are excluded from BOTH engines' results)."""
+    signups = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "1 hour")
+    )
+    purchases = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        "fullOuter",
+    )
+    out = run_available_now(
+        joined.select("signup_id", "purchase_id", "s_user", "p_user", "s_ts", "p_ts"),
+        "append",
+    )
+    mx_us = (
+        table(spark, sf_dir, "events")
+        .agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "signup", F.unix_micros("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))),
+            ).alias("mx")
+        )
+        .collect()[0]["mx"]
+    )
+    safe = (mx_us or 0) - _OUTER_SAFE_US
+    return out.filter(
+        (F.col("signup_id").isNotNull() & F.col("purchase_id").isNotNull())
+        | (F.col("purchase_id").isNull() & (F.unix_micros("s_ts") <= safe))
+        | (F.col("signup_id").isNull() & (F.unix_micros("p_ts") <= safe))
+    ).select(
+        "signup_id",
+        "purchase_id",
+        F.coalesce("s_user", "p_user").alias("user_id"),
+    )
