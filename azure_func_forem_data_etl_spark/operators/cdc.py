@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from azure_func_forem_data_etl_spark.plans.registry import register
+from azure_func_forem_data_etl_spark.plans.registry import REGISTRY, register
 from azure_func_forem_data_etl_spark.sources.tables import table
 
 
@@ -266,3 +266,33 @@ def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("o_totalprice").alias("total_price"),
         F.sum("from_delta").cast("long").alias("n_from_delta"),
     )
+
+
+ASOF_SNAPSHOT_TS = "2024-01-15 00:00:00"
+
+
+@register(
+    "state_asof_snapshot",
+    oracle=f"""
+    WITH hist AS ({{scd2}})
+    SELECT user_id, state, valid_from
+    FROM hist
+    WHERE valid_from <= TIMESTAMP '{ASOF_SNAPSHOT_TS}'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '{ASOF_SNAPSHOT_TS}')
+    """.format(scd2=REGISTRY["scd2_user_state"].oracle),
+    doc=f"Time travel over SCD2 history: each user's state AS OF {ASOF_SNAPSHOT_TS} — the interval containing the snapshot instant.",
+)
+def state_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The time-travel read SCD2 exists to answer: 'what was every user's
+    state at instant T?'  One interval-containment filter over the
+    validity table — no event-grain scan at query time, which is the
+    entire point of maintaining the collapsed history (at 100 TB the
+    history table is changes-sized, orders of magnitude under the event
+    log; a lakehouse format answers the same question with VERSION AS OF
+    on the snapshot it maintains the same way)."""
+    hist = scd2_user_state(spark, sf_dir)
+    t = F.lit(ASOF_SNAPSHOT_TS).cast("timestamp")
+    return hist.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("user_id", "state", "valid_from")

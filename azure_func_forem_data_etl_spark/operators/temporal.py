@@ -1238,3 +1238,81 @@ def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sum_dec").cast("double").alias("sum_value"),
     )
     return day
+
+
+SEASONAL_RESID_Z = 2.0
+
+
+@register(
+    "seasonal_residual_anomalies",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hr,
+               CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    prof AS (
+        SELECT hod,
+               CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_n,
+               COUNT(*) AS n_buckets,
+               CAST(SUM(n) AS DOUBLE) AS sum_n,
+               CAST(SUM(n * n) AS DOUBLE) AS sum_n2
+        FROM hourly GROUP BY hod
+    ),
+    scored AS (
+        SELECT h.hr, h.hod, h.n, p.mean_n,
+               sqrt(greatest(p.sum_n2 / p.n_buckets
+                    - (p.sum_n / p.n_buckets) * (p.sum_n / p.n_buckets),
+                    1e-12)) AS sd
+        FROM hourly h JOIN prof p ON h.hod = p.hod
+    )
+    SELECT strftime(hr, '%Y-%m-%d %H:00') AS hour_start, hod, n,
+           round(mean_n, 6) AS expected,
+           round((n - mean_n) / sd, 4) AS z_score
+    FROM scored
+    WHERE abs((n - mean_n) / sd) >= {SEASONAL_RESID_Z}
+    """,
+    doc=f"Seasonality-aware anomaly detection: hourly counts vs their hour-of-day profile, flagged at |z| >= {SEASONAL_RESID_Z}.",
+)
+def seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deseasonalized anomaly detection — the upgrade over a global
+    threshold (operators/profile.py MAD flags): traffic has an hour-of-day
+    shape, so 'unusual' means unusual FOR THAT HOUR.  Population moments
+    per hour-of-day come from exact integer sums (sum, sum-of-squares) so
+    mean/sd are identical IEEE expressions on both engines; the z-score
+    is computed per bucket from those exact operands.  Two keyed aggs +
+    one 24-row broadcast join; at 100 TB the raw scan happens once and
+    the profile is a constant-size dimension."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hr"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.count("*").alias("n"))
+    prof = hourly.groupBy("hod").agg(
+        (F.sum("n").cast("double") / F.count("*")).alias("mean_n"),
+        F.count("*").alias("n_buckets"),
+        F.sum("n").cast("double").alias("sum_n"),
+        F.sum(F.col("n") * F.col("n")).cast("double").alias("sum_n2"),
+    )
+    sd = F.sqrt(
+        F.greatest(
+            F.col("sum_n2") / F.col("n_buckets")
+            - (F.col("sum_n") / F.col("n_buckets"))
+            * (F.col("sum_n") / F.col("n_buckets")),
+            F.lit(1e-12),
+        )
+    )
+    z = (F.col("n") - F.col("mean_n")) / F.col("sd")
+    return (
+        hourly.join(F.broadcast(prof), "hod")
+        .withColumn("sd", sd)
+        .filter(F.abs(z) >= SEASONAL_RESID_Z)
+        .select(
+            F.date_format("hr", "yyyy-MM-dd HH:00").alias("hour_start"),
+            "hod",
+            "n",
+            F.round("mean_n", 6).alias("expected"),
+            F.round(z, 4).alias("z_score"),
+        )
+    )

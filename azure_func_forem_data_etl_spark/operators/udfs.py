@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from typing import Iterator
+
 from pyspark.sql.functions import pandas_udf
 
 from azure_func_forem_data_etl_spark.plans.registry import register
@@ -264,3 +266,34 @@ def pandas_udaf_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").agg(
         F.round(gini("value"), 9).alias("gini")
     )
+
+
+@register(
+    "pandas_udf_scalar_iter",
+    oracle="""
+    SELECT event_id,
+           value,
+           round(value * 0.0875 + 0.30, 6) AS fee
+    FROM events
+    """,
+    doc="Iterator-form pandas_udf (SCALAR_ITER): per-worker one-time init amortized over every Arrow batch of the partition; oracle mirrors the fee arithmetic.",
+)
+def pandas_udf_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALAR_ITER tier completes the Python-integration matrix
+    (scalar pandas_udf / grouped-agg / applyInPandas / mapInArrow / UDTF /
+    ...WithState): the UDF receives an *iterator of batches*, so expensive
+    per-worker setup — loading a model, compiling a regex set, opening a
+    codec — runs ONCE per task rather than once per batch.  Here the
+    'model' is a fee schedule materialized before the loop; the arithmetic
+    stays vectorized per batch.  At 100 TB this is the pattern for any
+    inference-in-pipeline step: init cost amortizes over the whole
+    partition, Arrow keeps the transfer columnar."""
+    @pandas_udf(T.DoubleType())
+    def fee_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # one-time per-task init (stand-in for a model/codec load)
+        rate, fixed = 0.0875, 0.30
+        for values in batches:
+            yield (values * rate + fixed).round(6)
+
+    ev = table(spark, sf_dir, "events")
+    return ev.select("event_id", "value", fee_iter("value").alias("fee"))
