@@ -1,0 +1,340 @@
+"""Model / data-quality evaluation metrics over the labeled embeddings and
+events tables — the measurement layer every curation loop needs before it
+trusts a classifier gate or a retrieval index: ROC-AUC for binary quality
+classifiers, NDCG@k for retrieval, calibration (reliability bins) for
+score-threshold picking, and mutual information for feature screening.
+
+Scale shapes: every metric here reduces to (1) a bounded-cardinality
+aggregation (score bins, label cells) followed by a window/agg over that
+tiny table, or (2) a reuse of the already-bounded k-NN top-k. Nothing
+shuffles the corpus more than once, and no unpartitioned window ever sees
+more than a few thousand rows (bin-bounded by construction).
+
+Reference parity: the reference pipeline (fetch_articles.py) has no eval
+layer; these belong to the SURVEY §2b "engine capability" surface a
+100 TB training-data pipeline needs (classifier-gate audits a la
+fasttext-quality filters, retrieval eval for dedup/decontamination
+indexes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from azure_func_forem_data_etl_spark.plans.registry import register
+from azure_func_forem_data_etl_spark.operators.similarity import (
+    KNN_K,
+    KNN_QUERY_MOD,
+    knn_bruteforce_topk,
+)
+from azure_func_forem_data_etl_spark.sources.tables import table
+
+#: Positive class for the binary metrics: label == 0 ("keep" class).
+POS_LABEL = 0
+
+#: AUC score-binning width exponent: scores round to 4dp before ranking.
+#: This bounds the distinct-score table at (range / 1e-4) rows regardless
+#: of corpus size — the standard sketched-AUC trade (mllib's
+#: BinaryClassificationMetrics bins the same way); with ~20k bins the
+#: binned AUC differs from exact by < 1e-4 absolute.
+AUC_BIN_DECIMALS = 4
+
+#: Calibration: logistic link steepness mapping the raw score to (0, 1).
+CAL_STEEPNESS = 4.0
+
+#: Fixed value-bucket edges for the events MI cells (quartile-ish at the
+#: generator's distribution, but FIXED so both engines bucket identically
+#: — NTILE would tie-break nondeterministically across engines).
+MI_EDGES = (15.0, 35.0, 70.0)
+
+
+@register(
+    "eval_roc_auc",
+    oracle=f"""
+    WITH scored AS (
+        SELECT round(embedding[1], {AUC_BIN_DECIMALS}) AS score_b,
+               CAST(label = {POS_LABEL} AS INT) AS is_pos
+        FROM embeddings
+    ),
+    bins AS (
+        SELECT score_b,
+               COUNT(*) AS n,
+               SUM(is_pos) AS n_pos,
+               COUNT(*) - SUM(is_pos) AS n_neg
+        FROM scored GROUP BY score_b
+    ),
+    cum AS (
+        SELECT n_pos, n_neg,
+               COALESCE(SUM(n_neg) OVER (
+                   ORDER BY score_b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS neg_below
+        FROM bins
+    )
+    SELECT round(SUM(n_pos * (neg_below + n_neg / 2.0))
+                 / (SUM(n_pos) * SUM(n_neg)), 6) AS auc,
+           CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+           CAST(SUM(n_neg) AS BIGINT) AS n_neg
+    FROM cum
+    """,
+    doc="Binned ROC-AUC (pairwise win-rate form) for the label-0-vs-rest "
+    "classifier score, tie-aware (ties count 1/2).",
+)
+def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC via the pairwise formulation: AUC = P(score_pos > score_neg)
+    + 0.5 * P(tie), computed from score-binned counts.
+
+    Scale shape: one corpus scan aggregates into <= ~20k score bins
+    (4dp rounding bounds the bin count by the score range, not the row
+    count); the cumulative window then runs on that tiny table, so the
+    plan is scan -> partial agg -> 20k-row window -> 1-row agg. The
+    classic "sort all N scores" AUC shuffle never happens — this is how
+    AUC stays a single cheap pass at 100 TB.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    bins = (
+        emb.select(
+            F.round(F.element_at("embedding", 1).cast("double"), AUC_BIN_DECIMALS).alias(
+                "score_b"
+            ),
+            (F.col("label") == POS_LABEL).cast("int").alias("is_pos"),
+        )
+        .groupBy("score_b")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("is_pos").alias("n_pos"),
+            (F.count("*") - F.sum("is_pos")).alias("n_neg"),
+        )
+    )
+    # ~20k rows max: the unpartitioned window is bin-bounded, not corpus-bounded.
+    w = Window.orderBy("score_b").rowsBetween(Window.unboundedPreceding, -1)
+    cum = bins.withColumn("neg_below", F.coalesce(F.sum("n_neg").over(w), F.lit(0)))
+    return cum.agg(
+        F.round(
+            F.sum(F.col("n_pos") * (F.col("neg_below") + F.col("n_neg") / F.lit(2.0)))
+            / (F.sum("n_pos") * F.sum("n_neg")),
+            6,
+        ).alias("auc"),
+        F.sum("n_pos").alias("n_pos"),
+        F.sum("n_neg").alias("n_neg"),
+    )
+
+
+@register(
+    "eval_ndcg_at_k",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe, label AS qlabel
+        FROM embeddings WHERE vec_id % {KNN_QUERY_MOD} = 0
+    ),
+    s AS (
+        SELECT q.query_id, q.qlabel, c.vec_id AS neighbor_id, c.label AS nlabel,
+               round(list_cosine_similarity(qe, c.embedding::DOUBLE[]), 6) AS cos_sim
+        FROM q, embeddings c
+        WHERE c.vec_id <> q.query_id
+    ),
+    r AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(qlabel = nlabel AS INT) AS rel,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+               ) AS rnk
+        FROM s
+    ),
+    topk AS (SELECT * FROM r WHERE rnk <= {KNN_K}),
+    ideal AS (
+        SELECT query_id, rel, rnk,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY rel DESC, rnk
+               ) AS ideal_rnk
+        FROM topk
+    )
+    SELECT query_id,
+           CAST(SUM(rel) AS BIGINT) AS n_rel,
+           round(SUM(rel / log2(rnk + 1.0)), 6) AS dcg,
+           round(SUM(rel / log2(ideal_rnk + 1.0)), 6) AS idcg,
+           CASE WHEN SUM(rel) = 0 THEN 0.0
+                ELSE round(SUM(rel / log2(rnk + 1.0))
+                           / SUM(rel / log2(ideal_rnk + 1.0)), 6)
+           END AS ndcg
+    FROM ideal
+    GROUP BY query_id
+    """,
+    doc=f"NDCG@{KNN_K} of exact-kNN retrieval against label agreement as "
+    "graded relevance, IDCG over the retrieved set.",
+)
+def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval: run the bounded exact k-NN (same query
+    sample and top-k as ``knn_bruteforce``), grade each retrieved
+    neighbor by label agreement with its query, and score per-query
+    NDCG@k (IDCG normalizes over the retrieved set's relevance
+    multiset — the usual "ideal reordering" convention).
+
+    Scale shape: everything after the k-NN reuse is windows/aggs over
+    queries x k rows (bounded by the kNN query cap), i.e. free. The only
+    heavy stage is the k-NN itself, which is the already-audited
+    broadcast-query scan.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    topk = knn_bruteforce_topk(emb)
+    labels = emb.select("vec_id", "label")
+    g = (
+        topk.join(
+            labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+                "label", "qlabel"
+            ),
+            "query_id",
+        )
+        .join(
+            labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+                "label", "nlabel"
+            ),
+            "neighbor_id",
+        )
+        .withColumn("rel", (F.col("qlabel") == F.col("nlabel")).cast("int"))
+    )
+    w_ideal = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("rnk"))
+    g = g.withColumn("ideal_rnk", F.row_number().over(w_ideal))
+    dcg = F.sum(F.col("rel") / F.log2(F.col("rnk") + F.lit(1.0)))
+    idcg = F.sum(F.col("rel") / F.log2(F.col("ideal_rnk") + F.lit(1.0)))
+    return g.groupBy("query_id").agg(
+        F.sum("rel").alias("n_rel"),
+        F.round(dcg, 6).alias("dcg"),
+        F.round(idcg, 6).alias("idcg"),
+        F.when(F.sum("rel") == 0, F.lit(0.0))
+        .otherwise(F.round(dcg / idcg, 6))
+        .alias("ndcg"),
+    )
+
+
+@register(
+    "eval_calibration_bins",
+    oracle=f"""
+    WITH scored AS (
+        SELECT 1.0 / (1.0 + exp(-{CAL_STEEPNESS} * embedding[1])) AS p,
+               CAST(label = {POS_LABEL} AS INT) AS is_pos
+        FROM embeddings
+    )
+    SELECT LEAST(CAST(floor(p * 10) AS INT), 9) AS bin,
+           COUNT(*) AS n_rows,
+           round(CAST(SUM(CAST(round(p, 6) AS DECIMAL(18, 6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_p,
+           round(SUM(is_pos) / CAST(COUNT(*) AS DOUBLE), 6) AS frac_pos
+    FROM scored
+    GROUP BY 1
+    """,
+    doc="Reliability diagram: decile bins of the logistic-linked score vs "
+    "observed positive rate (per-bin ECE inputs).",
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit for a quality-classifier gate: map the raw score
+    through a logistic link, bucket predictions into 10 fixed probability
+    bins, and compare mean predicted probability to the observed positive
+    rate per bin — the reliability-diagram table (and the per-bin inputs
+    to ECE).
+
+    Determinism note: mean-of-doubles is order-dependent in IEEE float,
+    so the predicted probabilities are rounded to 6dp and summed as
+    DECIMAL(18,6) (exact, associative) before dividing — both engines
+    then agree bit-for-bit.
+
+    Scale shape: map-only scoring + a 10-cell hash aggregation; one scan,
+    one tiny shuffle.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    p = 1.0 / (1.0 + F.exp(-CAL_STEEPNESS * F.element_at("embedding", 1).cast("double")))
+    scored = emb.select(
+        p.alias("p"), (F.col("label") == POS_LABEL).cast("int").alias("is_pos")
+    )
+    return (
+        scored.groupBy(
+            F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(
+                F.sum(F.round(F.col("p"), 6).cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_p"),
+            F.round(F.sum("is_pos") / F.count("*").cast("double"), 6).alias("frac_pos"),
+        )
+    )
+
+
+@register(
+    "eval_mutual_information",
+    oracle=f"""
+    WITH cells AS (
+        SELECT event_type,
+               CASE WHEN value < {MI_EDGES[0]} THEN 0
+                    WHEN value < {MI_EDGES[1]} THEN 1
+                    WHEN value < {MI_EDGES[2]} THEN 2
+                    ELSE 3 END AS value_bucket,
+               COUNT(*) AS n_xy
+        FROM events
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(n_xy) AS n FROM cells),
+    marg AS (
+        SELECT c.event_type, c.value_bucket, c.n_xy,
+               SUM(c.n_xy) OVER (PARTITION BY c.event_type) AS n_x,
+               SUM(c.n_xy) OVER (PARTITION BY c.value_bucket) AS n_y,
+               t.n
+        FROM cells c, tot t
+    )
+    SELECT event_type, value_bucket, n_xy,
+           round(ln((n_xy * CAST(n AS DOUBLE)) / (n_x * CAST(n_y AS DOUBLE))), 6)
+               AS pmi,
+           round((n_xy / CAST(n AS DOUBLE))
+                 * ln((n_xy * CAST(n AS DOUBLE)) / (n_x * CAST(n_y AS DOUBLE))), 6)
+               AS mi_contrib
+    FROM marg
+    """,
+    doc="Mutual-information cells between event_type and fixed value "
+    "buckets: per-cell PMI and MI contribution (feature screening).",
+)
+def eval_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-screening MI: how much does knowing the event type tell you
+    about the value bucket? Emits the full PMI cell table (the MI scalar
+    is the sum of ``mi_contrib``) so dependent cells are inspectable.
+
+    Buckets use FIXED edges, not NTILE: quantile bucketing tie-breaks
+    nondeterministically across engines and reshuffles the corpus; fixed
+    edges are a map-side expression.
+
+    Scale shape: one scan into a (types x 4)-cell aggregate; windows for
+    the marginals run over that tiny cell table. The 1-row total joins
+    back by broadcast (cross join of a 1-row side stays a broadcast
+    nested loop of constant size).
+    """
+    ev = table(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < MI_EDGES[0], 0)
+        .when(F.col("value") < MI_EDGES[1], 1)
+        .when(F.col("value") < MI_EDGES[2], 2)
+        .otherwise(3)
+    )
+    cells = (
+        ev.select("event_type", bucket.alias("value_bucket"))
+        .groupBy("event_type", "value_bucket")
+        .agg(F.count("*").alias("n_xy"))
+    )
+    marg = cells.withColumn(
+        "n_x", F.sum("n_xy").over(Window.partitionBy("event_type"))
+    ).withColumn("n_y", F.sum("n_xy").over(Window.partitionBy("value_bucket")))
+    tot = cells.agg(F.sum("n_xy").alias("n"))
+    m = marg.crossJoin(F.broadcast(tot))
+    ratio = (F.col("n_xy") * F.col("n").cast("double")) / (
+        F.col("n_x") * F.col("n_y").cast("double")
+    )
+    return m.select(
+        "event_type",
+        "value_bucket",
+        "n_xy",
+        F.round(F.log(ratio), 6).alias("pmi"),
+        F.round((F.col("n_xy") / F.col("n").cast("double")) * F.log(ratio), 6).alias(
+            "mi_contrib"
+        ),
+    )

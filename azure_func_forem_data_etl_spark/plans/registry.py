@@ -134,6 +134,7 @@ def load_all() -> dict[str, Query]:
         clustering,
         curation,
         dedup,
+        evaluation,
         graph,
         hygiene,
         multimodal,
