@@ -821,3 +821,89 @@ def sequence_packing_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
             pack, "source string, pack_id long, n_docs long, n_tokens_total long"
         )
     )
+
+
+#: Contrastive-pair mining: anchors are a ~1% doc sample, negatives come
+#: from an independent ~1% shared pool ("in-batch negatives").  Both mods
+#: are coprime so the two samples don't alias.
+NEG_ANCHOR_MOD = 97
+NEG_POOL_MOD = 101
+NEG_POOL_RESIDUE = 7
+NEG_PER_ANCHOR = 3
+
+
+@register(
+    "negative_sampling_inbatch",
+    oracle=f"""
+    WITH anchors AS (
+        SELECT doc_id AS anchor_id, lang AS anchor_lang
+        FROM documents WHERE doc_id % {NEG_ANCHOR_MOD} = 0
+    ),
+    pool AS (
+        SELECT doc_id AS neg_id, lang AS neg_lang
+        FROM documents WHERE doc_id % {NEG_POOL_MOD} = {NEG_POOL_RESIDUE}
+    ),
+    ranked AS (
+        SELECT anchor_id, neg_id, neg_lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY anchor_id
+                   ORDER BY md5(CAST(anchor_id AS VARCHAR) || ':'
+                                || CAST(neg_id AS VARCHAR)), neg_id
+               ) AS neg_rank
+        FROM anchors CROSS JOIN pool
+        WHERE neg_id <> anchor_id AND neg_lang <> anchor_lang
+    )
+    SELECT anchor_id, neg_rank, neg_id, neg_lang
+    FROM ranked WHERE neg_rank <= {NEG_PER_ANCHOR}
+    """,
+    doc=f"Deterministic in-batch negative mining: {NEG_PER_ANCHOR} "
+    "cross-language negatives per anchor, ranked by a pair-hash draw "
+    "from a broadcast shared pool.",
+)
+def negative_sampling_inbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training pair mining: each anchor document draws K
+    negatives from a SHARED candidate pool (the "in-batch negatives"
+    trick — one pool serves every anchor, so the candidate set is tiny
+    and broadcastable instead of per-anchor-sampled).  The draw ranks
+    pool members by md5(anchor:candidate) — a per-pair pseudo-random
+    deterministic across engines and reruns — and keeps cross-language
+    candidates only (a cheap hard-negative filter).
+
+    Scale shape: the pool is a ~1% mod-sample, broadcast once; anchors
+    stream map-side through the broadcast product, and the only shuffle
+    is the per-anchor top-K window at anchors x |pool| rows.  At 100 TB
+    you'd cap the pool with an explicit LIMIT-guard (same pattern as
+    knn's query cap); the mod-sample keeps this tier bounded here.
+    """
+    docs = table(spark, sf_dir, "documents")
+    anchors = docs.filter(F.col("doc_id") % NEG_ANCHOR_MOD == 0).select(
+        F.col("doc_id").alias("anchor_id"), F.col("lang").alias("anchor_lang")
+    )
+    pool = docs.filter(F.col("doc_id") % NEG_POOL_MOD == NEG_POOL_RESIDUE).select(
+        F.col("doc_id").alias("neg_id"), F.col("lang").alias("neg_lang")
+    )
+    pairs = (
+        anchors.crossJoin(F.broadcast(pool))
+        .filter(
+            (F.col("neg_id") != F.col("anchor_id"))
+            & (F.col("neg_lang") != F.col("anchor_lang"))
+        )
+        .withColumn(
+            "neg_rank",
+            F.row_number().over(
+                Window.partitionBy("anchor_id").orderBy(
+                    F.md5(
+                        F.concat(
+                            F.col("anchor_id").cast("string"),
+                            F.lit(":"),
+                            F.col("neg_id").cast("string"),
+                        )
+                    ),
+                    "neg_id",
+                )
+            ),
+        )
+    )
+    return pairs.filter(F.col("neg_rank") <= NEG_PER_ANCHOR).select(
+        "anchor_id", "neg_rank", "neg_id", "neg_lang"
+    )

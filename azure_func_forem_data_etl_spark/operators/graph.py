@@ -571,3 +571,87 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+LINKPRED_TOP_N = 20
+
+
+@register(
+    "graph_jaccard_linkpred",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    adj AS (
+        SELECT src AS a, dst AS b FROM e
+        UNION ALL
+        SELECT dst AS a, src AS b FROM e
+    ),
+    deg AS (SELECT a AS id, COUNT(*) AS deg FROM adj GROUP BY a),
+    cn AS (
+        SELECT x.b AS u, y.b AS v, COUNT(*) AS common_cnt
+        FROM adj x JOIN adj y ON x.a = y.a AND x.b < y.b
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT cn.u, cn.v, cn.common_cnt,
+               du.deg + dv.deg - cn.common_cnt AS union_cnt
+        FROM cn
+        JOIN deg du ON du.id = cn.u
+        JOIN deg dv ON dv.id = cn.v
+        WHERE NOT EXISTS (
+            SELECT 1 FROM e WHERE e.src = cn.u AND e.dst = cn.v
+        )
+    )
+    SELECT u, v, common_cnt, union_cnt,
+           round(common_cnt / CAST(union_cnt AS DOUBLE), 6) AS jaccard
+    FROM cand
+    ORDER BY jaccard DESC, common_cnt DESC, u, v
+    LIMIT {LINKPRED_TOP_N}
+    """,
+    doc=f"Link prediction: top-{LINKPRED_TOP_N} non-adjacent part pairs by "
+    "Jaccard neighbor similarity (common / union of neighbor sets).",
+)
+def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-similarity link prediction on the co-purchase graph:
+    for every 2-hop pair (>=1 shared neighbor) that is NOT already an
+    edge, score Jaccard = |N(u) ∩ N(v)| / |N(u) ∪ N(v)| and keep the
+    global top candidates — the classic "customers also bought" edge
+    proposal (and the same wedge primitive near-dup graphs reuse to
+    propose cluster merges).
+
+    Scale shape: the wedge self-join fans out by Σ deg(b)² over the
+    SUPPORTED graph (min-support edge threshold already shrank it ~300x;
+    see EDGE_MIN_SUPPORT) — at larger scale the standard cap is trimming
+    each adjacency list to its top-degree neighbors before wedging, which
+    bounds the fanout per node by a constant.  Common-neighbor counts
+    aggregate map-side per (u, v); the existing-edge exclusion is a
+    left-anti hash join; the top-N compiles to TakeOrderedAndProject
+    (no global sort materialization).
+    """
+    edges = copurchase_edges(spark, sf_dir)
+    adj = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionByName(
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    deg = adj.groupBy(F.col("a").alias("id")).agg(F.count("*").alias("deg"))
+    x, y = adj.alias("x"), adj.alias("y")
+    cn = (
+        x.join(y, (F.col("x.a") == F.col("y.a")) & (F.col("x.b") < F.col("y.b")))
+        .groupBy(F.col("x.b").alias("u"), F.col("y.b").alias("v"))
+        .agg(F.count("*").alias("common_cnt"))
+    )
+    cand = (
+        cn.join(
+            edges, (cn["u"] == edges["src"]) & (cn["v"] == edges["dst"]), "left_anti"
+        )
+        .join(deg.withColumnsRenamed({"id": "u", "deg": "deg_u"}), "u")
+        .join(deg.withColumnsRenamed({"id": "v", "deg": "deg_v"}), "v")
+        .withColumn("union_cnt", F.col("deg_u") + F.col("deg_v") - F.col("common_cnt"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common_cnt") / F.col("union_cnt").cast("double"), 6),
+        )
+    )
+    return (
+        cand.select("u", "v", "common_cnt", "union_cnt", "jaccard")
+        .orderBy(F.col("jaccard").desc(), F.col("common_cnt").desc(), "u", "v")
+        .limit(LINKPRED_TOP_N)
+    )

@@ -493,3 +493,66 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("group_size") < K_ANON_THRESHOLD).cast("int"),
         )
     )
+
+
+#: Laplace scale for the DP histogram release (b = sensitivity/epsilon;
+#: per-doc sensitivity of a lang histogram is 1, so b=2.0 <=> eps=0.5).
+DP_LAPLACE_B = 2.0
+
+#: Salt for the noise draw: a release-id so reruns of the SAME release
+#: reproduce the noise (and a NEW release-id would redraw it).
+DP_RELEASE_SALT = "dp-release-1"
+
+
+@register(
+    "dp_noisy_lang_counts",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n_true FROM documents GROUP BY lang
+    ),
+    draw AS (
+        SELECT lang, n_true,
+               (('0x' || substring(md5('{DP_RELEASE_SALT}:' || lang), 1, 8))::BIGINT
+                + 0.5) / 4294967296.0 - 0.5 AS uc
+        FROM counts
+    )
+    SELECT lang, n_true,
+           round(-{DP_LAPLACE_B} * sign(uc) * ln(1.0 - 2.0 * abs(uc)), 6) AS noise,
+           round(n_true - {DP_LAPLACE_B} * sign(uc) * ln(1.0 - 2.0 * abs(uc)), 6)
+               AS n_noisy
+    FROM draw
+    """,
+    doc=f"Differentially-private language histogram: Laplace(b={DP_LAPLACE_B}) "
+    "noise via inverse-CDF over a seeded md5 uniform (eps=0.5, sens=1).",
+)
+def dp_noisy_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP-noised histogram release — the privacy-preserving counterpart of
+    the k-anonymity audit: per-language doc counts plus Laplace noise
+    drawn by inverse transform sampling from a SEEDED md5-derived uniform
+    (u in (0,1) exactly; noise = -b*sign(u-.5)*ln(1-2|u-.5|)).
+
+    Determinism across engines/reruns is the point of the hash draw: a
+    given (release-salt, lang) always yields the same noise — auditable
+    and replayable — while a new release salt redraws independently.
+    ``n_true`` is emitted alongside for THIS calibration-audit view; a
+    production release would publish only ``n_noisy``.
+
+    Scale shape: one scan into a |langs|-row aggregate; the noise math is
+    a scalar expression on that tiny table. Nothing else moves.
+    """
+    counts = table(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count("*").alias("n_true")
+    )
+    x = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{DP_RELEASE_SALT}:"), F.col("lang"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    uc = (x + F.lit(0.5)) / F.lit(4294967296.0) - F.lit(0.5)
+    noise = -F.lit(DP_LAPLACE_B) * F.signum(uc) * F.log(F.lit(1.0) - 2.0 * F.abs(uc))
+    return counts.select(
+        "lang",
+        "n_true",
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("n_true") + noise, 6).alias("n_noisy"),
+    )

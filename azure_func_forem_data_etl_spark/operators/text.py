@@ -1605,3 +1605,88 @@ def readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ),
     )
+
+
+@register(
+    "eval_cohens_kappa",
+    oracle=f"""
+    WITH pred AS (
+        SELECT {_LANG_CASE_SQL} AS predicted_lang, lang AS actual_lang
+        FROM (
+            SELECT lang,
+                   {_sql_hits(LANG_MARKERS['en'])} AS s_en,
+                   {_sql_hits(LANG_MARKERS['fr'])} AS s_fr,
+                   {_sql_hits(LANG_MARKERS['es'])} AS s_es,
+                   {_sql_hits(LANG_MARKERS['de'])} AS s_de
+            FROM (SELECT lang, string_split(text, ' ') AS words FROM documents)
+        )
+    ),
+    cells AS (
+        SELECT predicted_lang, actual_lang, COUNT(*) AS n
+        FROM pred GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(COALESCE(SUM(n) FILTER (
+                   WHERE predicted_lang = actual_lang), 0) AS BIGINT) AS agree
+        FROM cells
+    ),
+    expected AS (
+        SELECT CAST(SUM(rp.np * ca.na) AS BIGINT) AS exp_agree
+        FROM (SELECT predicted_lang AS l, SUM(n) AS np FROM cells GROUP BY 1) rp
+        JOIN (SELECT actual_lang AS l, SUM(n) AS na FROM cells GROUP BY 1) ca
+          USING (l)
+    )
+    SELECT n_docs, agree,
+           round(agree / CAST(n_docs AS DOUBLE), 6) AS po,
+           round(exp_agree / (CAST(n_docs AS DOUBLE) * n_docs), 6) AS pe,
+           round((agree * n_docs - exp_agree)
+                 / CAST(n_docs * n_docs - exp_agree AS DOUBLE), 6) AS kappa
+    FROM stats, expected
+    """,
+    doc="Cohen's kappa of the marker lang-ID against true labels: "
+    "chance-corrected agreement from the confusion marginals.",
+)
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected inter-rater agreement between the lang-ID detector
+    and the ground-truth labels — the right summary when classes are
+    imbalanced (raw accuracy is inflated by the majority language).
+
+    Numerical determinism: kappa is computed as the single integer-exact
+    ratio (agree*n - exp) / (n^2 - exp) instead of (po-pe)/(1-pe), so
+    both engines divide the same two integers once — no intermediate
+    float drift.
+
+    Scale shape: reuses the map-only detector, aggregates to a
+    (langs x langs) cell table, and every downstream join/agg runs on
+    that constant-size table; the corpus is scanned exactly once.
+    """
+    cells = (
+        lang_id_markers(spark, sf_dir)
+        .groupBy("predicted_lang", "actual_lang")
+        .agg(F.count("*").alias("n"))
+    )
+    stats = cells.agg(
+        F.sum("n").alias("n_docs"),
+        F.coalesce(
+            F.sum(F.when(F.col("predicted_lang") == F.col("actual_lang"), F.col("n"))),
+            F.lit(0),
+        ).alias("agree"),
+    )
+    rp = cells.groupBy(F.col("predicted_lang").alias("l")).agg(F.sum("n").alias("np"))
+    ca = cells.groupBy(F.col("actual_lang").alias("l")).agg(F.sum("n").alias("na"))
+    expected = rp.join(ca, "l").agg(F.sum(F.col("np") * F.col("na")).alias("exp_agree"))
+    s = stats.crossJoin(F.broadcast(expected))
+    return s.select(
+        "n_docs",
+        "agree",
+        F.round(F.col("agree") / F.col("n_docs").cast("double"), 6).alias("po"),
+        F.round(
+            F.col("exp_agree") / (F.col("n_docs").cast("double") * F.col("n_docs")), 6
+        ).alias("pe"),
+        F.round(
+            (F.col("agree") * F.col("n_docs") - F.col("exp_agree"))
+            / (F.col("n_docs") * F.col("n_docs") - F.col("exp_agree")).cast("double"),
+            6,
+        ).alias("kappa"),
+    )

@@ -157,6 +157,11 @@ def test_plan_lint_every_registry_query(spark):
         # deliberate rollup-grain grid: distinct-days x distinct-users
         # (bounded by grain, never event-grain); see its docstring
         "cumulative_topk_users",
+        "eval_cohens_kappa",  # 1-row expected-agreement broadcast — O(1)·1
+        "eval_mutual_information",  # 1-row grand-total broadcast onto cells
+        # shared negative pool (~1% mod-sample) broadcast against the
+        # anchor sample — bounded-sample product, documented in-batch trick
+        "negative_sampling_inbatch",
     }
     checked = 0
     for name, q in sorted(load_all().items()):
