@@ -316,3 +316,140 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pc1", 6).alias("pc1"),
         F.round("pc2", 6).alias("pc2"),
     )
+
+
+#: SemDeDup within-cluster duplicate threshold.  The synthetic corpus has
+#: no true duplicates (max pairwise cosine ~0.51 at sf0.01), so the demo
+#: threshold sits where the extreme tail lives; web-scale text dedup runs
+#: this at ~0.95+.
+SEMDEDUP_TAU = 0.4
+
+#: Pairwise work inside one cluster is size², so clusters are capped
+#: before pairing — same bound philosophy as the LSH hot-bucket cap
+#: (dedup.HOT_BUCKET_CAP): a pathological mega-cluster degrades to a
+#: deterministic prefix instead of an O(size²) blowup.
+SEMDEDUP_CLUSTER_CAP = 512
+
+
+def kmeans_assignments_with_dist(emb: DataFrame, C: np.ndarray) -> DataFrame:
+    """(vec_id, cluster_id, centroid_dist): assignment plus the euclidean
+    distance to the assigned centroid (SemDeDup's keep-criterion input)."""
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = _np_matrix(pdf["embedding"]).astype(np.float64)
+            d2 = _dist2(E, C)
+            cid = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cluster_id": cid,
+                    "centroid_dist": np.sqrt(np.maximum(d2[np.arange(len(cid)), cid], 0.0)),
+                }
+            )
+
+    corpus = scale_out(emb.select("vec_id", "embedding"), "vec_id")
+    return corpus.mapInPandas(
+        mapper, schema="vec_id long, cluster_id long, centroid_dist double"
+    )
+
+
+@register(
+    "semdedup_remove_list",
+    oracle=None,  # iterative k-means fit: engine-specific float trajectories
+    doc=f"SemDeDup semantic dedup: k-means partition, within-cluster cosine "
+    f">= {SEMDEDUP_TAU} pairs, keep the member farthest from the centroid "
+    "per duplicate group.",
+)
+def semdedup_remove_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semdedup(table(spark, sf_dir, "embeddings"))
+
+
+def semdedup(
+    emb: DataFrame,
+    tau: float = SEMDEDUP_TAU,
+    cluster_cap: int = SEMDEDUP_CLUSTER_CAP,
+    k: int = KMEANS_K,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup that
+    only ever compares embeddings WITHIN a k-means cluster — the cluster
+    partition turns the O(n²) all-pairs problem into Σ size² bounded
+    local problems.  Duplicate groups (connected components of the
+    within-cluster cosine>=τ graph) keep the member with the LARGEST
+    distance to its centroid — the paper's choice, which biases the kept
+    set toward cluster-edge (informative) examples — and list everything
+    else for removal.
+
+    Output: one row per REMOVED vector with its kept representative,
+    home cluster, and duplicate-group size.
+
+    No SQL oracle: the k-means fit is iterative with engine-specific
+    float trajectories (same rationale as ``kmeans_cluster_profile``);
+    correctness is pinned by the planted-duplicate unit test instead
+    (tests/test_llm_ops.py).
+
+    Scale shape: fit is one pass per Lloyd iteration (k-bounded partial
+    aggregation); assignment+distance is one Arrow pass; the pairwise
+    stage joins the corpus to itself ON cluster_id — an equi-join, never
+    a cartesian — with per-cluster membership capped at
+    {SEMDEDUP_CLUSTER_CAP} rows; components run on the sparse dup-pair
+    edge list only.
+    """
+    spark = emb.sparkSession
+    C, _ = kmeans_fit(emb, k=k)
+    if C.size == 0:
+        return spark.createDataFrame(
+            [], "vec_id long, keep_id long, cluster_id long, group_size long"
+        )
+    from pyspark.sql import Window
+
+    from azure_func_forem_data_etl_spark.operators.dedup import connected_components
+    from azure_func_forem_data_etl_spark.operators.similarity import cosine_expr
+
+    assigned = kmeans_assignments_with_dist(emb, C).localCheckpoint()
+    capped = assigned.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy("vec_id")
+        ),
+    ).filter(F.col("__rn") <= cluster_cap)
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    m = capped.join(vecs, "vec_id").select("vec_id", "cluster_id", "e")
+    a = m.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+    )
+    b = m.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+    )
+    edges = (
+        a.join(b, "cluster_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", cosine_expr("ea", "eb"))
+        .filter(F.col("cos_sim") >= tau)
+        .select("vec_a", "vec_b")
+    )
+    comps = connected_components(edges, "vec_a", "vec_b")
+    members = comps.join(assigned, comps["id"] == assigned["vec_id"]).select(
+        "vec_id", "comp", "cluster_id", "centroid_dist"
+    )
+    w = Window.partitionBy("comp")
+    keep = F.first("vec_id").over(
+        w.orderBy(F.col("centroid_dist").desc(), F.col("vec_id"))
+    )
+    labeled = members.select(
+        "vec_id",
+        "cluster_id",
+        keep.alias("keep_id"),
+        F.count("*").over(w).alias("group_size"),
+    )
+    return labeled.filter(F.col("vec_id") != F.col("keep_id")).select(
+        "vec_id", "keep_id", "cluster_id", "group_size"
+    )

@@ -1295,3 +1295,43 @@ def test_kcore_planted_graph(spark):
     assert core == [1, 2, 3]
     # 3-core of the same graph is empty (triangle vertices have degree 2)
     assert kcore_vertices(edges, 3).count() == 0
+
+
+def test_semdedup_planted_duplicates(spark):
+    """SemDeDup on a tiny corpus with planted near-identical vectors:
+    each planted group must collapse to exactly one kept representative,
+    and well-separated singletons must never be removed."""
+    import numpy as np
+
+    from azure_func_forem_data_etl_spark.operators.clustering import semdedup
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    # 4 well-separated base directions, one singleton each
+    bases = []
+    for i in range(4):
+        v = np.zeros(8)
+        v[i * 2] = 1.0
+        bases.append(v)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    # planted dup group: 3 tiny perturbations of base 0
+    dup_ids = []
+    for _ in range(3):
+        v = bases[0] + rng.normal(0, 1e-3, 8)
+        rows.append((vid, [float(x) for x in v]))
+        dup_ids.append(vid)
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup(emb, tau=0.99, cluster_cap=512, k=4).collect()
+    removed = {r.vec_id for r in out}
+    keeps = {r.keep_id for r in out}
+    group = set(dup_ids) | {0}  # base 0 plus its three perturbations
+    # exactly one member of the planted group survives
+    assert len(group - removed) == 1
+    assert keeps <= group
+    for r in out:
+        assert r.group_size == 4
+    # singletons (bases 1-3) untouched
+    assert removed.isdisjoint({1, 2, 3})
