@@ -147,6 +147,7 @@ def load_all() -> dict[str, Query]:
         subqueries,
         temporal,
         text,
+        tokenize,
         udfs,
         windows,
     )

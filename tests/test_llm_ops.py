@@ -1335,3 +1335,22 @@ def test_semdedup_planted_duplicates(spark):
         assert r.group_size == 4
     # singletons (bases 1-3) untouched
     assert removed.isdisjoint({1, 2, 3})
+
+
+def test_bpe_learn_textbook_corpus(spark):
+    """The Sennrich-paper corpus: {low:5, lower:2, newest:6, widest:3}.
+    Known merge sequence under count-then-lexicographic tie-breaks:
+    (e,s)->es 9, (es,t)->est 9, (l,o)->lo 7."""
+    from azure_func_forem_data_etl_spark.operators.tokenize import bpe_learn
+
+    words = (["low"] * 5) + (["lower"] * 2) + (["newest"] * 6) + (["widest"] * 3)
+    docs = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.merged_sym, r.pair_count)
+        for r in bpe_learn(docs, n_merges=3).orderBy("merge_rank").collect()
+    ]
+    assert got == [
+        (1, "e", "s", "es", 9),
+        (2, "es", "t", "est", 9),
+        (3, "l", "o", "lo", 7),
+    ]
