@@ -709,3 +709,94 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r, base["n_rows"], int(v), int(v == 0)) for r, v in rules],
         "rule string, n_rows bigint, violations bigint, passed int",
     )
+
+
+#: PSI comparison split: the first half of the event month is the
+#: baseline distribution, the second half is the "current" one.
+PSI_SPLIT_DATE = "2024-01-16"
+
+#: Fixed value-bucket edges (log-ish spacing over the generator's value
+#: range).  Fixed — not quantile — so both engines and both periods
+#: bucket identically, and the bucketing is a map-side expression.
+PSI_EDGES = (5.0, 10.0, 20.0, 50.0, 100.0, 200.0)
+
+_PSI_BUCKET_SQL = (
+    "CASE WHEN value < 5.0 THEN 0 WHEN value < 10.0 THEN 1 "
+    "WHEN value < 20.0 THEN 2 WHEN value < 50.0 THEN 3 "
+    "WHEN value < 100.0 THEN 4 WHEN value < 200.0 THEN 5 ELSE 6 END"
+)
+
+
+@register(
+    "psi_value_drift",
+    oracle=f"""
+    WITH b AS (
+        SELECT {_PSI_BUCKET_SQL} AS bucket,
+               CAST(ts < TIMESTAMP '{PSI_SPLIT_DATE}' AS INT) AS is_base
+        FROM events
+    ),
+    cells AS (
+        SELECT bucket,
+               CAST(SUM(is_base) AS BIGINT) AS n_base,
+               CAST(SUM(1 - is_base) AS BIGINT) AS n_cur
+        FROM b GROUP BY bucket
+    ),
+    tot AS (
+        SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM cells
+    )
+    SELECT bucket, n_base, n_cur,
+           round(n_base / CAST(tb AS DOUBLE), 6) AS p_base,
+           round(n_cur / CAST(tc AS DOUBLE), 6) AS p_cur,
+           round((n_cur / CAST(tc AS DOUBLE) - n_base / CAST(tb AS DOUBLE))
+                 * ln((n_cur / CAST(tc AS DOUBLE))
+                      / (n_base / CAST(tb AS DOUBLE))), 6) AS psi_term
+    FROM cells, tot
+    """,
+    doc="Population Stability Index cells: fixed value buckets, first- vs "
+    "second-half-of-month shares, per-bucket PSI contribution.",
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor in the form model-risk teams publish:
+    PSI = Σ (p_cur - p_base) · ln(p_cur / p_base) over fixed buckets
+    (>0.25 conventionally flags a shifted population).  Emitting the
+    per-bucket terms (not just the scalar) shows WHERE the mass moved.
+
+    Scale shape: single scan, map-side bucket+period tagging, one
+    7-cell aggregation; the totals join back as a 1-row broadcast.
+    Fixed bucket edges keep the bucketing deterministic across engines
+    and avoid the quantile shuffle entirely.
+    """
+    ev = table(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < PSI_EDGES[0], 0)
+        .when(F.col("value") < PSI_EDGES[1], 1)
+        .when(F.col("value") < PSI_EDGES[2], 2)
+        .when(F.col("value") < PSI_EDGES[3], 3)
+        .when(F.col("value") < PSI_EDGES[4], 4)
+        .when(F.col("value") < PSI_EDGES[5], 5)
+        .otherwise(6)
+    )
+    cells = (
+        ev.select(
+            bucket.alias("bucket"),
+            (F.col("ts") < F.lit(PSI_SPLIT_DATE).cast("timestamp"))
+            .cast("int")
+            .alias("is_base"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_base").alias("n_base"),
+            F.sum(1 - F.col("is_base")).alias("n_cur"),
+        )
+    )
+    tot = cells.agg(F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc"))
+    p_base = F.col("n_base") / F.col("tb").cast("double")
+    p_cur = F.col("n_cur") / F.col("tc").cast("double")
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_base",
+        "n_cur",
+        F.round(p_base, 6).alias("p_base"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round((p_cur - p_base) * F.log(p_cur / p_base), 6).alias("psi_term"),
+    )

@@ -1316,3 +1316,55 @@ def seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z_score"),
         )
     )
+
+
+SMAPE_LAG_DAYS = 7  # seasonal-naive horizon: forecast = same weekday last week
+
+
+@register(
+    "forecast_smape_naive",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, {sql_dsum("value")} AS actual
+        FROM events GROUP BY 1
+    ),
+    fc AS (
+        SELECT day, actual,
+               lag(actual, {SMAPE_LAG_DAYS}) OVER (ORDER BY day) AS forecast
+        FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, actual, forecast,
+           round(abs(actual - forecast)
+                 / ((abs(actual) + abs(forecast)) / 2.0), 6) AS smape_term
+    FROM fc WHERE forecast IS NOT NULL
+    """,
+    doc=f"Seasonal-naive forecast eval: lag-{SMAPE_LAG_DAYS} daily revenue "
+    "as the forecast, per-day sMAPE terms.",
+)
+def forecast_smape_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy baseline every pipeline should publish before
+    shipping a fancier model: the seasonal-naive forecast (value of the
+    same weekday last week) scored with symmetric MAPE per day.  Any real
+    forecaster must beat this table to justify itself (the M-competition
+    sanity check).
+
+    Scale shape: corpus aggregates to one row per day first (decimal-
+    exact sum), so the lag window runs over a days-count-bounded series —
+    the unpartitioned window is grain-bounded, never event-bounded.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        dsum("value").alias("actual")
+    )
+    w = Window.orderBy("day")
+    fc = daily.withColumn("forecast", F.lag("actual", SMAPE_LAG_DAYS).over(w))
+    return fc.filter(F.col("forecast").isNotNull()).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "actual",
+        "forecast",
+        F.round(
+            F.abs(F.col("actual") - F.col("forecast"))
+            / ((F.abs("actual") + F.abs("forecast")) / 2.0),
+            6,
+        ).alias("smape_term"),
+    )

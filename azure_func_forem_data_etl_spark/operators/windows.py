@@ -450,3 +450,51 @@ def cumulative_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+MED_WINDOW = 7  # rolling exact-median span (rows)
+
+
+@register(
+    "window_rolling_median",
+    oracle=f"""
+    SELECT event_id, user_id, ts, value,
+           round(median(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {MED_WINDOW - 1} PRECEDING AND CURRENT ROW
+           ), 6) AS med{MED_WINDOW}
+    FROM events
+    """,
+    doc=f"Exact rolling median over the last {MED_WINDOW} events per user "
+    "(sorted-frame midpoint, interpolating on even counts).",
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust rolling center — the median twin of window_rolling_sum.
+    Spark has no exact median window aggregate, so the frame is collected
+    (bounded: at most {MED_WINDOW} values), array_sorted, and the
+    midpoint read out — interpolating the two middle values on even
+    frames, matching DuckDB's median() exactly.
+
+    Scale shape: one shuffle on user_id, per-row state bounded by the
+    constant frame width; everything stays in JVM codegen (no Python).
+    The ORDER BY carries event_id so sub-second ts ties frame
+    deterministically in both engines.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(MED_WINDOW - 1), 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    med = F.when(n % 2 == 1, lo).otherwise((lo + hi) / 2.0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.round(med, 6).alias(f"med{MED_WINDOW}"),
+    )

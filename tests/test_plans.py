@@ -159,6 +159,8 @@ def test_plan_lint_every_registry_query(spark):
         "cumulative_topk_users",
         "eval_cohens_kappa",  # 1-row expected-agreement broadcast — O(1)·1
         "eval_mutual_information",  # 1-row grand-total broadcast onto cells
+        "psi_value_drift",  # 1-row period-totals broadcast onto 7 cells
+        "text_log_odds_terms",  # 1-row corpus-totals broadcast — O(n)·1
         # shared negative pool (~1% mod-sample) broadcast against the
         # anchor sample — bounded-sample product, documented in-batch trick
         "negative_sampling_inbatch",
