@@ -973,3 +973,108 @@ def substring_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("win").alias("shared_windows"))
         .filter(F.col("shared_windows") >= SUBSTR_MIN_SHARED)
     )
+
+
+# --- Fellegi-Sunter probabilistic record linkage --------------------------
+
+#: Per-field (m, u) probabilities: P(agree | match) and P(agree | non-match).
+#: Fixed priors here (a production fit estimates them with EM over the
+#: blocked pairs — same pipeline shape, one extra agg per EM round).
+FS_FIELDS = (
+    ("agree_balband", 0.90, 0.10),  # account-balance thousand-band
+    ("agree_namedig", 0.85, 0.10),  # trailing digit of the entity name
+    ("agree_balsign", 0.95, 0.50),  # balance sign (weak field, low payoff)
+)
+FS_TOP_N = 50
+
+
+def _fs_weight(name: str, m: float, u: float):
+    import math
+
+    agree_w = math.log2(m / u)
+    disagree_w = math.log2((1 - m) / (1 - u))
+    return F.when(F.col(name) == 1, F.lit(agree_w)).otherwise(F.lit(disagree_w))
+
+
+def _fs_weight_sql(name: str, m: float, u: float) -> str:
+    import math
+
+    return (
+        f"CASE WHEN {name} = 1 THEN {math.log2(m / u)!r} "
+        f"ELSE {math.log2((1 - m) / (1 - u))!r} END"
+    )
+
+
+@register(
+    "record_linkage_fs",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT c.c_custkey AS cust_id, s.s_suppkey AS supp_id,
+               CAST(floor(c.c_acctbal / 1000.0) = floor(s.s_acctbal / 1000.0)
+                    AS INT) AS agree_balband,
+               CAST(substring(c.c_name, -1, 1) = substring(s.s_name, -1, 1)
+                    AS INT) AS agree_namedig,
+               CAST((c.c_acctbal < 0) = (s.s_acctbal < 0) AS INT)
+                   AS agree_balsign
+        FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+    )
+    SELECT cust_id, supp_id, agree_balband, agree_namedig, agree_balsign,
+           round({_fs_weight_sql('agree_balband', *FS_FIELDS[0][1:])}
+                 + {_fs_weight_sql('agree_namedig', *FS_FIELDS[1][1:])}
+                 + {_fs_weight_sql('agree_balsign', *FS_FIELDS[2][1:])}, 6)
+               AS fs_score
+    FROM pairs
+    ORDER BY fs_score DESC, cust_id, supp_id
+    LIMIT {FS_TOP_N}
+    """,
+    doc=f"Fellegi-Sunter probabilistic record linkage: nation-blocked "
+    f"customer x supplier pairs scored by log2(m/u) agreement weights, "
+    f"top-{FS_TOP_N} candidates.",
+)
+def record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (Fellegi & Sunter 1969) — the fourth
+    dedup modality after set-overlap, bit-fingerprint, and edit-distance:
+    per-field agreement patterns scored with log-likelihood-ratio weights
+    (agree on field i -> +log2(m_i/u_i), disagree -> +log2((1-m_i)/(1-u_i))),
+    the optimal linear classifier under field independence.  High scores
+    are links, low scores non-links, the middle band goes to clerical
+    review in a real MDM deployment.
+
+    Scale shape: the pair space is BLOCKED on nationkey (same discipline
+    as the levenshtein blocking above — never an unblocked cross
+    product); field comparisons and weights are row-local expressions on
+    the joined pairs; top-N compiles to TakeOrderedAndProject.  At
+    100 TB the block key gets refined (nation x balance-band) exactly
+    like the length-band blocking, bounding any hot block.
+    """
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_acctbal").alias("c_bal"),
+        F.col("c_name").alias("c_nm"),
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("supp_id"),
+        F.col("s_nationkey").alias("nk"),
+        F.col("s_acctbal").alias("s_bal"),
+        F.col("s_name").alias("s_nm"),
+    )
+    pairs = cust.join(supp, "nk").select(
+        "cust_id",
+        "supp_id",
+        (F.floor(F.col("c_bal") / 1000.0) == F.floor(F.col("s_bal") / 1000.0))
+        .cast("int")
+        .alias("agree_balband"),
+        (F.substring("c_nm", -1, 1) == F.substring("s_nm", -1, 1))
+        .cast("int")
+        .alias("agree_namedig"),
+        ((F.col("c_bal") < 0) == (F.col("s_bal") < 0)).cast("int").alias("agree_balsign"),
+    )
+    score = sum(
+        (_fs_weight(nm, m, u) for nm, m, u in FS_FIELDS), F.lit(0.0)
+    )
+    return (
+        pairs.withColumn("fs_score", F.round(score, 6))
+        .orderBy(F.col("fs_score").desc(), "cust_id", "supp_id")
+        .limit(FS_TOP_N)
+    )

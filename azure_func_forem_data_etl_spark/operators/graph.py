@@ -655,3 +655,78 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), F.col("common_cnt").desc(), "u", "v")
         .limit(LINKPRED_TOP_N)
     )
+
+
+LPA_MAX_ITER = 10
+
+
+def label_propagation(edges: DataFrame, src: str, dst: str, max_iter: int = LPA_MAX_ITER) -> DataFrame:
+    """Synchronous label propagation -> (id, community).
+
+    Each round every node adopts the most frequent label among its
+    neighbors (ties -> smallest label), starting from community=own id.
+    Deterministic by construction: the argmax is resolved with a fixed
+    (count desc, label asc) ordering, and rounds are synchronous — no
+    dependence on partitioning or visit order (asynchronous LPA is
+    famously order-dependent; this variant trades convergence speed for
+    reproducibility).
+
+    Scale shape per round: one join of the edge list against the current
+    labels (labels are (id, community) — narrow), one (node, label)
+    count agg, one per-node argmax window.  Edge set never grows;
+    ``localCheckpoint`` truncates lineage each round.  O(max_iter) keyed
+    shuffles total — the same budget as the peeling/pointer-jumping
+    loops above.
+    """
+    from pyspark.sql import Window
+
+    adj = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    labels = (
+        adj.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("community", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = adj.join(labels, adj["b"] == labels["id"]).select(
+            F.col("a").alias("id"), F.col("community").alias("nlabel")
+        )
+        counts = neigh.groupBy("id", "nlabel").agg(F.count("*").alias("cnt"))
+        w = Window.partitionBy("id").orderBy(F.col("cnt").desc(), F.col("nlabel"))
+        new_labels = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("id", F.col("nlabel").alias("community"))
+        )
+        # isolated nodes (none here: labels derive from edges) would keep
+        # their own label via a left join; every node has >=1 neighbor.
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.community") != F.col("o.community"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint()
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "graph_label_propagation",
+    oracle=None,  # iterative fixed-point: not single-statement-SQL-expressible;
+    # semantics pinned by the planted two-clique test (tests/test_llm_ops.py)
+    doc=f"Community detection via synchronous label propagation "
+    f"(max {LPA_MAX_ITER} rounds, deterministic tie-breaks) on the "
+    "co-purchase graph; one row per (part, community).",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Communities on the supported co-purchase graph — the modularity-ish
+    grouping a merchandiser reads as 'product families', and the
+    clustering near-dup pipelines use when connected components
+    over-merge (CC links everything reachable; LPA keeps densely-linked
+    cores together and splits bridge-connected regions)."""
+    return label_propagation(copurchase_edges(spark, sf_dir), "src", "dst")

@@ -1368,3 +1368,42 @@ def forecast_smape_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("smape_term"),
     )
+
+
+EWMA_ALPHA = 0.2
+
+
+@register(
+    "ewma_user_value",
+    oracle=None,  # recursive smoothing (s_i = a*x_i + (1-a)*s_{i-1}) is not
+    # single-statement-SQL-expressible; pinned by the hand-computed unit test
+    doc=f"Per-user EWMA (alpha={EWMA_ALPHA}) of event values via grouped "
+    "Arrow batches — the recursive smoothing no window frame can express.",
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user — the smoothing
+    behind latency dashboards and anomaly baselines.  The recurrence
+    s_i = α·x_i + (1-α)·s_{i-1} depends on EVERY prior row, so no SQL
+    window frame computes it; this is the textbook case for
+    ``applyInPandas``: one Arrow batch per user, a vectorized
+    ``ewm(alpha, adjust=False)`` inside.
+
+    Scale shape: one shuffle on user_id; per-group memory is that user's
+    event history (bounded by per-user activity, not corpus size —
+    monthly partitioning would bound it further).  Output rounds to 6dp
+    for reproducibility; the recurrence itself is sequential-exact
+    within a group regardless of partitioning because each group is
+    processed whole.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+
+    def smooth(pdf):
+        pdf = pdf.sort_values(["ts", "event_id"])
+        pdf["ewma"] = (
+            pdf["value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean().round(6)
+        )
+        return pdf
+
+    return ev.groupBy("user_id").applyInPandas(
+        smooth, schema="user_id long, event_id long, ts timestamp, value double, ewma double"
+    )

@@ -541,3 +541,63 @@ def streaming_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         F.coalesce("s_user", "p_user").alias("user_id"),
     )
+
+
+@register(
+    "streaming_semi_join",
+    oracle="""
+    SELECT s.event_id AS signup_id, s.user_id
+    FROM events s
+    WHERE s.event_type = 'signup'
+      AND EXISTS (
+          SELECT 1 FROM events e
+          WHERE e.event_type = 'purchase'
+            AND e.user_id = s.user_id
+            AND e.ts >= s.ts
+            AND e.ts <= s.ts + INTERVAL 1 HOUR
+      )
+    """,
+    doc="Stream-stream LEFT SEMI interval join: signups with >=1 purchase "
+    "within 1h, emitted once regardless of purchase count.",
+)
+def streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the stream-stream join matrix (inner / left+right outer /
+    full outer / anti via blocklist / SEMI here): existence within a time
+    bound, each left row emitted at most once — the streaming form of
+    `EXISTS`, and the shape conversion funnels use ("did a purchase
+    follow this signup?") without the row-multiplication an inner join
+    would cause on multi-purchase users.
+
+    State story: same as the inner interval join — both sides
+    watermarked, the interval bound lets the engine evict each side as
+    the watermark passes, so state is O(events in lateness+interval),
+    not O(stream).  A semi join can actually evict left rows EARLIER
+    (on first match) than an inner join could.
+    """
+    signups = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "1 hour")
+    )
+    purchases = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    )
+    return run_available_now(joined.select("signup_id", "user_id"), "append")

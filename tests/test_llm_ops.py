@@ -1354,3 +1354,49 @@ def test_bpe_learn_textbook_corpus(spark):
         (2, "es", "t", "est", 9),
         (3, "l", "o", "lo", 7),
     ]
+
+
+def test_label_propagation_planted_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: LPA must keep the cliques
+    in distinct communities (CC would merge them through the bridge)."""
+    from azure_func_forem_data_etl_spark.operators.graph import label_propagation
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = clique([0, 1, 2, 3]) + clique([10, 11, 12, 13]) + [(3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.community for r in label_propagation(df, "src", "dst").collect()}
+    left = {got[i] for i in (0, 1, 2)}
+    right = {got[i] for i in (11, 12, 13)}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right
+
+
+def test_ewma_hand_computed(spark, sf_dir):
+    """EWMA recurrence spot-check: recompute one user's series by hand."""
+    from azure_func_forem_data_etl_spark.operators.temporal import (
+        EWMA_ALPHA,
+        ewma_user_value,
+    )
+    from azure_func_forem_data_etl_spark.sources.tables import table
+
+    out = ewma_user_value(spark, sf_dir)
+    uid = out.select("user_id").first().user_id
+    got = [
+        r.ewma
+        for r in out.filter(F.col("user_id") == uid).orderBy("ts", "event_id").collect()
+    ]
+    vals = [
+        r.value
+        for r in table(spark, sf_dir, "events")
+        .filter(F.col("user_id") == uid)
+        .orderBy("ts", "event_id")
+        .collect()
+    ]
+    s = vals[0]
+    want = [round(s, 6)]
+    for x in vals[1:]:
+        s = EWMA_ALPHA * x + (1 - EWMA_ALPHA) * s
+        want.append(round(s, 6))
+    assert got == pytest.approx(want, abs=1e-6)
