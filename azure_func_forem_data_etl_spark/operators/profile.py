@@ -800,3 +800,63 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_cur, 6).alias("p_cur"),
         F.round((p_cur - p_base) * F.log(p_cur / p_base), 6).alias("psi_term"),
     )
+
+
+@register(
+    "pipeline_observe_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE props IS NULL) AS BIGINT) AS n_null_props,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           MAX(value) AS max_value
+    FROM events
+    """,
+    doc="Zero-extra-pass pipeline metrics via df.observe(): row count, "
+    "null-rate, decimal-exact value sum, and type cardinality captured "
+    "during a single noop-sink write.",
+)
+def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production way to get pipeline-health metrics WITHOUT a second
+    scan: ``df.observe`` attaches named aggregates to the plan and the
+    engine accumulates them during the one action the job already runs
+    (here: the noop-sink write standing in for the silver write).  The
+    reference's row-count progress logging (fetch_articles.py counters)
+    costs an extra count() per batch; observe() costs nothing extra.
+
+    The observed metrics come back as a 1-row relation so the driver can
+    hash-compare them against the oracle like any other query.  The sum
+    runs in the decimal domain (observe evaluates engine-side, so the
+    same order-independence discipline applies as everywhere else).
+
+    Observed metrics must be DISTINCT-free (engine rule: they accumulate
+    as mergeable partials), so cardinality tracking belongs to the HLL
+    sketch ops, not here.
+
+    Scale shape: strictly one corpus pass; the observation is a
+    CollectMetrics node folded into the write job — zero shuffles beyond
+    what the sink needs (none for noop).
+    """
+    from pyspark.sql import Observation
+
+    ev = table(spark, sf_dir, "events")
+    obs = Observation("pipeline_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("props").isNull(), 1)).alias("n_null_props"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        F.max("value").alias("max_value"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_null_props"],
+                float(m["sum_value"]),
+                float(m["max_value"]),
+            )
+        ],
+        "n_rows long, n_null_props long, sum_value double, max_value double",
+    )

@@ -601,3 +601,58 @@ def streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     return run_available_now(joined.select("signup_id", "user_id"), "append")
+
+
+@register(
+    "streaming_session_window",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         < INTERVAL '10 minutes'
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+    ), grp AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           COUNT(*) AS n_events
+    FROM grp
+    GROUP BY user_id, session_id
+    """,
+    doc="NATIVE streaming session windows (session_window + watermark): "
+    "10-minute-gap sessions maintained by the engine's merging session "
+    "state store, no custom state code.",
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine-native counterpart of ``streaming_sessionize_state``
+    (applyInPandasWithState): ``session_window`` in a streaming agg gets
+    dynamic gap-merging session state managed BY THE ENGINE — sessions
+    merge when a bridging event arrives, close when the watermark passes
+    session_end + gap, and the state store holds only open sessions.
+    Same oracle as the batch ``session_window_agg`` (gap-island SQL);
+    the streaming run must land on identical sessions.
+
+    Prefer this over hand-rolled state wherever the semantics fit: JVM
+    state maintenance (no Python round-trip), RocksDB-backed at cluster
+    scale, and watermark-driven eviction for free.  The custom-state op
+    remains for logic session_window can't express (per-event running
+    features inside a session).
+    """
+    ev = stream_table(spark, sf_dir, "events").withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    return run_available_now(agg, "complete")

@@ -86,6 +86,12 @@ BENCH_QUERIES = [
     # style verbatim-overlap dedup
     "ann_pq_topk",
     "substring_overlap_pairs",
+    # round-3 additions (fourth batch): evaluation metrics, semantic dedup,
+    # tokenizer training, probabilistic linkage
+    "eval_ndcg_at_k",
+    "semdedup_remove_list",
+    "bpe_merge_learn",
+    "record_linkage_fs",
 ]
 
 

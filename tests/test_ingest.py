@@ -566,3 +566,30 @@ def test_bronze_compaction_preserves_rows_and_shrinks_files(spark, incremental_f
 
     stats2 = compact_bronze_partition(spark, bronze, day)
     assert not stats2["compacted"]  # single file already: no-op
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """Spark 4 ships a native XML source: the same events slice written as
+    XML reads back value-identical (schema pinned on read; timestamps
+    carried in an explicit format so the roundtrip is lossless)."""
+    from azure_func_forem_data_etl_spark.sources.tables import table
+
+    src = (
+        table(spark, "/root/testdata/sf0.001", "events")
+        .filter(F.col("event_id") < 200)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    want = {tuple(map(str, r)) for r in src.collect()}
+    xml_d = str(tmp_path / "xml")
+    src.write.format("xml").option("rootTag", "events").option(
+        "rowTag", "event"
+    ).option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").save(xml_d)
+    back = (
+        spark.read.schema(src.schema)
+        .format("xml")
+        .option("rowTag", "event")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .load(xml_d)
+    )
+    got = {tuple(map(str, r)) for r in back.collect()}
+    assert got == want
