@@ -244,7 +244,11 @@ def knn_bruteforce_topk(
     q = emb.filter(F.col("vec_id") % query_mod == 0).select("vec_id", "embedding")
     qpd = q.orderBy("vec_id").limit(max_queries + 1).toPandas()
     if len(qpd) == 0:  # empty corpus/queries: empty result, not a crash
-        return spark.createDataFrame([], _KNN_SCHEMA)
+        # Same columns as the populated path (incl. rnk) so downstream
+        # consumers (eval_ndcg_at_k) see a stable schema either way.
+        return spark.createDataFrame([], _KNN_SCHEMA).withColumn(
+            "rnk", F.lit(1)
+        ).filter(F.lit(False))
     if len(qpd) > max_queries:
         raise ValueError(
             f"knn_bruteforce query set exceeds the {max_queries}-query bound; "

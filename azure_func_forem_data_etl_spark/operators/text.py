@@ -1782,3 +1782,60 @@ def text_log_odds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(LOGODDS_TOP_N)
         .drop("__absz")
     )
+
+
+#: Fixed logistic gate weights over the three quality features (a stand-in
+#: for a fasttext-style trained classifier's coefficients; swapping in
+#: trained weights changes only these constants, not the plan).
+GATE_W = (2.0, 1.5, 1.0)  # stopword_ratio, capped length, distinct fraction
+GATE_B = -2.0
+GATE_THRESHOLD = 0.5
+
+
+@register(
+    "quality_logreg_gate",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               {_sql_hits(STOPWORDS)} / CAST(len(words) AS DOUBLE)
+                   AS f_stop,
+               least(len(words) / 100.0, 1.0) AS f_len,
+               len(list_distinct(words)) / CAST(len(words) AS DOUBLE) AS f_uniq
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        WHERE len(words) > 0
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-({GATE_W[0]} * f_stop + {GATE_W[1]} * f_len
+                 + {GATE_W[2]} * f_uniq + {GATE_B}))), 6) AS keep_prob,
+           CAST(1.0 / (1.0 + exp(-({GATE_W[0]} * f_stop + {GATE_W[1]} * f_len
+                + {GATE_W[2]} * f_uniq + {GATE_B}))) >= {GATE_THRESHOLD}
+               AS INT) AS keep
+    FROM feats
+    """,
+    doc="Logistic quality gate: fixed-weight linear model over the quality "
+    "features, sigmoid score + keep decision per doc (the fasttext-style "
+    "classifier gate shape).",
+)
+def quality_logreg_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classifier-gate step of a curation funnel as an ENGINE operator:
+    model scoring is a row-local linear expression, so a trained quality
+    classifier (CCNet/fasttext-style) runs inside whole-stage codegen at
+    scan bandwidth — no UDF, no model server.  Weights here are fixed
+    constants; a real deployment broadcasts its coefficient vector and
+    generates the same expression.
+
+    Scale shape: pure map over documents — zero shuffles, prunes to the
+    two columns it reads.
+    """
+    docs = table(spark, sf_dir, "documents")
+    d = docs.withColumn("words", F.split("text", " ")).filter(F.size("words") > 0)
+    f_stop = _hits("words", STOPWORDS) / F.size("words").cast("double")
+    f_len = F.least(F.size("words") / 100.0, F.lit(1.0))
+    f_uniq = F.size(F.array_distinct("words")) / F.size("words").cast("double")
+    lin = GATE_W[0] * f_stop + GATE_W[1] * f_len + GATE_W[2] * f_uniq + F.lit(GATE_B)
+    prob = 1.0 / (1.0 + F.exp(-lin))
+    return d.select(
+        "doc_id",
+        F.round(prob, 6).alias("keep_prob"),
+        (prob >= GATE_THRESHOLD).cast("int").alias("keep"),
+    )

@@ -249,3 +249,29 @@ def test_round3_batch3_ops_on_empty_inputs(spark, empty_sf):
         "equidepth_histogram_price",
     ):
         assert reg[name].fn(spark, empty_sf).count() == 0, name
+
+
+def test_round3_batch4_ops_on_empty_inputs(spark, empty_sf):
+    """Evaluation, semantic-dedup, tokenizer, LPA, EWMA, PSI families on
+    empty tables: empty result (or empty-safe scalars), never a crash."""
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    reg = load_all()
+    for name in (
+        "eval_ndcg_at_k",
+        "semdedup_remove_list",
+        "bpe_merge_learn",
+        "bpe_first_pairs",
+        "graph_label_propagation",
+        "graph_jaccard_linkpred",
+        "ewma_user_value",
+        "psi_value_drift",
+        "eval_mutual_information",
+        "eval_calibration_bins",
+        "negative_sampling_inbatch",
+        "text_log_odds_terms",
+        "window_rolling_median",
+        "forecast_smape_naive",
+        "dp_noisy_lang_counts",
+    ):
+        assert reg[name].fn(spark, empty_sf).count() == 0, name
