@@ -93,12 +93,20 @@ def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     AUC stays a single cheap pass at 100 TB.
     """
     emb = table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.element_at("embedding", 1).cast("double").alias("score"),
+        (F.col("label") == POS_LABEL).cast("int").alias("is_pos"),
+    )
+    return binned_auc(scored)
+
+
+def binned_auc(scored: DataFrame, decimals: int = AUC_BIN_DECIMALS) -> DataFrame:
+    """Tie-aware binned ROC-AUC over a (score double, is_pos int) relation;
+    see ``eval_roc_auc`` for the scale rationale."""
     bins = (
-        emb.select(
-            F.round(F.element_at("embedding", 1).cast("double"), AUC_BIN_DECIMALS).alias(
-                "score_b"
-            ),
-            (F.col("label") == POS_LABEL).cast("int").alias("is_pos"),
+        scored.select(
+            F.round(F.col("score"), decimals).alias("score_b"),
+            "is_pos",
         )
         .groupBy("score_b")
         .agg(

@@ -184,3 +184,36 @@ def test_skyline_local_prune_is_sound(spark, rows):
     local = skyline_sweep(df.withColumn("_yr", F.year("o_orderdate")), "_yr").drop("_yr")
     two_phase = {tuple(r) for r in skyline_sweep(local).collect()}
     assert two_phase == direct
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),  # score in 0.01 steps
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=60,
+    ).filter(lambda xs: any(p for _, p in xs) and any(not p for _, p in xs))
+)
+def test_binned_auc_equals_exact_pairwise(spark, rows):
+    """binned_auc must equal the exact tie-aware pairwise AUC whenever the
+    scores are already on the bin grid (binning is the ONLY approximation)."""
+    from azure_func_forem_data_etl_spark.operators.evaluation import binned_auc
+
+    data = [(s / 100.0, int(p)) for s, p in rows]
+    df = spark.createDataFrame(data, "score double, is_pos int")
+    got = binned_auc(df).collect()[0]
+    pos = [s for s, p in data if p]
+    neg = [s for s, p in data if not p]
+    wins = sum(1.0 for sp in pos for sn in neg if sp > sn) + sum(
+        0.5 for sp in pos for sn in neg if sp == sn
+    )
+    want = round(wins / (len(pos) * len(neg)), 6)
+    assert got.auc == want
+    assert got.n_pos == len(pos) and got.n_neg == len(neg)
