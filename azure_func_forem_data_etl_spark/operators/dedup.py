@@ -11,13 +11,12 @@
 
 The reference's only dedup is implied-by-id (SURVEY.md §4.3); everything
 here is engine surface.  Hash functions are engine-deterministic
-(xxhash64 seed 42 + fixed odd multipliers), so results are stable across
+(per-permutation seeded xxhash64), so results are stable across
 runs/partitionings — required for the driver's rows-only repeatability.
 """
 
 from __future__ import annotations
 
-import random
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -215,25 +214,27 @@ MINHASH_BANDS = 8       # bands of r = 4 rows: P(candidate | J=0.8) ≈ 0.97
 MINHASH_NGRAM = 3
 MINHASH_VERIFY_THRESHOLD = 0.4
 
-_rng = random.Random(42)
-_MERSENNE61 = (1 << 61) - 1
-MINHASH_COEFFS = [
-    (_rng.randrange(1, 1 << 30), _rng.randrange(0, _MERSENNE61)) for _ in range(MINHASH_K)
-]
-
-
 def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, mh_0..mh_{k-1}): min over shingles of k affine hashes
-    ``(a * x + b) mod (2^61-1)`` of a 31-bit fold of xxhash64(shingle).
+    """(doc_id, mh_0..mh_{k-1}): min over shingles of k INDEPENDENT seeded
+    xxhash64 draws — ``xxhash64(i, shingle)`` for permutation i.
 
-    Bounds keep every intermediate below 2^62, so ANSI-mode long
-    arithmetic never overflows: x < 2^31, a < 2^30 => a*x < 2^61, plus
-    b < 2^61.  Fully deterministic across runs and partitionings.
+    Why not the textbook affine family (a*x + b) mod p over one shared
+    x = hash(shingle)?  With x < 2^31 and a < 2^30 the product a*x stays
+    below 2^61 ≈ p, so the "permutation" wraps AT MOST ONCE — it is a
+    monotone rotation of the x-order, and all k draws share the same
+    underlying order.  Consequence: whichever shingle holds the minimum
+    x wins argmin for most of the k functions simultaneously, the
+    signatures are heavily correlated, and a true-Jaccard-0.92 pair can
+    show ~9/32 agreement (observed; the estimator's variance blows up
+    exactly on the near-dup pairs LSH exists to find).  Seeding the full
+    64-bit mixer per permutation restores pairwise-independent orders at
+    identical cost (still one JVM expression per permutation).
+
+    Fully deterministic across runs and partitionings.
     """
-    x = F.pmod(F.xxhash64("shingle"), F.lit((1 << 31) - 1))
     aggs = [
-        F.min(F.pmod(x * F.lit(a) + F.lit(b), F.lit(_MERSENNE61))).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(MINHASH_COEFFS)
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        for i in range(MINHASH_K)
     ]
     # n_sh rides along in the same shuffle: verification needs per-doc
     # shingle counts, and folding them here saves a full shingle
@@ -1078,3 +1079,98 @@ def record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("fs_score").desc(), "cust_id", "supp_id")
         .limit(FS_TOP_N)
     )
+
+
+# --- Incremental near-dup maintenance -------------------------------------
+
+#: Per-(band, bucket) membership cap on the EXISTING side of the
+#: incremental join — a new doc landing in a boilerplate mega-bucket
+#: compares against a deterministic bounded prefix of it, mirroring the
+#: hot-bucket philosophy of ``capped_bucket_pairs``.
+INCR_BUCKET_CAP = 64
+
+
+def minhash_incremental_pairs(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    threshold: float = MINHASH_VERIFY_THRESHOLD,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING A NEW DOC: new-vs-old and new-vs-new,
+    never old-vs-old — the maintenance operation a daily ingest runs
+    against an already-deduped corpus, priced by the DELTA, not the
+    corpus.
+
+    The asymmetric bucket join is the point: only NEW docs' band rows sit
+    on the probe side, so candidate generation is
+    O(|new| x bucket-occupancy), and the existing side is bounded per
+    bucket (INCR_BUCKET_CAP) against boilerplate mega-buckets.  At 100 TB
+    the existing side's signatures/band rows come from the PERSISTED
+    signature index (one parquet table keyed by (band_id, band_hash) —
+    exactly ``minhash_signatures`` output); recomputing them here keeps
+    the test self-contained without changing the join shape.
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, verified exact
+    Jaccard >= threshold, at least one side new.
+    """
+    from pyspark.sql.window import Window
+
+    spark = old_docs.sparkSession
+    tagged = old_docs.select("doc_id", "text").withColumn(
+        "is_new", F.lit(0)
+    ).unionByName(new_docs.select("doc_id", "text").withColumn("is_new", F.lit(1)))
+    sh = word_shingles(scale_out(tagged, "doc_id"), MINHASH_NGRAM)
+    sh = sh.localCheckpoint(eager=True)
+    sig = minhash_signatures(sh).localCheckpoint(eager=True)
+    flags = tagged.select("doc_id", "is_new")
+    r = MINHASH_K // MINHASH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_id"),
+                F.xxhash64(*[f"mh_{bi * r + j}" for j in range(r)]).alias("band_hash"),
+            )
+            for bi in range(MINHASH_BANDS)
+        ]
+    )
+    exploded = (
+        sig.join(flags, "doc_id")
+        .select("doc_id", "is_new", F.explode(bands).alias("b"))
+        .select("doc_id", "is_new", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
+    )
+    probe = exploded.filter(F.col("is_new") == 1).select(
+        F.col("doc_id").alias("doc_new"), "band_id", "band_hash"
+    )
+    # Existing side = ALL docs (new-vs-new dups matter too), capped per
+    # bucket by a deterministic min-id prefix.
+    wb = Window.partitionBy("band_id", "band_hash").orderBy("doc_id")
+    build = (
+        exploded.withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") <= INCR_BUCKET_CAP)
+        .select(F.col("doc_id").alias("doc_any"), "band_id", "band_hash")
+    )
+    cand = (
+        probe.join(build, ["band_id", "band_hash"])
+        .filter(F.col("doc_new") != F.col("doc_any"))
+        .select(
+            F.least("doc_new", "doc_any").alias("doc_a"),
+            F.greatest("doc_new", "doc_any").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sizes = sig.select("doc_id", "n_sh")
+    return verify_jaccard(cand, sh, sizes).filter(F.col("jaccard") >= threshold)
+
+
+@register(
+    "minhash_incremental_neardup",
+    oracle=None,  # engine-specific hashes (same rationale as minhash_lsh_neardup);
+    # delta-only semantics pinned by the planted old/new unit test
+    doc="Incremental MinHash-LSH maintenance: near-dup pairs involving the "
+    "20% newest docs only (new-vs-all asymmetric bucket join, capped "
+    "buckets, exact-Jaccard verification).",
+)
+def minhash_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    return minhash_incremental_pairs(old, new)

@@ -1400,3 +1400,30 @@ def test_ewma_hand_computed(spark, sf_dir):
         s = EWMA_ALPHA * x + (1 - EWMA_ALPHA) * s
         want.append(round(s, 6))
     assert got == pytest.approx(want, abs=1e-6)
+
+
+def test_minhash_incremental_delta_only(spark):
+    """Incremental near-dup: planted dup pairs across old/new and within
+    new are found; a planted OLD-OLD dup pair must NOT be reported."""
+    from azure_func_forem_data_etl_spark.operators.dedup import (
+        minhash_incremental_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    other = "one two three four five six seven eight nine ten " * 5
+    old = spark.createDataFrame(
+        [(1, base), (2, base + " tail"), (3, other), (10, "unrelated text " * 10)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(21, base + " fresh"), (22, other), (23, other + " more")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_incremental_pairs(old, new, threshold=0.4).collect()
+    }
+    assert (1, 21) in pairs or (2, 21) in pairs      # new-vs-old found
+    assert (3, 22) in pairs                          # new-vs-old found
+    assert (22, 23) in pairs                         # new-vs-new found
+    assert (1, 2) not in pairs                       # old-vs-old excluded
