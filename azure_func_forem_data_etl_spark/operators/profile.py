@@ -860,3 +860,89 @@ def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows long, n_null_props long, sum_value double, max_value double",
     )
+
+
+@register(
+    "ks_two_sample_drift",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(floor(value) AS BIGINT) AS bin,
+               CAST(ts < TIMESTAMP '{PSI_SPLIT_DATE}' AS INT) AS is_base
+        FROM events
+    ),
+    cells AS (
+        SELECT bin,
+               CAST(SUM(is_base) AS BIGINT) AS n_base,
+               CAST(SUM(1 - is_base) AS BIGINT) AS n_cur
+        FROM b GROUP BY bin
+    ),
+    cum AS (
+        SELECT bin,
+               SUM(n_base) OVER (ORDER BY bin) AS cb,
+               SUM(n_cur) OVER (ORDER BY bin) AS cc,
+               (SELECT SUM(n_base) FROM cells) AS tb,
+               (SELECT SUM(n_cur) FROM cells) AS tc
+        FROM cells
+    )
+    SELECT bin AS at_bin,
+           round(abs(cb / CAST(tb AS DOUBLE) - cc / CAST(tc AS DOUBLE)), 6)
+               AS ks_stat,
+           CAST(tb AS BIGINT) AS n_base, CAST(tc AS BIGINT) AS n_cur
+    FROM cum
+    ORDER BY abs(cb / CAST(tb AS DOUBLE) - cc / CAST(tc AS DOUBLE)) DESC, bin
+    LIMIT 1
+    """,
+    doc="Binned two-sample Kolmogorov-Smirnov statistic between the two "
+    "half-month value distributions: max |ECDF difference| over unit "
+    "value bins, with the bin where it is attained.",
+)
+def ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KS companion to ``psi_value_drift``: PSI weighs aggregate mass
+    shift, KS finds the single worst distributional gap — together the
+    standard drift pair on a monitoring dashboard.  Exact KS needs a
+    global sort of all values; binning to the unit grid bounds the ECDF
+    table at the value range (~500 rows) with error <= bin width's mass,
+    the same range-not-rows trade the binned AUC makes.
+
+    Scale shape: one scan -> per-(bin, period) counts -> cumulative
+    window over the bin-bounded table -> TakeOrdered(1).
+    """
+    ev = table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.floor("value").cast("long").alias("bin"),
+            (F.col("ts") < F.lit(PSI_SPLIT_DATE).cast("timestamp"))
+            .cast("int")
+            .alias("is_base"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("is_base").alias("n_base"),
+            F.sum(1 - F.col("is_base")).alias("n_cur"),
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tot = cells.agg(
+        F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc")
+    )
+    cum = (
+        cells.withColumn("cb", F.sum("n_base").over(w))
+        .withColumn("cc", F.sum("n_cur").over(w))
+        .crossJoin(F.broadcast(tot))
+    )
+    diff = F.abs(
+        F.col("cb") / F.col("tb").cast("double")
+        - F.col("cc") / F.col("tc").cast("double")
+    )
+    return (
+        cum.select(
+            F.col("bin").alias("at_bin"),
+            F.round(diff, 6).alias("ks_stat"),
+            F.col("tb").alias("n_base"),
+            F.col("tc").alias("n_cur"),
+            diff.alias("__d"),
+        )
+        .orderBy(F.col("__d").desc(), "at_bin")
+        .limit(1)
+        .drop("__d")
+    )
