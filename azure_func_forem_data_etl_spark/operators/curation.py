@@ -907,3 +907,87 @@ def negative_sampling_inbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("neg_rank") <= NEG_PER_ANCHOR).select(
         "anchor_id", "neg_rank", "neg_id", "neg_lang"
     )
+
+
+BATCH_SIZE = 16  # examples per training batch
+
+
+@register(
+    "length_grouped_batches",
+    oracle=f"""
+    WITH sorted_b AS (
+        SELECT n_chars,
+               CAST(floor((ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1)
+                    / {BATCH_SIZE}) AS BIGINT) AS batch_id
+        FROM documents
+    ),
+    shuffled_b AS (
+        SELECT n_chars,
+               CAST(floor((ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1)
+                    / {BATCH_SIZE}) AS BIGINT) AS batch_id
+        FROM documents
+    ),
+    w AS (
+        SELECT 'length_grouped' AS strategy,
+               CAST(COUNT(*) AS BIGINT) AS n_batches,
+               CAST(SUM(mx * n - tot) AS BIGINT) AS padding_chars,
+               round(SUM(mx * n - tot) / CAST(SUM(mx * n) AS DOUBLE), 6)
+                   AS padding_frac
+        FROM (SELECT batch_id, MAX(n_chars) AS mx, COUNT(*) AS n,
+                     SUM(n_chars) AS tot
+              FROM sorted_b GROUP BY batch_id)
+        UNION ALL
+        SELECT 'shuffled',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(mx * n - tot) AS BIGINT),
+               round(SUM(mx * n - tot) / CAST(SUM(mx * n) AS DOUBLE), 6)
+        FROM (SELECT batch_id, MAX(n_chars) AS mx, COUNT(*) AS n,
+                     SUM(n_chars) AS tot
+              FROM shuffled_b GROUP BY batch_id)
+    )
+    SELECT * FROM w
+    """,
+    doc=f"Length-grouped batching audit: padding waste of length-sorted vs "
+    f"hash-shuffled batches of {BATCH_SIZE} (the dynamic-batching win, "
+    "quantified).",
+)
+def length_grouped_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why trainers length-group: a batch pads every example to its
+    longest member, so random batches waste compute proportional to
+    length variance.  This op assigns docs to batches two ways —
+    length-sorted (the length-grouped sampler) and hash-shuffled (the
+    iid baseline) — and reports padding waste for each; the gap is the
+    measured speedup fraction dynamic batching buys on this corpus.
+
+    Scale note: the global row_number over all docs is the honest
+    formulation of a GLOBAL length-sorted batch order; at 100 TB the
+    sampler length-groups within partitions/pools (same numbers to
+    within the pool-boundary batches) so no total order is needed —
+    the audit itself only ever aggregates to batch grain.
+    """
+    docs = table(spark, sf_dir, "documents")
+
+    def waste(order_cols: list, label: str) -> DataFrame:
+        w = Window.orderBy(*order_cols)
+        b = docs.select(
+            "n_chars",
+            F.floor((F.row_number().over(w) - 1) / BATCH_SIZE).alias("batch_id"),
+        )
+        per = b.groupBy("batch_id").agg(
+            F.max("n_chars").alias("mx"),
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("tot"),
+        )
+        pad = F.sum(F.col("mx") * F.col("n") - F.col("tot"))
+        return per.agg(
+            F.lit(label).alias("strategy"),
+            F.count("*").alias("n_batches"),
+            pad.cast("long").alias("padding_chars"),
+            F.round(pad / F.sum(F.col("mx") * F.col("n")).cast("double"), 6).alias(
+                "padding_frac"
+            ),
+        )
+
+    sorted_w = waste([F.col("n_chars").desc(), F.col("doc_id")], "length_grouped")
+    shuffled = waste([F.md5(F.col("doc_id").cast("string")), F.col("doc_id")], "shuffled")
+    return sorted_w.unionByName(shuffled)

@@ -1839,3 +1839,57 @@ def quality_logreg_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(prob, 6).alias("keep_prob"),
         (prob >= GATE_THRESHOLD).cast("int").alias("keep"),
     )
+
+
+FIM_MIN_CHARS = 60  # shorter docs train as plain left-to-right
+
+
+@register(
+    "fim_transform",
+    oracle=f"""
+    SELECT doc_id,
+           '<PRE>' || substring(text, 1, CAST(floor(n_chars / 3) AS INT))
+           || '<SUF>' || substring(text, CAST(floor(2 * n_chars / 3) AS INT) + 1)
+           || '<MID>' || substring(text, CAST(floor(n_chars / 3) AS INT) + 1,
+                                   CAST(floor(2 * n_chars / 3) AS INT)
+                                   - CAST(floor(n_chars / 3) AS INT))
+               AS psm_text,
+           CAST(floor(n_chars / 3) AS BIGINT) AS prefix_len,
+           CAST(floor(2 * n_chars / 3) AS BIGINT)
+               - CAST(floor(n_chars / 3) AS BIGINT) AS middle_len
+    FROM documents WHERE n_chars >= {FIM_MIN_CHARS}
+    """,
+    doc="Fill-in-the-middle (PSM) transform: split each doc into thirds "
+    "and re-serialize as <PRE>prefix<SUF>suffix<MID>middle.",
+)
+def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIM data transform (Bavarian et al. 2022, "Efficient Training
+    of Language Models to Fill in the Middle"): rewrite a fraction of
+    training docs into prefix-suffix-middle order so the model learns
+    infilling.  Deterministic third-point splits here; a production
+    pipeline randomizes split points per doc (swap the thirds for
+    hash-derived offsets — same plan, still engine-deterministic).
+
+    Scale shape: pure row-local string surgery inside codegen — zero
+    shuffles, scan-bandwidth-bound, exactly how a rewrite this hot must
+    run at 100 TB.
+    """
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") >= FIM_MIN_CHARS
+    )
+    p1 = F.floor(F.col("n_chars") / 3).cast("int")
+    p2 = F.floor(2 * F.col("n_chars") / 3).cast("int")
+    prefix = F.substring(F.col("text"), 1, p1)
+    middle = F.expr(
+        "substring(text, CAST(floor(n_chars / 3) AS INT) + 1, "
+        "CAST(floor(2 * n_chars / 3) AS INT) - CAST(floor(n_chars / 3) AS INT))"
+    )
+    suffix = F.expr("substring(text, CAST(floor(2 * n_chars / 3) AS INT) + 1)")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<PRE>"), prefix, F.lit("<SUF>"), suffix, F.lit("<MID>"), middle
+        ).alias("psm_text"),
+        p1.cast("long").alias("prefix_len"),
+        (p2 - p1).cast("long").alias("middle_len"),
+    )
