@@ -36,7 +36,15 @@ def main() -> int:
     name_filter = sys.argv[2:]
     spark = get_spark(app_name="driver-sim", shuffle_partitions=32)
     registry = load_all()
-    names = [n for n in sorted(registry) if not name_filter or any(f in n for f in name_filter)]
+    if name_filter and name_filter[0].startswith("--first"):
+        # --first N: run the first N queries in DRIVER order (load_all
+        # registration order) — exactly the official CORRECTNESS window.
+        n = int(name_filter[0].split("=")[1]) if "=" in name_filter[0] else 50
+        names = list(registry)[:n]
+    else:
+        names = [
+            n for n in sorted(registry) if not name_filter or any(f in n for f in name_filter)
+        ]
     results: dict[str, dict] = {}
     t_all = time.time()
     for name in names:
