@@ -677,6 +677,13 @@ def label_propagation(edges: DataFrame, src: str, dst: str, max_iter: int = LPA_
     ``localCheckpoint`` truncates lineage each round.  O(max_iter) keyed
     shuffles total — the same budget as the peeling/pointer-jumping
     loops above.
+
+    Early stop: each round digests the label state (count + xxhash
+    bit-xor + modular sum — one tiny agg job) and exits when the state
+    equals the previous round (converged) OR two rounds ago (the
+    period-2 oscillation synchronous LPA is known for).  Dense real
+    graphs may churn for all max_iter rounds — the bound is the
+    semantic, matching GraphFrames' maxIter contract.
     """
     from pyspark.sql import Window
 
@@ -689,6 +696,22 @@ def label_propagation(edges: DataFrame, src: str, dst: str, max_iter: int = LPA_
         .withColumn("community", F.col("id"))
         .localCheckpoint()
     )
+    def fingerprint(lab: DataFrame) -> tuple:
+        # Order-independent state digest: one tiny agg job instead of a
+        # join-based diff.  Detects BOTH convergence (state == previous)
+        # and the period-2 oscillation synchronous LPA is known for
+        # (state == state two rounds ago) — either way further rounds
+        # cannot produce new information, so stop.
+        r = lab.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(id, community))").alias("hx"),
+            # modular sum avoids ANSI long overflow; xor+sum+count makes
+            # a colliding different state astronomically unlikely
+            F.sum(F.pmod(F.xxhash64("community", "id"), F.lit(1 << 40))).alias("hs"),
+        ).collect()[0]
+        return (r.n, r.hx, r.hs)
+
+    seen_prev, seen_prev2 = fingerprint(labels), None
     for _ in range(max_iter):
         neigh = adj.join(labels, adj["b"] == labels["id"]).select(
             F.col("a").alias("id"), F.col("community").alias("nlabel")
@@ -702,16 +725,11 @@ def label_propagation(edges: DataFrame, src: str, dst: str, max_iter: int = LPA_
         )
         # isolated nodes (none here: labels derive from edges) would keep
         # their own label via a left join; every node has >=1 neighbor.
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.community") != F.col("o.community"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels.localCheckpoint()
-        if changed == 0:
+        fp = fingerprint(labels)
+        if fp == seen_prev or fp == seen_prev2:
             break
+        seen_prev, seen_prev2 = fp, seen_prev
     return labels
 
 
