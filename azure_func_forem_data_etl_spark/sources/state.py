@@ -25,7 +25,6 @@ import datetime as dt
 import os
 import shutil
 import uuid
-from pathlib import Path
 
 from pyspark.sql import Row, SparkSession
 
