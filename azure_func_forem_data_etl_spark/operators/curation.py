@@ -991,3 +991,110 @@ def length_grouped_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted_w = waste([F.col("n_chars").desc(), F.col("doc_id")], "length_grouped")
     shuffled = waste([F.md5(F.col("doc_id").cast("string")), F.col("doc_id")], "shuffled")
     return sorted_w.unionByName(shuffled)
+
+
+TOPP_MASS = 0.5  # nucleus: smallest doc set covering this quality share
+
+
+@register(
+    "nucleus_topp_docs",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(n_chars AS DECIMAL(18,4)) AS q
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang, q,
+               SUM(q) OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS cum_q,
+               SUM(q) OVER (PARTITION BY lang) AS tot_q
+        FROM scored
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_in_nucleus,
+           CAST(MIN(q) AS DOUBLE) AS min_q_in_nucleus,
+           round(CAST(MAX(cum_q) AS DOUBLE) / CAST(MAX(tot_q) AS DOUBLE), 6)
+               AS mass_covered
+    FROM ranked
+    WHERE cum_q - q < {TOPP_MASS} * tot_q
+    GROUP BY lang
+    """,
+    doc=f"Per-language nucleus (top-p) selection: the smallest top-scored "
+    f"doc set covering {TOPP_MASS:.0%} of total quality mass, with its "
+    "cut-off score.",
+)
+def nucleus_topp_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p selection — the data-curation analogue of nucleus sampling:
+    instead of a fixed top-k or a fixed score threshold, keep the
+    smallest high-score prefix whose cumulative mass reaches p.  Robust
+    to per-group score-scale differences, which is why mixture builders
+    prefer it to a global threshold when budgeting per-source keeps.
+
+    The membership rule is the standard nucleus convention: a doc is in
+    if the mass STRICTLY BEFORE it is < p·total (so the boundary doc
+    that crosses p is included).  Decimal-domain cumulative sums keep
+    the boundary decision bit-identical across engines and partition
+    orders.
+
+    Scale shape: one window pass per group (cumsum + total share the
+    (lang, q DESC) sort), then a per-group aggregate; quality here is
+    n_chars as a stand-in — swap any scorer in, the plan is unchanged.
+    """
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", F.col("n_chars").cast("decimal(18,4)").alias("q")
+    )
+    wcum = Window.partitionBy("lang").orderBy(F.col("q").desc(), "doc_id")
+    wall = Window.partitionBy("lang")
+    ranked = scored.select(
+        "lang",
+        "q",
+        F.sum("q").over(wcum).alias("cum_q"),
+        F.sum("q").over(wall).alias("tot_q"),
+    )
+    nucleus = ranked.filter(
+        (F.col("cum_q") - F.col("q")) < F.lit(TOPP_MASS) * F.col("tot_q")
+    )
+    return nucleus.groupBy("lang").agg(
+        F.count("*").alias("n_docs_in_nucleus"),
+        F.min("q").cast("double").alias("min_q_in_nucleus"),
+        F.round(
+            F.max("cum_q").cast("double") / F.max("tot_q").cast("double"), 6
+        ).alias("mass_covered"),
+    )
+
+
+@register(
+    "cross_source_contamination",
+    oracle="""
+    WITH fp AS (SELECT DISTINCT source, md5(text) AS f FROM documents)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_texts
+    FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+    doc="Cross-source exact-content overlap matrix: distinct md5 "
+    "fingerprints shared between source pairs (who copies from whom).",
+)
+def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources carry the same documents?  Cross-source duplication
+    skews mixture weights (a doc 'sampled once per source' trains k
+    times) and flags scraper overlap — a standard audit before setting
+    source quotas (cf. the duplication analyses in C4/Dolma dataset
+    reports).
+
+    Scale shape: per-(source, fingerprint) dedup first (32-byte keys,
+    bodies never shuffle), then a self-equi-join ON fingerprint —
+    bounded by copies-per-text, never corpus-quadratic — into a
+    |sources|² cell table.
+    """
+    docs = table(spark, sf_dir, "documents")
+    fp = docs.select("source", F.md5("text").alias("f")).distinct()
+    a = fp.select(F.col("source").alias("source_a"), "f")
+    b = fp.select(F.col("source").alias("source_b"), "f")
+    return (
+        a.join(b, "f")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared_texts"))
+    )

@@ -946,3 +946,58 @@ def ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .drop("__d")
     )
+
+
+HILL_TOP_K = 200  # order statistics used by the Hill estimator
+
+
+@register(
+    "tail_index_hill",
+    oracle=f"""
+    WITH topk AS (
+        SELECT value FROM events WHERE value > 0
+        ORDER BY value DESC, event_id LIMIT {HILL_TOP_K}
+    ),
+    xk AS (SELECT MIN(value) AS x_k FROM topk)
+    SELECT round(1.0 / (SUM(ln(value / x_k)) / (COUNT(*) - 1)), 6)
+               AS hill_alpha,
+           CAST(COUNT(*) AS BIGINT) AS k_used,
+           CAST(MAX(x_k) AS DOUBLE) AS x_k
+    FROM topk, xk
+    """,
+    doc=f"Hill tail-index estimator over the top-{HILL_TOP_K} event values: "
+    "alpha-hat = ((1/(k-1)) * sum ln(x_i / x_k))^-1 — heavy-tail "
+    "diagnostic.",
+)
+def tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How heavy is the value distribution's tail?  The Hill estimator
+    (Hill 1975) fits a Pareto exponent to the top-k order statistics —
+    alpha < 2 means infinite variance (skew-join salting territory),
+    and it's the quantitative companion to the Zipf word-rank fit
+    (zipf_exponent_fit): one for numeric tails, one for rank-frequency.
+
+    Determinism note: the log-sum runs over exactly k=200 driver-
+    bounded values after a TakeOrdered — the only float summation is
+    over a fixed tiny set, and ties at the k-th value are cut by
+    event_id so both engines pick the same set.
+
+    Scale shape: TakeOrderedAndProject (per-partition heaps, k rows to
+    the driver side of the exchange — no global sort), then a 200-row
+    aggregate.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    topk = (
+        ev.select("value", "event_id")
+        .orderBy(F.col("value").desc(), "event_id")
+        .limit(HILL_TOP_K)
+    )
+    xk = topk.agg(F.min("value").alias("x_k"))
+    j = topk.crossJoin(F.broadcast(xk))
+    return j.agg(
+        F.round(
+            1.0 / (F.sum(F.log(F.col("value") / F.col("x_k"))) / (F.count("*") - 1)),
+            6,
+        ).alias("hill_alpha"),
+        F.count("*").alias("k_used"),
+        F.max("x_k").cast("double").alias("x_k"),
+    )

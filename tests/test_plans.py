@@ -161,6 +161,7 @@ def test_plan_lint_every_registry_query(spark):
         "eval_mutual_information",  # 1-row grand-total broadcast onto cells
         "psi_value_drift",  # 1-row period-totals broadcast onto 7 cells
         "ks_two_sample_drift",  # 1-row period-totals broadcast onto ~500 bins
+        "tail_index_hill",  # 1-row x_k broadcast onto the 200-row top-k
         "text_log_odds_terms",  # 1-row corpus-totals broadcast — O(n)·1
         # shared negative pool (~1% mod-sample) broadcast against the
         # anchor sample — bounded-sample product, documented in-batch trick
