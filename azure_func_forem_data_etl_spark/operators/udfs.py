@@ -297,3 +297,67 @@ def pandas_udf_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return ev.select("event_id", "value", fee_iter("value").alias("fee"))
+
+
+UDTF_SPLIT_PARTS = 3
+
+
+@register(
+    "udtf_dynamic_split",
+    oracle=f"""
+    SELECT doc_id,
+           substring(text, 1, w) AS chunk_0,
+           substring(text, w + 1, w) AS chunk_1,
+           substring(text, 2 * w + 1, w) AS chunk_2
+    FROM (
+        SELECT doc_id, text,
+               CAST(ceil(length(text) / {UDTF_SPLIT_PARTS}.0) AS INT) AS w
+        FROM documents
+    )
+    """,
+    doc=f"Polymorphic Python UDTF: output schema (chunk_0..chunk_"
+    f"{UDTF_SPLIT_PARTS - 1}) computed at PLAN time by analyze() from the "
+    "constant part-count argument.",
+)
+def udtf_dynamic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dynamic-schema half of the UDTF surface: ``analyze()`` runs at
+    analysis time, reads the CONSTANT part-count argument, and returns
+    the output StructType — so one table function serves any width
+    without N hardcoded variants (Spark 4's polymorphic UDTF contract).
+    The static-schema UDTF above covers the fanout case; this one covers
+    schema-from-arguments.
+
+    Runtime is Arrow-optimized and row-local (equal-width string split),
+    so the plan stays map-only — same zero-shuffle scale story as every
+    codegen string op, with the Python boundary batched.
+    """
+    import math
+
+    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class FixedWidthSplit:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            if not isinstance(k.value, int) or k.value < 1:
+                raise ValueError("part count must be a constant positive int")
+            return AnalyzeResult(
+                StructType(
+                    [StructField(f"chunk_{i}", StringType()) for i in range(k.value)]
+                )
+            )
+
+        def eval(self, text, k):  # noqa: ANN001 (Spark calls positionally)
+            t = text or ""
+            w = math.ceil(len(t) / k) if t else 0
+            yield tuple(t[i * w : (i + 1) * w] for i in range(k))
+
+    spark.udtf.register("fixed_width_split", udtf(FixedWidthSplit, useArrow=True))
+    table(spark, sf_dir, "documents").select("doc_id", "text").createOrReplaceTempView(
+        "__docs_for_split"
+    )
+    return spark.sql(
+        f"SELECT doc_id, s.* FROM __docs_for_split, "
+        f"LATERAL fixed_width_split(text, {UDTF_SPLIT_PARTS}) s"
+    )
