@@ -498,3 +498,67 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round(med, 6).alias(f"med{MED_WINDOW}"),
     )
+
+
+@register(
+    "session_window_dynamic_gap",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN event_type = 'error' THEN INTERVAL 5 MINUTE
+                    ELSE INTERVAL 10 MINUTE END AS gap
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, ts,
+               MAX(ts + gap) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_end
+        FROM g
+    ),
+    s AS (
+        SELECT user_id, ts,
+               CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END
+                   AS new_s
+        FROM m
+    ),
+    i AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM s
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM i GROUP BY user_id, sid
+    """,
+    doc="Dynamic-gap session windows: per-event gap expression (5 min "
+    "after errors, 10 min otherwise) — sessions merge on overlap of "
+    "per-event [ts, ts+gap) intervals.",
+)
+def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window with a GAP EXPRESSION instead of a constant: each
+    event extends its session by its own inactivity allowance (errors
+    cool off faster here).  This is the engine-native form of
+    behavior-dependent sessionization — the alternative is a custom
+    state op.  The oracle is the general interval-merge gap-island SQL:
+    a new session starts where ts clears the running max of previous
+    (ts + gap) ends, which is exactly Spark's merge rule for dynamic
+    session windows.
+
+    Scale shape: one user-key shuffle; the engine's session merge is a
+    sort-based pass per key — same cost as the fixed-gap variant.
+    """
+    events = table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "error", F.lit("5 minutes")).otherwise(
+        F.lit("10 minutes")
+    )
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+    )
