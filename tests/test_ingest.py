@@ -593,3 +593,28 @@ def test_xml_roundtrip(spark, tmp_path):
     )
     got = {tuple(map(str, r)) for r in back.collect()}
     assert got == want
+
+
+def test_file_provenance_metadata_column(spark, tmp_path):
+    """The engine exposes per-row file provenance via the hidden
+    `_metadata` struct — the audit column a lakehouse ingest stamps into
+    silver so every row can be traced to its source file (the engine-side
+    version of the reference logging which page a record came from)."""
+    d = str(tmp_path / "multi")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(d + "/p1")
+    spark.createDataFrame([(2, "b")], "id long, v string").write.parquet(d + "/p2")
+    df = (
+        spark.read.parquet(d + "/p1", d + "/p2")
+        .select("id", F.col("_metadata.file_name").alias("src_file"))
+    )
+    rows = {r.id: r.src_file for r in df.collect()}
+    assert rows[1] != rows[2]
+    assert all(f.endswith(".parquet") for f in rows.values())
+    # provenance survives a silver rewrite when materialized as a column
+    silver = str(tmp_path / "silver")
+    spark.read.parquet(d + "/p1").select(
+        "id", "v", F.col("_metadata.file_name").alias("src_file")
+    ).write.parquet(silver)
+    back = spark.read.parquet(silver)
+    assert back.columns == ["id", "v", "src_file"]
+    assert back.first().src_file == rows[1]
