@@ -971,3 +971,47 @@ def nested_basket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_price.cast("double") / revenue.cast("double"), 9
         ).alias("top_item_share"),
     )
+
+
+@register(
+    "scalar_try_functions",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN CAST(value AS DOUBLE) - floor(value) = 0.0
+                THEN NULL ELSE NULL END AS div_by_zero,
+           try_cast(event_type AS INTEGER) AS bad_int_cast,
+           try_cast(props AS DOUBLE) AS bad_double_cast,
+           round(value / 4.0, 6) AS quarter_value
+    FROM events
+    """,
+    doc="Error-tolerant try_* expression family: try_divide by zero, "
+    "try_cast of non-numeric strings — NULL instead of job-killing "
+    "exceptions under ANSI mode.",
+)
+def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Under ANSI SQL mode (Spark 4's default) a single malformed value
+    kills the whole job — the expression-level analogue of the
+    reference's malformed-record problem.  The ``try_*`` family is the
+    engine's row-local quarantine: divide-by-zero and bad casts yield
+    NULL and the job survives, letting the quarantine-column pattern
+    (sources/bronze.py) decide what to do with the NULLs downstream.
+
+    Oracle note: DuckDB's division never raises, so the div-by-zero twin
+    is literal NULL on both sides (value-value == 0 always here), and
+    the try_casts mirror directly (event_type strings and JSON props are
+    never parseable numbers — NULL on both engines).
+
+    Scale: pure map, codegen, zero shuffles.
+    """
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.try_divide(F.col("value"), F.col("value") - F.col("value")).alias(
+            "div_by_zero"
+        ),
+        F.try_to_number(F.col("event_type"), F.lit("999")).cast("int").alias(
+            "bad_int_cast"
+        ),
+        F.expr("try_cast(props AS DOUBLE)").alias("bad_double_cast"),
+        F.round(F.try_divide(F.col("value"), F.lit(4.0)), 6).alias("quarter_value"),
+    )
