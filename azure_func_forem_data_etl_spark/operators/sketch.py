@@ -298,3 +298,46 @@ def cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.select(
         F.lit(exact).cast("long").alias("exact_join_size"), "est_join_size"
     )
+
+
+APPROX_TOPK_K = 5
+
+
+@register(
+    "approx_topk_event_types",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY event_type
+    ),
+    r AS (
+        SELECT item, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, item) AS rnk
+        FROM c
+    )
+    SELECT rnk, item, cnt FROM r WHERE rnk <= {APPROX_TOPK_K}
+    """,
+    doc=f"approx_top_k sketch aggregate: top-{APPROX_TOPK_K} event types "
+    "exploded to rows and deterministically re-ranked; exact (and "
+    "oracle-checkable) at this key cardinality.",
+)
+def approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine-native heavy-hitters aggregate (approx_top_k) beside the
+    hand-built CMS (``cms_heavy_hitters``): one JVM sketch per partition
+    merged at the driver side of the agg, constant memory, one pass.
+    Below the sketch's internal capacity the counts are exact, so on a
+    bounded-cardinality key it is hash-checkable against the exact
+    GROUP BY — which is precisely the regime where you'd trust it at
+    100 TB (hot-key monitoring over a few thousand types).  The exploded
+    rows are re-ranked by (count DESC, item) so tie order never depends
+    on sketch internals.
+    """
+    ev = table(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.expr(f"approx_top_k(event_type, {APPROX_TOPK_K})").alias("tk")
+    ).select(F.explode("tk").alias("e"))
+    flat = sk.select(
+        F.col("e.item").alias("item"), F.col("e.count").cast("long").alias("cnt")
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "item")
+    return flat.withColumn("rnk", F.row_number().over(w)).select("rnk", "item", "cnt")
