@@ -560,3 +560,29 @@ def test_velocity_profile_state_paths(spark, sf_dir):
         assert tws.TWS_AVAILABLE
     except ImportError:
         assert not tws.TWS_AVAILABLE
+
+
+def test_rocksdb_state_store_provider(spark, sf_dir):
+    """The cluster-grade state backend: re-run a stateful streaming agg
+    under RocksDBStateStoreProvider and require byte-identical results to
+    the default provider.  At 100 TB state must spill off-heap to local
+    SSD (RocksDB), not live in executor heap (HDFSBackedStateStore);
+    this proves the engine's stateful queries run unchanged under it."""
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    fn = load_all()["streaming_tumbling_window"].fn
+    baseline = {tuple(map(str, r)) for r in fn(spark, sf_dir).collect()}
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = {tuple(map(str, r)) for r in fn(spark, sf_dir).collect()}
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert rocks == baseline and len(rocks) > 0
