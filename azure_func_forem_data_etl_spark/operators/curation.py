@@ -875,6 +875,8 @@ def negative_sampling_inbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     you'd cap the pool with an explicit LIMIT-guard (same pattern as
     knn's query cap); the mod-sample keeps this tier bounded here.
     """
+    from azure_func_forem_data_etl_spark.operators._guards import assert_bounded_input
+
     docs = table(spark, sf_dir, "documents")
     anchors = docs.filter(F.col("doc_id") % NEG_ANCHOR_MOD == 0).select(
         F.col("doc_id").alias("anchor_id"), F.col("lang").alias("anchor_lang")
@@ -882,6 +884,11 @@ def negative_sampling_inbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool = docs.filter(F.col("doc_id") % NEG_POOL_MOD == NEG_POOL_RESIDUE).select(
         F.col("doc_id").alias("neg_id"), F.col("lang").alias("neg_lang")
     )
+    # The broadcast pool must stay broadcast-sized: the anchors x pool
+    # product grows quadratically with corpus size under fixed mods, so
+    # refuse loudly past the bound (same discipline as the all-pairs
+    # ground-truth tiers) — the 100 TB fix is LIMITing the pool draw.
+    assert_bounded_input(pool.select("neg_id"), "negative_sampling_inbatch pool")
     pairs = (
         anchors.crossJoin(F.broadcast(pool))
         .filter(
