@@ -1427,3 +1427,40 @@ def test_minhash_incremental_delta_only(spark):
     assert (3, 22) in pairs                          # new-vs-old found
     assert (22, 23) in pairs                         # new-vs-new found
     assert (1, 2) not in pairs                       # old-vs-old excluded
+
+
+def test_binaryfile_source_feeds_multimodal_pipeline(spark, tmp_path):
+    """Media ingestion end-to-end: raw files on disk -> binaryFile source
+    (content + path/length metadata, no decode) -> the multimodal feature
+    extractor.  This is the 100 TB media-lake entry path: the source
+    never inflates payloads, pushes a pathGlobFilter, and the Arrow
+    feature pass is the first byte-touching stage."""
+    import zlib
+
+    payloads = {f"m{i}.bin": bytes([i]) * (100 + i) for i in range(4)}
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+    (tmp_path / "ignore.txt").write_text("not media")
+
+    from azure_func_forem_data_etl_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(str(tmp_path))
+    )
+    assert set(raw.columns) == {"path", "modificationTime", "length", "content"}
+    media = raw.select(
+        F.regexp_extract(F.col("path"), r"m(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    feats = {r.doc_id: r for r in extract_media_features(media).collect()}
+    assert len(feats) == 4  # ignore.txt filtered at the source
+    for i in range(4):
+        data = payloads[f"m{i}.bin"]
+        assert feats[i].n_bytes == len(data)
+        assert feats[i].crc32 == (zlib.crc32(data) & 0xFFFFFFFF)
