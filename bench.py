@@ -98,6 +98,13 @@ BENCH_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    # Optional subset override (comma-separated names): lets CI smoke the
+    # bench CONTRACT (one parseable JSON line, correct keys) in seconds
+    # without paying for the full 53-query headline run.
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    global BENCH_QUERIES
+    if subset:
+        BENCH_QUERIES = [q.strip() for q in subset.split(",") if q.strip()]
     registry = load_all()
     # Partition-size the scans for the benchmark's data scale: test-SF files
     # are ~10 MB, so the 128 MB cluster default would scan single-partition.

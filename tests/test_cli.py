@@ -161,3 +161,36 @@ def test_storage_config_fake_cloud_roundtrip(spark, tmp_path):
     back = s.read.parquet("viewfs://fauxcloud/bronze/t")
     assert sorted((r.id, r.v) for r in back.collect()) == [(1, "a"), (2, "b")]
     assert (target / "t").exists()  # landed through the mount, on disk
+
+
+def test_bench_contract_smoke(tmp_path):
+    """The driver tail-parses bench.py's LAST stdout line as JSON
+    (metric/value/unit/queries/sf) — r2 lost its official headline to a
+    contract break, so the contract is now pinned by this smoke test on
+    a 2-query subset at sf0.001."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_QUERIES="dedup_exact_text,window_topk",
+    )
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd="/root/repo",
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    last = out.stdout.strip().splitlines()[-1]
+    d = json.loads(last)
+    assert d["metric"] == "headline_queries_total"
+    assert d["unit"] == "sec"
+    assert set(d["queries"]) == {"dedup_exact_text", "window_topk"}
+    assert d["sf"] == 0.001
+    assert d["value"] >= 0
