@@ -346,3 +346,68 @@ def eval_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mi_contrib"
         ),
     )
+
+
+#: Decision thresholds swept for the PR table (probability grid).
+PR_THRESHOLDS = tuple(round(0.1 * i, 1) for i in range(2, 9))  # 0.2 .. 0.8
+
+
+@register(
+    "eval_pr_threshold_sweep",
+    oracle=f"""
+    WITH scored AS (
+        SELECT 1.0 / (1.0 + exp(-{CAL_STEEPNESS} * embedding[1])) AS p,
+               CAST(label = {POS_LABEL} AS INT) AS is_pos
+        FROM embeddings
+    ),
+    t AS (
+        SELECT unnest(ARRAY[{", ".join(str(t) for t in PR_THRESHOLDS)}]) AS thr
+    )
+    SELECT thr,
+           CAST(COUNT(*) FILTER (WHERE p >= thr AND is_pos = 1) AS BIGINT) AS tp,
+           CAST(COUNT(*) FILTER (WHERE p >= thr AND is_pos = 0) AS BIGINT) AS fp,
+           CAST(COUNT(*) FILTER (WHERE p < thr AND is_pos = 1) AS BIGINT) AS fn,
+           round(COUNT(*) FILTER (WHERE p >= thr AND is_pos = 1)
+                 / CAST(GREATEST(COUNT(*) FILTER (WHERE p >= thr), 1) AS DOUBLE),
+                 6) AS precision_,
+           round(COUNT(*) FILTER (WHERE p >= thr AND is_pos = 1)
+                 / CAST(GREATEST(COUNT(*) FILTER (WHERE is_pos = 1), 1) AS DOUBLE),
+                 6) AS recall_
+    FROM scored CROSS JOIN t
+    GROUP BY thr
+    """,
+    doc="Precision/recall sweep over 7 decision thresholds of the "
+    "logistic-linked score — the operating-point table behind choosing "
+    "a classifier gate cut-off.",
+)
+def eval_pr_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which gate threshold to ship?  One corpus scan fans each row out
+    to the |thresholds| cells it contributes to (explode of a constant
+    array — map-side, bounded fanout), then a 7-row aggregate computes
+    confusion counts and precision/recall per operating point.  The
+    integer-ratio divisions keep both engines bit-identical.
+
+    Scale shape: fanout x7 happens before the partial aggregation, so
+    shuffle volume is |thresholds| x partitions tiny partials — the
+    sweep costs one pass no matter how many thresholds.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    p = 1.0 / (1.0 + F.exp(-CAL_STEEPNESS * F.element_at("embedding", 1).cast("double")))
+    scored = emb.select(
+        p.alias("p"), (F.col("label") == POS_LABEL).cast("int").alias("is_pos")
+    )
+    thr = F.explode(F.array(*[F.lit(t) for t in PR_THRESHOLDS])).alias("thr")
+    fan = scored.select("p", "is_pos", thr)
+    pred_pos = F.col("p") >= F.col("thr")
+    tp = F.sum(F.when(pred_pos & (F.col("is_pos") == 1), 1).otherwise(0))
+    fp = F.sum(F.when(pred_pos & (F.col("is_pos") == 0), 1).otherwise(0))
+    fn = F.sum(F.when(~pred_pos & (F.col("is_pos") == 1), 1).otherwise(0))
+    return fan.groupBy("thr").agg(
+        tp.alias("tp"),
+        fp.alias("fp"),
+        fn.alias("fn"),
+        F.round(tp / F.greatest(tp + fp, F.lit(1)).cast("double"), 6).alias(
+            "precision_"
+        ),
+        F.round(tp / F.greatest(tp + fn, F.lit(1)).cast("double"), 6).alias("recall_"),
+    )
