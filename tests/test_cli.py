@@ -194,3 +194,30 @@ def test_bench_contract_smoke(tmp_path):
     assert set(d["queries"]) == {"dedup_exact_text", "window_topk"}
     assert d["sf"] == 0.001
     assert d["value"] >= 0
+
+
+def test_registry_driver_order_rotates_evidence():
+    """The driver grades the FIRST 50 registry entries per round, so the
+    ordering contract is load-bearing evidence policy: sentinels lead,
+    every never-officially-checked query precedes every already-checked
+    one, and the never-checked block round-robins across modules so each
+    family gains official rows every round."""
+    from azure_func_forem_data_etl_spark.plans.registry import (
+        _SENTINELS,
+        _officially_checked,
+        load_all,
+    )
+
+    order = list(load_all())
+    checked = _officially_checked()
+    sentinels = [n for n in _SENTINELS if n in order]
+    assert order[: len(sentinels)] == sentinels
+    rest = order[len(sentinels):]
+    flags = [n in checked for n in rest]
+    # once the checked block starts, it never goes back to never-checked
+    assert flags == sorted(flags), "never-checked queries must precede checked ones"
+    # the first 12 never-checked entries span >= 6 distinct modules
+    never = [n for n in rest if n not in checked][:12]
+    reg = load_all()
+    mods = {reg[n].fn.__module__ for n in never}
+    assert len(mods) >= 6, f"window lacks module diversity: {mods}"
