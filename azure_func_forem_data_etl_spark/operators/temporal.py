@@ -1407,3 +1407,70 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         smooth, schema="user_id long, event_id long, ts timestamp, value double, ewma double"
     )
+
+
+@register(
+    "autocorr_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, {sql_dsum("value")} AS rev
+        FROM events GROUP BY 1
+    ),
+    pairs AS (
+        SELECT CAST(rev AS DECIMAL(18,4)) AS y,
+               CAST(lag(rev) OVER (ORDER BY day) AS DECIMAL(18,4)) AS x
+        FROM daily
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy
+        FROM pairs WHERE x IS NOT NULL
+    )
+    SELECT n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+               AS autocorr_lag1
+    FROM m
+    """,
+    doc="Lag-1 autocorrelation of daily revenue via decimal-exact moment "
+    "sums (explicit Pearson formula, not engine corr()).",
+)
+def autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is today's revenue predictive of tomorrow's?  Lag-1 Pearson
+    autocorrelation on the daily series — the one-number stationarity
+    screen read before trusting any day-over-day forecast (companion to
+    ``forecast_smape_naive``).
+
+    Engine corr() implementations disagree in last ulps (Welford vs
+    naive accumulation orders), so the moments are accumulated as exact
+    DECIMAL sums over the days-bounded pair table and Pearson is applied
+    once at the end — bit-identical in any engine and partition order.
+
+    Scale shape: corpus aggregates to one row per day first; everything
+    after runs on the ~30-row series.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        dsum("value").alias("rev")
+    )
+    w = Window.orderBy("day")
+    pairs = daily.select(
+        F.col("rev").cast("decimal(18,4)").alias("y"),
+        F.lag(F.col("rev").cast("decimal(18,4)")).over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    m = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return m.select("n", F.round(num / den, 6).alias("autocorr_lag1"))
