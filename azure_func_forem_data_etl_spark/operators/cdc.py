@@ -296,3 +296,47 @@ def state_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     ).select("user_id", "state", "valid_from")
+
+
+@register(
+    "changelog_apply_with_deletes",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, ts, event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id, ts AS last_ts, round(value, 6) AS last_value
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc="Tombstone-aware changelog apply: latest state per key, keys whose "
+    "final operation is a delete marker ('error' here) drop out of the "
+    "materialized state.",
+)
+def changelog_apply_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC with DELETE semantics — the missing third verb beside the
+    family's insert/upsert ops: a key's state is its latest change
+    UNLESS that latest change is a tombstone, in which case the key is
+    absent from the materialized view (Debezium/Kafka-compacted-topic
+    semantics; 'error' events stand in for op='d' markers on this
+    corpus).
+
+    Scale shape: one user-key window (same single sort-shuffle as
+    scd2_user_state — Catalyst shares the partitioning), then a
+    row-local verb filter.  Equivalent streaming form: the upsert
+    foreachBatch sink with a delete branch.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.round("value", 6).alias("last_value"),
+        )
+    )
