@@ -74,19 +74,50 @@ _MODULE_PRIORITY = {
 }
 
 
-def _officially_checked() -> frozenset[str]:
-    """Names that already appear in any official CORRECTNESS_r*.json."""
+def _latest_rows(root=None) -> dict[str, dict]:
+    """Latest official row per query name across CORRECTNESS_r*.json
+    (files sorted by round; later rounds overwrite earlier ones)."""
     import json
     from pathlib import Path
 
-    root = Path(__file__).resolve().parents[2]
-    names: set[str] = set()
+    root = Path(root) if root is not None else Path(__file__).resolve().parents[2]
+    latest: dict[str, dict] = {}
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
-            names.update(json.loads(path.read_text()))
+            latest.update(json.loads(path.read_text()))
         except (OSError, ValueError):
             continue
-    return frozenset(names)
+    return latest
+
+
+def _officially_checked(root=None) -> frozenset[str]:
+    """Names whose LATEST official CORRECTNESS_r*.json row is a real check.
+
+    A row counts as checked when it is a full oracle pass (``err is None``)
+    or the driver's rows-only fallback (``err == "no_oracle"`` with a
+    non-null row count).  A harness-level error (traceback in ``err``,
+    ``spark_rows`` null) does NOT count: treating *any* appearance as
+    checked would park a name whose only official record is an error at
+    the back of the rotation forever (r3 VERDICT ask #2) — error rows now
+    rotate the name back into the driver's window so its official record
+    can convert from error to green."""
+
+    def _ok(row: object) -> bool:
+        if not isinstance(row, dict):
+            return False
+        err = row.get("err")
+        if err is None:
+            return True
+        return err == "no_oracle" and row.get("spark_rows") is not None
+
+    return frozenset(n for n, row in _latest_rows(root).items() if _ok(row))
+
+
+def _errored_latest(root=None) -> frozenset[str]:
+    """Names whose LATEST official row is a harness error (not pass, not
+    rows-only).  These jump the queue: their official record is wrong until
+    a green row replaces it, so fixing that beats first-time coverage."""
+    return frozenset(_latest_rows(root)) - _officially_checked(root)
 
 
 def _driver_order(registry: dict[str, Query]) -> dict[str, Query]:
@@ -99,7 +130,14 @@ def _driver_order(registry: dict[str, Query]) -> dict[str, Query]:
         return _MODULE_PRIORITY.get(suffix, 99)
 
     sentinels = [n for n in _SENTINELS if n in registry]
-    rest = [n for n in registry if n not in sentinels]
+    # Error-latest names go right after the sentinels: the round-robin
+    # alone cannot guarantee a window slot, and an official record stuck
+    # on a harness error is worse than a missing one.
+    requeued = sorted(
+        (n for n in _errored_latest() if n in registry and n not in sentinels),
+        key=lambda n: reg_index[n],
+    )
+    rest = [n for n in registry if n not in sentinels and n not in requeued]
     # Round-robin the never-checked set ACROSS modules (modules ordered by
     # priority, names within a module by registration order): a 50-query
     # window then samples every operator family each round instead of
@@ -123,7 +161,7 @@ def _driver_order(registry: dict[str, Query]) -> dict[str, Query]:
                 nxt.append(g)
         groups = nxt
     seen = [n for n in rest if n in checked]
-    return {n: registry[n] for n in (*sentinels, *never, *seen)}
+    return {n: registry[n] for n in (*sentinels, *requeued, *never, *seen)}
 
 
 def load_all() -> dict[str, Query]:

@@ -150,7 +150,12 @@ def main() -> None:
     detail = dict(headline)
     detail["cold_value"] = round(sum(cold.values()), 3)
     detail["queries_cold"] = cold
-    Path(REPO, "BENCH_headline.json").write_text(
+    # The sidecar is the OFFICIAL full-headline record; a subset smoke run
+    # (SPARK_GRAFT_BENCH_QUERIES set) must never clobber it — r3 did, and
+    # the committed sidecar silently became a 2-query sf0.001 run.  Subset
+    # runs write to a scratch name instead.
+    sidecar = "BENCH_headline.json" if not subset else "BENCH_smoke.json"
+    Path(REPO, sidecar).write_text(
         json.dumps(detail, separators=(",", ":"))
     )
     spark.stop()

@@ -178,6 +178,10 @@ def test_bench_contract_smoke(tmp_path):
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_BENCH_QUERIES="dedup_exact_text,window_topk",
     )
+    # A subset smoke run must never clobber the official full-headline
+    # sidecar (it did in r3 — ADVICE high): pin its bytes across the run.
+    sidecar = "/root/repo/BENCH_headline.json"
+    before = open(sidecar, "rb").read() if os.path.exists(sidecar) else None
     out = subprocess.run(
         [sys.executable, "bench.py"],
         cwd="/root/repo",
@@ -194,6 +198,9 @@ def test_bench_contract_smoke(tmp_path):
     assert set(d["queries"]) == {"dedup_exact_text", "window_topk"}
     assert d["sf"] == 0.001
     assert d["value"] >= 0
+    after = open(sidecar, "rb").read() if os.path.exists(sidecar) else None
+    assert after == before, "subset bench run clobbered BENCH_headline.json"
+    assert os.path.exists("/root/repo/BENCH_smoke.json")
 
 
 def test_registry_driver_order_rotates_evidence():
@@ -221,3 +228,30 @@ def test_registry_driver_order_rotates_evidence():
     reg = load_all()
     mods = {reg[n].fn.__module__ for n in never}
     assert len(mods) >= 6, f"window lacks module diversity: {mods}"
+
+
+def test_registry_error_rows_requeue(tmp_path):
+    """A name whose LATEST official row is a harness error must NOT count
+    as officially checked (it re-enters the rotation window); pass and
+    rows-only rows do count.  Pinned after r3 VERDICT ask #2: the old
+    any-appearance rule parked error-only names at the back forever."""
+    import json
+
+    from azure_func_forem_data_etl_spark.plans.registry import (
+        _errored_latest,
+        _officially_checked,
+    )
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "q_pass": {"err": None, "spark_rows": 5},
+        "q_rowsonly": {"err": "no_oracle", "spark_rows": 7},
+        "q_error": {"err": "Traceback ... boom", "spark_rows": None},
+        "q_fixed_later": {"err": "Traceback ... boom", "spark_rows": None},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "q_fixed_later": {"err": None, "spark_rows": 3},
+    }))
+
+    checked = _officially_checked(tmp_path)
+    assert checked == {"q_pass", "q_rowsonly", "q_fixed_later"}
+    assert _errored_latest(tmp_path) == {"q_error"}
