@@ -26,6 +26,7 @@ deterministic TakeOrdered-by-hash sample, O(k·dim) on the driver.
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Iterator
 
 import numpy as np
@@ -40,6 +41,8 @@ from azure_func_forem_data_etl_spark.operators.similarity import (
 )
 from azure_func_forem_data_etl_spark.plans.registry import register
 from azure_func_forem_data_etl_spark.sources.tables import scale_out, table
+
+_LOG = logging.getLogger(__name__)
 
 KMEANS_K = 32
 KMEANS_ITERS = 5
@@ -409,6 +412,29 @@ def semdedup(
     from azure_func_forem_data_etl_spark.operators.similarity import cosine_expr
 
     assigned = kmeans_assignments_with_dist(emb, C).localCheckpoint()
+    # Cap truncation must be OBSERVABLE (ADVICE r3): a mega-cluster that
+    # degrades to a deterministic prefix silently hides undetected
+    # duplicates.  One cheap k-bounded agg over the checkpointed
+    # assignments reports how much the cap dropped.
+    over = (
+        assigned.groupBy("cluster_id")
+        .count()
+        .filter(F.col("count") > cluster_cap)
+        .agg(
+            F.count("*").alias("capped_clusters"),
+            F.sum(F.col("count") - F.lit(cluster_cap)).alias("dropped_members"),
+        )
+        .first()
+    )
+    if over is not None and (over.capped_clusters or 0) > 0:
+        _LOG.warning(
+            "semdedup: cluster cap %d truncated %d cluster(s), dropping %d "
+            "member(s) from pairing — duplicates among dropped members go "
+            "undetected; raise cluster_cap or k to shrink clusters",
+            cluster_cap,
+            over.capped_clusters,
+            over.dropped_members,
+        )
     capped = assigned.withColumn(
         "__rn",
         F.row_number().over(

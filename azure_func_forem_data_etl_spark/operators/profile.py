@@ -964,6 +964,7 @@ HILL_TOP_K = 200  # order statistics used by the Hill estimator
            CAST(COUNT(*) AS BIGINT) AS k_used,
            CAST(MAX(x_k) AS DOUBLE) AS x_k
     FROM topk, xk
+    HAVING COUNT(*) >= 2
     """,
     doc=f"Hill tail-index estimator over the top-{HILL_TOP_K} event values: "
     "alpha-hat = ((1/(k-1)) * sum ln(x_i / x_k))^-1 — heavy-tail "
@@ -1000,4 +1001,6 @@ def tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hill_alpha"),
         F.count("*").alias("k_used"),
         F.max("x_k").cast("double").alias("x_k"),
-    )
+        # a single positive value makes the (k-1) divisor zero -> NaN/inf
+        # row (ADVICE r3); the estimator is undefined there, so emit empty
+    ).filter(F.col("k_used") >= 2)

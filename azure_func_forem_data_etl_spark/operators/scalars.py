@@ -1009,9 +1009,10 @@ def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(F.col("value"), F.col("value") - F.col("value")).alias(
             "div_by_zero"
         ),
-        F.try_to_number(F.col("event_type"), F.lit("999")).cast("int").alias(
-            "bad_int_cast"
-        ),
+        # try_cast mirrors the oracle's try_cast exactly; try_to_number with
+        # a '999' format would diverge on numeric strings over 3 digits
+        # (ADVICE r3) — event_type never is one today, but exact-twin > luck.
+        F.expr("try_cast(event_type AS INT)").alias("bad_int_cast"),
         F.expr("try_cast(props AS DOUBLE)").alias("bad_double_cast"),
         F.round(F.try_divide(F.col("value"), F.lit(4.0)), 6).alias("quarter_value"),
     )

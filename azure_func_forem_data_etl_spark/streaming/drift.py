@@ -97,7 +97,53 @@ def cusum_drift_stream(events: DataFrame) -> DataFrame:
 
 @register(
     "streaming_cusum_drift",
-    oracle=None,  # non-linear recurrence: no SQL equivalent; pandas-replay tested
+    # The clamp+reset recurrence IS SQL-expressible as a sequential fold:
+    # DuckDB's list_reduce over the (ts, value)-ordered event list carries
+    # (S, n) plus a string-encoded alarm log (flat accumulator — nested
+    # list accumulators miscompute in list_reduce lambdas on duckdb 1.0),
+    # floats formatted %.17g for exact round-trip.  Same IEEE op order as
+    # the pandas fold => bit-identical cusum values.  (r3 VERDICT ask #4:
+    # this was the only streaming rows-only query.)
+    oracle=r"""
+    WITH ordered AS (
+      SELECT event_type, ts, event_id, CAST(value AS DOUBLE) AS v FROM events
+    ),
+    packed AS (
+      SELECT event_type,
+             list(struct_pack(ts := ts, v := v) ORDER BY ts, event_id) AS xs
+      FROM ordered GROUP BY event_type
+    ),
+    folded AS (
+      SELECT event_type,
+        list_reduce(
+          list_prepend(
+            {'s': CAST(0 AS DOUBLE), 'n': CAST(0 AS BIGINT),
+             'ts': TIMESTAMP '1970-01-01', 'v': CAST(0 AS DOUBLE), 'acc': ''},
+            list_transform(xs, x -> {'s': CAST(0 AS DOUBLE), 'n': CAST(0 AS BIGINT),
+             'ts': x.ts, 'v': x.v, 'acc': ''})
+          ),
+          (acc, x) -> CASE
+            WHEN greatest(CAST(0 AS DOUBLE), acc.s + (x.v - 60.0)) > 200.0
+            THEN {'s': CAST(0 AS DOUBLE), 'n': CAST(0 AS BIGINT), 'ts': x.ts, 'v': x.v,
+                  'acc': acc.acc || strftime(x.ts, '%Y-%m-%d %H:%M:%S.%f') || '|' ||
+                         format('{:.17g}', greatest(CAST(0 AS DOUBLE), acc.s + (x.v - 60.0))) || '|' ||
+                         CAST(acc.n + 1 AS VARCHAR) || ';'}
+            ELSE {'s': greatest(CAST(0 AS DOUBLE), acc.s + (x.v - 60.0)),
+                  'n': acc.n + 1, 'ts': x.ts, 'v': x.v, 'acc': acc.acc}
+          END
+        ).acc AS alarms_str
+      FROM packed
+    ),
+    split AS (
+      SELECT event_type, unnest(string_split(rtrim(alarms_str, ';'), ';')) AS rec
+      FROM folded WHERE alarms_str <> ''
+    )
+    SELECT event_type,
+           CAST(string_split(rec, '|')[1] AS TIMESTAMP) AS drift_ts,
+           CAST(string_split(rec, '|')[2] AS DOUBLE) AS cusum,
+           CAST(string_split(rec, '|')[3] AS BIGINT) AS n_since_reset
+    FROM split
+    """,
     doc="Streaming CUSUM level-shift detector (applyInPandasWithState): "
     "per-event-type running S = max(0, S + x - k), alarm + reset at h; "
     "state is one float per monitored series.",

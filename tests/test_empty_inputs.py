@@ -275,3 +275,22 @@ def test_round3_batch4_ops_on_empty_inputs(spark, empty_sf):
         "dp_noisy_lang_counts",
     ):
         assert reg[name].fn(spark, empty_sf).count() == 0, name
+
+
+def test_tail_index_hill_degenerate_inputs(spark, empty_sf, tmp_path):
+    """Hill estimator: empty events and a single positive value must both
+    yield an EMPTY result (k-1 divisor would be 0 -> NaN/inf row;
+    ADVICE r3 flagged the missing guard + missing sweep coverage)."""
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    reg = load_all()
+    assert reg["tail_index_hill"].fn(spark, empty_sf).count() == 0
+
+    one = tmp_path / "one_event_sf"
+    one.mkdir()
+    spark.createDataFrame(
+        [(1, None, 7, "click", 42.0, "{}")],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(one / "events.parquet"))
+    assert reg["tail_index_hill"].fn(spark, str(one)).count() == 0

@@ -1464,3 +1464,161 @@ def test_binaryfile_source_feeds_multimodal_pipeline(spark, tmp_path):
         data = payloads[f"m{i}.bin"]
         assert feats[i].n_bytes == len(data)
         assert feats[i].crc32 == (zlib.crc32(data) & 0xFFFFFFFF)
+
+
+def _bpe_sequential_py(word_counts: dict, n_merges: int):
+    """Pure-Python textbook sequential BPE (the oracle for the distributed
+    learner's merge-batch planner): full pair recount each round, argmax by
+    (count desc, lex asc), greedy leftmost rewrite."""
+    syms = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs: dict = {}
+        for s, c in syms.items():
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] = pairs.get((s[i], s[i + 1]), 0) + c
+        if not pairs:
+            break
+        best = min(pairs, key=lambda p: (-pairs[p], p))
+        a, b = best
+        merged = a + b
+        merges.append((rank, a, b, merged, pairs[best]))
+        new_syms: dict = {}
+        for s, c in syms.items():
+            res = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            new_syms[tuple(res)] = new_syms.get(tuple(res), 0) + c
+        syms = new_syms
+    return merges
+
+
+def _bpe_batched_py(word_counts: dict, n_merges: int, max_batch: int = 8):
+    """Driver-loop mirror of bpe_learn's round structure, minus Spark:
+    gram stats from the current word table, _simulate_batch plans, greedy
+    rewrite applies — so hypothesis can hammer the planner's interval
+    algebra on corpora full of self-pairs, overlaps, and collisions."""
+    from azure_func_forem_data_etl_spark.operators.tokenize import _simulate_batch
+
+    syms = {tuple(w): c for w, c in word_counts.items()}
+    merges: list = []
+    while len(merges) < n_merges:
+        pairs: dict = {}
+        tris: dict = {}
+        for s, c in syms.items():
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] = pairs.get((s[i], s[i + 1]), 0) + c
+            for i in range(len(s) - 2):
+                g = (s[i], s[i + 1], s[i + 2])
+                tris[g] = tris.get(g, 0) + c
+        if not pairs:
+            break
+        batch = _simulate_batch(pairs, tris, min(max_batch, n_merges - len(merges)))
+        if not batch:
+            break
+        for a, b, cnt in batch:
+            merges.append((len(merges) + 1, a, b, a + b, cnt))
+            new_syms: dict = {}
+            for s, c in syms.items():
+                res = []
+                i = 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(s[i])
+                        i += 1
+                new_syms[tuple(res)] = new_syms.get(tuple(res), 0) + c
+            syms = new_syms
+    return merges
+
+
+def test_bpe_simulate_batch_matches_sequential_property():
+    """The merge-batch planner must be choice-, order-, and count-identical
+    to sequential BPE on adversarial corpora: tiny alphabet forces
+    self-pairs ('aa'), overlap contexts ('abab'), chained merges, and
+    merged-string collisions ('a'+'b' when 'ab'-ish symbols recur)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abc", min_size=1, max_size=8)
+    corpus = st.dictionaries(word, st.integers(min_value=1, max_value=9),
+                             min_size=1, max_size=12)
+
+    @settings(max_examples=300, deadline=None)
+    @given(corpus)
+    def check(wc):
+        assert _bpe_batched_py(wc, 10) == _bpe_sequential_py(wc, 10)
+
+    check()
+
+
+def test_bpe_batched_identical_and_3x_fewer_jobs(spark):
+    """r3 VERDICT ask #3 acceptance: identical merge table at n_merges=24
+    on the real corpus, with >=3x fewer Spark jobs than one-merge-per-round
+    (the r3 loop's scheduling-latency wall at real vocab budgets)."""
+    from azure_func_forem_data_etl_spark.operators.tokenize import bpe_learn
+    from azure_func_forem_data_etl_spark.sources.tables import table
+
+    sc = spark.sparkContext
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+
+    def run(max_batch, group):
+        sc.setJobGroup(group, group)
+        stats: dict = {}
+        out = [
+            (r.merge_rank, r.left_sym, r.right_sym, r.merged_sym, r.pair_count)
+            for r in bpe_learn(docs, 24, max_batch=max_batch, stats=stats)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        sc.setJobGroup("", "")
+        return out, stats["rounds"], len(sc.statusTracker().getJobIdsForGroup(group))
+
+    batched, rounds_b, jobs_b = run(8, "bpe-batched-test")
+    seq, rounds_s, jobs_s = run(1, "bpe-seq-test")
+    assert batched == seq
+    assert len(batched) == 24
+    assert rounds_s == 24
+    assert rounds_b * 3 <= rounds_s
+    assert jobs_b * 3 <= jobs_s
+
+
+def test_bpe_learn_symbols_with_quotes(spark):
+    """Learned symbols containing quotes/backslashes must not break the
+    learner (ADVICE r3: symbols were once interpolated into SQL text)."""
+    from azure_func_forem_data_etl_spark.operators.tokenize import bpe_learn
+
+    words = (["do'nt"] * 9) + (["ca\\n't"] * 4)
+    docs = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    got = [
+        (r.left_sym, r.right_sym, r.merged_sym, r.pair_count)
+        for r in bpe_learn(docs, 4).orderBy("merge_rank").collect()
+    ]
+    ref = _bpe_sequential_py({"do'nt": 9, "ca\\n't": 4}, 4)
+    assert got == [(a, b, m, c) for _, a, b, m, c in ref]
+    assert any("'" in m for _, _, m, _ in got)
+
+
+def test_semdedup_cluster_cap_truncation_is_observable(spark, caplog):
+    """When the per-cluster pairing cap truncates, semdedup must say so
+    (ADVICE r3: silent truncation hides undetected duplicates)."""
+    import logging
+
+    from azure_func_forem_data_etl_spark.operators.clustering import semdedup
+
+    # 12 near-identical vectors -> one cluster; cap 4 must truncate it
+    rows = [(i, [1.0, 0.0, 0.001 * i], 0) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    with caplog.at_level(logging.WARNING,
+                         logger="azure_func_forem_data_etl_spark.operators.clustering"):
+        semdedup(emb, cluster_cap=4, k=2).count()
+    assert any("truncated" in r.message and "dropped" in r.message
+               for r in caplog.records)
