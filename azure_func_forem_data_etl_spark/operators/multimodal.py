@@ -24,6 +24,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from azure_func_forem_data_etl_spark.operators.codecs import (
+    decode_png,
+    decode_wav,
+    is_png,
+    is_wav,
+)
 from azure_func_forem_data_etl_spark.plans.registry import register
 from azure_func_forem_data_etl_spark.sources.tables import table
 
@@ -46,15 +52,29 @@ def with_binary_column(docs: DataFrame) -> DataFrame:
 
 
 def _fake_decode_image(buf: bytes) -> tuple[int, int, int]:
-    """STUB decoder — deterministic stand-in for PIL.Image.open().
-
-    A real deployment replaces this with the actual decoder; the Spark
-    plumbing around it (Arrow batches, schema, parallelism) is unchanged.
-    """
+    """STUB decoder — deterministic fallback for payloads that are not a
+    supported real format (see ``_decode_image``)."""
     width = 1 + len(buf) % 512
     height = 1 + (buf[0] if buf else 0) * 2
     checksum = zlib.crc32(buf) & 0xFFFFFFFF
     return width, height, checksum
+
+
+def _decode_image(buf: bytes) -> tuple[int, int, int, bytes]:
+    """(width, height, crc32, decoded_bytes): REAL pure-Python PNG decode
+    (operators/codecs.py) when the payload is a PNG — true dimensions from
+    IHDR, pixels via IDAT inflate + filter inversion, checksum over the
+    decoded pixel buffer; deterministic stub otherwise (the payload bytes
+    themselves stand in for pixels)."""
+    if is_png(buf):
+        try:
+            px = decode_png(buf)
+            decoded = px.tobytes()
+            return px.shape[1], px.shape[0], zlib.crc32(decoded) & 0xFFFFFFFF, decoded
+        except ValueError:
+            pass  # unsupported PNG subtype -> stub fallback
+    width, height, checksum = _fake_decode_image(buf)
+    return width, height, checksum, buf
 
 
 _FEATURE_SCHEMA = T.StructType(
@@ -77,16 +97,16 @@ def _feature_mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
         for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
             buf = bytes(buf)
-            width, height, checksum = _fake_decode_image(buf)
-            # "frame sampling": one CRC per FRAME_BYTES block (video stand-in)
+            width, height, checksum, decoded = _decode_image(buf)
+            # "frame sampling": one CRC per FRAME_BYTES block of decoded data
             frames = [
-                zlib.crc32(buf[i : i + FRAME_BYTES]) & 0xFFFFFFFF
-                for i in range(0, len(buf), FRAME_BYTES)
+                zlib.crc32(decoded[i : i + FRAME_BYTES]) & 0xFFFFFFFF
+                for i in range(0, len(decoded), FRAME_BYTES)
             ]
-            # "embedding": first 16 bytes, zero-padded, L2-normalized
-            raw = np.frombuffer(buf[:16].ljust(16, b"\0"), dtype=np.uint8).astype(
-                np.float32
-            )
+            # "embedding": first 16 decoded bytes, zero-padded, L2-normalized
+            raw = np.frombuffer(
+                decoded[:16].ljust(16, b"\0"), dtype=np.uint8
+            ).astype(np.float32)
             norm = float(np.linalg.norm(raw)) or 1.0
             rows.append(
                 (

@@ -65,9 +65,13 @@ def cms_estimate(cms: DataFrame, probe_tokens: DataFrame, token_col: str = "toke
             )
         ).alias("r"),
     ).select(token_col, "r.depth", "r.bucket")
+    # Broadcast the CMS, not the probes: the LEFT side of a left-outer
+    # join is not hash-buildable, so a hint there is silently ignored
+    # (r3 sim log's HintErrorLogger warning).  The counter matrix is
+    # bounded at DEPTH*WIDTH rows — the textbook broadcast side — and the
+    # probe side streams, which also holds when callers probe many tokens.
     return (
-        F.broadcast(probes)
-        .join(cms, ["depth", "bucket"], "left")
+        probes.join(F.broadcast(cms), ["depth", "bucket"], "left")
         .na.fill({"cnt": 0})
         .groupBy(token_col)
         .agg(F.min("cnt").alias("est"))
