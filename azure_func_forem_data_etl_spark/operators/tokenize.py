@@ -322,51 +322,62 @@ def bpe_learn(
     prev: DataFrame | None = None
     merges: list[tuple] = []
     rounds = 0
-    while len(merges) < n_merges:
-        grams = _gram_counts(syms)
-        if tau > 1:
-            grams = grams.filter(F.col("c") >= tau)
-        rows = grams.collect()  # the round's single stats job
+    # The finally block releases whatever is still cached when the loop
+    # exits (the final syms, plus prev when the last round was not a
+    # checkpoint round) — without it every bpe_learn call leaks
+    # MEMORY_AND_DISK blocks for the session lifetime (ADVICE r4).
+    try:
+        while len(merges) < n_merges:
+            grams = _gram_counts(syms)
+            if tau > 1:
+                grams = grams.filter(F.col("c") >= tau)
+            rows = grams.collect()  # the round's single stats job
+            if prev is not None:
+                prev.unpersist()
+                prev = None
+            pairs: dict = {}
+            tris: dict = {}
+            for r in rows:
+                g = tuple(r.g)
+                (pairs if len(g) == 2 else tris)[g] = r.c
+            if not pairs:
+                break
+            rounds += 1
+            batch = _simulate_batch(
+                pairs, tris, min(max_batch, n_merges - len(merges)), tau
+            )
+            if not batch:
+                break
+            triples = []
+            for a, b, c in batch:
+                merges.append((len(merges) + 1, a, b, a + b, c))
+                triples.append((a, b, a + b))
+            # Affected-word prefilter: a word can only contain the (possibly
+            # chained) pair if its flattened text contains the merged string —
+            # a conservative superset, safe because the rewrite no-ops on
+            # false positives.  Built from lit() columns, never interpolated
+            # SQL text: learned symbols may contain quotes or backslashes.
+            joined = F.array_join("s", "")
+            has_any = joined.contains(F.lit(triples[0][2]))
+            for _, _, m in triples[1:]:
+                has_any = has_any | joined.contains(F.lit(m))
+            rewritten = syms.filter(has_any).mapInPandas(
+                _apply_merges(triples), schema="n long, s array<string>"
+            )
+            new_syms = (
+                syms.filter(~has_any).unionByName(rewritten).coalesce(n_part)
+            )
+            if rounds % BPE_CHECKPOINT_EVERY == 0:
+                new_syms = new_syms.localCheckpoint()
+                syms.unpersist()
+            else:
+                new_syms.persist(StorageLevel.MEMORY_AND_DISK)
+                prev = syms  # unpersist once the next stats job runs
+            syms = new_syms
+    finally:
+        syms.unpersist()
         if prev is not None:
             prev.unpersist()
-            prev = None
-        pairs: dict = {}
-        tris: dict = {}
-        for r in rows:
-            g = tuple(r.g)
-            (pairs if len(g) == 2 else tris)[g] = r.c
-        if not pairs:
-            break
-        rounds += 1
-        batch = _simulate_batch(
-            pairs, tris, min(max_batch, n_merges - len(merges)), tau
-        )
-        if not batch:
-            break
-        triples = []
-        for a, b, c in batch:
-            merges.append((len(merges) + 1, a, b, a + b, c))
-            triples.append((a, b, a + b))
-        # Affected-word prefilter: a word can only contain the (possibly
-        # chained) pair if its flattened text contains the merged string —
-        # a conservative superset, safe because the rewrite no-ops on
-        # false positives.  Built from lit() columns, never interpolated
-        # SQL text: learned symbols may contain quotes or backslashes.
-        joined = F.array_join("s", "")
-        has_any = joined.contains(F.lit(triples[0][2]))
-        for _, _, m in triples[1:]:
-            has_any = has_any | joined.contains(F.lit(m))
-        rewritten = syms.filter(has_any).mapInPandas(
-            _apply_merges(triples), schema="n long, s array<string>"
-        )
-        new_syms = syms.filter(~has_any).unionByName(rewritten).coalesce(n_part)
-        if rounds % BPE_CHECKPOINT_EVERY == 0:
-            new_syms = new_syms.localCheckpoint()
-            syms.unpersist()
-        else:
-            new_syms.persist(StorageLevel.MEMORY_AND_DISK)
-            prev = syms  # unpersist once the next stats job materializes new_syms
-        syms = new_syms
     if stats is not None:
         stats["rounds"] = rounds
     return spark.createDataFrame(

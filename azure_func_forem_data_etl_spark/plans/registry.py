@@ -120,6 +120,24 @@ def _errored_latest(root=None) -> frozenset[str]:
     return frozenset(_latest_rows(root)) - _officially_checked(root)
 
 
+def _upgraded_latest(registry: dict[str, Query], root=None) -> frozenset[str]:
+    """Names whose registered check STRENGTHENED since their latest official
+    row: the latest CORRECTNESS row is the weaker rows-only fallback
+    (``err == "no_oracle"``) but the registry now carries an oracle for the
+    name (e.g. ``streaming_cusum_drift`` gained a DuckDB twin in r4 after
+    its r3 rows-only row).  Treating these as already-checked would park the
+    stronger check behind every never-checked name (r4 VERDICT ask #3), so
+    they jump the queue like error-latest names do."""
+    upgraded = set()
+    for name, row in _latest_rows(root).items():
+        q = registry.get(name)
+        if q is None or q.oracle is None:
+            continue
+        if isinstance(row, dict) and row.get("err") == "no_oracle":
+            upgraded.add(name)
+    return frozenset(upgraded)
+
+
 def _driver_order(registry: dict[str, Query]) -> dict[str, Query]:
     checked = _officially_checked()
     reg_index = {name: i for i, name in enumerate(registry)}
@@ -132,9 +150,12 @@ def _driver_order(registry: dict[str, Query]) -> dict[str, Query]:
     sentinels = [n for n in _SENTINELS if n in registry]
     # Error-latest names go right after the sentinels: the round-robin
     # alone cannot guarantee a window slot, and an official record stuck
-    # on a harness error is worse than a missing one.
+    # on a harness error is worse than a missing one.  Check-upgraded names
+    # (rows-only row, oracle now registered) follow for the same reason:
+    # their official record is stale-weaker than the current check.
+    jump = _errored_latest() | _upgraded_latest(registry)
     requeued = sorted(
-        (n for n in _errored_latest() if n in registry and n not in sentinels),
+        (n for n in jump if n in registry and n not in sentinels),
         key=lambda n: reg_index[n],
     )
     rest = [n for n in registry if n not in sentinels and n not in requeued]

@@ -68,12 +68,19 @@ def _drift_group(
     else:
         s, n = 0.0, 0
 
+    # The clamp+reset recurrence is inherently sequential, but the loop
+    # body need not pay pandas row-materialization costs: zipping the two
+    # backing arrays is ~10x cheaper per row than iterrows() while keeping
+    # the exact same IEEE operation order (r4 VERDICT ask #5 — the
+    # batch-equivalence test in tests/test_streaming.py stays bit-identical).
     rows: list[tuple[str, pd.Timestamp, float, int]] = []
-    for _, r in pdf.iterrows():
-        s = max(0.0, s + (float(r["value"]) - CUSUM_K))
+    ts_arr = pdf["ts"].to_numpy()
+    val_arr = pdf["value"].to_numpy(dtype="float64")
+    for ts, x in zip(ts_arr, val_arr):
+        s = max(0.0, s + (x - CUSUM_K))
         n += 1
         if s > CUSUM_H:
-            rows.append((event_type, r["ts"], s, n))
+            rows.append((event_type, pd.Timestamp(ts), s, n))
             s, n = 0.0, 0
     state.update((float(s), int(n)))
     yield pd.DataFrame(

@@ -210,8 +210,11 @@ def test_registry_driver_order_rotates_evidence():
     one, and the never-checked block round-robins across modules so each
     family gains official rows every round."""
     from azure_func_forem_data_etl_spark.plans.registry import (
+        REGISTRY,
         _SENTINELS,
+        _errored_latest,
         _officially_checked,
+        _upgraded_latest,
         load_all,
     )
 
@@ -219,7 +222,14 @@ def test_registry_driver_order_rotates_evidence():
     checked = _officially_checked()
     sentinels = [n for n in _SENTINELS if n in order]
     assert order[: len(sentinels)] == sentinels
-    rest = order[len(sentinels):]
+    # requeued block (error-latest + check-upgraded names) directly after
+    # the sentinels, before the never-checked round-robin
+    jump = (_errored_latest() | _upgraded_latest(REGISTRY)) - set(sentinels)
+    n_jump = len([n for n in jump if n in order])
+    assert set(order[len(sentinels): len(sentinels) + n_jump]) == {
+        n for n in jump if n in order
+    }
+    rest = order[len(sentinels) + n_jump:]
     flags = [n in checked for n in rest]
     # once the checked block starts, it never goes back to never-checked
     assert flags == sorted(flags), "never-checked queries must precede checked ones"
@@ -255,3 +265,30 @@ def test_registry_error_rows_requeue(tmp_path):
     checked = _officially_checked(tmp_path)
     assert checked == {"q_pass", "q_rowsonly", "q_fixed_later"}
     assert _errored_latest(tmp_path) == {"q_error"}
+
+
+def test_registry_check_upgraded_rows_requeue(tmp_path):
+    """A name whose latest official row is rows-only but whose registered
+    check has since gained an oracle must jump the queue like error rows:
+    its official record is stale-weaker than the current check (r4 VERDICT
+    ask #3, e.g. streaming_cusum_drift after its r4 oracle landed)."""
+    import json
+
+    from azure_func_forem_data_etl_spark.plans.registry import (
+        Query,
+        _upgraded_latest,
+    )
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "q_now_oracled": {"err": "no_oracle", "spark_rows": 7},
+        "q_still_rowsonly": {"err": "no_oracle", "spark_rows": 4},
+        "q_full_pass": {"err": None, "spark_rows": 5},
+    }))
+    fake = lambda: None  # noqa: E731 — module attr only
+    fake.__module__ = "tests.fake"
+    registry = {
+        "q_now_oracled": Query("q_now_oracled", fake, "SELECT 1", ""),
+        "q_still_rowsonly": Query("q_still_rowsonly", fake, None, ""),
+        "q_full_pass": Query("q_full_pass", fake, "SELECT 1", ""),
+    }
+    assert _upgraded_latest(registry, tmp_path) == {"q_now_oracled"}

@@ -1356,6 +1356,23 @@ def test_bpe_learn_textbook_corpus(spark):
     ]
 
 
+def test_bpe_learn_releases_all_cached_blocks(spark):
+    """bpe_learn persists the evolving symbol table round over round; every
+    cached block must be released by the time it returns, or repeated
+    callers (the bench harness) accumulate MEMORY_AND_DISK blocks for the
+    session lifetime (ADVICE r4)."""
+    from azure_func_forem_data_etl_spark.operators.tokenize import bpe_learn
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    before = n_cached()
+    words = (["low"] * 5) + (["lower"] * 2) + (["newest"] * 6)
+    docs = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    bpe_learn(docs, n_merges=5).collect()
+    assert n_cached() == before
+
+
 def test_label_propagation_planted_cliques(spark):
     """Two 4-cliques joined by one bridge edge: LPA must keep the cliques
     in distinct communities (CC would merge them through the bridge)."""
