@@ -67,8 +67,61 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     return x[: n_frames * n_ch].reshape(n_frames, n_ch), rate
 
 
+#: Decode bound: filter inversion for Average/Paeth rows is a per-byte
+#: Python loop (inherently sequential in x — each byte needs the already-
+#: reconstructed left neighbor), so images beyond this many pixels raise
+#: ValueError and the multimodal mappers fall back to the stub tier.
+#: 256x256 covers the thumbnail/fixture sizes this engine decodes in-line;
+#: a production deployment swaps in PIL/libpng behind the same sniff.
+PNG_MAX_PIXELS = 256 * 256
+
+
+def encode_wav(frames: np.ndarray, rate: int, sampwidth: int = 2) -> bytes:
+    """Minimal WAV writer (stdlib ``wave``) — fixtures, round-trip tests,
+    and the synthetic media column.
+
+    ``frames``: (n_frames,) or (n_frames, n_channels) SIGNED sample array;
+    8-bit output is stored unsigned per the WAV spec (decode_wav
+    re-centers), 24-bit packs 3-byte little-endian two's complement.
+    """
+    fr = np.asarray(frames)
+    if fr.ndim == 1:
+        fr = fr[:, None]
+    _n_frames, n_ch = fr.shape
+    if sampwidth == 1:
+        raw = (fr.astype(np.int32) + 128).astype(np.uint8).tobytes()
+    elif sampwidth == 2:
+        raw = fr.astype("<i2").tobytes()
+    elif sampwidth == 4:
+        raw = fr.astype("<i4").tobytes()
+    elif sampwidth == 3:
+        v = fr.astype(np.int64).reshape(-1)
+        v = np.where(v < 0, v + (1 << 24), v)
+        b = np.zeros((v.size, 3), dtype=np.uint8)
+        b[:, 0] = v & 0xFF
+        b[:, 1] = (v >> 8) & 0xFF
+        b[:, 2] = (v >> 16) & 0xFF
+        raw = b.tobytes()
+    else:
+        raise ValueError(f"WAV: unsupported sample width {sampwidth}")
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(n_ch)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        w.writeframes(raw)
+    return bio.getvalue()
+
+
 def _unfilter_scanlines(raw: bytes, width: int, height: int, ch: int) -> np.ndarray:
-    """Invert PNG's per-scanline filters -> (height, width*ch) uint8."""
+    """Invert PNG's per-scanline filters -> (height, width*ch) uint8.
+
+    None/Up are whole-row numpy ops; Sub is an exact per-channel-lane
+    cumsum (uint8 wraparound == mod-256 on an int32 cumsum); Average and
+    Paeth remain per-byte loops because each output byte depends on the
+    just-reconstructed left neighbor — the PNG_MAX_PIXELS bound keeps that
+    Python loop off any large-image hot path.
+    """
     stride = width * ch
     if len(raw) < height * (stride + 1):
         raise ValueError("PNG: truncated IDAT payload")
@@ -81,10 +134,10 @@ def _unfilter_scanlines(raw: bytes, width: int, height: int, ch: int) -> np.ndar
         pos += stride + 1
         if ftype == 0:  # None
             cur = line
-        elif ftype == 1:  # Sub: add left (per channel offset ch)
-            cur = line
-            for i in range(ch, stride):
-                cur[i] = (int(cur[i]) + int(cur[i - ch])) & 0xFF
+        elif ftype == 1:  # Sub: add left — per-lane cumsum mod 256
+            cur = (
+                line.reshape(width, ch).astype(np.int32).cumsum(axis=0) % 256
+            ).astype(np.uint8).reshape(stride)
         elif ftype == 2:  # Up
             cur = (line.astype(np.int16) + prev).astype(np.uint8)
         elif ftype == 3:  # Average
@@ -140,6 +193,12 @@ def decode_png(buf: bytes) -> np.ndarray:
         raise ValueError(
             f"PNG: unsupported format (depth={bit_depth}, color={color_type}, "
             f"interlace={interlace})"
+        )
+    if width * height > PNG_MAX_PIXELS:
+        raise ValueError(
+            f"PNG: {width}x{height} exceeds the in-line decode bound "
+            f"({PNG_MAX_PIXELS} px) — Average/Paeth inversion is per-byte "
+            "Python; use a native decoder for large images"
         )
     ch = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))

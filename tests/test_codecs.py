@@ -1,0 +1,292 @@
+"""Direct tests for operators/codecs.py — the real PNG/WAV decode paths
+(r4 VERDICT ask #2c): PNG round-trips per filter type (0-4) and per color
+type, WAV round-trips at every sample width, truncated/corrupt-input
+behavior, and the multimodal mappers' sniff-dispatch + stub fallback."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from azure_func_forem_data_etl_spark.operators.codecs import (
+    PNG_MAGIC,
+    PNG_MAX_PIXELS,
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+    is_png,
+    is_wav,
+)
+
+
+def _pixels(h: int, w: int, ch: int, seed: int = 7) -> np.ndarray:
+    y, x, c = np.indices((h, w, ch))
+    return ((seed * 31 + y * 17 + x * 7 + c * 3) % 256).astype(np.uint8)
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+
+def _encode_png_filtered(px: np.ndarray, ftypes: list[int]) -> bytes:
+    """Reference PNG encoder applying a CHOSEN filter type per scanline —
+    exercises decode_png's inversion of every filter, which the filter-0
+    production writer (encode_png) cannot."""
+    h, w, ch = px.shape
+    flat = px.reshape(h, w * ch).astype(np.int64)
+    stride = w * ch
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ft = ftypes[y % len(ftypes)]
+        cur = flat[y]
+        line = np.zeros(stride, dtype=np.int64)
+        for i in range(stride):
+            left = cur[i - ch] if i >= ch else 0
+            up = prev[i]
+            ul = prev[i - ch] if i >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) >> 1
+            else:
+                pred = _paeth(int(left), int(up), int(ul))
+            line[i] = (cur[i] - pred) % 256
+        out += bytes([ft]) + bytes(line.astype(np.uint8))
+        prev = cur
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+def test_png_roundtrip_every_color_type(ch):
+    px = _pixels(5, 9, ch)
+    got = decode_png(encode_png(px))
+    assert got.shape == (5, 9, ch)
+    assert np.array_equal(got, px)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("ch", [1, 3, 4])
+def test_png_every_filter_type_inverts(ftype, ch):
+    px = _pixels(6, 7, ch, seed=ftype + 1)
+    buf = _encode_png_filtered(px, [ftype])
+    assert np.array_equal(decode_png(buf), px)
+
+
+def test_png_mixed_filters_per_row():
+    px = _pixels(10, 8, 3, seed=42)
+    buf = _encode_png_filtered(px, [0, 1, 2, 3, 4])
+    assert np.array_equal(decode_png(buf), px)
+
+
+def test_png_gray_2d_input_roundtrip():
+    g = (np.arange(12, dtype=np.uint8) * 17 % 256).reshape(3, 4)
+    got = decode_png(encode_png(g))
+    assert np.array_equal(got[:, :, 0], g)
+
+
+def test_png_bad_magic_raises_value_error():
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+
+
+def test_png_truncated_idat_raises_value_error():
+    px = _pixels(4, 4, 3)
+    buf = encode_png(px)
+    # rebuild with an IDAT that inflates to too few bytes
+    short = zlib.compress(b"\x00" * 5)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    bad = PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", short) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(bad)
+    assert is_png(buf)  # the good buffer still sniffs
+
+
+def test_png_corrupt_idat_raises_zlib_error():
+    px = _pixels(4, 4, 1)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bad = (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", b"\xde\xad\xbe\xef")
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(zlib.error):
+        decode_png(bad)
+
+
+def test_png_truncated_ihdr_raises_struct_error():
+    bad = PNG_MAGIC + _chunk(b"IHDR", b"\x00\x00")
+    with pytest.raises(struct.error):
+        decode_png(bad)
+
+
+def test_png_unsupported_depth_raises_value_error():
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)  # 16-bit depth
+    bad = PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(b"\x00")) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(bad)
+
+
+def test_png_decode_bound_raises_value_error():
+    w = h = 300  # 90000 px > PNG_MAX_PIXELS (65536)
+    assert w * h > PNG_MAX_PIXELS
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    bad = PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(b"\x00")) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="decode bound"):
+        decode_png(bad)
+
+
+@pytest.mark.parametrize("sampwidth", [1, 2, 3, 4])
+@pytest.mark.parametrize("n_ch", [1, 2])
+def test_wav_roundtrip_every_sample_width(sampwidth, n_ch):
+    i, c = np.indices((37, n_ch))
+    v = (i * 13 + c * 5) % 201 - 100
+    buf = encode_wav(v, rate=16000, sampwidth=sampwidth)
+    assert is_wav(buf)
+    frames, rate = decode_wav(buf)
+    assert rate == 16000
+    assert frames.shape == (37, n_ch)
+    assert np.array_equal(frames, v)
+
+
+def test_wav_full_range_16bit():
+    v = np.array([[-32768], [32767], [0], [-1]], dtype=np.int64)
+    frames, _ = decode_wav(encode_wav(v, rate=8000, sampwidth=2))
+    assert np.array_equal(frames, v)
+
+
+def test_wav_24bit_sign_extension():
+    v = np.array([[-(1 << 23)], [(1 << 23) - 1], [-12345]], dtype=np.int64)
+    frames, _ = decode_wav(encode_wav(v, rate=44100, sampwidth=3))
+    assert np.array_equal(frames, v)
+
+
+def test_wav_corrupt_header_raises():
+    import wave as wave_mod
+
+    bad = b"RIFF" + b"\x00" * 4 + b"WAVE" + b"garbage-chunks"
+    assert is_wav(bad)
+    with pytest.raises((wave_mod.Error, EOFError, struct.error, ValueError)):
+        decode_wav(bad)
+
+
+def test_is_sniffers_reject_other_bytes():
+    assert not is_png(b"RIFF....WAVE")
+    assert not is_wav(PNG_MAGIC + b"....")
+    assert not is_png(b"")
+    assert not is_wav(b"")
+
+
+# ---------------------------------------------------------------------------
+# mapper dispatch + fallback (multimodal.py glue)
+
+
+def test_decode_image_falls_back_on_corrupt_png_body():
+    from azure_func_forem_data_etl_spark.operators.multimodal import (
+        _decode_image,
+        _fake_decode_image,
+    )
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    corrupt = (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", b"\xde\xad\xbe\xef")
+        + _chunk(b"IEND", b"")
+    )
+    w, h, crc, decoded = _decode_image(corrupt)  # must not raise (ADVICE r4)
+    assert (w, h, crc) == _fake_decode_image(corrupt)
+    assert decoded == corrupt
+
+    truncated = PNG_MAGIC + _chunk(b"IHDR", b"\x00\x00")
+    w2, h2, crc2, _ = _decode_image(truncated)
+    assert (w2, h2, crc2) == _fake_decode_image(truncated)
+
+
+def test_decode_image_real_path_on_good_png():
+    from azure_func_forem_data_etl_spark.operators.multimodal import _decode_image
+
+    px = _pixels(3, 5, 3)
+    w, h, crc, decoded = _decode_image(encode_png(px))
+    assert (w, h) == (5, 3)
+    assert decoded == px.tobytes()
+    assert crc == zlib.crc32(px.tobytes()) & 0xFFFFFFFF
+
+
+def test_audio_mapper_dispatches_wav_and_falls_back():
+    from azure_func_forem_data_etl_spark.operators.multimodal import _audio_mapper
+
+    v = np.array([[100], [-100], [50], [-50]], dtype=np.int64)
+    wav = encode_wav(v, rate=44100, sampwidth=3)
+    corrupt_wav = b"RIFF" + b"\x00" * 4 + b"WAVE" + b"nope"
+    raw = b"\x01\x02\x03\x04\x05\x06"
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "payload": [wav, corrupt_wav, raw]}
+    )
+    (out,) = list(_audio_mapper(iter([pdf])))
+    by_id = {int(r.doc_id): r for r in out.itertuples()}
+    # real WAV: true rate/width from the header, exact samples
+    assert by_id[1].decoder == "wav"
+    assert by_id[1].sample_rate == 44100
+    assert by_id[1].n_samples == 4
+    assert by_id[1].peak == 100
+    assert by_id[1].sum_sq == int(np.sum(v * v))
+    assert by_id[1].zero_crossings == 3
+    # corrupt WAV and raw bytes: stub PCM16 reinterpretation, total
+    assert by_id[2].decoder == "stub"
+    assert by_id[3].decoder == "stub"
+    assert by_id[3].n_samples == 3  # 6 bytes -> 3 PCM16 samples
+
+
+def test_media_payload_tiers_and_determinism():
+    from azure_func_forem_data_etl_spark.operators.multimodal import (
+        media_payload,
+        png_dims,
+    )
+
+    png, mime = media_payload(0, "text")
+    assert mime == "image/png" and is_png(png)
+    w, h, ch = png_dims(0)
+    assert decode_png(png).shape == (h, w, ch)
+
+    wav, mime = media_payload(11, "text")
+    assert mime == "audio/wav" and is_wav(wav)
+    frames, rate = decode_wav(wav)
+    assert rate == (8000, 16000, 44100)[11 % 3]
+    assert frames.shape == (20 + 11 % 50, 1 + 11 % 2)
+
+    raw, mime = media_payload(1, "hello")
+    assert mime == "text/plain" and raw == b"hello"
+
+    # PNG wins the 7*11 overlap; everything is deterministic
+    overlap, mime = media_payload(77, "x")
+    assert mime == "image/png"
+    assert media_payload(77, "x") == (overlap, mime)

@@ -118,6 +118,8 @@ def test_new_curation_ops_on_empty_corpus(spark, empty_sf):
         "fuzzy_levenshtein_pairs",
         "ml_minhash_neardup",
         "multimodal_frame_sample",
+        "multimodal_png_decode",
+        "multimodal_audio_stats",
         "retention_cohorts",
         "gapfill_hourly_interp",
     ]:
