@@ -231,9 +231,11 @@ def test_round3_ops_on_empty_corpus(spark, empty_sf):
         histogram_extendedprice,
         bigram_lm_score,
         compression_ratio_quality,
-        embedding_pca_project,
     ):
         assert fn(spark, empty_sf).count() == 0, fn.__name__
+    # invariant-summary queries return their 1-row oracle shape on empty
+    (pca_row,) = embedding_pca_project(spark, empty_sf).collect()
+    assert pca_row.n_vectors == 0 and pca_row.var_ordered == 1
 
 
 def test_round3_batch3_ops_on_empty_inputs(spark, empty_sf):
