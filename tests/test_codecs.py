@@ -206,6 +206,47 @@ def test_is_sniffers_reject_other_bytes():
 
 
 # ---------------------------------------------------------------------------
+# property tests: ANY uint8 array round-trips (hypothesis)
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        ch=st.integers(1, 4),
+        seed=st.integers(0, 2**31 - 1),
+        ftype=st.integers(0, 4),
+    )
+    def test_png_roundtrip_property(h, w, ch, seed, ftype):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(px)), px)
+        assert np.array_equal(decode_png(_encode_png_filtered(px, [ftype])), px)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(1, 200),
+        n_ch=st.integers(1, 2),
+        sampwidth=st.sampled_from([1, 2, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_wav_roundtrip_property(n, n_ch, sampwidth, seed):
+        rng = np.random.default_rng(seed)
+        lo, hi = {1: (-128, 128), 2: (-(1 << 15), 1 << 15),
+                  3: (-(1 << 23), 1 << 23), 4: (-(1 << 31), 1 << 31)}[sampwidth]
+        v = rng.integers(lo, hi, size=(n, n_ch), dtype=np.int64)
+        frames, rate = decode_wav(encode_wav(v, rate=8000, sampwidth=sampwidth))
+        assert rate == 8000
+        assert np.array_equal(frames, v)
+
+except ImportError:  # pragma: no cover — hypothesis is baked in
+    pass
+
+
+# ---------------------------------------------------------------------------
 # mapper dispatch + fallback (multimodal.py glue)
 
 
