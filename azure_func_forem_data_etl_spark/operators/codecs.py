@@ -140,21 +140,26 @@ def _unfilter_scanlines(raw: bytes, width: int, height: int, ch: int) -> np.ndar
             ).astype(np.uint8).reshape(stride)
         elif ftype == 2:  # Up
             cur = (line.astype(np.int16) + prev).astype(np.uint8)
-        elif ftype == 3:  # Average
-            cur = line
+        elif ftype == 3:  # Average — sequential in x; plain-int lists beat
+            # numpy scalar indexing ~4x inside the loop
+            vals = line.tolist()
+            pv = prev.tolist()
             for i in range(stride):
-                left = int(cur[i - ch]) if i >= ch else 0
-                cur[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            cur = line
+                left = vals[i - ch] if i >= ch else 0
+                vals[i] = (vals[i] + ((left + pv[i]) >> 1)) & 0xFF
+            cur = np.array(vals, dtype=np.uint8)
+        elif ftype == 4:  # Paeth — same sequential dependency and trick
+            vals = line.tolist()
+            pv = prev.tolist()
             for i in range(stride):
-                a = int(cur[i - ch]) if i >= ch else 0
-                b = int(prev[i])
-                c = int(prev[i - ch]) if i >= ch else 0
+                a = vals[i - ch] if i >= ch else 0
+                b = pv[i]
+                c = pv[i - ch] if i >= ch else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[i] = (int(cur[i]) + pred) & 0xFF
+                vals[i] = (vals[i] + pred) & 0xFF
+            cur = np.array(vals, dtype=np.uint8)
         else:
             raise ValueError(f"PNG: unknown filter type {ftype}")
         out[y] = cur
