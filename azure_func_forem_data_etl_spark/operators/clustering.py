@@ -189,13 +189,17 @@ _KMEANS_PROFILE_INV_SCHEMA = (
 @register(
     "kmeans_cluster_profile",
     # Promoted rows-only -> oracle in r5 (r4 VERDICT ask #4) via the
-    # invariant-projection trick: whatever the float trajectory does, each
-    # centroid is a mean of assigned points, so (a) no centroid norm can
-    # exceed the max data-vector norm (convex hull) and (b) the
-    # size-weighted sum of squared centroid norms cannot exceed the total
-    # squared norm of the corpus (Jensen).  Both inequalities are
-    # generically slack, so float rounding cannot flip them; the oracle
-    # checks the booleans plus the exact point count.
+    # invariant-projection trick.  SOUNDNESS (round-5 review): the bounds
+    # are stated on (count, mean) pairs produced by ONE assignment pass
+    # under the final centroids — the Lloyd half-step means — NOT by
+    # mixing the fit's prior-iteration centroids with a fresh
+    # re-assignment's counts (that mix is not mathematically bounded: a
+    # point that migrates between iterations can push Σ n_i·|c_i|² past
+    # the corpus energy).  For a self-consistent (n_i, m_i): per-cluster
+    # Jensen gives Σ n_i·|m_i|² <= Σ|x|², and every m_i lies in the convex
+    # hull so max|m_i| <= max|x|.  Equality only at singleton/identical
+    # clusters, so a 1e-9 relative tolerance absorbs summation-order float
+    # noise without ever masking a real violation.
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
            1 AS centroids_in_hull,
@@ -203,31 +207,46 @@ _KMEANS_PROFILE_INV_SCHEMA = (
     FROM embeddings
     """,
     doc=f"Distributed Lloyd k-means (k={KMEANS_K}, {KMEANS_ITERS} iters): "
-    "hash-checkable invariants of the trained per-cluster profile "
-    "(partition count, centroid-in-hull, Jensen energy bound); the raw "
-    "float profile stays available via kmeans_profile().",
+    "hash-checkable invariants of the trained clustering's half-step "
+    "means (exact partition count, centroid-in-hull, Jensen energy "
+    "bound); the raw float profile stays available via kmeans_profile().",
 )
 def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The profile collapses to <= k rows, so the invariant math runs on
-    bounded driver scalars (same documented pattern as the 1-row cursors
-    at relational.py); the only Spark jobs are the fit, one assignment
-    agg, and one corpus norm agg."""
+    """One extra partials pass (<= k rows per Arrow batch) yields the
+    mutually-consistent per-cluster counts and UNROUNDED means the bounds
+    need; the data-side energy bounds come from one JVM aggregate.  The
+    invariant math runs on bounded driver scalars (same documented
+    pattern as the 1-row cursors at relational.py)."""
     emb = table(spark, sf_dir, "embeddings")
-    prof = kmeans_profile(spark, sf_dir).toPandas()  # <= k rows
-    if len(prof) == 0:
+    C, _ = kmeans_fit(emb)
+    if C.size == 0:
         return spark.createDataFrame(
             [(0, 1, 1)], _KMEANS_PROFILE_INV_SCHEMA
         )
-    sq = "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    corpus = scale_out(emb.select("vec_id", "embedding"), "vec_id")
+    parts = corpus.mapInPandas(
+        _partial_mapper(C), schema=_PARTIAL_SCHEMA
+    ).toPandas()
+    counts: dict[int, int] = {}
+    sums: dict[int, np.ndarray] = {}
+    for cid, grp in parts.groupby("cluster_id", sort=True):
+        counts[int(cid)] = int(grp["cnt"].sum())
+        sums[int(cid)] = np.vstack(grp["vsum"].to_numpy()).sum(axis=0)
+    sq = (
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), "
+        "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    )
     bounds = (
         emb.select(F.expr(sq).alias("ss"))
         .agg(F.max("ss").alias("max_ss"), F.sum("ss").alias("tot_ss"))
         .first()
     )
-    n_points = int(prof["n_vectors"].sum())
-    in_hull = int(float(prof["centroid_norm"].max()) ** 2 <= float(bounds.max_ss))
-    w_ss = float((prof["n_vectors"] * prof["centroid_norm"] ** 2).sum())
-    bounded = int(w_ss <= float(bounds.tot_ss))
+    n_points = sum(counts.values())
+    norm2 = {c: float(np.dot(sums[c] / counts[c], sums[c] / counts[c])) for c in counts}
+    tol = 1.0 + 1e-9
+    in_hull = int(max(norm2.values()) <= float(bounds.max_ss) * tol)
+    w_ss = sum(counts[c] * norm2[c] for c in counts)
+    bounded = int(w_ss <= float(bounds.tot_ss) * tol)
     return spark.createDataFrame(
         [(n_points, in_hull, bounded)], _KMEANS_PROFILE_INV_SCHEMA
     )
@@ -437,6 +456,22 @@ SEMDEDUP_TAU = 0.4
 SEMDEDUP_CLUSTER_CAP = 512
 
 
+def _observation_get(obs, timeout_s: float) -> dict | None:
+    """``Observation.get`` with a watchdog: returns None instead of
+    blocking forever when no action has executed the observed node."""
+    import threading
+
+    box: dict = {}
+
+    def _probe() -> None:
+        box["m"] = obs.get
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return box.get("m")
+
+
 def kmeans_assignments_with_dist(emb: DataFrame, C: np.ndarray) -> DataFrame:
     """(vec_id, cluster_id, centroid_dist): assignment plus the euclidean
     distance to the assigned centroid (SemDeDup's keep-criterion input)."""
@@ -564,8 +599,13 @@ def semdedup(
     comps = connected_components(edges, "vec_a", "vec_b")
     # connected_components materialized the edge set (its documented
     # contract), which executed the observed row_number pass — the metrics
-    # are available now without blocking.
-    cap_stats = obs.get
+    # are available now.  The bounded wait is belt-and-braces: if a future
+    # refactor ever makes that materialization lazy, semdedup must not
+    # hang on Observation.get; it skips the log instead.  Timing
+    # trade-off (round-5 review): the counters surface AFTER pairing by
+    # design — that is what makes them free (r4 VERDICT ask #6); a
+    # pairing-stage failure is diagnosable from the capped plan itself.
+    cap_stats = _observation_get(obs, timeout_s=10.0) or {}
     if (cap_stats.get("capped_clusters") or 0) > 0:
         _LOG.warning(
             "semdedup: cluster cap %d truncated %d cluster(s), dropping %d "

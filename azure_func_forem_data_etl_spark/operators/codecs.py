@@ -206,7 +206,12 @@ def decode_png(buf: bytes) -> np.ndarray:
             "Python; use a native decoder for large images"
         )
     ch = _PNG_CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
+    # Bounded inflate: cap the decompressed output at exactly the pixel
+    # buffer the IHDR promises — a crafted small payload with a
+    # high-ratio deflate stream must not be able to allocate beyond the
+    # PNG_MAX_PIXELS-bounded buffer (round-5 review).
+    need = height * (width * ch + 1)
+    raw = zlib.decompressobj().decompress(bytes(idat), need)
     return _unfilter_scanlines(raw, width, height, ch).reshape(height, width, ch)
 
 

@@ -325,9 +325,11 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-only: payload bytes stay in their scan partition; only the 5
     scalar columns leave the mapper."""
     docs = table(spark, sf_dir, "documents")
-    media = with_media_column(docs).filter(
-        F.col("media_meta.mime") == "image/png"
-    )
+    # Tier predicate at the scan (see multimodal_audio_stats): skip the
+    # WAV/text synthesis for the ~86% of rows this query discards.
+    media = with_media_column(
+        docs.filter(F.col("doc_id") % PNG_DOC_MOD == 0)
+    ).filter(F.col("media_meta.mime") == "image/png")
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -620,7 +622,15 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline routes on metadata; the stub fallback path stays covered by
     unit tests and ``multimodal_full_features``."""
     docs = table(spark, sf_dir, "documents")
-    media = with_media_column(docs).filter(
+    # Tier predicate pushed to the parquet scan: synthesizing then
+    # discarding the other tiers' payloads (PNG encode + zlib for every
+    # 7th doc) would be wasted mapper work the post-mapInPandas mime
+    # filter cannot push back through (round-5 review).  The mime filter
+    # stays as the semantic routing contract; it is a no-op here.
+    audio_docs = docs.filter(
+        (F.col("doc_id") % WAV_DOC_MOD == 0) & (F.col("doc_id") % PNG_DOC_MOD != 0)
+    )
+    media = with_media_column(audio_docs).filter(
         F.col("media_meta.mime") == "audio/wav"
     )
     return extract_audio_stats(media).select(

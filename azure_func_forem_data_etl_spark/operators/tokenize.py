@@ -323,9 +323,17 @@ def bpe_learn(
     merges: list[tuple] = []
     rounds = 0
     # The finally block releases whatever is still cached when the loop
-    # exits (the final syms, plus prev when the last round was not a
-    # checkpoint round) — without it every bpe_learn call leaks
-    # MEMORY_AND_DISK blocks for the session lifetime (ADVICE r4).
+    # exits (ADVICE r4).  Two storage tiers need releasing: persist()-tier
+    # frames respond to DataFrame.unpersist(), but localCheckpoint blocks
+    # do NOT (unpersist is a cache-manager no-op for checkpointed frames,
+    # round-5 review) — those are released by diffing the context's
+    # persistent-RDD ids against a pre-call snapshot.  Every id born
+    # inside this call is loop-local by construction (the merges result is
+    # plain Python before return), so the diff cannot free anything a
+    # caller still needs; concurrent persists from OTHER threads during
+    # the call are the one caveat, documented here.
+    jsc = spark.sparkContext._jsc
+    rdd_ids_before = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
     try:
         while len(merges) < n_merges:
             grams = _gram_counts(syms)
@@ -375,9 +383,15 @@ def bpe_learn(
                 prev = syms  # unpersist once the next stats job runs
             syms = new_syms
     finally:
-        syms.unpersist()
+        # blocking=True: callers (and the leak regression test) observe a
+        # clean persistent-RDD map immediately on return
+        syms.unpersist(blocking=True)
         if prev is not None:
-            prev.unpersist()
+            prev.unpersist(blocking=True)
+        jmap = jsc.getPersistentRDDs()
+        for rid in jmap.keySet().toArray():
+            if int(rid) not in rdd_ids_before:
+                jmap.get(rid).unpersist(True)
     if stats is not None:
         stats["rounds"] = rounds
     return spark.createDataFrame(

@@ -164,6 +164,19 @@ def test_png_decode_bound_raises_value_error():
         decode_png(bad)
 
 
+def test_png_decompression_bomb_is_bounded():
+    """A tiny IHDR with a multi-hundred-MB deflate expansion must not
+    allocate past the promised pixel buffer: the bounded decompressobj
+    caps output at height*(stride+1), decode fails cleanly (extra
+    compressed data simply never inflates)."""
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)  # 4x4 gray = 20 B
+    bomb = zlib.compress(b"\x00" * (256 * 1024 * 1024), 9)  # 256 MB -> ~255 KB
+    buf = PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", bomb) + _chunk(b"IEND", b"")
+    px = decode_png(buf)  # inflates only 20 bytes of the bomb
+    assert px.shape == (4, 4, 1)
+    assert not px.any()
+
+
 @pytest.mark.parametrize("sampwidth", [1, 2, 3, 4])
 @pytest.mark.parametrize("n_ch", [1, 2])
 def test_wav_roundtrip_every_sample_width(sampwidth, n_ch):

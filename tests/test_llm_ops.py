@@ -1371,6 +1371,12 @@ def test_bpe_learn_releases_all_cached_blocks(spark):
     docs = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
     bpe_learn(docs, n_merges=5).collect()
     assert n_cached() == before
+    # max_batch=1 forces one round per merge, so 7 merges crosses the
+    # BPE_CHECKPOINT_EVERY=6 boundary — the localCheckpoint tier, which
+    # DataFrame.unpersist() cannot release, must ALSO come back to
+    # baseline (round-5 review: the r4-era fix only covered persist()).
+    bpe_learn(docs, n_merges=7, max_batch=1).collect()
+    assert n_cached() == before
 
 
 def test_label_propagation_planted_cliques(spark):
