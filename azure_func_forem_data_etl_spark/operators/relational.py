@@ -1029,11 +1029,23 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     as agg_approx_percentile) unless exactness is required; this query IS
     the exactness contract for that tradeoff."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", 0.5), 6).alias("p50"),
-        F.round(F.percentile("l_extendedprice", 0.9), 6).alias("p90"),
-        F.round(F.percentile("l_extendedprice", 0.99), 6).alias("p99"),
-        F.count("*").alias("n"),
+    # One array-percentile aggregate: a single per-group value buffer and
+    # sort serves all three cut points (three scalar percentile() calls
+    # would each keep their own copy of every group's values — 3x the
+    # aggregation-buffer memory for identical output).
+    pct = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("ps"), F.count("*").alias("n"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("ps", 1), 6).alias("p50"),
+            F.round(F.element_at("ps", 2), 6).alias("p90"),
+            F.round(F.element_at("ps", 3), 6).alias("p99"),
+            "n",
+        )
     )
 
 
