@@ -1375,10 +1375,39 @@ EWMA_ALPHA = 0.2
 
 @register(
     "ewma_user_value",
-    oracle=None,  # recursive smoothing (s_i = a*x_i + (1-a)*s_{i-1}) is not
-    # single-statement-SQL-expressible; pinned by the hand-computed unit test
+    # Promoted rows-only -> oracle in r5: like CUSUM (streaming/drift.py),
+    # the recurrence IS SQL-expressible — here as a RECURSIVE CTE stepping
+    # rank-by-rank within each user.  pandas ewm(alpha, adjust=False) is
+    # bit-identical to the literal recurrence s' = (1.0-a)*s + a*x
+    # (verified over 100k values), the CTE step uses the identical
+    # expression, and both sides round to 6dp, which absorbs any compiler
+    # FMA-contraction ulp before hashing.  NOTE: the CUSUM-style
+    # list_reduce encoding is NOT usable here — duckdb 1.0's list_reduce
+    # mis-evaluates a sibling-field read of the accumulator (a.s) from the
+    # third iteration on when the same arithmetic appears in two result
+    # fields (minimal repro in the round-5 notes); the recursive CTE has
+    # no such aliasing.
+    oracle=f"""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    ew(user_id, rn, event_id, ts, v, s) AS (
+      SELECT user_id, rn, event_id, ts, v, v AS s FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn, o.event_id, o.ts, o.v,
+             (1.0 - {EWMA_ALPHA}) * e.s + {EWMA_ALPHA} * o.v AS s
+      FROM ew e JOIN ordered o
+        ON o.user_id = e.user_id AND o.rn = e.rn + 1
+    )
+    SELECT user_id, event_id, ts, v AS value, round(s, 6) AS ewma FROM ew
+    """,
     doc=f"Per-user EWMA (alpha={EWMA_ALPHA}) of event values via grouped "
-    "Arrow batches — the recursive smoothing no window frame can express.",
+    "Arrow batches — the recursive smoothing no window frame can "
+    "express; hash-matched against a DuckDB list_reduce fold with the "
+    "identical IEEE operation order.",
 )
 def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average per user — the smoothing
