@@ -1379,14 +1379,20 @@ EWMA_ALPHA = 0.2
     # the recurrence IS SQL-expressible — here as a RECURSIVE CTE stepping
     # rank-by-rank within each user.  pandas ewm(alpha, adjust=False) is
     # bit-identical to the literal recurrence s' = (1.0-a)*s + a*x
-    # (verified over 100k values), the CTE step uses the identical
-    # expression, and both sides round to 6dp, which absorbs any compiler
-    # FMA-contraction ulp before hashing.  NOTE: the CUSUM-style
-    # list_reduce encoding is NOT usable here — duckdb 1.0's list_reduce
-    # mis-evaluates a sibling-field read of the accumulator (a.s) from the
-    # third iteration on when the same arithmetic appears in two result
-    # fields (minimal repro in the round-5 notes); the recursive CTE has
-    # no such aliasing.
+    # (verified over 200k values plus the full sf0.01 corpus), and the
+    # CTE step uses the identical expression, so the 6dp rounding on both
+    # sides compares bit-equal doubles.  Known rounding-mode asymmetry,
+    # assessed harmless here: numpy rounds half-to-even, DuckDB half-away
+    # — they differ only when the unrounded value is an EXACTLY
+    # REPRESENTABLE 6dp midpoint, which (a) cannot happen for first
+    # events (s = v, and the corpus values are non-negative 2-decimal
+    # quantized, never a 7th-digit half) and (b) is measure-zero for
+    # arithmetic-derived s.  NOTE: the CUSUM-style list_reduce encoding
+    # is NOT usable here — duckdb 1.0's list_reduce mis-evaluates a
+    # sibling-field read of the accumulator (a.s) from the third
+    # iteration on when the same arithmetic appears in two result fields
+    # (minimal repro in the round-5 notes); the recursive CTE has no such
+    # aliasing.
     oracle=f"""
     WITH RECURSIVE ordered AS (
       SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS v,
@@ -1406,7 +1412,7 @@ EWMA_ALPHA = 0.2
     """,
     doc=f"Per-user EWMA (alpha={EWMA_ALPHA}) of event values via grouped "
     "Arrow batches — the recursive smoothing no window frame can "
-    "express; hash-matched against a DuckDB list_reduce fold with the "
+    "express; hash-matched against a DuckDB recursive-CTE fold with the "
     "identical IEEE operation order.",
 )
 def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
