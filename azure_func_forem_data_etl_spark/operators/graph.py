@@ -541,10 +541,53 @@ def kcore_vertices(edges: DataFrame, k: int, max_iter: int = KCORE_MAX_ITER) -> 
     )
 
 
+#: Recursive-CTE peel-round bound for the k-core oracle.  The peel depth
+#: on the sf0.01 co-purchase graph is 3; the bound only needs to exceed
+#: the true depth (extra rounds reproduce the fixpoint verbatim) and the
+#: oracle selects exactly the rows at this round, which is the core.
+KCORE_ORACLE_ROUNDS = 40
+
+_KCORE_DEG_SQL = f"""(SELECT id FROM (
+          SELECT id, COUNT(*) AS d FROM (
+            SELECT src AS id FROM peel UNION ALL SELECT dst AS id FROM peel
+          ) GROUP BY id) WHERE d >= {KCORE_K})"""
+
+
 @register(
     "kcore_membership",
-    oracle=None,  # iterative peeling fixpoint: not single-query SQL;
-    # planted-graph unit tests pin the semantics
+    # Promoted rows-only -> oracle in r5: the peeling fixpoint IS
+    # expressible as a DuckDB recursive CTE — each recursion level keeps
+    # the edges whose endpoints both have degree >= k in the CURRENT
+    # working table (DuckDB allows aggregating the recursive reference),
+    # so level r is the graph after r peel rounds.  Integer-exact, so no
+    # float-trajectory caveat applies; rows at the (depth-dominating)
+    # final round are exactly the k-core.
+    oracle=f"""
+    WITH RECURSIVE e AS ({_EDGES_SQL}),
+    peel(round, src, dst) AS (
+      SELECT 0, src, dst FROM e
+      UNION ALL
+      SELECT p.round + 1, p.src, p.dst
+      FROM peel p
+      JOIN {_KCORE_DEG_SQL} ks ON ks.id = p.src
+      JOIN {_KCORE_DEG_SQL} kd ON kd.id = p.dst
+      WHERE p.round < {KCORE_ORACLE_ROUNDS}
+    ),
+    core_edges AS (SELECT src, dst FROM peel WHERE round = {KCORE_ORACLE_ROUNDS}),
+    core_vertices AS (
+      SELECT DISTINCT id FROM (
+        SELECT src AS id FROM core_edges UNION ALL SELECT dst AS id FROM core_edges
+      )
+    ),
+    raw_deg AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS raw_degree FROM (
+        SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e
+      ) GROUP BY id
+    )
+    SELECT r.id, r.raw_degree,
+           CASE WHEN c.id IS NULL THEN 0 ELSE 1 END AS in_core
+    FROM raw_deg r LEFT JOIN core_vertices c ON c.id = r.id
+    """,
     doc=f"{KCORE_K}-core membership of the co-purchase graph: iterative sub-{KCORE_K} peeling to fixpoint; per-vertex flag with final core degree.",
 )
 def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
