@@ -776,10 +776,70 @@ def label_propagation(edges: DataFrame, src: str, dst: str, max_iter: int = LPA_
     return labels
 
 
+#: The per-round neighbor-label count subquery of the LPA oracle.  It
+#: appears twice in the recursive term (DuckDB recursive CTEs cannot
+#: name an intermediate CTE over the recursive reference): once for the
+#: counts, once for the per-node max — the argmax with the Spark
+#: implementation's exact tie-break (count desc, label asc) is then
+#: MIN(label) among labels at the max count.
+_LPA_COUNTS_SQL = f"""
+      SELECT l.round + 1 AS round, adj.a AS id, l.community AS nlabel,
+             COUNT(*) AS cnt
+      FROM lab l JOIN adj ON adj.b = l.id
+      WHERE l.round < {LPA_MAX_ITER}
+      GROUP BY 1, 2, 3
+"""
+
+
 @register(
     "graph_label_propagation",
-    oracle=None,  # iterative fixed-point: not single-statement-SQL-expressible;
-    # semantics pinned by the planted two-clique test (tests/test_llm_ops.py)
+    # Promoted rows-only -> oracle in r5: synchronous LPA with fixed
+    # tie-breaks is a DETERMINISTIC INTEGER fixpoint, so (like
+    # kcore_membership) it is recursive-CTE-expressible.  The oracle
+    # replays every round, then replicates the engine's exact stopping
+    # rule — return the FIRST round whose label state equals the previous
+    # round's (converged) or the one before that (the period-2
+    # oscillation synchronous LPA is known for), else round max_iter.
+    oracle=f"""
+    WITH RECURSIVE e AS ({_EDGES_SQL}),
+    adj AS (
+      SELECT src AS a, dst AS b FROM e
+      UNION ALL
+      SELECT dst AS a, src AS b FROM e
+    ),
+    lab(round, id, community) AS (
+      SELECT 0, id, id AS community FROM (SELECT DISTINCT a AS id FROM adj)
+      UNION ALL
+      SELECT round, id, MIN(nlabel) AS community FROM (
+        SELECT c.round, c.id, c.nlabel
+        FROM ({_LPA_COUNTS_SQL}) c
+        JOIN (
+          SELECT round, id, MAX(cnt) AS mx FROM ({_LPA_COUNTS_SQL})
+          GROUP BY round, id
+        ) m ON m.round = c.round AND m.id = c.id AND c.cnt = m.mx
+      ) GROUP BY round, id
+    ),
+    rounds AS (SELECT DISTINCT round FROM lab WHERE round > 0),
+    eq AS (
+      SELECT r.round,
+             NOT EXISTS (
+               SELECT 1 FROM lab x WHERE x.round = r.round
+               AND NOT EXISTS (SELECT 1 FROM lab y WHERE y.round = r.round - 1
+                               AND y.id = x.id AND y.community = x.community)
+             ) AS eq_prev,
+             r.round >= 2 AND NOT EXISTS (
+               SELECT 1 FROM lab x WHERE x.round = r.round
+               AND NOT EXISTS (SELECT 1 FROM lab y WHERE y.round = r.round - 2
+                               AND y.id = x.id AND y.community = x.community)
+             ) AS eq_prev2
+      FROM rounds r
+    ),
+    stop AS (
+      SELECT COALESCE(MIN(round), {LPA_MAX_ITER}) AS r FROM eq
+      WHERE eq_prev OR eq_prev2
+    )
+    SELECT id, community FROM lab, stop WHERE lab.round = stop.r
+    """,
     doc=f"Community detection via synchronous label propagation "
     f"(max {LPA_MAX_ITER} rounds, deterministic tie-breaks) on the "
     "co-purchase graph; one row per (part, community).",
