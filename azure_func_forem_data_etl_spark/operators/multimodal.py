@@ -397,8 +397,43 @@ def resize_media(media: DataFrame) -> DataFrame:
 
 @register(
     "multimodal_resize",
-    oracle=None,  # pooled values Spark-side only; shape + determinism unit-tested
-    doc="Resize stub: payload bytes mean-pooled to a fixed 8x8 thumbnail grid.",
+    # Promoted rows-only -> oracle in r5: the raw-tier payload is the
+    # UTF-8 text (pure ASCII in this corpus, so character position ==
+    # byte position and DuckDB's ascii(substring(...)) IS the byte
+    # value), the bucketing `(i * 64) // n` is integer arithmetic, the
+    # per-bucket byte sums are exact integers in float64, and both sides
+    # apply the identical double->float32 cast (numpy astype vs CAST AS
+    # REAL) before rounding — so the pooled values hash-match exactly.
+    oracle="""
+    WITH bytes AS (
+      SELECT doc_id, t.i,
+             CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                  ELSE ascii(substring(text, CAST(t.i + 1 AS INT), 1)) END AS b,
+             greatest(octet_length(encode(text)), 1) AS n
+      FROM documents,
+           UNNEST(range(0, greatest(octet_length(encode(text)), 1))) AS t(i)
+    ),
+    cellmeans AS (
+      SELECT doc_id, (i * 64) // n AS cell,
+             CAST(CAST(SUM(b) AS DOUBLE) / COUNT(*) AS REAL) AS m
+      FROM bytes GROUP BY doc_id, (i * 64) // n
+    ),
+    grid AS (
+      SELECT d.doc_id, g.cell, COALESCE(cm.m, CAST(0 AS REAL)) AS m
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      CROSS JOIN UNNEST(range(0, 64)) AS g(cell)
+      LEFT JOIN cellmeans cm ON cm.doc_id = d.doc_id AND cm.cell = g.cell
+    )
+    SELECT doc_id,
+           CAST(8 AS INT) AS thumb_w, CAST(8 AS INT) AS thumb_h,
+           CAST(64 AS INT) AS n_cells,
+           round(CAST(MAX(CASE WHEN cell = 0 THEN m END) AS DOUBLE), 4)
+               AS thumb_x0,
+           round(SUM(CAST(m AS DOUBLE)) / 64, 4) AS thumb_mean
+    FROM grid GROUP BY doc_id
+    """,
+    doc="Resize stub: payload bytes mean-pooled to a fixed 8x8 thumbnail "
+    "grid; pooled-cell scalars hash-matched against a DuckDB byte replay.",
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``thumbnail`` array is reduced to scalar surrogates (first cell,
