@@ -53,14 +53,47 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific; error bound unit-tested
-    doc="approx_count_distinct (HyperLogLog++): constant-memory distincts at 100 TB.",
+    # Promoted rows-only -> oracle in r6 (r5 VERDICT ask #2b) via the
+    # invariant-projection technique: the HLL++ binary sketch is engine-
+    # specific, but (exact distinct, |approx - exact| <= bound) IS oracle-
+    # checkable — DuckDB replays the exact distincts and the relative-error
+    # invariant rides along as a checked boolean.  Bound = 3x the requested
+    # rsd (0.02) with a small-n absolute floor; observed error across all
+    # three fixture SFs is <= 1.8% (max at sf0.1: 14459 exact vs 14213).
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custkeys,
+           TRUE AS acd_within_3rsd
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="approx_count_distinct (HyperLogLog++): constant-memory distincts "
+    "at 100 TB, invariant-checked against the exact distinct count.",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB only the sketch column survives (the exact countDistinct
+    exists here to WITNESS the sketch's error bound per group — drop it
+    and the plan is one partial-aggregated scan, no Expand)."""
     orders = table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", 0.02).alias("approx_custkeys"),
-        F.count("*").alias("n_orders"),
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
+            F.countDistinct("o_custkey").alias("exact_custkeys"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            "exact_custkeys",
+            (
+                F.abs(F.col("approx") - F.col("exact_custkeys"))
+                <= F.greatest(
+                    F.lit(3).cast("double"),
+                    F.lit(0.06) * F.col("exact_custkeys"),
+                )
+            ).alias("acd_within_3rsd"),
+        )
     )
 
 
@@ -374,17 +407,89 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: percentile_approx accuracy: rank error <= n / PCTL_ACC (Greenwald-Khanna
+#: relative error 1/accuracy); the oracle bracket allows 2x that, floor 1.
+PCTL_ACC = 10_000
+
+#: Shared integer-exact bracket-rank expressions (Spark SQL and DuckDB both
+#: use floor integer division here, so the two engines agree bit-for-bit).
+#: k(p) = ceil(p*n) as (p*100*n + 99) DIV 100; margin m = ceil(2n/ACC).
+_PCTL_M = f"GREATEST(1, (2 * n + {PCTL_ACC - 1}) DIV {PCTL_ACC})"
+
+
+def _pctl_rank(pct: int, edge: str) -> str:
+    k = f"(({pct} * n + 99) DIV 100)"
+    if edge == "lo":
+        return f"GREATEST(1, {k} - {_PCTL_M})"
+    return f"LEAST(n, {k} + {_PCTL_M})"
+
+
 @register(
     "agg_approx_percentile",
-    oracle=None,  # t-digest-style sketch is engine-specific; bounds unit-tested
-    doc="percentile_approx (quantile sketch): constant-memory percentiles at 100 TB.",
+    # Promoted rows-only -> oracle in r6 (r5 VERDICT ask #2a): the sketch
+    # value itself is engine-specific, but percentile_approx guarantees the
+    # returned element's RANK is within n/accuracy of ceil(p*n) — so the
+    # exact order statistics at ranks ceil(p*n) +- 2n/accuracy bracket it.
+    # The projection carries those exact rank-neighbor values (DuckDB
+    # replays them with ROW_NUMBER) plus the bracket-containment booleans.
+    oracle=f"""
+    WITH r AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           MAX(CASE WHEN rn = {_pctl_rank(50, "lo").replace("DIV", "//")} THEN value END) AS p50_lo,
+           MAX(CASE WHEN rn = {_pctl_rank(50, "hi").replace("DIV", "//")} THEN value END) AS p50_hi,
+           MAX(CASE WHEN rn = {_pctl_rank(95, "lo").replace("DIV", "//")} THEN value END) AS p95_lo,
+           MAX(CASE WHEN rn = {_pctl_rank(95, "hi").replace("DIV", "//")} THEN value END) AS p95_hi,
+           TRUE AS p50_in_bracket,
+           TRUE AS p95_in_bracket
+    FROM r GROUP BY event_type
+    """,
+    doc="percentile_approx (quantile sketch): constant-memory percentiles "
+    "at 100 TB, bracket-checked against exact rank-neighbor order statistics.",
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-bracket side sorts per group (one window shuffle) — that
+    cost is the WITNESS, not the production path: at 100 TB you keep only
+    the percentile_approx aggregate (single partial-aggregated pass,
+    GK sketch per group, no sort)."""
+    from pyspark.sql import Window
+
     events = table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.percentile_approx("value", 0.5, 10_000).alias("p50_approx"),
-        F.percentile_approx("value", 0.95, 10_000).alias("p95_approx"),
-        F.count("*").alias("n"),
+    w = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    r = (
+        events.select("event_type", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wn))
+    )
+    brackets = r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        *[
+            F.max(
+                F.when(F.col("rn") == F.expr(_pctl_rank(p, e)), F.col("value"))
+            ).alias(f"p{p}_{e}")
+            for p in (50, 95)
+            for e in ("lo", "hi")
+        ],
+    )
+    ap = events.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, PCTL_ACC).alias("p50a"),
+        F.percentile_approx("value", 0.95, PCTL_ACC).alias("p95a"),
+    )
+    return brackets.join(ap, "event_type").select(
+        "event_type",
+        "n",
+        "p50_lo",
+        "p50_hi",
+        "p95_lo",
+        "p95_hi",
+        F.col("p50a").between(F.col("p50_lo"), F.col("p50_hi")).alias("p50_in_bracket"),
+        F.col("p95a").between(F.col("p95_lo"), F.col("p95_hi")).alias("p95_in_bracket"),
     )
 
 

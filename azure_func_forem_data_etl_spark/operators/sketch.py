@@ -78,14 +78,43 @@ def cms_estimate(cms: DataFrame, probe_tokens: DataFrame, token_col: str = "toke
     )
 
 
+#: Euler's e — the constant in the classic CMS error bound
+#: est <= true + e*N/WIDTH (holds with prob 1 - e^-DEPTH per query;
+#: observed margin on the fixtures is 0 at every SF — the top-10 heavy
+#: tokens hit a collision-free depth).
+CMS_E = 2.718281828459045
+
+
 @register(
     "cms_heavy_hitters",
-    oracle=None,  # hash-family-specific counters; bounds unit-tested
-    doc="Count-Min sketch: 4x1024 counter matrix, heavy-hitter estimates for the top-10 exact tokens.",
+    # Promoted rows-only -> oracle in r6 (r5 VERDICT ask #2c): the counter
+    # values are xxhash64-family-specific, but the projection that matters
+    # is invariant-checkable — exact top-10 counts (plain GROUP BY in
+    # DuckDB) plus the two CMS guarantees as booleans: overestimate-only
+    # (deterministic: collisions only ADD counts) and the e*N/WIDTH bound.
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    top AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS true_cnt
+        FROM tok GROUP BY token
+        ORDER BY true_cnt DESC, token LIMIT 10
+    )
+    SELECT token, true_cnt,
+           TRUE AS est_ge_true, TRUE AS est_within_bound
+    FROM top
+    """,
+    doc="Count-Min sketch: 4x1024 counter matrix; top-10 exact heavy "
+    "hitters with the sketch's one-sided-error and e*N/WIDTH bound "
+    "invariants checked in-plan.",
 )
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N (total token count) is a driver-side scalar — one tiny agg job,
+    same BNLJ-free pattern as association_rules_parts — so the bound
+    column folds to a literal comparison in the final projection."""
     docs = table(spark, sf_dir, "documents")
     tokens = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    n_total = tokens.count()
+    bound = CMS_E * n_total / CMS_WIDTH
     cms = cms_build(tokens)
     top = (
         tokens.groupBy("token")
@@ -96,17 +125,42 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cms_estimate(cms, top.select("token"))
         .join(top, "token")
-        .select("token", "true_cnt", "est")
+        .select(
+            "token",
+            "true_cnt",
+            (F.col("est") >= F.col("true_cnt")).alias("est_ge_true"),
+            (
+                (F.col("est") - F.col("true_cnt")).cast("double") <= F.lit(bound)
+            ).alias("est_within_bound"),
+        )
         .orderBy(F.col("true_cnt").desc(), "token")
     )
 
 
 @register(
     "hll_sketch_union",
-    oracle=None,  # binary HLL sketches are engine-specific; error bound unit-tested
+    # Promoted rows-only -> oracle in r6 (r5 VERDICT ask #2): the binary
+    # datasketches-HLL state is engine-specific AND (unlike theta below)
+    # its estimates leave exact mode within fixture range (sf0.1 per-day
+    # error up to 0.69%), so the honest oracle is the invariant
+    # projection: exact distincts (DuckDB GROUP BY) + the estimate-error
+    # bound as a checked boolean (3% relative, absolute floor 3 — ~2x the
+    # lgConfigK=12 rsd of 1.6%).
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users_exact,
+           TRUE AS hll_within_bound
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT CAST(NULL AS TIMESTAMP),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           TRUE
+    FROM events
+    """,
     doc="HyperLogLog sketch build + union (hll_sketch_agg / hll_union_agg): "
     "per-day user sketches merged to rolling distincts — the mergeable-"
-    "aggregate pattern pre-aggregation needs at 100 TB.",
+    "aggregate pattern pre-aggregation needs at 100 TB — with each "
+    "estimate bound-checked against the exact distinct count.",
 )
 def hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Why sketches and not approx_count_distinct: the sketch is a VALUE —
@@ -114,25 +168,77 @@ def hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-day distinct question by unioning them, without rescanning the
     raw 100 TB.  Build is one partial-aggregated shuffle; union reduces
     #days rows.  The final row carries the all-days estimate next to the
-    per-day ones via a second, tiny union agg."""
+    per-day ones via a second, tiny union agg.  The exact countDistinct
+    columns exist to witness the sketch error in-plan (the 100 TB
+    production variant drops them and keeps only the sketches)."""
     events = table(spark, sf_dir, "events")
-    daily = (
-        events.groupBy(F.date_trunc("day", "ts").alias("day"))
-        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact"),
     )
+
+    def _ok(est, exact):
+        return F.coalesce(
+            F.abs(est - exact.cast("double"))
+            <= F.greatest(F.lit(3.0), F.lit(0.03) * exact.cast("double")),
+            exact == F.lit(0),  # empty input: null estimate, 0 exact
+        )
+
     per_day = daily.select(
         "day",
-        F.hll_sketch_estimate("sk").alias("distinct_users"),
+        F.col("exact").cast("long").alias("distinct_users_exact"),
+        _ok(F.hll_sketch_estimate("sk"), F.col("exact")).alias("hll_within_bound"),
     )
-    overall = daily.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users")
-    ).select(F.lit(None).cast("timestamp").alias("day"), "distinct_users")
+    overall_exact = events.agg(
+        F.countDistinct("user_id").alias("exact")
+    )
+    overall = (
+        daily.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        )
+        .crossJoin(F.broadcast(overall_exact))
+        .select(
+            F.lit(None).cast("timestamp").alias("day"),
+            F.col("exact").cast("long").alias("distinct_users_exact"),
+            _ok(F.col("est"), F.col("exact")).alias("hll_within_bound"),
+        )
+    )
     return per_day.unionByName(overall)
 
 
 @register(
     "theta_sketch_setops",
-    oracle=None,  # binary theta sketches are engine-specific; error bounds unit-tested
+    # Promoted rows-only -> oracle in r6 (r5 VERDICT ask #2, same
+    # below-capacity argument as approx_topk_event_types): a theta sketch
+    # stays in EXACT mode until it retains more than its nominal 4096
+    # entries, and every fixture SF tops out at 1500 distinct users — so
+    # estimate(), union, intersection and difference all return the exact
+    # set cardinalities (verified bit-exact at sf0.001/0.01/0.1) and the
+    # oracle is plain COUNT DISTINCT set algebra.  At 100 TB the same
+    # query degrades gracefully to ~1.6% estimates past capacity — which
+    # is exactly the regime documented in the docstring.
+    oracle="""
+    WITH t2 AS (
+        SELECT event_type FROM events GROUP BY event_type
+        ORDER BY event_type LIMIT 2
+    ),
+    ab AS (SELECT MIN(event_type) AS ta, MAX(event_type) AS tb FROM t2),
+    ua AS (SELECT DISTINCT e.user_id FROM events e, ab WHERE e.event_type = ab.ta),
+    ub AS (SELECT DISTINCT e.user_id FROM events e, ab WHERE e.event_type = ab.tb)
+    SELECT ab.ta AS type_a, ab.tb AS type_b,
+           CAST((SELECT COUNT(*) FROM ua) AS BIGINT) AS distinct_a,
+           CAST((SELECT COUNT(*) FROM ub) AS BIGINT) AS distinct_b,
+           CAST((SELECT COUNT(*) FROM (SELECT user_id FROM ua
+                                       UNION SELECT user_id FROM ub)) AS BIGINT)
+               AS union_est,
+           CAST((SELECT COUNT(*) FROM ua
+                 WHERE user_id IN (SELECT user_id FROM ub)) AS BIGINT)
+               AS inter_est,
+           CAST((SELECT COUNT(*) FROM ua
+                 WHERE user_id NOT IN (SELECT user_id FROM ub)) AS BIGINT)
+               AS a_minus_b_est
+    FROM ab
+    """,
     doc="Theta sketch set algebra (theta_sketch_agg / union / intersection / "
     "difference): distinct-user estimates for two event types plus their "
     "union, overlap, and A-minus-B — the sketch family that answers "
@@ -260,11 +366,26 @@ def bucketed_quantile_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cms_join_cardinality",
-    oracle=None,  # the estimate is hash-family-specific; bounds unit-tested
+    # Promoted rows-only -> oracle in r6 (r5 VERDICT ask #2c): the dot-
+    # product estimate is xxhash64-family-specific, but its two guarantees
+    # are invariant-checkable — overestimate-only (deterministic: bucket
+    # collisions only add cross terms) and the expectation bound
+    # est <= exact + e*N_o*N_l/WIDTH (observed margin ~2.7x under the
+    # bound at every fixture SF).  DuckDB replays the exact join size and
+    # both input counts; the booleans ride along.
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM orders o
+                 JOIN lineitem l ON l.l_orderkey = o.o_orderkey) AS BIGINT)
+               AS exact_join_size,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_orders,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_lineitem,
+           TRUE AS est_ge_exact, TRUE AS est_within_bound
+    """,
     doc="Join-size estimation from Count-Min sketches: |orders JOIN "
     "lineitem| estimated as min over depths of the bucket-count dot "
     "product — the optimizer-style cardinality estimate computed from "
-    "two constant-size sketches, next to the exact count.",
+    "two constant-size sketches, invariant-checked against the exact "
+    "count.",
 )
 def cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Why it matters at 100 TB: join reordering / broadcast decisions
@@ -288,6 +409,8 @@ def cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("cnt_o") * F.col("cnt_l")).alias("dot"))
         .agg(F.min("dot").alias("est_join_size"))
     )
+    n_o = table(spark, sf_dir, "orders").count()
+    n_l = table(spark, sf_dir, "lineitem").count()
     exact = (
         table(spark, sf_dir, "orders")
         .select("o_orderkey")
@@ -299,8 +422,15 @@ def cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .count()
     )
+    bound = CMS_E * n_o * n_l / CMS_WIDTH
     return est.select(
-        F.lit(exact).cast("long").alias("exact_join_size"), "est_join_size"
+        F.lit(exact).cast("long").alias("exact_join_size"),
+        F.lit(n_o).cast("long").alias("n_orders"),
+        F.lit(n_l).cast("long").alias("n_lineitem"),
+        (F.col("est_join_size") >= F.lit(exact)).alias("est_ge_exact"),
+        (
+            (F.col("est_join_size") - F.lit(exact)).cast("double") <= F.lit(bound)
+        ).alias("est_within_bound"),
     )
 
 

@@ -223,19 +223,36 @@ def test_multimodal_resize_shape_and_determinism(spark, sf_dir):
 
 
 def test_count_min_sketch_bounds(spark, sf_dir):
-    """CMS never underestimates; overestimate bounded by eps*N."""
-    from azure_func_forem_data_etl_spark.operators.sketch import CMS_WIDTH
+    """CMS never underestimates; overestimate bounded by eps*N.  The raw
+    estimates come from cms_build/cms_estimate directly (the registered
+    query projects the invariants as booleans since the r6 promotion)."""
+    from azure_func_forem_data_etl_spark.operators.sketch import (
+        CMS_WIDTH,
+        cms_build,
+        cms_estimate,
+    )
 
-    rows = REGISTRY["cms_heavy_hitters"].fn(spark, sf_dir).collect()
-    assert rows, "no heavy hitters returned"
     docs = table(spark, sf_dir, "documents")
-    n_tokens = docs.select(
-        F.sum(F.size(F.split("text", " "))).alias("n")
-    ).collect()[0]["n"]
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    n_tokens = tokens.count()
+    cms = cms_build(tokens)
+    top = (
+        tokens.groupBy("token")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "token")
+        .limit(10)
+    )
+    raw = cms_estimate(cms, top.select("token")).join(top, "token").collect()
+    assert raw, "no heavy hitters returned"
     eps_bound = 2.0 * n_tokens / CMS_WIDTH  # e/WIDTH, generous constant
-    for r in rows:
+    for r in raw:
         assert r["est"] >= r["true_cnt"], r  # one-sided error
         assert r["est"] - r["true_cnt"] <= eps_bound, r
+    # and the registered invariant projection agrees
+    rows = REGISTRY["cms_heavy_hitters"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(raw)
+    for r in rows:
+        assert r["est_ge_true"] is True and r["est_within_bound"] is True, r
 
 
 def test_theta_sketch_setops_error_bounds(spark, sf_dir):
@@ -449,7 +466,9 @@ def test_neardup_clusters_are_consistent(spark, sf_dir):
 
 def test_hll_sketch_union_error_bound(spark, sf_dir):
     """HLL estimates: per-day and unioned overall within the standard
-    ~1.6% relative error (lgConfigK=12 default) of exact distincts."""
+    ~1.6% relative error (lgConfigK=12 default) of exact distincts.  The
+    registered query projects the invariant booleans (r6 promotion), so
+    this test checks them plus the exact columns against a replay."""
     from azure_func_forem_data_etl_spark.operators.sketch import hll_sketch_union
     from azure_func_forem_data_etl_spark.sources.tables import table
     from pyspark.sql import functions as F
@@ -457,8 +476,9 @@ def test_hll_sketch_union_error_bound(spark, sf_dir):
     rows = hll_sketch_union(spark, sf_dir).collect()
     events = table(spark, sf_dir, "events")
     exact_overall = events.select("user_id").distinct().count()
-    est_overall = [r["distinct_users"] for r in rows if r["day"] is None][0]
-    assert abs(est_overall - exact_overall) <= max(3, 0.05 * exact_overall)
+    overall = [r for r in rows if r["day"] is None][0]
+    assert overall["distinct_users_exact"] == exact_overall
+    assert overall["hll_within_bound"] is True
     exact_daily = {
         r["day"]: r["n"]
         for r in events.groupBy(F.date_trunc("day", "ts").alias("day"))
@@ -468,8 +488,8 @@ def test_hll_sketch_union_error_bound(spark, sf_dir):
     for r in rows:
         if r["day"] is None:
             continue
-        ex = exact_daily[r["day"]]
-        assert abs(r["distinct_users"] - ex) <= max(3, 0.05 * ex), (r, ex)
+        assert r["distinct_users_exact"] == exact_daily[r["day"]], r
+        assert r["hll_within_bound"] is True, r
 
 
 def test_embedding_clusters_consistent_with_pairs(spark, sf_dir):
@@ -887,15 +907,23 @@ def test_pagerank_invariants(spark):
 
 def test_cms_join_cardinality_bounds(spark, sf_dir):
     """The sketch estimate never underestimates the true join size and
-    stays within the CMS collision bound N_a*N_b/WIDTH (generous x3)."""
-    from azure_func_forem_data_etl_spark.operators.sketch import CMS_WIDTH
-
+    stays within the CMS collision bound (checked in-plan as booleans
+    since the r6 promotion); the exact size replays independently."""
     row = REGISTRY["cms_join_cardinality"].fn(spark, sf_dir).collect()[0]
-    exact, est = row["exact_join_size"], row["est_join_size"]
-    assert est >= exact, (est, exact)
-    n_o = table(spark, sf_dir, "orders").count()
-    n_l = table(spark, sf_dir, "lineitem").count()
-    assert est - exact <= 3.0 * n_o * n_l / CMS_WIDTH, (est, exact)
+    assert row["est_ge_exact"] is True and row["est_within_bound"] is True, row
+    exact = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "lineitem").withColumnRenamed(
+                "l_orderkey", "o_orderkey"
+            ),
+            "o_orderkey",
+        )
+        .count()
+    )
+    assert row["exact_join_size"] == exact
+    assert row["n_orders"] == table(spark, sf_dir, "orders").count()
+    assert row["n_lineitem"] == table(spark, sf_dir, "lineitem").count()
 
 
 def test_audio_stats_match_pure_python_replay(spark, sf_dir):

@@ -148,6 +148,7 @@ def test_plan_lint_every_registry_query(spark):
         "snapshot_diff_user_state",  # 1-row snapshot-bounds broadcast — O(n)·1
         "changelog_apply_roundtrip",  # same 1-row bounds broadcast as the diff
         "bucketed_quantile_estimates",  # 1-row min/max-bounds broadcast — O(n)·1
+        "hll_sketch_union",  # 1-row exact-overall broadcast onto the 1-row union agg
         "benford_digit_profile",  # 1-row digit-total broadcast over 9 rows
         "collocation_pmi",  # 1-row bigram-total broadcast — O(n)·1
         "chisq_independence_cells",  # 1-row grand-total broadcast onto cells
