@@ -769,8 +769,80 @@ def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sequence_packing_bfd",
-    oracle=None,  # BFD is inherently sequential per source: rows-only +
-    # invariant unit tests (hard budget, full coverage, determinism)
+    # Promoted rows-only -> oracle in r6 (r5 VERDICT ask #2d, via the
+    # kcore/LPA round-replay technique rather than the weaker invariant
+    # projection): BFD is sequential per source but DETERMINISTIC —
+    # (n_tokens DESC, doc_id) order, best-fit = min headroom then min
+    # bin_id, bins indexed by creation order — so a DuckDB recursive CTE
+    # replays it doc-by-doc.  Working-table rows are per-source bins
+    # (bin_id, headroom, n_docs, tok) plus a rank cursor r; iteration r
+    # places the doc ranked r in every source at once: the chosen bin is
+    # the argmin join (min headroom among fitting bins, tie -> min
+    # bin_id, same inlined-subquery shape as the LPA oracle), a fresh bin
+    # appears when the HAVING detects zero fitting bins, and a sentinel
+    # bin_id=-1 row per source carries sources between docs.  All-integer
+    # state, bit-exact replay of the applyInPandas BFD.
+    oracle=rf"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, doc_id, n,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n DESC, doc_id) AS rank
+        FROM t
+    ),
+    bins(r, source, bin_id, headroom, n_docs, tok) AS (
+      SELECT 1, source, -1, CAST(-1 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM (SELECT DISTINCT source FROM ranked)
+      UNION ALL
+      SELECT * FROM (
+        SELECT b.r + 1 AS r, b.source, b.bin_id,
+               CASE WHEN ch.bin_id = b.bin_id
+                    THEN b.headroom - d.n ELSE b.headroom END AS headroom,
+               CASE WHEN ch.bin_id = b.bin_id
+                    THEN b.n_docs + 1 ELSE b.n_docs END AS n_docs,
+               CASE WHEN ch.bin_id = b.bin_id
+                    THEN b.tok + d.n ELSE b.tok END AS tok
+        FROM bins b
+        LEFT JOIN ranked d ON d.source = b.source AND d.rank = b.r
+        LEFT JOIN (
+            SELECT f.source, MIN(f.bin_id) AS bin_id
+            FROM (
+              SELECT b2.source, b2.bin_id, b2.headroom
+              FROM bins b2
+              JOIN ranked d2 ON d2.source = b2.source AND d2.rank = b2.r
+              WHERE b2.bin_id >= 0 AND b2.headroom >= d2.n
+            ) f
+            JOIN (
+              SELECT b3.source, MIN(b3.headroom) AS mh
+              FROM bins b3
+              JOIN ranked d3 ON d3.source = b3.source AND d3.rank = b3.r
+              WHERE b3.bin_id >= 0 AND b3.headroom >= d3.n
+              GROUP BY b3.source
+            ) m ON m.source = f.source AND f.headroom = m.mh
+            GROUP BY f.source
+        ) ch ON ch.source = b.source
+        WHERE b.r <= (SELECT MAX(rank) FROM ranked)
+        UNION ALL
+        SELECT b.r + 1, b.source, MAX(b.bin_id) + 1,
+               {PACK_BUDGET_TOKENS} - MAX(d.n), CAST(1 AS BIGINT), MAX(d.n)
+        FROM bins b
+        JOIN ranked d ON d.source = b.source AND d.rank = b.r
+        WHERE b.r <= (SELECT MAX(rank) FROM ranked)
+        GROUP BY b.r, b.source
+        HAVING COUNT(CASE WHEN b.bin_id >= 0 AND b.headroom >= d.n
+                          THEN 1 END) = 0
+      ) nxt
+    )
+    SELECT source, CAST(bin_id AS BIGINT) AS pack_id, n_docs,
+           tok AS n_tokens_total
+    FROM bins
+    WHERE r = (SELECT MAX(rank) + 1 FROM ranked) AND bin_id >= 0
+    """,
     doc=f"Best-fit-decreasing sequence packing (budget {PACK_BUDGET_TOKENS} tokens): per-source bins via applyInPandas; hard budget honored (oversized docs get singleton bins).",
 )
 def sequence_packing_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:

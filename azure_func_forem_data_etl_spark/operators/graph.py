@@ -205,9 +205,61 @@ def pagerank(edges: DataFrame, src: str, dst: str, iters: int = PAGERANK_ITERS) 
     return ranks
 
 
+#: The PageRank round-replay oracle mirrors the engine's DECIMAL rounding
+#: chain in HUGEINT arithmetic (rank held at scale 15, all values positive
+#: so HALF_UP == floor(x + 1/2) == (2a + b) // (2b)).  Spark's decimal type
+#: propagation for ``pagerank`` above is, step by step:
+#:   contrib = (rank(28,18) / deg)        -> div result (38,28), HALF_UP
+#:             .cast(28,18)               -> HALF_UP at scale 18
+#:   acc     = SUM(contrib)               -> (38,18), exact
+#:   d*acc   = (3,2) x (38,18)            -> overflow-adjusted (38,16), HALF_UP
+#:   +0.15   = (3,2) + (38,16)            -> overflow-adjusted (38,15), HALF_UP
+#:   .cast(28,18)                         -> exact (scale widens)
+#: so each round is: r28 = divru(r15*10^13, deg); c18 = divru(r28, 10^10);
+#: p16 = divru(85*SUM(c18), 10^4); r15' = divru(15*10^14 + p16, 10).
+#: (Spark's divide pre-rounds at 34 significant digits HALF_EVEN —
+#: MathContext.DECIMAL128 — before the scale-28 HALF_UP; that double
+#: rounding can only differ when quotient digits 29-34 sit exactly on a
+#: boundary, invisible after the final round-10 output.  Verified
+#: bit-exact against the Spark trajectory at sf0.001/0.01/0.1.)
+_PR_REPLAY = """
+      (2*(1500000000000000
+          + ((2*(85 * SUM(
+                (2*((2 * p.r15 * 10000000000000 + d.deg) // (2 * d.deg))
+                 + 10000000000) // 20000000000))
+              + 10000) // 20000))
+       + 10) // 20
+"""
+
+
 @register(
     "pagerank_copurchase",
-    oracle=None,  # iterative fixpoint is not ANSI-SQL-expressible; invariants unit-tested
+    # Promoted rows-only -> oracle in r6 (r5 VERDICT ask #2e): the engine
+    # computes PageRank in the DECIMAL domain precisely so that iteration
+    # is bit-deterministic — which also makes it replayable: a DuckDB
+    # recursive CTE re-runs all 8 rounds in HUGEINT arithmetic mirroring
+    # the decimal rounding chain (see _PR_REPLAY) and reads the same
+    # round-10 ranks off the final state.
+    oracle=f"""
+    WITH RECURSIVE e AS ({_EDGES_SQL}),
+    und AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+    deg AS (SELECT src AS id, CAST(COUNT(*) AS HUGEINT) AS deg
+            FROM und GROUP BY src),
+    pr(iter, id, r15) AS (
+      SELECT 0, id, CAST(1000000000000000 AS HUGEINT) FROM deg
+      UNION ALL
+      SELECT p.iter + 1, u.dst, {_PR_REPLAY}
+      FROM pr p
+      JOIN und u ON u.src = p.id
+      JOIN deg d ON d.id = p.id
+      WHERE p.iter < {PAGERANK_ITERS}
+      GROUP BY p.iter + 1, u.dst
+    )
+    SELECT id,
+           CAST((2 * r15 + 100000) // 200000 AS DOUBLE) / 10000000000.0 AS rank
+    FROM pr WHERE iter = {PAGERANK_ITERS}
+    ORDER BY rank DESC, id LIMIT 20
+    """,
     doc="Fixed-iteration PageRank (decimal-domain, bit-deterministic) on "
     "the co-purchase graph; top-20 parts by rank.",
 )
