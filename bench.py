@@ -8,12 +8,19 @@ line: ``{"metric": ..., "value": N, "unit": "sec", "queries": {...},
 Each query executes end-to-end into the noop sink — full compute, no
 driver-side result transfer — so the number reflects scan+shuffle+agg cost.
 
-``value``/``queries`` are steady-state times: each query runs in two
+``value``/``queries`` are steady-state times: each query runs in three
 passes and reports the per-query minimum, so neither JVM JIT/codegen
 warm-up (all charged to pass 1) nor transient co-tenant load spikes skew
-the number (standard min-of-N microbenchmark practice).  The raw first
-pass — cold: includes JIT — is reported alongside as
-``cold_value``/``queries_cold``.
+the number (standard min-of-N microbenchmark practice; min-of-3 per the
+r5 VERDICT ask #4).  The raw first pass — cold: includes JIT — is
+reported alongside as ``cold_value``/``queries_cold``.
+
+The printed line also carries a ``canary`` object — the machine-drift
+normalizer the r5 VERDICT asked for ("What's wrong" #3): this host's
+throughput drifts up to ~2x between rounds, so every sidecar embeds the
+untouched-since-r1 ``join_broadcast_dims`` time next to its r1-recorded
+value.  A reader divides any cross-round delta by ``canary.ratio``
+before calling it a regression (full method: BENCH_NOTES.md).
 """
 
 from __future__ import annotations
@@ -132,7 +139,8 @@ def main() -> None:
 
     cold = run_all()   # pass 1: includes JIT/codegen warm-up
     warm = run_all()   # pass 2: steady state
-    times = {k: round(min(cold[k], warm[k]), 2) for k in warm}
+    warm2 = run_all()  # pass 3: min-of-3 (r5 VERDICT ask #4)
+    times = {k: round(min(cold[k], warm[k], warm2[k]), 2) for k in warm}
 
     total = round(sum(times.values()), 3)
     headline = {
@@ -142,6 +150,19 @@ def main() -> None:
         "queries": times,
         "sf": sf,
     }
+    # Drift canary: join_broadcast_dims has been untouched since r1, so
+    # its ratio vs the r1-recorded value measures MACHINE speed, not code.
+    # Embedded in the printed line so BENCH_r{N}.json is self-interpreting
+    # (divide cross-round deltas by `ratio` before reading them as real).
+    CANARY_R1_SEC = 0.443  # BENCH_r01.json, same query, same sf0.1
+    if "join_broadcast_dims" in times and sf == 0.1:
+        c = times["join_broadcast_dims"]
+        headline["canary"] = {
+            "query": "join_broadcast_dims",
+            "r1_sec": CANARY_R1_SEC,
+            "sec": c,
+            "ratio": round(c / CANARY_R1_SEC, 3),
+        }
     # Full detail (incl. cold pass) goes to a file; stdout gets ONE compact
     # line as the very last output.  The driver captures only a bounded tail
     # of stdout, so the printed line must stay well under ~1.5 KB — r2's
