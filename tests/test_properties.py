@@ -152,6 +152,96 @@ def test_star_cc_matches_union_find_on_random_graphs(spark, edges):
     assert got == set(_driver_union_find(edges, None))
 
 
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=50,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_lpa_driver_path_matches_distributed(spark, edges):
+    """The r6 adaptive small-graph LPA (driver loop, LPA_DRIVER_EDGE_BOUND)
+    must return EXACTLY the labels of the distributed round loop on any
+    graph — same synchronous argmax tie-breaks, same even-round stop rule.
+    Forces the distributed path by monkeypatching the bound to -1."""
+    from azure_func_forem_data_etl_spark.operators import graph as G
+
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    fast = {(r["id"], r["community"]) for r in G.label_propagation(df, "src", "dst").collect()}
+    orig = G.LPA_DRIVER_EDGE_BOUND
+    G.LPA_DRIVER_EDGE_BOUND = -1
+    try:
+        slow = {(r["id"], r["community"]) for r in G.label_propagation(df, "src", "dst").collect()}
+    finally:
+        G.LPA_DRIVER_EDGE_BOUND = orig
+    assert fast == slow
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 3),      # source index
+            st.integers(1, 640),    # token count — crosses the 512 budget
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_bfd_oracle_replay_matches_python_bfd(docs):
+    """The sequence_packing_bfd recursive-CTE oracle (r6 promotion) must
+    replay best-fit-decreasing EXACTLY on any corpus — including docs
+    larger than the budget (singleton bins with negative headroom), a
+    branch the fixture corpora may not exercise.  Pure DuckDB vs a direct
+    Python BFD; no Spark involved, so this pins the SQL itself."""
+    import duckdb
+
+    from azure_func_forem_data_etl_spark.operators.curation import (
+        PACK_BUDGET_TOKENS,
+    )
+    from azure_func_forem_data_etl_spark.plans.registry import REGISTRY
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, source VARCHAR, text VARCHAR)")
+    for i, (s, n) in enumerate(docs):
+        con.execute(
+            "INSERT INTO documents VALUES (?, ?, ?)",
+            [i, f"s{s}", " ".join(["w"] * n)],
+        )
+    got = sorted(map(tuple, con.execute(REGISTRY["sequence_packing_bfd"].oracle).fetchall()))
+
+    by_src: dict[str, list[tuple[int, int]]] = {}
+    for i, (s, n) in enumerate(docs):
+        by_src.setdefault(f"s{s}", []).append((n, i))
+    expect = []
+    for src, lst in by_src.items():
+        lst.sort(key=lambda x: (-x[0], x[1]))
+        headroom: list[int] = []
+        n_docs: list[int] = []
+        tok: list[int] = []
+        for n, _ in lst:
+            best, best_room = -1, None
+            for b, room in enumerate(headroom):
+                if room >= n and (best_room is None or room < best_room):
+                    best, best_room = b, room
+            if best < 0:
+                headroom.append(PACK_BUDGET_TOKENS - n)
+                n_docs.append(1)
+                tok.append(n)
+            else:
+                headroom[best] -= n
+                n_docs[best] += 1
+                tok[best] += n
+        expect += [(src, b, n_docs[b], tok[b]) for b in range(len(headroom))]
+    assert got == sorted(expect)
+
+
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
