@@ -395,17 +395,18 @@ def resize_media(media: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "multimodal_resize",
-    # Promoted rows-only -> oracle in r5: the raw-tier payload is the
-    # UTF-8 text (pure ASCII in this corpus, so character position ==
-    # byte position and DuckDB's ascii(substring(...)) IS the byte
-    # value), the bucketing `(i * 64) // n` is integer arithmetic, the
-    # per-bucket byte sums are exact integers in float64, and both sides
-    # apply the identical double->float32 cast (numpy astype vs CAST AS
-    # REAL) before rounding — so the pooled values hash-match exactly.
-    oracle="""
-    WITH bytes AS (
+#: Shared byte-replay CTE prefix: regenerates the raw-tier thumbnail grid
+#: (payload bytes mean-pooled into 64 cells, float32) in DuckDB — the
+#: replay behind BOTH multimodal_resize (r5 promotion) and
+#: multimodal_phash_groups (r6 promotion).  The raw-tier payload is the
+#: UTF-8 text (pure ASCII in this corpus, so character position == byte
+#: position and ascii(substring(...)) IS the byte value — fixture-guarded
+#: by tests/test_parity.py::test_documents_text_is_ascii), the bucketing
+#: `(i * 64) // n` is integer arithmetic, the per-bucket byte sums are
+#: exact integers in float64, and both sides apply the identical
+#: double->float32 cast (numpy astype vs CAST AS REAL).
+_RAW_THUMB_CELLS_SQL = """
+    bytes AS (
       SELECT doc_id, t.i,
              CASE WHEN octet_length(encode(text)) = 0 THEN 0
                   ELSE ascii(substring(text, CAST(t.i + 1 AS INT), 1)) END AS b,
@@ -424,6 +425,15 @@ def resize_media(media: DataFrame) -> DataFrame:
       CROSS JOIN UNNEST(range(0, 64)) AS g(cell)
       LEFT JOIN cellmeans cm ON cm.doc_id = d.doc_id AND cm.cell = g.cell
     )
+"""
+
+
+@register(
+    "multimodal_resize",
+    # Promoted rows-only -> oracle in r5: see _RAW_THUMB_CELLS_SQL for the
+    # byte/pooling replay argument — the pooled values hash-match exactly.
+    oracle=f"""
+    WITH {_RAW_THUMB_CELLS_SQL}
     SELECT doc_id,
            CAST(8 AS INT) AS thumb_w, CAST(8 AS INT) AS thumb_h,
            CAST(64 AS INT) AS n_cells,
@@ -690,7 +700,41 @@ PHASH_BAND_BITS = 16  # exact-match band width for hamming candidate search
 
 @register(
     "multimodal_phash_groups",
-    oracle=None,  # phash derives from the Python stub decode; invariants unit-tested
+    # Promoted rows-only -> oracle in r6: the signature is a pure function
+    # of the raw-tier thumbnail grid that _RAW_THUMB_CELLS_SQL already
+    # replays byte-for-byte (r5's multimodal_resize argument), and every
+    # step after it is deterministic — the median is the mean of the two
+    # middle order statistics (float32 addition replayed as
+    # CAST(a + b AS REAL): the float64 sum of two float32s is exact, so
+    # rounding it to REAL equals Spark's float-domain Add), the bit is a
+    # plain comparison, and the band fold is GROUP BY + HAVING.
+    oracle=f"""
+    WITH {_RAW_THUMB_CELLS_SQL},
+    ranked AS (
+      SELECT doc_id, cell, m,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY m) AS rn
+      FROM grid
+    ),
+    med AS (
+      SELECT doc_id,
+             CAST(CAST(MAX(CASE WHEN rn = 32 THEN m END)
+                       + MAX(CASE WHEN rn = 33 THEN m END) AS REAL)
+                  AS DOUBLE) / 2.0 AS med
+      FROM ranked GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT g.doc_id,
+             string_agg(CASE WHEN g.m > med.med THEN '1' ELSE '0' END, ''
+                        ORDER BY g.cell) AS phash
+      FROM grid g JOIN med ON med.doc_id = g.doc_id
+      GROUP BY g.doc_id
+    )
+    SELECT substring(phash, 1, {PHASH_BAND_BITS}) AS band,
+           CAST(COUNT(*) AS INT) AS n_docs,
+           CAST(COUNT(DISTINCT phash) AS INT) AS n_distinct_phash,
+           MIN(doc_id) AS rep_doc_id
+    FROM sig GROUP BY band HAVING COUNT(*) >= 2
+    """,
     doc="Perceptual-hash near-dup candidates over media payloads: 8x8 "
     "thumbnail -> 64-bit above-median bit signature (JVM exprs) -> "
     "16-bit band groupBy; bands holding >= 2 docs are the candidate "
