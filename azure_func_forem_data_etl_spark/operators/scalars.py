@@ -437,7 +437,7 @@ def _pctl_rank(pct: int, edge: str) -> str:
         SELECT event_type, value,
                ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
                COUNT(*) OVER (PARTITION BY event_type) AS n
-        FROM events
+        FROM events WHERE value IS NOT NULL
     )
     SELECT event_type,
            CAST(MAX(n) AS BIGINT) AS n,
@@ -463,7 +463,12 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy("value")
     wn = Window.partitionBy("event_type")
     r = (
+        # value IS NOT NULL up front: percentile_approx ignores nulls, and
+        # the two engines disagree on null ORDER (Spark nulls-first,
+        # DuckDB nulls-last) — excluding them keeps rank semantics
+        # engine-identical if the fixtures ever grow null values.
         events.select("event_type", "value")
+        .filter(F.col("value").isNotNull())
         .withColumn("rn", F.row_number().over(w))
         .withColumn("n", F.count("*").over(wn))
     )
