@@ -472,7 +472,11 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .withColumn("n", F.count("*").over(wn))
     )
-    brackets = r.groupBy("event_type").agg(
+    # One fused agg over the windowed pass: the sketch aggregates ride the
+    # same (event_type)-partitioned data the bracket extraction needs, so
+    # the plan is scan -> one window shuffle -> one agg (no second scan,
+    # no bracket<->sketch join).
+    fused = r.groupBy("event_type").agg(
         F.max("n").cast("long").alias("n"),
         *[
             F.max(
@@ -481,12 +485,10 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in (50, 95)
             for e in ("lo", "hi")
         ],
-    )
-    ap = events.groupBy("event_type").agg(
         F.percentile_approx("value", 0.5, PCTL_ACC).alias("p50a"),
         F.percentile_approx("value", 0.95, PCTL_ACC).alias("p95a"),
     )
-    return brackets.join(ap, "event_type").select(
+    return fused.select(
         "event_type",
         "n",
         "p50_lo",
