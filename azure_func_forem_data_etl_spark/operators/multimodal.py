@@ -247,7 +247,14 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_full_features",
-    oracle=None,  # CRC32/byte-embedding not expressible in the oracle
+    # No oracle: the projection is CRC32-bound (frame/payload CRCs over
+    # zlib-compressed PNG bytes) and DuckDB 1.0 ships neither crc32 nor
+    # zlib SQL functions — unlike the pixel/sample stats, the checksums
+    # cannot be regenerated relationally.  The decode paths themselves
+    # ARE oracle-witnessed via multimodal_png_decode / _audio_stats /
+    # _resize / _phash_groups; this query's extra columns carry direct
+    # unit tests (tests/test_llm_ops.py, tests/test_codecs.py).
+    oracle=None,
     doc="Full multimodal feature set over the MIXED-media column (real "
     "PNG decode for image-tier docs, stub elsewhere) incl. frame CRCs "
     "and byte embedding (rows-only check).",

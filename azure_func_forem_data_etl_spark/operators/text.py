@@ -1013,7 +1013,11 @@ def _compression_ratio_fn(texts):
 
 @register(
     "compression_ratio_quality",
-    oracle=None,  # zlib is not expressible in SQL; invariants unit-tested
+    # No oracle: the ratio is zlib-bound and DuckDB 1.0 ships no
+    # zlib/deflate SQL function, so the compressed size cannot be
+    # regenerated relationally; ratio-range and verdict-boundary
+    # invariants are unit-tested instead.
+    oracle=None,
     doc="Gopher-style compression-ratio quality signal: zlib bytes-out / "
     "bytes-in per doc (low ratio = repetitive boilerplate, ~1 = "
     "high-entropy gibberish), via an Arrow-vectorized pandas_udf.",
