@@ -184,6 +184,65 @@ def test_lpa_driver_path_matches_distributed(spark, edges):
 
 
 @given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=30,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pagerank_matches_integer_rounding_model(spark, edges):
+    """The pagerank_copurchase oracle replays Spark's DECIMAL rounding
+    chain in HUGEINT arithmetic (graph.py::_PR_REPLAY).  This pins that
+    model against the ENGINE on random graphs: the Python integer replica
+    of the oracle's arithmetic must reproduce Spark's round-10 ranks
+    bit-for-bit — if a Spark upgrade changes decimal type propagation,
+    this fails before the fixture oracle silently diverges."""
+    from azure_func_forem_data_etl_spark.operators.graph import (
+        PAGERANK_ITERS,
+        pagerank,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    und: set[tuple[int, int]] = set()
+    for a, b in edges:
+        und.add((a, b))
+        und.add((b, a))
+    deg: dict[int, int] = {}
+    for s, _ in und:
+        deg[s] = deg.get(s, 0) + 1
+
+    def divru(a: int, b: int) -> int:  # HALF_UP for positive ints
+        return (2 * a + b) // (2 * b)
+
+    rank = {v: 10**15 for v in deg}  # scale-15 integers
+    for _ in range(PAGERANK_ITERS):
+        acc: dict[int, int] = {v: 0 for v in deg}
+        for s, t in und:
+            r28 = divru(rank[s] * 10**13, deg[s])
+            acc[t] += divru(r28, 10**10)
+        rank = {
+            v: divru(15 * 10**14 + divru(85 * acc[v], 10**4), 10) for v in deg
+        }
+    expect = {v: divru(r, 10**5) for v, r in rank.items()}  # scale-10 ints
+
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    from pyspark.sql import functions as F
+
+    got = {
+        r["id"]: int((r["rank"] * 10**10).to_integral_value())
+        for r in pagerank(df, "src", "dst")
+        .select("id", F.round(F.col("rank"), 10).alias("rank"))
+        .collect()
+    }
+    assert got == expect
+
+
+@given(
     docs=st.lists(
         st.tuples(
             st.integers(0, 3),      # source index
