@@ -401,14 +401,80 @@ def bpe_learn(
     )
 
 
+#: The per-round argmax of the BPE replay oracle: pair counts over the
+#: current word-type symbol table, winner by (count DESC, then the
+#: lexicographically smallest pair — ``_simulate_batch``'s ``min(top)``
+#: engine contract).  Appears twice in the recursive term (DuckDB
+#: recursive CTEs cannot name an intermediate CTE over the recursive
+#: reference — same inlining as the LPA oracle).
+_BPE_BEST_SQL = """
+      SELECT pl AS bl, pr AS br, bc FROM (
+        SELECT pl, pr, CAST(SUM(nn) AS BIGINT) AS bc
+        FROM (
+          SELECT w2.n AS nn, w2.s[CAST(t.i AS INT)] AS pl,
+                 w2.s[CAST(t.i + 1 AS INT)] AS pr
+          FROM st w2, UNNEST(range(1, len(w2.s))) AS t(i)
+          WHERE w2.kind = 'w' AND len(w2.s) >= 2
+        ) GROUP BY pl, pr
+      ) ORDER BY bc DESC, bl, br LIMIT 1
+"""
+
+
 @register(
     "bpe_merge_learn",
-    oracle=None,  # iterative argmax loop: not single-statement-SQL-expressible;
-    # round-0 statistics are hash-pinned by bpe_first_pairs and the merge
-    # sequence by the textbook-corpus unit test (tests/test_llm_ops.py)
+    # Promoted rows-only -> oracle in r6: ``bpe_learn``'s batched planner
+    # is PROVABLY order-identical to sequential BPE (that is
+    # ``_simulate_batch``'s whole certainty argument, and the max_batch=1
+    # equivalence tests diff the two), so the oracle replays plain
+    # sequential BPE: a DuckDB recursive CTE carries the word-type symbol
+    # table round over round; each round's winning pair is the inlined
+    # (count DESC, pair ASC) argmax, and the greedy leftmost
+    # non-overlapping rewrite is a list_reduce left fold — merge the
+    # accumulator's tail with the current symbol iff they equal the
+    # winning pair, which reproduces the engine's i+=2 skip exactly (a
+    # just-merged symbol can never re-trigger: merged == left would need
+    # an empty right symbol).  Merge records ride the same CTE as 'm'
+    # rows; bit-exact vs the engine at sf0.001/0.01/0.1.
+    oracle=f"""
+    WITH RECURSIVE words AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ) WHERE word <> '' GROUP BY word
+    ),
+    st(round, kind, n, s, l, r, cnt) AS (
+        SELECT 0, 'w', n, string_split(word, ''),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(NULL AS BIGINT)
+        FROM words
+        UNION ALL
+        SELECT * FROM (
+          SELECT w.round + 1 AS round, 'w' AS kind, w.n,
+                 list_reduce(list_transform(w.s, x -> [x]),
+                     (acc, x) -> CASE
+                         WHEN acc[len(acc)] = b.bl AND x[1] = b.br
+                         THEN list_append(
+                                  list_slice(acc, 1, len(acc) - 1),
+                                  b.bl || b.br)
+                         ELSE list_concat(acc, x) END) AS s,
+                 CAST(NULL AS VARCHAR) AS l, CAST(NULL AS VARCHAR) AS r,
+                 CAST(NULL AS BIGINT) AS cnt
+          FROM st w, ({_BPE_BEST_SQL}) b
+          WHERE w.kind = 'w' AND w.round < {BPE_MERGES}
+          UNION ALL
+          SELECT r0.round + 1, 'm', NULL, NULL, b.bl, b.br, b.bc
+          FROM (SELECT DISTINCT round FROM st WHERE kind = 'w') r0(round),
+               ({_BPE_BEST_SQL}) b
+          WHERE r0.round < {BPE_MERGES}
+        ) nxt
+    )
+    SELECT CAST(round AS INT) AS merge_rank, l AS left_sym, r AS right_sym,
+           l || r AS merged_sym, cnt AS pair_count
+    FROM st WHERE kind = 'm'
+    """,
     doc=f"BPE tokenizer training: the first {BPE_MERGES} learned merges "
     "(rank, pair, merged symbol, support) via the distributed "
-    "word-type pair-count loop.",
+    "word-type pair-count loop; hash-matched against a DuckDB "
+    "recursive-CTE replay of sequential BPE.",
 )
 def bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_learn(table(spark, sf_dir, "documents"))
