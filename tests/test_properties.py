@@ -243,6 +243,36 @@ def test_pagerank_matches_integer_rounding_model(spark, edges):
 
 
 @given(
+    corpus=st.dictionaries(
+        st.text(alphabet="abc", min_size=1, max_size=8),  # adversarial: tiny
+        st.integers(1, 9),  # alphabet forces self-pairs, overlaps, collisions
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_bpe_oracle_replay_matches_sequential_bpe(corpus):
+    """The bpe_merge_learn recursive-CTE oracle (r6 promotion) must replay
+    textbook sequential BPE on adversarial corpora — self-pairs ('aa' over
+    'aaaa' runs), overlap contexts ('abab'), merged-string collisions —
+    not just the fixture corpus.  Pure DuckDB vs the same _bpe_sequential_py
+    reference the engine's batch planner is tested against, closing the
+    triangle engine == reference == oracle."""
+    import duckdb
+
+    from azure_func_forem_data_etl_spark.operators.tokenize import BPE_MERGES
+    from azure_func_forem_data_etl_spark.plans.registry import REGISTRY
+    from tests.test_llm_ops import _bpe_sequential_py
+
+    text = " ".join(w for w, c in sorted(corpus.items()) for _ in range(c))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO documents VALUES (0, ?)", [text])
+    got = sorted(map(tuple, con.execute(REGISTRY["bpe_merge_learn"].oracle).fetchall()))
+    assert got == sorted(_bpe_sequential_py(corpus, BPE_MERGES))
+
+
+@given(
     docs=st.lists(
         st.tuples(
             st.integers(0, 3),      # source index
