@@ -173,6 +173,7 @@ _FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("n_bytes_decoded", T.IntegerType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("crc32", T.LongType()),
@@ -204,6 +205,7 @@ def _feature_mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 (
                     doc_id,
                     len(buf),
+                    len(decoded),
                     width,
                     height,
                     checksum,
@@ -245,25 +247,230 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "n_bytes", "width", "n_frames")
 
 
+# --- DECODED-byte replay for the mixed-media column (r6 promotion) -------
+#
+# Every byte ``_decode_image`` produces is a pure function of doc_id/text:
+# PNG-tier pixels are the synthesis arithmetic (same replay as
+# multimodal_png_decode), non-PNG tiers decode to the PAYLOAD itself —
+# the 44-byte canonical RIFF/WAVE header + little-endian PCM for the WAV
+# tier (every field derives from doc_id) and the UTF-8 text for the raw
+# tier (ascii(substring), fixture-guarded pure-ASCII).  (i, b) is the
+# 0-based decoded byte stream per doc.
+
+#: signed WAV sample value at data-byte j (sample s = j // sw, byte-in-
+#: sample k = j % sw; frame = s // nch, channel = s % nch)
+_WAV_V = (
+    "((w.doc_id*7 + ((t.j // w.sw) // w.nch)*13"
+    " + ((t.j // w.sw) % w.nch)*5) % 201) - 100"
+)
+
+_MEDIA_DECODED_BYTES_SQL = f"""
+    tier AS (
+      SELECT doc_id, text,
+        CASE WHEN doc_id % {PNG_DOC_MOD} = 0 THEN 'png'
+             WHEN doc_id % {WAV_DOC_MOD} = 0 THEN 'wav' ELSE 'raw' END AS tier
+      FROM documents
+    ),
+    png AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 5 AS h,
+                   1 + doc_id % 4 AS ch FROM tier WHERE tier = 'png'),
+    wavp AS (SELECT *, nf * nch * sw AS ds FROM (
+        SELECT doc_id,
+               [8000, 16000, 44100][CAST(doc_id % 3 AS INT) + 1] AS rate,
+               [1, 2, 3, 4][CAST(doc_id % 4 AS INT) + 1] AS sw,
+               1 + doc_id % 2 AS nch,
+               20 + doc_id % 50 AS nf
+        FROM tier WHERE tier = 'wav')),
+    png_bytes AS (
+      SELECT p.doc_id, t.j AS i,
+             (p.doc_id*31 + (t.j // (p.w*p.ch))*17
+              + ((t.j % (p.w*p.ch)) // p.ch)*7 + (t.j % p.ch)*3) % 256 AS b
+      FROM png p, UNNEST(range(0, CAST(p.w AS BIGINT)*p.h*p.ch)) t(j)
+    ),
+    wav_header AS (
+      -- the stdlib wave module's canonical 44-byte PCM header,
+      -- little-endian field by field
+      SELECT w.doc_id, t.j AS i,
+        CASE
+          WHEN t.j = 0 THEN 82 WHEN t.j = 1 THEN 73
+          WHEN t.j = 2 THEN 70 WHEN t.j = 3 THEN 70           -- 'RIFF'
+          WHEN t.j BETWEEN 4 AND 7
+               THEN ((36 + w.ds) >> CAST(8*(t.j - 4) AS INT)) & 255
+          WHEN t.j = 8 THEN 87 WHEN t.j = 9 THEN 65
+          WHEN t.j = 10 THEN 86 WHEN t.j = 11 THEN 69         -- 'WAVE'
+          WHEN t.j = 12 THEN 102 WHEN t.j = 13 THEN 109
+          WHEN t.j = 14 THEN 116 WHEN t.j = 15 THEN 32        -- 'fmt '
+          WHEN t.j BETWEEN 16 AND 19
+               THEN (16 >> CAST(8*(t.j - 16) AS INT)) & 255   -- fmt size
+          WHEN t.j BETWEEN 20 AND 21
+               THEN (1 >> CAST(8*(t.j - 20) AS INT)) & 255    -- PCM
+          WHEN t.j BETWEEN 22 AND 23
+               THEN (w.nch >> CAST(8*(t.j - 22) AS INT)) & 255
+          WHEN t.j BETWEEN 24 AND 27
+               THEN (w.rate >> CAST(8*(t.j - 24) AS INT)) & 255
+          WHEN t.j BETWEEN 28 AND 31
+               THEN ((w.rate*w.nch*w.sw) >> CAST(8*(t.j - 28) AS INT)) & 255
+          WHEN t.j BETWEEN 32 AND 33
+               THEN ((w.nch*w.sw) >> CAST(8*(t.j - 32) AS INT)) & 255
+          WHEN t.j BETWEEN 34 AND 35
+               THEN ((w.sw*8) >> CAST(8*(t.j - 34) AS INT)) & 255
+          WHEN t.j = 36 THEN 100 WHEN t.j = 37 THEN 97
+          WHEN t.j = 38 THEN 116 WHEN t.j = 39 THEN 97        -- 'data'
+          ELSE (w.ds >> CAST(8*(t.j - 40) AS INT)) & 255
+        END AS b
+      FROM wavp w, UNNEST(range(0, 44)) t(j)
+    ),
+    wav_data AS (
+      -- 8-bit stores unsigned (v+128); wider widths little-endian two's
+      -- complement at the sample width
+      SELECT w.doc_id, 44 + t.j AS i,
+        CASE WHEN w.sw = 1
+             THEN {_WAV_V} + 128
+             ELSE ((CASE WHEN {_WAV_V} < 0
+                         THEN {_WAV_V} + (CAST(1 AS BIGINT) << CAST(8*w.sw AS INT))
+                         ELSE {_WAV_V} END)
+                   >> CAST(8*(t.j % w.sw) AS INT)) & 255
+        END AS b
+      FROM wavp w, UNNEST(range(0, w.ds)) t(j)
+    ),
+    raw_bytes AS (
+      SELECT d.doc_id, t.i,
+             ascii(substring(d.text, CAST(t.i + 1 AS INT), 1)) AS b
+      FROM tier d, UNNEST(range(0, octet_length(encode(d.text)))) t(i)
+      WHERE d.tier = 'raw'
+    ),
+    all_bytes AS (
+      SELECT * FROM png_bytes UNION ALL
+      SELECT * FROM wav_header UNION ALL
+      SELECT * FROM wav_data UNION ALL
+      SELECT * FROM raw_bytes
+    )
+"""
+
+
+def _crc_table_expr() -> str:
+    """The CRC-32 (IEEE 802.3, poly 0xEDB88320 reflected) table entry for
+    ``r.n``: eight unrolled steps of c -> (c>>1) XOR (poly if c&1)."""
+    expr = "CAST(r.n AS BIGINT)"
+    for _ in range(8):
+        expr = (
+            f"(CASE WHEN ({expr}) & 1 = 1"
+            f" THEN xor(({expr}) >> 1, 3988292384)"
+            f" ELSE ({expr}) >> 1 END)"
+        )
+    return expr
+
+
 @register(
     "multimodal_full_features",
-    # No oracle: the projection is CRC32-bound (frame/payload CRCs over
-    # zlib-compressed PNG bytes) and DuckDB 1.0 ships neither crc32 nor
-    # zlib SQL functions — unlike the pixel/sample stats, the checksums
-    # cannot be regenerated relationally.  The decode paths themselves
-    # ARE oracle-witnessed via multimodal_png_decode / _audio_stats /
-    # _resize / _phash_groups; this query's extra columns carry direct
-    # unit tests (tests/test_llm_ops.py, tests/test_codecs.py).
-    oracle=None,
+    # Promoted rows-only -> oracle in r6: the one blocker was CRC32
+    # (DuckDB 1.0 ships no crc32/zlib function), and CRC32 is just an
+    # 8-step-unrolled 256-entry table (built by _crc_table_expr from the
+    # reflected polynomial) plus a per-byte left fold — a list_reduce
+    # over each stream's ordered decoded bytes, which
+    # _MEDIA_DECODED_BYTES_SQL regenerates for all three tiers.  Streams:
+    # sid -1 = the whole decoded buffer (payload crc32), sid k>=0 = its
+    # k-th FRAME_BYTES block (frame_crcs).  The byte-embedding scalars
+    # replay too: the 16-byte head's float32 L2 norm is exact (integer
+    # squares < 2^24 keep float32 sums exact; sqrt correctly rounded) and
+    # the per-element division + double fold mirror numpy/Spark op for op.
+    # The projection's n_bytes became n_bytes_decoded (decoder OUTPUT
+    # size): the encoded-PNG payload length is zlib-output-dependent, the
+    # one number a relational replay cannot produce.
+    oracle=f"""
+    WITH {_MEDIA_DECODED_BYTES_SQL},
+    streams AS (
+      SELECT doc_id, CAST(-1 AS BIGINT) AS sid, i AS pos, b FROM all_bytes
+      UNION ALL
+      SELECT doc_id, i // {FRAME_BYTES} AS sid, i % {FRAME_BYTES} AS pos, b
+      FROM all_bytes
+    ),
+    crctab AS (SELECT r.n, {{CRCTAB}} AS t FROM range(0, 256) r(n)),
+    crctab_arr AS (SELECT list(t ORDER BY n) AS tab FROM crctab),
+    crc_final AS (
+      SELECT doc_id, sid,
+             xor(list_reduce(
+                   list_prepend(CAST(4294967295 AS BIGINT),
+                                list(b ORDER BY pos)),
+                   (acc, x) -> xor(acc >> 8,
+                                   tab[CAST(xor(acc, x) & 255 AS INT) + 1])),
+                 4294967295) AS crc
+      FROM streams, crctab_arr
+      GROUP BY doc_id, sid, tab
+    ),
+    crc_agg AS (
+      SELECT doc_id,
+             MAX(CASE WHEN sid = -1 THEN crc END) AS crc32,
+             CAST(COUNT(CASE WHEN sid >= 0 THEN 1 END) AS INT) AS n_frames,
+             MAX(CASE WHEN sid = 0 THEN crc END) AS frame_crc_first,
+             CAST(SUM(CASE WHEN sid >= 0 THEN crc ELSE 0 END) AS BIGINT)
+                 AS frame_crc_sum
+      FROM crc_final GROUP BY doc_id
+    ),
+    nbytes AS (
+      SELECT t.doc_id, CAST(COUNT(ab.b) AS INT) AS n_dec
+      FROM tier t LEFT JOIN all_bytes ab ON ab.doc_id = t.doc_id
+      GROUP BY t.doc_id
+    ),
+    head AS (
+      SELECT t.doc_id, g.k, COALESCE(ab.b, 0) AS b
+      FROM tier t
+      CROSS JOIN UNNEST(range(0, 16)) g(k)
+      LEFT JOIN all_bytes ab ON ab.doc_id = t.doc_id AND ab.i = g.k
+    ),
+    emb AS (
+      SELECT doc_id,
+             CASE WHEN SUM(b*b) = 0 THEN CAST(1.0 AS REAL)
+                  ELSE CAST(sqrt(CAST(SUM(b*b) AS DOUBLE)) AS REAL)
+             END AS nrm,
+             list(CAST(b AS REAL) ORDER BY k) AS hb
+      FROM head GROUP BY doc_id
+    ),
+    embv AS (
+      SELECT doc_id, list_transform(hb, x -> CAST(x / nrm AS REAL)) AS v
+      FROM emb
+    ),
+    dims AS (
+      SELECT t.doc_id,
+             CASE t.tier WHEN 'png' THEN CAST(4 + t.doc_id % 13 AS INT)
+                         WHEN 'wav' THEN CAST(1 + (44 + w.ds) % 512 AS INT)
+                         ELSE CAST(1 + octet_length(encode(t.text)) % 512
+                                   AS INT)
+             END AS width,
+             CASE t.tier WHEN 'png' THEN CAST(3 + t.doc_id % 5 AS INT)
+                         WHEN 'wav' THEN CAST(165 AS INT)  -- 1 + 2*ascii('R')
+                         ELSE CAST(1 + 2 * CASE
+                                WHEN octet_length(encode(t.text)) = 0 THEN 0
+                                ELSE ascii(substring(t.text, 1, 1)) END AS INT)
+             END AS height
+      FROM tier t LEFT JOIN wavp w ON w.doc_id = t.doc_id
+    )
+    SELECT d.doc_id,
+           nb.n_dec AS n_bytes_decoded,
+           d.width, d.height,
+           COALESCE(c.crc32, 0) AS crc32,
+           COALESCE(c.n_frames, 0) AS n_frames,
+           c.frame_crc_first,
+           COALESCE(c.frame_crc_sum, 0) AS frame_crc_sum,
+           CAST(16 AS INT) AS emb_dim,
+           round(CAST(e.v[1] AS DOUBLE), 6) AS emb_x0,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(e.v, x -> CAST(x AS DOUBLE))),
+                 (a, x) -> a + x), 6) AS emb_sum
+    FROM dims d
+    JOIN nbytes nb ON nb.doc_id = d.doc_id
+    LEFT JOIN crc_agg c ON c.doc_id = d.doc_id
+    JOIN embv e ON e.doc_id = d.doc_id
+    """.replace("{CRCTAB}", _crc_table_expr()),
     doc="Full multimodal feature set over the MIXED-media column (real "
     "PNG decode for image-tier docs, stub elsewhere) incl. frame CRCs "
-    "and byte embedding (rows-only check).",
+    "and byte embedding, hash-matched against a DuckDB byte replay with "
+    "an in-SQL CRC-32.",
 )
 def multimodal_full_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array columns (frame_crcs, byte_embedding) are projected to scalar
-    surrogates for the registry-facing result — the driver's rows-only
-    canonicalizer hashes values and cannot sort lists.  The full-array
-    variant stays available via ``extract_media_features`` (unit-tested in
+    surrogates for the registry-facing result — the driver's canonicalizer
+    hashes values and cannot sort lists.  The full-array variant stays
+    available via ``extract_media_features`` (unit-tested in
     tests/test_llm_ops.py).  Runs on ``with_media_column``, so image-tier
     docs flow through the REAL PNG decoder (width/height from actual IHDR,
     CRCs over actual unfiltered pixels) and the rest through the stub."""
@@ -271,7 +478,7 @@ def multimodal_full_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_media_features(with_media_column(docs))
     return feats.select(
         "doc_id",
-        "n_bytes",
+        "n_bytes_decoded",
         "width",
         "height",
         "crc32",
