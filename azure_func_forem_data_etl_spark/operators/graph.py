@@ -266,8 +266,16 @@ _PR_REPLAY = """
 def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = copurchase_edges(spark, sf_dir)
     pr = pagerank(edges, "src", "dst")
+    # The round-10 DECIMAL(21,10) is cast to DOUBLE to match the oracle's
+    # output type: the driver stringifies values, and Decimal('0.9383060200')
+    # != '0.93830602' even though they are numerically equal (the r6
+    # hash-mismatch).  The cast is exact — scale-10 values here are < 10^6
+    # so the scaled integer fits far under 2^53, and Spark's decimal->double
+    # and DuckDB's int/1e10 produce the same nearest double.
     return (
-        pr.select("id", F.round(F.col("rank"), 10).alias("rank"))
+        pr.select(
+            "id", F.round(F.col("rank"), 10).cast("double").alias("rank")
+        )
         .orderBy(F.col("rank").desc(), "id")
         .limit(20)
     )
@@ -826,26 +834,53 @@ def label_propagation(edges: DataFrame, src: str, dst: str, max_iter: int = LPA_
     from pyspark.sql import types as T
 
     edges = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    checkpointed = edges.localCheckpoint(eager=True)
-    if checkpointed.count() <= LPA_DRIVER_EDGE_BOUND:
-        id_type = checkpointed.schema["a"].dataType
+    # Driver path needs only a count + a collect of the narrow projection —
+    # no localCheckpoint (ADVICE r6: the eager checkpoint here was never
+    # unpersisted, so repeated calls from the bench/sim harnesses
+    # accumulated MEMORY_AND_DISK blocks until ContextCleaner GC'd them).
+    if edges.count() <= LPA_DRIVER_EDGE_BOUND:
+        id_type = edges.schema["a"].dataType
         schema = T.StructType(
             [T.StructField("id", id_type), T.StructField("community", id_type)]
         )
-        rows = [(r["a"], r["b"]) for r in checkpointed.collect()]
+        rows = [(r["a"], r["b"]) for r in edges.collect()]
         return edges.sparkSession.createDataFrame(
             _driver_lpa(rows, max_iter), schema
         )
 
+    # localCheckpoint blocks do NOT respond to DataFrame.unpersist() (a
+    # cache-manager no-op for checkpointed frames — see tokenize.py's
+    # bpe_learn note), so each round's dead checkpoint is released by its
+    # JVM RDD id: snapshot the persistent-RDD map around every eager
+    # checkpoint to learn which ids it created, and drop a frame's ids as
+    # soon as its successor is materialized (ADVICE r6: LPA leaked every
+    # round's blocks until ContextCleaner happened to GC them).  Only the
+    # RETURNED frame's ids stay persisted — the caller owns those.
+    jsc = edges.sparkSession.sparkContext._jsc
+
+    def _persistent_ids() -> set[int]:
+        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _release(ids: set[int]) -> None:
+        jmap = jsc.getPersistentRDDs()
+        for rid in jmap.keySet().toArray():
+            if int(rid) in ids:
+                jmap.get(rid).unpersist(True)
+
+    snap = _persistent_ids()
+    checkpointed = edges.localCheckpoint(eager=True)
+    edge_ids = _persistent_ids() - snap
     adj = checkpointed.unionByName(
         checkpointed.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
+    snap = _persistent_ids()
     labels = (
         adj.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("community", F.col("id"))
         .localCheckpoint()
     )
+    label_ids = _persistent_ids() - snap
     def fingerprint(lab: DataFrame) -> tuple:
         # Order-independent state digest: one tiny agg job instead of a
         # join-based diff.  Detects BOTH convergence (state == previous)
@@ -884,12 +919,21 @@ def label_propagation(edges: DataFrame, src: str, dst: str, max_iter: int = LPA_
         )
         # isolated nodes (none here: labels derive from edges) would keep
         # their own label via a left join; every node has >=1 neighbor.
-        labels = new_labels.localCheckpoint()
+        snap = _persistent_ids()
+        labels = new_labels.localCheckpoint()  # eager: prev state now dead
+        new_ids = _persistent_ids() - snap
+        _release(label_ids)
+        label_ids = new_ids
         if i % 2 == 0:
             fp = fingerprint(labels)
             if fp == seen_prev2:
                 break
             seen_prev2 = fp
+    # The returned frame is an eager localCheckpoint of the FINAL state, so
+    # the edge blocks are dead — release them now instead of waiting for
+    # ContextCleaner (same leak class as the r4 bpe_learn finding).  Only
+    # ``label_ids`` (backing the returned frame) stay persisted.
+    _release(edge_ids)
     return labels
 
 

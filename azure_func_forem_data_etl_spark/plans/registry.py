@@ -120,6 +120,25 @@ def _errored_latest(root=None) -> frozenset[str]:
     return frozenset(_latest_rows(root)) - _officially_checked(root)
 
 
+def _mismatched_latest(root=None) -> frozenset[str]:
+    """Names whose LATEST official row ran cleanly but FAILED a compare
+    (hash/rows/schema mismatch).  ``_officially_checked`` treats any
+    ``err is None`` row as checked, which would park a red row at the back
+    of the rotation forever — e.g. ``pagerank_copurchase``'s r6
+    ``hash_match: false`` (DECIMAL vs DOUBLE stringification).  A red
+    official record is strictly worse than a missing one, so these jump
+    the queue alongside error-latest names until a green row replaces it."""
+    bad = set()
+    for name, row in _latest_rows(root).items():
+        if not isinstance(row, dict) or row.get("err") is not None:
+            continue
+        for k in ("rows_match", "schema_match", "hash_match"):
+            if row.get(k) is False:
+                bad.add(name)
+                break
+    return frozenset(bad)
+
+
 def _upgraded_latest(registry: dict[str, Query], root=None) -> frozenset[str]:
     """Names whose registered check STRENGTHENED since their latest official
     row: the latest CORRECTNESS row is the weaker rows-only fallback
@@ -153,7 +172,7 @@ def _driver_order(registry: dict[str, Query]) -> dict[str, Query]:
     # on a harness error is worse than a missing one.  Check-upgraded names
     # (rows-only row, oracle now registered) follow for the same reason:
     # their official record is stale-weaker than the current check.
-    jump = _errored_latest() | _upgraded_latest(registry)
+    jump = _errored_latest() | _upgraded_latest(registry) | _mismatched_latest()
     requeued = sorted(
         (n for n in jump if n in registry and n not in sentinels),
         key=lambda n: reg_index[n],

@@ -21,6 +21,7 @@ raw stream — driver-side size stays bounded).
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -34,8 +35,11 @@ from azure_func_forem_data_etl_spark.session import ensure_query_session_conf
 #: pays a batch read just to pin the source schema, and the interval-join
 #: family opens the same events table 2x per query x 5 queries per sim
 #: round (r5 VERDICT ask #5: shave the family's shared fixed overhead).
-#: Fixture files are immutable within a session, so cache by path.
-_SCHEMA_CACHE: dict[str, object] = {}
+#: Keyed by (path, mtime_ns, size) — not path alone — so a fixture file
+#: regenerated at the same path within one Python process gets a fresh
+#: schema instead of a stale one (ADVICE r6: the immutability assumption
+#: was only a comment; the stat pair makes it checked).
+_SCHEMA_CACHE: dict[tuple[str, int, int], object] = {}
 
 
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -53,10 +57,12 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     ensure_query_session_conf(spark)
     path = f"{sf_dir}/{name}.parquet"
-    schema = _SCHEMA_CACHE.get(path)
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         schema = spark.read.parquet(path).schema
-        _SCHEMA_CACHE[path] = schema
+        _SCHEMA_CACHE[key] = schema
     sdf = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", f"{name}.parquet")

@@ -1414,6 +1414,56 @@ def test_bpe_learn_releases_all_cached_blocks(spark):
     assert cached_ids() - before == set()
 
 
+def test_label_propagation_releases_round_blocks(spark):
+    """label_propagation localCheckpoints every round; all but the RETURNED
+    frame's blocks must be released by return time (ADVICE r6: the same
+    leak class as bpe_learn — DataFrame.unpersist() is a no-op on
+    checkpointed frames, so the dead rounds accumulated MEMORY_AND_DISK
+    blocks for the session lifetime).
+
+    Leak oracle: the number of NEW persistent-RDD ids surviving the call
+    must not grow with the round count — a leaky loop leaves O(rounds)
+    blocks, a clean one leaves only the returned checkpoint's.  The driver
+    path must leave zero (it no longer checkpoints at all)."""
+    from azure_func_forem_data_etl_spark.operators import graph as G
+
+    def cached_ids() -> set:
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+
+    def release(ids: set) -> None:
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in m.keySet().toArray():
+            if int(rid) in ids:
+                m.get(rid).unpersist(True)
+
+    edges = [(a, b) for a in range(8) for b in range(a + 1, 8)] + [(7, 8), (8, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    # Driver path (default bound): no checkpoint, no new blocks.
+    before = cached_ids()
+    G.label_propagation(df, "src", "dst").collect()
+    assert cached_ids() - before == set()
+
+    # Distributed path: force it by dropping the driver bound to 0.
+    bound = G.LPA_DRIVER_EDGE_BOUND
+    G.LPA_DRIVER_EDGE_BOUND = 0
+    try:
+        survivors = []
+        for iters in (1, 5):
+            before = cached_ids()
+            G.label_propagation(df, "src", "dst", max_iter=iters).collect()
+            new = cached_ids() - before
+            survivors.append(len(new))
+            release(new)  # drop the returned frame's blocks for the next run
+        assert survivors[0] == survivors[1], (
+            f"persistent blocks grew with round count: {survivors} — "
+            "a dead round's localCheckpoint was not released"
+        )
+    finally:
+        G.LPA_DRIVER_EDGE_BOUND = bound
+
+
 def test_label_propagation_planted_cliques(spark):
     """Two 4-cliques joined by one bridge edge: LPA must keep the cliques
     in distinct communities (CC would merge them through the bridge)."""
