@@ -1004,3 +1004,406 @@ def tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a single positive value makes the (k-1) divisor zero -> NaN/inf
         # row (ADVICE r3); the estimator is undefined there, so emit empty
     ).filter(F.col("k_used") >= 2)
+
+
+# --- resampling / hypothesis-test statistics (round 7) ---------------------
+# The reference has no statistics layer at all (its 306 lines fetch and
+# store); these belong to the SURVEY §2b profiling surface: a 100 TB
+# pipeline needs uncertainty estimates (jackknife), mean-shift tests
+# (ANOVA, Mann-Whitney) and association strength (Cramér's V) before it
+# trusts a source mix change.  Every query reduces the corpus to a
+# bounded group-level table in ONE scan, then finishes with closed-form
+# scalar math — the same shape as returns_rate_wilson_ci above.
+
+#: decimal type for exact money sums (o_totalprice < 10^7, scale 2).
+_MONEY_DEC = "decimal(18,2)"
+
+
+@register(
+    "jackknife_revenue_ci",
+    oracle="""
+    WITH g AS (
+        SELECT n.n_name AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n_i,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS s_i
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_i) AS BIGINT) AS n, SUM(s_i) AS s,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM g
+    ),
+    loo AS (
+        -- delete-one-group estimates, 6dp-quantized so the later sums
+        -- are exact decimal additions in both engines
+        SELECT CAST(round(CAST(t.s - g.s_i AS DOUBLE) / (t.n - g.n_i), 6)
+                    AS DECIMAL(18,6)) AS theta_i
+        FROM g, tot t
+    ),
+    jb AS (SELECT CAST(SUM(theta_i) AS DOUBLE) / COUNT(*) AS theta_bar FROM loo)
+    SELECT t.k AS n_groups,
+           round(CAST(t.s AS DOUBLE) / t.n, 6) AS theta_hat,
+           round(sqrt((t.k - 1.0) / t.k *
+                 CAST((SELECT SUM(CAST(round((theta_i - jb.theta_bar)
+                                             * (theta_i - jb.theta_bar), 8)
+                                       AS DECIMAL(28,8)))
+                       FROM loo) AS DOUBLE)), 6) AS jack_se
+    FROM tot t, jb
+    """,
+    doc="Delete-one-nation jackknife standard error of the mean order "
+    "value: group-level leave-one-out estimates from one aggregation.",
+)
+def jackknife_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resampling-based uncertainty without resampling the data: the
+    delete-one-GROUP jackknife needs only per-group (count, sum) — one
+    scan, one tiny group table — then every leave-one-out estimate is
+    closed-form ((S - s_i) / (N - n_i)).  At 100 TB the group rollup is
+    the only distributed work; the jackknife itself runs over k=25 rows.
+
+    Determinism: sums are exact decimal; each per-group double (the LOO
+    estimate, then its squared deviation) is quantized before the next
+    decimal sum, so no order-dependent float addition anywhere.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    g = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("grp"))
+        .agg(
+            F.count("*").alias("n_i"),
+            F.sum(F.col("o_totalprice").cast(_MONEY_DEC)).alias("s_i"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_i").alias("n"), F.sum("s_i").alias("s"), F.count("*").alias("k")
+    )
+    loo = g.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            (F.col("s") - F.col("s_i")).cast("double") / (F.col("n") - F.col("n_i")),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("theta_i"),
+        "n",
+        "s",
+        "k",
+    )
+    jb = loo.groupBy("n", "s", "k").agg(
+        (F.sum("theta_i").cast("double") / F.count("*")).alias("theta_bar")
+    )
+    dev2 = F.round(
+        (F.col("theta_i") - F.col("theta_bar")) * (F.col("theta_i") - F.col("theta_bar")),
+        8,
+    ).cast("decimal(28,8)")
+    return (
+        loo.join(F.broadcast(jb), ["n", "s", "k"])
+        .groupBy("n", "s", "k")
+        .agg(F.sum(dev2).alias("ss"))
+        .select(
+            F.col("k").alias("n_groups"),
+            F.round(F.col("s").cast("double") / F.col("n"), 6).alias("theta_hat"),
+            F.round(
+                F.sqrt(
+                    (F.col("k") - F.lit(1.0)) / F.col("k") * F.col("ss").cast("double")
+                ),
+                6,
+            ).alias("jack_se"),
+        )
+    )
+
+
+@register(
+    "anova_f_groups",
+    oracle="""
+    WITH g AS (
+        SELECT o_orderpriority AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n_i,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s_i,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))
+                   * CAST(o_totalprice AS DECIMAL(12,2))) AS q_i
+        FROM orders
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+               CAST(SUM(s_i) AS DOUBLE) / CAST(SUM(n_i) AS BIGINT) AS m,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM g
+    ),
+    part AS (
+        -- per-group double contributions, quantized to WHOLE units before
+        -- the cross-group sum: at 1e11-1e14 magnitudes any sub-unit round
+        -- scale would push x*10^d past 2^53 where engine round() diverges
+        SELECT CAST(round(g.n_i * (CAST(g.s_i AS DOUBLE) / g.n_i - t.m)
+                          * (CAST(g.s_i AS DOUBLE) / g.n_i - t.m), 0)
+                    AS DECIMAL(28,0)) AS ssb_i,
+               CAST(round(CAST(g.q_i AS DOUBLE)
+                          - CAST(g.s_i AS DOUBLE) * CAST(g.s_i AS DOUBLE) / g.n_i, 0)
+                    AS DECIMAL(28,0)) AS ssw_i,
+               t.n, t.k
+        FROM g, tot t
+    )
+    SELECT k AS k_groups, n AS n_total,
+           CAST(SUM(ssb_i) AS DOUBLE) AS ssb,
+           CAST(SUM(ssw_i) AS DOUBLE) AS ssw,
+           round((CAST(SUM(ssb_i) AS DOUBLE) / (k - 1))
+                 / (CAST(SUM(ssw_i) AS DOUBLE) / (n - k)), 6) AS f_stat,
+           round(CAST(SUM(ssb_i) AS DOUBLE)
+                 / (CAST(SUM(ssb_i) AS DOUBLE) + CAST(SUM(ssw_i) AS DOUBLE)), 6)
+               AS eta_sq
+    FROM part
+    GROUP BY k, n
+    """,
+    doc="One-way ANOVA F (and eta-squared effect size) across order "
+    "priorities from per-group (n, sum, sum-of-squares) partials.",
+)
+def anova_f_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-shift test across k groups in ONE scan: ANOVA needs only the
+    per-group sufficient statistics (n, Sx, Sx2), so the 100 TB cost is a
+    single map-side-combined aggregation on a 5-value key; SSB/SSW/F are
+    closed-form over the k-row rollup.
+
+    Determinism: Sx and Sx2 run in the exact decimal domain (x is a
+    2-decimal money value, so x2 at scale 4 is exact); each group's two
+    double contributions are quantized to WHOLE units (decimal(28,0))
+    before the cross-group decimal sum — at their 1e11-1e14 magnitudes a
+    finer scale would put round() past 2^53 where Spark (BigDecimal) and
+    DuckDB (float multiply) disagree, the failure seen on this query's
+    first draft.
+    """
+    o = table(spark, sf_dir, "orders")
+    x2 = F.col("o_totalprice").cast("decimal(12,2)") * F.col("o_totalprice").cast(
+        "decimal(12,2)"
+    )
+    g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count("*").alias("n_i"),
+        F.sum(F.col("o_totalprice").cast(_MONEY_DEC)).alias("s_i"),
+        F.sum(x2).alias("q_i"),
+    )
+    tot = g.agg(
+        F.sum("n_i").alias("n"),
+        (F.sum("s_i").cast("double") / F.sum("n_i")).alias("m"),
+        F.count("*").alias("k"),
+    )
+    m_i = F.col("s_i").cast("double") / F.col("n_i")
+    part = g.crossJoin(F.broadcast(tot)).select(
+        F.round(F.col("n_i") * (m_i - F.col("m")) * (m_i - F.col("m")), 0)
+        .cast("decimal(28,0)")
+        .alias("ssb_i"),
+        F.round(
+            F.col("q_i").cast("double")
+            - F.col("s_i").cast("double") * F.col("s_i").cast("double") / F.col("n_i"),
+            0,
+        )
+        .cast("decimal(28,0)")
+        .alias("ssw_i"),
+        "n",
+        "k",
+    )
+    agg = part.groupBy("k", "n").agg(
+        F.sum("ssb_i").cast("double").alias("ssb_d"),
+        F.sum("ssw_i").cast("double").alias("ssw_d"),
+    )
+    return agg.select(
+        F.col("k").alias("k_groups"),
+        F.col("n").alias("n_total"),
+        F.col("ssb_d").alias("ssb"),
+        F.col("ssw_d").alias("ssw"),
+        F.round(
+            (F.col("ssb_d") / (F.col("k") - 1)) / (F.col("ssw_d") / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+        F.round(F.col("ssb_d") / (F.col("ssb_d") + F.col("ssw_d")), 6).alias("eta_sq"),
+    )
+
+
+#: Mann-Whitney sample pair: compare event values between two types.
+_MW_GROUP_A = "click"
+_MW_GROUP_B = "error"
+
+
+@register(
+    "mann_whitney_value_shift",
+    oracle=f"""
+    WITH vg AS (
+        SELECT value AS v,
+               CAST(SUM(CASE WHEN event_type = '{_MW_GROUP_A}' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c_a,
+               CAST(COUNT(*) AS BIGINT) AS t_v
+        FROM events
+        WHERE event_type IN ('{_MW_GROUP_A}', '{_MW_GROUP_B}')
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT c_a, t_v,
+               COALESCE(SUM(t_v) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        FROM vg
+    ),
+    s AS (
+        SELECT CAST(SUM(c_a) AS BIGINT) AS n1,
+               CAST(SUM(t_v - c_a) AS BIGINT) AS n2,
+               CAST(SUM(t_v) AS BIGINT) AS n,
+               -- R1 = sum of average ranks of group A; average rank is a
+               -- half-integer, kept exact as (2*below + t_v + 1) halves
+               CAST(SUM(c_a * (2 * below + t_v + 1)) AS BIGINT) AS r1_twice,
+               CAST(SUM(t_v * t_v * t_v - t_v) AS BIGINT) AS tie_term
+        FROM ranked
+    )
+    SELECT n1, n2,
+           r1_twice / 2.0 - n1 * (n1 + 1) / 2.0 AS u1,
+           round((r1_twice / 2.0 - n1 * (n1 + 1) / 2.0 - n1 * (n2 / 2.0))
+                 / sqrt((CAST(n1 AS DOUBLE) * n2 / 12.0)
+                        * ((n + 1) - tie_term / (CAST(n AS DOUBLE) * (n - 1)))),
+                 6) AS z_stat,
+           round((r1_twice / 2.0 - n1 * (n1 + 1) / 2.0)
+                 / (CAST(n1 AS DOUBLE) * n2), 6) AS cl_effect
+    FROM s
+    """,
+    doc=f"Mann-Whitney U rank test ('{_MW_GROUP_A}' vs '{_MW_GROUP_B}' event "
+    "values) with tie-corrected normal z and common-language effect size.",
+)
+def mann_whitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free two-sample shift test.  The rank sums come from
+    the DISTINCT-VALUE table, not a per-row rank window: per value keep
+    (count_in_A, total_count), cumulative-sum the totals once, and every
+    row's average rank is the closed form below + (t+1)/2 — so the only
+    window runs over |distinct values| rows and the corpus itself is
+    touched by exactly one aggregation.  All rank arithmetic is integer
+    (average ranks held as twice-rank), so U is exact and only the final
+    z/effect-size expressions are floating point.
+    """
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_MW_GROUP_A, _MW_GROUP_B)
+    )
+    vg = ev.groupBy(F.col("value").alias("v")).agg(
+        F.sum((F.col("event_type") == _MW_GROUP_A).cast("int")).alias("c_a"),
+        F.count("*").alias("t_v"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vg.select(
+        "c_a", "t_v", F.coalesce(F.sum("t_v").over(w), F.lit(0)).alias("below")
+    )
+    s = ranked.agg(
+        F.sum("c_a").alias("n1"),
+        F.sum(F.col("t_v") - F.col("c_a")).alias("n2"),
+        F.sum("t_v").alias("n"),
+        F.sum(F.col("c_a") * (2 * F.col("below") + F.col("t_v") + 1)).alias("r1_twice"),
+        F.sum(F.col("t_v") * F.col("t_v") * F.col("t_v") - F.col("t_v")).alias(
+            "tie_term"
+        ),
+    )
+    n1, n2, n = F.col("n1"), F.col("n2"), F.col("n")
+    u1 = F.col("r1_twice") / 2.0 - n1 * (n1 + 1) / 2.0
+    sigma = F.sqrt(
+        (n1.cast("double") * n2 / 12.0)
+        * ((n + 1) - F.col("tie_term") / (n.cast("double") * (n - 1)))
+    )
+    return s.select(
+        "n1",
+        "n2",
+        u1.alias("u1"),
+        F.round((u1 - n1 * (n2 / 2.0)) / sigma, 6).alias("z_stat"),
+        F.round(u1 / (n1.cast("double") * n2), 6).alias("cl_effect"),
+    )
+
+
+@register(
+    "cramers_v_nation_priority",
+    oracle="""
+    WITH cells AS (
+        SELECT n.n_name AS x, o.o_orderpriority AS y,
+               CAST(COUNT(*) AS BIGINT) AS n_xy
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT x, y, n_xy,
+               SUM(n_xy) OVER (PARTITION BY x) AS n_x,
+               SUM(n_xy) OVER (PARTITION BY y) AS n_y,
+               SUM(n_xy) OVER () AS n
+        FROM cells
+    ),
+    contrib AS (
+        SELECT n, n_xy,
+               COUNT(DISTINCT x) OVER () AS r_levels,
+               COUNT(DISTINCT y) OVER () AS c_levels,
+               -- (o-e)^2/e per cell, 8dp-quantized before the exact sum
+               CAST(round((n_xy - n_x * CAST(n_y AS DOUBLE) / n)
+                          * (n_xy - n_x * CAST(n_y AS DOUBLE) / n)
+                          / (n_x * CAST(n_y AS DOUBLE) / n), 8)
+                    AS DECIMAL(18,8)) AS chi_i
+        FROM m
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(MAX(r_levels) AS BIGINT) AS r_levels,
+           CAST(MAX(c_levels) AS BIGINT) AS c_levels,
+           round(CAST(SUM(chi_i) AS DOUBLE), 6) AS chi2,
+           round(sqrt(CAST(SUM(chi_i) AS DOUBLE)
+                      / (MAX(n) * (LEAST(MAX(r_levels), MAX(c_levels)) - 1))),
+                 6) AS cramers_v
+    FROM contrib
+    """,
+    doc="Cramer's V association strength between customer nation and "
+    "order priority (bias-uncorrected, chi-square based).",
+)
+def cramers_v_nation_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level categorical association in one number — the go/no-go
+    companion to the per-cell chi-square audit (chisq_independence_cells):
+    V = sqrt(chi2 / (n * (min(r,c) - 1))) in [0, 1].
+
+    Scale shape: one aggregation to the r x c cell table (bounded:
+    25 x 5), then windows/scalar math over those cells only.  Per-cell
+    chi-square contributions are 8dp-quantized and summed as exact
+    decimal, so the cross-cell total is order-independent.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    cells = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("x"), F.col("o_orderpriority").alias("y"))
+        .agg(F.count("*").alias("n_xy"))
+    )
+    m = cells.select(
+        "x",
+        "y",
+        "n_xy",
+        F.sum("n_xy").over(Window.partitionBy("x")).alias("n_x"),
+        F.sum("n_xy").over(Window.partitionBy("y")).alias("n_y"),
+        F.sum("n_xy").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("n_x") * F.col("n_y").cast("double") / F.col("n")
+    contrib = m.select(
+        "n",
+        F.size(F.collect_set("x").over(Window.partitionBy())).alias("r_levels"),
+        F.size(F.collect_set("y").over(Window.partitionBy())).alias("c_levels"),
+        F.round((F.col("n_xy") - e) * (F.col("n_xy") - e) / e, 8)
+        .cast("decimal(18,8)")
+        .alias("chi_i"),
+    )
+    chi2 = F.sum("chi_i").cast("double")
+    return contrib.agg(
+        F.max("n").alias("n_rows"),
+        F.max("r_levels").cast("long").alias("r_levels"),
+        F.max("c_levels").cast("long").alias("c_levels"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (
+                    F.max("n")
+                    * (F.least(F.max("r_levels"), F.max("c_levels")) - 1)
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
