@@ -1897,3 +1897,368 @@ def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         p1.cast("long").alias("prefix_len"),
         (p2 - p1).cast("long").alias("middle_len"),
     )
+
+
+# --- corpus-law fits and distributional divergences (round 7) --------------
+
+#: Heaps'-law checkpoints: vocabulary size is sampled at this many evenly
+#: spaced doc_id cutoffs (no cumulative window — each checkpoint is an
+#: independent bounded aggregate, so the plan stays scale-safe).
+HEAPS_CHECKPOINTS = 16
+
+
+@register(
+    "heaps_law_fit",
+    oracle=rf"""
+    WITH w AS (
+        SELECT doc_id, UNNEST(string_split_regex(lower(text), '\s+')) AS word
+        FROM documents
+    ),
+    firsts AS (SELECT word, MIN(doc_id) AS first_doc FROM w GROUP BY word),
+    dt AS (SELECT doc_id, COUNT(*) AS n_tok FROM w GROUP BY doc_id),
+    mx AS (SELECT MAX(doc_id) AS max_id FROM dt),
+    cp AS (
+        SELECT CAST(floor(max_id * k / {HEAPS_CHECKPOINTS}.0) AS BIGINT) AS cut
+        FROM mx, UNNEST(range(1, {HEAPS_CHECKPOINTS} + 1)) AS t(k)
+        GROUP BY 1
+    ),
+    pts AS (
+        SELECT c.cut,
+               CAST(round(log10((SELECT CAST(SUM(n_tok) AS BIGINT) FROM dt
+                                 WHERE doc_id <= c.cut)), 4)
+                    AS DECIMAL(18,4)) AS x,
+               CAST(round(log10((SELECT COUNT(*) FROM firsts
+                                 WHERE first_doc <= c.cut)), 4)
+                    AS DECIMAL(18,4)) AS y
+        FROM cp c
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx
+        FROM pts
+    )
+    SELECT n AS n_points,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS heaps_beta,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) + 0.0
+               AS log10_k
+    FROM s
+    """,
+    doc=f"Heaps'-law fit: OLS slope of log10(vocab) vs log10(tokens) at "
+    f"{HEAPS_CHECKPOINTS} doc-id checkpoints; natural corpora fit beta in "
+    "0.4-0.6.",
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth law fit — the companion corpus-health check to
+    zipf_exponent_fit: V(T) ~ k.T^beta for natural text, and a beta far
+    from ~0.5 flags templated or synthetic drops.
+
+    Scale shape: the cumulative (tokens, vocab) curve is NOT computed
+    with a global running window.  Each word's FIRST doc (one agg) and
+    each doc's token count (one agg) feed a broadcast join against
+    {HEAPS_CHECKPOINTS} fixed doc-id cutoffs, so "vocab at cutoff" is a
+    bounded re-aggregation — three corpus-grain aggs total, no sort.
+    The OLS runs over the checkpoint rows in the same 4dp-quantized
+    decimal domain as the Zipf fit.
+    """
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    )
+    firsts = w.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+    dt = w.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    mx = dt.agg(F.max("doc_id").alias("max_id"))
+    cp = (
+        mx.select(
+            F.explode(F.sequence(F.lit(1), F.lit(HEAPS_CHECKPOINTS))).alias("k"),
+            "max_id",
+        )
+        .select(
+            F.floor(F.col("max_id") * F.col("k") / HEAPS_CHECKPOINTS).alias("cut")
+        )
+        .distinct()
+    )
+    toks = (
+        dt.crossJoin(F.broadcast(cp))
+        .filter(F.col("doc_id") <= F.col("cut"))
+        .groupBy("cut")
+        .agg(F.sum("n_tok").alias("t"))
+    )
+    vocab = (
+        firsts.crossJoin(F.broadcast(cp))
+        .filter(F.col("first_doc") <= F.col("cut"))
+        .groupBy("cut")
+        .agg(F.count("*").alias("v"))
+    )
+    pts = toks.join(vocab, "cut").select(
+        F.round(F.log10("t"), 4).cast("decimal(18,4)").alias("x"),
+        F.round(F.log10("v"), 4).cast("decimal(18,4)").alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # + 0.0 normalizes IEEE -0.0 to 0.0 (the synthetic corpus saturates
+    # its vocabulary early, so the slope can be exactly zero — and the two
+    # engines disagree on its sign bit otherwise).
+    return s.select(
+        n.alias("n_points"),
+        (F.round(slope, 6) + 0.0).alias("heaps_beta"),
+        (F.round((sy - slope * sx) / n, 6) + 0.0).alias("log10_k"),
+    )
+
+
+@register(
+    "js_divergence_langs",
+    oracle=r"""
+    WITH w AS (
+        SELECT lang, UNNEST(string_split_regex(lower(text), '\s+')) AS word
+        FROM documents
+    ),
+    lw AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c_lw
+           FROM w GROUP BY 1, 2),
+    wt AS (SELECT word, CAST(SUM(c_lw) AS BIGINT) AS c_w FROM lw GROUP BY 1),
+    lt AS (SELECT lang, CAST(SUM(c_lw) AS BIGINT) AS c_l FROM lw GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS c FROM wt),
+    -- every (lang, word-in-union-vocab) cell: q-side mass exists even
+    -- where the lang itself never uses the word
+    cells AS (
+        SELECT l.lang, wt.word, COALESCE(lw.c_lw, 0) AS c_lw,
+               wt.c_w, l.c_l, t.c
+        FROM lt l CROSS JOIN wt
+        CROSS JOIN tot t
+        LEFT JOIN lw ON lw.lang = l.lang AND lw.word = wt.word
+    ),
+    contrib AS (
+        SELECT lang,
+               CAST(CASE WHEN c_lw > 0 THEN
+                 round((c_lw / CAST(c_l AS DOUBLE))
+                       * log2((c_lw / CAST(c_l AS DOUBLE))
+                              / ((c_lw / CAST(c_l AS DOUBLE)
+                                  + (c_w - c_lw) / CAST(c - c_l AS DOUBLE)) / 2)),
+                       10)
+               ELSE 0 END AS DECIMAL(18,10)) AS p_term,
+               CAST(CASE WHEN c_w - c_lw > 0 THEN
+                 round(((c_w - c_lw) / CAST(c - c_l AS DOUBLE))
+                       * log2(((c_w - c_lw) / CAST(c - c_l AS DOUBLE))
+                              / ((c_lw / CAST(c_l AS DOUBLE)
+                                  + (c_w - c_lw) / CAST(c - c_l AS DOUBLE)) / 2)),
+                       10)
+               ELSE 0 END AS DECIMAL(18,10)) AS q_term,
+               CASE WHEN c_lw > 0 THEN 1 ELSE 0 END AS in_lang
+        FROM cells
+    )
+    SELECT lang,
+           CAST(SUM(in_lang) AS BIGINT) AS n_terms,
+           round(0.5 * CAST(SUM(p_term) + SUM(q_term) AS DOUBLE), 6) AS jsd
+    FROM contrib
+    GROUP BY lang
+    """,
+    doc="Jensen-Shannon divergence (log2, in [0,1]) between each language's "
+    "unigram distribution and the rest of the corpus.",
+)
+def js_divergence_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture drift metric: how far each language's word
+    distribution sits from the rest of the corpus — the symmetric,
+    always-finite alternative to KL for comparing source/language shards
+    before reweighting a training mix.
+
+    Scale shape: two word-grain aggregations (per-(lang,word), per-word),
+    then a langs x vocab cell table built by crossing the 5-row language
+    totals with the vocab — one shuffle joins the per-(lang,word) counts
+    back.  Per-cell contributions are 10dp-quantized and decimal-summed,
+    so the vocab-sized reduction is order-independent; only count ratios
+    and log2 (both engine-deterministic to the quantization level) touch
+    floating point.
+    """
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select("lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+    lw = w.groupBy("lang", "word").agg(F.count("*").alias("c_lw"))
+    wt = lw.groupBy("word").agg(F.sum("c_lw").alias("c_w"))
+    lt = lw.groupBy("lang").agg(F.sum("c_lw").alias("c_l"))
+    tot = wt.agg(F.sum("c_w").alias("c"))
+    cells = (
+        F.broadcast(lt)
+        .crossJoin(wt)
+        .crossJoin(F.broadcast(tot))
+        .join(lw, ["lang", "word"], "left")
+        .select(
+            "lang",
+            "word",
+            F.coalesce("c_lw", F.lit(0)).alias("c_lw"),
+            "c_w",
+            "c_l",
+            "c",
+        )
+    )
+    p = F.col("c_lw") / F.col("c_l").cast("double")
+    q = (F.col("c_w") - F.col("c_lw")) / (F.col("c") - F.col("c_l")).cast("double")
+    m = (p + q) / 2
+    contrib = cells.select(
+        "lang",
+        F.when(F.col("c_lw") > 0, F.round(p * F.log2(p / m), 10))
+        .otherwise(F.lit(0))
+        .cast("decimal(18,10)")
+        .alias("p_term"),
+        F.when(F.col("c_w") - F.col("c_lw") > 0, F.round(q * F.log2(q / m), 10))
+        .otherwise(F.lit(0))
+        .cast("decimal(18,10)")
+        .alias("q_term"),
+        F.when(F.col("c_lw") > 0, 1).otherwise(0).alias("in_lang"),
+    )
+    return contrib.groupBy("lang").agg(
+        F.sum("in_lang").alias("n_terms"),
+        F.round(
+            0.5 * (F.sum("p_term") + F.sum("q_term")).cast("double"), 6
+        ).alias("jsd"),
+    )
+
+
+#: Coverage thresholds (percent of corpus tokens) for the vocab curve.
+COVERAGE_PCTS = (50, 80, 90, 95, 99)
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle=rf"""
+    WITH w AS (
+        SELECT UNNEST(string_split_regex(lower(text), '\s+')) AS word
+        FROM documents
+    ),
+    freq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
+    ranked AS (
+        SELECT cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rnk,
+               SUM(cnt) OVER (ORDER BY cnt DESC, word
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(cnt) OVER () AS total
+        FROM freq
+    ),
+    t AS (SELECT UNNEST(ARRAY{list(COVERAGE_PCTS)}) AS pct)
+    SELECT t.pct AS threshold_pct,
+           CAST(MIN(r.rnk) AS BIGINT) AS n_terms,
+           round(CAST(MIN_BY(r.cum, r.rnk) AS DOUBLE)
+                 / CAST(MIN_BY(r.total, r.rnk) AS DOUBLE), 6) AS coverage
+    FROM t JOIN ranked r ON r.cum * 100 >= t.pct * r.total
+    GROUP BY t.pct
+    """,
+    doc=f"Vocabulary coverage curve: smallest top-N vocabulary covering "
+    f"{COVERAGE_PCTS}% of corpus tokens (integer-exact threshold search).",
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-truncation planning: how many distinct words a tokenizer
+    needs to cover X% of the corpus.  The threshold test (cum*100 >=
+    pct*total) is pure integer arithmetic, so the curve is exact in any
+    engine; the one floating-point value (achieved coverage) is a ratio
+    of the selected row's integers.
+
+    Scale shape: one token explode + vocab agg, then a running sum over
+    the RANKED VOCABULARY (vocab-grain, orders of magnitude smaller than
+    the corpus; the same exact-tier sort inverted_index_postings uses),
+    and a broadcast join against the 5 fixed thresholds.
+    """
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+    freq = w.groupBy("word").agg(F.count("*").alias("cnt"))
+    order = Window.orderBy(F.col("cnt").desc(), F.col("word"))
+    ranked = freq.select(
+        "cnt",
+        F.row_number().over(order).alias("rnk"),
+        F.sum("cnt").over(order.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+    t = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in COVERAGE_PCTS])).alias("pct")
+    )
+    hit = F.broadcast(t).join(
+        ranked, ranked["cum"] * 100 >= F.col("pct") * ranked["total"]
+    )
+    return hit.groupBy(F.col("pct").alias("threshold_pct")).agg(
+        F.min("rnk").alias("n_terms"),
+        F.round(
+            F.min_by("cum", "rnk").cast("double")
+            / F.min_by("total", "rnk").cast("double"),
+            6,
+        ).alias("coverage"),
+    )
+
+
+#: Burstiness: minimum corpus count for a term to be scored, and top-k.
+BURSTY_MIN_COUNT = 50
+BURSTY_TOP_K = 20
+
+
+@register(
+    "term_burstiness_vmr",
+    oracle=rf"""
+    WITH w AS (
+        SELECT doc_id, UNNEST(string_split_regex(lower(text), '\s+')) AS word
+        FROM documents
+    ),
+    dw AS (SELECT word, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+           FROM w GROUP BY 1, 2),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM w),
+    stats AS (
+        SELECT word,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS q,
+               n.n_docs
+        FROM dw, nd n
+        GROUP BY word, n.n_docs
+        HAVING SUM(c) >= {BURSTY_MIN_COUNT}
+    )
+    SELECT word AS term, s AS total_cnt,
+           round((CAST(q AS DOUBLE) / n_docs
+                  - (CAST(s AS DOUBLE) / n_docs) * (CAST(s AS DOUBLE) / n_docs))
+                 / (CAST(s AS DOUBLE) / n_docs), 6) AS vmr
+    FROM stats
+    ORDER BY vmr DESC, term
+    LIMIT {BURSTY_TOP_K}
+    """,
+    doc=f"Top-{BURSTY_TOP_K} burstiest terms (variance-to-mean ratio of "
+    "per-doc counts over ALL docs, zeros included) among terms with "
+    f">= {BURSTY_MIN_COUNT} corpus occurrences.",
+)
+def term_burstiness_vmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale burstiness: content words clump (VMR >> 1), function
+    words spread evenly (VMR ~ 1) — a cheap topicality signal and a
+    boilerplate detector (templated terms show extreme VMR).
+
+    Zeros cost nothing: VMR over ALL docs needs only Σc and Σc² of the
+    docs that CONTAIN the term (zero rows add zero), so the sufficient
+    statistics are integer sums over the (word, doc) table, and the
+    final VMR is a deterministic double expression ordered with a term
+    tie-break under TakeOrderedAndProject.
+    """
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    )
+    dw = w.groupBy("word", "doc_id").agg(F.count("*").alias("c"))
+    nd = w.agg(F.countDistinct("doc_id").alias("n_docs"))
+    stats = (
+        dw.groupBy("word")
+        .agg(
+            F.sum("c").alias("s"),
+            F.sum(F.col("c") * F.col("c")).alias("q"),
+        )
+        .filter(F.col("s") >= BURSTY_MIN_COUNT)
+        .crossJoin(F.broadcast(nd))
+    )
+    mean = F.col("s").cast("double") / F.col("n_docs")
+    vmr = (F.col("q").cast("double") / F.col("n_docs") - mean * mean) / mean
+    return (
+        stats.select(
+            F.col("word").alias("term"),
+            F.col("s").alias("total_cnt"),
+            F.round(vmr, 6).alias("vmr"),
+        )
+        .orderBy(F.col("vmr").desc(), "term")
+        .limit(BURSTY_TOP_K)
+    )
