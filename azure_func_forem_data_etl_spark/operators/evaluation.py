@@ -411,3 +411,295 @@ def eval_pr_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(tp / F.greatest(tp + fn, F.lit(1)).cast("double"), 6).alias("recall_"),
     )
+
+
+# --- round 7: Brier decomposition, MAP@k, two-proportion A/B z-test --------
+
+
+@register(
+    "eval_brier_decomposition",
+    oracle=f"""
+    WITH scored AS (
+        SELECT CAST(round(1.0 / (1.0 + exp(-{CAL_STEEPNESS} * embedding[1])), 6)
+                    AS DECIMAL(8,6)) AS p6,
+               CAST(label = {POS_LABEL} AS INT) AS y
+        FROM embeddings
+    ),
+    bins AS (
+        SELECT LEAST(CAST(floor(CAST(p6 AS DOUBLE) * 10) AS INT), 9) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_b,
+               SUM(p6) AS sp_b,
+               CAST(SUM(y) AS BIGINT) AS ny_b,
+               SUM((p6 - y) * (p6 - y)) AS sq_b
+        FROM scored GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_b) AS BIGINT) AS n,
+               CAST(SUM(ny_b) AS BIGINT) AS ny,
+               CAST(SUM(sq_b) AS DOUBLE) AS sq
+        FROM bins
+    ),
+    parts AS (
+        SELECT t.n, t.ny, t.sq,
+               CAST(round(b.n_b * (CAST(b.sp_b AS DOUBLE) / b.n_b
+                                   - CAST(b.ny_b AS DOUBLE) / b.n_b)
+                               * (CAST(b.sp_b AS DOUBLE) / b.n_b
+                                   - CAST(b.ny_b AS DOUBLE) / b.n_b), 8)
+                    AS DECIMAL(18,8)) AS rel_i,
+               CAST(round(b.n_b * (CAST(b.ny_b AS DOUBLE) / b.n_b
+                                   - CAST(t.ny AS DOUBLE) / t.n)
+                               * (CAST(b.ny_b AS DOUBLE) / b.n_b
+                                   - CAST(t.ny AS DOUBLE) / t.n), 8)
+                    AS DECIMAL(18,8)) AS res_i
+        FROM bins b, tot t
+    )
+    SELECT MAX(n) AS n_rows,
+           round(sq / MAX(n), 6) AS brier,
+           round(CAST(SUM(rel_i) AS DOUBLE) / MAX(n), 6) AS reliability,
+           round(CAST(SUM(res_i) AS DOUBLE) / MAX(n), 6) AS resolution,
+           round((CAST(MAX(ny) AS DOUBLE) / MAX(n))
+                 * (1 - CAST(MAX(ny) AS DOUBLE) / MAX(n)), 6) AS uncertainty
+    FROM parts
+    GROUP BY sq
+    """,
+    doc="Brier score with Murphy decomposition (reliability - resolution "
+    "+ uncertainty) over the 10 calibration bins.",
+)
+def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar companion to eval_calibration_bins: the Brier score says how
+    good the probabilities are; Murphy's decomposition says WHY (badly
+    calibrated vs simply unresolving).  Probabilities are 6dp-quantized
+    at the source, so the per-row squared-error sum is an exact decimal
+    aggregation; the bin-level reliability/resolution terms are
+    8dp-quantized before their 10-row sum.  One scan, 10-cell rollup.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    p = 1.0 / (1.0 + F.exp(-CAL_STEEPNESS * F.element_at("embedding", 1).cast("double")))
+    scored = emb.select(
+        F.round(p, 6).cast("decimal(8,6)").alias("p6"),
+        (F.col("label") == POS_LABEL).cast("int").alias("y"),
+    )
+    bins = scored.groupBy(
+        F.least(F.floor(F.col("p6").cast("double") * 10).cast("int"), F.lit(9)).alias(
+            "bin"
+        )
+    ).agg(
+        F.count("*").alias("n_b"),
+        F.sum("p6").alias("sp_b"),
+        F.sum("y").alias("ny_b"),
+        F.sum((F.col("p6") - F.col("y")) * (F.col("p6") - F.col("y"))).alias("sq_b"),
+    )
+    tot = bins.agg(
+        F.sum("n_b").alias("n"),
+        F.sum("ny_b").alias("ny"),
+        F.sum("sq_b").cast("double").alias("sq"),
+    )
+    pb = F.col("sp_b").cast("double") / F.col("n_b")
+    yb = F.col("ny_b").cast("double") / F.col("n_b")
+    ybar = F.col("ny").cast("double") / F.col("n")
+    parts = bins.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "ny",
+        "sq",
+        F.round(F.col("n_b") * (pb - yb) * (pb - yb), 8)
+        .cast("decimal(18,8)")
+        .alias("rel_i"),
+        F.round(F.col("n_b") * (yb - ybar) * (yb - ybar), 8)
+        .cast("decimal(18,8)")
+        .alias("res_i"),
+    )
+    return parts.groupBy("sq").agg(
+        F.max("n").alias("n_rows"),
+        F.round(F.col("sq") / F.max("n"), 6).alias("brier"),
+        F.round(F.sum("rel_i").cast("double") / F.max("n"), 6).alias("reliability"),
+        F.round(F.sum("res_i").cast("double") / F.max("n"), 6).alias("resolution"),
+        F.round(
+            (F.max("ny").cast("double") / F.max("n"))
+            * (1 - F.max("ny").cast("double") / F.max("n")),
+            6,
+        ).alias("uncertainty"),
+    ).drop("sq")
+
+
+@register(
+    "eval_map_at_k",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe, label AS qlabel
+        FROM embeddings WHERE vec_id % {KNN_QUERY_MOD} = 0
+    ),
+    s AS (
+        SELECT q.query_id, q.qlabel, c.vec_id AS neighbor_id, c.label AS nlabel,
+               round(list_cosine_similarity(qe, c.embedding::DOUBLE[]), 6) AS cos_sim
+        FROM q, embeddings c
+        WHERE c.vec_id <> q.query_id
+    ),
+    r AS (
+        SELECT query_id, CAST(qlabel = nlabel AS INT) AS rel,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+               ) AS rnk
+        FROM s
+    ),
+    topk AS (
+        SELECT query_id, rel, rnk,
+               SUM(rel) OVER (PARTITION BY query_id ORDER BY rnk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rel
+        FROM r WHERE rnk <= {KNN_K}
+    )
+    SELECT query_id,
+           CAST(SUM(rel) AS BIGINT) AS n_rel,
+           CASE WHEN SUM(rel) = 0 THEN 0.0
+                ELSE round(CAST(SUM(CAST(round(rel * (cum_rel
+                                / CAST(rnk AS DOUBLE)), 10) AS DECIMAL(18,10)))
+                           AS DOUBLE) / SUM(rel), 6)
+           END AS ap
+    FROM topk
+    GROUP BY query_id
+    """,
+    doc=f"Mean-average-precision@{KNN_K} inputs: per-query AP of exact-kNN "
+    "retrieval with label agreement as relevance (normalized by retrieved "
+    "relevant count).",
+)
+def eval_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive retrieval eval alongside eval_ndcg_at_k: AP rewards
+    putting the relevant neighbors FIRST (precision-at-each-hit), where
+    NDCG's log discount is gentler.  Reuses the bounded exact-kNN top-k;
+    everything after is windows over queries x k rows.  Per-hit
+    precision terms are 10dp-quantized before the per-query decimal sum,
+    so the AP is order-independent.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    topk = knn_bruteforce_topk(emb)
+    labels = emb.select("vec_id", "label")
+    g = (
+        topk.join(
+            labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+                "label", "qlabel"
+            ),
+            "query_id",
+        )
+        .join(
+            labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+                "label", "nlabel"
+            ),
+            "neighbor_id",
+        )
+        .withColumn("rel", (F.col("qlabel") == F.col("nlabel")).cast("int"))
+    )
+    w_cum = (
+        Window.partitionBy("query_id")
+        .orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    g = g.withColumn("cum_rel", F.sum("rel").over(w_cum))
+    term = F.round(
+        F.col("rel") * (F.col("cum_rel") / F.col("rnk").cast("double")), 10
+    ).cast("decimal(18,10)")
+    return g.groupBy("query_id").agg(
+        F.sum("rel").alias("n_rel"),
+        F.when(F.sum("rel") == 0, F.lit(0.0))
+        .otherwise(F.round(F.sum(term).cast("double") / F.sum("rel"), 6))
+        .alias("ap"),
+    )
+
+
+#: A/B split: first md5 nibble of the user id, 8/16 per arm; conversion
+#: is "purchases over-represented in the user's events" (> the 1-in-5
+#: base rate) — a per-user rate comparison stays non-degenerate at every
+#: SF, where "any purchase at all" saturates to 100% once users have
+#: dozens of events.
+AB_CONV_EVENT = "purchase"
+AB_Z_CRIT = 1.96
+
+
+@register(
+    "ab_test_proportions",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         < '8' THEN 'A' ELSE 'B' END AS variant,
+               CAST(SUM(CASE WHEN event_type = '{AB_CONV_EVENT}' THEN 1
+                         ELSE 0 END) * 5 > COUNT(*) AS INT) AS converted
+        FROM events GROUP BY 1
+    ),
+    arms AS (
+        SELECT CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+               CAST(SUM(CASE WHEN variant = 'A' THEN converted ELSE 0 END)
+                    AS BIGINT) AS conv_a,
+               CAST(SUM(CASE WHEN variant = 'B' THEN converted ELSE 0 END)
+                    AS BIGINT) AS conv_b
+        FROM u
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           round(conv_a / CAST(n_a AS DOUBLE), 6) AS p_a,
+           round(conv_b / CAST(n_b AS DOUBLE), 6) AS p_b,
+           round((conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+                 / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                        * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat,
+           CAST(abs((conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+                 / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                        * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 / n_a + 1.0 / n_b))) > {AB_Z_CRIT} AS INT)
+               AS significant
+    FROM arms
+    """,
+    doc="Two-proportion z-test on an md5-nibble user split (pooled "
+    "variance); conversion = any purchase event.",
+)
+def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-analysis primitive: a reproducible hash-based user split
+    (the same md5-nibble Bernoulli as deterministic_sample — any engine
+    assigns identical variants) and the pooled two-proportion z.  The
+    corpus collapses to per-user rows in one agg, then to a single
+    4-integer row; the z and significance flag are closed-form.
+    """
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == AB_CONV_EVENT, 1).otherwise(0)) * 5
+            > F.count("*")
+        )
+        .cast("int")
+        .alias("converted")
+    ).select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "A"
+        )
+        .otherwise("B")
+        .alias("variant"),
+        "converted",
+    )
+    arms = u.agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == "A", F.col("converted")).otherwise(0)).alias(
+            "conv_a"
+        ),
+        F.sum(F.when(F.col("variant") == "B", F.col("converted")).otherwise(0)).alias(
+            "conv_b"
+        ),
+    )
+    p_a = F.col("conv_a") / F.col("n_a").cast("double")
+    p_b = F.col("conv_b") / F.col("n_b").cast("double")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b")).cast(
+        "double"
+    )
+    z = (p_a - p_b) / F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return arms.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > AB_Z_CRIT).cast("int").alias("significant"),
+    )
