@@ -1011,3 +1011,116 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     over-merge (CC links everything reachable; LPA keeps densely-linked
     cores together and splits bridge-connected regions)."""
     return label_propagation(copurchase_edges(spark, sf_dir), "src", "dst")
+
+
+#: BFS depth bound — fixed rounds keep the whole traversal ONE lazy plan.
+BFS_MAX_DEPTH = 6
+
+
+@register(
+    "graph_bfs_levels",
+    oracle=f"""
+    WITH RECURSIVE e AS ({_EDGES_SQL}),
+    und AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+    start AS (SELECT MIN(src) AS s FROM und),
+    -- UNION (distinct) recursion: the working set carries (id, dist)
+    -- states, deduped against everything seen, so total rows are bounded
+    -- by |V| * depth — no path explosion
+    reach(id, dist) AS (
+      SELECT s, 0 FROM start
+      UNION
+      SELECT u.dst, r.dist + 1
+      FROM reach r JOIN und u ON u.src = r.id
+      WHERE r.dist < {BFS_MAX_DEPTH}
+    ),
+    firsts AS (SELECT id, MIN(dist) AS dist FROM reach GROUP BY id)
+    SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(id) AS BIGINT) AS id_checksum
+    FROM firsts GROUP BY dist
+    """,
+    doc=f"BFS level histogram (depth <= {BFS_MAX_DEPTH}) from the smallest "
+    "node of the co-purchase graph, with a per-level id checksum.",
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS — the reachability primitive the graph family
+    lacked (pointer-jumping finds roots, CC finds components; this gives
+    DISTANCES).  Implementation is the canonical frontier expansion:
+    each round joins the frontier to the edge list and anti-joins the
+    visited set, so one round costs two keyed shuffles of frontier-sized
+    inputs, with early stop on an empty frontier.
+
+    Each round's visited set is an eager ``localCheckpoint``: the round
+    references ``visited`` TWICE (anti-join + union), so a lazy
+    composition doubles the unevaluated subtree per round — 2^depth
+    re-evaluations of the edge self-join (the OOM this function's first
+    draft hit at sf0.1).  Dead checkpoints are released by RDD id each
+    round (DataFrame.unpersist is a no-op on checkpointed frames), and
+    because the result is only a depth-sized histogram it is collected
+    and rebuilt driver-side so EVERY block is freed before return.
+    Per-level output carries an id checksum so the oracle verifies
+    membership, not just counts.
+    """
+    from pyspark.sql import types as T
+
+    spark_ = spark
+    jsc = spark_.sparkContext._jsc
+
+    def _ids() -> set[int]:
+        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _release(ids: set[int]) -> None:
+        jmap = jsc.getPersistentRDDs()
+        for rid in jmap.keySet().toArray():
+            if int(rid) in ids:
+                jmap.get(rid).unpersist(True)
+
+    snap = _ids()
+    edges = copurchase_edges(spark, sf_dir)
+    und = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    und_ids = _ids() - snap
+    start = und.agg(F.min("src").alias("id")).select("id", F.lit(0).alias("dist"))
+    snap = _ids()
+    visited = start.localCheckpoint(eager=True)
+    vis_ids = _ids() - snap
+    frontier = visited.select("id")
+    for d in range(1, BFS_MAX_DEPTH + 1):
+        nxt = (
+            und.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("dist", F.lit(d))
+        )
+        snap = _ids()
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        new_ids = _ids() - snap
+        _release(vis_ids)  # the previous visited checkpoint is now dead
+        vis_ids = new_ids
+        frontier = visited.filter(F.col("dist") == d).select("id")
+        if frontier.limit(1).count() == 0:
+            break
+    hist = (
+        visited.groupBy("dist")
+        .agg(F.count("*").alias("n_nodes"), F.sum("id").alias("id_checksum"))
+        .collect()
+    )
+    # The histogram is <= depth+1 rows: collect it and release EVERY block
+    # born in this call (unlike LPA there is no large result to hand back,
+    # so nothing needs to stay persisted).
+    _release(und_ids | vis_ids)
+    schema = T.StructType(
+        [
+            T.StructField("dist", T.IntegerType()),
+            T.StructField("n_nodes", T.LongType()),
+            T.StructField("id_checksum", T.LongType()),
+        ]
+    )
+    return spark_.createDataFrame(
+        [(r["dist"], r["n_nodes"], r["id_checksum"]) for r in hist], schema
+    )
