@@ -1128,3 +1128,72 @@ def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_cast(props AS DOUBLE)").alias("bad_double_cast"),
         F.round(F.try_divide(F.col("value"), F.lit(4.0)), 6).alias("quarter_value"),
     )
+
+
+@register(
+    "weighted_median_price",
+    oracle="""
+    WITH j AS (
+        SELECT p.p_brand AS brand, l.l_extendedprice AS price,
+               CAST(l.l_quantity AS BIGINT) AS w
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    c AS (
+        SELECT brand, price, w,
+               SUM(w) OVER (PARTITION BY brand ORDER BY price, w
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(w) OVER (PARTITION BY brand) AS tot,
+               CAST(COUNT(*) OVER (PARTITION BY brand) AS BIGINT) AS n_rows
+        FROM j
+    )
+    SELECT brand, CAST(MAX(n_rows) AS BIGINT) AS n_rows,
+           CAST(MAX(tot) AS BIGINT) AS total_weight,
+           MIN(price) AS w_median_price
+    FROM c
+    WHERE 2 * cum >= tot
+    GROUP BY brand
+    """,
+    doc="Quantity-weighted median extended price per part brand (lower "
+    "weighted median: first price whose cumulative weight reaches half).",
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted percentile — the aggregate percentile_approx cannot weight
+    and exact percentiles ignore quantity: the representative price where
+    half the UNITS (not half the line items) sell at or below.  The
+    selection rule (first price with 2*cum >= total) is integer
+    arithmetic over integral quantities, so the answer is an actual data
+    value picked exactly — no interpolation, no float accumulation.
+
+    Scale shape: one broadcast-dim join (part), one per-brand
+    sort window (keyed shuffle), then a per-brand min over the
+    threshold-crossing rows.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        F.col("p_brand").alias("brand"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    w_cum = (
+        Window.partitionBy("brand")
+        .orderBy("price", "w")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("brand")
+    c = j.select(
+        "brand",
+        "price",
+        F.sum("w").over(w_cum).alias("cum"),
+        F.sum("w").over(w_all).alias("tot"),
+        F.count("*").over(w_all).alias("n_rows"),
+    )
+    return (
+        c.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("brand")
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.max("tot").alias("total_weight"),
+            F.min("price").alias("w_median_price"),
+        )
+    )

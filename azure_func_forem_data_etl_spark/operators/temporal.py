@@ -1509,3 +1509,167 @@ def autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     )
     return m.select("n", F.round(num / den, 6).alias("autocorr_lag1"))
+
+
+# --- round 7: Holt double-exponential smoothing & Theil-Sen trend ----------
+
+HOLT_ALPHA = 0.3
+HOLT_BETA = 0.1
+
+
+@register(
+    "holt_linear_forecast",
+    # Like ewma_user_value, the recurrence is replayed by a recursive CTE
+    # whose step uses the LITERAL IEEE expressions of the Python fold:
+    #   l' = a*x + (1-a)*(l+b);  b' = g*(l'-l) + (1-g)*b
+    # (l' recomputed textually in the b' term — identical double both
+    # times).  Seed l=x_1, b=0.  Same measure-zero midpoint-rounding
+    # caveat as the EWMA oracle.
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(ts AS DATE) AS day, {sql_dsum("value")} AS rev
+        FROM events GROUP BY 1
+    ),
+    ordered AS (
+        SELECT day, rev, row_number() OVER (ORDER BY day) AS rn FROM daily
+    ),
+    h(rn, day, rev, l, b) AS (
+      SELECT rn, day, rev, rev AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.rn, o.day, o.rev,
+             {HOLT_ALPHA} * o.rev + (1.0 - {HOLT_ALPHA}) * (h.l + h.b) AS l,
+             {HOLT_BETA} * (({HOLT_ALPHA} * o.rev
+                             + (1.0 - {HOLT_ALPHA}) * (h.l + h.b)) - h.l)
+                 + (1.0 - {HOLT_BETA}) * h.b AS b
+      FROM h JOIN ordered o ON o.rn = h.rn + 1
+    )
+    SELECT CAST(day AS VARCHAR) AS day, rev, round(l, 6) AS level,
+           round(b, 6) AS trend, round(l + b, 6) AS forecast_next
+    FROM h
+    """,
+    doc=f"Holt double-exponential smoothing (alpha={HOLT_ALPHA}, "
+    f"beta={HOLT_BETA}) of daily revenue: level, trend, and one-step "
+    "forecast per day.",
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend-aware smoothing — the step past EWMA every forecasting
+    dashboard takes (EWMA lags a trending series; Holt tracks it with an
+    explicit trend state).  Sequential by nature, so it runs as a
+    per-series ``applyInPandas`` fold exactly like ewma_user_value; here
+    the series is the day-grain revenue rollup, which is already tiny
+    (one Arrow batch), and multi-series use partitions by the series key.
+    The distributed work is the one day-grain aggregation (exact decimal
+    sums); the fold is O(days).
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        dsum("value").alias("rev")
+    )
+
+    # forecast_next comes from the UNROUNDED states (round(l+b) !=
+    # round(round(l)+round(b)) in general), so the fold emits it directly.
+    def fold(pdf):
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        # day goes out as an ISO string: DuckDB's pandas bridge renders
+        # DATE as midnight timestamps, so a date-typed column would
+        # canonicalize differently on the two sides
+        pdf["day"] = pdf["day"].map(lambda d: d.isoformat())
+        a, g = HOLT_ALPHA, HOLT_BETA
+        lvl, trd, fc = [], [], []
+        l = b = None
+        for x in pdf["rev"]:
+            if l is None:
+                l, b = x, 0.0
+            else:
+                l_new = a * x + (1.0 - a) * (l + b)
+                b = g * (l_new - l) + (1.0 - g) * b
+                l = l_new
+            lvl.append(round(l, 6))
+            trd.append(round(b, 6))
+            fc.append(round(l + b, 6))
+        pdf["level"] = lvl
+        pdf["trend"] = trd
+        pdf["forecast_next"] = fc
+        return pdf
+
+    return daily.groupBy(F.lit(1).alias("__series")).applyInPandas(
+        fold,
+        schema="day string, rev double, level double, trend double, "
+        "forecast_next double",
+    )
+
+
+@register(
+    "theil_sen_daily_trend",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, {sql_dsum("value")} AS rev
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT rev, row_number() OVER (ORDER BY day) AS i FROM daily
+    ),
+    slopes AS (
+        SELECT (b.rev - a.rev) / (b.i - a.i) AS slope
+        FROM idx a JOIN idx b ON b.i > a.i
+    ),
+    ranked AS (
+        SELECT slope,
+               row_number() OVER (ORDER BY slope) AS rn,
+               COUNT(*) OVER () AS m
+        FROM slopes
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM idx) AS n_days,
+           CAST(MAX(m) AS BIGINT) AS n_pairs,
+           round(AVG(slope), 6) AS theil_slope
+    FROM ranked
+    WHERE rn IN ((m + 1) // 2, (m + 2) // 2)
+    """,
+    doc="Theil-Sen robust trend of daily revenue: exact median of all "
+    "pairwise day-index slopes (outlier-resistant OLS alternative).",
+)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend estimation — the median-of-slopes estimator shrugs
+    off the single-day spikes that wreck an OLS fit
+    (regression_value_trend is its least-squares sibling).
+
+    Scale shape: the pairwise self-join runs on the DAY-GRAIN rollup
+    (<= 366 rows -> <= 67k pairs, broadcast), never on raw events; the
+    corpus is touched by one exact-decimal aggregation.  The median is
+    the exact middle element (mean of the two middles for even counts)
+    selected by row_number — identical IEEE doubles and identical
+    ordering on both engines.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        dsum("value").alias("rev")
+    )
+    idx = daily.select(
+        "rev", F.row_number().over(Window.orderBy("day")).alias("i")
+    )
+    a = idx.select(F.col("rev").alias("rev_a"), F.col("i").alias("i_a"))
+    b = idx.select(F.col("rev").alias("rev_b"), F.col("i").alias("i_b"))
+    slopes = (
+        F.broadcast(a)
+        .join(b, F.col("i_b") > F.col("i_a"))
+        .select(
+            ((F.col("rev_b") - F.col("rev_a")) / (F.col("i_b") - F.col("i_a"))).alias(
+                "slope"
+            )
+        )
+    )
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(Window.orderBy("slope")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("m"),
+    )
+    n_days = idx.agg(F.count("*").alias("n_days"))
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("m") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("m") + 2) / 2))
+    )
+    return mid.crossJoin(F.broadcast(n_days)).groupBy("n_days").agg(
+        F.max("m").alias("n_pairs"),
+        F.round(F.avg("slope"), 6).alias("theil_slope"),
+    )
