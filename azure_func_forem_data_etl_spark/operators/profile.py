@@ -1407,3 +1407,165 @@ def cramers_v_nation_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+#: Monetary-unit sampling: targeted picks per ship-month partition.
+MUS_PICKS_PER_MONTH = 50
+
+
+@register(
+    "monetary_unit_sample",
+    oracle=f"""
+    WITH cents AS (
+        SELECT date_trunc('month', l_shipdate) AS m,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    cum AS (
+        SELECT m, c,
+               -- (l_orderkey, l_linenumber) is NOT unique in the synthetic
+               -- fixture; c as tie-break makes the order total up to
+               -- identical rows, which are interchangeable for aggregates
+               SUM(c) OVER (PARTITION BY m ORDER BY l_orderkey, l_linenumber, c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+               SUM(c) OVER (PARTITION BY m) AS tot
+        FROM cents
+    ),
+    sel AS (
+        SELECT m, c, tot,
+               GREATEST(tot // {MUS_PICKS_PER_MONTH}, 1) AS step,
+               cw // GREATEST(tot // {MUS_PICKS_PER_MONTH}, 1)
+                 - (cw - c) // GREATEST(tot // {MUS_PICKS_PER_MONTH}, 1) AS hits
+        FROM cum
+    )
+    SELECT CAST(CAST(m AS DATE) AS VARCHAR) AS ship_month,
+           CAST(COUNT(*) FILTER (WHERE hits > 0) AS BIGINT) AS n_selected,
+           CAST(SUM(c) FILTER (WHERE hits > 0) AS BIGINT) AS selected_cents,
+           CAST(MAX(tot) AS BIGINT) AS total_cents,
+           round(CAST(SUM(c) FILTER (WHERE hits > 0) AS BIGINT)
+                 / CAST(MAX(tot) AS DOUBLE), 6) AS coverage
+    FROM sel GROUP BY m
+    """,
+    doc=f"Monetary-unit (PPS) systematic audit sample, ~{MUS_PICKS_PER_MONTH} "
+    "picks per ship month: rows whose cumulative cents cross a sampling-"
+    "interval multiple.",
+)
+def monetary_unit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit sampling proportional to monetary value (every dollar equally
+    likely, so big-ticket rows are near-certain picks) — the standard
+    substantive-testing sample auditors draw.  Selection is pure integer
+    arithmetic on EXACT CENTS (a row is picked iff its cent-interval
+    spans a multiple of the per-month step), so both engines pick the
+    identical rows; no randomness, rerun-reproducible.
+
+    Scale shape: the running cent total is windowed PER SHIP-MONTH
+    (bounded partitions, keyed shuffle — never a global sort); output is
+    one audit row per month.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.date_trunc("month", "l_shipdate").alias("m"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_cum = (
+        Window.partitionBy("m")
+        .orderBy("l_orderkey", "l_linenumber", "c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cents.select(
+        "m",
+        "c",
+        F.sum("c").over(w_cum).alias("cw"),
+        F.sum("c").over(Window.partitionBy("m")).alias("tot"),
+    )
+    # Integer `div` throughout: F.floor(a / b) routes through a DOUBLE
+    # quotient, which disagrees with exact integer division exactly when
+    # the cumulative total sits near a step multiple — the selection
+    # boundary itself (seen as a handful of flipped picks at sf>=0.01).
+    sel = cum.withColumn(
+        "step",
+        F.greatest(F.expr(f"tot div {MUS_PICKS_PER_MONTH}"), F.lit(1)),
+    ).selectExpr(
+        "m", "c", "tot", "(cw div step) - ((cw - c) div step) AS hits"
+    )
+    hit = F.col("hits") > 0
+    return sel.groupBy("m").agg(
+        F.count(F.when(hit, 1)).alias("n_selected"),
+        F.sum(F.when(hit, F.col("c"))).alias("selected_cents"),
+        F.max("tot").alias("total_cents"),
+        F.round(
+            F.sum(F.when(hit, F.col("c"))) / F.max("tot").cast("double"), 6
+        ).alias("coverage"),
+    ).select(
+        F.col("m").cast("date").cast("string").alias("ship_month"),
+        "n_selected",
+        "selected_cents",
+        "total_cents",
+        "coverage",
+    )
+
+
+@register(
+    "poisson_rate_weekend_test",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS is_we,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN is_we = 1 THEN k ELSE 0 END) AS BIGINT) AS k1,
+               CAST(SUM(CASE WHEN is_we = 0 THEN k ELSE 0 END) AS BIGINT) AS k2,
+               CAST(COUNT(*) FILTER (WHERE is_we = 1) AS BIGINT) AS d1,
+               CAST(COUNT(*) FILTER (WHERE is_we = 0) AS BIGINT) AS d2
+        FROM d
+    )
+    SELECT k1, k2, d1, d2,
+           round(k1 / CAST(d1 AS DOUBLE), 6) AS rate_weekend,
+           round(k2 / CAST(d2 AS DOUBLE), 6) AS rate_weekday,
+           round((k1 / CAST(d1 AS DOUBLE) - k2 / CAST(d2 AS DOUBLE))
+                 / sqrt(k1 / (CAST(d1 AS DOUBLE) * d1)
+                        + k2 / (CAST(d2 AS DOUBLE) * d2)), 6) AS z_stat
+    FROM s
+    """,
+    doc="Two-sample Poisson rate test: weekend vs weekday daily event "
+    "rates with a normal-approximation z.",
+)
+def poisson_rate_weekend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-process companion to ab_test_proportions (which tests
+    per-user proportions): are events ARRIVING faster on weekends?
+    Exposure is the number of distinct calendar days per arm, counts are
+    exact integers from one aggregation, and the variance-stabilized z
+    is closed-form.  ISO weekday (Mon=1..Sun=7) on both engines:
+    Spark's weekday() is Mon=0, so +1 aligns it with DuckDB's isodow().
+    """
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        (F.weekday("ts") + 1 >= 6).cast("int").alias("is_we"),
+    ).agg(F.count("*").alias("k"))
+    s = d.agg(
+        F.sum(F.when(F.col("is_we") == 1, F.col("k")).otherwise(0)).alias("k1"),
+        F.sum(F.when(F.col("is_we") == 0, F.col("k")).otherwise(0)).alias("k2"),
+        F.count(F.when(F.col("is_we") == 1, 1)).alias("d1"),
+        F.count(F.when(F.col("is_we") == 0, 1)).alias("d2"),
+    )
+    r1 = F.col("k1") / F.col("d1").cast("double")
+    r2 = F.col("k2") / F.col("d2").cast("double")
+    z = (r1 - r2) / F.sqrt(
+        F.col("k1") / (F.col("d1").cast("double") * F.col("d1"))
+        + F.col("k2") / (F.col("d2").cast("double") * F.col("d2"))
+    )
+    return s.select(
+        "k1",
+        "k2",
+        "d1",
+        "d2",
+        F.round(r1, 6).alias("rate_weekend"),
+        F.round(r2, 6).alias("rate_weekday"),
+        F.round(z, 6).alias("z_stat"),
+    )

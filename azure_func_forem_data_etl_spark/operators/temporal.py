@@ -1673,3 +1673,250 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("m").alias("n_pairs"),
         F.round(F.avg("slope"), 6).alias("theil_slope"),
     )
+
+
+@register(
+    "kendall_tau_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, {sql_dsum("value")} AS rev,
+               CAST(COUNT(*) AS BIGINT) AS n_ev
+        FROM events GROUP BY 1
+    ),
+    p AS (
+        SELECT CAST(SUM(CASE WHEN (b.rev - a.rev) * (b.n_ev - a.n_ev) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+               CAST(SUM(CASE WHEN (b.rev - a.rev) * (b.n_ev - a.n_ev) < 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+               CAST(SUM(CASE WHEN b.rev = a.rev AND b.n_ev <> a.n_ev
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+               CAST(SUM(CASE WHEN b.n_ev = a.n_ev AND b.rev <> a.rev
+                             THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+               CAST(COUNT(*) AS BIGINT) AS n0
+        FROM daily a JOIN daily b ON b.day > a.day
+    )
+    SELECT nc, nd, n0 AS n_pairs,
+           round((nc - nd) / sqrt(CAST(n0 - tx AS DOUBLE) * (n0 - ty)), 6)
+               AS tau_b
+    FROM p
+    """,
+    doc="Kendall tau-b rank correlation between daily revenue and daily "
+    "event count (concordant/discordant pair counts, tie-corrected).",
+)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone-association test that ignores magnitudes entirely —
+    robust where Pearson (agg_correlation) is leverage-sensitive.
+    Concordance counting is pure integer arithmetic over the day-grain
+    pair join (<= 67k broadcast pairs after one exact-decimal corpus
+    aggregation), so only the final tau expression touches floats.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        dsum("value").alias("rev"), F.count("*").alias("n_ev")
+    )
+    a = daily.select(
+        F.col("day").alias("day_a"), F.col("rev").alias("rev_a"), F.col("n_ev").alias("ev_a")
+    )
+    b = daily.select(
+        F.col("day").alias("day_b"), F.col("rev").alias("rev_b"), F.col("n_ev").alias("ev_b")
+    )
+    dr = F.col("rev_b") - F.col("rev_a")
+    de = F.col("ev_b") - F.col("ev_a")
+    p = (
+        F.broadcast(a)
+        .join(b, F.col("day_b") > F.col("day_a"))
+        .agg(
+            F.sum(F.when(dr * de > 0, 1).otherwise(0)).alias("nc"),
+            F.sum(F.when(dr * de < 0, 1).otherwise(0)).alias("nd"),
+            F.sum(
+                F.when((F.col("rev_b") == F.col("rev_a")) & (de != 0), 1).otherwise(0)
+            ).alias("tx"),
+            F.sum(
+                F.when((F.col("ev_b") == F.col("ev_a")) & (dr != 0), 1).otherwise(0)
+            ).alias("ty"),
+            F.count("*").alias("n0"),
+        )
+    )
+    return p.select(
+        "nc",
+        "nd",
+        F.col("n0").alias("n_pairs"),
+        F.round(
+            (F.col("nc") - F.col("nd"))
+            / F.sqrt(
+                (F.col("n0") - F.col("tx")).cast("double") * (F.col("n0") - F.col("ty"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+@register(
+    "changepoint_binary_split",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(round(
+            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+            AS DECIMAL(18,4)) AS rev
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT day, rev, row_number() OVER (ORDER BY day) AS i,
+               SUM(rev) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(rev) OVER () AS s,
+               COUNT(*) OVER () AS n
+        FROM daily
+    ),
+    gains AS (
+        SELECT day, i, n,
+               -- between-segment SS for split after position i:
+               -- k*(m1-m)^2 + (n-k)*(m2-m)^2, all from exact prefix sums
+               i * (CAST(cum AS DOUBLE) / i - CAST(s AS DOUBLE) / n)
+                 * (CAST(cum AS DOUBLE) / i - CAST(s AS DOUBLE) / n)
+               + (n - i) * (CAST(s - cum AS DOUBLE) / (n - i)
+                            - CAST(s AS DOUBLE) / n)
+                 * (CAST(s - cum AS DOUBLE) / (n - i)
+                    - CAST(s AS DOUBLE) / n) AS gain,
+               CAST(cum AS DOUBLE) / i AS mean_left,
+               CAST(s - cum AS DOUBLE) / (n - i) AS mean_right
+        FROM idx WHERE i < n
+    )
+    SELECT CAST(day AS VARCHAR) AS split_day, i AS split_idx,
+           CAST(n AS BIGINT) AS n_days,
+           round(gain, 4) AS gain,
+           round(mean_left, 4) AS mean_left,
+           round(mean_right, 4) AS mean_right
+    FROM gains
+    ORDER BY gain DESC, i LIMIT 1
+    """,
+    doc="Binary-segmentation changepoint on daily revenue: the split "
+    "maximizing between-segment sum of squares, via exact prefix sums.",
+)
+def changepoint_binary_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First step of binary-segmentation changepoint detection: scan every
+    split of the daily series and keep the one with the largest
+    between-segment SS (equivalently the largest within-SS reduction).
+    Prefix sums over the day-grain rollup are exact decimals, so each
+    candidate's gain is one deterministic double expression and the
+    argmax (gain desc, index asc) picks identically in both engines.
+    One corpus aggregation; everything else is day-grain.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4)
+        .cast("decimal(18,4)")
+        .alias("rev")
+    )
+    w_ord = Window.orderBy("day")
+    idx = daily.select(
+        "day",
+        F.row_number().over(w_ord).alias("i"),
+        F.sum("rev").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("rev").over(Window.partitionBy()).alias("s"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    i, n = F.col("i"), F.col("n")
+    m = F.col("s").cast("double") / n
+    m1 = F.col("cum").cast("double") / i
+    m2 = (F.col("s") - F.col("cum")).cast("double") / (n - i)
+    gains = idx.filter(i < n).select(
+        "day",
+        "i",
+        "n",
+        (i * (m1 - m) * (m1 - m) + (n - i) * (m2 - m) * (m2 - m)).alias("gain"),
+        m1.alias("mean_left"),
+        m2.alias("mean_right"),
+    )
+    return (
+        gains.orderBy(F.col("gain").desc(), "i")
+        .limit(1)
+        .select(
+            F.col("day").cast("string").alias("split_day"),
+            F.col("i").alias("split_idx"),
+            F.col("n").alias("n_days"),
+            F.round("gain", 4).alias("gain"),
+            F.round("mean_left", 4).alias("mean_left"),
+            F.round("mean_right", 4).alias("mean_right"),
+        )
+    )
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+        FROM events GROUP BY 1
+    ),
+    sized AS (
+        SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM firsts GROUP BY 1
+    ),
+    rev AS (
+        SELECT f.cohort,
+               CAST(floor(date_diff('day', f.cohort,
+                                    date_trunc('week', e.ts)) / 7) AS BIGINT)
+                   AS age_weeks,
+               SUM(CAST(e.value AS DECIMAL(18,4))) AS wk_rev
+        FROM events e JOIN firsts f ON f.user_id = e.user_id
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT r.cohort, r.age_weeks, s.n_users,
+               SUM(r.wk_rev) OVER (PARTITION BY r.cohort ORDER BY r.age_weeks
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+        FROM rev r JOIN sized s ON s.cohort = r.cohort
+    )
+    SELECT CAST(CAST(cohort AS DATE) AS VARCHAR) AS cohort_week,
+           age_weeks, n_users,
+           round(CAST(cum_rev AS DOUBLE), 4) AS cum_revenue,
+           round(CAST(cum_rev AS DOUBLE) / n_users, 6) AS ltv_per_user
+    FROM cum
+    """,
+    doc="Cohort lifetime-value curve: cumulative revenue per signup-week "
+    "cohort by cohort age in weeks, normalized per user.",
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The revenue companion to retention_cohorts (which counts active
+    users): how much cumulative value each signup-week cohort has
+    produced by age N weeks.  Two corpus-grain aggregations (first-touch
+    per user; revenue per cohort-age cell) and a running sum over the
+    BOUNDED cohort x age grid; revenue stays in exact decimals until the
+    final per-user normalization.
+    """
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    sized = firsts.groupBy("cohort").agg(F.count("*").alias("n_users"))
+    rev = (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            "cohort",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort")) / 7
+            ).alias("age_weeks"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("wk_rev"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        rev.join(sized, "cohort")
+        .select(
+            "cohort", "age_weeks", "n_users", F.sum("wk_rev").over(w).alias("cum_rev")
+        )
+    )
+    return cum.select(
+        F.col("cohort").cast("date").cast("string").alias("cohort_week"),
+        "age_weeks",
+        "n_users",
+        F.round(F.col("cum_rev").cast("double"), 4).alias("cum_revenue"),
+        F.round(F.col("cum_rev").cast("double") / F.col("n_users"), 6).alias(
+            "ltv_per_user"
+        ),
+    )
