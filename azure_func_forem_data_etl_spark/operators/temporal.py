@@ -1523,8 +1523,13 @@ HOLT_BETA = 0.1
     # whose step uses the LITERAL IEEE expressions of the Python fold:
     #   l' = a*x + (1-a)*(l+b);  b' = g*(l'-l) + (1-g)*b
     # (l' recomputed textually in the b' term — identical double both
-    # times).  Seed l=x_1, b=0.  Same measure-zero midpoint-rounding
-    # caveat as the EWMA oracle.
+    # times).  Seed l=x_1, b=0.  Outputs are floor-quantized to 6dp, NOT
+    # round()ed: with 2-decimal inputs and finite-decimal smoothing
+    # factors (0.3/0.7, 0.1/0.9) the early-round states are EXACT finite
+    # decimals, so 7th-digit midpoints genuinely occur and Python's
+    # half-even disagrees with DuckDB's half-away there (hit by the
+    # random-series property test at seed 0).  floor(x*1e6)/1e6 has no
+    # midpoint: both engines floor the same bit-identical double.
     oracle=f"""
     WITH RECURSIVE daily AS (
         SELECT CAST(ts AS DATE) AS day, {sql_dsum("value")} AS rev
@@ -1544,8 +1549,10 @@ HOLT_BETA = 0.1
                  + (1.0 - {HOLT_BETA}) * h.b AS b
       FROM h JOIN ordered o ON o.rn = h.rn + 1
     )
-    SELECT CAST(day AS VARCHAR) AS day, rev, round(l, 6) AS level,
-           round(b, 6) AS trend, round(l + b, 6) AS forecast_next
+    SELECT CAST(day AS VARCHAR) AS day, rev,
+           floor(l * 1000000) / 1000000 AS level,
+           floor(b * 1000000) / 1000000 AS trend,
+           floor((l + b) * 1000000) / 1000000 AS forecast_next
     FROM h
     """,
     doc=f"Holt double-exponential smoothing (alpha={HOLT_ALPHA}, "
@@ -1570,6 +1577,11 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     # forecast_next comes from the UNROUNDED states (round(l+b) !=
     # round(round(l)+round(b)) in general), so the fold emits it directly.
     def fold(pdf):
+        import math
+
+        def q6(v: float) -> float:  # floor-quantize: no rounding midpoints
+            return math.floor(v * 1e6) / 1e6
+
         pdf = pdf.sort_values("day").reset_index(drop=True)
         # day goes out as an ISO string: DuckDB's pandas bridge renders
         # DATE as midnight timestamps, so a date-typed column would
@@ -1585,9 +1597,9 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
                 l_new = a * x + (1.0 - a) * (l + b)
                 b = g * (l_new - l) + (1.0 - g) * b
                 l = l_new
-            lvl.append(round(l, 6))
-            trd.append(round(b, 6))
-            fc.append(round(l + b, 6))
+            lvl.append(q6(l))
+            trd.append(q6(b))
+            fc.append(q6(l + b))
         pdf["level"] = lvl
         pdf["trend"] = trd
         pdf["forecast_next"] = fc

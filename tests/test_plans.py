@@ -167,6 +167,21 @@ def test_plan_lint_every_registry_query(spark):
         # shared negative pool (~1% mod-sample) broadcast against the
         # anchor sample — bounded-sample product, documented in-batch trick
         "negative_sampling_inbatch",
+        # round-7 statistical queries: every BNLJ below is a bounded
+        # broadcast — a 1-row total/grand-mean, a fixed checkpoint/
+        # threshold list, or the day-grain rollup (<= 366 rows) — against
+        # an O(n) or grain-bounded side; see each query's docstring
+        "jackknife_revenue_ci",  # 1-row (n, s, k) totals broadcast
+        "anova_f_groups",  # 1-row grand-mean broadcast onto 5 groups
+        "eval_brier_decomposition",  # 1-row totals broadcast onto 10 bins
+        "source_concentration_hhi",  # 1-row corpus-total onto ~20 sources
+        "term_burstiness_vmr",  # 1-row n_docs broadcast — O(vocab)·1
+        "heaps_law_fit",  # 16-row fixed checkpoint list — O(n)·16
+        "js_divergence_langs",  # 5-row lang totals x vocab + 1-row total
+        "vocab_coverage_curve",  # 5-row threshold list x ranked vocab
+        # day-grain pairwise joins: both sides <= 366 rows by construction
+        "theil_sen_daily_trend",
+        "kendall_tau_daily",
     }
     checked = 0
     for name, q in sorted(load_all().items()):
