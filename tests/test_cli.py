@@ -213,6 +213,7 @@ def test_registry_driver_order_rotates_evidence():
         REGISTRY,
         _SENTINELS,
         _errored_latest,
+        _mismatched_latest,
         _officially_checked,
         _upgraded_latest,
         load_all,
@@ -222,9 +223,12 @@ def test_registry_driver_order_rotates_evidence():
     checked = _officially_checked()
     sentinels = [n for n in _SENTINELS if n in order]
     assert order[: len(sentinels)] == sentinels
-    # requeued block (error-latest + check-upgraded names) directly after
-    # the sentinels, before the never-checked round-robin
-    jump = (_errored_latest() | _upgraded_latest(REGISTRY)) - set(sentinels)
+    # requeued block (error-latest + compare-mismatch + check-upgraded
+    # names) directly after the sentinels, before the never-checked
+    # round-robin
+    jump = (
+        _errored_latest() | _upgraded_latest(REGISTRY) | _mismatched_latest()
+    ) - set(sentinels)
     n_jump = len([n for n in jump if n in order])
     assert set(order[len(sentinels): len(sentinels) + n_jump]) == {
         n for n in jump if n in order
@@ -265,6 +269,34 @@ def test_registry_error_rows_requeue(tmp_path):
     checked = _officially_checked(tmp_path)
     assert checked == {"q_pass", "q_rowsonly", "q_fixed_later"}
     assert _errored_latest(tmp_path) == {"q_error"}
+
+
+def test_registry_mismatch_rows_requeue(tmp_path):
+    """A name whose LATEST official row ran cleanly but FAILED the compare
+    (hash/rows/schema mismatch) must jump the queue: err is None so the
+    checked-set logic would otherwise park the red record at the back
+    forever (r6: pagerank_copurchase's hash_match=false row).  A later
+    green row clears the requeue."""
+    import json
+
+    from azure_func_forem_data_etl_spark.plans.registry import _mismatched_latest
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "q_green": {"err": None, "rows_match": True, "schema_match": True,
+                    "hash_match": True},
+        "q_hash_red": {"err": None, "rows_match": True, "schema_match": True,
+                       "hash_match": False},
+        "q_rows_red": {"err": None, "rows_match": False},
+        "q_red_then_green": {"err": None, "hash_match": False},
+        "q_errored": {"err": "Traceback ... boom", "hash_match": False},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "q_red_then_green": {"err": None, "rows_match": True,
+                             "schema_match": True, "hash_match": True},
+    }))
+
+    # errored rows are the _errored_latest category, not this one
+    assert _mismatched_latest(tmp_path) == {"q_hash_red", "q_rows_red"}
 
 
 def test_registry_check_upgraded_rows_requeue(tmp_path):
