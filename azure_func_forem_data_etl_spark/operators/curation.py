@@ -1328,7 +1328,11 @@ def source_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal summation of the share-squared contributions.
     """
     docs = table(spark, sf_dir, "documents")
-    s = docs.groupBy("source").agg(F.sum("n_chars").alias("chars_s"))
+    s = (
+        docs.groupBy("source")
+        .agg(F.sum("n_chars").alias("chars_s"))
+        .localCheckpoint(eager=True)  # ~20 rows, shared by t and contrib
+    )
     t = s.agg(F.sum("chars_s").alias("c"), F.count("*").alias("k"))
     share = F.col("chars_s") / F.col("c").cast("double")
     contrib = s.crossJoin(F.broadcast(t)).select(

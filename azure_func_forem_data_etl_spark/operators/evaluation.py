@@ -488,7 +488,7 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p6").alias("sp_b"),
         F.sum("y").alias("ny_b"),
         F.sum((F.col("p6") - F.col("y")) * (F.col("p6") - F.col("y"))).alias("sq_b"),
-    )
+    ).localCheckpoint(eager=True)  # 10-row rollup shared by tot and parts
     tot = bins.agg(
         F.sum("n_b").alias("n"),
         F.sum("ny_b").alias("ny"),

@@ -1078,6 +1078,11 @@ def jackknife_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_i"),
             F.sum(F.col("o_totalprice").cast(_MONEY_DEC)).alias("s_i"),
         )
+        # materialize-once: tot/loo/jb all re-reference this 25-row table,
+        # and Spark does NOT reuse the aggregation subplan (only broadcast
+        # exchanges) — without this the corpus is scanned once per
+        # reference (8x observed in the jackknife plan)
+        .localCheckpoint(eager=True)
     )
     tot = g.agg(
         F.sum("n_i").alias("n"), F.sum("s_i").alias("s"), F.count("*").alias("k")
@@ -1184,7 +1189,7 @@ def anova_f_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_i"),
         F.sum(F.col("o_totalprice").cast(_MONEY_DEC)).alias("s_i"),
         F.sum(x2).alias("q_i"),
-    )
+    ).localCheckpoint(eager=True)  # 5-row rollup shared by tot and part
     tot = g.agg(
         F.sum("n_i").alias("n"),
         (F.sum("s_i").cast("double") / F.sum("n_i")).alias("m"),

@@ -1656,7 +1656,7 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         dsum("value").alias("rev")
-    )
+    ).localCheckpoint(eager=True)  # <=366 rows, pair-joined below
     idx = daily.select(
         "rev", F.row_number().over(Window.orderBy("day")).alias("i")
     )
@@ -1725,7 +1725,7 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         dsum("value").alias("rev"), F.count("*").alias("n_ev")
-    )
+    ).localCheckpoint(eager=True)  # <=366 rows, self-joined below
     a = daily.select(
         F.col("day").alias("day_a"), F.col("rev").alias("rev_a"), F.col("n_ev").alias("ev_a")
     )
@@ -1900,7 +1900,7 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     firsts = ev.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort")
-    )
+    ).localCheckpoint(eager=True)  # user-grain; consumed by sized + join
     sized = firsts.groupBy("cohort").agg(F.count("*").alias("n_users"))
     rev = (
         ev.join(firsts, "user_id")

@@ -1966,8 +1966,18 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
     )
-    firsts = w.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
-    dt = w.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    # materialize the two corpus rollups once: mx/toks/vocab re-reference
+    # them and Spark does not reuse aggregation subplans across references
+    firsts = (
+        w.groupBy("word")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .localCheckpoint(eager=True)
+    )
+    dt = (
+        w.groupBy("doc_id")
+        .agg(F.count("*").alias("n_tok"))
+        .localCheckpoint(eager=True)
+    )
     mx = dt.agg(F.max("doc_id").alias("max_id"))
     cp = (
         mx.select(
@@ -2079,7 +2089,13 @@ def js_divergence_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     w = docs.select("lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
-    lw = w.groupBy("lang", "word").agg(F.count("*").alias("c_lw"))
+    lw = (
+        w.groupBy("lang", "word")
+        .agg(F.count("*").alias("c_lw"))
+        # (lang, word) rollup feeds wt/lt/tot AND the cells join — four
+        # references, one materialization (at warehouse scale: persist)
+        .localCheckpoint(eager=True)
+    )
     wt = lw.groupBy("word").agg(F.sum("c_lw").alias("c_w"))
     lt = lw.groupBy("lang").agg(F.sum("c_lw").alias("c_l"))
     tot = wt.agg(F.sum("c_w").alias("c"))
@@ -2240,8 +2256,14 @@ def term_burstiness_vmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
     )
-    dw = w.groupBy("word", "doc_id").agg(F.count("*").alias("c"))
-    nd = w.agg(F.countDistinct("doc_id").alias("n_docs"))
+    dw = (
+        w.groupBy("word", "doc_id")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)  # feeds both nd and stats
+    )
+    # every doc yields >= 1 token (split of "" is [""]), so distinct docs
+    # in dw == distinct docs in the corpus — no second corpus scan
+    nd = dw.agg(F.countDistinct("doc_id").alias("n_docs"))
     stats = (
         dw.groupBy("word")
         .agg(
