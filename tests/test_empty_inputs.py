@@ -298,3 +298,63 @@ def test_tail_index_hill_degenerate_inputs(spark, empty_sf, tmp_path):
         "value double, props string",
     ).write.parquet(str(one / "events.parquet"))
     assert reg["tail_index_hill"].fn(spark, str(one)).count() == 0
+
+
+def test_round7_stats_on_empty_tables(spark, empty_sf, tmp_path):
+    """The round-7 statistical queries must yield empty (or gracefully
+    degenerate) results on zero-row inputs, not divide-by-zero under ANSI
+    mode.  orders/customer/nation-based queries get their own empty star
+    schema; events/documents/lineitem queries reuse the shared fixture."""
+    import pytest as _pytest
+
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    d = tmp_path / "empty_star"
+    d.mkdir()
+    spark.createDataFrame(
+        [],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string, "
+        "o_clerk string, o_shippriority int, o_comment string",
+    ).write.parquet(str(d / "orders.parquet"))
+    spark.createDataFrame(
+        [], "c_custkey bigint, c_name string, c_nationkey int"
+    ).write.parquet(str(d / "customer.parquet"))
+    spark.createDataFrame(
+        [], "n_nationkey int, n_name string, n_regionkey int"
+    ).write.parquet(str(d / "nation.parquet"))
+    spark.createDataFrame(
+        [],
+        "p_partkey bigint, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.parquet(str(d / "part.parquet"))
+    for f in ("documents", "embeddings", "events", "lineitem"):
+        (d / f"{f}.parquet").symlink_to(f"{empty_sf}/{f}.parquet")
+
+    reg = load_all()
+    empty_ok = [
+        # group-level stats: no groups -> no rows
+        "jackknife_revenue_ci",
+        "anova_f_groups",
+        "cramers_v_nation_priority",
+        "weighted_median_price",
+        "monetary_unit_sample",
+        "cohort_ltv_curve",
+        "holt_linear_forecast",
+        "theil_sen_daily_trend",
+        "changepoint_binary_split",
+        "heaps_law_fit",
+        "js_divergence_langs",
+        "vocab_coverage_curve",
+        "term_burstiness_vmr",
+        "span_corruption_stats",
+        "source_concentration_hhi",
+        "eval_map_at_k",
+        "kendall_tau_daily",
+    ]
+    for name in empty_ok:
+        rows = reg[name].fn(spark, str(d)).collect()
+        for r in rows:  # degenerate single-row outputs must carry no data
+            assert (r[0] in (0, None)) or all(
+                v in (0, None, 0.0) for v in r[1:]
+            ), f"{name}: unexpected non-empty result {r}"
