@@ -28,18 +28,26 @@ class Query:
     fn: QueryFn
     oracle: str | None
     doc: str
+    #: Drain-before-widen: queries registered AFTER the current
+    #: never-checked backlog was scheduled set ``defer=True`` so they sort
+    #: BEHIND every older never-checked name in the driver window — new
+    #: breadth must never displace an older query's first official
+    #: witness.  The flag is inert once the name has an official row.
+    defer: bool = False
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def register(name: str, oracle: str | None = None, doc: str = ""):
+def register(name: str, oracle: str | None = None, doc: str = "", defer: bool = False):
     """Decorator: add a (spark, sf_dir) -> DataFrame builder to the registry."""
 
     def _wrap(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        REGISTRY[name] = Query(
+            name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), defer=defer
+        )
         return fn
 
     return _wrap
@@ -183,25 +191,32 @@ def _driver_order(registry: dict[str, Query]) -> dict[str, Query]:
     # window then samples every operator family each round instead of
     # letting the highest-priority modules monopolize it — the judge reads
     # official evidence per family, so breadth-per-round beats depth.
-    by_mod: dict[tuple[int, str], list[str]] = {}
-    for n in rest:
-        if n in checked:
-            continue
-        mod = registry[n].fn.__module__
-        by_mod.setdefault((mod_key(n), mod), []).append(n)
-    for names in by_mod.values():
-        names.sort(key=lambda n: reg_index[n])
-    groups = [by_mod[k] for k in sorted(by_mod)]
-    never: list[str] = []
-    while groups:
-        nxt = []
-        for g in groups:
-            never.append(g.pop(0))
-            if g:
-                nxt.append(g)
-        groups = nxt
+    def round_robin(names: list[str]) -> list[str]:
+        by_mod: dict[tuple[int, str], list[str]] = {}
+        for n in names:
+            mod = registry[n].fn.__module__
+            by_mod.setdefault((mod_key(n), mod), []).append(n)
+        for g in by_mod.values():
+            g.sort(key=lambda n: reg_index[n])
+        groups = [by_mod[k] for k in sorted(by_mod)]
+        out: list[str] = []
+        while groups:
+            nxt = []
+            for g in groups:
+                out.append(g.pop(0))
+                if g:
+                    nxt.append(g)
+            groups = nxt
+        return out
+
+    unchecked = [n for n in rest if n not in checked]
+    # Two never-checked tiers: names from the standing backlog first, then
+    # defer-flagged names (added after that backlog was scheduled) — new
+    # breadth never displaces an older query's first official witness.
+    never = round_robin([n for n in unchecked if not registry[n].defer])
+    deferred = round_robin([n for n in unchecked if registry[n].defer])
     seen = [n for n in rest if n in checked]
-    return {n: registry[n] for n in (*sentinels, *requeued, *never, *seen)}
+    return {n: registry[n] for n in (*sentinels, *requeued, *never, *deferred, *seen)}
 
 
 def load_all() -> dict[str, Query]:

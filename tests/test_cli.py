@@ -324,3 +324,42 @@ def test_registry_check_upgraded_rows_requeue(tmp_path):
         "q_full_pass": Query("q_full_pass", fake, "SELECT 1", ""),
     }
     assert _upgraded_latest(registry, tmp_path) == {"q_now_oracled"}
+
+
+def test_registry_deferred_names_sort_behind_backlog():
+    """defer=True names (registered after the standing backlog was
+    scheduled) must sort behind every non-deferred never-checked name and
+    ahead of already-checked names — drain-before-widen."""
+    from azure_func_forem_data_etl_spark.plans.registry import (
+        REGISTRY,
+        Query,
+        _driver_order,
+    )
+
+    fake = dict(REGISTRY)
+    sample = next(iter(REGISTRY.values()))
+    fake["zz_deferred_probe"] = Query(
+        name="zz_deferred_probe", fn=sample.fn, oracle=None,
+        doc="probe", defer=True,
+    )
+    order = list(_driver_order(fake))
+    from azure_func_forem_data_etl_spark.plans.registry import (
+        _SENTINELS,
+        _officially_checked,
+    )
+
+    checked = _officially_checked()
+    probe_at = order.index("zz_deferred_probe")
+    never_positions = [
+        i for i, n in enumerate(order)
+        if n != "zz_deferred_probe" and n not in checked
+        and n not in _SENTINELS
+    ]
+    checked_positions = [
+        i for i, n in enumerate(order)
+        if n in checked and n not in _SENTINELS and n != "pagerank_copurchase"
+    ]
+    if never_positions:
+        assert probe_at > max(never_positions)
+    if checked_positions:
+        assert probe_at < min(checked_positions)
