@@ -334,8 +334,10 @@ def test_registry_deferred_names_sort_behind_backlog():
         REGISTRY,
         Query,
         _driver_order,
+        load_all,
     )
 
+    load_all()  # populate REGISTRY via the operator-module imports
     fake = dict(REGISTRY)
     sample = next(iter(REGISTRY.values()))
     fake["zz_deferred_probe"] = Query(
