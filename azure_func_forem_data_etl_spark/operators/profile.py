@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from azure_func_forem_data_etl_spark.functions.exact import dsum
 from azure_func_forem_data_etl_spark.plans.registry import register
 from azure_func_forem_data_etl_spark.sources.tables import table
 
@@ -1573,4 +1574,320 @@ def poisson_rate_weekend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r1, 6).alias("rate_weekend"),
         F.round(r2, 6).alias("rate_weekday"),
         F.round(z, 6).alias("z_stat"),
+    )
+
+
+# --- round-8 batch (defer=True: drains behind the r7 window) ---------------
+
+
+@register(
+    "levene_brown_forsythe",
+    defer=True,
+    oracle="""
+    WITH x AS (
+        SELECT o_orderpriority AS grp, o_totalprice AS v FROM orders
+    ),
+    med AS (
+        -- LOWER median: an exact data value, no interpolation ambiguity
+        SELECT grp, v AS m FROM (
+            SELECT grp, v,
+                   row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
+                   COUNT(*) OVER (PARTITION BY grp) AS n
+            FROM x
+        ) WHERE rn = (n + 1) // 2
+    ),
+    z AS (
+        SELECT x.grp, CAST(round(abs(x.v - med.m), 4) AS DECIMAL(18,4)) AS z
+        FROM x JOIN med ON med.grp = x.grp
+    ),
+    g AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_i, SUM(z) AS s_i,
+               SUM(CAST(z AS DECIMAL(19,4)) * CAST(z AS DECIMAL(19,4))) AS q_i
+        FROM z GROUP BY grp
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+               CAST(SUM(s_i) AS DOUBLE) / CAST(SUM(n_i) AS BIGINT) AS m,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM g
+    ),
+    part AS (
+        SELECT CAST(round(g.n_i * (CAST(g.s_i AS DOUBLE) / g.n_i - t.m)
+                          * (CAST(g.s_i AS DOUBLE) / g.n_i - t.m), 2)
+                    AS DECIMAL(28,2)) AS ssb_i,
+               CAST(round(CAST(g.q_i AS DOUBLE)
+                          - CAST(g.s_i AS DOUBLE) * CAST(g.s_i AS DOUBLE)
+                            / g.n_i, 2) AS DECIMAL(28,2)) AS ssw_i,
+               t.n, t.k
+        FROM g, tot t
+    )
+    SELECT k AS k_groups, n AS n_total,
+           round((CAST(SUM(ssb_i) AS DOUBLE) / (k - 1))
+                 / (CAST(SUM(ssw_i) AS DOUBLE) / (n - k)), 6) AS bf_stat
+    FROM part GROUP BY k, n
+    """,
+    doc="Brown-Forsythe robust variance-equality test across order "
+    "priorities: ANOVA F on |x - group lower-median| deviations.",
+)
+def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-shift companion to anova_f_groups (which tests MEANS and
+    silently assumes equal variances): the Brown-Forsythe statistic runs
+    the same F machinery on absolute deviations from the group MEDIAN,
+    robust to heavy tails where classic Levene (mean-based) is not.
+
+    The group median is the LOWER median — an exact data value selected
+    by row_number, so both engines transform identically; deviations are
+    4dp-quantized into the decimal domain before any sum.  Scale shape:
+    one per-group sort window for the median, one grouped aggregation,
+    closed-form F over the k-row rollup.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"), F.col("o_totalprice").alias("v")
+    )
+    w = Window.partitionBy("grp").orderBy("v")
+    med = (
+        o.select(
+            "grp",
+            "v",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy("grp")).alias("n"),
+        )
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("grp", F.col("v").alias("m"))
+    )
+    z = o.join(med, "grp").select(
+        "grp", F.round(F.abs(F.col("v") - F.col("m")), 4).cast("decimal(18,4)").alias("z")
+    )
+    g = z.groupBy("grp").agg(
+        F.count("*").alias("n_i"),
+        F.sum("z").alias("s_i"),
+        F.sum(
+            F.col("z").cast("decimal(19,4)") * F.col("z").cast("decimal(19,4)")
+        ).alias("q_i"),
+    ).localCheckpoint(eager=True)
+    tot = g.agg(
+        F.sum("n_i").alias("n"),
+        (F.sum("s_i").cast("double") / F.sum("n_i")).alias("m"),
+        F.count("*").alias("k"),
+    )
+    m_i = F.col("s_i").cast("double") / F.col("n_i")
+    part = g.crossJoin(F.broadcast(tot)).select(
+        F.round(F.col("n_i") * (m_i - F.col("m")) * (m_i - F.col("m")), 2)
+        .cast("decimal(28,2)")
+        .alias("ssb_i"),
+        F.round(
+            F.col("q_i").cast("double")
+            - F.col("s_i").cast("double") * F.col("s_i").cast("double") / F.col("n_i"),
+            2,
+        )
+        .cast("decimal(28,2)")
+        .alias("ssw_i"),
+        "n",
+        "k",
+    )
+    return part.groupBy("k", "n").agg(
+        F.round(
+            (F.sum("ssb_i").cast("double") / (F.col("k") - 1))
+            / (F.sum("ssw_i").cast("double") / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("bf_stat")
+    ).select(
+        F.col("k").alias("k_groups"), F.col("n").alias("n_total"), "bf_stat"
+    )
+
+
+@register(
+    "mcnemar_purchase_shift",
+    defer=True,
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+    ),
+    u AS (
+        -- "positive" = purchases over-represented vs the 1-in-5 base rate
+        -- within the half (an any-purchase flag saturates to 1 for every
+        -- user once they have dozens of events per half)
+        SELECT e.user_id,
+               CAST(SUM(CASE WHEN e.event_type = 'purchase'
+                             AND epoch_us(e.ts) < (b.lo + b.hi) // 2
+                             THEN 1 ELSE 0 END) * 5
+                    > SUM(CASE WHEN epoch_us(e.ts) < (b.lo + b.hi) // 2
+                               THEN 1 ELSE 0 END) AS INT) AS before_p,
+               CAST(SUM(CASE WHEN e.event_type = 'purchase'
+                             AND epoch_us(e.ts) >= (b.lo + b.hi) // 2
+                             THEN 1 ELSE 0 END) * 5
+                    > SUM(CASE WHEN epoch_us(e.ts) >= (b.lo + b.hi) // 2
+                               THEN 1 ELSE 0 END) AS INT) AS after_p
+        FROM events e, bounds b
+        GROUP BY e.user_id
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN before_p = 1 AND after_p = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN before_p = 0 AND after_p = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN before_p = 1 AND after_p = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS both_p,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM u
+    )
+    SELECT n_users, both_p, b AS only_before, c AS only_after,
+           round((b - c) * (b - c) / CAST(b + c AS DOUBLE), 6) AS mcnemar_chi2
+    FROM s
+    """,
+    doc="McNemar paired test: did users' purchase OVER-REPRESENTATION "
+    "(above the 1-in-5 base rate) flip between the first and second half "
+    "of the window (discordant-pair chi-square, no continuity "
+    "correction)?",
+)
+def mcnemar_purchase_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired before/after test — the right tool when the SAME users are
+    observed in both periods (a two-proportion z on overlapping user
+    sets overstates significance).  The period split is the exact
+    integer midpoint of the observed epoch-microsecond range, so both
+    engines cut identically; everything else is integer counting and a
+    closed-form discordant-pair chi-square.  One corpus aggregation.
+    """
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+    )
+    mid = F.floor((F.col("lo") + F.col("hi")) / 2)
+    u = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        (F.col("event_type") == "purchase")
+                        & (F.unix_micros("ts") < mid),
+                        1,
+                    ).otherwise(0)
+                )
+                * 5
+                > F.sum(F.when(F.unix_micros("ts") < mid, 1).otherwise(0))
+            )
+            .cast("int")
+            .alias("before_p"),
+            (
+                F.sum(
+                    F.when(
+                        (F.col("event_type") == "purchase")
+                        & (F.unix_micros("ts") >= mid),
+                        1,
+                    ).otherwise(0)
+                )
+                * 5
+                > F.sum(F.when(F.unix_micros("ts") >= mid, 1).otherwise(0))
+            )
+            .cast("int")
+            .alias("after_p"),
+        )
+    )
+    b = F.sum(F.when((F.col("before_p") == 1) & (F.col("after_p") == 0), 1).otherwise(0))
+    c = F.sum(F.when((F.col("before_p") == 0) & (F.col("after_p") == 1), 1).otherwise(0))
+    return u.agg(
+        F.count("*").alias("n_users"),
+        F.sum(
+            F.when((F.col("before_p") == 1) & (F.col("after_p") == 1), 1).otherwise(0)
+        ).alias("both_p"),
+        b.alias("only_before"),
+        c.alias("only_after"),
+        F.round(
+            (b - c) * (b - c) / (b + c).cast("double"), 6
+        ).alias("mcnemar_chi2"),
+    )
+
+
+@register(
+    "runs_test_daily_revenue",
+    defer=True,
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, {{dsum}} AS rev
+        FROM events GROUP BY 1
+    ),
+    med AS (
+        SELECT rev AS m FROM (
+            SELECT rev, row_number() OVER (ORDER BY rev) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM daily
+        ) WHERE rn = (n + 1) // 2
+    ),
+    signs AS (
+        SELECT day, CASE WHEN rev > m THEN 1 ELSE 0 END AS above
+        FROM daily, med WHERE rev <> m
+    ),
+    runs AS (
+        SELECT above,
+               CASE WHEN lag(above) OVER (ORDER BY day) IS DISTINCT FROM above
+                    THEN 1 ELSE 0 END AS new_run
+        FROM signs
+    ),
+    s AS (
+        SELECT CAST(SUM(new_run) AS BIGINT) AS r,
+               CAST(SUM(above) AS BIGINT) AS n1,
+               CAST(COUNT(*) - SUM(above) AS BIGINT) AS n2,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM runs
+    )
+    SELECT r AS n_runs, n1 AS n_above, n2 AS n_below,
+           round((r - (2.0 * n1 * n2 / n + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+                        / (CAST(n AS DOUBLE) * n * (n - 1))), 6) AS z_stat
+    FROM s
+    """.format(dsum="CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)"),
+    doc="Wald-Wolfowitz runs test on daily revenue vs its lower median: "
+    "too few runs = trending/sticky, too many = oscillating.",
+)
+def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomness screen for a time series that makes NO distributional
+    assumption: count maximal runs of above/below-median days and compare
+    to the exact run-count moments.  Days equal to the (lower) median are
+    dropped, the standard convention.  Integer counting end-to-end; one
+    corpus aggregation, then day-grain windows.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        dsum("value").alias("rev")
+    ).localCheckpoint(eager=True)  # median + signs both re-reference it
+    med = (
+        daily.select(
+            "rev",
+            F.row_number().over(Window.orderBy("rev")).alias("rn"),
+            F.count("*").over(Window.partitionBy()).alias("n"),
+        )
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select(F.col("rev").alias("m"))
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("rev") != F.col("m"))
+        .select("day", (F.col("rev") > F.col("m")).cast("int").alias("above"))
+    )
+    runs = signs.select(
+        "above",
+        F.when(
+            ~F.lag("above").over(Window.orderBy("day")).eqNullSafe(F.col("above")), 1
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    s = runs.agg(
+        F.sum("new_run").alias("r"),
+        F.sum("above").alias("n1"),
+        (F.count("*") - F.sum("above")).alias("n2"),
+        F.count("*").alias("n"),
+    )
+    r, n1, n2, n = (F.col(c) for c in ("r", "n1", "n2", "n"))
+    mu = 2.0 * n1 * n2 / n + 1
+    sigma = F.sqrt(
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n.cast("double") * n * (n - 1))
+    )
+    return s.select(
+        r.alias("n_runs"),
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        F.round((r - mu) / sigma, 6).alias("z_stat"),
     )
