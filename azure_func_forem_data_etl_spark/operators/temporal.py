@@ -1932,3 +1932,277 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ltv_per_user"
         ),
     )
+
+
+@register(
+    "asof_join_nearest",
+    defer=True,
+    oracle="""
+    WITH p AS (
+        SELECT user_id, p_ts, p_event_id FROM (
+            SELECT user_id, ts AS p_ts, event_id AS p_event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'purchase'
+        ) WHERE rn = 1
+    ),
+    back AS (
+        SELECT e.event_id, e.user_id, e.ts, p.p_ts AS b_ts,
+               p.p_event_id AS b_id
+        FROM events e
+        ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.p_ts
+    ),
+    fwd AS (
+        SELECT e.event_id, p.p_ts AS f_ts, p.p_event_id AS f_id
+        FROM events e
+        ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.p_ts
+    ),
+    paired AS (
+        SELECT b.event_id, b.user_id, b.ts, b.b_ts, b.b_id, f.f_ts, f.f_id,
+               epoch_us(b.ts) - epoch_us(b.b_ts) AS db,
+               epoch_us(f.f_ts) - epoch_us(b.ts) AS df
+        FROM back b JOIN fwd f ON f.event_id = b.event_id
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN db IS NOT NULL AND (df IS NULL OR db <= df)
+                THEN b_id ELSE f_id END AS p_event_id,
+           CASE WHEN db IS NOT NULL AND (df IS NULL OR db <= df)
+                THEN db ELSE df END AS dist_us,
+           CASE WHEN COALESCE(LEAST(db, df), db, df) = 0 THEN 'at'
+                WHEN db IS NOT NULL AND (df IS NULL OR db <= df)
+                THEN 'backward' ELSE 'forward' END AS direction
+    FROM paired
+    """,
+    doc="Nearest-direction as-of join: each event annotated with the "
+    "user's CLOSEST purchase in either direction (ties -> the earlier "
+    "one), its microsecond distance, and the match direction.",
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third as-of direction (backward and range joins exist;
+    'nearest' is what feature pipelines want for label attachment when
+    the causal direction is unknown).  One shuffle: events and the
+    deduped purchases union into a single per-user sort, and TWO frames
+    over that one sort produce the at-or-before and at-or-after
+    candidates (last/first non-null payload); the nearer one wins,
+    backward on distance ties.  The backward frame here is exclusive at
+    equal ts (the right row sorts after the left one), which is
+    indistinguishable in the output: an equal-ts purchase is the forward
+    candidate at distance 0 and direction reports 'at'.
+    """
+    events = table(spark, sf_dir, "events")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id"))
+    )
+    pay = F.struct(F.col("p_ts"), F.col("p_id"))
+    r = purchases.select(
+        "user_id",
+        F.col("p_ts").alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        pay.alias("__rpay"),
+    )
+    l = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts").alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(r.schema["__rpay"].dataType).alias("__rpay"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    # one sort: right rows AFTER left rows at equal ts, so the following
+    # frame (forward match) is inclusive and the preceding frame is
+    # exclusive — see docstring for why that is output-equivalent
+    order = Window.partitionBy("user_id").orderBy("__ts", F.desc("__is_left"))
+    w_back = order.rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = order.rowsBetween(0, Window.unboundedFollowing)
+    m = (
+        u.withColumn("__b", F.last("__rpay", ignorenulls=True).over(w_back))
+        .withColumn("__f", F.first("__rpay", ignorenulls=True).over(w_fwd))
+        .filter(F.col("__is_left") == 1)
+    )
+    db = F.unix_micros("ts") - F.unix_micros(F.col("__b.p_ts"))
+    df_ = F.unix_micros(F.col("__f.p_ts")) - F.unix_micros("ts")
+    back_wins = F.col("__b").isNotNull() & (F.col("__f").isNull() | (db <= df_))
+    dist = F.when(back_wins, db).otherwise(df_)
+    return m.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(back_wins, F.col("__b.p_id")).otherwise(F.col("__f.p_id")).alias(
+            "p_event_id"
+        ),
+        dist.alias("dist_us"),
+        F.when(dist == 0, "at")
+        .when(back_wins, "backward")
+        .otherwise("forward")
+        .alias("direction"),
+    )
+
+
+@register(
+    "spearman_rho_daily",
+    defer=True,
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, {sql_dsum("value")} AS rev,
+               CAST(COUNT(*) AS BIGINT) AS n_ev
+        FROM events GROUP BY 1
+    ),
+    ranked AS (
+        -- average ranks held as exact integers (twice the rank): Spearman
+        -- is scale-invariant, so rho on 2r equals rho on r
+        SELECT CAST(2 * rank() OVER (ORDER BY rev)
+                    + COUNT(*) OVER (PARTITION BY rev) - 1 AS BIGINT) AS a,
+               CAST(2 * rank() OVER (ORDER BY n_ev)
+                    + COUNT(*) OVER (PARTITION BY n_ev) - 1 AS BIGINT) AS b
+        FROM daily
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+               CAST(SUM(a * b) AS BIGINT) AS sab,
+               CAST(SUM(a * a) AS BIGINT) AS saa,
+               CAST(SUM(b * b) AS BIGINT) AS sbb
+        FROM ranked
+    )
+    SELECT n AS n_days,
+           round((n * sab - sa * sb)
+                 / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                        * (n * sbb - sb * sb)), 6) AS spearman_rho
+    FROM s
+    """,
+    doc="Spearman rank correlation (revenue vs event count, day grain): "
+    "Pearson on tie-averaged ranks held as exact integers.",
+)
+def spearman_rho_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-transform sibling of kendall_tau_daily: O(n log n) via
+    two rank windows instead of O(n^2) pair counting, and directly
+    comparable to the Pearson value (agg_correlation).  Average ranks
+    are carried as twice-ranks so every moment sum is exact integer
+    arithmetic; only the final rho expression is floating point.  One
+    corpus aggregation; windows run on the day-grain rollup.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        dsum("value").alias("rev"), F.count("*").alias("n_ev")
+    )
+    ranked = daily.select(
+        (
+            2 * F.rank().over(Window.orderBy("rev"))
+            + F.count("*").over(Window.partitionBy("rev"))
+            - 1
+        ).alias("a"),
+        (
+            2 * F.rank().over(Window.orderBy("n_ev"))
+            + F.count("*").over(Window.partitionBy("n_ev"))
+            - 1
+        ).alias("b"),
+    )
+    s = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+    )
+    n, sa, sb, sab, saa, sbb = (F.col(c) for c in ("n", "sa", "sb", "sab", "saa", "sbb"))
+    return s.select(
+        n.alias("n_days"),
+        F.round(
+            (n * sab - sa * sb)
+            / F.sqrt((n * saa - sa * sa).cast("double") * (n * sbb - sb * sb)),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+ACF_MAX_LAG = 7
+
+
+@register(
+    "acf_daily_revenue_lags",
+    defer=True,
+    oracle=f"""
+    WITH daily AS (
+        -- DECIMAL(19,4): width > 18 forces DuckDB's int128 backing so the
+        -- x*y products below cannot overflow the int64 fast path
+        SELECT CAST(ts AS DATE) AS day,
+               CAST({sql_dsum("value")} AS DECIMAL(19,4)) AS rev
+        FROM events GROUP BY 1
+    ),
+    idx AS (SELECT rev, row_number() OVER (ORDER BY day) AS rn FROM daily),
+    lags AS (SELECT UNNEST(range(1, {ACF_MAX_LAG} + 1)) AS lag),
+    pairs AS (
+        SELECT l.lag, a.rev AS x, b.rev AS y
+        FROM lags l
+        JOIN idx a ON TRUE
+        JOIN idx b ON b.rn = a.rn + l.lag
+    ),
+    m AS (
+        SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy
+        FROM pairs GROUP BY lag
+    )
+    SELECT lag, n AS n_pairs,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS acf
+    FROM m
+    """,
+    doc=f"Autocorrelation of daily revenue at lags 1..{ACF_MAX_LAG} "
+    "(decimal-exact moments per lag) — the weekly-seasonality "
+    "diagnostic.",
+)
+def acf_daily_revenue_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-lag extension of autocorr_daily_revenue (lag-1 only): the
+    full short-range correlogram, where a lag-7 peak is the weekly
+    cycle.  The lag pairing is a self-join of the <=366-row day index
+    against a 7-row lag spine (broadcast); per-lag moments run in the
+    exact decimal domain, so each acf value is one deterministic double
+    expression.  One corpus aggregation total.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        dsum("value").cast("decimal(19,4)").alias("rev")
+    ).localCheckpoint(eager=True)  # self-joined per lag below
+    idx = daily.select(
+        "rev", F.row_number().over(Window.orderBy("day")).alias("rn")
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = idx.select(F.col("rev").alias("x"), F.col("rn").alias("rn_a"))
+    b = idx.select(F.col("rev").alias("y"), F.col("rn").alias("rn_b"))
+    pairs = (
+        F.broadcast(lags)
+        .join(a, F.lit(True))
+        .join(b, F.col("rn_b") == F.col("rn_a") + F.col("lag"))
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (
+        F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+    )
+    return m.select(
+        "lag",
+        n.alias("n_pairs"),
+        F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("acf"),
+    )
