@@ -1347,3 +1347,68 @@ def source_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("chars_s") / F.max("c").cast("double"), 6).alias("top_share"),
         F.round(10000.0 / F.sum("hhi_i").cast("double"), 4).alias("effective_n"),
     )
+
+
+@register(
+    "mixture_temperature_weights",
+    defer=True,
+    oracle="""
+    WITH s AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS c
+        FROM documents GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM s),
+    raw AS (
+        -- alpha = 0.5 applied as sqrt: correctly-rounded in IEEE, so the
+        -- scaled share is a deterministic double in any engine; 10dp
+        -- quantization makes the normalization sum exact decimal
+        SELECT s.source, s.c, t.tot,
+               CAST(round(sqrt(s.c / CAST(t.tot AS DOUBLE)), 10)
+                    AS DECIMAL(18,10)) AS w_raw
+        FROM s, t
+    ),
+    z AS (SELECT SUM(w_raw) AS zsum FROM raw)
+    SELECT r.source,
+           round(r.c / CAST(r.tot AS DOUBLE), 6) AS p_raw,
+           round(CAST(r.w_raw AS DOUBLE) / CAST(z.zsum AS DOUBLE), 6)
+               AS p_temp,
+           round((CAST(r.w_raw AS DOUBLE) / CAST(z.zsum AS DOUBLE))
+                 / (r.c / CAST(r.tot AS DOUBLE)), 6) AS upsample_factor
+    FROM raw r, z
+    """,
+    doc="Temperature-scaled mixture weights (alpha=0.5, mT5-style): "
+    "per-source raw share, temperature share, and upsample factor.",
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard fix for head-heavy training mixes (mT5/XLM-R alpha
+    sampling): sampling probability proportional to share^alpha lifts
+    the tail sources without letting any source dominate.  alpha = 0.5
+    is applied as sqrt — the one power IEEE guarantees correctly
+    rounded, so both engines compute identical doubles; scaled weights
+    are 10dp-quantized before the exact normalization sum.  One
+    source-grain aggregation end-to-end.
+    """
+    docs = table(spark, sf_dir, "documents")
+    s = (
+        docs.groupBy("source")
+        .agg(F.sum("n_chars").alias("c"))
+        .localCheckpoint(eager=True)  # shared by t, raw
+    )
+    t = s.agg(F.sum("c").alias("tot"))
+    raw = s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "c",
+        "tot",
+        F.round(F.sqrt(F.col("c") / F.col("tot").cast("double")), 10)
+        .cast("decimal(18,10)")
+        .alias("w_raw"),
+    ).localCheckpoint(eager=True)  # shared by z and the final projection
+    z = raw.agg(F.sum("w_raw").alias("zsum"))
+    p_raw = F.col("c") / F.col("tot").cast("double")
+    p_temp = F.col("w_raw").cast("double") / F.col("zsum").cast("double")
+    return raw.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.round(p_raw, 6).alias("p_raw"),
+        F.round(p_temp, 6).alias("p_temp"),
+        F.round(p_temp / p_raw, 6).alias("upsample_factor"),
+    )

@@ -703,3 +703,154 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_stat"),
         (F.abs(z) > AB_Z_CRIT).cast("int").alias("significant"),
     )
+
+
+@register(
+    "eval_auprc",
+    defer=True,
+    oracle=f"""
+    WITH scored AS (
+        SELECT round(embedding[1], {AUC_BIN_DECIMALS}) AS score_b,
+               CAST(label = {POS_LABEL} AS INT) AS is_pos
+        FROM embeddings
+    ),
+    bins AS (
+        SELECT score_b, CAST(COUNT(*) AS BIGINT) AS n_b,
+               CAST(SUM(is_pos) AS BIGINT) AS p_b
+        FROM scored GROUP BY 1
+    ),
+    cum AS (
+        SELECT p_b,
+               SUM(n_b) OVER (ORDER BY score_b DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+               SUM(p_b) OVER (ORDER BY score_b DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+               SUM(p_b) OVER () AS tp
+        FROM bins
+    )
+    SELECT CAST(MAX(tp) AS BIGINT) AS n_pos,
+           round(CAST(SUM(CAST(round(p_b * (cp / CAST(cn AS DOUBLE)), 10)
+                                AS DECIMAL(18,10))) AS DOUBLE)
+                 / MAX(tp), 6) AS auprc
+    FROM cum
+    """,
+    doc="Binned average precision (AUPRC): per score bin, positives times "
+    "precision-at-bin-end, normalized by total positives — same 4dp "
+    "binning as eval_roc_auc.",
+)
+def eval_auprc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PR-curve summary scalar that eval_pr_threshold_sweep (a 9-point
+    sweep) cannot give: average precision over ALL thresholds.  Scores
+    bin at 4dp exactly like the AUC, ties resolved at bin granularity
+    (each bin's positives credited with precision at the bin's END —
+    the pessimistic tie convention, documented).  Per-bin contributions
+    are 10dp-quantized before the exact decimal sum.  One scan, then
+    windows over the bounded bin table.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.round(F.element_at("embedding", 1).cast("double"), AUC_BIN_DECIMALS).alias(
+            "score_b"
+        ),
+        (F.col("label") == POS_LABEL).cast("int").alias("is_pos"),
+    )
+    bins = scored.groupBy("score_b").agg(
+        F.count("*").alias("n_b"), F.sum("is_pos").alias("p_b")
+    )
+    w_cum = Window.orderBy(F.desc("score_b")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = bins.select(
+        "p_b",
+        F.sum("n_b").over(w_cum).alias("cn"),
+        F.sum("p_b").over(w_cum).alias("cp"),
+        F.sum("p_b").over(Window.partitionBy()).alias("tp"),
+    )
+    term = F.round(
+        F.col("p_b") * (F.col("cp") / F.col("cn").cast("double")), 10
+    ).cast("decimal(18,10)")
+    return cum.agg(
+        F.max("tp").alias("n_pos"),
+        F.round(F.sum(term).cast("double") / F.max("tp"), 6).alias("auprc"),
+    )
+
+
+LIFT_N_BUCKETS = 10
+
+
+@register(
+    "eval_lift_table",
+    defer=True,
+    oracle=f"""
+    WITH scored AS (
+        SELECT vec_id, round(embedding[1], {AUC_BIN_DECIMALS}) AS score_b,
+               CAST(label = {POS_LABEL} AS INT) AS is_pos
+        FROM embeddings
+    ),
+    ranked AS (
+        -- deterministic decile assignment: NTILE over a TOTAL order
+        -- (score desc, vec_id) — engine tie-breaking never differs
+        SELECT is_pos,
+               NTILE({LIFT_N_BUCKETS}) OVER (ORDER BY score_b DESC, vec_id)
+                   AS bucket
+        FROM scored
+    ),
+    b AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(is_pos) AS BIGINT) AS pos
+        FROM ranked GROUP BY bucket
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(pos) AS BIGINT) AS pt
+          FROM b)
+    SELECT b.bucket, b.n AS n_rows, b.pos AS n_pos,
+           round(b.pos / CAST(b.n AS DOUBLE), 6) AS response_rate,
+           round((b.pos / CAST(b.n AS DOUBLE))
+                 / (t.pt / CAST(t.nt AS DOUBLE)), 6) AS lift,
+           round(SUM(b.pos) OVER (ORDER BY b.bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / CAST(t.pt AS DOUBLE), 6) AS cum_gain
+    FROM b, t
+    """,
+    doc=f"Decile lift/gains table over the score ranking ({LIFT_N_BUCKETS} "
+    "NTILE buckets on a total order): response rate, lift vs base, "
+    "cumulative gains.",
+)
+def eval_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The campaign-targeting view of classifier quality: if we act on the
+    top decile, what hit rate and what share of all positives do we
+    capture?  NTILE runs over a TOTAL order (score, then vec_id), so
+    both engines assign identical buckets — the tie hazard that makes
+    naive NTILE-by-score non-reproducible.  One scan, then arithmetic on
+    the 10-row bucket table.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "vec_id",
+        F.round(F.element_at("embedding", 1).cast("double"), AUC_BIN_DECIMALS).alias(
+            "score_b"
+        ),
+        (F.col("label") == POS_LABEL).cast("int").alias("is_pos"),
+    )
+    ranked = scored.select(
+        "is_pos",
+        F.ntile(LIFT_N_BUCKETS)
+        .over(Window.orderBy(F.desc("score_b"), "vec_id"))
+        .alias("bucket"),
+    )
+    b = ranked.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.sum("is_pos").alias("pos")
+    ).localCheckpoint(eager=True)  # 10 rows; shared by t + final projection
+    t = b.agg(F.sum("n").alias("nt"), F.sum("pos").alias("pt"))
+    rr = F.col("pos") / F.col("n").cast("double")
+    base = F.col("pt") / F.col("nt").cast("double")
+    w_gain = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return b.crossJoin(F.broadcast(t)).select(
+        "bucket",
+        F.col("n").alias("n_rows"),
+        F.col("pos").alias("n_pos"),
+        F.round(rr, 6).alias("response_rate"),
+        F.round(rr / base, 6).alias("lift"),
+        F.round(F.sum("pos").over(w_gain) / F.col("pt").cast("double"), 6).alias(
+            "cum_gain"
+        ),
+    )

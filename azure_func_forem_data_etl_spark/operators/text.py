@@ -2284,3 +2284,87 @@ def term_burstiness_vmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("vmr").desc(), "term")
         .limit(BURSTY_TOP_K)
     )
+
+
+#: Per-language vocabulary size compared in the overlap matrix.
+VOCAB_OVERLAP_TOP_K = 500
+
+
+@register(
+    "vocab_overlap_langs",
+    defer=True,
+    oracle=rf"""
+    WITH w AS (
+        SELECT lang, UNNEST(string_split_regex(lower(text), '\s+')) AS word
+        FROM documents
+    ),
+    lw AS (SELECT lang, word, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+    topv AS (
+        SELECT lang, word FROM (
+            SELECT lang, word,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY cnt DESC, word) AS rnk
+            FROM lw
+        ) WHERE rnk <= {VOCAB_OVERLAP_TOP_K}
+    ),
+    sizes AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM topv GROUP BY 1),
+    inter AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM topv a JOIN topv b ON b.word = a.word AND a.lang < b.lang
+        GROUP BY 1, 2
+    )
+    SELECT i.lang_a, i.lang_b, i.n_common,
+           sa.n + sb.n - i.n_common AS n_union,
+           round(i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE), 6)
+               AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.lang = i.lang_a
+    JOIN sizes sb ON sb.lang = i.lang_b
+    """,
+    doc=f"Pairwise Jaccard overlap of the top-{VOCAB_OVERLAP_TOP_K} "
+    "vocabularies of each language pair.",
+)
+def vocab_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-sharing diagnostic: languages with high top-K vocabulary
+    overlap can share a subword budget; near-zero overlap argues for a
+    bigger multilingual vocab.  Top-K selection is deterministic (count
+    desc, word) and the overlap join runs on langs x K rows — bounded
+    regardless of corpus size.  One token explode + one (lang, word) agg
+    touch the corpus.
+    """
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select("lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+    lw = w.groupBy("lang", "word").agg(F.count("*").alias("cnt"))
+    topv = (
+        lw.select(
+            "lang",
+            "word",
+            F.row_number()
+            .over(Window.partitionBy("lang").orderBy(F.desc("cnt"), "word"))
+            .alias("rnk"),
+        )
+        .filter(F.col("rnk") <= VOCAB_OVERLAP_TOP_K)
+        .select("lang", "word")
+        .localCheckpoint(eager=True)  # reused: sizes + both join sides
+    )
+    sizes = topv.groupBy("lang").agg(F.count("*").alias("n"))
+    a = topv.select(F.col("lang").alias("lang_a"), "word")
+    b = topv.select(F.col("lang").alias("lang_b"), "word")
+    inter = (
+        a.join(b, "word")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_b"))
+    j = inter.join(F.broadcast(sa), "lang_a").join(F.broadcast(sb), "lang_b")
+    union_n = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    return j.select(
+        "lang_a",
+        "lang_b",
+        "n_common",
+        union_n.alias("n_union"),
+        F.round(F.col("n_common") / union_n.cast("double"), 6).alias("jaccard"),
+    )
