@@ -631,3 +631,80 @@ def semdedup(
     return labeled.filter(F.col("vec_id") != F.col("keep_id")).select(
         "vec_id", "keep_id", "cluster_id", "group_size"
     )
+
+
+@register(
+    "label_centroid_similarity",
+    defer=True,
+    oracle="""
+    WITH pos AS (
+        SELECT label, i, CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                              AS DECIMAL(18,6)) AS v
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+    ),
+    cent AS (
+        SELECT label, i,
+               CAST(SUM(v) AS DOUBLE) / COUNT(*) AS c
+        FROM pos GROUP BY 1, 2
+    ),
+    pair_terms AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(round(a.c * b.c, 12) AS DECIMAL(18,12)) AS ab,
+               CAST(round(a.c * a.c, 12) AS DECIMAL(18,12)) AS aa,
+               CAST(round(b.c * b.c, 12) AS DECIMAL(18,12)) AS bb
+        FROM cent a JOIN cent b ON b.i = a.i AND a.label < b.label
+    )
+    SELECT label_a, label_b,
+           round(CAST(SUM(ab) AS DOUBLE)
+                 / sqrt(CAST(SUM(aa) AS DOUBLE) * CAST(SUM(bb) AS DOUBLE)),
+                 6) AS cosine
+    FROM pair_terms GROUP BY 1, 2
+    """,
+    doc="Pairwise cosine similarity between per-label embedding "
+    "centroids (dimension-wise exact-decimal means).",
+)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-geometry audit for the labeled embedding space: labels whose
+    centroids sit close (cosine -> 1) will confuse any
+    nearest-centroid/kNN gate, and the matrix says which merges are
+    safe.  Centroids are computed DIMENSION-WISE with 6dp-quantized
+    decimal sums (a float array mean is order-dependent otherwise), and
+    the pairwise cosine terms are 12dp-quantized before their
+    dimension sum — deterministic end to end.
+
+    Scale shape: one posexplode to (label, dim) grain — rows = corpus x
+    dim but each row is 20 bytes and the aggregation is map-side-combined
+    on a (labels x dim)-bounded key space; the pair join runs on the
+    labels x dim centroid table (640 rows here).
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label", F.posexplode("embedding").alias("i0", "x")
+    ).select(
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.round(F.col("x").cast("double"), 6).cast("decimal(18,6)").alias("v"),
+    )
+    cent = pos.groupBy("label", "i").agg(
+        (F.sum("v").cast("double") / F.count("*")).alias("c")
+    ).localCheckpoint(eager=True)  # both sides of the pair join
+    a = cent.select(F.col("label").alias("label_a"), "i", F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), "i", F.col("c").alias("cb"))
+    terms = (
+        a.join(b, "i")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(F.col("ca") * F.col("cb"), 12).cast("decimal(18,12)").alias("ab"),
+            F.round(F.col("ca") * F.col("ca"), 12).cast("decimal(18,12)").alias("aa"),
+            F.round(F.col("cb") * F.col("cb"), 12).cast("decimal(18,12)").alias("bb"),
+        )
+    )
+    return terms.groupBy("label_a", "label_b").agg(
+        F.round(
+            F.sum("ab").cast("double")
+            / F.sqrt(F.sum("aa").cast("double") * F.sum("bb").cast("double")),
+            6,
+        ).alias("cosine")
+    )

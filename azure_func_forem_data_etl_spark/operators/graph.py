@@ -1124,3 +1124,110 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark_.createDataFrame(
         [(r["dist"], r["n_nodes"], r["id_checksum"]) for r in hist], schema
     )
+
+
+@register(
+    "graph_avg_clustering",
+    defer=True,
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d
+            FROM und GROUP BY 1),
+    tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM e e1 JOIN e e2 ON e2.src = e1.dst
+                  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    corner AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS t FROM (
+            SELECT a AS id FROM tri UNION ALL
+            SELECT b FROM tri UNION ALL
+            SELECT c FROM tri
+        ) GROUP BY id
+    ),
+    node AS (
+        SELECT d.id, d.d, COALESCE(c.t, 0) AS t
+        FROM deg d LEFT JOIN corner c ON c.id = d.id
+        WHERE d.d >= 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles,
+           round(CAST(SUM(CAST(round(2.0 * t / (d * (d - 1.0)), 10)
+                                AS DECIMAL(18,10))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_clustering,
+           round(3.0 * (SELECT COUNT(*) FROM tri)
+                 / CAST(SUM(d * (d - 1)) AS BIGINT) * 2, 6)
+               AS global_clustering
+    FROM node
+    """,
+    doc="Local clustering coefficients on the co-purchase graph: average "
+    "over nodes with degree >= 2, plus the global (transitivity) "
+    "coefficient 3*triangles/wedges.",
+)
+def graph_avg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How clique-ish is each node's neighborhood — the community-structure
+    scalar that degree and triangle COUNTS alone don't give.  Per-node
+    triangle counts come from the degree-ordered oriented enumeration
+    (the same hub-proof wedge join as graph_triangle_count, here keeping
+    the triangle CORNERS and exploding each triangle to its three
+    nodes); nodes below degree 2 are excluded, the standard convention.
+    Per-node coefficients are 10dp-quantized before the exact mean; the
+    global coefficient is an integer ratio (3*triangles / wedges).
+    """
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg = _degrees(edges).localCheckpoint(eager=True)
+    dsrc = deg.select(F.col("id").alias("src"), F.col("deg").alias("deg_src"))
+    ddst = deg.select(F.col("id").alias("dst"), F.col("deg").alias("deg_dst"))
+    keyed = edges.join(dsrc, "src").join(ddst, "dst")
+    lo_first = (F.col("deg_src") < F.col("deg_dst")) | (
+        (F.col("deg_src") == F.col("deg_dst")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = keyed.select(
+        F.when(lo_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(lo_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        F.when(lo_first, F.col("deg_dst")).otherwise(F.col("deg_src")).alias("deg_v"),
+    ).localCheckpoint(eager=True)
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.u") == F.col("e2.u"))
+        & (
+            (F.col("e1.deg_v") < F.col("e2.deg_v"))
+            | (
+                (F.col("e1.deg_v") == F.col("e2.deg_v"))
+                & (F.col("e1.v") < F.col("e2.v"))
+            )
+        ),
+    ).select(
+        F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+    )
+    closing = oriented.select(
+        F.col("u").alias("b"), F.col("v").alias("c")
+    ).unionByName(oriented.select(F.col("v").alias("b"), F.col("u").alias("c")))
+    tri = wedges.join(closing, ["b", "c"], "left_semi").localCheckpoint(eager=True)
+    corner = (
+        tri.select(F.col("a").alias("id"))
+        .unionByName(tri.select(F.col("b").alias("id")))
+        .unionByName(tri.select(F.col("c").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("t"))
+    )
+    node = (
+        deg.filter(F.col("deg") >= 2)
+        .join(corner, "id", "left")
+        .select("deg", F.coalesce("t", F.lit(0)).alias("t"))
+    )
+    n_tri = tri.count()
+    coef = F.round(
+        2.0 * F.col("t") / (F.col("deg") * (F.col("deg") - 1.0)), 10
+    ).cast("decimal(18,10)")
+    return node.agg(
+        F.count("*").alias("n_nodes"),
+        F.lit(n_tri).cast("long").alias("n_triangles"),
+        F.round(F.sum(coef).cast("double") / F.count("*"), 6).alias("avg_clustering"),
+        F.round(
+            3.0 * n_tri / F.sum(F.col("deg") * (F.col("deg") - 1)).cast("double") * 2,
+            6,
+        ).alias("global_clustering"),
+    )

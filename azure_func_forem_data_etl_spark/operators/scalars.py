@@ -1197,3 +1197,47 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("price").alias("w_median_price"),
         )
     )
+
+
+@register(
+    "collation_group_lcase",
+    defer=True,
+    oracle="""
+    SELECT lower(p_type) AS type_lcase,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_case_variants,
+           CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents
+    FROM part
+    GROUP BY 1
+    """,
+    doc="Case-insensitive grouping via the UTF8_LCASE collation (Spark 4 "
+    "collation engine) — grouping key semantics, not a lower() rewrite; "
+    "the oracle lower()s explicitly.",
+)
+def collation_group_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's collation engine moves case/accent-insensitivity into the
+    TYPE SYSTEM: a ``COLLATE UTF8_LCASE`` string compares, groups, and
+    joins case-insensitively with collation-aware hash/sort operators —
+    no lower() rewrites sprayed through the query (and unlike lower(),
+    collations also get locale/accent variants).  The aggregation output
+    is rendered through lower() only so both engines print one canonical
+    key; the GROUPING itself runs on the collated type.  One scan, one
+    bounded agg.
+    """
+    p = table(spark, sf_dir, "part")
+    collated = p.select(
+        F.expr("p_type COLLATE UTF8_LCASE").alias("type_ci"),
+        "p_type",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    return collated.groupBy("type_ci").agg(
+        F.count("*").alias("n_parts"),
+        F.countDistinct("p_type").alias("n_case_variants"),
+        F.sum("cents").alias("sum_price_cents"),
+    ).select(
+        F.lower(F.col("type_ci")).alias("type_lcase"),
+        "n_parts",
+        "n_case_variants",
+        "sum_price_cents",
+    )
