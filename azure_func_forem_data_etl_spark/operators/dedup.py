@@ -1174,3 +1174,37 @@ def minhash_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = docs.filter(F.col("doc_id") % 5 != 0)
     new = docs.filter(F.col("doc_id") % 5 == 0)
     return minhash_incremental_pairs(old, new)
+
+
+@register(
+    "dup_cluster_size_histogram",
+    defer=True,
+    oracle="""
+    WITH g AS (
+        SELECT md5(text) AS fp, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM documents GROUP BY 1
+    )
+    SELECT sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_removed
+    FROM g GROUP BY sz
+    """,
+    doc="Exact-duplicate cluster-size histogram: clusters, docs, and "
+    "removal counts per copy-count — the dedup planning view.",
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planning companion to dedup_exact_text (which lists clusters):
+    HOW duplicated is the corpus — a long tail of 2-copies needs a
+    different strategy than a few 10k-copy boilerplate clusters, and
+    n_removed per size is the exact deduped-corpus shrinkage.  Two
+    integer aggregations (hash-group, then histogram); output bounded by
+    the max copy count.
+    """
+    docs = table(spark, sf_dir, "documents")
+    g = docs.groupBy(F.md5("text").alias("fp")).agg(F.count("*").alias("sz"))
+    return g.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("sz").alias("n_docs"),
+        (F.sum("sz") - F.count("*")).alias("n_removed"),
+    )

@@ -1891,3 +1891,133 @@ def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         n2.alias("n_below"),
         F.round((r - mu) / sigma, 6).alias("z_stat"),
     )
+
+
+#: Entropy histogram bucket width (bits).
+ENTROPY_BUCKET_BITS = 0.25
+
+
+@register(
+    "user_event_entropy",
+    defer=True,
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS k
+        FROM events GROUP BY 1, 2
+    ),
+    u AS (
+        SELECT user_id,
+               CAST(SUM(k) AS BIGINT) AS n,
+               -- H = log2(n) - (1/n) * sum k*log2(k): one log per term,
+               -- 10dp-quantized so the per-user sum is exact
+               CAST(SUM(CAST(round(k * log2(k), 10) AS DECIMAL(28,10)))
+                    AS DOUBLE) AS sk
+        FROM c GROUP BY 1
+    ),
+    h AS (
+        SELECT user_id, round(log2(n) - sk / n, 6) AS entropy FROM u
+    )
+    SELECT CAST(floor(entropy / {ENTROPY_BUCKET_BITS}) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           round(MIN(entropy), 6) AS min_entropy,
+           round(MAX(entropy), 6) AS max_entropy
+    FROM h GROUP BY 1
+    """,
+    doc="Histogram of per-user event-type Shannon entropy (bits, "
+    f"{ENTROPY_BUCKET_BITS}-bit buckets): bots cluster at 0, organic "
+    "users near log2(5).",
+)
+def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity screen: a user who only ever fires one event
+    type (entropy 0) is a bot/integration signature; organic users sit
+    near the corpus maximum.  H = log2(n) - (1/n)*SUM(k*log2(k)) needs
+    one aggregation to (user, type) grain and one to user grain — the
+    k*log2(k) terms are 10dp-quantized so the per-user reduction is
+    order-free, and the output is a bounded entropy histogram.
+    """
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("k"))
+    u = c.groupBy("user_id").agg(
+        F.sum("k").alias("n"),
+        F.sum(
+            F.round(F.col("k") * F.log2("k"), 10).cast("decimal(28,10)")
+        ).cast("double").alias("sk"),
+    )
+    h = u.select(
+        F.round(F.log2("n") - F.col("sk") / F.col("n"), 6).alias("entropy")
+    )
+    return h.groupBy(
+        F.floor(F.col("entropy") / ENTROPY_BUCKET_BITS).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").alias("n_users"),
+        F.round(F.min("entropy"), 6).alias("min_entropy"),
+        F.round(F.max("entropy"), 6).alias("max_entropy"),
+    )
+
+
+@register(
+    "brand_price_qty_regression",
+    defer=True,
+    oracle="""
+    WITH x AS (
+        SELECT p.p_brand AS brand,
+               CAST(l.l_extendedprice AS DECIMAL(12,2)) AS price,
+               CAST(l.l_quantity AS BIGINT) AS qty
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    g AS (
+        SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(price) AS DOUBLE) AS sx,
+               CAST(SUM(qty) AS BIGINT) AS sy,
+               CAST(SUM(price * qty) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(price AS DECIMAL(19,2))
+                        * CAST(price AS DECIMAL(19,2))) AS DOUBLE) AS sxx
+        FROM x GROUP BY brand
+    )
+    SELECT brand, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000, 6)
+               AS slope_per_million,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+               AS intercept_qty
+    FROM g
+    """,
+    doc="Per-brand OLS of quantity on extended price (slope scaled per "
+    "million currency units) — groupwise regression from exact decimal "
+    "moments.",
+)
+def brand_price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPWISE regression — one model per brand in a single pass, the
+    shape regression_value_trend (one global series) doesn't cover: all
+    five OLS moments are per-group sufficient statistics computed in the
+    exact decimal domain (price is a 2-decimal value; its square at
+    scale 4 is exact; int128-width casts keep DuckDB off its overflowing
+    int64 fast path), so the per-brand slope/intercept are closed-form
+    deterministic doubles.  One broadcast dim join + one grouped
+    aggregation, regardless of fact size.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    x = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        F.col("p_brand").alias("brand"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    g = x.groupBy("brand").agg(
+        F.count("*").alias("n"),
+        F.sum("price").cast("double").alias("sx"),
+        F.sum("qty").alias("sy"),
+        F.sum(F.col("price") * F.col("qty")).cast("double").alias("sxy"),
+        F.sum(
+            F.col("price").cast("decimal(19,2)") * F.col("price").cast("decimal(19,2)")
+        )
+        .cast("double")
+        .alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return g.select(
+        "brand",
+        "n",
+        F.round(slope * 1000000, 6).alias("slope_per_million"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept_qty"),
+    )

@@ -2368,3 +2368,120 @@ def vocab_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         union_n.alias("n_union"),
         F.round(F.col("n_common") / union_n.cast("double"), 6).alias("jaccard"),
     )
+
+
+@register(
+    "yule_k_lexical_richness",
+    defer=True,
+    oracle=r"""
+    WITH w AS (
+        SELECT UNNEST(string_split_regex(lower(text), '\s+')) AS word
+        FROM documents
+    ),
+    freq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS m FROM w GROUP BY 1),
+    fof AS (
+        -- frequency of frequencies: V_m words occur exactly m times
+        SELECT m, CAST(COUNT(*) AS BIGINT) AS v_m FROM freq GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(SUM(m * v_m) AS BIGINT) AS n,
+               CAST(SUM(m * m * v_m) AS BIGINT) AS s2,
+               CAST(SUM(v_m) AS BIGINT) AS vocab,
+               CAST(SUM(CASE WHEN m = 1 THEN v_m ELSE 0 END) AS BIGINT)
+                   AS hapax
+        FROM fof
+    )
+    SELECT n AS n_tokens, vocab AS n_types, hapax AS n_hapax,
+           round(hapax / CAST(vocab AS DOUBLE), 6) AS hapax_ratio,
+           round(10000.0 * (s2 - n) / (CAST(n AS DOUBLE) * n), 6) AS yule_k
+    FROM s
+    """,
+    doc="Yule's K lexical-richness characteristic (10^4 * (S2 - N) / N^2 "
+    "over the frequency-of-frequencies table) plus the hapax-legomenon "
+    "ratio.",
+)
+def yule_k_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-independent vocabulary-richness constant (unlike raw
+    type-token ratio, K barely moves with corpus size) — repetitive or
+    templated text drives K up sharply, natural prose sits in the
+    100-200 range.  Everything reduces to the frequency-of-frequencies
+    table: two integer aggregations after the token explode, then one
+    closed-form expression — no floats until the final division.
+    """
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+    freq = w.groupBy("word").agg(F.count("*").alias("m"))
+    fof = freq.groupBy("m").agg(F.count("*").alias("v_m"))
+    s = fof.agg(
+        F.sum(F.col("m") * F.col("v_m")).alias("n"),
+        F.sum(F.col("m") * F.col("m") * F.col("v_m")).alias("s2"),
+        F.sum("v_m").alias("vocab"),
+        F.sum(F.when(F.col("m") == 1, F.col("v_m")).otherwise(0)).alias("hapax"),
+    )
+    n = F.col("n")
+    return s.select(
+        n.alias("n_tokens"),
+        F.col("vocab").alias("n_types"),
+        F.col("hapax").alias("n_hapax"),
+        F.round(F.col("hapax") / F.col("vocab").cast("double"), 6).alias(
+            "hapax_ratio"
+        ),
+        F.round(10000.0 * (F.col("s2") - n) / (n.cast("double") * n), 6).alias(
+            "yule_k"
+        ),
+    )
+
+
+#: TTR profile: doc-length buckets (tokens, powers of 2).
+TTR_BUCKET_LOG2 = 1
+
+
+@register(
+    "type_token_ratio_profile",
+    defer=True,
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id, UNNEST(string_split_regex(lower(text), '\s+')) AS word
+        FROM documents
+    ),
+    d AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+               CAST(COUNT(DISTINCT word) AS BIGINT) AS n_typ
+        FROM w GROUP BY 1
+    )
+    SELECT CAST(floor(log2(n_tok)) AS BIGINT) AS len_bucket_log2,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(CAST(round(n_typ / CAST(n_tok AS DOUBLE), 6)
+                                AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_ttr
+    FROM d GROUP BY 1
+    """,
+    doc="Type-token ratio by doc-length bucket (log2 token-count "
+    "buckets): the length-stratified vocabulary-diversity profile.",
+)
+def type_token_ratio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTR is length-dependent by construction (longer docs repeat more),
+    so comparing raw ratios across docs is meaningless — the profile
+    strata TTR by log2 length bucket, making templated docs stand out
+    WITHIN their length class.  One explode + one per-doc (count,
+    distinct) aggregation; per-doc ratios are 6dp-quantized before the
+    per-bucket decimal mean.
+    """
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    )
+    d = w.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"), F.countDistinct("word").alias("n_typ")
+    )
+    ttr6 = F.round(F.col("n_typ") / F.col("n_tok").cast("double"), 6).cast(
+        "decimal(18,6)"
+    )
+    return d.groupBy(
+        F.floor(F.log2("n_tok")).cast("long").alias("len_bucket_log2")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(F.sum(ttr6).cast("double") / F.count("*"), 6).alias("avg_ttr"),
+    )
