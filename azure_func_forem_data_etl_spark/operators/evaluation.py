@@ -854,3 +854,279 @@ def eval_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_gain"
         ),
     )
+
+
+@register(
+    "eval_ks_separation",
+    defer=True,
+    oracle=f"""
+    WITH scored AS (
+        -- CAST to DOUBLE before rounding: round(FLOAT) stays FLOAT in
+        -- DuckDB and score_b is an OUTPUT column here, unlike the AUC
+        SELECT round(CAST(embedding[1] AS DOUBLE), {AUC_BIN_DECIMALS})
+                   AS score_b,
+               CAST(label = {POS_LABEL} AS INT) AS is_pos
+        FROM embeddings
+    ),
+    bins AS (
+        SELECT score_b, CAST(SUM(is_pos) AS BIGINT) AS p_b,
+               CAST(COUNT(*) - SUM(is_pos) AS BIGINT) AS q_b
+        FROM scored GROUP BY 1
+    ),
+    cum AS (
+        SELECT SUM(p_b) OVER (ORDER BY score_b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+               SUM(q_b) OVER (ORDER BY score_b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cq,
+               SUM(p_b) OVER () AS tp, SUM(q_b) OVER () AS tq,
+               score_b
+        FROM bins
+    ),
+    d AS (
+        SELECT score_b, tp, tq,
+               abs(cp * tq - cq * tp) AS num, tp * tq AS den
+        FROM cum
+    )
+    SELECT CAST(MAX(tp) AS BIGINT) AS n_pos, CAST(MAX(tq) AS BIGINT) AS n_neg,
+           round(CAST(MAX(num) AS DOUBLE) / MAX(den), 6) AS ks_stat,
+           MIN_BY(score_b, -num) AS ks_threshold
+    FROM d
+    """,
+    doc="Kolmogorov-Smirnov separation between positive and negative "
+    "score distributions (max ECDF gap as an exact integer ratio) and "
+    "the threshold achieving it.",
+)
+def eval_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The credit-scoring companion to AUC: the KS statistic is the
+    single-threshold separability (max |ECDF_pos - ECDF_neg|) and its
+    argmax is the natural cutoff.  The ECDF gap is kept as the INTEGER
+    cross product |cp*tq - cq*tp| over den = tp*tq, so the max and its
+    threshold are exact; only the reported ratio divides.  Same 4dp
+    binning as the AUC; windows run over the bounded bin table.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.round(F.element_at("embedding", 1).cast("double"), AUC_BIN_DECIMALS).alias(
+            "score_b"
+        ),
+        (F.col("label") == POS_LABEL).cast("int").alias("is_pos"),
+    )
+    bins = scored.groupBy("score_b").agg(
+        F.sum("is_pos").alias("p_b"),
+        (F.count("*") - F.sum("is_pos")).alias("q_b"),
+    )
+    w_cum = Window.orderBy("score_b").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = bins.select(
+        "score_b",
+        F.sum("p_b").over(w_cum).alias("cp"),
+        F.sum("q_b").over(w_cum).alias("cq"),
+        F.sum("p_b").over(w_all).alias("tp"),
+        F.sum("q_b").over(w_all).alias("tq"),
+    )
+    d = cum.select(
+        "score_b",
+        F.abs(F.col("cp") * F.col("tq") - F.col("cq") * F.col("tp")).alias("num"),
+        (F.col("tp") * F.col("tq")).alias("den"),
+        "tp",
+        "tq",
+    )
+    return d.agg(
+        F.max("tp").alias("n_pos"),
+        F.max("tq").alias("n_neg"),
+        F.round(F.max("num").cast("double") / F.max("den"), 6).alias("ks_stat"),
+        F.min_by("score_b", -F.col("num")).alias("ks_threshold"),
+    )
+
+
+@register(
+    "decision_stump_split",
+    defer=True,
+    oracle=f"""
+    WITH scored AS (
+        SELECT round(CAST(embedding[1] AS DOUBLE), {AUC_BIN_DECIMALS})
+                   AS score_b,
+               CAST(label = {POS_LABEL} AS INT) AS is_pos
+        FROM embeddings
+    ),
+    bins AS (
+        SELECT score_b, CAST(COUNT(*) AS BIGINT) AS n_b,
+               CAST(SUM(is_pos) AS BIGINT) AS p_b
+        FROM scored GROUP BY 1
+    ),
+    cum AS (
+        SELECT score_b,
+               SUM(n_b) OVER (ORDER BY score_b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+               SUM(p_b) OVER (ORDER BY score_b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pl,
+               SUM(n_b) OVER () AS n, SUM(p_b) OVER () AS p
+        FROM bins
+    ),
+    splits AS (
+        -- weighted Gini after splitting at (score <= score_b): computed
+        -- from integer counts; candidates exclude the last bin (empty
+        -- right side)
+        SELECT score_b, nl, pl, n, p,
+               round(
+                 (2.0 * pl * (nl - pl) / nl
+                  + 2.0 * (p - pl) * ((n - nl) - (p - pl)) / (n - nl)) / n,
+                 10) AS gini_w
+        FROM cum WHERE nl < n
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+           round(2.0 * MAX(p) * (MAX(n) - MAX(p))
+                 / (CAST(MAX(n) AS DOUBLE) * MAX(n)), 6) AS gini_root,
+           round(MIN(gini_w), 6) AS gini_split,
+           -- lowest threshold among the minimal-gini candidates (DuckDB's
+           -- MIN_BY takes no composite key)
+           (SELECT MIN(score_b) FROM splits
+            WHERE gini_w = (SELECT MIN(gini_w) FROM splits))
+               AS split_threshold
+    FROM splits
+    """,
+    doc="Best decision stump on the first embedding dimension: the split "
+    "threshold minimizing weighted Gini impurity (4dp candidate grid, "
+    "integer class counts).",
+)
+def decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first node every tree learner grows — and a one-number answer
+    to "is this feature worth anything": root Gini vs best-split
+    weighted Gini.  Candidate thresholds are the 4dp score bins;
+    left/right class counts come from ONE cumulative window over the
+    bin table, so evaluating all candidates is O(bins), not O(bins x
+    rows).  The argmin tie-breaks on the lower threshold in both
+    engines.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.round(F.element_at("embedding", 1).cast("double"), AUC_BIN_DECIMALS).alias(
+            "score_b"
+        ),
+        (F.col("label") == POS_LABEL).cast("int").alias("is_pos"),
+    )
+    bins = scored.groupBy("score_b").agg(
+        F.count("*").alias("n_b"), F.sum("is_pos").alias("p_b")
+    )
+    w_cum = Window.orderBy("score_b").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = bins.select(
+        "score_b",
+        F.sum("n_b").over(w_cum).alias("nl"),
+        F.sum("p_b").over(w_cum).alias("pl"),
+        F.sum("n_b").over(w_all).alias("n"),
+        F.sum("p_b").over(w_all).alias("p"),
+    )
+    nl, pl, n, p = (F.col(c) for c in ("nl", "pl", "n", "p"))
+    nr, pr = n - nl, p - pl
+    gini_w = F.round(
+        (2.0 * pl * (nl - pl) / nl + 2.0 * pr * (nr - pr) / nr) / n, 10
+    )
+    splits = cum.filter(nl < n).select(
+        "score_b", "n", "p", gini_w.alias("gini_w")
+    )
+    return splits.agg(
+        F.max("n").alias("n_rows"),
+        F.round(
+            2.0 * F.max("p") * (F.max("n") - F.max("p"))
+            / (F.max("n").cast("double") * F.max("n")),
+            6,
+        ).alias("gini_root"),
+        F.round(F.min("gini_w"), 6).alias("gini_split"),
+        F.min_by("score_b", F.struct(F.col("gini_w"), F.col("score_b"))).alias(
+            "split_threshold"
+        ),
+    )
+
+
+#: MI feature ranking: per-dimension value quartile edges are FIXED (the
+#: generator's embeddings are ~N(0,1) per dim) so both engines bucket
+#: identically — the same fixed-edge trade as MI_EDGES above.
+FEATURE_MI_EDGES = (-0.5, 0.0, 0.5)
+FEATURE_MI_TOP_K = 10
+
+
+@register(
+    "feature_mi_ranking",
+    defer=True,
+    oracle=f"""
+    WITH pos AS (
+        SELECT i, CASE WHEN CAST(embedding[i] AS DOUBLE) < {FEATURE_MI_EDGES[0]} THEN 0
+                       WHEN CAST(embedding[i] AS DOUBLE) < {FEATURE_MI_EDGES[1]} THEN 1
+                       WHEN CAST(embedding[i] AS DOUBLE) < {FEATURE_MI_EDGES[2]} THEN 2
+                       ELSE 3 END AS vb,
+               CAST(label = {POS_LABEL} AS INT) AS y
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+    ),
+    cells AS (
+        SELECT i, vb, y, CAST(COUNT(*) AS BIGINT) AS n_xy FROM pos
+        GROUP BY 1, 2, 3
+    ),
+    marg AS (
+        SELECT i, vb, y, n_xy,
+               SUM(n_xy) OVER (PARTITION BY i, vb) AS n_x,
+               SUM(n_xy) OVER (PARTITION BY i, y) AS n_y,
+               SUM(n_xy) OVER (PARTITION BY i) AS n
+        FROM cells
+    ),
+    mi AS (
+        SELECT i AS dim,
+               CAST(SUM(CAST(round((n_xy / CAST(n AS DOUBLE))
+                     * ln((n_xy * CAST(n AS DOUBLE))
+                          / (n_x * CAST(n_y AS DOUBLE))), 10)
+                   AS DECIMAL(18,10))) AS DOUBLE) AS mi_nats
+        FROM marg GROUP BY i
+    )
+    SELECT dim, round(mi_nats, 6) AS mi_nats
+    FROM mi ORDER BY mi_nats DESC, dim LIMIT {FEATURE_MI_TOP_K}
+    """,
+    doc=f"Top-{FEATURE_MI_TOP_K} embedding dimensions by mutual "
+    "information with the label (fixed 4-bucket value bins, "
+    "10dp-quantized cell terms).",
+)
+def feature_mi_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature screening across ALL dimensions at once — which embedding
+    coordinates actually carry label signal (the multivariate extension
+    of eval_mutual_information's single 2-way table).  One posexplode to
+    (dim, bucket, label) grain, bounded at dims x 4 x labels cells;
+    per-cell MI terms are 10dp-quantized before the per-dim sum, and the
+    top-k is a TakeOrdered with a dim tie-break.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    v = F.col("x").cast("double")
+    pos = emb.select(
+        (F.col("label") == POS_LABEL).cast("int").alias("y"),
+        F.posexplode("embedding").alias("i0", "x"),
+    ).select(
+        (F.col("i0") + 1).alias("i"),
+        "y",
+        F.when(v < FEATURE_MI_EDGES[0], 0)
+        .when(v < FEATURE_MI_EDGES[1], 1)
+        .when(v < FEATURE_MI_EDGES[2], 2)
+        .otherwise(3)
+        .alias("vb"),
+    )
+    cells = pos.groupBy("i", "vb", "y").agg(F.count("*").alias("n_xy"))
+    marg = cells.select(
+        "i",
+        "n_xy",
+        F.sum("n_xy").over(Window.partitionBy("i", "vb")).alias("n_x"),
+        F.sum("n_xy").over(Window.partitionBy("i", "y")).alias("n_y"),
+        F.sum("n_xy").over(Window.partitionBy("i")).alias("n"),
+    )
+    term = F.round(
+        (F.col("n_xy") / F.col("n").cast("double"))
+        * F.log(
+            (F.col("n_xy") * F.col("n").cast("double"))
+            / (F.col("n_x") * F.col("n_y").cast("double"))
+        ),
+        10,
+    ).cast("decimal(18,10)")
+    mi = marg.groupBy(F.col("i").alias("dim")).agg(
+        F.sum(term).cast("double").alias("mi_raw")
+    )
+    return (
+        mi.select("dim", F.round("mi_raw", 6).alias("mi_nats"))
+        .orderBy(F.desc("mi_nats"), "dim")
+        .limit(FEATURE_MI_TOP_K)
+    )
