@@ -2206,3 +2206,203 @@ def acf_daily_revenue_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("acf"),
     )
+
+
+PH_DELTA = 500.0  # magnitude tolerance (currency units)
+PH_LAMBDA = 20000.0  # alarm threshold on the PH gap
+
+
+@register(
+    "page_hinkley_value_drift",
+    defer=True,
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, {sql_dsum("value")} AS rev
+        FROM events GROUP BY 1
+    ),
+    pre AS (
+        SELECT day, rev,
+               CAST(SUM(CAST(rev AS DECIMAL(18,4))) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE)
+                 / row_number() OVER (ORDER BY day) AS mean_t
+        FROM daily
+    ),
+    terms AS (
+        SELECT day,
+               CAST(round(rev - mean_t - {PH_DELTA}, 6) AS DECIMAL(18,6))
+                   AS term
+        FROM pre
+    ),
+    ph AS (
+        SELECT day,
+               CAST(SUM(term) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS m_t
+        FROM terms
+    ),
+    gap AS (
+        SELECT day, m_t,
+               m_t - MIN(m_t) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        FROM ph
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           round(MAX(g), 4) AS max_ph_gap,
+           CAST(MIN(CASE WHEN g > {PH_LAMBDA} THEN day END) AS VARCHAR)
+               AS first_alarm_day,
+           CAST(SUM(CASE WHEN g > {PH_LAMBDA} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alarm_days
+    FROM gap
+    """,
+    doc=f"Page-Hinkley upward mean-shift detector on daily revenue "
+    f"(delta={PH_DELTA}, lambda={PH_LAMBDA}): PH gap vs running minimum, "
+    "first alarm day.",
+)
+def page_hinkley_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second classic sequential change detector beside CUSUM
+    (streaming_cusum_drift) — but unlike CUSUM's clamp-at-zero fold, the
+    PH statistic is WINDOW-EXPRESSIBLE: the cumulative term sum minus
+    its running minimum needs no recursion, just three ordered frames
+    over the day series.  Per-day terms are 6dp-quantized so the
+    cumulative sums are exact decimal; the gap, alarms, and first-alarm
+    day follow deterministically.  One corpus aggregation; windows at
+    day grain.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        dsum("value").alias("rev")
+    )
+    w_ord = Window.orderBy("day")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "day",
+        "rev",
+        (
+            F.sum(F.col("rev").cast("decimal(18,4)")).over(w_cum).cast("double")
+            / F.row_number().over(w_ord)
+        ).alias("mean_t"),
+    )
+    terms = pre.select(
+        "day",
+        F.round(F.col("rev") - F.col("mean_t") - PH_DELTA, 6)
+        .cast("decimal(18,6)")
+        .alias("term"),
+    )
+    ph = terms.select(
+        "day", F.sum("term").over(w_cum).cast("double").alias("m_t")
+    )
+    gap = ph.select(
+        "day", (F.col("m_t") - F.min("m_t").over(w_cum)).alias("g")
+    )
+    return gap.agg(
+        F.count("*").alias("n_days"),
+        F.round(F.max("g"), 4).alias("max_ph_gap"),
+        F.min(F.when(F.col("g") > PH_LAMBDA, F.col("day")))
+        .cast("string")
+        .alias("first_alarm_day"),
+        F.sum(F.when(F.col("g") > PH_LAMBDA, 1).otherwise(0)).alias("n_alarm_days"),
+    )
+
+
+MARKOV_ITERS = 20
+_MK_SCALE = 10**15  # stationary vector held as scaled integers
+
+
+@register(
+    "markov_stationary_event_mix",
+    defer=True,
+    # The whole chain is a <=5x5 integer count matrix, so the power
+    # iteration runs in EXACT scaled-integer arithmetic: pi holds
+    # probabilities at scale 10^15 and each step is
+    #   pi'_j = SUM_i divru(pi_i * c_ij, r_i)      (HALF_UP int division)
+    # — pure integer ops a DuckDB recursive CTE replays verbatim in
+    # HUGEINT (pi*c ~ 10^21 exceeds int64; products stay far under
+    # 2^127).  Same replay family as the PageRank oracle.
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    c AS (
+        SELECT event_type AS i, next_type AS j,
+               CAST(COUNT(*) AS HUGEINT) AS c_ij
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    r AS (SELECT i, CAST(SUM(c_ij) AS HUGEINT) AS r_i FROM c GROUP BY 1),
+    states AS (SELECT i AS s FROM r),
+    n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS k FROM states),
+    pi(iter, s, v) AS (
+        SELECT 0, s, CAST({_MK_SCALE} AS HUGEINT) / (SELECT k FROM n)
+        FROM states
+        UNION ALL
+        SELECT p.iter + 1, c.j,
+               CAST(SUM((2 * p.v * c.c_ij + r.r_i) // (2 * r.r_i))
+                    AS HUGEINT)
+        FROM pi p
+        JOIN c ON c.i = p.s
+        JOIN r ON r.i = p.s
+        WHERE p.iter < {MARKOV_ITERS}
+        GROUP BY p.iter + 1, c.j
+    )
+    -- 6dp output via exact integer HALF_UP, then a float division of a
+    -- <=10^6 integer (exact in double): no engine round() in the path
+    SELECT s AS event_type,
+           CAST((2 * v + 1000000000) // 2000000000 AS DOUBLE) / 1000000.0
+               AS stationary_prob
+    FROM pi WHERE iter = {MARKOV_ITERS}
+    """,
+    doc=f"Stationary distribution of the event-type Markov chain "
+    f"({MARKOV_ITERS} exact scaled-integer power iterations over the "
+    "transition counts).",
+)
+def markov_stationary_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where user behavior settles: the stationary mix of the event-type
+    transition chain — the model-based answer that raw event frequencies
+    (one aggregation) approximate only if behavior is memoryless.  The
+    corpus reduces to a <=5x5 transition-count matrix in one pass (lead
+    window per user); the power iteration then runs DRIVER-SIDE on that
+    bounded matrix in exact scaled-integer arithmetic (Python ints), so
+    it is bit-reproducible and the DuckDB recursive CTE replays the
+    identical integer recurrence in HUGEINT.
+    """
+    from pyspark.sql import types as T
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    cells = (
+        seq.groupBy(F.col("event_type").alias("i"), F.col("next_type").alias("j"))
+        .agg(F.count("*").alias("c_ij"))
+        .collect()
+    )
+    c: dict = {}
+    r: dict = {}
+    for row in cells:
+        c[(row["i"], row["j"])] = row["c_ij"]
+        r[row["i"]] = r.get(row["i"], 0) + row["c_ij"]
+    states = sorted(r)
+    k = len(states)
+    pi = {s: _MK_SCALE // k for s in states}
+    for _ in range(MARKOV_ITERS):
+        nxt = {s: 0 for s in states}
+        for (i, j), cij in c.items():
+            nxt[j] += (2 * pi[i] * cij + r[i]) // (2 * r[i])  # divru HALF_UP
+        pi = nxt
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("stationary_prob", T.DoubleType()),
+        ]
+    )
+    # 6dp via exact integer HALF_UP (see oracle note): engine round()
+    # differs at true decimal midpoints, which exact integers CAN hit
+    return ev.sparkSession.createDataFrame(
+        [(s, ((2 * pi[s] + 10**9) // (2 * 10**9)) / 10**6) for s in states],
+        schema,
+    )
