@@ -2336,7 +2336,9 @@ _MK_SCALE = 10**15  # stationary vector held as scaled integers
     states AS (SELECT i AS s FROM r),
     n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS k FROM states),
     pi(iter, s, v) AS (
-        SELECT 0, s, CAST({_MK_SCALE} AS HUGEINT) / (SELECT k FROM n)
+        -- '//' not '/': DuckDB's '/' is FLOAT division even on integers,
+        -- which would silently demote the whole recursion to doubles
+        SELECT 0, s, CAST({_MK_SCALE} AS HUGEINT) // (SELECT k FROM n)
         FROM states
         UNION ALL
         SELECT p.iter + 1, c.j,
