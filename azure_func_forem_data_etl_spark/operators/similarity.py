@@ -1298,3 +1298,85 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         table(spark, sf_dir, "embeddings"), cache_key=f"{sf_dir}/embeddings"
     )
+
+
+@register(
+    "knn_margin_profile",
+    defer=True,
+    oracle=f"""
+    WITH knn AS ({_REG["knn_bruteforce"].oracle}),
+    m AS (
+        SELECT query_id,
+               MAX(CASE WHEN rnk = 1 THEN cos_sim END) AS s1,
+               MAX(CASE WHEN rnk = 2 THEN cos_sim END) AS s2,
+               MAX(CASE WHEN rnk = {KNN_K} THEN cos_sim END) AS sk
+        FROM knn GROUP BY query_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           round(CAST(SUM(CAST(round(s1 - s2, 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) / COUNT(*), 6) AS avg_margin_12,
+           round(CAST(SUM(CAST(round(s1 - sk, 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) / COUNT(*), 6) AS avg_margin_1k,
+           round(MIN(s1 - s2), 6) AS min_margin_12
+    FROM m
+    """,
+    doc=f"k-NN margin profile: mean/min gap between the 1st and 2nd (and "
+    f"1st and {KNN_K}th) neighbor similarities — retrieval-confidence "
+    "diagnostic.",
+)
+def knn_margin_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How decisive are nearest-neighbor matches: a thin 1st-vs-2nd margin
+    means labels/dedup decisions ride on noise (and ANN recall targets
+    must be higher to preserve them).  Reuses the bounded exact k-NN
+    top-k; the rest is a per-query pivot and a quantized-decimal mean
+    over the bounded query set.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    topk = knn_bruteforce_topk(emb)
+    m = topk.groupBy("query_id").agg(
+        F.max(F.when(F.col("rnk") == 1, F.col("cos_sim"))).alias("s1"),
+        F.max(F.when(F.col("rnk") == 2, F.col("cos_sim"))).alias("s2"),
+        F.max(F.when(F.col("rnk") == KNN_K, F.col("cos_sim"))).alias("sk"),
+    )
+    d12 = F.round(F.col("s1") - F.col("s2"), 6).cast("decimal(18,6)")
+    d1k = F.round(F.col("s1") - F.col("sk"), 6).cast("decimal(18,6)")
+    return m.agg(
+        F.count("*").alias("n_queries"),
+        F.round(F.sum(d12).cast("double") / F.count("*"), 6).alias("avg_margin_12"),
+        F.round(F.sum(d1k).cast("double") / F.count("*"), 6).alias("avg_margin_1k"),
+        F.round(F.min(F.col("s1") - F.col("s2")), 6).alias("min_margin_12"),
+    )
+
+
+@register(
+    "knn_hubness_histogram",
+    defer=True,
+    oracle=f"""
+    WITH knn AS ({_REG["knn_bruteforce"].oracle}),
+    occ AS (
+        SELECT neighbor_id, CAST(COUNT(*) AS BIGINT) AS k_occ
+        FROM knn GROUP BY neighbor_id
+    )
+    SELECT k_occ AS occurrence_count,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(MIN(neighbor_id) AS BIGINT) AS min_vec_id
+    FROM occ GROUP BY k_occ
+    """,
+    doc="Hubness histogram of exact k-NN results: how many vectors appear "
+    "in n query neighbor lists — the high-dimensional hub pathology "
+    "check.",
+)
+def knn_hubness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness is the curse-of-dimensionality failure mode where a few
+    points become everyone's neighbor, silently skewing kNN labels and
+    graph-based dedup.  The histogram of neighbor-occurrence counts is
+    the standard screen (a heavy right tail = hubs).  Integer counting
+    over the already-bounded k-NN output.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    topk = knn_bruteforce_topk(emb)
+    occ = topk.groupBy("neighbor_id").agg(F.count("*").alias("k_occ"))
+    return occ.groupBy(F.col("k_occ").alias("occurrence_count")).agg(
+        F.count("*").alias("n_vectors"),
+        F.min("neighbor_id").alias("min_vec_id"),
+    )

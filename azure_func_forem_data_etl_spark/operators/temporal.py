@@ -2408,3 +2408,135 @@ def markov_stationary_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(s, ((2 * pi[s] + 10**9) // (2 * 10**9)) / 10**6) for s in states],
         schema,
     )
+
+
+@register(
+    "order_to_ship_latency",
+    defer=True,
+    oracle="""
+    WITH lat AS (
+        SELECT o.o_orderpriority AS priority,
+               CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE)) AS BIGINT) AS d
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    r AS (
+        SELECT priority, d,
+               row_number() OVER (PARTITION BY priority ORDER BY d) AS rn,
+               COUNT(*) OVER (PARTITION BY priority) AS n
+        FROM lat
+    )
+    SELECT priority,
+           CAST(MAX(n) AS BIGINT) AS n_lineitems,
+           CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN d END) AS BIGINT)
+               AS median_days,
+           CAST(MIN(CASE WHEN rn = (9 * n + 9) // 10 THEN d END) AS BIGINT)
+               AS p90_days,
+           CAST(MAX(d) AS BIGINT) AS max_days
+    FROM r GROUP BY priority
+    """,
+    doc="Order-to-ship latency profile per priority: lower median, lower "
+    "p90 (exact rank selection), and max days from order date to line "
+    "shipment.",
+)
+def order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operational SLA question the priority column exists for: do
+    URGENT orders actually ship faster?  Latency is an exact integer day
+    difference; the median/p90 are exact rank selections (lower
+    convention at rank ceil(q*n)) — actual data values, no
+    interpolation, so the comparison is integer end-to-end.  One
+    fact-fact join on orderkey + per-priority sort windows.
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    lat = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).cast("long").alias("d"),
+    )
+    w = Window.partitionBy("priority").orderBy("d")
+    r = lat.select(
+        "priority",
+        "d",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("priority")).alias("n"),
+    )
+    return r.groupBy("priority").agg(
+        F.max("n").alias("n_lineitems"),
+        F.min(
+            F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("d"))
+        ).alias("median_days"),
+        F.min(
+            F.when(F.col("rn") == F.floor((9 * F.col("n") + 9) / 10), F.col("d"))
+        ).alias("p90_days"),
+        F.max("d").alias("max_days"),
+    )
+
+
+@register(
+    "markov_entropy_rate",
+    defer=True,
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    c AS (
+        SELECT event_type AS i, next_type AS j, CAST(COUNT(*) AS BIGINT) AS c_ij
+        FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    r AS (SELECT i, CAST(SUM(c_ij) AS BIGINT) AS r_i FROM c GROUP BY 1),
+    t AS (SELECT CAST(SUM(r_i) AS BIGINT) AS total FROM r),
+    terms AS (
+        -- H(next|cur) = -sum_ij p(i) p(j|i) log2 p(j|i), 10dp-quantized
+        SELECT CAST(round((c.c_ij / CAST(t.total AS DOUBLE))
+                          * log2(r.r_i / CAST(c.c_ij AS DOUBLE)), 10)
+                    AS DECIMAL(18,10)) AS h_ij
+        FROM c JOIN r ON r.i = c.i CROSS JOIN t
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_transitions_seen,
+           (SELECT CAST(total AS BIGINT) FROM t) AS n_steps,
+           round(CAST(SUM(h_ij) AS DOUBLE), 6) AS entropy_rate_bits
+    FROM terms
+    """,
+    doc="Entropy rate of the event-type Markov chain: H(next|current) in "
+    "bits from the empirical transition matrix.",
+)
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How predictable is the NEXT event given the current one — the
+    conditional-entropy companion to markov_stationary_event_mix (where
+    does behavior settle) and user_event_entropy (marginal diversity).
+    A rate near log2(5) means the chain adds nothing over the marginal;
+    near 0 means deterministic flows.  One lead-window pass to the
+    bounded transition matrix; per-cell terms 10dp-quantized before the
+    exact sum.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = seq.groupBy(F.col("event_type").alias("i"), F.col("next_type").alias("j")).agg(
+        F.count("*").alias("c_ij")
+    ).localCheckpoint(eager=True)  # shared by r, t, terms
+    r = c.groupBy("i").agg(F.sum("c_ij").alias("r_i"))
+    t = r.agg(F.sum("r_i").alias("total"))
+    n_cells = c.count()
+    terms = c.join(F.broadcast(r), "i").crossJoin(F.broadcast(t)).select(
+        F.round(
+            (F.col("c_ij") / F.col("total").cast("double"))
+            * F.log2(F.col("r_i") / F.col("c_ij").cast("double")),
+            10,
+        )
+        .cast("decimal(18,10)")
+        .alias("h_ij"),
+        "total",
+    )
+    return terms.groupBy("total").agg(
+        F.lit(n_cells).cast("long").alias("n_transitions_seen"),
+        F.max("total").alias("n_steps"),
+        F.round(F.sum("h_ij").cast("double"), 6).alias("entropy_rate_bits"),
+    ).drop("total")
