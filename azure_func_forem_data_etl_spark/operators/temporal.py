@@ -2540,3 +2540,132 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("total").alias("n_steps"),
         F.round(F.sum("h_ij").cast("double"), 6).alias("entropy_rate_bits"),
     ).drop("total")
+
+
+HW_ALPHA = 0.3
+HW_BETA = 0.1
+HW_GAMMA = 0.2
+HW_PERIOD = 7
+
+
+@register(
+    "holt_winters_seasonal",
+    defer=True,
+    # Triple-exponential replay: the recursive CTE carries the FULL state
+    # — (level, trend, seasonal LIST of 7) — and every step uses the
+    # literal IEEE expressions of the Python fold (l' appears textually
+    # twice, computing the identical double).  Seed: l = first-week mean
+    # (exact decimal sum cast to double, then one /7), b = 0, s_i =
+    # x_i - l.  Outputs floor-quantized (engine round() diverges at
+    # midpoints; see holt_linear_forecast).
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS rev
+        FROM events GROUP BY 1
+    ),
+    ordered AS (
+        SELECT day, CAST(rev AS DOUBLE) AS x,
+               row_number() OVER (ORDER BY day) AS rn
+        FROM daily
+    ),
+    seed AS (
+        SELECT CAST((SELECT SUM(rev) FROM (
+                       SELECT rev FROM daily ORDER BY day
+                       LIMIT {HW_PERIOD}) t) AS DOUBLE) / {HW_PERIOD} AS l0
+    ),
+    s0 AS (
+        SELECT list(o.x - s.l0 ORDER BY o.rn) AS sl
+        FROM ordered o, seed s WHERE o.rn <= {HW_PERIOD}
+    ),
+    hw(rn, day, x, l, b, sl) AS (
+        SELECT o.rn, o.day, o.x, s.l0, CAST(0.0 AS DOUBLE), s0.sl
+        FROM ordered o, seed s, s0 WHERE o.rn = {HW_PERIOD}
+        UNION ALL
+        SELECT o.rn, o.day, o.x,
+               {HW_ALPHA} * (o.x - h.sl[1])
+                 + (1.0 - {HW_ALPHA}) * (h.l + h.b) AS l,
+               {HW_BETA} * (({HW_ALPHA} * (o.x - h.sl[1])
+                             + (1.0 - {HW_ALPHA}) * (h.l + h.b)) - h.l)
+                 + (1.0 - {HW_BETA}) * h.b AS b,
+               list_append(h.sl[2:{HW_PERIOD}],
+                   {HW_GAMMA} * (o.x - ({HW_ALPHA} * (o.x - h.sl[1])
+                                 + (1.0 - {HW_ALPHA}) * (h.l + h.b)))
+                   + (1.0 - {HW_GAMMA}) * h.sl[1]) AS sl
+        FROM hw h JOIN ordered o ON o.rn = h.rn + 1
+    )
+    SELECT CAST(day AS VARCHAR) AS day, x AS rev,
+           floor(l * 1000000) / 1000000 AS level,
+           floor(b * 1000000) / 1000000 AS trend,
+           floor(sl[{HW_PERIOD}] * 1000000) / 1000000 AS seasonal
+    FROM hw WHERE rn > {HW_PERIOD}
+    """,
+    doc=f"Holt-Winters additive seasonal smoothing (alpha={HW_ALPHA}, "
+    f"beta={HW_BETA}, gamma={HW_GAMMA}, period={HW_PERIOD}) of daily "
+    "revenue: level, trend, and the day's updated seasonal component.",
+)
+def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full seasonal forecaster (holt_linear_forecast tracks trend but
+    a weekly cycle shows up in its residuals): additive Holt-Winters
+    carries a {HW_PERIOD}-slot seasonal state alongside level and trend.
+    Same execution pattern as the other sequential folds — the
+    distributed work is one exact-decimal day-grain aggregation, the
+    fold is an applyInPandas over the (tiny) series — and the oracle
+    replays the ENTIRE vector state in a recursive CTE whose seasonal
+    list rotates via slice+append, exercising list-typed recursion the
+    scalar replays (EWMA, CUSUM, Holt) never touch.  First-week seed:
+    level = week mean, trend = 0, seasonal_i = x_i - level; outputs
+    floor-quantized to 6dp.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(18,4)").alias("rev")
+    )
+
+    def fold(pdf):
+        import math
+        from collections import deque
+
+        def q6(v: float) -> float:
+            return math.floor(v * 1e6) / 1e6
+
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        pdf["day"] = pdf["day"].map(lambda d: d.isoformat())
+        m = HW_PERIOD
+        if len(pdf) <= m:
+            return pdf.head(0).assign(rev=0.0, level=0.0, trend=0.0, seasonal=0.0)[
+                ["day", "rev", "level", "trend", "seasonal"]
+            ]
+        # seed from the first week: exact scaled-integer sum, two float
+        # divisions (each correctly rounded) to mirror the SQL
+        # CAST(SUM(decimal) AS DOUBLE) / 7
+        xs = [float(v) for v in pdf["rev"]]
+        scaled = sum(round(x * 10000) for x in xs[:m])
+        l = (scaled / 10000) / m
+        b = 0.0
+        sl = deque(x - l for x in xs[:m])
+        a, g, c = HW_ALPHA, HW_BETA, HW_GAMMA
+        out = []
+        for t in range(m, len(xs)):
+            x = xs[t]
+            s_old = sl[0]
+            l_new = a * (x - s_old) + (1.0 - a) * (l + b)
+            b = g * (l_new - l) + (1.0 - g) * b
+            s_new = c * (x - l_new) + (1.0 - c) * s_old
+            sl.popleft()
+            sl.append(s_new)
+            l = l_new
+            out.append(
+                (pdf["day"][t], x, q6(l), q6(b), q6(s_new))
+            )
+        import pandas as pd
+
+        return pd.DataFrame(
+            out, columns=["day", "rev", "level", "trend", "seasonal"]
+        )
+
+    return daily.groupBy(F.lit(1).alias("__series")).applyInPandas(
+        fold,
+        schema="day string, rev double, level double, trend double, "
+        "seasonal double",
+    )

@@ -122,3 +122,84 @@ def test_bfs_levels_planted_barbell(spark):
         3: (1, 4),  # {4}
         4: (2, 11),  # {5, 6}
     }
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_holt_winters_recursive_cte_matches_python_fold(seed):
+    """The LIST-state recursive CTE behind the holt_winters_seasonal
+    oracle must track the Python fold bit-for-bit on RANDOM series — the
+    seasonal list rotation (slice + append) is the novel part no scalar
+    replay exercises."""
+    import math
+    import random
+    from collections import deque
+
+    from azure_func_forem_data_etl_spark.operators.temporal import (
+        HW_ALPHA,
+        HW_BETA,
+        HW_GAMMA,
+        HW_PERIOD,
+    )
+
+    def q6(v):
+        return math.floor(v * 1e6) / 1e6
+
+    rng = random.Random(seed)
+    xs = [round(rng.uniform(0, 20000), 2) for _ in range(100)]
+    m = HW_PERIOD
+    scaled = sum(round(x * 10000) for x in xs[:m])
+    l = (scaled / 10000) / m
+    b = 0.0
+    sl = deque(x - l for x in xs[:m])
+    a, g, c = HW_ALPHA, HW_BETA, HW_GAMMA
+    want = []
+    for t in range(m, len(xs)):
+        x = xs[t]
+        s_old = sl[0]
+        l_new = a * (x - s_old) + (1.0 - a) * (l + b)
+        b = g * (l_new - l) + (1.0 - g) * b
+        s_new = c * (x - l_new) + (1.0 - c) * s_old
+        sl.popleft()
+        sl.append(s_new)
+        l = l_new
+        want.append((q6(l), q6(b), q6(s_new)))
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s(rn INT, x DOUBLE, rev DECIMAL(18,4))")
+    con.executemany(
+        "INSERT INTO s VALUES (?, ?, ?)",
+        [(i + 1, x, x) for i, x in enumerate(xs)],
+    )
+    got = con.execute(
+        f"""
+        WITH RECURSIVE seed AS (
+            SELECT CAST((SELECT SUM(rev) FROM (
+                           SELECT rev FROM s ORDER BY rn
+                           LIMIT {m}) t) AS DOUBLE) / {m} AS l0
+        ),
+        s0 AS (
+            SELECT list(o.x - sd.l0 ORDER BY o.rn) AS sl
+            FROM s o, seed sd WHERE o.rn <= {m}
+        ),
+        hw(rn, x, l, b, sl) AS (
+            SELECT o.rn, o.x, sd.l0, CAST(0.0 AS DOUBLE), s0.sl
+            FROM s o, seed sd, s0 WHERE o.rn = {m}
+            UNION ALL
+            SELECT o.rn, o.x,
+                   {a} * (o.x - h.sl[1]) + (1.0 - {a}) * (h.l + h.b),
+                   {g} * (({a} * (o.x - h.sl[1])
+                           + (1.0 - {a}) * (h.l + h.b)) - h.l)
+                     + (1.0 - {g}) * h.b,
+                   list_append(h.sl[2:{m}],
+                       {c} * (o.x - ({a} * (o.x - h.sl[1])
+                                     + (1.0 - {a}) * (h.l + h.b)))
+                       + (1.0 - {c}) * h.sl[1])
+            FROM hw h JOIN s o ON o.rn = h.rn + 1
+        )
+        SELECT floor(l * 1000000) / 1000000,
+               floor(b * 1000000) / 1000000,
+               floor(sl[{m}] * 1000000) / 1000000
+        FROM hw WHERE rn > {m} ORDER BY rn
+        """
+    ).fetchall()
+    assert [tuple(r) for r in got] == want
