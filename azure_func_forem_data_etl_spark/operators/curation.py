@@ -1412,3 +1412,87 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_temp, 6).alias("p_temp"),
         F.round(p_temp / p_raw, 6).alias("upsample_factor"),
     )
+
+
+KFOLD_K = 5
+
+
+@register(
+    "stratified_kfold_audit",
+    defer=True,
+    oracle=f"""
+    WITH d AS (
+        SELECT lang,
+           -- md5-nibble fold assignment (first nibble mod k): identical in
+           -- any engine, stratification-free by construction
+           CAST(CASE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2
+                WHEN '3' THEN 3 WHEN '4' THEN 4 WHEN '5' THEN 5
+                WHEN '6' THEN 6 WHEN '7' THEN 7 WHEN '8' THEN 8
+                WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11
+                WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14
+                ELSE 15 END % {KFOLD_K} AS BIGINT) AS fold
+        FROM documents
+    ),
+    cell AS (
+        SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM d GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT fold, lang, n,
+               SUM(n) OVER (PARTITION BY lang) AS n_lang,
+               SUM(n) OVER () AS n_all,
+               SUM(n) OVER (PARTITION BY fold) AS n_fold
+        FROM cell
+    )
+    SELECT fold, lang, n AS n_docs,
+           CAST(MAX(n_fold) AS BIGINT) AS fold_size,
+           -- representation ratio: lang share in fold vs corpus share
+           round((n / CAST(MAX(n_fold) AS DOUBLE))
+                 / (MAX(n_lang) / CAST(MAX(n_all) AS DOUBLE)), 6)
+               AS rep_ratio
+    FROM m GROUP BY fold, lang, n
+    """,
+    doc=f"{KFOLD_K}-fold assignment audit: per (fold, lang) counts and the "
+    "representation ratio of each language inside each md5-assigned fold.",
+)
+def stratified_kfold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Before trusting a k-fold cross-validation split, audit it: a
+    hash-based fold assignment is reproducible (unlike rand()) but NOT
+    stratified, so minority languages can be badly over/under-represented
+    in individual folds — rep_ratio far from 1 flags folds whose metrics
+    will be noisy for that slice.  The fold is the first md5 nibble mod
+    k, the audit is one bounded (fold x lang) aggregation with window
+    marginals.
+    """
+    docs = table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    fold = (
+        F.when(nib == "a", 10)
+        .when(nib == "b", 11)
+        .when(nib == "c", 12)
+        .when(nib == "d", 13)
+        .when(nib == "e", 14)
+        .when(nib == "f", 15)
+        .otherwise(nib.cast("int"))
+        % KFOLD_K
+    ).cast("long")
+    cell = docs.select(fold.alias("fold"), "lang").groupBy("fold", "lang").agg(
+        F.count("*").alias("n")
+    )
+    m = cell.select(
+        "fold",
+        "lang",
+        "n",
+        F.sum("n").over(Window.partitionBy("lang")).alias("n_lang"),
+        F.sum("n").over(Window.partitionBy()).alias("n_all"),
+        F.sum("n").over(Window.partitionBy("fold")).alias("n_fold"),
+    )
+    return m.groupBy("fold", "lang", "n").agg(
+        F.max("n_fold").alias("fold_size"),
+        F.round(
+            (F.col("n") / F.max("n_fold").cast("double"))
+            / (F.max("n_lang") / F.max("n_all").cast("double")),
+            6,
+        ).alias("rep_ratio"),
+    ).withColumnRenamed("n", "n_docs")

@@ -2021,3 +2021,101 @@ def brand_price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope * 1000000, 6).alias("slope_per_million"),
         F.round((sy - slope * sx) / n, 6).alias("intercept_qty"),
     )
+
+
+@register(
+    "simpson_slope_reversals",
+    defer=True,
+    oracle="""
+    WITH x AS (
+        SELECT p.p_brand AS brand,
+               CAST(l.l_extendedprice AS DECIMAL(12,2)) AS price,
+               CAST(l.l_quantity AS BIGINT) AS qty
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    g AS (
+        SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(price) AS DOUBLE) AS sx,
+               CAST(SUM(qty) AS BIGINT) AS sy,
+               CAST(SUM(price * qty) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(price AS DECIMAL(19,2))
+                        * CAST(price AS DECIMAL(19,2))) AS DOUBLE) AS sxx
+        FROM x GROUP BY brand
+    ),
+    pooled AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n, SUM(sx) AS sx,
+               CAST(SUM(sy) AS BIGINT) AS sy, SUM(sxy) AS sxy,
+               SUM(sxx) AS sxx
+        FROM g
+    ),
+    cls AS (
+        SELECT g.brand,
+               CASE WHEN g.n * g.sxy - g.sx * g.sy > 0 THEN 1
+                    WHEN g.n * g.sxy - g.sx * g.sy < 0 THEN -1
+                    ELSE 0 END AS brand_sign,
+               CASE WHEN p.n * p.sxy - p.sx * p.sy > 0 THEN 1
+                    WHEN p.n * p.sxy - p.sx * p.sy < 0 THEN -1
+                    ELSE 0 END AS pooled_sign
+        FROM g, pooled p
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_brands,
+           CAST(MAX(pooled_sign) AS BIGINT) AS pooled_sign,
+           CAST(SUM(CASE WHEN brand_sign * pooled_sign < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_reversed,
+           CAST(MIN(CASE WHEN brand_sign * pooled_sign < 0 THEN brand END)
+                AS VARCHAR) AS first_reversed_brand
+    FROM cls
+    """,
+    doc="Simpson's-paradox screen: brands whose price-quantity slope SIGN "
+    "opposes the pooled regression's sign (exact sign comparison on the "
+    "covariance numerators).",
+)
+def simpson_slope_reversals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aggregation trap detector: a pooled trend whose sign flips
+    inside groups means any corpus-level conclusion is confounded by
+    group composition.  Slope SIGN needs only the covariance numerator
+    n*Sxy - Sx*Sy — exact decimal arithmetic, so the comparison is
+    integer-robust with no division anywhere.  Reuses the one-pass
+    groupwise moments of brand_price_qty_regression; pooled moments are
+    the column sums of the group table.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    x = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        F.col("p_brand").alias("brand"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    g = x.groupBy("brand").agg(
+        F.count("*").alias("n"),
+        F.sum("price").cast("double").alias("sx"),
+        F.sum("qty").alias("sy"),
+        F.sum(F.col("price") * F.col("qty")).cast("double").alias("sxy"),
+        F.sum(
+            F.col("price").cast("decimal(19,2)") * F.col("price").cast("decimal(19,2)")
+        )
+        .cast("double")
+        .alias("sxx"),
+    ).localCheckpoint(eager=True)  # shared by pooled + cls
+    pooled = g.agg(
+        F.sum("n").alias("pn"),
+        F.sum("sx").alias("psx"),
+        F.sum("sy").alias("psy"),
+        F.sum("sxy").alias("psxy"),
+    )
+    bnum = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    pnum = F.col("pn") * F.col("psxy") - F.col("psx") * F.col("psy")
+    cls = g.crossJoin(F.broadcast(pooled)).select(
+        "brand",
+        F.when(bnum > 0, 1).when(bnum < 0, -1).otherwise(0).alias("brand_sign"),
+        F.when(pnum > 0, 1).when(pnum < 0, -1).otherwise(0).alias("pooled_sign"),
+    )
+    rev = F.col("brand_sign") * F.col("pooled_sign") < 0
+    return cls.agg(
+        F.count("*").alias("n_brands"),
+        F.max("pooled_sign").cast("long").alias("pooled_sign"),
+        F.sum(rev.cast("int")).alias("n_reversed"),
+        F.min(F.when(rev, F.col("brand"))).cast("string").alias(
+            "first_reversed_brand"
+        ),
+    )

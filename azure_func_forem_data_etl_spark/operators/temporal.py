@@ -2669,3 +2669,195 @@ def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="day string, rev double, level double, trend double, "
         "seasonal double",
     )
+
+
+@register(
+    "weekly_seasonal_strength",
+    defer=True,
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, isodow(CAST(ts AS DATE)) AS dow,
+               {sql_dsum("value")} AS rev
+        FROM events GROUP BY 1, 2
+    ),
+    dev AS (
+        -- detrended = rev - overall mean; deseasoned = rev - dow mean;
+        -- both means from exact decimal sums
+        SELECT CAST(round(rev - CAST(SUM(CAST(rev AS DECIMAL(18,4))) OVER ()
+                                     AS DOUBLE) / COUNT(*) OVER (), 6)
+                    AS DECIMAL(18,6)) AS d_all,
+               CAST(round(rev - CAST(SUM(CAST(rev AS DECIMAL(18,4)))
+                                     OVER (PARTITION BY dow) AS DOUBLE)
+                                / COUNT(*) OVER (PARTITION BY dow), 6)
+                    AS DECIMAL(18,6)) AS d_dow
+        FROM daily
+    ),
+    v AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(d_all AS DECIMAL(19,6))
+                        * CAST(d_all AS DECIMAL(19,6))) AS DOUBLE) AS ss_all,
+               CAST(SUM(CAST(d_dow AS DECIMAL(19,6))
+                        * CAST(d_dow AS DECIMAL(19,6))) AS DOUBLE) AS ss_dow
+        FROM dev
+    )
+    SELECT n AS n_days,
+           round(ss_all / n, 4) AS var_detrended,
+           round(ss_dow / n, 4) AS var_deseasoned,
+           round(GREATEST(0.0, 1.0 - ss_dow / ss_all), 6) AS seasonal_strength
+    FROM v
+    """,
+    doc="Weekly seasonal strength of daily revenue: 1 - Var(residual "
+    "after day-of-week means) / Var(residual after the overall mean), "
+    "clamped at 0.",
+)
+def weekly_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-number answer to \"is there a weekly cycle worth
+    modeling\" (the STL seasonal-strength statistic, computed against
+    day-of-week means instead of a loess fit): near 0 = the dow profile
+    explains nothing, near 1 = revenue is almost purely weekly.
+    Deviations from both means are 6dp-quantized so the two sums of
+    squares are exact decimal; one corpus aggregation, day-grain windows.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        (F.weekday(F.col("ts").cast("date")) + 1).alias("dow"),
+    ).agg(dsum("value").alias("rev"))
+    w_all = Window.partitionBy()
+    w_dow = Window.partitionBy("dow")
+    mean_all = (
+        F.sum(F.col("rev").cast("decimal(18,4)")).over(w_all).cast("double")
+        / F.count("*").over(w_all)
+    )
+    mean_dow = (
+        F.sum(F.col("rev").cast("decimal(18,4)")).over(w_dow).cast("double")
+        / F.count("*").over(w_dow)
+    )
+    dev = daily.select(
+        F.round(F.col("rev") - mean_all, 6).cast("decimal(18,6)").alias("d_all"),
+        F.round(F.col("rev") - mean_dow, 6).cast("decimal(18,6)").alias("d_dow"),
+    )
+    sq = lambda c: F.sum(
+        F.col(c).cast("decimal(19,6)") * F.col(c).cast("decimal(19,6)")
+    ).cast("double")
+    v = dev.agg(
+        F.count("*").alias("n"), sq("d_all").alias("ss_all"), sq("d_dow").alias("ss_dow")
+    )
+    return v.select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("ss_all") / F.col("n"), 4).alias("var_detrended"),
+        F.round(F.col("ss_dow") / F.col("n"), 4).alias("var_deseasoned"),
+        F.round(
+            F.greatest(F.lit(0.0), 1.0 - F.col("ss_dow") / F.col("ss_all")), 6
+        ).alias("seasonal_strength"),
+    )
+
+
+#: Churn definition: no activity in the final CHURN_QUIET_WEEKS of the
+#: observation window.
+CHURN_QUIET_WEEKS = 2
+
+
+@register(
+    "user_churn_hazard",
+    defer=True,
+    oracle=f"""
+    WITH bounds AS (
+        SELECT date_trunc('week', MIN(ts)) AS w0, date_trunc('week', MAX(ts)) AS wz
+        FROM events
+    ),
+    u AS (
+        SELECT e.user_id,
+               CAST(floor(date_diff('day', b.w0,
+                          date_trunc('week', MIN(e.ts))) / 7) AS BIGINT)
+                   AS first_w,
+               CAST(floor(date_diff('day', b.w0,
+                          date_trunc('week', MAX(e.ts))) / 7) AS BIGINT)
+                   AS last_w,
+               CAST(floor(date_diff('day', b.w0, b.wz) / 7) AS BIGINT) AS wz
+        FROM events e, bounds b
+        GROUP BY e.user_id, b.w0, b.wz
+    ),
+    lif AS (
+        -- churned = quiet for the final {CHURN_QUIET_WEEKS}+ weeks;
+        -- lifetime measured in weeks since the user's first week
+        SELECT last_w - first_w AS life_w,
+               CASE WHEN last_w <= wz - {CHURN_QUIET_WEEKS} THEN 1 ELSE 0 END
+                   AS churned
+        FROM u
+    ),
+    grid AS (
+        SELECT l.life_w, CAST(COUNT(*) AS BIGINT) AS ended,
+               CAST(SUM(l.churned) AS BIGINT) AS churns
+        FROM lif l GROUP BY 1
+    ),
+    haz AS (
+        SELECT life_w, churns, ended,
+               SUM(ended) OVER (ORDER BY life_w DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS at_risk
+        FROM grid
+    )
+    SELECT life_w AS week, CAST(at_risk AS BIGINT) AS n_at_risk,
+           churns AS n_churned,
+           round(churns / CAST(at_risk AS DOUBLE), 6) AS hazard
+    FROM haz
+    """,
+    doc=f"Discrete-time churn hazard by user lifetime week: churns (quiet "
+    f"for the final {CHURN_QUIET_WEEKS}+ weeks) over users still at risk "
+    "at each lifetime.",
+)
+def user_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The survival-analysis view of retention (retention_cohorts counts
+    actives; the hazard says WHEN users leave): for each lifetime week,
+    the fraction of still-present users whose activity ends there and
+    who then stay quiet through the end of the window.  Users active in
+    the final {CHURN_QUIET_WEEKS} weeks end their observed lifetime
+    without churning (right-censored — they count in the at-risk
+    denominator, not the churn numerator).  Integer counting: one
+    per-user min/max pass, a lifetime histogram, and a reverse
+    cumulative sum for the at-risk curve.
+    """
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("week", F.min("ts")).alias("w0"),
+        F.date_trunc("week", F.max("ts")).alias("wz"),
+    )
+    u = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id", "w0", "wz")
+        .agg(
+            F.floor(
+                F.datediff(F.date_trunc("week", F.min("ts")), F.col("w0")) / 7
+            ).alias("first_w"),
+            F.floor(
+                F.datediff(F.date_trunc("week", F.max("ts")), F.col("w0")) / 7
+            ).alias("last_w"),
+        )
+        .select(
+            (F.col("last_w") - F.col("first_w")).alias("life_w"),
+            (
+                F.col("last_w")
+                <= F.floor(F.datediff(F.col("wz"), F.col("w0")) / 7)
+                - CHURN_QUIET_WEEKS
+            )
+            .cast("int")
+            .alias("churned"),
+        )
+    )
+    grid = u.groupBy("life_w").agg(
+        F.count("*").alias("ended"), F.sum("churned").alias("churns")
+    )
+    w_risk = Window.orderBy(F.desc("life_w")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    haz = grid.select(
+        F.col("life_w").alias("week"),
+        "churns",
+        F.sum("ended").over(w_risk).alias("at_risk"),
+    )
+    return haz.select(
+        "week",
+        F.col("at_risk").alias("n_at_risk"),
+        F.col("churns").alias("n_churned"),
+        F.round(F.col("churns") / F.col("at_risk").cast("double"), 6).alias("hazard"),
+    )

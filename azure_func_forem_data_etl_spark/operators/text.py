@@ -2485,3 +2485,73 @@ def type_token_ratio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").alias("total_tokens"),
         F.round(F.sum(ttr6).cast("double") / F.count("*"), 6).alias("avg_ttr"),
     )
+
+
+#: Good-Turing tail thresholds: mass of words seen at most r times.
+GT_TAIL_RS = (1, 2, 5, 10)
+
+
+@register(
+    "good_turing_tail_mass",
+    defer=True,
+    oracle=rf"""
+    WITH w AS (
+        SELECT UNNEST(string_split_regex(lower(text), '\s+')) AS word
+        FROM documents
+    ),
+    freq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS m FROM w GROUP BY 1),
+    fof AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS v_m FROM freq GROUP BY 1),
+    tot AS (SELECT CAST(SUM(m * v_m) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN m = 1 THEN v_m ELSE 0 END) AS BIGINT)
+                       AS n1
+            FROM fof),
+    rs AS (SELECT UNNEST(ARRAY{list(GT_TAIL_RS)}) AS r)
+    SELECT rs.r AS max_count,
+           CAST(SUM(CASE WHEN f.m <= rs.r THEN f.v_m ELSE 0 END) AS BIGINT)
+               AS n_types,
+           CAST(SUM(CASE WHEN f.m <= rs.r THEN f.m * f.v_m ELSE 0 END)
+                AS BIGINT) AS n_tokens,
+           round(CAST(SUM(CASE WHEN f.m <= rs.r THEN f.m * f.v_m ELSE 0 END)
+                      AS BIGINT) / CAST(MAX(t.n) AS DOUBLE), 6) AS tail_mass,
+           round(CAST(MAX(t.n1) AS DOUBLE) / MAX(t.n), 6) AS gt_unseen_mass
+    FROM rs, fof f, tot t
+    GROUP BY rs.r
+    """,
+    doc=f"Rare-word tail mass at count thresholds {GT_TAIL_RS} plus the "
+    "Good-Turing unseen-mass estimate (hapax count / tokens).",
+)
+def good_turing_tail_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of the corpus rides on rare words — the quantity that
+    decides vocabulary truncation pain (vocab_coverage_curve asks it
+    head-first; this asks it tail-first) and whose r=0 extrapolation is
+    Good-Turing's unseen-probability estimate N1/N.  Pure integer
+    arithmetic over the frequency-of-frequencies table crossed with the
+    4-row threshold spine; one token explode touches the corpus.
+    """
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+    freq = w.groupBy("word").agg(F.count("*").alias("m"))
+    fof = freq.groupBy("m").agg(F.count("*").alias("v_m")).localCheckpoint(
+        eager=True
+    )  # crossed with the threshold spine AND reduced for totals
+    tot = fof.agg(
+        F.sum(F.col("m") * F.col("v_m")).alias("n"),
+        F.sum(F.when(F.col("m") == 1, F.col("v_m")).otherwise(0)).alias("n1"),
+    )
+    rs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(r) for r in GT_TAIL_RS])).alias("r")
+    )
+    j = F.broadcast(rs).join(fof, F.lit(True)).crossJoin(F.broadcast(tot))
+    in_tail = F.col("m") <= F.col("r")
+    return j.groupBy(F.col("r").alias("max_count")).agg(
+        F.sum(F.when(in_tail, F.col("v_m")).otherwise(0)).alias("n_types"),
+        F.sum(F.when(in_tail, F.col("m") * F.col("v_m")).otherwise(0)).alias(
+            "n_tokens"
+        ),
+        F.round(
+            F.sum(F.when(in_tail, F.col("m") * F.col("v_m")).otherwise(0))
+            / F.max("n").cast("double"),
+            6,
+        ).alias("tail_mass"),
+        F.round(F.max("n1").cast("double") / F.max("n"), 6).alias("gt_unseen_mass"),
+    )
