@@ -182,6 +182,19 @@ def test_plan_lint_every_registry_query(spark):
         # day-grain pairwise joins: both sides <= 366 rows by construction
         "theil_sen_daily_trend",
         "kendall_tau_daily",
+        # round-8 deferred queries: every BNLJ is a 1-row totals/bounds
+        # broadcast or a fixed spine (<= 7 rows) against a grain-bounded
+        # side; see each docstring
+        "good_turing_tail_mass",  # 4-row threshold spine x freq-of-freq
+        "mixture_temperature_weights",  # 1-row total + 1-row normalizer
+        "eval_lift_table",  # 1-row totals onto the 10-row bucket table
+        "levene_brown_forsythe",  # 1-row grand-mean onto 5 groups
+        "mcnemar_purchase_shift",  # 1-row epoch-bounds broadcast — O(n)·1
+        "runs_test_daily_revenue",  # 1-row median onto the day series
+        "simpson_slope_reversals",  # 1-row pooled moments onto 25 brands
+        "acf_daily_revenue_lags",  # 7-row lag spine x <=366-day index
+        "markov_entropy_rate",  # 1-row total onto <=25 transition cells
+        "user_churn_hazard",  # 1-row week-bounds broadcast — O(n)·1
     }
     checked = 0
     for name, q in sorted(load_all().items()):
