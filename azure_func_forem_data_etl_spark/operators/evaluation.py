@@ -1130,3 +1130,106 @@ def feature_mi_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("mi_nats"), "dim")
         .limit(FEATURE_MI_TOP_K)
     )
+
+
+#: Asymmetric misclassification costs for the cost-curve threshold pick.
+COST_FP = 1.0
+COST_FN = 5.0
+
+
+@register(
+    "eval_cost_curve_threshold",
+    defer=True,
+    oracle=f"""
+    WITH scored AS (
+        SELECT round(CAST(embedding[1] AS DOUBLE), {AUC_BIN_DECIMALS})
+                   AS score_b,
+               CAST(label = {POS_LABEL} AS INT) AS is_pos
+        FROM embeddings
+    ),
+    bins AS (
+        SELECT score_b, CAST(COUNT(*) AS BIGINT) AS n_b,
+               CAST(SUM(is_pos) AS BIGINT) AS p_b
+        FROM scored GROUP BY 1
+    ),
+    cum AS (
+        -- predict positive when score > t: below-threshold positives are
+        -- the FNs, above-threshold negatives the FPs
+        SELECT score_b,
+               SUM(p_b) OVER (ORDER BY score_b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fn,
+               SUM(n_b - p_b) OVER (ORDER BY score_b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tn,
+               SUM(p_b) OVER () AS tp_all, SUM(n_b - p_b) OVER () AS neg_all
+        FROM bins
+    ),
+    cost AS (
+        -- costs are exact integer-weighted counts ({COST_FP}, {COST_FN}
+        -- have exact double products with integers at these scales)
+        SELECT score_b,
+               {COST_FN} * fn + {COST_FP} * (neg_all - tn) AS c,
+               tp_all, neg_all
+        FROM cum
+    )
+    SELECT CAST(MAX(tp_all) AS BIGINT) AS n_pos,
+           CAST(MAX(neg_all) AS BIGINT) AS n_neg,
+           round({COST_FP} * MAX(neg_all), 4) AS cost_predict_all_pos,
+           round({COST_FN} * MAX(tp_all), 4) AS cost_predict_all_neg,
+           round(MIN(c), 4) AS min_cost,
+           (SELECT MIN(score_b) FROM cost
+            WHERE c = (SELECT MIN(c) FROM cost)) AS best_threshold
+    FROM cost
+    """,
+    doc=f"Cost-curve threshold pick under asymmetric costs (FP={COST_FP}, "
+    f"FN={COST_FN}): expected-cost minimum over the 4dp threshold grid "
+    "vs the two degenerate policies.",
+)
+def eval_cost_curve_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC says how good the ranking is; deployment needs a THRESHOLD, and
+    when errors cost differently the right one is far from 0.5.  The
+    expected cost at every candidate threshold is an integer-weighted
+    pair of cumulative counts from ONE window pass over the bin table,
+    and the argmin tie-breaks on the lower threshold.  Degenerate
+    all-positive/all-negative policy costs bracket the result.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.round(F.element_at("embedding", 1).cast("double"), AUC_BIN_DECIMALS).alias(
+            "score_b"
+        ),
+        (F.col("label") == POS_LABEL).cast("int").alias("is_pos"),
+    )
+    bins = scored.groupBy("score_b").agg(
+        F.count("*").alias("n_b"), F.sum("is_pos").alias("p_b")
+    )
+    w_cum = Window.orderBy("score_b").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = bins.select(
+        "score_b",
+        F.sum("p_b").over(w_cum).alias("fn"),
+        F.sum(F.col("n_b") - F.col("p_b")).over(w_cum).alias("tn"),
+        F.sum("p_b").over(w_all).alias("tp_all"),
+        F.sum(F.col("n_b") - F.col("p_b")).over(w_all).alias("neg_all"),
+    )
+    cost = cum.select(
+        "score_b",
+        (COST_FN * F.col("fn") + COST_FP * (F.col("neg_all") - F.col("tn"))).alias(
+            "c"
+        ),
+        "tp_all",
+        "neg_all",
+    ).localCheckpoint(eager=True)  # aggregated twice (min + argmin)
+    min_c = cost.agg(F.min("c").alias("mc"))
+    return (
+        cost.crossJoin(F.broadcast(min_c))
+        .agg(
+            F.max("tp_all").alias("n_pos"),
+            F.max("neg_all").alias("n_neg"),
+            F.round(COST_FP * F.max("neg_all"), 4).alias("cost_predict_all_pos"),
+            F.round(COST_FN * F.max("tp_all"), 4).alias("cost_predict_all_neg"),
+            F.round(F.min("c"), 4).alias("min_cost"),
+            F.min(F.when(F.col("c") == F.col("mc"), F.col("score_b"))).alias(
+                "best_threshold"
+            ),
+        )
+    )

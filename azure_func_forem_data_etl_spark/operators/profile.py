@@ -2119,3 +2119,77 @@ def simpson_slope_reversals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_reversed_brand"
         ),
     )
+
+
+@register(
+    "user_overdispersion_index",
+    defer=True,
+    oracle="""
+    WITH dc AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS k
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+        FROM events
+    ),
+    u AS (
+        -- per-user daily-count moments over ALL observed days (days with
+        -- zero events contribute zero to both sums)
+        SELECT d.user_id, s.n_days,
+               CAST(SUM(d.k) AS BIGINT) AS sk,
+               CAST(SUM(d.k * d.k) AS BIGINT) AS sk2
+        FROM dc d, span s
+        GROUP BY d.user_id, s.n_days
+    ),
+    idx AS (
+        SELECT CAST(round((CAST(sk2 AS DOUBLE) / n_days
+                           - (CAST(sk AS DOUBLE) / n_days)
+                             * (CAST(sk AS DOUBLE) / n_days))
+                          / (CAST(sk AS DOUBLE) / n_days), 6)
+                    AS DECIMAL(18,6)) AS d_i
+        FROM u
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           round(CAST(SUM(d_i) AS DOUBLE) / COUNT(*), 6) AS avg_dispersion,
+           round(MAX(CAST(d_i AS DOUBLE)), 6) AS max_dispersion,
+           CAST(SUM(CASE WHEN d_i > 1.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overdispersed
+    FROM idx
+    """,
+    doc="Per-user daily-event-count dispersion index (variance/mean over "
+    "all observed days): Poisson ~1, bursty users >> 1; corpus summary "
+    "with an over-1.5 count.",
+)
+def user_overdispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral burstiness at the USER level (term_burstiness_vmr is
+    the same statistic over words x docs): a user whose daily counts are
+    Poisson-like has index ~1; schedulers and batch scripts spike far
+    above.  Zero-days cost nothing — the variance/mean come from the
+    integer (Σk, Σk²) of active days plus the global day span.  Two
+    aggregations; per-user indices 6dp-quantized before the corpus mean.
+    """
+    ev = table(spark, sf_dir, "events")
+    dc = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("k")
+    )
+    span = ev.agg(F.countDistinct(F.col("ts").cast("date")).alias("n_days"))
+    u = (
+        dc.crossJoin(F.broadcast(span))
+        .groupBy("user_id", "n_days")
+        .agg(
+            F.sum("k").alias("sk"),
+            F.sum(F.col("k") * F.col("k")).alias("sk2"),
+        )
+    )
+    mean = F.col("sk").cast("double") / F.col("n_days")
+    var = F.col("sk2").cast("double") / F.col("n_days") - mean * mean
+    idx = u.select(F.round(var / mean, 6).cast("decimal(18,6)").alias("d_i"))
+    return idx.agg(
+        F.count("*").alias("n_users"),
+        F.round(F.sum("d_i").cast("double") / F.count("*"), 6).alias(
+            "avg_dispersion"
+        ),
+        F.round(F.max(F.col("d_i").cast("double")), 6).alias("max_dispersion"),
+        F.sum(F.when(F.col("d_i") > 1.5, 1).otherwise(0)).alias("n_overdispersed"),
+    )

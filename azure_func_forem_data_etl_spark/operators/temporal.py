@@ -2861,3 +2861,164 @@ def user_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("churns").alias("n_churned"),
         F.round(F.col("churns") / F.col("at_risk").cast("double"), 6).alias("hazard"),
     )
+
+
+MOBILITY_N_TILES = 5
+
+
+@register(
+    "customer_decile_mobility",
+    defer=True,
+    oracle=f"""
+    WITH bounds AS (
+        SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+    ),
+    halves AS (
+        SELECT e.user_id,
+               CASE WHEN epoch_us(e.ts) < (b.lo + b.hi) // 2 THEN 0 ELSE 1 END
+                   AS half,
+               CAST(e.value AS DECIMAL(18,4)) AS v
+        FROM events e, bounds b
+    ),
+    uv AS (
+        SELECT user_id, half, SUM(v) AS val FROM halves GROUP BY 1, 2
+    ),
+    t AS (
+        -- quintile within each half over a TOTAL order (value, user_id)
+        SELECT user_id, half,
+               NTILE({MOBILITY_N_TILES}) OVER (PARTITION BY half
+                   ORDER BY val, user_id) AS q
+        FROM uv
+    ),
+    m AS (
+        SELECT a.q AS q_before, b.q AS q_after
+        FROM t a JOIN t b ON b.user_id = a.user_id
+        WHERE a.half = 0 AND b.half = 1
+    )
+    SELECT q_before, q_after, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM m GROUP BY 1, 2
+    """,
+    doc=f"Customer value-quintile mobility matrix between window halves "
+    f"(NTILE {MOBILITY_N_TILES} over a total order; users present in "
+    "both halves).",
+)
+def customer_decile_mobility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are high-value users STAYING high-value — the transition matrix of
+    per-user value quintiles between the two window halves (a diagonal
+    matrix = sticky value tiers, uniform rows = value is noise).  NTILE
+    runs over the TOTAL order (value, user_id) so tile assignment is
+    engine-reproducible; values sum as exact decimals; users absent from
+    either half drop out via the inner self-join.  One corpus pass, then
+    user-grain windows.
+    """
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+    )
+    mid = F.floor((F.col("lo") + F.col("hi")) / 2)
+    uv = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "user_id",
+            F.when(F.unix_micros("ts") < mid, 0).otherwise(1).alias("half"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("val"))
+    )
+    t = uv.select(
+        "user_id",
+        "half",
+        F.ntile(MOBILITY_N_TILES)
+        .over(Window.partitionBy("half").orderBy("val", "user_id"))
+        .alias("q"),
+    )
+    a = t.filter(F.col("half") == 0).select("user_id", F.col("q").alias("q_before"))
+    b = t.filter(F.col("half") == 1).select("user_id", F.col("q").alias("q_after"))
+    return a.join(b, "user_id").groupBy("q_before", "q_after").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+@register(
+    "weekend_effect_did",
+    defer=True,
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+    ),
+    d AS (
+        SELECT CASE WHEN epoch_us(e.ts) < (b.lo + b.hi) // 2 THEN 0 ELSE 1 END
+                   AS period,
+               CASE WHEN isodow(e.ts) >= 6 THEN 1 ELSE 0 END AS is_we,
+               CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events e, bounds b
+    ),
+    cell AS (
+        SELECT period, is_we, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS k
+        FROM d GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT MAX(CASE WHEN period = 0 AND is_we = 1 THEN k / CAST(n AS DOUBLE) END) AS we0,
+               MAX(CASE WHEN period = 0 AND is_we = 0 THEN k / CAST(n AS DOUBLE) END) AS wd0,
+               MAX(CASE WHEN period = 1 AND is_we = 1 THEN k / CAST(n AS DOUBLE) END) AS we1,
+               MAX(CASE WHEN period = 1 AND is_we = 0 THEN k / CAST(n AS DOUBLE) END) AS wd1,
+               CAST(SUM(n) AS BIGINT) AS n_events
+        FROM cell
+    )
+    SELECT n_events,
+           round(we0 - wd0, 6) AS weekend_gap_p0,
+           round(we1 - wd1, 6) AS weekend_gap_p1,
+           round((we1 - wd1) - (we0 - wd0), 6) AS did_estimate
+    FROM r
+    """,
+    doc="Difference-in-differences: did the weekend purchase-rate gap "
+    "change between the first and second half of the window (2x2 rate "
+    "table, exact integer counts)?",
+)
+def weekend_effect_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The causal-inference primitive for before/after questions with a
+    control group: the change in the weekend-vs-weekday purchase-rate
+    gap across periods nets out both the secular trend (hits both day
+    types) and the static weekend effect (present in both periods).
+    Four rates from one integer-count aggregation; the DiD is
+    closed-form.
+    """
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+    )
+    mid = F.floor((F.col("lo") + F.col("hi")) / 2)
+    cell = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.when(F.unix_micros("ts") < mid, 0).otherwise(1).alias("period"),
+            (F.weekday("ts") + 1 >= 6).cast("int").alias("is_we"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "k"
+            ),
+        )
+    )
+    rate = lambda p, w: F.max(
+        F.when(
+            (F.col("period") == p) & (F.col("is_we") == w),
+            F.col("k") / F.col("n").cast("double"),
+        )
+    )
+    r = cell.agg(
+        rate(0, 1).alias("we0"),
+        rate(0, 0).alias("wd0"),
+        rate(1, 1).alias("we1"),
+        rate(1, 0).alias("wd1"),
+        F.sum("n").alias("n_events"),
+    )
+    return r.select(
+        "n_events",
+        F.round(F.col("we0") - F.col("wd0"), 6).alias("weekend_gap_p0"),
+        F.round(F.col("we1") - F.col("wd1"), 6).alias("weekend_gap_p1"),
+        F.round(
+            (F.col("we1") - F.col("wd1")) - (F.col("we0") - F.col("wd0")), 6
+        ).alias("did_estimate"),
+    )

@@ -195,6 +195,10 @@ def test_plan_lint_every_registry_query(spark):
         "acf_daily_revenue_lags",  # 7-row lag spine x <=366-day index
         "markov_entropy_rate",  # 1-row total onto <=25 transition cells
         "user_churn_hazard",  # 1-row week-bounds broadcast — O(n)·1
+        "eval_cost_curve_threshold",  # 1-row min-cost onto the bin table
+        "customer_decile_mobility",  # 1-row epoch-bounds broadcast
+        "weekend_effect_did",  # 1-row epoch-bounds broadcast
+        "user_overdispersion_index",  # 1-row day-span broadcast
     }
     checked = 0
     for name, q in sorted(load_all().items()):
