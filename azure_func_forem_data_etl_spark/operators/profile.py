@@ -2193,3 +2193,66 @@ def user_overdispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.col("d_i").cast("double")), 6).alias("max_dispersion"),
         F.sum(F.when(F.col("d_i") > 1.5, 1).otherwise(0)).alias("n_overdispersed"),
     )
+
+
+@register(
+    "basket_size_geometric_fit",
+    defer=True,
+    oracle="""
+    WITH b AS (
+        SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM lineitem GROUP BY 1
+    ),
+    hist AS (SELECT sz, CAST(COUNT(*) AS BIGINT) AS obs FROM b GROUP BY 1),
+    s AS (
+        SELECT CAST(SUM(obs) AS BIGINT) AS n_orders,
+               CAST(SUM(sz * obs) AS BIGINT) AS n_items
+        FROM hist
+    ),
+    fit AS (
+        -- geometric on {1,2,...}: MLE p = 1/mean = n_orders/n_items;
+        -- expected count for size k is n*p*(1-p)^(k-1)
+        SELECT h.sz, h.obs, s.n_orders, s.n_items,
+               s.n_orders * (s.n_orders / CAST(s.n_items AS DOUBLE))
+                 * power(1.0 - s.n_orders / CAST(s.n_items AS DOUBLE),
+                         h.sz - 1) AS expected
+        FROM hist h, s
+    )
+    SELECT sz AS basket_size, obs AS n_orders_observed,
+           round(expected, 4) AS n_orders_expected,
+           round((obs - expected) * (obs - expected) / expected, 6)
+               AS chi2_term
+    FROM fit
+    """,
+    doc="Geometric-distribution fit of order basket sizes: observed vs "
+    "MLE-expected counts per size with per-size chi-square terms.",
+)
+def basket_size_geometric_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does basket size follow the memoryless add-one-more-item model?
+    The geometric MLE needs only (orders, items) — two integers — and
+    the per-size expected counts are closed-form; big chi-square terms
+    localize WHERE the model breaks (bulk orders, minimums).  power()
+    with an integer exponent is repeated IEEE multiplication in both
+    engines; expected/chi2 round at 4/6dp over the bounded size
+    histogram.  Two integer aggregations total.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_orderkey").agg(F.count("*").alias("sz"))
+    hist = b.groupBy("sz").agg(F.count("*").alias("obs")).localCheckpoint(
+        eager=True
+    )  # shared by totals + fit
+    s = hist.agg(
+        F.sum("obs").alias("n_orders"),
+        F.sum(F.col("sz") * F.col("obs")).alias("n_items"),
+    )
+    p = F.col("n_orders") / F.col("n_items").cast("double")
+    expected = F.col("n_orders") * p * F.pow(1.0 - p, F.col("sz") - 1)
+    fit = hist.crossJoin(F.broadcast(s)).select(
+        F.col("sz").alias("basket_size"),
+        F.col("obs").alias("n_orders_observed"),
+        F.round(expected, 4).alias("n_orders_expected"),
+        F.round(
+            (F.col("obs") - expected) * (F.col("obs") - expected) / expected, 6
+        ).alias("chi2_term"),
+    )
+    return fit

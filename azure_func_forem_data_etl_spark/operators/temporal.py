@@ -3022,3 +3022,52 @@ def weekend_effect_did(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("we1") - F.col("wd1")) - (F.col("we0") - F.col("wd0")), 6
         ).alias("did_estimate"),
     )
+
+
+@register(
+    "daily_peak_hour_profile",
+    defer=True,
+    oracle="""
+    WITH h AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(hour(ts) AS BIGINT) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    peak AS (
+        -- per-day argmax hour, earliest hour on count ties
+        SELECT day, hr FROM (
+            SELECT day, hr,
+                   row_number() OVER (PARTITION BY day
+                                      ORDER BY n DESC, hr) AS rn
+            FROM h
+        ) WHERE rn = 1
+    )
+    SELECT hr AS peak_hour, CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM peak GROUP BY hr
+    """,
+    doc="Distribution of each day's peak activity hour (argmax with "
+    "earliest-hour tie-break) — the load-shape stability profile.",
+)
+def daily_peak_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-planning shape check: if the peak hour wanders across the
+    day, autoscaling schedules built on 'the' peak are fiction.  Pure
+    integer counting — one (day, hour) aggregation, a per-day argmax
+    window with a deterministic tie-break, and a 24-row histogram.
+    """
+    ev = table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count("*").alias("n"))
+    peak = (
+        h.select(
+            "day",
+            "hr",
+            F.row_number()
+            .over(Window.partitionBy("day").orderBy(F.desc("n"), "hr"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return peak.groupBy(F.col("hr").alias("peak_hour")).agg(
+        F.count("*").alias("n_days")
+    )

@@ -199,6 +199,7 @@ def test_plan_lint_every_registry_query(spark):
         "customer_decile_mobility",  # 1-row epoch-bounds broadcast
         "weekend_effect_did",  # 1-row epoch-bounds broadcast
         "user_overdispersion_index",  # 1-row day-span broadcast
+        "basket_size_geometric_fit",  # 1-row MLE totals onto the size hist
     }
     checked = 0
     for name, q in sorted(load_all().items()):
