@@ -889,7 +889,11 @@ def eval_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(MAX(tp) AS BIGINT) AS n_pos, CAST(MAX(tq) AS BIGINT) AS n_neg,
            round(CAST(MAX(num) AS DOUBLE) / MAX(den), 6) AS ks_stat,
-           MIN_BY(score_b, -num) AS ks_threshold
+           -- lowest threshold among the max-gap bins: num is an integer
+           -- that can tie across bins, and a bare MIN_BY is unspecified
+           -- under ties (same explicit tie-break as decision_stump_split)
+           (SELECT MIN(score_b) FROM d
+            WHERE num = (SELECT MAX(num) FROM d)) AS ks_threshold
     FROM d
     """,
     doc="Kolmogorov-Smirnov separation between positive and negative "
@@ -935,7 +939,12 @@ def eval_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("tp").alias("n_pos"),
         F.max("tq").alias("n_neg"),
         F.round(F.max("num").cast("double") / F.max("den"), 6).alias("ks_stat"),
-        F.min_by("score_b", -F.col("num")).alias("ks_threshold"),
+        # num can tie across bins; break ties on the LOWER threshold so the
+        # argmax is deterministic and engine-independent (struct ordering:
+        # maximal gap first, then minimal score_b)
+        F.min_by("score_b", F.struct(-F.col("num"), F.col("score_b"))).alias(
+            "ks_threshold"
+        ),
     )
 
 

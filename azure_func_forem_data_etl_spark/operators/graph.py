@@ -1175,7 +1175,20 @@ def graph_avg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-node coefficients are 10dp-quantized before the exact mean; the
     global coefficient is an integer ratio (3*triangles / wedges).
     """
+    jsc = spark.sparkContext._jsc
+
+    def _pids() -> set[int]:
+        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _release(ids: set[int]) -> None:
+        jmap = jsc.getPersistentRDDs()
+        for rid in jmap.keySet().toArray():
+            if int(rid) in ids:
+                jmap.get(rid).unpersist(True)
+
+    snap = _pids()
     edges = copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edge_ids = _pids() - snap
     deg = _degrees(edges).localCheckpoint(eager=True)
     dsrc = deg.select(F.col("id").alias("src"), F.col("deg").alias("deg_src"))
     ddst = deg.select(F.col("id").alias("dst"), F.col("deg").alias("deg_dst"))
@@ -1183,11 +1196,13 @@ def graph_avg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo_first = (F.col("deg_src") < F.col("deg_dst")) | (
         (F.col("deg_src") == F.col("deg_dst")) & (F.col("src") < F.col("dst"))
     )
+    snap = _pids()
     oriented = keyed.select(
         F.when(lo_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
         F.when(lo_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
         F.when(lo_first, F.col("deg_dst")).otherwise(F.col("deg_src")).alias("deg_v"),
     ).localCheckpoint(eager=True)
+    oriented_ids = _pids() - snap
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = e1.join(
         e2,
@@ -1206,6 +1221,10 @@ def graph_avg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").alias("b"), F.col("v").alias("c")
     ).unionByName(oriented.select(F.col("v").alias("b"), F.col("u").alias("c")))
     tri = wedges.join(closing, ["b", "c"], "left_semi").localCheckpoint(eager=True)
+    # edges and oriented are dead once tri is materialized (same RDD-id
+    # release as label_propagation — ADVICE r7); deg and tri back the
+    # RETURNED lazy frame and must stay persisted for the caller.
+    _release(edge_ids | oriented_ids)
     corner = (
         tri.select(F.col("a").alias("id"))
         .unionByName(tri.select(F.col("b").alias("id")))

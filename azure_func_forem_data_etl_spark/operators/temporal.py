@@ -1632,11 +1632,17 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) OVER () AS m
         FROM slopes
     )
-    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM idx) AS n_days,
+    -- GROUP BY the joined totals row (not an ungrouped aggregate): on a
+    -- degenerate single-day input the slopes set is empty and BOTH
+    -- engines must return 0 rows (the Spark side crossJoins the n_days
+    -- scalar into the mid rows, so it yields nothing when mid is empty)
+    SELECT CAST(t.n_days AS BIGINT) AS n_days,
            CAST(MAX(m) AS BIGINT) AS n_pairs,
            round(AVG(slope), 6) AS theil_slope
     FROM ranked
+    CROSS JOIN (SELECT COUNT(*) AS n_days FROM idx) t
     WHERE rn IN ((m + 1) // 2, (m + 2) // 2)
+    GROUP BY t.n_days
     """,
     doc="Theil-Sen robust trend of daily revenue: exact median of all "
     "pairwise day-index slopes (outlier-resistant OLS alternative).",
@@ -1700,9 +1706,12 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                              THEN 1 ELSE 0 END) AS BIGINT) AS nc,
                CAST(SUM(CASE WHEN (b.rev - a.rev) * (b.n_ev - a.n_ev) < 0
                              THEN 1 ELSE 0 END) AS BIGINT) AS nd,
-               CAST(SUM(CASE WHEN b.rev = a.rev AND b.n_ev <> a.n_ev
+               -- standard tau-b correction: tx counts ALL pairs tied on x
+               -- and ty all pairs tied on y, INCLUDING both-tied pairs
+               -- (scipy's n1/n2 convention)
+               CAST(SUM(CASE WHEN b.rev = a.rev
                              THEN 1 ELSE 0 END) AS BIGINT) AS tx,
-               CAST(SUM(CASE WHEN b.n_ev = a.n_ev AND b.rev <> a.rev
+               CAST(SUM(CASE WHEN b.n_ev = a.n_ev
                              THEN 1 ELSE 0 END) AS BIGINT) AS ty,
                CAST(COUNT(*) AS BIGINT) AS n0
         FROM daily a JOIN daily b ON b.day > a.day
@@ -1740,11 +1749,13 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.when(dr * de > 0, 1).otherwise(0)).alias("nc"),
             F.sum(F.when(dr * de < 0, 1).otherwise(0)).alias("nd"),
+            # scipy's n1/n2 convention: tx = ALL pairs tied on x, ty = ALL
+            # pairs tied on y — both-tied pairs count toward both
             F.sum(
-                F.when((F.col("rev_b") == F.col("rev_a")) & (de != 0), 1).otherwise(0)
+                F.when(F.col("rev_b") == F.col("rev_a"), 1).otherwise(0)
             ).alias("tx"),
             F.sum(
-                F.when((F.col("ev_b") == F.col("ev_a")) & (dr != 0), 1).otherwise(0)
+                F.when(F.col("ev_b") == F.col("ev_a"), 1).otherwise(0)
             ).alias("ty"),
             F.count("*").alias("n0"),
         )
@@ -2333,7 +2344,9 @@ _MK_SCALE = 10**15  # stationary vector held as scaled integers
         GROUP BY 1, 2
     ),
     r AS (SELECT i, CAST(SUM(c_ij) AS HUGEINT) AS r_i FROM c GROUP BY 1),
-    states AS (SELECT i AS s FROM r),
+    -- state set = union of sources AND targets: a type appearing only as
+    -- next_type (absorbing last-event state) must still carry pi mass
+    states AS (SELECT i AS s FROM c UNION SELECT j AS s FROM c),
     n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS k FROM states),
     pi(iter, s, v) AS (
         -- '//' not '/': DuckDB's '/' is FLOAT division even on integers,
@@ -2341,14 +2354,17 @@ _MK_SCALE = 10**15  # stationary vector held as scaled integers
         SELECT 0, s, CAST({_MK_SCALE} AS HUGEINT) // (SELECT k FROM n)
         FROM states
         UNION ALL
-        SELECT p.iter + 1, c.j,
-               CAST(SUM((2 * p.v * c.c_ij + r.r_i) // (2 * r.r_i))
-                    AS HUGEINT)
+        -- LEFT JOIN: a state with no outgoing transitions keeps its mass
+        -- (implicit self-loop), mirroring the Python fold exactly
+        SELECT p.iter + 1, COALESCE(c.j, p.s),
+               CAST(SUM(CASE WHEN c.i IS NULL THEN p.v
+                             ELSE (2 * p.v * c.c_ij + r.r_i) // (2 * r.r_i)
+                        END) AS HUGEINT)
         FROM pi p
-        JOIN c ON c.i = p.s
-        JOIN r ON r.i = p.s
+        LEFT JOIN c ON c.i = p.s
+        LEFT JOIN r ON r.i = p.s
         WHERE p.iter < {MARKOV_ITERS}
-        GROUP BY p.iter + 1, c.j
+        GROUP BY 1, 2
     )
     -- 6dp output via exact integer HALF_UP, then a float division of a
     -- <=10^6 integer (exact in double): no engine round() in the path
@@ -2388,13 +2404,19 @@ def markov_stationary_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for row in cells:
         c[(row["i"], row["j"])] = row["c_ij"]
         r[row["i"]] = r.get(row["i"], 0) + row["c_ij"]
-    states = sorted(r)
+    # union of sources and targets: a type seen only as next_type (an
+    # absorbing last-event state) still carries pi mass — it keeps it via
+    # an implicit self-loop, mirrored by the oracle's LEFT JOIN term
+    states = sorted(set(r) | {j for (_, j) in c})
     k = len(states)
     pi = {s: _MK_SCALE // k for s in states}
     for _ in range(MARKOV_ITERS):
         nxt = {s: 0 for s in states}
         for (i, j), cij in c.items():
             nxt[j] += (2 * pi[i] * cij + r[i]) // (2 * r[i])  # divru HALF_UP
+        for s in states:
+            if s not in r:
+                nxt[s] += pi[s]
         pi = nxt
     schema = T.StructType(
         [

@@ -1464,6 +1464,35 @@ def test_label_propagation_releases_round_blocks(spark):
         G.LPA_DRIVER_EDGE_BOUND = bound
 
 
+def test_avg_clustering_releases_dead_checkpoints(spark, sf_dir):
+    """graph_avg_clustering eagerly checkpoints edges, deg, oriented and
+    tri; edges and oriented are dead once tri materializes and must be
+    released by RDD id (ADVICE r7 — same leak class as label_propagation).
+    Only deg and tri back the returned lazy frame and may survive."""
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    def cached_ids() -> set:
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+
+    def release(ids: set) -> None:
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in m.keySet().toArray():
+            if int(rid) in ids:
+                m.get(rid).unpersist(True)
+
+    q = load_all()["graph_avg_clustering"]
+    before = cached_ids()
+    q.fn(spark, sf_dir).collect()
+    new = cached_ids() - before
+    release(new)
+    # 4 eager checkpoints run; only the 2 backing the result may survive
+    assert len(new) <= 2, (
+        f"{len(new)} persistent blocks survived — a dead checkpoint "
+        "(edges/oriented) was not released"
+    )
+
+
 def test_label_propagation_planted_cliques(spark):
     """Two 4-cliques joined by one bridge edge: LPA must keep the cliques
     in distinct communities (CC would merge them through the bridge)."""
