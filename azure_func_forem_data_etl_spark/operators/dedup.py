@@ -300,9 +300,85 @@ def verify_jaccard(
     return out.select("doc_a", "doc_b", "jaccard")
 
 
+def _minhash_oracle() -> str:
+    """Full-pipeline DuckDB replay of minhash_lsh_pairs: 32 seeded
+    xxhash64(shingle) draws (seed_i = hashInt(i, 42), precomputed by the
+    bit-exact Python reference), per-doc signed MIN signatures, banded
+    xxhash64(mh0..mh3) bucket keys via chained hashLong, the hub-star
+    bucket cap, and the exact-Jaccard verification join."""
+    from azure_func_forem_data_etl_spark.functions import xxh64_sql as X
+
+    r = MINHASH_K // MINHASH_BANDS
+    seeds = [(i, X.xxh64_int(i, X.SPARK_HASH_SEED)) for i in range(MINHASH_K)]
+    # integer shingle ids: the hash fold's recursive joins run on sid, not
+    # a ~26-char string key (measured ~20% faster at 520k hash rows)
+    str_ctes = X.xxh64_str_ctes("mh", "shd", ["sid"], "s_txt", seeds)
+    lane_cols = ", ".join(
+        f"MAX(CASE WHEN seed_id % {r} = {j} THEN mh END) AS m{j}" for j in range(r)
+    )
+    band_ctes = X.xxh64_longs_expr_ctes(
+        "bh", "bandin", ["doc_id", "band_id"],
+        [f"m{j}" for j in range(r)], X.SPARK_HASH_SEED,
+    )
+    return f"""
+    WITH RECURSIVE
+    sh AS ({_sql_shingles(MINHASH_NGRAM)}),
+    shd AS (
+        SELECT shingle AS s_txt, row_number() OVER (ORDER BY shingle) AS sid
+        FROM (SELECT DISTINCT shingle FROM sh)
+    ),
+    {str_ctes},
+    sig AS (
+        SELECT sh.doc_id, h.seed_id, MIN({X.signed64('h.h')}) AS mh
+        FROM sh
+            JOIN shd d ON d.s_txt = sh.shingle
+            JOIN mh_hash h ON h.sid = d.sid
+        GROUP BY 1, 2
+    ),
+    bandin AS (
+        SELECT doc_id, seed_id // {r} AS band_id, {lane_cols}
+        FROM sig GROUP BY 1, 2
+    ),
+    {band_ctes},
+    ann AS (
+        SELECT doc_id, band_id, h AS band_hash,
+               COUNT(*) OVER (PARTITION BY band_id, h) AS bsz,
+               MIN(doc_id) OVER (PARTITION BY band_id, h) AS hub
+        FROM bh_hash
+    ),
+    cand AS (
+        SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM ann a JOIN ann b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+            WHERE a.bsz <= {MAX_BUCKET_ALLPAIRS}
+            UNION ALL
+            SELECT hub, doc_id FROM ann
+            WHERE bsz > {MAX_BUCKET_ALLPAIRS} AND doc_id <> hub
+        )
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) AS jaccard
+    FROM inter i
+        JOIN sizes za ON za.doc_id = i.doc_a
+        JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter)
+          >= {MINHASH_VERIFY_THRESHOLD}
+    """
+
+
 @register(
     "minhash_lsh_neardup",
-    oracle=None,  # engine-specific hashes: rows-only check; recall unit-tested
+    oracle=_minhash_oracle(),
     doc="MinHash-LSH near-dup: shingle -> 32 minhashes -> 8 banded buckets -> verified pairs.",
 )
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,9 +431,79 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     return agg.select("doc_id", bits.cast("long").alias("simhash"))
 
 
+def _simhash_oracle() -> str:
+    """Full-pipeline DuckDB replay of simhash_pairs: xxhash64(word) via the
+    bit-exact HUGEINT replay (functions/xxh64_sql.py), then the identical
+    vote/band/cap/hamming arithmetic.  The hub-star branch mirrors
+    capped_bucket_pairs exactly (hub = bucket's min doc_id)."""
+    from azure_func_forem_data_etl_spark.functions import xxh64_sql as X
+
+    bits = ", ".join(f"({i}, CAST({1 << i} AS BIGINT))" for i in range(SIMHASH_BITS))
+    bands = ", ".join(
+        f"({bi}, CAST({1 << (bi * SIMHASH_BAND_BITS)} AS BIGINT))"
+        for bi in range(SIMHASH_BITS // SIMHASH_BAND_BITS)
+    )
+    hash_ctes = X.xxh64_str_ctes(
+        "wh", "vocab", ["word"], "word", [(0, X.SPARK_HASH_SEED)]
+    )
+    return f"""
+    WITH RECURSIVE
+    dw AS (
+        SELECT DISTINCT doc_id, t.word
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(word)
+    ),
+    vocab AS (SELECT DISTINCT word FROM dw),
+    {hash_ctes},
+    bits(i, p) AS (VALUES {bits}),
+    votes AS (
+        SELECT dw.doc_id, b.i,
+               SUM(CASE WHEN (h.h // CAST(b.p AS HUGEINT)) % 2 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM dw JOIN wh_hash h ON h.word = dw.word CROSS JOIN bits b
+        GROUP BY 1, 2
+    ),
+    fp AS (
+        SELECT v.doc_id,
+               CAST(SUM(CASE WHEN v.v > 0 THEN b.p ELSE 0 END) AS BIGINT)
+                   AS simhash
+        FROM votes v JOIN bits b ON b.i = v.i GROUP BY 1
+    ),
+    bandtab(band_id, d) AS (VALUES {bands}),
+    ex AS (
+        SELECT fp.doc_id, fp.simhash, bandtab.band_id,
+               (fp.simhash // bandtab.d) % {1 << SIMHASH_BAND_BITS} AS band_val
+        FROM fp CROSS JOIN bandtab
+    ),
+    ann AS (
+        SELECT doc_id, simhash, band_id, band_val,
+               COUNT(*) OVER (PARTITION BY band_id, band_val) AS bsz,
+               MIN(doc_id) OVER (PARTITION BY band_id, band_val) AS hub_id,
+               FIRST_VALUE(simhash) OVER (PARTITION BY band_id, band_val
+                                          ORDER BY doc_id) AS hub_sim
+        FROM ex
+    ),
+    pairs AS (
+        SELECT DISTINCT doc_a, doc_b, sim_a, sim_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS sim_a, b.simhash AS sim_b
+            FROM ann a JOIN ann b
+              ON a.band_id = b.band_id AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+            WHERE a.bsz <= {MAX_BUCKET_ALLPAIRS}
+            UNION ALL
+            SELECT hub_id, doc_id, hub_sim, simhash
+            FROM ann WHERE bsz > {MAX_BUCKET_ALLPAIRS} AND doc_id <> hub_id
+        )
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
 @register(
     "simhash_neardup",
-    oracle=None,  # engine-specific hashes: rows-only; behavior unit-tested
+    oracle=_simhash_oracle(),
     doc="SimHash near-dup: 32-bit fingerprints, banded search, hamming <= 3.",
 )
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
