@@ -182,9 +182,52 @@ def curation_summary_no_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_full_oracle() -> str:
+    """DuckDB replay of the FULL funnel: the doc_status prefix (the same
+    CTEs as curation_summary_no_neardup), then the MinHash-LSH + connected
+    components near-dup stage over kept docs via the bit-exact xxhash64
+    replay (dedup._minhash_sig_band_ctes) — the stage that kept this query
+    rows-only through r7."""
+    from azure_func_forem_data_etl_spark.operators.dedup import (
+        _MINHASH_PAIRS_CTES,
+        _minhash_sig_band_ctes,
+    )
+
+    prefix = _DOC_STATUS_SQL_CTES.strip()
+    assert prefix.startswith("WITH ")
+    return f"""
+    WITH RECURSIVE {prefix[len('WITH '):]},
+    keptdocs AS (
+        SELECT d.doc_id, d.text
+        FROM docstat s JOIN documents d ON d.doc_id = s.doc_id
+        WHERE s.status = 'kept'
+    ),
+    {_minhash_sig_band_ctes(source="keptdocs")},
+    {_MINHASH_PAIRS_CTES},
+    und AS MATERIALIZED (
+        SELECT doc_a AS s, doc_b AS dd FROM verified
+        UNION SELECT doc_b, doc_a FROM verified
+    ),
+    reach(id, r) AS (
+        SELECT s, s FROM und
+        UNION
+        SELECT u.dd, reach.r FROM reach JOIN und u ON u.s = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+    losers AS (SELECT id AS doc_id FROM comp WHERE id <> comp)
+    SELECT CASE WHEN l.doc_id IS NOT NULL THEN 'near_dup'
+                WHEN s.status <> 'kept' THEN s.status
+                ELSE s.split END AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(COALESCE(s.n_words, 0)) AS BIGINT) AS n_words_total
+    FROM docstat s LEFT JOIN losers l ON l.doc_id = s.doc_id
+    GROUP BY 1
+    """
+
+
 @register(
     "curation_pipeline_summary",
-    oracle=None,  # MinHash near-dup stage: engine-specific hashes (rows-only)
+    oracle=_curation_full_oracle(),
     doc="Full curation pipeline incl. MinHash near-dup dedup: per-status "
     "doc and word counts (train/val/test/low_quality/exact_dup/near_dup).",
 )

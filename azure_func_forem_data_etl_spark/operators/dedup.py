@@ -41,14 +41,16 @@ def word_shingles(df: DataFrame, n: int, text_col: str = "text") -> DataFrame:
     )
 
 
-def _sql_shingles(n: int, source_filter: str = "TRUE") -> str:
+def _sql_shingles(
+    n: int, source_filter: str = "TRUE", source: str = "documents"
+) -> str:
     """DuckDB twin of word_shingles (distinct word n-grams)."""
     joins = " || ' ' || ".join(f"words[i + {j}]" for j in range(n))
     return f"""
         SELECT DISTINCT doc_id, {joins} AS shingle
         FROM (
             SELECT doc_id, string_split(text, ' ') AS words
-            FROM documents WHERE {source_filter}
+            FROM {source} WHERE {source_filter}
         ), UNNEST(generate_series(1, len(words) - {n - 1})) AS t(i)
         WHERE len(words) >= {n}
     """
@@ -300,12 +302,13 @@ def verify_jaccard(
     return out.select("doc_a", "doc_b", "jaccard")
 
 
-def _minhash_oracle() -> str:
-    """Full-pipeline DuckDB replay of minhash_lsh_pairs: 32 seeded
-    xxhash64(shingle) draws (seed_i = hashInt(i, 42), precomputed by the
-    bit-exact Python reference), per-doc signed MIN signatures, banded
-    xxhash64(mh0..mh3) bucket keys via chained hashLong, the hub-star
-    bucket cap, and the exact-Jaccard verification join."""
+def _minhash_sig_band_ctes(source: str = "documents") -> str:
+    """Shared DuckDB replay of the MinHash signature/banding machinery:
+    emits CTEs ``sh`` (doc shingles), ``sizes``, ``sig`` (per-doc signed
+    MIN signatures under the 32 permutation seeds) and ``bh_hash``
+    (doc_id, band_id, h = banded xxhash64 bucket key).  Shared by the
+    minhash_lsh / incremental / cluster-components / curation oracles;
+    ``source`` is the (doc_id, text) relation to shingle."""
     from azure_func_forem_data_etl_spark.functions import xxh64_sql as X
 
     r = MINHASH_K // MINHASH_BANDS
@@ -321,8 +324,7 @@ def _minhash_oracle() -> str:
         [f"m{j}" for j in range(r)], X.SPARK_HASH_SEED,
     )
     return f"""
-    WITH RECURSIVE
-    sh AS ({_sql_shingles(MINHASH_NGRAM)}),
+    sh AS ({_sql_shingles(MINHASH_NGRAM, source=source)}),
     shd AS (
         SELECT shingle AS s_txt, row_number() OVER (ORDER BY shingle) AS sid
         FROM (SELECT DISTINCT shingle FROM sh)
@@ -340,6 +342,12 @@ def _minhash_oracle() -> str:
         FROM sig GROUP BY 1, 2
     ),
     {band_ctes},
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1)"""
+
+
+#: Verified-pair tail shared by the minhash_lsh / cluster-components
+#: oracles: capped buckets -> candidates -> exact Jaccard >= threshold.
+_MINHASH_PAIRS_CTES = f"""
     ann AS (
         SELECT doc_id, band_id, h AS band_hash,
                COUNT(*) OVER (PARTITION BY band_id, h) AS bsz,
@@ -358,21 +366,36 @@ def _minhash_oracle() -> str:
             WHERE bsz > {MAX_BUCKET_ALLPAIRS} AND doc_id <> hub
         )
     ),
-    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
     inter AS (
         SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
         FROM cand c
             JOIN sh sa ON sa.doc_id = c.doc_a
             JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
         GROUP BY 1, 2
-    )
-    SELECT i.doc_a, i.doc_b,
-           CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) AS jaccard
-    FROM inter i
-        JOIN sizes za ON za.doc_id = i.doc_a
-        JOIN sizes zb ON zb.doc_id = i.doc_b
-    WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter)
-          >= {MINHASH_VERIFY_THRESHOLD}
+    ),
+    verified AS (
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter)
+                   AS jaccard
+        FROM inter i
+            JOIN sizes za ON za.doc_id = i.doc_a
+            JOIN sizes zb ON zb.doc_id = i.doc_b
+        WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter)
+              >= {MINHASH_VERIFY_THRESHOLD}
+    )"""
+
+
+def _minhash_oracle() -> str:
+    """Full-pipeline DuckDB replay of minhash_lsh_pairs: 32 seeded
+    xxhash64(shingle) draws (seed_i = hashInt(i, 42), precomputed by the
+    bit-exact Python reference), per-doc signed MIN signatures, banded
+    xxhash64(mh0..mh3) bucket keys via chained hashLong, the hub-star
+    bucket cap, and the exact-Jaccard verification join."""
+    return f"""
+    WITH RECURSIVE
+    {_minhash_sig_band_ctes()},
+    {_MINHASH_PAIRS_CTES}
+    SELECT doc_a, doc_b, jaccard FROM verified
     """
 
 
@@ -724,9 +747,41 @@ def connected_components(
     return connected_components_star(base, "src", "dst", max_iter=max_iter)
 
 
+def _neardup_cc_oracle() -> str:
+    """DuckDB replay of near-dup clustering: the verified-pair graph from
+    the minhash replay (_minhash_sig_band_ctes), then TRUE connected
+    components via transitive closure — the Spark side's union-find /
+    large-star result is algorithm-independent (min reachable doc_id), so
+    any exact CC computation is a valid oracle.  Dup clusters are small,
+    so the closure table stays tiny."""
+    return f"""
+    WITH RECURSIVE
+    {_minhash_sig_band_ctes()},
+    {_MINHASH_PAIRS_CTES},
+    -- MATERIALIZED: und is referenced from the recursive term, and an
+    -- inlined CTE would re-run the ENTIRE minhash pipeline once per
+    -- closure iteration (measured 40 s vs 4 s)
+    und AS MATERIALIZED (
+        SELECT doc_a AS s, doc_b AS d FROM verified
+        UNION SELECT doc_b, doc_a FROM verified
+    ),
+    reach(id, r) AS (
+        SELECT s, s FROM und
+        UNION
+        SELECT u.d, reach.r FROM reach JOIN und u ON u.s = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+    csz AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM comp GROUP BY comp)
+    SELECT c.id AS doc_id, c.comp AS cluster_id, z.cluster_size,
+           CAST(c.id = c.comp AS INT) AS is_representative
+    FROM comp c JOIN csz z ON z.comp = c.comp
+    """
+
+
 @register(
     "neardup_cluster_components",
-    oracle=None,  # iterative fixpoint; semantics unit-tested on planted graphs
+    oracle=_neardup_cc_oracle(),
     doc="Near-dup clustering: connected components (min-label propagation) "
     "over the MinHash-LSH verified-pair graph; representative = min doc_id.",
 )
@@ -1307,10 +1362,53 @@ def minhash_incremental_pairs(
     return verify_jaccard(cand, sh, sizes).filter(F.col("jaccard") >= threshold)
 
 
+def _minhash_incremental_oracle() -> str:
+    """DuckDB replay of the incremental maintenance query: same signature
+    and band machinery as the lsh oracle, asymmetric probe (new docs =
+    doc_id % 5 = 0) against a per-bucket min-id prefix of ALL docs
+    (row_number <= INCR_BUCKET_CAP, the deterministic cap), then the
+    exact-Jaccard verification."""
+    return f"""
+    WITH RECURSIVE
+    {_minhash_sig_band_ctes()},
+    exploded AS (
+        SELECT doc_id, band_id, h AS band_hash,
+               CAST(doc_id % 5 = 0 AS INT) AS is_new,
+               row_number() OVER (PARTITION BY band_id, h
+                                  ORDER BY doc_id) AS rn
+        FROM bh_hash
+    ),
+    cand AS (
+        SELECT DISTINCT
+               LEAST(p.doc_id, b.doc_id) AS doc_a,
+               GREATEST(p.doc_id, b.doc_id) AS doc_b
+        FROM exploded p
+            JOIN exploded b
+              ON b.band_id = p.band_id AND b.band_hash = p.band_hash
+        WHERE p.is_new = 1 AND b.rn <= {INCR_BUCKET_CAP}
+          AND p.doc_id <> b.doc_id
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter)
+               AS jaccard
+    FROM inter i
+        JOIN sizes za ON za.doc_id = i.doc_a
+        JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter)
+          >= {MINHASH_VERIFY_THRESHOLD}
+    """
+
+
 @register(
     "minhash_incremental_neardup",
-    oracle=None,  # engine-specific hashes (same rationale as minhash_lsh_neardup);
-    # delta-only semantics pinned by the planted old/new unit test
+    oracle=_minhash_incremental_oracle(),
     doc="Incremental MinHash-LSH maintenance: near-dup pairs involving the "
     "20% newest docs only (new-vs-all asymmetric bucket join, capped "
     "buckets, exact-Jaccard verification).",
