@@ -33,13 +33,19 @@ class Query:
     #: BEHIND every older never-checked name in the driver window — new
     #: breadth must never displace an older query's first official
     #: witness.  The flag is inert once the name has an official row.
-    defer: bool = False
+    #: ``defer`` is a TIER, not just a flag: an int N (True == 1) sorts
+    #: behind every lower tier — each round's new registrations take the
+    #: next tier so they queue behind the previous round's deferred bank
+    #: instead of round-robin-interleaving with (and displacing) it.
+    defer: bool | int = False
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def register(name: str, oracle: str | None = None, doc: str = "", defer: bool = False):
+def register(
+    name: str, oracle: str | None = None, doc: str = "", defer: bool | int = False
+):
     """Decorator: add a (spark, sf_dir) -> DataFrame builder to the registry."""
 
     def _wrap(fn: QueryFn) -> QueryFn:
@@ -210,11 +216,16 @@ def _driver_order(registry: dict[str, Query]) -> dict[str, Query]:
         return out
 
     unchecked = [n for n in rest if n not in checked]
-    # Two never-checked tiers: names from the standing backlog first, then
-    # defer-flagged names (added after that backlog was scheduled) — new
-    # breadth never displaces an older query's first official witness.
+    # Never-checked tiers: names from the standing backlog first, then
+    # defer-flagged names by ascending tier (each round's new breadth takes
+    # the next tier) — a new query never displaces an older query's first
+    # official witness, within or across rounds.
     never = round_robin([n for n in unchecked if not registry[n].defer])
-    deferred = round_robin([n for n in unchecked if registry[n].defer])
+    deferred: list[str] = []
+    for tier in sorted({int(registry[n].defer) for n in unchecked if registry[n].defer}):
+        deferred += round_robin(
+            [n for n in unchecked if int(registry[n].defer) == tier]
+        )
     seen = [n for n in rest if n in checked]
     return {n: registry[n] for n in (*sentinels, *requeued, *never, *deferred, *seen)}
 

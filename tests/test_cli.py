@@ -347,10 +347,16 @@ def test_registry_deferred_names_sort_behind_backlog():
     order = list(_driver_order(fake))
     from azure_func_forem_data_etl_spark.plans.registry import (
         _SENTINELS,
+        _errored_latest,
+        _mismatched_latest,
         _officially_checked,
+        _upgraded_latest,
     )
 
     checked = _officially_checked()
+    # requeued names (error/mismatch/check-upgraded latest rows) jump the
+    # queue by design — exclude them from the "checked sort last" claim
+    requeued = _errored_latest() | _mismatched_latest() | _upgraded_latest(fake)
     probe_at = order.index("zz_deferred_probe")
     never_positions = [
         i for i, n in enumerate(order)
@@ -359,9 +365,39 @@ def test_registry_deferred_names_sort_behind_backlog():
     ]
     checked_positions = [
         i for i, n in enumerate(order)
-        if n in checked and n not in _SENTINELS and n != "pagerank_copurchase"
+        if n in checked and n not in _SENTINELS and n not in requeued
     ]
     if never_positions:
         assert probe_at > max(never_positions)
     if checked_positions:
         assert probe_at < min(checked_positions)
+
+
+def test_registry_defer_tiers_sort_ascending():
+    """A defer=2 name (this round's new breadth) sorts behind EVERY
+    defer=1 never-checked name (last round's deferred bank) and ahead of
+    plain already-checked names."""
+    from azure_func_forem_data_etl_spark.plans.registry import (
+        REGISTRY,
+        Query,
+        _driver_order,
+        _officially_checked,
+        load_all,
+    )
+
+    load_all()
+    fake = dict(REGISTRY)
+    sample = next(iter(REGISTRY.values()))
+    fake["zz_tier2_probe"] = Query(
+        name="zz_tier2_probe", fn=sample.fn, oracle=None, doc="probe", defer=2
+    )
+    order = list(_driver_order(fake))
+    checked = _officially_checked()
+    probe_at = order.index("zz_tier2_probe")
+    tier1_unchecked = [
+        i for i, n in enumerate(order)
+        if n != "zz_tier2_probe" and n not in checked
+        and fake[n].defer and int(fake[n].defer) == 1
+    ]
+    if tier1_unchecked:
+        assert probe_at > max(tier1_unchecked)
