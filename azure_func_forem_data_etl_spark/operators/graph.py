@@ -1250,3 +1250,77 @@ def graph_avg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("global_clustering"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering (round 8)
+
+CF_MIN_CO = 2       # pairs must share >= 2 orders (same bar as EDGE_MIN_SUPPORT)
+CF_MIN_COSINE = 0.1
+
+
+@register(
+    "item_item_cosine_cf",
+    defer=2,
+    oracle=f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    ci AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM op GROUP BY 1),
+    cij AS (
+        SELECT a.p AS part_a, b.p AS part_b, CAST(COUNT(*) AS BIGINT) AS n_co
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING COUNT(*) >= {CF_MIN_CO}
+    )
+    SELECT c.part_a, c.part_b, c.n_co,
+           -- floor-quantized, not round(): an exactly-dyadic cosine such
+           -- as 2/256 = 0.0078125 is a true 6dp midpoint where engine
+           -- round() semantics diverge (HALF_UP vs half-even)
+           floor(c.n_co / sqrt(CAST(ca.c * cb.c AS DOUBLE)) * 1000000)
+               / 1000000 AS cosine
+    FROM cij c JOIN ci ca ON ca.p = c.part_a JOIN ci cb ON cb.p = c.part_b
+    WHERE c.n_co / sqrt(CAST(ca.c * cb.c AS DOUBLE)) >= {CF_MIN_COSINE}
+    """,
+    doc="Item-item collaborative filtering on the co-purchase matrix: "
+    "cosine similarity over binary order-item incidence "
+    "(n_co / sqrt(c_a * c_b)), min co-support 2.",
+)
+def item_item_cosine_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recsys primitive next door to copurchase_edges: normalize the
+    shared-order count by each item's own order count so boilerplate
+    bestsellers don't dominate.  IEEE-exact across engines: integer
+    counts, one correctly-rounded sqrt and divide (IEEE 754 requires
+    both), floor-quantized output.
+
+    Scale shape: DISTINCT (order, part) first — a part repeated across an
+    order's lineitems must not double-count — then the same per-order
+    pair expansion as copurchase_edges (Σ k_i² bounded by basket size),
+    one keyed agg, and two broadcast-sized joins against the per-item
+    counts.  No all-pairs anywhere.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    ci = op.groupBy("p").agg(F.count("*").alias("c"))
+    a, b = op.alias("a"), op.alias("b")
+    cij = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= CF_MIN_CO)
+    )
+    ca = ci.select(F.col("p").alias("part_a"), F.col("c").alias("c_a"))
+    cb = ci.select(F.col("p").alias("part_b"), F.col("c").alias("c_b"))
+    cos = F.col("n_co") / F.sqrt((F.col("c_a") * F.col("c_b")).cast("double"))
+    return (
+        cij.join(ca, "part_a")
+        .join(cb, "part_b")
+        .filter(cos >= CF_MIN_COSINE)
+        .select(
+            "part_a",
+            "part_b",
+            "n_co",
+            (F.floor(cos * 1000000) / 1000000).alias("cosine"),
+        )
+    )

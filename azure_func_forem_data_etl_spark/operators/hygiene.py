@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from azure_func_forem_data_etl_spark.functions.exact import sql_dsum
 from azure_func_forem_data_etl_spark.plans.registry import register
 from azure_func_forem_data_etl_spark.sources.tables import table
 
@@ -555,4 +556,68 @@ def dp_noisy_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_true",
         F.round(noise, 6).alias("noise"),
         F.round(F.col("n_true") + noise, 6).alias("n_noisy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hash-based experiment assignment (round 8)
+
+AB_ARMS = 3
+
+
+def _ab_assign_oracle() -> str:
+    """DuckDB replay of consistent-hash experiment bucketing: arm =
+    pmod(xxhash64(user_id), 3) replayed bit-exactly via the HUGEINT
+    hashLong chain (functions/xxh64_sql.py), then per-arm integer counts
+    and the exact-decimal value sum.  pmod must run on the SIGNED hash
+    (u64 % 3 differs: 2^64 ≡ 1 mod 3)."""
+    from azure_func_forem_data_etl_spark.functions import xxh64_sql as X
+
+    hash_ctes = X.xxh64_longs_expr_ctes(
+        "ah", "uids", ["user_id"], ["user_id"], X.SPARK_HASH_SEED
+    )
+    signed = X.signed64("h")
+    return f"""
+    WITH uids AS (SELECT DISTINCT user_id FROM events),
+    {hash_ctes},
+    arms AS (
+        SELECT user_id, (({signed} % {AB_ARMS}) + {AB_ARMS}) % {AB_ARMS} AS arm
+        FROM ah_hash
+    )
+    SELECT a.arm,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('e.value')} AS value_total
+    FROM events e JOIN arms a ON a.user_id = e.user_id
+    GROUP BY 1
+    """
+
+
+@register(
+    "ab_assignment_srm",
+    defer=2,
+    oracle=_ab_assign_oracle(),
+    doc=f"Consistent-hash experiment bucketing: arm = pmod(xxhash64("
+    f"user_id), {AB_ARMS}); per-arm user/event counts and exact value "
+    "totals — the sample-ratio-mismatch audit view.",
+)
+def ab_assignment_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic experiment assignment the way production systems do
+    it: hash the unit id, bucket by modulus — stable across runs, joins,
+    and backfills, with no assignment table to maintain.  The per-arm
+    counts are the SRM (sample-ratio mismatch) audit every A/B readout
+    starts with.  One map-side hash + one keyed agg; the exact-decimal
+    value sum keeps the readout hash-comparable across engines."""
+    from azure_func_forem_data_etl_spark.functions.exact import dsum
+
+    ev = table(spark, sf_dir, "events")
+    arm = F.pmod(F.xxhash64("user_id"), F.lit(AB_ARMS))
+    return (
+        ev.withColumn("arm", arm)
+        .groupBy("arm")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+            dsum("value").alias("value_total"),
+        )
     )

@@ -3093,3 +3093,114 @@ def daily_peak_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return peak.groupBy(F.col("hr").alias("peak_hour")).agg(
         F.count("*").alias("n_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier user survival (round 8)
+
+KM_CHURN_GAP_DAYS = 14   # silent this long before corpus end => observed churn
+_KM_SCALE = 10**12       # survival held as a scaled integer
+
+
+@register(
+    "kaplan_meier_survival",
+    defer=2,
+    # Exact integer replay: the survival product folds as
+    #   S_k = S_{k-1} * (n_k - d_k) // n_k          (floor, scale 10^12)
+    # over event-duration steps ascending — the same scaled-integer
+    # recurrence family as the Markov/PageRank oracles; the final /1e12
+    # is ONE correctly-rounded double division of identical operands.
+    oracle=f"""
+    WITH RECURSIVE u AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS f, MAX(CAST(ts AS DATE)) AS l
+        FROM events GROUP BY 1
+    ),
+    per AS (
+        SELECT date_diff('day', f, l) AS t,
+               CASE WHEN date_diff('day', l, (SELECT MAX(l) FROM u))
+                         >= {KM_CHURN_GAP_DAYS}
+                    THEN 1 ELSE 0 END AS obs
+        FROM u
+    ),
+    hist AS (
+        SELECT t, CAST(COUNT(*) AS HUGEINT) AS n_all,
+               CAST(SUM(obs) AS HUGEINT) AS d
+        FROM per GROUP BY 1
+    ),
+    steps AS (
+        SELECT t, d,
+               SUM(n_all) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+               row_number() OVER (ORDER BY t) AS rn
+        FROM hist
+    ),
+    ev AS (
+        SELECT t, d, n, row_number() OVER (ORDER BY t) AS rn
+        FROM steps WHERE d > 0
+    ),
+    km(rn, t, n, d, s) AS (
+        SELECT 0, CAST(-1 AS BIGINT), CAST(0 AS HUGEINT), CAST(0 AS HUGEINT),
+               CAST({_KM_SCALE} AS HUGEINT)
+        UNION ALL
+        SELECT e.rn, e.t, e.n, e.d, (km.s * (e.n - e.d)) // e.n
+        FROM km JOIN ev e ON e.rn = km.rn + 1
+    )
+    SELECT t AS duration_days, CAST(n AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_churned,
+           CAST(s AS DOUBLE) / 1000000000000.0 AS survival
+    FROM km WHERE rn > 0
+    """,
+    doc=f"Kaplan-Meier survival over user activity spans: duration = days "
+    f"between first and last event, churn observed when the user is "
+    f"silent >= {KM_CHURN_GAP_DAYS} days before corpus end (else "
+    "censored); exact scaled-integer product-limit estimate.",
+)
+def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The survival-analysis answer to 'how long do users stay': the
+    product-limit estimator handles the users still active at corpus end
+    (right-censored) that a naive duration histogram silently miscounts
+    as churned.  The corpus reduces to a <=duration-grain (t, n, d)
+    table in two keyed aggs; the product fold then runs DRIVER-SIDE on
+    that bounded table in exact scaled-integer arithmetic (Python ints,
+    floor at each step), bit-reproducible and replayed verbatim by the
+    oracle's recursive CTE in HUGEINT.
+    """
+    from pyspark.sql import types as T
+
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("f"),
+        F.max(F.col("ts").cast("date")).alias("l"),
+    )
+    horizon = u.agg(F.max("l")).collect()[0][0]
+    per = u.select(
+        F.datediff("l", "f").alias("t"),
+        (F.datediff(F.lit(horizon), F.col("l")) >= KM_CHURN_GAP_DAYS)
+        .cast("int")
+        .alias("obs"),
+    )
+    hist = sorted(
+        (r["t"], r["n_all"], r["d"])
+        for r in per.groupBy("t")
+        .agg(F.count("*").alias("n_all"), F.sum("obs").alias("d"))
+        .collect()
+    )
+    # driver fold over <= duration-grain rows: n_at_risk via reverse
+    # cumulative count; survival as exact scaled-integer product-limit
+    total = sum(n for _, n, _ in hist)
+    rows, seen, s = [], 0, _KM_SCALE
+    for t, n_all, d in hist:
+        n_risk = total - seen
+        seen += n_all
+        if d > 0:
+            s = (s * (n_risk - d)) // n_risk
+            rows.append((t, n_risk, d, s / _KM_SCALE))
+    schema = T.StructType(
+        [
+            T.StructField("duration_days", T.IntegerType()),
+            T.StructField("n_at_risk", T.LongType()),
+            T.StructField("n_churned", T.LongType()),
+            T.StructField("survival", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

@@ -2555,3 +2555,74 @@ def good_turing_tail_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tail_mass"),
         F.round(F.max("n1").cast("double") / F.max("n"), 6).alias("gt_unseen_mass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing collision profile (round 8)
+
+FEATHASH_BUCKETS = 4096
+FEATHASH_NGRAM = 3
+
+
+def _feature_hashing_oracle() -> str:
+    """DuckDB replay of the hashing trick: bucket = pmod(xxhash64(
+    shingle), 4096) via the bit-exact HUGEINT string-hash replay, then
+    the occupancy histogram.  pmod runs on the SIGNED hash (u64 % m and
+    signed pmod differ)."""
+    from azure_func_forem_data_etl_spark.functions import xxh64_sql as X
+    from azure_func_forem_data_etl_spark.operators.dedup import _sql_shingles
+
+    hash_ctes = X.xxh64_str_ctes(
+        "fh", "vocab", ["sid"], "s_txt", [(0, X.SPARK_HASH_SEED)]
+    )
+    signed = X.signed64("h")
+    return f"""
+    WITH RECURSIVE sh AS ({_sql_shingles(FEATHASH_NGRAM)}),
+    vocab AS (
+        SELECT shingle AS s_txt, row_number() OVER (ORDER BY shingle) AS sid
+        FROM (SELECT DISTINCT shingle FROM sh)
+    ),
+    {hash_ctes},
+    load AS (
+        SELECT (({signed} % {FEATHASH_BUCKETS}) + {FEATHASH_BUCKETS})
+                   % {FEATHASH_BUCKETS} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS occupancy
+        FROM fh_hash GROUP BY 1
+    )
+    SELECT occupancy, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(occupancy) AS BIGINT) AS n_features
+    FROM load GROUP BY occupancy
+    """
+
+
+@register(
+    "feature_hashing_collisions",
+    defer=2,
+    oracle=_feature_hashing_oracle(),
+    doc=f"Hashing-trick collision profile: distinct {FEATHASH_NGRAM}-gram "
+    f"shingles bucketed by pmod(xxhash64, {FEATHASH_BUCKETS}); occupancy "
+    "histogram (how many buckets hold k features).",
+)
+def feature_hashing_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capacity-planning view for hashed feature spaces (HashingTF,
+    embedding-table bucketing): with |vocab| features in m buckets, how
+    heavy are the collisions that silently merge features?  Distinct
+    shingles -> one JVM hash + modulus -> two keyed aggs; output bounded
+    by the max bucket load.
+    """
+    from azure_func_forem_data_etl_spark.operators.dedup import word_shingles
+    from azure_func_forem_data_etl_spark.sources.tables import scale_out
+
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        word_shingles(scale_out(docs, "doc_id"), FEATHASH_NGRAM)
+        .select("shingle")
+        .distinct()
+    )
+    load = vocab.groupBy(
+        F.pmod(F.xxhash64("shingle"), F.lit(FEATHASH_BUCKETS)).alias("bucket")
+    ).agg(F.count("*").alias("occupancy"))
+    return load.groupBy("occupancy").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("occupancy").alias("n_features"),
+    )
