@@ -1324,3 +1324,89 @@ def item_item_cosine_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(cos * 1000000) / 1000000).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (round 8)
+
+TEXTRANK_MIN_CO = 2
+
+_WORD_EDGES_SQL = f"""
+    SELECT LEAST(words[i], words[i + 1]) AS src,
+           GREATEST(words[i], words[i + 1]) AS dst
+    FROM (SELECT string_split(text, ' ') AS words FROM documents),
+         UNNEST(generate_series(1, len(words) - 1)) AS t(i)
+    WHERE words[i] <> words[i + 1]
+    GROUP BY 1, 2 HAVING COUNT(*) >= {TEXTRANK_MIN_CO}
+"""
+
+
+@register(
+    "textrank_keywords",
+    defer=2,
+    # Same bit-deterministic decimal PageRank -> HUGEINT recursive-CTE
+    # replay as pagerank_copurchase, on the word-adjacency graph instead
+    # of the co-purchase graph (TextRank, Mihalcea & Tarau 2004).
+    oracle=f"""
+    WITH RECURSIVE e AS ({_WORD_EDGES_SQL}),
+    und AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+    deg AS (SELECT src AS id, CAST(COUNT(*) AS HUGEINT) AS deg
+            FROM und GROUP BY src),
+    pr(iter, id, r15) AS (
+      SELECT 0, id, CAST(1000000000000000 AS HUGEINT) FROM deg
+      UNION ALL
+      SELECT p.iter + 1, u.dst, {_PR_REPLAY}
+      FROM pr p
+      JOIN und u ON u.src = p.id
+      JOIN deg d ON d.id = p.id
+      WHERE p.iter < {PAGERANK_ITERS}
+      GROUP BY p.iter + 1, u.dst
+    )
+    SELECT id AS keyword,
+           CAST((2 * r15 + 100000) // 200000 AS DOUBLE) / 10000000000.0 AS rank
+    FROM pr WHERE iter = {PAGERANK_ITERS}
+    ORDER BY rank DESC, keyword LIMIT 20
+    """,
+    doc="TextRank keyword extraction: PageRank over the word-adjacency "
+    f"co-occurrence graph (adjacent word pairs seen >= {TEXTRANK_MIN_CO} "
+    "times); top-20 words by rank.",
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based keyword extraction: a word matters if it co-occurs
+    with words that matter — the TextRank formulation, which needs no
+    training data or IDF table.  Reuses the decimal-domain ``pagerank``
+    (bit-deterministic, hence oracle-replayable) on adjacent-word edges
+    with the same min-support bar as the co-purchase graph.
+
+    Scale shape: edge derivation is one lead-window pass over corpus
+    token positions + one keyed agg (vocabulary-bounded output), then
+    PageRank's 2-shuffle rounds run on the SUPPORTED word graph only.
+    """
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    adj = toks.select(
+        "doc_id", "word", F.lead("word").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull() & (F.col("word") != F.col("nxt")))
+    edges = (
+        adj.groupBy(
+            F.least("word", "nxt").alias("src"),
+            F.greatest("word", "nxt").alias("dst"),
+        )
+        .agg(F.count("*").alias("__support"))
+        .filter(F.col("__support") >= TEXTRANK_MIN_CO)
+        .drop("__support")
+    )
+    pr = pagerank(edges, "src", "dst")
+    return (
+        pr.select(
+            F.col("id").alias("keyword"),
+            F.round(F.col("rank"), 10).cast("double").alias("rank"),
+        )
+        .orderBy(F.col("rank").desc(), "keyword")
+        .limit(20)
+    )

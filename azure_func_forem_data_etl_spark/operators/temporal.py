@@ -3204,3 +3204,120 @@ def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Croston intermittent-demand forecast (round 8)
+
+CROSTON_ALPHA = 0.2
+
+
+@register(
+    "croston_intermittent_demand",
+    defer=2,
+    # Literal-IEEE fold replay (the Holt pattern): the recursive CTE
+    # carries (z, p) and every update uses the exact double expressions
+    # of the Python fold; daily quantities are whole numbers so their
+    # sums are order-independent-exact in double.  The fold steps over
+    # DEMAND DAYS only — zero days enter as the datediff interval, which
+    # is both the classic Croston formulation and ~50x fewer recursion
+    # steps than a day-spine fold.  Outputs floor-quantized (engine
+    # round() diverges at 7th-digit midpoints).
+    oracle=f"""
+    WITH RECURSIVE tgt AS (
+        SELECT l_partkey FROM lineitem
+        GROUP BY 1 ORDER BY COUNT(*) DESC, l_partkey LIMIT 1
+    ),
+    ship AS (
+        SELECT CAST(l_shipdate AS DATE) AS day, SUM(l_quantity) AS q
+        FROM lineitem WHERE l_partkey = (SELECT l_partkey FROM tgt)
+        GROUP BY 1
+    ),
+    -- MATERIALIZED: referenced from the recursive term; an inlined CTE
+    -- would re-build the windowed series once per fold step
+    series AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY day) AS rn, q,
+               CAST(date_diff('day', lag(day) OVER (ORDER BY day), day)
+                    AS DOUBLE) AS iv
+        FROM ship
+    ),
+    n AS MATERIALIZED (SELECT MAX(rn) AS nmax FROM series),
+    cr(rn, z, p) AS (
+        -- CAST the seeds: DuckDB types recursive columns from the anchor
+        -- literal (1.0 => DECIMAL(2,1), which the fold then overflows)
+        SELECT 1, CAST(q AS DOUBLE), CAST(1.0 AS DOUBLE)
+        FROM series WHERE rn = 1
+        UNION ALL
+        SELECT s.rn,
+               {CROSTON_ALPHA} * s.q + (1.0 - {CROSTON_ALPHA}) * cr.z,
+               {CROSTON_ALPHA} * s.iv + (1.0 - {CROSTON_ALPHA}) * cr.p
+        FROM cr JOIN series s ON s.rn = cr.rn + 1
+        WHERE cr.rn < (SELECT nmax FROM n)
+    )
+    SELECT (SELECT l_partkey FROM tgt) AS part_key,
+           (SELECT CAST(date_diff('day', MIN(day), MAX(day)) + 1 AS BIGINT)
+            FROM ship) AS n_days,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ship) AS n_demand_days,
+           floor(z * 1000000) / 1000000 AS demand_size_z,
+           floor(p * 1000000) / 1000000 AS interval_p,
+           floor(z / p * 1000000) / 1000000 AS croston_forecast
+    FROM cr WHERE rn = (SELECT nmax FROM n)
+    """,
+    doc="Croston's method on the most-shipped part's daily quantity "
+    "series: separate exponential smoothing of demand size and "
+    "inter-demand interval (alpha=0.2); forecast = z/p per day.",
+)
+def croston_intermittent_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE forecasting method for intermittent demand — SES on the raw
+    series chases zeros; Croston smooths the nonzero demand SIZES and
+    the INTERVALS between them separately (p seeded at 1.0, the standard
+    no-prior convention).  The corpus reduces to one part's demand-day
+    series (dozens of rows); the fold runs DRIVER-SIDE with the
+    identical IEEE expressions the oracle's recursive CTE replays.
+    """
+    from pyspark.sql import types as T
+
+    li = table(spark, sf_dir, "lineitem")
+    tgt = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "l_partkey")
+        .limit(1)
+        .collect()[0]["l_partkey"]
+    )
+    ship = sorted(
+        (r["day"], r["q"])
+        for r in li.filter(F.col("l_partkey") == tgt)
+        .groupBy(F.col("l_shipdate").cast("date").alias("day"))
+        .agg(F.sum("l_quantity").alias("q"))
+        .collect()
+    )
+    a = CROSTON_ALPHA
+    z = p = prev = None
+    for day, q in ship:
+        if prev is None:
+            z, p = q, 1.0
+        else:
+            z = a * q + (1.0 - a) * z
+            p = a * float((day - prev).days) + (1.0 - a) * p
+        prev = day
+
+    def q6(v: float) -> float:
+        import math
+
+        return math.floor(v * 1e6) / 1e6
+
+    n_days = (ship[-1][0] - ship[0][0]).days + 1
+    schema = T.StructType(
+        [
+            T.StructField("part_key", T.LongType()),
+            T.StructField("n_days", T.LongType()),
+            T.StructField("n_demand_days", T.LongType()),
+            T.StructField("demand_size_z", T.DoubleType()),
+            T.StructField("interval_p", T.DoubleType()),
+            T.StructField("croston_forecast", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(tgt, n_days, len(ship), q6(z), q6(p), q6(z / p))], schema
+    )

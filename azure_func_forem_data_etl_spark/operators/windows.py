@@ -562,3 +562,88 @@ def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.col("w.start").alias("session_start"), "n_events"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Longest monotone streak (round 8)
+
+
+@register(
+    "longest_rising_streak",
+    defer=2,
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, {sql_dsum('value')} AS rev
+        FROM events GROUP BY 1
+    ),
+    flagged AS (
+        SELECT day, rev,
+               CASE WHEN rev > lag(rev) OVER (ORDER BY day)
+                    THEN 1 ELSE 0 END AS up,
+               row_number() OVER (ORDER BY day) AS rn
+        FROM daily
+    ),
+    isl AS (
+        -- gaps-and-islands: consecutive up-days share (rn - up_rank)
+        SELECT day, rn,
+               rn - row_number() OVER (PARTITION BY up ORDER BY rn) AS grp
+        FROM flagged WHERE up = 1
+    ),
+    runs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS run_len,
+               MIN(day) AS first_up_day, MAX(day) AS last_day
+        FROM isl GROUP BY grp
+    )
+    SELECT run_len + 1 AS streak_days,
+           CAST(first_up_day - INTERVAL 1 DAY AS DATE)::VARCHAR AS start_day,
+           CAST(last_day AS VARCHAR) AS end_day
+    FROM runs
+    ORDER BY run_len DESC, first_up_day
+    LIMIT 1
+    """,
+    doc="Longest run of consecutive days with strictly rising daily "
+    "revenue (gaps-and-islands over the day-grain rollup); earliest "
+    "streak wins ties.",
+)
+def longest_rising_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic gaps-and-islands interview question as a production
+    monitor: momentum streaks in the day-grain revenue series.  Exact
+    arithmetic end-to-end (decimal daily sums, integer ranks, date
+    output as strings — DuckDB renders DATE as midnight timestamps in
+    pandas, so both engines emit VARCHAR).  One day-grain rollup, two
+    window passes over <=366 rows, a bounded aggregation."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        dsum("value").alias("rev")
+    )
+    wd = Window.orderBy("day")
+    flagged = daily.select(
+        "day",
+        F.when(F.col("rev") > F.lag("rev").over(wd), 1).otherwise(0).alias("up"),
+        F.row_number().over(wd).alias("rn"),
+    )
+    isl = flagged.filter(F.col("up") == 1).select(
+        "day",
+        "rn",
+        (
+            F.col("rn")
+            - F.row_number().over(Window.partitionBy("up").orderBy("rn"))
+        ).alias("grp"),
+    )
+    runs = isl.groupBy("grp").agg(
+        F.count("*").alias("run_len"),
+        F.min("day").alias("first_up_day"),
+        F.max("day").alias("last_day"),
+    )
+    return (
+        runs.select(
+            (F.col("run_len") + 1).alias("streak_days"),
+            F.date_sub("first_up_day", 1).cast("string").alias("start_day"),
+            F.col("last_day").cast("string").alias("end_day"),
+            "run_len",
+            "first_up_day",
+        )
+        .orderBy(F.col("run_len").desc(), "first_up_day")
+        .limit(1)
+        .drop("run_len", "first_up_day")
+    )
