@@ -1242,3 +1242,117 @@ def eval_cost_curve_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration via pool-adjacent-violators (round 8)
+
+ISO_BIN_DECIMALS = 2
+
+
+@register(
+    "isotonic_calibration_pav",
+    defer=2,
+    # Oracle uses the minimax characterization of the isotonic fit:
+    #   fit_i = max_{k<=i} min_{j>=i} avg(p[k..j]) / avg-weight(n[k..j])
+    # which equals the PAV block rate at bin i (standard theorem), so the
+    # Spark side's integer stack fold and this O(bins^3)-join SQL compute
+    # the SAME rational — and equal rationals divide to identical doubles.
+    # Fraction ordering by double value is exact here: distinct rates
+    # p/n with n <= 1e6 differ by >= 1e-12, far above double ulp.
+    oracle=f"""
+    WITH scored AS (
+        SELECT round(CAST(embedding[1] AS DOUBLE), {ISO_BIN_DECIMALS})
+                   AS score_b,
+               CAST(label = {POS_LABEL} AS INT) AS is_pos
+        FROM embeddings
+    ),
+    bins AS (
+        SELECT score_b, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(is_pos) AS BIGINT) AS p,
+               row_number() OVER (ORDER BY score_b) AS rn
+        FROM scored GROUP BY 1
+    ),
+    pre AS (
+        SELECT rn,
+               SUM(p) OVER (ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+               SUM(n) OVER (ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+        FROM bins
+    ),
+    fr AS (
+        SELECT lo.rn AS k, hi.rn AS j,
+               (hi.cp - COALESCE(lk.cp, 0))
+                   / CAST(hi.cn - COALESCE(lk.cn, 0) AS DOUBLE) AS v
+        FROM pre hi
+            JOIN pre lo ON lo.rn <= hi.rn
+            LEFT JOIN pre lk ON lk.rn = lo.rn - 1
+    ),
+    lower_env AS (
+        SELECT b.rn AS i, f.k, MIN(f.v) AS mn
+        FROM bins b JOIN fr f ON f.k <= b.rn AND f.j >= b.rn
+        GROUP BY 1, 2
+    ),
+    fit AS (SELECT i, MAX(mn) AS iso FROM lower_env GROUP BY i)
+    -- score_b + 0.0: the zero bin groups -0.0 and 0.0 together and the
+    -- surviving sign is engine-arbitrary; +0.0 canonicalizes (-0.0 + 0.0
+    -- IS +0.0 in IEEE)
+    SELECT b.score_b + 0.0 AS score_b, b.n AS n_rows, b.p AS n_pos,
+           f.iso AS isotonic_rate
+    FROM bins b JOIN fit f ON f.i = b.rn
+    """,
+    doc=f"Isotonic calibration of the first embedding dimension vs label: "
+    f"pool-adjacent-violators over {10**ISO_BIN_DECIMALS}-grain score "
+    "bins; per-bin monotone calibrated rate.",
+)
+def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard nonparametric calibrator (Zadrozny & Elkan 2002):
+    fit the best MONOTONE probability curve to score bins — what Platt
+    scaling can't do when the miscalibration isn't sigmoid-shaped.  The
+    corpus reduces to <=~70 (score, n, p) bins; PAV then runs
+    DRIVER-SIDE as the classic stack fold with EXACT integer merge
+    comparisons (cross-multiplication, no floats until the final p/n
+    divide).  The oracle recomputes the identical fit via the minimax
+    formula, which is pure SQL over prefix sums.
+    """
+    from pyspark.sql import types as T
+
+    emb = table(spark, sf_dir, "embeddings")
+    bins = sorted(
+        (r["score_b"], r["n"], r["p"])
+        for r in emb.select(
+            F.round(F.element_at("embedding", 1).cast("double"), ISO_BIN_DECIMALS)
+            .alias("score_b"),
+            (F.col("label") == POS_LABEL).cast("int").alias("is_pos"),
+        )
+        .groupBy("score_b")
+        .agg(F.count("*").alias("n"), F.sum("is_pos").alias("p"))
+        .collect()
+    )
+    # PAV stack: blocks of (p, n, n_bins); merge while the previous
+    # block's rate >= the new block's (integer cross-multiplication)
+    stack: list[list[int]] = []
+    for _, n, p in bins:
+        stack.append([p, n, 1])
+        while len(stack) >= 2 and stack[-2][0] * stack[-1][1] >= stack[-1][0] * stack[-2][1]:
+            p2, n2, c2 = stack.pop()
+            stack[-1][0] += p2
+            stack[-1][1] += n2
+            stack[-1][2] += c2
+    rows = []
+    i = 0
+    for p_blk, n_blk, c_blk in stack:
+        for _ in range(c_blk):
+            s, n, p = bins[i]
+            rows.append((s + 0.0, n, p, p_blk / n_blk))  # -0.0 -> +0.0
+            i += 1
+    schema = T.StructType(
+        [
+            T.StructField("score_b", T.DoubleType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("n_pos", T.LongType()),
+            T.StructField("isotonic_rate", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

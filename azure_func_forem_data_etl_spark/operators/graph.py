@@ -1410,3 +1410,90 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "keyword")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Neighborhood-Jaccard link scoring (round 8)
+
+
+@register(
+    "graph_jaccard_neighbors",
+    defer=2,
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d
+            FROM und GROUP BY 1),
+    common AS (
+        -- common neighbors of each CONNECTED pair (a < b): wedge join
+        -- through the shared endpoint c
+        SELECT e.src AS a, e.dst AS b, CAST(COUNT(*) AS BIGINT) AS cn
+        FROM e
+            JOIN und x ON x.src = e.src
+            JOIN und y ON y.src = e.dst AND y.dst = x.dst
+        GROUP BY 1, 2
+    )
+    SELECT e.src AS part_a, e.dst AS part_b,
+           COALESCE(c.cn, 0) AS n_common,
+           floor(COALESCE(c.cn, 0)
+                 / CAST(da.d + db.d - COALESCE(c.cn, 0) AS DOUBLE)
+                 * 1000000) / 1000000 AS neighbor_jaccard
+    FROM e
+        JOIN deg da ON da.id = e.src
+        JOIN deg db ON db.id = e.dst
+        LEFT JOIN common c ON c.a = e.src AND c.b = e.dst
+    """,
+    doc="Neighborhood Jaccard for each co-purchase edge: shared neighbors "
+    "over union of neighborhoods — the classic link-prediction / "
+    "community-strength feature.",
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How embedded is an edge in its local community — an edge whose
+    endpoints share most neighbors is intra-cluster; a bridge shares
+    none.  Complements item_item_cosine_cf (co-occurrence strength) with
+    STRUCTURAL similarity.  Exact integers + one correctly-rounded
+    divide, floor-quantized.
+
+    Scale shape: the common-neighbor count is the same wedge join as
+    triangle counting (per-edge fanout bounded by degree), never
+    all-pairs; degrees join broadcast-sized."""
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    x = und.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    y = und.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    common = (
+        edges.join(x, edges["src"] == x["a"])
+        .join(y, (edges["dst"] == y["b"]) & (x["c"] == y["c"]))
+        .groupBy(F.col("src").alias("pa"), F.col("dst").alias("pb"))
+        .agg(F.count("*").alias("cn"))
+    )
+    da = deg.select(F.col("id").alias("src"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("id").alias("dst"), F.col("d").alias("d_b"))
+    out = (
+        edges.join(da, "src")
+        .join(db, "dst")
+        .join(
+            common,
+            (F.col("src") == F.col("pa")) & (F.col("dst") == F.col("pb")),
+            "left",
+        )
+        .select(
+            F.col("src").alias("part_a"),
+            F.col("dst").alias("part_b"),
+            F.coalesce("cn", F.lit(0)).alias("n_common"),
+            (
+                F.floor(
+                    F.coalesce("cn", F.lit(0))
+                    / (F.col("d_a") + F.col("d_b") - F.coalesce("cn", F.lit(0))).cast(
+                        "double"
+                    )
+                    * 1000000
+                )
+                / 1000000
+            ).alias("neighbor_jaccard"),
+        )
+    )
+    return out
