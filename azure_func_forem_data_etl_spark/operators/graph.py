@@ -1497,3 +1497,127 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# k-truss decomposition (round 8)
+
+KTRUSS_K = 3              # every edge must close >= k-2 triangles
+KTRUSS_MAX_ROUNDS = 8     # prune-round cap, mirrored exactly by the oracle
+
+
+@register(
+    "graph_ktruss",
+    defer=2,
+    # The oracle replays the SAME bounded prune loop: each recursion round
+    # keeps edges with >= k-2 common neighbors among the CURRENT edge set
+    # (triple self-reference of the recursive table: the edge plus its two
+    # wedge legs); rounds past the fixpoint are no-ops, so a fixed 8-round
+    # replay equals Spark's early-stopping loop.
+    oracle=f"""
+    WITH RECURSIVE e AS ({{edges_sql}}),
+    tr(iter, src, dst) AS (
+        SELECT 0, src, dst FROM e
+        UNION ALL
+        SELECT t.iter + 1, t.src, t.dst
+        FROM tr t JOIN tr x ON x.iter = t.iter JOIN tr y ON y.iter = t.iter
+        WHERE t.iter < {KTRUSS_MAX_ROUNDS}
+          AND (x.src = t.src OR x.dst = t.src)
+          AND (y.src = t.dst OR y.dst = t.dst)
+          AND (CASE WHEN x.src = t.src THEN x.dst ELSE x.src END)
+            = (CASE WHEN y.src = t.dst THEN y.dst ELSE y.src END)
+        GROUP BY t.iter + 1, t.src, t.dst
+        HAVING COUNT(*) >= {KTRUSS_K - 2}
+    ),
+    final AS MATERIALIZED (
+        SELECT src, dst FROM tr WHERE iter = {KTRUSS_MAX_ROUNDS}
+    ),
+    undf AS MATERIALIZED (
+        SELECT src, dst FROM final UNION SELECT dst, src FROM final
+    ),
+    sup AS (
+        SELECT f.src, f.dst, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM final f
+            JOIN undf x ON x.src = f.src
+            JOIN undf y ON y.src = f.dst AND y.dst = x.dst
+        GROUP BY 1, 2
+    )
+    SELECT f.src AS part_a, f.dst AS part_b,
+           COALESCE(s.cnt, 0) AS support
+    FROM final f LEFT JOIN sup s ON s.src = f.src AND s.dst = f.dst
+    """.format(edges_sql=_EDGES_SQL),
+    doc=f"{KTRUSS_K}-truss of the co-purchase graph: iteratively prune "
+    f"edges closing fewer than {KTRUSS_K - 2} triangles until fixpoint "
+    f"(round cap {KTRUSS_MAX_ROUNDS}); surviving edges with final "
+    "support.",
+)
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cohesion core the triangle COUNT can't give: k-truss keeps only
+    edges embedded in enough triangles, and pruning cascades (removing a
+    weak edge can orphan its neighbors), hence the loop.  Denser and
+    cheaper than k-core for community cores (Cohen 2008).
+
+    Scale shape: each round is ONE wedge join (fanout bounded by degree,
+    never all-pairs) + one keyed agg over the CURRENT edge set, which
+    only shrinks; rounds are lineage-truncated via eager localCheckpoint
+    with the same RDD-id release discipline as label_propagation.
+    """
+
+    def support(edges: DataFrame) -> DataFrame:
+        und = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        x = und.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+        y = und.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+        return (
+            edges.join(x, edges["src"] == x["a"])
+            .join(y, (edges["dst"] == y["b"]) & (x["c"] == y["c"]))
+            .groupBy(F.col("src").alias("sa"), F.col("dst").alias("sb"))
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    jsc = spark.sparkContext._jsc
+
+    def _pids() -> set[int]:
+        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _release(ids: set[int]) -> None:
+        jmap = jsc.getPersistentRDDs()
+        for rid in jmap.keySet().toArray():
+            if int(rid) in ids:
+                jmap.get(rid).unpersist(True)
+
+    snap = _pids()
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edge_ids = _pids() - snap
+    n = edges.count()
+    for _ in range(KTRUSS_MAX_ROUNDS):
+        kept = (
+            edges.join(
+                support(edges).filter(F.col("cnt") >= KTRUSS_K - 2),
+                (F.col("src") == F.col("sa")) & (F.col("dst") == F.col("sb")),
+                "left_semi",
+            )
+        )
+        snap = _pids()
+        kept = kept.localCheckpoint(eager=True)
+        new_ids = _pids() - snap
+        m = kept.count()
+        _release(edge_ids)
+        edge_ids = new_ids
+        edges, prev_n, n = kept, n, m
+        if m == prev_n:
+            break
+    out = (
+        edges.join(
+            support(edges),
+            (F.col("src") == F.col("sa")) & (F.col("dst") == F.col("sb")),
+            "left",
+        )
+        .select(
+            F.col("src").alias("part_a"),
+            F.col("dst").alias("part_b"),
+            F.coalesce("cnt", F.lit(0)).alias("support"),
+        )
+    )
+    return out
