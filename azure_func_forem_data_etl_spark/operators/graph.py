@@ -1621,3 +1621,147 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities on the customer->part bipartite graph (round 8)
+
+HITS_HALF_STEPS = 16   # 8 full hub/authority alternations
+HITS_TOP_K = 20
+
+
+@register(
+    "graph_hits_bipartite",
+    defer=2,
+    # Exact integer replay: no per-round normalization (values stay exact
+    # integers; growth is degree-bounded — max ~3.5e25 at 16 half-steps on
+    # these corpora, far under int128/decimal(38,0)); ONE integral
+    # normalization to parts-per-million at the end.  The recursive term
+    # is a UNION ALL of the two half-step updates, each referencing the
+    # recursive table once.
+    oracle=f"""
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    rec(step, kind, id, v) AS (
+        SELECT 0, 'hub', c, CAST(1 AS HUGEINT) FROM (SELECT DISTINCT c FROM e)
+        UNION ALL
+        (
+          SELECT r.step + 1, 'authority', e.p, CAST(SUM(r.v) AS HUGEINT)
+          FROM rec r JOIN e ON e.c = r.id
+          WHERE r.kind = 'hub' AND r.step < {HITS_HALF_STEPS}
+          GROUP BY 1, 2, 3
+          UNION ALL
+          SELECT r.step + 1, 'hub', e.c, CAST(SUM(r.v) AS HUGEINT)
+          FROM rec r JOIN e ON e.p = r.id
+          WHERE r.kind = 'authority' AND r.step < {HITS_HALF_STEPS}
+          GROUP BY 1, 2, 3
+        )
+    ),
+    finals AS (
+        SELECT kind, id, v FROM rec
+        WHERE step IN ({HITS_HALF_STEPS - 1}, {HITS_HALF_STEPS})
+    ),
+    normed AS (
+        SELECT kind, id,
+               CAST((v * 1000000) // MAX(v) OVER (PARTITION BY kind)
+                    AS BIGINT) AS score_ppm,
+               row_number() OVER (PARTITION BY kind
+                                  ORDER BY v DESC, id) AS rn
+        FROM finals
+    )
+    SELECT kind, id, score_ppm FROM normed WHERE rn <= {HITS_TOP_K}
+    """,
+    doc=f"HITS on the customer->part purchase graph ({HITS_HALF_STEPS // 2} "
+    "exact-integer alternations, no intermediate normalization): top-"
+    f"{HITS_TOP_K} hub customers and authority parts, scores in ppm of "
+    "the side maximum.",
+)
+def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg's hubs-and-authorities on the purchase bipartite graph:
+    an authoritative part is bought by broad-basket customers, and a hub
+    customer buys authoritative parts — mutually recursive, which degree
+    counts alone can't express.  All iteration stays in EXACT integer
+    arithmetic (decimal(38,0) on the Spark side, HUGEINT in the oracle):
+    growth per half-step is bounded by the side's max degree, so 16
+    half-steps stay ~1e25 << 1e38, and one integral parts-per-million
+    division at the end makes the output engine-exact with no float in
+    the entire path.
+
+    Scale shape: each half-step is one keyed equi-join + one keyed agg
+    over the distinct (customer, part) edge set; lineage truncated by
+    eager localCheckpoint every few steps with RDD-id release.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    jsc = spark.sparkContext._jsc
+
+    def _pids() -> set[int]:
+        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _release(ids: set[int]) -> None:
+        jmap = jsc.getPersistentRDDs()
+        for rid in jmap.keySet().toArray():
+            if int(rid) in ids:
+                jmap.get(rid).unpersist(True)
+
+    snap = _pids()
+    e = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e_ids = _pids() - snap
+    cur = e.select(F.col("c").alias("id")).distinct().withColumn(
+        "v", F.lit(1).cast("decimal(38,0)")
+    )
+    prev_ids: set[int] = set()
+    kind = "hub"
+    for step in range(1, HITS_HALF_STEPS + 1):
+        if kind == "hub":  # hubs feed authorities
+            nxt = (
+                e.join(cur, e["c"] == cur["id"])
+                .groupBy(F.col("p").alias("id"))
+                .agg(F.sum("v").alias("v"))
+            )
+            kind = "authority"
+        else:
+            nxt = (
+                e.join(cur, e["p"] == cur["id"])
+                .groupBy(F.col("c").alias("id"))
+                .agg(F.sum("v").alias("v"))
+            )
+            kind = "hub"
+        snap = _pids()
+        nxt = nxt.localCheckpoint(eager=True)
+        new_ids = _pids() - snap
+        if step < HITS_HALF_STEPS:
+            # the state BEFORE the one just consumed is now dead; the
+            # last two states (final authorities + final hubs) survive
+            # because they back the returned frame
+            _release(prev_ids)
+            prev_ids = new_ids
+        cur = nxt
+        if step == HITS_HALF_STEPS - 1:
+            auth_final = nxt  # the last authority vector
+    hubs_final = cur
+    finals = auth_final.withColumn("kind", F.lit("authority")).unionByName(
+        hubs_final.withColumn("kind", F.lit("hub"))
+    )
+    from pyspark.sql import Window as W
+
+    wk = W.partitionBy("kind")
+    normed = (
+        finals.withColumn("vmax", F.max("v").over(wk))
+        .select(
+            "kind",
+            "id",
+            F.expr("CAST((v * 1000000) div vmax AS BIGINT)").alias("score_ppm"),
+            F.row_number().over(wk.orderBy(F.col("v").desc(), "id")).alias("rn"),
+        )
+    )
+    out = normed.filter(F.col("rn") <= HITS_TOP_K).select("kind", "id", "score_ppm")
+    _release(e_ids)  # finals are checkpointed; the edge blocks are dead
+    return out
