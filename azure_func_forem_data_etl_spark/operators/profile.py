@@ -2256,3 +2256,93 @@ def basket_size_geometric_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chi2_term"),
     )
     return fit
+
+
+# ---------------------------------------------------------------------------
+# Wilson-interval supplier ranking (round 8)
+
+WILSON_Z = 1.96           # 95% two-sided
+ONTIME_DAYS = 30          # shipped within this many days of the order date
+
+
+@register(
+    "wilson_ontime_ranking",
+    defer=2,
+    oracle=f"""
+    WITH s AS (
+        SELECT l.l_suppkey AS supp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                            CAST(l.l_shipdate AS DATE))
+                                  <= {ONTIME_DAYS}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS k
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1
+    ),
+    wil AS (
+        SELECT supp, n, k,
+               ((k / CAST(n AS DOUBLE)) + {WILSON_Z} * {WILSON_Z} / (2.0 * n)
+                - {WILSON_Z} * sqrt((k / CAST(n AS DOUBLE))
+                                    * (1.0 - k / CAST(n AS DOUBLE)) / n
+                                    + {WILSON_Z} * {WILSON_Z}
+                                      / (4.0 * n * CAST(n AS DOUBLE))))
+               / (1.0 + {WILSON_Z} * {WILSON_Z} / n) AS lb
+        FROM s
+    )
+    SELECT supp AS supp_key, n AS n_shipments, k AS n_ontime,
+           floor(lb * 1000000) / 1000000 AS wilson_lower
+    FROM wil
+    ORDER BY lb DESC, supp LIMIT 25
+    """,
+    doc=f"Top-25 suppliers by the Wilson 95% lower bound of their "
+    f"{ONTIME_DAYS}-day on-time ship rate — the small-sample-honest "
+    "ranking (a 2/2 supplier must not outrank a 95/100 one).",
+)
+def wilson_ontime_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking by raw success rate rewards tiny denominators; the Wilson
+    score interval's lower bound is the standard correction (how Reddit
+    sorts comments).  Pure closed-form per supplier — integer (n, k)
+    aggregation, then one arithmetic expression whose every operation
+    (divide, sqrt) is IEEE-correctly-rounded and written in the same
+    order on both engines; floor-quantized output.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    z = WILSON_Z
+    s = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(F.col("l_suppkey").alias("supp_key"))
+        .agg(
+            F.count("*").alias("n_shipments"),
+            F.sum(
+                F.when(
+                    F.datediff(
+                        F.col("l_shipdate").cast("date"),
+                        F.col("o_orderdate").cast("date"),
+                    )
+                    <= ONTIME_DAYS,
+                    1,
+                ).otherwise(0)
+            ).alias("n_ontime"),
+        )
+    )
+    ph = F.col("n_ontime") / F.col("n_shipments").cast("double")
+    n = F.col("n_shipments")
+    lb = (
+        ph
+        + z * z / (2.0 * n)
+        - z
+        * F.sqrt(ph * (1.0 - ph) / n + z * z / (4.0 * n * n.cast("double")))
+    ) / (1.0 + z * z / n)
+    return (
+        s.select(
+            "supp_key",
+            "n_shipments",
+            "n_ontime",
+            (F.floor(lb * 1000000) / 1000000).alias("wilson_lower"),
+            lb.alias("__lb"),
+        )
+        .orderBy(F.col("__lb").desc(), "supp_key")
+        .limit(25)
+        .drop("__lb")
+    )

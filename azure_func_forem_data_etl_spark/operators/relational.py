@@ -1638,3 +1638,63 @@ def pipe_syntax_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT o_orderpriority, n_orders, total_price
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier) operator (round 8)
+
+
+@register(
+    "skyline_parts_pareto",
+    defer=2,
+    oracle="""
+    WITH g AS (
+        SELECT p_retailprice AS price, CAST(MAX(p_size) AS BIGINT) AS gmax
+        FROM part GROUP BY 1
+    ),
+    run AS (
+        SELECT price, gmax,
+               MAX(gmax) OVER (ORDER BY price
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prior_max
+        FROM g
+    )
+    SELECT p.p_partkey, p.p_retailprice AS price,
+           CAST(p.p_size AS BIGINT) AS size
+    FROM part p JOIN run r ON r.price = p.p_retailprice
+    WHERE (r.prior_max IS NULL OR p.p_size > r.prior_max)
+      AND p.p_size >= r.gmax
+    """,
+    doc="Skyline (Pareto frontier) of parts on (price low, size high): "
+    "non-dominated rows via the sorted running-max formulation — "
+    "O(n log n), no quadratic dominance join.",
+)
+def skyline_parts_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skyline operator relational engines keep reinventing (Borzsony
+    et al., ICDE 2001): rows no other row beats on EVERY criterion.  The
+    naive formulation is a quadratic NOT EXISTS dominance self-join; for
+    2 criteria it collapses to one sort — a part is dominated iff a
+    strictly cheaper price group reaches its size (running max over the
+    price order) or its own price group strictly exceeds it — so the plan
+    is two keyed aggregations and one window pass, no BroadcastNestedLoop
+    anywhere.  Equal (price, size) duplicates are all non-dominated, the
+    standard skyline convention.
+    """
+    part = table(spark, sf_dir, "part")
+    g = part.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("gmax")
+    )
+    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    run = g.select("price", "gmax", F.max("gmax").over(w).alias("prior_max"))
+    return (
+        part.join(run, part["p_retailprice"] == run["price"])
+        .filter(
+            (F.col("prior_max").isNull() | (F.col("p_size") > F.col("prior_max")))
+            & (F.col("p_size") >= F.col("gmax"))
+        )
+        .select(
+            "p_partkey",
+            F.col("p_retailprice").alias("price"),
+            F.col("p_size").cast("long").alias("size"),
+        )
+    )
