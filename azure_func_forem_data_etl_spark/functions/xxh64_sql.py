@@ -201,8 +201,12 @@ def xxh64_str_ctes(
     # --- base geometry -----------------------------------------------------
     # nst = stripe count, nw = total 8-byte words, wst = words consumed by
     # stripes; Phase B consumes words wst..nw-1; tail starts at byte 8*nw.
+    # base/words are MATERIALIZED: both are joined from RECURSIVE terms,
+    # and DuckDB inlines plain CTEs — the source relation (often an
+    # expensive shingle/gram expansion) would re-run once per fold
+    # iteration per reference (measured 110 s -> 7 s on the bloom audit).
     base = f"""
-    {prefix}_base AS (
+    {prefix}_base AS MATERIALIZED (
         SELECT {keys}, {text_col} AS s, length({text_col}) AS n,
                CASE WHEN length({text_col}) >= 32
                     THEN length({text_col}) // 32 ELSE 0 END AS nst,
@@ -210,7 +214,7 @@ def xxh64_str_ctes(
         FROM {src}
     ),
     {prefix}_seeds(seed_id, seed) AS (VALUES {seed_rows}),
-    {prefix}_words AS (
+    {prefix}_words AS MATERIALIZED (
         SELECT {keys}, t.wi, {_word_expr('b.s', 't.wi * 8 + 1')} AS w
         FROM {prefix}_base b,
              UNNEST(generate_series(0, b.nw - 1)) AS t(wi)
@@ -435,3 +439,43 @@ SIGNED64_SQL = (
 def signed64(h: str) -> str:
     """u64 HUGEINT -> the BIGINT Spark reports (two's complement)."""
     return SIGNED64_SQL.format(h=h)
+
+
+def xxh64_int_col_ctes(
+    prefix: str, src: str, carry_cols: list[str], i_col: str, seed_col: str
+) -> str:
+    """CTE chain for ``hashInt(i_col, seed_col)`` where BOTH are columns of
+    ``src`` (the multi-column layout ``xxhash64(str_col, int_lit)`` needs:
+    the string hash becomes the seed of the int hash).  ``seed_col`` must
+    be u64 HUGEINT; ``i_col`` a non-negative INT.  Final CTE
+    ``{prefix}_hash`` has ``carry_cols..., h``."""
+    carry = ", ".join(carry_cols)
+    g = s_mul(f"CAST({i_col} AS HUGEINT)", _c(P1))
+    steps = [
+        ("i0", s_add(seed_col, _c((P5 + 4) & M64)), src),
+        ("i1", s_xor("h", g), None),
+        ("i2", s_add(s_mul(s_rotl("h", 23), _c(P2)), _c(P3)), None),
+        ("i3", s_xor("h", s_shr("h", 33)), None),
+        ("i4", s_mul("h", _c(P2)), None),
+        ("i5", s_xor("h", s_shr("h", 29)), None),
+        ("i6", s_mul("h", _c(P3)), None),
+        ("i7", s_xor("h", s_shr("h", 32)), None),
+    ]
+    ctes = []
+    prev = src
+    for name, expr, _ in steps:
+        # i_col must ride along until consumed (i1); carry it throughout
+        ctes.append(
+            f"""
+    {prefix}_{name} AS (
+        SELECT {carry}, {i_col}, {expr} AS h FROM {prev}
+    )"""
+        )
+        prev = f"{prefix}_{name}"
+    ctes.append(
+        f"""
+    {prefix}_hash AS (
+        SELECT {carry}, {i_col}, h FROM {prev}
+    )"""
+    )
+    return ",\n".join(ctes)

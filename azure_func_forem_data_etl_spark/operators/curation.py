@@ -1539,3 +1539,126 @@ def stratified_kfold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rep_ratio"),
     ).withColumnRenamed("n", "n_docs")
+
+
+# ---------------------------------------------------------------------------
+# Bloom false-positive-rate audit (round 8)
+
+
+def _bloom_fpr_oracle() -> str:
+    """DuckDB replay of the bloom FPR audit: the gram split CTEs of
+    _DECONTAM_ORACLE_SQL, then every distinct gram's BLOOM_K bit
+    positions via the bit-exact xxhash64 replay (string hash seeded 42,
+    then hashInt(i) chained on it — exactly F.xxhash64(gram, lit(i))).
+    BLOOM_M_BITS is a power of two, so pmod of the signed hash equals the
+    unsigned hash's low bits (a plain mask)."""
+    from azure_func_forem_data_etl_spark.functions import xxh64_sql as X
+
+    grams_cte = _DECONTAM_ORACLE_SQL.split("bench AS")[0].strip()
+    assert grams_cte.startswith("WITH ")
+    str_ctes = X.xxh64_str_ctes("gs", "vocab", ["sid"], "g_txt", [(0, 42)])
+    int_ctes = X.xxh64_int_col_ctes("gp", "probes", ["sid"], "i", "hs")
+    return f"""
+    {grams_cte.replace("WITH ", "WITH RECURSIVE ", 1)}
+    bench AS MATERIALIZED (SELECT DISTINCT gram FROM grams WHERE split = 'test'),
+    probe_grams AS MATERIALIZED (
+        SELECT DISTINCT gram FROM grams
+        WHERE split = 'train'
+          AND gram NOT IN (SELECT gram FROM bench)
+    ),
+    vocab AS MATERIALIZED (
+        SELECT g_txt, row_number() OVER (ORDER BY g_txt) AS sid FROM (
+            SELECT gram AS g_txt FROM bench
+            UNION SELECT gram FROM probe_grams
+        )
+    ),
+    {str_ctes},
+    probes AS (
+        SELECT h.sid, h.h AS hs, t.i
+        FROM gs_hash h, UNNEST(generate_series(0, {BLOOM_K - 1})) AS t(i)
+    ),
+    {int_ctes},
+    pos AS (
+        SELECT v.g_txt AS gram, p.i,
+               CAST(p.h & {BLOOM_M_BITS - 1} AS BIGINT) AS pos
+        FROM gp_hash p JOIN vocab v ON v.sid = p.sid
+    ),
+    bits AS (
+        SELECT DISTINCT pos.pos FROM pos JOIN bench b ON b.gram = pos.gram
+    ),
+    hits AS (
+        SELECT pos.gram, COUNT(DISTINCT pos.i) AS k_hit
+        FROM pos
+            JOIN probe_grams pg ON pg.gram = pos.gram
+            JOIN bits ON bits.pos = pos.pos
+        GROUP BY 1
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM bench) AS n_bench_grams,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM probe_grams) AS n_probe_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_false_positives,
+           CAST(1000000 * COUNT(*)
+                // (SELECT COUNT(*) FROM probe_grams) AS BIGINT) AS fpr_ppm
+    FROM hits WHERE k_hit = {BLOOM_K}
+    """
+
+
+@register(
+    "bloom_fpr_audit",
+    defer=2,
+    oracle=_bloom_fpr_oracle(),
+    doc=f"Observed false-positive rate of the {BLOOM_M_BITS // 8 // 1024} "
+    f"KiB / {BLOOM_K}-probe decontamination bloom filter: non-benchmark "
+    "train grams whose every probe bit is set, in ppm.",
+)
+def bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the bloom prefilter actually delivering its designed ~1% FPR on
+    THIS corpus?  The audit measures it exactly: build the bit set from
+    benchmark grams, probe every true non-member train gram, count the
+    ones whose all-{k} probe bits collide.  Everything is integer
+    (counts, a parts-per-million integral division) — no float anywhere.
+
+    Scale shape: position generation is map-side hashing; the membership
+    check joins probe positions against the BENCHMARK-sized bit set
+    (broadcast), so the train corpus never shuffles by position.
+    """
+    grams = _decontam_grams(spark, sf_dir)
+    bench = grams.filter(F.col("split") == "test").select("gram").distinct()
+    probe_grams = (
+        grams.filter(F.col("split") == "train")
+        .select("gram")
+        .distinct()
+        .join(bench, "gram", "left_anti")
+        .localCheckpoint(eager=True)  # consumed by count + position probe
+    )
+    def positions(df):
+        return df.select(
+            "gram",
+            F.posexplode(F.array(*_bloom_positions(F.col("gram")))).alias(
+                "i", "pos"
+            ),
+        )
+
+    bits = positions(bench).select("pos").distinct()
+    hits = (
+        positions(probe_grams)
+        .join(F.broadcast(bits), "pos")
+        .groupBy("gram")
+        .agg(F.countDistinct("i").alias("k_hit"))
+        .filter(F.col("k_hit") == BLOOM_K)
+    )
+    n_bench = bench.count()
+    n_bits = bits.count()
+    n_probe = probe_grams.count()
+    agg = hits.agg(
+        F.lit(n_bench).cast("long").alias("n_bench_grams"),
+        F.lit(n_bits).cast("long").alias("n_bits_set"),
+        F.lit(n_probe).cast("long").alias("n_probe_grams"),
+        F.count("*").alias("n_false_positives"),
+    )
+    # integral ppm: SQL `div`, never a double divide + cast (a correctly-
+    # rounded quotient can land on the next integer and break floor parity)
+    return agg.withColumn(
+        "fpr_ppm",
+        F.expr(f"CAST((1000000 * n_false_positives) div {max(n_probe, 1)} AS LONG)"),
+    )
