@@ -3321,3 +3321,147 @@ def croston_intermittent_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(tgt, n_days, len(ship), q6(z), q6(p), q6(z / p))], schema
     )
+
+
+# ---------------------------------------------------------------------------
+# Largest-Triangle-Three-Buckets downsampling (round 8)
+
+LTTB_POINTS = 20  # output size: first + last + 18 bucketed selections
+
+
+@register(
+    "lttb_downsample_daily",
+    defer=2,
+    # Exact integer replay: x = day rank, y = revenue scaled to 1e4; the
+    # triangle area vs the PREVIOUS selection and the NEXT bucket's
+    # centroid is cross-multiplied by the next bucket's size, so every
+    # comparison is integer-exact; argmax+low-x tie-break is encoded as
+    # MAX(area * 4096 + (4095 - x)) and decoded by modulus.  Buckets are
+    # iterated by DENSE rank so sparse series (fewer middle points than
+    # buckets) skip no recursion step.
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS HUGEINT)
+                   AS ys
+        FROM events GROUP BY 1
+    ),
+    pts AS MATERIALIZED (
+        SELECT CAST(day AS VARCHAR) AS day, ys,
+               row_number() OVER (ORDER BY day) AS x,
+               COUNT(*) OVER () AS n
+        FROM daily
+    ),
+    mid AS (
+        SELECT day, ys, x, n,
+               ((x - 2) * {LTTB_POINTS - 2}) // (n - 2) AS raw_bucket
+        FROM pts WHERE x > 1 AND x < n
+    ),
+    cand AS MATERIALIZED (
+        SELECT day, ys, x,
+               dense_rank() OVER (ORDER BY raw_bucket) - 1 AS b
+        FROM mid
+    ),
+    nb AS (SELECT MAX(b) + 1 AS nbuckets FROM cand),
+    -- centroid sums of the bucket AFTER b (the last bucket's "next" is
+    -- the series' final point)
+    cent AS MATERIALIZED (
+        SELECT b - 1 AS b, CAST(COUNT(*) AS HUGEINT) AS nn,
+               CAST(SUM(x) AS HUGEINT) AS sxn, CAST(SUM(ys) AS HUGEINT) AS syn
+        FROM cand WHERE b > 0 GROUP BY 1
+        UNION ALL
+        SELECT (SELECT nbuckets FROM nb) - 1, 1,
+               CAST((SELECT MAX(x) FROM pts) AS HUGEINT),
+               (SELECT ys FROM pts WHERE x = (SELECT MAX(x) FROM pts))
+    ),
+    rec(b, ax, ay) AS (
+        SELECT -1, CAST(1 AS HUGEINT),
+               (SELECT ys FROM pts WHERE x = 1)
+        UNION ALL
+        SELECT q.b, CAST(4095 - (q.best % 4096) AS HUGEINT),
+               (SELECT c2.ys FROM cand c2
+                WHERE c2.x = 4095 - (q.best % 4096))
+        FROM (
+            SELECT s.b + 1 AS b,
+                   MAX(abs((s.ax * ct.nn - ct.sxn) * (c.ys - s.ay)
+                           - (s.ax - c.x) * (ct.syn - s.ay * ct.nn)) * 4096
+                       + (4095 - c.x)) AS best
+            FROM rec s
+                JOIN cand c ON c.b = s.b + 1
+                JOIN cent ct ON ct.b = s.b + 1
+            WHERE s.b + 1 < (SELECT nbuckets FROM nb)
+            GROUP BY s.b + 1
+        ) q
+    )
+    SELECT p.day, CAST(p.ys AS DOUBLE) / 10000 AS rev
+    FROM pts p
+    WHERE p.x = 1 OR p.x = (SELECT MAX(x) FROM pts)
+       OR p.x IN (SELECT CAST(ax AS BIGINT) FROM rec WHERE b >= 0)
+    """,
+    doc=f"LTTB downsampling of daily revenue to {LTTB_POINTS} points "
+    "(Steinarsson 2013): per bucket, keep the point maximizing the "
+    "triangle area with the previous selection and the next bucket's "
+    "centroid; exact integer areas.",
+)
+def lttb_downsample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE downsampling algorithm for time-series dashboards: unlike
+    every-kth-point it preserves visual extremes (spikes survive because
+    they subtend large triangles).  The corpus reduces to the day-grain
+    series; the sequential bucket fold (each selection depends on the
+    previous one) runs DRIVER-SIDE on that bounded series in exact
+    integer arithmetic, replayed verbatim by the oracle's recursive CTE.
+    """
+    from pyspark.sql import types as T
+
+    ev = table(spark, sf_dir, "events")
+    daily = sorted(
+        (str(r["day"]), int(r["ys"]))
+        for r in ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,4)")) * 10000)
+            .cast("long")
+            .alias("ys")
+        )
+        .collect()
+    )
+    n = len(daily)
+    schema = T.StructType(
+        [T.StructField("day", T.StringType()), T.StructField("rev", T.DoubleType())]
+    )
+
+    def row(i: int) -> tuple:
+        return (daily[i][0], daily[i][1] / 10000)
+
+    if n <= LTTB_POINTS:
+        return spark.createDataFrame([row(i) for i in range(n)], schema)
+    nb_target = LTTB_POINTS - 2
+    mid = list(range(1, n - 1))  # 0-based indices of middle points
+    raw = [((i - 1) * nb_target) // (n - 2) for i in mid]
+    # dense bucket ids (sparse series can skip raw ids)
+    uniq = sorted(set(raw))
+    dense = {r: j for j, r in enumerate(uniq)}
+    buckets: list[list[int]] = [[] for _ in uniq]
+    for i, r in zip(mid, raw):
+        buckets[dense[r]].append(i)
+    sel = []
+    ax, ay = 1, daily[0][1]  # x is 1-based rank
+    for bi, bucket in enumerate(buckets):
+        if bi + 1 < len(buckets):
+            nxt = buckets[bi + 1]
+            nn = len(nxt)
+            sxn = sum(i + 1 for i in nxt)
+            syn = sum(daily[i][1] for i in nxt)
+        else:
+            nn, sxn, syn = 1, n, daily[n - 1][1]
+        best = None
+        for i in bucket:
+            px, py = i + 1, daily[i][1]
+            area = abs((ax * nn - sxn) * (py - ay) - (ax - px) * (syn - ay * nn))
+            enc = area * 4096 + (4095 - px)
+            if best is None or enc > best:
+                best = enc
+        wx = 4095 - (best % 4096)
+        ax, ay = wx, daily[wx - 1][1]
+        sel.append(wx - 1)
+    keep = [0] + sel + [n - 1]
+    return spark.createDataFrame([row(i) for i in keep], schema)

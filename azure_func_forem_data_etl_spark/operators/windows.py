@@ -647,3 +647,68 @@ def longest_rising_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .drop("run_len", "first_up_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (round 8)
+
+
+@register(
+    "time_weighted_avg_user",
+    defer=2,
+    oracle="""
+    WITH pts AS (
+        SELECT user_id, ts, CAST(value AS DECIMAL(18,4)) AS v,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                   - epoch_us(ts) AS dt_us
+        FROM events
+    ),
+    agg AS (
+        SELECT user_id,
+               CAST(SUM(v * dt_us) AS DOUBLE) AS wsum,
+               CAST(SUM(dt_us) AS BIGINT) AS span_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM pts WHERE dt_us IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT user_id, n_events + 1 AS n_events, span_us,
+           floor(wsum / span_us * 1000000) / 1000000 AS twap
+    FROM agg WHERE span_us > 0
+    """,
+    doc="Time-weighted average value per user (LOCF weighting: each "
+    "observation holds until the next event): exact decimal x integer-"
+    "microsecond products, one ordered window pass.",
+)
+def time_weighted_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hypertable-aggregate classic: a plain AVG over irregular events
+    overweights bursts; weighting each value by its holding time (last
+    observation carried forward) gives the true signal level.  Exactness:
+    values quantized to DECIMAL(18,4), durations are integer
+    microseconds, so every product and sum is exact — one IEEE division
+    at the end, floor-quantized.  One per-user window sort, one keyed
+    agg; no joins.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    agg = pts.groupBy("user_id").agg(
+        F.sum(F.col("v") * F.col("dt_us")).cast("double").alias("wsum"),
+        F.sum("dt_us").alias("span_us"),
+        F.count("*").alias("n_events"),
+    )
+    return (
+        agg.filter(F.col("span_us") > 0)
+        .select(
+            "user_id",
+            (F.col("n_events") + 1).alias("n_events"),
+            "span_us",
+            (F.floor(F.col("wsum") / F.col("span_us") * 1000000) / 1000000).alias(
+                "twap"
+            ),
+        )
+    )
