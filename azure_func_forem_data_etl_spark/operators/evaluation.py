@@ -1356,3 +1356,117 @@ def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Hanley-McNeil AUC confidence interval (round 8)
+
+
+@register(
+    "auc_confidence_hanley",
+    defer=2,
+    # Every float op below is written in the identical order on both
+    # engines (single correctly-rounded ops on identical operands), with
+    # the U statistic kept as the exact INTEGER 2U until the one division
+    # that produces A; outputs floor-quantized.
+    oracle=f"""
+    WITH scored AS (
+        SELECT round(embedding[1], {AUC_BIN_DECIMALS}) AS score_b,
+               CAST(label = {POS_LABEL} AS INT) AS is_pos
+        FROM embeddings
+    ),
+    bins AS (
+        SELECT score_b, COUNT(*) AS n, SUM(is_pos) AS n_pos,
+               COUNT(*) - SUM(is_pos) AS n_neg
+        FROM scored GROUP BY score_b
+    ),
+    cum AS (
+        SELECT n_pos, n_neg,
+               COALESCE(SUM(n_neg) OVER (ORDER BY score_b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS neg_below
+        FROM bins
+    ),
+    agg AS (
+        SELECT CAST(SUM(n_pos * (2 * neg_below + n_neg)) AS BIGINT) AS u2,
+               CAST(SUM(n_pos) AS BIGINT) AS np,
+               CAST(SUM(n_neg) AS BIGINT) AS nn
+        FROM cum
+    ),
+    s1 AS (SELECT u2, np, nn, u2 / (2.0 * np * nn) AS a FROM agg),
+    s2 AS (
+        SELECT np, nn, a, a / (2.0 - a) AS q1, 2.0 * a * a / (1.0 + a) AS q2
+        FROM s1
+    ),
+    s3 AS (
+        SELECT np, nn, a,
+               sqrt((a * (1.0 - a) + (np - 1.0) * (q1 - a * a)
+                     + (nn - 1.0) * (q2 - a * a))
+                    / CAST(np * nn AS DOUBLE)) AS se
+        FROM s2
+    )
+    SELECT np AS n_pos, nn AS n_neg,
+           floor(a * 1000000) / 1000000 AS auc,
+           floor((a - 1.96 * se) * 1000000) / 1000000 AS ci_lower,
+           floor((a + 1.96 * se) * 1000000) / 1000000 AS ci_upper
+    FROM s3
+    """,
+    doc="ROC-AUC with the Hanley-McNeil (1982) closed-form 95% confidence "
+    "interval — the standard error every AUC readout should ship with; "
+    "exact-integer U statistic, one-pass bin table.",
+)
+def auc_confidence_hanley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An AUC without an interval invites overreading a 0.003 'gain'.
+    Hanley-McNeil gives the classic closed-form SE from A, n_pos, n_neg
+    alone (Q1 = A/(2-A), Q2 = 2A^2/(1+A)) — no bootstrap, one extra
+    expression on the same one-pass binned-U aggregation as
+    eval_roc_auc.  The 2U numerator stays an exact integer; each float
+    op is written in the identical order on both engines.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.round(F.element_at("embedding", 1).cast("double"), AUC_BIN_DECIMALS)
+        .alias("score_b"),
+        (F.col("label") == POS_LABEL).cast("int").alias("is_pos"),
+    )
+    bins = scored.groupBy("score_b").agg(
+        F.count("*").alias("n"),
+        F.sum("is_pos").alias("n_pos"),
+        (F.count("*") - F.sum("is_pos")).alias("n_neg"),
+    )
+    w = Window.orderBy("score_b").rowsBetween(Window.unboundedPreceding, -1)
+    cum = bins.select(
+        "n_pos",
+        "n_neg",
+        F.coalesce(F.sum("n_neg").over(w), F.lit(0)).alias("neg_below"),
+    )
+    agg = cum.agg(
+        F.sum(F.col("n_pos") * (2 * F.col("neg_below") + F.col("n_neg"))).alias("u2"),
+        F.sum("n_pos").alias("np"),
+        F.sum("n_neg").alias("nn"),
+    )
+    s1 = agg.withColumn("a", F.col("u2") / (2.0 * F.col("np") * F.col("nn")))
+    s2 = s1.withColumn("q1", F.col("a") / (2.0 - F.col("a"))).withColumn(
+        "q2", 2.0 * F.col("a") * F.col("a") / (1.0 + F.col("a"))
+    )
+    a, q1, q2 = F.col("a"), F.col("q1"), F.col("q2")
+    np_, nn_ = F.col("np"), F.col("nn")
+    s3 = s2.withColumn(
+        "se",
+        F.sqrt(
+            (
+                a * (1.0 - a)
+                + (np_ - 1.0) * (q1 - a * a)
+                + (nn_ - 1.0) * (q2 - a * a)
+            )
+            / (np_ * nn_).cast("double")
+        ),
+    )
+    se = F.col("se")
+    return s3.select(
+        np_.alias("n_pos"),
+        nn_.alias("n_neg"),
+        (F.floor(a * 1000000) / 1000000).alias("auc"),
+        (F.floor((a - 1.96 * se) * 1000000) / 1000000).alias("ci_lower"),
+        (F.floor((a + 1.96 * se) * 1000000) / 1000000).alias("ci_upper"),
+    )
