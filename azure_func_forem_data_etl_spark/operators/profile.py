@@ -2261,7 +2261,7 @@ def basket_size_geometric_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Wilson-interval supplier ranking (round 8)
 
-WILSON_Z = 1.96           # 95% two-sided
+ONTIME_Z = 1.96           # 95% two-sided (distinct from the module-level WILSON_Z above!)
 ONTIME_DAYS = 30          # shipped within this many days of the order date
 
 
@@ -2281,12 +2281,12 @@ ONTIME_DAYS = 30          # shipped within this many days of the order date
     ),
     wil AS (
         SELECT supp, n, k,
-               ((k / CAST(n AS DOUBLE)) + {WILSON_Z} * {WILSON_Z} / (2.0 * n)
-                - {WILSON_Z} * sqrt((k / CAST(n AS DOUBLE))
+               ((k / CAST(n AS DOUBLE)) + {ONTIME_Z} * {ONTIME_Z} / (2.0 * n)
+                - {ONTIME_Z} * sqrt((k / CAST(n AS DOUBLE))
                                     * (1.0 - k / CAST(n AS DOUBLE)) / n
-                                    + {WILSON_Z} * {WILSON_Z}
+                                    + {ONTIME_Z} * {ONTIME_Z}
                                       / (4.0 * n * CAST(n AS DOUBLE))))
-               / (1.0 + {WILSON_Z} * {WILSON_Z} / n) AS lb
+               / (1.0 + {ONTIME_Z} * {ONTIME_Z} / n) AS lb
         FROM s
     )
     SELECT supp AS supp_key, n AS n_shipments, k AS n_ontime,
@@ -2308,7 +2308,7 @@ def wilson_ontime_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    z = WILSON_Z
+    z = ONTIME_Z
     s = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .groupBy(F.col("l_suppkey").alias("supp_key"))
