@@ -2346,3 +2346,84 @@ def wilson_ontime_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
         .drop("__lb")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type lift matrix (round 8)
+
+
+@register(
+    "event_type_lift_matrix",
+    defer=2,
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+        FROM events
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT (user_id, day)) AS BIGINT) AS tot FROM ud),
+    m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM ud GROUP BY 1),
+    co AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS c_ab
+        FROM ud a JOIN ud b
+          ON a.user_id = b.user_id AND a.day = b.day
+         AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT co.type_a, co.type_b, co.c_ab,
+           -- lift = P(ab)/(P(a)P(b)) = tot*c_ab/(c_a*c_b): integral ppm,
+           -- no float or log anywhere
+           CAST(1000000 * n.tot * co.c_ab // (ma.c * mb.c) AS BIGINT)
+               AS lift_ppm
+    FROM co
+        JOIN m ma ON ma.event_type = co.type_a
+        JOIN m mb ON mb.event_type = co.type_b
+        CROSS JOIN n
+    """,
+    doc="Event-type lift matrix over (user, day) baskets: observed "
+    "co-occurrence vs independence, as integral ppm — the PMI matrix "
+    "without the cross-engine log.",
+)
+def event_type_lift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which behaviors travel together within a user-day: lift > 1e6 ppm
+    means the pair co-occurs beyond chance (the association signal PMI
+    log-transforms, kept here as an exact integer ratio so no libm enters
+    the path).  Baskets = distinct (user, day); the pair join runs on the
+    <=5-type per-basket sets, so fanout is bounded by type-count squared
+    per basket, never corpus-quadratic."""
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+    ).distinct()
+    tot = ud.select("user_id", "day").distinct().count()
+    m = ud.groupBy("event_type").agg(F.count("*").alias("c"))
+    a, b = ud.alias("a"), ud.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("c_ab"))
+    )
+    ma = m.select(F.col("event_type").alias("type_a"), F.col("c").alias("c_a"))
+    mb = m.select(F.col("event_type").alias("type_b"), F.col("c").alias("c_b"))
+    return (
+        co.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "c_ab",
+            # pre-multiplied in Python: 1000000 * tot overflows an INT
+            # literal in Spark's ANSI parser
+            F.expr(f"CAST({1000000 * tot} * c_ab div (c_a * c_b) AS LONG)").alias(
+                "lift_ppm"
+            ),
+        )
+    )

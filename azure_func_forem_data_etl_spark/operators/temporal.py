@@ -3465,3 +3465,127 @@ def lttb_downsample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         sel.append(wx - 1)
     keep = [0] + sel + [n - 1]
     return spark.createDataFrame([row(i) for i in keep], schema)
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrent sessions via sweep line (round 8)
+
+SESSION_GAP_MIN = 30  # inactivity gap that closes a session
+
+
+@register(
+    "peak_concurrent_sessions",
+    defer=2,
+    oracle=f"""
+    WITH marks AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > {SESSION_GAP_MIN} * 60 * 1000000
+                         OR lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id,
+               SUM(new_sess) OVER (PARTITION BY user_id
+                   ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS sid,
+               ts
+        FROM marks
+    ),
+    spans AS (
+        SELECT MIN(ts) AS t0, MAX(ts) AS t1
+        FROM sess GROUP BY user_id, sid
+    ),
+    -- sweep line: ends sort BEFORE starts at the same instant (a session
+    -- ending exactly when another starts does not overlap it)
+    sweep AS (
+        SELECT t0 AS t, 0 AS is_start, 1 AS delta FROM spans
+        UNION ALL
+        SELECT t1, -1 AS is_start, -1 AS delta FROM spans
+    ),
+    curve AS (
+        SELECT t, SUM(delta) OVER (ORDER BY t, is_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        FROM sweep
+    )
+    SELECT CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+           CAST(MIN(t) FILTER (WHERE conc = (SELECT MAX(conc) FROM curve))
+                AS VARCHAR) AS peak_at,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM spans) AS n_sessions
+    FROM curve
+    """,
+    doc=f"Peak concurrent sessions ({SESSION_GAP_MIN}-minute inactivity "
+    "gap): sweep-line over session spans, ends ordered before starts at "
+    "equal instants; earliest peak instant reported.",
+)
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity planning's first number: the maximum number of sessions
+    open at once.  Sessionization is the standard gap rule; the sweep
+    line turns spans into +1/-1 marks and takes the running-sum maximum —
+    one user-keyed window, one global ordered pass over 2 rows per
+    session (never per-event state).  Tie discipline: an end coinciding
+    with a start decrements first, and the earliest instant achieving the
+    peak is reported; all arithmetic is integer/timestamp-exact.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marks = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > SESSION_GAP_MIN * 60 * 1000000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = marks.select(
+        "user_id",
+        "ts",
+        F.sum("new_sess")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("sid"),
+    )
+    spans = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    n_sessions = spans.count()
+    sweep = spans.select(
+        F.col("t0").alias("t"), F.lit(0).alias("is_start"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(
+            F.col("t1").alias("t"),
+            F.lit(-1).alias("is_start"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    curve = sweep.select(
+        "t",
+        F.sum("delta")
+        .over(
+            Window.orderBy("t", "is_start").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("conc"),
+    ).localCheckpoint(eager=True)  # consumed by max + argmin-at-max
+    peak = curve.agg(F.max("conc")).collect()[0][0]
+    return (
+        curve.filter(F.col("conc") == peak)
+        .agg(
+            F.lit(int(peak)).cast("long").alias("peak_concurrency"),
+            F.min("t").cast("string").alias("peak_at"),
+            F.lit(n_sessions).cast("long").alias("n_sessions"),
+        )
+    )

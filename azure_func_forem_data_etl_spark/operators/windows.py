@@ -712,3 +712,73 @@ def time_weighted_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto 80/20 concentration audit (round 8)
+
+PARETO_TARGET_PPM = 800_000  # the "80" in 80/20, in ppm
+
+
+@register(
+    "pareto_8020_customers",
+    defer=2,
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                   AS rev
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT rev,
+               row_number() OVER (ORDER BY rev DESC, o_custkey) AS rn,
+               SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(rev) OVER () AS tot,
+               COUNT(*) OVER () AS n
+        FROM cust
+    )
+    -- first rank whose cumulative share reaches the target: exact decimal
+    -- comparison scaled by 1e6 (no float share computation in the filter)
+    SELECT CAST(MIN(rn) AS BIGINT) AS n_top_customers,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(1000000 * MIN(rn) // MAX(n) AS BIGINT)
+               AS customer_share_ppm
+    FROM ranked
+    WHERE 1000000 * cum >= {PARETO_TARGET_PPM} * tot
+    """,
+    doc="Pareto 80/20 audit: how many top customers (by exact decimal "
+    "revenue, rank-tie-broken by key) cover 80% of total revenue; the "
+    "threshold compare is integer-scaled decimal, no float.",
+)
+def pareto_8020_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The concentration question behind every account-tiering decision.
+    Exactness: revenue is an exact decimal sum, the 80% threshold test is
+    ``1e6 * cum >= 800000 * tot`` in the decimal domain (float shares
+    would risk a boundary flip at the crossover rank), and outputs are
+    integer counts + an integral ppm.  One keyed agg, one window sort
+    over the customer-grain rollup, one bounded aggregate."""
+    orders = table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").desc(), "o_custkey")
+    ranked = cust.select(
+        "rev",
+        F.row_number().over(w).alias("rn"),
+        F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("rev").over(Window.partitionBy()).alias("tot"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    hit = ranked.filter(
+        F.lit(1000000) * F.col("cum") >= F.lit(PARETO_TARGET_PPM) * F.col("tot")
+    )
+    return hit.agg(
+        F.min("rn").alias("n_top_customers"),
+        F.max("n").alias("n_customers"),
+        # BIGINT literal: 1e6 * rank overflows Spark's INT32 literal math
+        F.expr("CAST(CAST(1000000 AS BIGINT) * MIN(rn) div MAX(n) AS LONG)").alias(
+            "customer_share_ppm"
+        ),
+    )
