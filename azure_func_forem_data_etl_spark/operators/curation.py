@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from azure_func_forem_data_etl_spark.operators.ckpt import scoped_checkpoint
 from azure_func_forem_data_etl_spark.operators.text import _SW_SQL, _hits, STOPWORDS
 from azure_func_forem_data_etl_spark.plans.registry import register
 from azure_func_forem_data_etl_spark.sources.tables import table
@@ -190,12 +191,16 @@ def _curation_full_oracle() -> str:
     rows-only through r7."""
     from azure_func_forem_data_etl_spark.operators.dedup import (
         _MINHASH_PAIRS_CTES,
+        _materialize_ctes,
         _minhash_sig_band_ctes,
     )
 
     prefix = _DOC_STATUS_SQL_CTES.strip()
     assert prefix.startswith("WITH ")
-    return f"""
+    # multi-referenced pipeline CTEs materialized (same rationale as the
+    # CC oracle — measured 4.9s→3.0s at sf0.01, r9 ask #5)
+    return _materialize_ctes(
+        f"""
     WITH RECURSIVE {prefix[len('WITH '):]},
     keptdocs AS (
         SELECT d.doc_id, d.text
@@ -222,7 +227,12 @@ def _curation_full_oracle() -> str:
            CAST(SUM(COALESCE(s.n_words, 0)) AS BIGINT) AS n_words_total
     FROM docstat s LEFT JOIN losers l ON l.doc_id = s.doc_id
     GROUP BY 1
-    """
+    """,
+        "verified",
+        "ann",
+        "sh",
+        "sizes",
+    )
 
 
 @register(
@@ -1624,12 +1634,14 @@ def bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     grams = _decontam_grams(spark, sf_dir)
     bench = grams.filter(F.col("split") == "test").select("gram").distinct()
-    probe_grams = (
+    # consumed by count + position probe, both driver-driven below — so
+    # checkpoint once and RELEASE the blocks before returning (the result
+    # is assembled from driver scalars; nothing lazy survives this call)
+    probe_grams, release_probe = scoped_checkpoint(
         grams.filter(F.col("split") == "train")
         .select("gram")
         .distinct()
         .join(bench, "gram", "left_anti")
-        .localCheckpoint(eager=True)  # consumed by count + position probe
     )
     def positions(df):
         return df.select(
@@ -1650,15 +1662,22 @@ def bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_bench = bench.count()
     n_bits = bits.count()
     n_probe = probe_grams.count()
-    agg = hits.agg(
-        F.lit(n_bench).cast("long").alias("n_bench_grams"),
-        F.lit(n_bits).cast("long").alias("n_bits_set"),
-        F.lit(n_probe).cast("long").alias("n_probe_grams"),
-        F.count("*").alias("n_false_positives"),
+    n_fp = hits.count()
+    release_probe()  # every consumer driven; drop the checkpoint's blocks
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("n_bench_grams", T.LongType()),
+            T.StructField("n_bits_set", T.LongType()),
+            T.StructField("n_probe_grams", T.LongType()),
+            T.StructField("n_false_positives", T.LongType()),
+            T.StructField("fpr_ppm", T.LongType()),
+        ]
     )
-    # integral ppm: SQL `div`, never a double divide + cast (a correctly-
-    # rounded quotient can land on the next integer and break floor parity)
-    return agg.withColumn(
-        "fpr_ppm",
-        F.expr(f"CAST((1000000 * n_false_positives) div {max(n_probe, 1)} AS LONG)"),
+    # integral ppm: Python floor div on exact ints, never a double divide
+    # (a correctly-rounded quotient can land on the next integer)
+    return spark.createDataFrame(
+        [(n_bench, n_bits, n_probe, n_fp, 1000000 * n_fp // max(n_probe, 1))],
+        schema,
     )

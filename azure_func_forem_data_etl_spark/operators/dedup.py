@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from azure_func_forem_data_etl_spark.operators.ckpt import scoped_checkpoint
 from azure_func_forem_data_etl_spark.plans.registry import register
 from azure_func_forem_data_etl_spark.sources.tables import scale_out, table
 
@@ -747,14 +748,34 @@ def connected_components(
     return connected_components_star(base, "src", "dst", max_iter=max_iter)
 
 
+def _materialize_ctes(sql: str, *names: str) -> str:
+    """Mark the named CTEs ``AS MATERIALIZED`` in an oracle SQL string.
+
+    DuckDB inlines (and so RE-EXECUTES) a CTE per reference site unless
+    materialized; CTEs referenced from a recursive term re-run once per
+    closure iteration (the 40s→4s CC-oracle lesson, r8).  Applied
+    per-oracle rather than in the shared CTE constants because
+    materialization HURTS single-downstream pipelines where inlining lets
+    the optimizer push filters through (minhash_lsh_neardup measured
+    slower with it)."""
+    import re
+
+    for n in names:
+        sql = re.sub(rf"\b{n} AS \(", f"{n} AS MATERIALIZED (", sql, count=1)
+    return sql
+
+
 def _neardup_cc_oracle() -> str:
     """DuckDB replay of near-dup clustering: the verified-pair graph from
     the minhash replay (_minhash_sig_band_ctes), then TRUE connected
     components via transitive closure — the Spark side's union-find /
     large-star result is algorithm-independent (min reachable doc_id), so
     any exact CC computation is a valid oracle.  Dup clusters are small,
-    so the closure table stays tiny."""
-    return f"""
+    so the closure table stays tiny.  The multi-referenced pipeline CTEs
+    (sh/sizes twice in the verify join, ann twice in cand, verified twice
+    in und) are materialized -- measured 4.6s->2.8s at sf0.01 (r9 ask #5)."""
+    return _materialize_ctes(
+        f"""
     WITH RECURSIVE
     {_minhash_sig_band_ctes()},
     {_MINHASH_PAIRS_CTES},
@@ -776,7 +797,12 @@ def _neardup_cc_oracle() -> str:
     SELECT c.id AS doc_id, c.comp AS cluster_id, z.cluster_size,
            CAST(c.id = c.comp AS INT) AS is_representative
     FROM comp c JOIN csz z ON z.comp = c.comp
-    """
+    """,
+        "verified",
+        "ann",
+        "sh",
+        "sizes",
+    )
 
 
 @register(
@@ -1507,11 +1533,16 @@ def blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     only, no pair materialization anywhere, ppm via integral division.
     """
     docs = table(spark, sf_dir, "documents")
-    blk = docs.select(
-        F.md5("text").alias("fp"),
-        "lang",
-        F.floor(F.col("n_chars") / FUZZY_BLOCK_CHARS).cast("long").alias("band"),
-    ).localCheckpoint(eager=True)  # four aggregations over one small frame
+    # four driver-side aggregations over one small frame — checkpoint it
+    # once, and RELEASE the blocks when the counts are in (the frame is
+    # dead after `pairs`; DataFrame.unpersist is a no-op on checkpoints)
+    blk, release_blk = scoped_checkpoint(
+        docs.select(
+            F.md5("text").alias("fp"),
+            "lang",
+            F.floor(F.col("n_chars") / FUZZY_BLOCK_CHARS).cast("long").alias("band"),
+        )
+    )
 
     def pairs(df, *keys):
         g = df.groupBy(*keys).agg(F.count("*").alias("sz"))
@@ -1523,6 +1554,7 @@ def blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_true = int(pairs(blk, "fp"))
     n_cand = int(pairs(blk, "lang", "band"))
     n_caught = int(pairs(blk, "fp", "lang", "band"))
+    release_blk()  # all consumers driven; drop the checkpoint's blocks
     total_pairs = n_docs * (n_docs - 1) // 2
     from pyspark.sql import types as T
 
