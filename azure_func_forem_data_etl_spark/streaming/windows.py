@@ -30,6 +30,7 @@ from azure_func_forem_data_etl_spark.plans.registry import register
 from azure_func_forem_data_etl_spark.sources.tables import table
 from azure_func_forem_data_etl_spark.streaming.core import (
     run_available_now,
+    sized_state_partitions,
     stream_table,
 )
 
@@ -206,7 +207,11 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
         "inner",
     )
-    out = run_available_now(joined.select("signup_id", "purchase_id", "user_id"), "append")
+    out = run_available_now(
+        joined.select("signup_id", "purchase_id", "user_id"),
+        "append",
+        state_partitions=sized_state_partitions(spark, sf_dir, "events"),
+    )
     return out
 
 
@@ -290,7 +295,9 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         "leftOuter",
     )
     out = run_available_now(
-        joined.select("signup_id", "purchase_id", "user_id", "s_ts"), "append"
+        joined.select("signup_id", "purchase_id", "user_id", "s_ts"),
+        "append",
+        state_partitions=sized_state_partitions(spark, sf_dir, "events"),
     )
     mx_us = (
         table(spark, sf_dir, "events")
@@ -520,6 +527,7 @@ def streaming_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_available_now(
         joined.select("signup_id", "purchase_id", "s_user", "p_user", "s_ts", "p_ts"),
         "append",
+        state_partitions=sized_state_partitions(spark, sf_dir, "events"),
     )
     mx_us = (
         table(spark, sf_dir, "events")
@@ -600,7 +608,11 @@ def streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
         "left_semi",
     )
-    return run_available_now(joined.select("signup_id", "user_id"), "append")
+    return run_available_now(
+        joined.select("signup_id", "user_id"),
+        "append",
+        state_partitions=sized_state_partitions(spark, sf_dir, "events"),
+    )
 
 
 @register(

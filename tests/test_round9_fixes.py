@@ -114,3 +114,32 @@ def test_bloom_fpr_audit_releases_checkpoint(spark, sf_dir):
     before = _cached_ids(spark)
     q.fn(spark, sf_dir).collect()
     assert _cached_ids(spark) - before == set()
+
+
+def test_sized_state_partitions_floor_and_cap(spark, sf_dir):
+    """Data-proportional state sizing: MB-scale fixtures get the floor (8),
+    the session shuffle setting is the ceiling, and the conf is restored
+    after a sized stream run."""
+    from azure_func_forem_data_etl_spark.streaming.core import (
+        _STATE_PARTITION_BYTES,
+        sized_state_partitions,
+    )
+
+    n = sized_state_partitions(spark, sf_dir, "events")
+    ceiling = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert 1 <= n <= max(8, ceiling)
+    import os
+
+    if os.stat(f"{sf_dir}/events.parquet").st_size <= 8 * _STATE_PARTITION_BYTES:
+        assert n == min(ceiling, 8)
+
+
+def test_run_available_now_restores_shuffle_conf(spark, sf_dir):
+    """state_partitions must not leak into the session after the stream
+    completes (later batch queries would silently run at stream sizing)."""
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    q = load_all()["streaming_interval_join"]
+    q.fn(spark, sf_dir).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
