@@ -1581,3 +1581,117 @@ def blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         schema,
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup (round 9): Broder containment for ASYMMETRIC overlap
+
+CONTAIN_NGRAM = 4        # wider shingles: containment needs discriminative grams
+CONTAIN_DF_CAP = 16      # blocking shingles: document frequency 2..cap
+CONTAIN_THRESH_PPM = 500_000  # |A∩B| / min(|A|,|B|) >= 0.5
+
+
+@register(
+    "shingle_containment_pairs",
+    defer=3,
+    oracle=f"""
+    WITH csh AS MATERIALIZED ({{}}),
+    csizes AS MATERIALIZED (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM csh GROUP BY 1
+    ),
+    cdf AS (
+        SELECT shingle FROM csh GROUP BY shingle
+        HAVING COUNT(*) BETWEEN 2 AND {CONTAIN_DF_CAP}
+    ),
+    ccand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM csh a
+            JOIN cdf r ON r.shingle = a.shingle
+            JOIN csh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+    ),
+    cinter AS (
+        SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM ccand c
+            JOIN csh sa ON sa.doc_id = c.doc_a
+            JOIN csh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.n_inter,
+           CAST(1000000 * i.n_inter // LEAST(za.n_sh, zb.n_sh) AS BIGINT)
+               AS containment_ppm
+    FROM cinter i
+        JOIN csizes za ON za.doc_id = i.doc_a
+        JOIN csizes zb ON zb.doc_id = i.doc_b
+    WHERE 1000000 * i.n_inter >= {CONTAIN_THRESH_PPM} * LEAST(za.n_sh, zb.n_sh)
+    """.format(_sql_shingles(CONTAIN_NGRAM)),
+    doc=f"Containment near-dup (Broder): pairs where the smaller doc's "
+    f"{CONTAIN_NGRAM}-gram shingle set is >=50% inside the larger's — the "
+    "quote/subset relationship Jaccard under-scores on asymmetric "
+    "lengths; candidates blocked on rare shingles (df 2..16).",
+)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard misses subsumption: a 50-word quote inside a 5,000-word doc
+    has J ~ 0.01 but containment ~ 1.0 — exactly the duplication an LLM
+    corpus wants flagged (Broder 1997's other resemblance measure).
+    Candidate generation blocks on RARE shingles (document frequency
+    2..16): every candidate pair shares a discriminative gram, and the
+    per-shingle pair fanout is capped at C(cap,2) — never corpus-
+    quadratic.  Verification is an exact intersection count on the
+    candidate set; the score is an integral ppm so the oracle compare is
+    bit-exact.  Recall caveat (stated, like the LSH hot-bucket cap): a
+    contained pair sharing ONLY stop-shingles (df > cap) is not found —
+    at 50% containment of a >=2-shingle doc the pair almost surely shares
+    a rare gram.  100 TB shape: one shingle-keyed agg for df, one
+    df-capped self-join, one intersection agg — all keyed shuffles on
+    shingle/doc ids.
+    """
+    docs = table(spark, sf_dir, "documents")
+    # Six consumers below (sizes, rare, a, b, sa, sb) — Spark re-derives a
+    # non-broadcast subplan per reference, so materialize the explode once.
+    sh = word_shingles(docs, CONTAIN_NGRAM).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= CONTAIN_DF_CAP))
+        .select("shingle")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cand = (
+        a.join(rare, "shingle")
+        .join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    scored = (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .filter(
+            F.lit(1000000) * F.col("n_inter")
+            >= F.lit(CONTAIN_THRESH_PPM) * F.least("na", "nb")
+        )
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "n_inter",
+        F.expr(
+            "CAST(CAST(1000000 AS BIGINT) * n_inter div least(na, nb) AS LONG)"
+        ).alias("containment_ppm"),
+    )

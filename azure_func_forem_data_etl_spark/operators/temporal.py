@@ -3626,3 +3626,110 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_sessions).cast("long").alias("n_sessions"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Window funnel (round 9)
+
+FUNNEL_STEPS = ("view", "click", "purchase")  # ordered step event types
+FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000  # chain must complete within 24h
+
+
+@register(
+    "window_funnel_steps",
+    defer=3,
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s1 AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS t1
+        FROM events WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = '{FUNNEL_STEPS[1]}'
+          AND epoch_us(e.ts) > s1.t1
+          AND epoch_us(e.ts) <= s1.t1 + {FUNNEL_WINDOW_US}
+        GROUP BY 1
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+        FROM events e
+            JOIN s2 ON s2.user_id = e.user_id
+            JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = '{FUNNEL_STEPS[2]}'
+          AND epoch_us(e.ts) > s2.t2
+          AND epoch_us(e.ts) <= s1.t1 + {FUNNEL_WINDOW_US}
+        GROUP BY 1
+    )
+    SELECT CASE WHEN s3.user_id IS NOT NULL THEN 3
+                WHEN s2.user_id IS NOT NULL THEN 2
+                WHEN s1.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_depth,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM u
+        LEFT JOIN s1 ON s1.user_id = u.user_id
+        LEFT JOIN s2 ON s2.user_id = u.user_id
+        LEFT JOIN s3 ON s3.user_id = u.user_id
+    GROUP BY 1
+    """,
+    doc=f"Window funnel (ClickHouse windowFunnel / Amplitude first-touch "
+    f"semantics): deepest {'->'.join(FUNNEL_STEPS)} chain anchored at the "
+    "user's FIRST step-1 event, whole chain within 24h; user-count "
+    "histogram per reached depth (0 = never entered).",
+)
+def window_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-analytics funnel operator Spark lacks natively: for
+    each user, how deep did the ordered step chain get, with every step
+    inside a fixed window anchored at the first step-1 event?  First-touch
+    semantics make it deterministic (each step extends from the EARLIEST
+    qualifying predecessor — no search over alternative chains) and
+    decomposable: step k is one keyed agg over events joined to the
+    (user-grain, tiny) step k-1 frame.  All timestamp math is integer
+    microseconds; every join is user-keyed — at 100 TB the step frames
+    are user-grain rollups that shrink monotonically with depth, and the
+    events scan is filtered to one step type before each shuffle.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    users = ev.select("user_id").distinct()
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter(
+            (F.col("us") > F.col("t1"))
+            & (F.col("us") <= F.col("t1") + F.lit(FUNNEL_WINDOW_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("us") > F.col("t2"))
+            & (F.col("us") <= F.col("t1") + F.lit(FUNNEL_WINDOW_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    depth = (
+        users.join(s1.select("user_id", F.lit(1).alias("d1")), "user_id", "left")
+        .join(s2.select("user_id", F.lit(1).alias("d2")), "user_id", "left")
+        .join(s3.select("user_id", F.lit(1).alias("d3")), "user_id", "left")
+        .select(
+            F.when(F.col("d3").isNotNull(), 3)
+            .when(F.col("d2").isNotNull(), 2)
+            .when(F.col("d1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("funnel_depth")
+        )
+    )
+    return depth.groupBy("funnel_depth").agg(F.count("*").alias("n_users"))

@@ -1,0 +1,132 @@
+"""Planted-shape tests for the round-9 operator additions.
+
+1. ``window_funnel_steps`` — ClickHouse-style windowFunnel with
+   first-touch anchoring: each step extends from the EARLIEST qualifying
+   predecessor and the whole chain must land within 24h of the user's
+   first step-1 event.  Plant users that stress the boundary (step
+   exactly at t1+24h counts, step after it doesn't), the ordering rule
+   (a click BEFORE the first view doesn't count), and the anchor rule
+   (a second view never re-anchors the window).
+2. ``shingle_containment_pairs`` — Broder containment on 4-gram
+   shingles: a verbatim quote is containment 1.0 regardless of the host
+   document's length (where Jaccard would be ~0), and the >=50%
+   threshold is an integer ppm comparison with no float round-trip.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from tests.oracle import assert_matches_oracle
+
+_EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+_DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+_T0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+
+def _ev(eid, user, etype, minutes):
+    return (eid, _T0 + dt.timedelta(minutes=minutes), user, etype, 1.0, "{}")
+
+
+def test_window_funnel_planted_depths(spark, tmp_path):
+    """Hand-computed funnel histogram over seven planted users:
+
+    u1 view(0) click(+10m) purchase(+20m)          -> depth 3
+    u2 view(0) click(+10m) purchase(+25h)          -> depth 2 (outside window)
+    u3 click(0) purchase(+10m)                     -> depth 0 (never entered)
+    u4 view(0)                                     -> depth 1
+    u5 scroll(0)                                   -> depth 0 (non-step type)
+    u6 click(-10m) view(0) click(+10m) purchase(+20m) -> depth 3
+       (the pre-view click must NOT satisfy step 2)
+    u7 view(0) click(+10m) view(+30h) purchase(+30h10m) -> depth 2
+       (the second view never re-anchors the 24h window)
+    u8 view(0) purchase(exactly +24h after a click at +1m) -> depth 3
+       (<= boundary is inclusive)
+    """
+    rows = [
+        _ev(0, 1, "view", 0), _ev(1, 1, "click", 10), _ev(2, 1, "purchase", 20),
+        _ev(3, 2, "view", 0), _ev(4, 2, "click", 10),
+        _ev(5, 2, "purchase", 25 * 60),
+        _ev(6, 3, "click", 0), _ev(7, 3, "purchase", 10),
+        _ev(8, 4, "view", 0),
+        _ev(9, 5, "scroll", 0),
+        _ev(10, 6, "click", -10), _ev(11, 6, "view", 0),
+        _ev(12, 6, "click", 10), _ev(13, 6, "purchase", 20),
+        _ev(14, 7, "view", 0), _ev(15, 7, "click", 10),
+        _ev(16, 7, "view", 30 * 60), _ev(17, 7, "purchase", 30 * 60 + 10),
+        _ev(18, 8, "view", 0), _ev(19, 8, "click", 1),
+        _ev(20, 8, "purchase", 24 * 60),
+    ]
+    spark.createDataFrame(rows, _EVENTS_SCHEMA).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    sf = str(tmp_path)
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    q = load_all()["window_funnel_steps"]
+    got = {r["funnel_depth"]: r["n_users"] for r in q.fn(spark, sf).collect()}
+    assert got == {0: 2, 1: 1, 2: 2, 3: 3}
+    assert_matches_oracle(q.fn(spark, sf), q.oracle, sf)
+
+
+def test_containment_quote_vs_jaccard(spark, tmp_path):
+    """doc 2 is an 8-word verbatim quote inside the 40-word doc 1:
+    containment 1.0 (1,000,000 ppm) even though Jaccard is ~5/37.  doc 3
+    shares one 4-word phrase with doc 2 (1 of its 5 shingles = 20%) —
+    below the 50% gate, so only the (1,2) pair survives."""
+    quote = "the quick brown fox jumps over lazy dogs"
+    host = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        + quote
+        + " lambda mu nu xi omicron pi rho sigma tau upsilon "
+        "phi chi psi omega one two"
+    )
+    partial = "the quick brown fox sat very still today"
+    rows = [
+        (1, host, "en", "web", len(host)),
+        (2, quote, "en", "web", len(quote)),
+        (3, partial, "en", "web", len(partial)),
+    ]
+    spark.createDataFrame(rows, _DOCS_SCHEMA).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    sf = str(tmp_path)
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    q = load_all()["shingle_containment_pairs"]
+    got = {(r["doc_a"], r["doc_b"]): r for r in q.fn(spark, sf).collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)]["n_inter"] == 5  # 8-word quote -> 5 distinct 4-grams
+    assert got[(1, 2)]["containment_ppm"] == 1_000_000
+    assert_matches_oracle(q.fn(spark, sf), q.oracle, sf)
+
+
+def test_containment_exact_half_boundary(spark, tmp_path):
+    """Integer threshold at exactly 50%: doc 5 has 4 shingles, 2 of them
+    inside doc 4 -> 2*1e6 >= 5e5*4 holds with equality, ppm = 500000."""
+    # doc 5: 7 words -> 4 shingles; its first 5 words (2 shingles) open doc 4.
+    d5 = "a b c d e f g"
+    d4 = "a b c d e x y z w v u t"
+    rows = [
+        (4, d4, "en", "web", len(d4)),
+        (5, d5, "en", "web", len(d5)),
+    ]
+    spark.createDataFrame(rows, _DOCS_SCHEMA).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    sf = str(tmp_path)
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    q = load_all()["shingle_containment_pairs"]
+    rows_out = q.fn(spark, sf).collect()
+    assert len(rows_out) == 1
+    r = rows_out[0]
+    assert (r["doc_a"], r["doc_b"], r["n_inter"], r["containment_ppm"]) == (
+        4, 5, 2, 500_000,
+    )
+    assert_matches_oracle(q.fn(spark, sf), q.oracle, sf)
