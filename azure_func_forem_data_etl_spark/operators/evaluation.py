@@ -1470,3 +1470,299 @@ def auc_confidence_hanley(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor((a - 1.96 * se) * 1000000) / 1000000).alias("ci_lower"),
         (F.floor((a + 1.96 * se) * 1000000) / 1000000).alias("ci_upper"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap (round 9): deterministic resampling via xxhash64
+
+#: Bootstrap replicates.  Poisson(1) weights make each replicate a single
+#: independent map-side draw per row — the only bootstrap that works when
+#: the corpus doesn't fit anywhere (Chamandy et al. 2012, "Estimating
+#: uncertainty for massive data streams"; n is unknown per partition, and
+#: sampling WITH replacement would need global indexing).
+BOOT_B = 16
+
+#: floor(CDF_Poisson(1)(k) * 2^64) for k = 0..8, computed to 60 decimal
+#: digits: the replicate weight is the count of thresholds <= the row's
+#: u64 hash, i.e. the inverse-CDF transform done entirely in integers.
+#: P(w > 8) ~ 1.1e-6 — the cap is shared by both engines, so exactness
+#: is unaffected.
+_POIS1_CDF_U64 = (
+    6786177901268885274,
+    13572355802537770549,
+    16965444753172213186,
+    18096474403383694065,
+    18379231815936564285,
+    18435783298447138329,
+    18445208545532234003,
+    18446555009401533385,
+    18446723317385195808,
+)
+
+#: Same thresholds shifted to Spark's signed-int64 order: u64 order is
+#: preserved under u -> u - 2^63, which on the Spark side is one
+#: ``hash ^ LONG_MIN`` bit flip.
+_POIS1_CDF_S64 = tuple(t - (1 << 63) for t in _POIS1_CDF_U64)
+
+_LONG_MIN = -(1 << 63)
+
+
+def _poisson_bootstrap_oracle() -> str:
+    from azure_func_forem_data_etl_spark.functions import xxh64_sql as X
+    from azure_func_forem_data_etl_spark.functions.exact import sql_dsum
+
+    hash_ctes = X.xxh64_longs_expr_ctes(
+        "pb",
+        "reps",
+        ["o_totalprice", "b"],
+        ["o_orderkey", "b"],
+        X.SPARK_HASH_SEED,
+    )
+    w = " + ".join(
+        f"(CASE WHEN h >= {X._c(t)} THEN 1 ELSE 0 END)" for t in _POIS1_CDF_U64
+    )
+    return f"""
+    WITH reps AS (
+        SELECT o_orderkey, o_totalprice, b
+        FROM orders, (SELECT UNNEST(generate_series(1, {BOOT_B})) AS b)
+    ),
+    {hash_ctes},
+    weighted AS (SELECT b, o_totalprice, {w} AS w FROM pb_hash)
+    SELECT CAST(b AS INT) AS replicate,
+           CAST(SUM(w) AS BIGINT) AS n_eff,
+           CAST(SUM(w * CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS boot_total
+    FROM weighted GROUP BY 1
+    UNION ALL
+    SELECT 0, CAST(COUNT(*) AS BIGINT), {sql_dsum('o_totalprice')}
+    FROM orders
+    """
+
+
+@register(
+    "poisson_bootstrap_totals",
+    defer=3,
+    oracle=_poisson_bootstrap_oracle(),
+    doc=f"Deterministic Poisson bootstrap of total order revenue: "
+    f"{BOOT_B} replicates, weight = inverse-CDF(Poisson(1)) of "
+    "xxhash64(o_orderkey, b) done in pure integer threshold compares; "
+    "replicate 0 is the observed statistic.  Exact decimal sums.",
+)
+def poisson_bootstrap_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resampling-based uncertainty without RNG state: row r's weight in
+    replicate b is Pois(1) via the inverse CDF applied to
+    ``xxhash64(o_orderkey, b)`` — reproducible across runs, engines, and
+    partitionings, which is what makes it oracle-checkable here and
+    restart-safe at 100 TB (a bootstrap keyed on partition-local RNG is
+    neither).  The whole thing is one generated column + one keyed agg:
+    explode B replicate ids per row map-side, compare the hash against 9
+    integer thresholds (u64 order == signed order after one ^LONG_MIN bit
+    flip), and partial-aggregate (replicate, w*value) — shuffle rows =
+    B x partitions, not B x corpus.  Spread of the replicate totals
+    estimates the SE of the total; replicate 0 carries the observed
+    statistic so the output is self-contained.
+    """
+    from azure_func_forem_data_etl_spark.functions.exact import dsum
+
+    orders = table(spark, sf_dir, "orders")
+    w_expr = " + ".join(
+        f"(CASE WHEN hx >= {t}L THEN 1 ELSE 0 END)" for t in _POIS1_CDF_S64
+    )
+    reps = (
+        orders.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.lit(BOOT_B).cast("long"))
+            ).alias("b"),
+        )
+        .withColumn(
+            "hx",
+            F.xxhash64("o_orderkey", "b").bitwiseXOR(F.lit(_LONG_MIN)),
+        )
+        .withColumn("w", F.expr(w_expr))
+    )
+    boot = reps.groupBy(F.col("b").cast("int").alias("replicate")).agg(
+        F.sum("w").alias("n_eff"),
+        F.sum(
+            F.col("w") * F.col("o_totalprice").cast("decimal(18,4)")
+        ).cast("double").alias("boot_total"),
+    )
+    observed = orders.agg(
+        F.lit(0).alias("replicate"),
+        F.count("*").alias("n_eff"),
+        dsum("o_totalprice").alias("boot_total"),
+    )
+    return boot.unionByName(observed)
+
+
+# ---------------------------------------------------------------------------
+# Split conformal prediction (round 9)
+
+#: Conformal miscoverage target: 1 - alpha = 90% nominal coverage.
+CONF_ALPHA_NUM, CONF_ALPHA_DEN = 9, 10  # ceil(0.9 * (n+1))-th residual
+
+
+def _conformal_oracle() -> str:
+    from azure_func_forem_data_etl_spark.functions import xxh64_sql as X
+
+    hash_ctes = X.xxh64_longs_expr_ctes(
+        "cf", "orders", ["o_orderpriority", "o_totalprice"], ["o_orderkey"],
+        X.SPARK_HASH_SEED,
+    )
+    signed = X.signed64("h")
+    return f"""
+    WITH {hash_ctes},
+    split AS MATERIALIZED (
+        SELECT o_orderpriority AS pri,
+               CAST(o_totalprice AS DECIMAL(18,4)) AS y,
+               ((({signed}) % 10) + 10) % 10 AS s
+        FROM cf_hash
+    ),
+    tr AS MATERIALIZED (
+        SELECT pri, y,
+               ROW_NUMBER() OVER (PARTITION BY pri ORDER BY y) AS rn,
+               COUNT(*) OVER (PARTITION BY pri) AS n
+        FROM split WHERE s <= 6
+    ),
+    model AS MATERIALIZED (
+        SELECT pri, CAST(MAX(n) AS BIGINT) AS n_train,
+               MIN(CASE WHEN rn = (n + 1) // 2 THEN y END) AS med
+        FROM tr GROUP BY pri
+    ),
+    cal AS (
+        SELECT c.pri, ABS(c.y - m.med) AS r
+        FROM split c JOIN model m ON m.pri = c.pri
+        WHERE c.s IN (7, 8)
+    ),
+    cal_rn AS MATERIALIZED (
+        SELECT pri, r,
+               ROW_NUMBER() OVER (PARTITION BY pri ORDER BY r) AS rn,
+               COUNT(*) OVER (PARTITION BY pri) AS n
+        FROM cal
+    ),
+    q AS MATERIALIZED (
+        SELECT pri, CAST(MAX(n) AS BIGINT) AS n_cal,
+               MIN(CASE WHEN rn = ({CONF_ALPHA_NUM} * (n + 1) + {CONF_ALPHA_DEN - 1}) // {CONF_ALPHA_DEN}
+                        THEN r END) AS q_hat
+        FROM cal_rn GROUP BY pri
+    ),
+    tst AS (
+        SELECT t.pri,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(COUNT(*) FILTER (
+                   WHERE q.q_hat IS NULL OR ABS(t.y - m.med) <= q.q_hat
+               ) AS BIGINT) AS n_covered
+        FROM split t
+            JOIN model m ON m.pri = t.pri
+            JOIN q ON q.pri = t.pri
+        WHERE t.s = 9
+        GROUP BY t.pri
+    )
+    SELECT m.pri AS o_orderpriority, m.n_train, q.n_cal,
+           COALESCE(t.n_test, 0) AS n_test,
+           COALESCE(t.n_covered, 0) AS n_covered,
+           CAST(m.med AS DOUBLE) AS pred_median,
+           CAST(q.q_hat AS DOUBLE) AS q_hat,
+           CASE WHEN t.n_test > 0
+                THEN 1000000 * t.n_covered // t.n_test END AS coverage_ppm
+    FROM model m
+        JOIN q ON q.pri = m.pri
+        LEFT JOIN tst t ON t.pri = m.pri
+    """
+
+
+@register(
+    "conformal_interval_coverage",
+    defer=3,
+    oracle=_conformal_oracle(),
+    doc="Mondrian split-conformal intervals on order totals: deterministic "
+    "hash split (train 70 / cal 20 / test 10 via pmod(xxhash64(key),10)), "
+    "per-priority median predictor, q_hat = ceil(0.9(n+1))-th smallest "
+    "calibration residual, exact integer/decimal coverage audit on test.",
+)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free prediction intervals with finite-sample coverage
+    (Vovk's split conformal, the Mondrian per-group variant): the entire
+    method is order statistics, which is why it survives a bit-exact
+    cross-engine oracle where any regression-based interval would not.
+    The hash split makes train/cal/test membership a pure function of the
+    row key — reproducible across engines and restarts, no sampling state.
+    Scale shape: two keyed window passes (train median, calibration
+    quantile) and one keyed agg, all partitioned by the 5-value priority
+    key; the model and q_hat frames are group-grain (5 rows) and
+    broadcast back onto the test scan.  q_hat is NULL (cover-everything)
+    when ceil(0.9(n_cal+1)) > n_cal — the small-group finite-sample rule,
+    exercised by the planted test."""
+    orders = table(spark, sf_dir, "orders")
+    split = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("y"),
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(10)).alias("s"),
+    )
+    wp_y = Window.partitionBy("pri").orderBy("y")
+    wp = Window.partitionBy("pri")
+    model = (
+        split.filter(F.col("s") <= 6)
+        .withColumn("rn", F.row_number().over(wp_y))
+        .withColumn("n", F.count("*").over(wp))
+        .groupBy("pri")
+        .agg(
+            F.max("n").alias("n_train"),
+            F.min(
+                F.when(F.expr("rn = (n + 1) div 2"), F.col("y"))
+            ).alias("med"),
+        )
+        # group-grain (5 rows) but referenced by cal, tst AND the final
+        # select — Spark re-runs unshared aggregation subplans, so pin it.
+        .localCheckpoint(eager=True)
+    )
+    cal = (
+        split.filter(F.col("s").isin(7, 8))
+        .join(F.broadcast(model), "pri")
+        .withColumn("r", F.abs(F.col("y") - F.col("med")))
+    )
+    wp_r = Window.partitionBy("pri").orderBy("r")
+    k = (
+        f"rn = ({CONF_ALPHA_NUM} * (n + 1) + {CONF_ALPHA_DEN - 1}) "
+        f"div {CONF_ALPHA_DEN}"
+    )
+    q = (
+        cal.withColumn("rn", F.row_number().over(wp_r))
+        .withColumn("n", F.count("*").over(wp))
+        .groupBy("pri")
+        .agg(
+            F.max("n").alias("n_cal"),
+            F.min(F.when(F.expr(k), F.col("r"))).alias("q_hat"),
+        )
+        .localCheckpoint(eager=True)  # same: shared by tst + final select
+    )
+    tst = (
+        split.filter(F.col("s") == 9)
+        .join(F.broadcast(model), "pri")
+        .join(F.broadcast(q), "pri")
+        .groupBy("pri")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.count_if(
+                F.col("q_hat").isNull()
+                | (F.abs(F.col("y") - F.col("med")) <= F.col("q_hat"))
+            ).alias("n_covered"),
+        )
+    )
+    return (
+        model.join(q, "pri")
+        .join(tst, "pri", "left")
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            "n_train",
+            "n_cal",
+            F.coalesce("n_test", F.lit(0)).alias("n_test"),
+            F.coalesce("n_covered", F.lit(0)).alias("n_covered"),
+            F.col("med").cast("double").alias("pred_median"),
+            F.col("q_hat").cast("double").alias("q_hat"),
+            F.expr(
+                "CASE WHEN n_test > 0 THEN 1000000 * n_covered div n_test END"
+            ).alias("coverage_ppm"),
+        )
+    )

@@ -3733,3 +3733,96 @@ def window_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return depth.groupBy("funnel_depth").agg(F.count("*").alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# Session path analysis (round 9)
+
+PATH_GAP_MIN = 30   # session gap, matching sessionize_gap_islands
+PATH_DEPTH = 5      # first-K event types define the path
+PATH_TOPK = 20      # report the K most common paths
+
+
+@register(
+    "session_path_topk",
+    defer=3,
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - lag(ts) OVER w <= INTERVAL {PATH_GAP_MIN} MINUTE
+                    THEN 0 ELSE 1 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT *, SUM(is_start) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS session_no
+        FROM marked
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_no
+                                     ORDER BY ts, event_id) AS rn
+        FROM numbered
+    ),
+    paths AS (
+        SELECT user_id, session_no,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM ranked WHERE rn <= {PATH_DEPTH}
+        GROUP BY user_id, session_no
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {PATH_TOPK}
+    """,
+    doc=f"Top-{PATH_TOPK} session journeys: {PATH_GAP_MIN}-min gap "
+    f"sessionization, path = first {PATH_DEPTH} event types in "
+    "(ts, event_id) order joined with '>', counted across all sessions — "
+    "the Sankey/flow view product analytics builds on sessionized events.",
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes the gap-and-islands sessionizer with an ordered path
+    rollup.  All three window passes (gap mark, island number, in-session
+    rank) share the user_id partitioning, so Catalyst plans ONE shuffle
+    feeding three Window operators; the path assembly then groups on
+    (user, session) — a refinement of the same key, no second corpus
+    shuffle.  ``sort_array(collect_list(struct(...)))`` over at most
+    {PATH_DEPTH} rows per session makes the concatenation
+    order-deterministic without trusting collect order.  The final
+    count + top-k runs on the path grain (bounded by the event-type
+    alphabet ^ depth, not the corpus) with a rank tie-break on the path
+    string so row {PATH_TOPK} is stable.  Cf. sessionize_gap_islands
+    (same session definition, aggregate view).
+    """
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_min = (
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    ) / 60.0
+    marked = events.withColumn(
+        "is_start", F.when(gap_min <= PATH_GAP_MIN, F.lit(0)).otherwise(F.lit(1))
+    )
+    numbered = marked.withColumn("session_no", F.sum("is_start").over(w))
+    ws = Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    ranked = numbered.withColumn("rn", F.row_number().over(ws))
+    paths = (
+        ranked.filter(F.col("rn") <= PATH_DEPTH)
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(PATH_TOPK)
+    )

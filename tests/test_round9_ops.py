@@ -130,3 +130,138 @@ def test_containment_exact_half_boundary(spark, tmp_path):
         4, 5, 2, 500_000,
     )
     assert_matches_oracle(q.fn(spark, sf), q.oracle, sf)
+
+
+# ---------------------------------------------------------------------------
+# poisson_bootstrap_totals / conformal_interval_coverage / session_path_topk
+
+_ORDERS_SCHEMA = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+    "o_totalprice double, o_orderdate date, o_orderpriority string, "
+    "o_clerk string, o_shippriority int, o_comment string"
+)
+
+
+def _order(key, price, pri="1-URGENT"):
+    return (key, 1, "O", price, dt.date(2024, 1, 1), pri, "c", 0, "")
+
+
+def test_poisson_bootstrap_weights_replay_python(spark, tmp_path):
+    """The Spark aggregate must equal a pure-Python replay of the weight
+    function: w(key, b) = #{k : xxh64_chain(key, b) >= T_k} with the
+    frozen Poisson(1) u64 thresholds.  Five rows, exact decimal totals."""
+    from azure_func_forem_data_etl_spark.functions.xxh64_sql import (
+        SPARK_HASH_SEED,
+        xxh64_long,
+    )
+    from azure_func_forem_data_etl_spark.operators.evaluation import (
+        BOOT_B,
+        _POIS1_CDF_U64,
+    )
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    prices = {11: 100.25, 12: 200.50, 13: 300.75, 14: 400.00, 15: 500.10}
+    rows = [_order(k, p) for k, p in prices.items()]
+    spark.createDataFrame(rows, _ORDERS_SCHEMA).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    sf = str(tmp_path)
+
+    def w(key, b):
+        h = xxh64_long(b, xxh64_long(key, SPARK_HASH_SEED))
+        return sum(1 for t in _POIS1_CDF_U64 if h >= t)
+
+    expect = {0: (5, round(sum(prices.values()), 4))}
+    for b in range(1, BOOT_B + 1):
+        ws = {k: w(k, b) for k in prices}
+        expect[b] = (
+            sum(ws.values()),
+            round(sum(ws[k] * prices[k] for k in prices), 4),
+        )
+
+    q = load_all()["poisson_bootstrap_totals"]
+    got = {
+        r["replicate"]: (r["n_eff"], round(r["boot_total"], 4))
+        for r in q.fn(spark, sf).collect()
+    }
+    assert got == expect
+    assert_matches_oracle(q.fn(spark, sf), q.oracle, sf)
+
+
+def test_conformal_small_cal_infinite_interval(spark, tmp_path):
+    """Finite-sample rule: with n_cal = 2, k = ceil(0.9 * 3) = 3 > 2, so
+    q_hat is NULL and every test row counts as covered.  Split membership
+    is a pure function of xxhash64(o_orderkey) — pick keys per split by
+    replaying the hash in Python."""
+    from azure_func_forem_data_etl_spark.functions.xxh64_sql import (
+        SPARK_HASH_SEED,
+        to_signed,
+        xxh64_long,
+    )
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    def s(key):
+        return to_signed(xxh64_long(key, SPARK_HASH_SEED)) % 10
+
+    train, cal, test = [], [], []
+    key = 1
+    while min(len(train), len(cal) // 2 if cal else 0) >= 0 and (
+        len(train) < 5 or len(cal) < 2 or len(test) < 3
+    ):
+        b = s(key)
+        if b <= 6 and len(train) < 5:
+            train.append(key)
+        elif b in (7, 8) and len(cal) < 2:
+            cal.append(key)
+        elif b == 9 and len(test) < 3:
+            test.append(key)
+        key += 1
+    rows = (
+        [_order(k, 100.0 + i) for i, k in enumerate(train)]
+        + [_order(k, 200.0) for k in cal]
+        + [_order(k, 10_000.0) for k in test]  # far outside any residual
+    )
+    spark.createDataFrame(rows, _ORDERS_SCHEMA).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    sf = str(tmp_path)
+    q = load_all()["conformal_interval_coverage"]
+    out = q.fn(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_train"] == 5 and r["n_cal"] == 2 and r["n_test"] == 3
+    assert r["q_hat"] is None
+    assert r["n_covered"] == 3 and r["coverage_ppm"] == 1_000_000
+    # train prices 100..104 -> lower median = 102
+    assert r["pred_median"] == 102.0
+    assert_matches_oracle(q.fn(spark, sf), q.oracle, sf)
+
+
+def test_session_path_truncation_and_gaps(spark, tmp_path):
+    """u1 has two sessions split by a 31-min gap (paths a>b>c and a>b);
+    u2 has one 7-event session truncated to its first 5 types.  Ties on
+    ts inside u2 resolve by event_id."""
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    rows = [
+        _ev(0, 1, "a", 0), _ev(1, 1, "b", 5), _ev(2, 1, "c", 10),
+        _ev(3, 1, "a", 41), _ev(4, 1, "b", 45),
+    ]
+    t2 = [(_T0 + dt.timedelta(minutes=m)) for m in range(7)]
+    rows += [
+        (10, t2[0], 2, "x", 1.0, "{}"),
+        (11, t2[0], 2, "y", 1.0, "{}"),  # same ts as event 10: id order
+        (12, t2[1], 2, "z", 1.0, "{}"),
+        (13, t2[2], 2, "x", 1.0, "{}"),
+        (14, t2[3], 2, "y", 1.0, "{}"),
+        (15, t2[4], 2, "z", 1.0, "{}"),
+        (16, t2[5], 2, "x", 1.0, "{}"),
+    ]
+    spark.createDataFrame(rows, _EVENTS_SCHEMA).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    sf = str(tmp_path)
+    q = load_all()["session_path_topk"]
+    got = {r["path"]: r["n_sessions"] for r in q.fn(spark, sf).collect()}
+    assert got == {"a>b>c": 1, "a>b": 1, "x>y>z>x>y": 1}
+    assert_matches_oracle(q.fn(spark, sf), q.oracle, sf)
