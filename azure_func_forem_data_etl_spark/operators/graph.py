@@ -1765,3 +1765,133 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = normed.filter(F.col("rn") <= HITS_TOP_K).select("kind", "id", "score_ppm")
     _release(e_ids)  # finals are checkpointed; the edge blocks are dead
     return out
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest paths (round 9)
+
+#: Bellman-Ford rounds: distances are exact over all paths of <= this many
+#: edges.  Matches BFS_MAX_DEPTH so the two traversals are comparable.
+SSSP_ROUNDS = 6
+
+_WEDGES_SQL = f"""
+    SELECT a.l_partkey AS src, b.l_partkey AS dst,
+           1000000 // COUNT(*) AS w
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= {EDGE_MIN_SUPPORT}
+"""
+
+
+@register(
+    "graph_sssp_weighted",
+    defer=3,
+    oracle=f"""
+    WITH RECURSIVE e AS MATERIALIZED ({_WEDGES_SQL}),
+    und AS MATERIALIZED (
+        SELECT src, dst, w FROM e
+        UNION ALL SELECT dst AS src, src AS dst, w FROM e
+    ),
+    start AS (
+        SELECT src AS s FROM und GROUP BY src
+        ORDER BY COUNT(*) DESC, src LIMIT 1
+    ),
+    -- UNION-distinct recursion over (id, dist, round) states: after round
+    -- r the minimum dist per id equals the shortest path using <= r edges
+    -- (Bellman-Ford invariant); positive weights keep states finite
+    reach(id, d, r) AS (
+      SELECT s, CAST(0 AS BIGINT), 0 FROM start
+      UNION
+      SELECT u.dst, x.d + u.w, x.r + 1
+      FROM reach x JOIN und u ON u.src = x.id
+      WHERE x.r < {SSSP_ROUNDS}
+    )
+    SELECT id, CAST(MIN(d) AS BIGINT) AS dist_ppm
+    FROM reach GROUP BY id
+    """,
+    doc=f"Weighted SSSP (Bellman-Ford, {SSSP_ROUNDS} rounds) from the "
+    "max-degree hub of the co-purchase graph (tie-break: smallest id); "
+    "edge length = 1e6 div co-purchase support, so strongly associated "
+    "parts are close.  Exact over paths of <= 6 edges; integer distances.",
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distances with edge COSTS — the primitive BFS (hop counts) cannot
+    express; relatedness distance over the co-purchase graph is the
+    'how far is part X from part Y, discounting weak links' question.
+    Synchronous Bellman-Ford: each round joins the current distance
+    vector to the edge list and takes the keyed min of (old, relaxed) —
+    two keyed shuffles per round on frames bounded by the reachable set,
+    never more.  Rounds compose lazily into 2^r re-evaluations if left
+    unchecked, so each round's vector is an eager ``localCheckpoint``
+    whose predecessor is released by RDD id (the BFS/HITS discipline,
+    graph.py:1044).  Integer ppm weights (1e6 div support) make every
+    distance an exact BIGINT, which is what lets a recursive-CTE oracle
+    replay all {SSSP_ROUNDS} rounds bit-exactly.
+    """
+    jsc = spark.sparkContext._jsc
+
+    def _pids() -> set[int]:
+        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _release(ids: set[int]) -> None:
+        jmap = jsc.getPersistentRDDs()
+        for rid in jmap.keySet().toArray():
+            if int(rid) in ids:
+                jmap.get(rid).unpersist(True)
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    snap = _pids()
+    wedges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= EDGE_MIN_SUPPORT)
+        .select("src", "dst", F.expr("1000000 div support").alias("w"))
+    )
+    und = (
+        wedges.unionByName(
+            wedges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    und_ids = _pids() - snap
+    dist = (
+        und.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .orderBy(F.col("deg").desc(), "src")
+        .limit(1)
+        .select(F.col("src").alias("id"), F.lit(0).cast("long").alias("d"))
+    )
+    snap = _pids()
+    dist = dist.localCheckpoint(eager=True)
+    prev_ids = _pids() - snap
+    for rnd in range(1, SSSP_ROUNDS + 1):
+        relaxed = (
+            und.join(dist.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), (F.col("d") + F.col("w")).alias("d"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("d").alias("d"))
+        )
+        # dist is referenced twice per round (join + union): pin every
+        # SECOND round — lineage depth stays <= 2 (a bounded 4x subtree),
+        # at half the eager-checkpoint jobs of pin-every-round.
+        if rnd % 2 == 0 or rnd == SSSP_ROUNDS:
+            snap = _pids()
+            dist = dist.localCheckpoint(eager=True)
+            new_ids = _pids() - snap
+            _release(prev_ids)
+            prev_ids = new_ids
+    _release(und_ids)  # dist is checkpointed; the edge blocks are dead
+    return dist.select("id", F.col("d").alias("dist_ppm"))

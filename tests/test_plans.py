@@ -200,6 +200,13 @@ def test_plan_lint_every_registry_query(spark):
         "weekend_effect_did",  # 1-row epoch-bounds broadcast
         "user_overdispersion_index",  # 1-row day-span broadcast
         "basket_size_geometric_fit",  # 1-row MLE totals onto the size hist
+        # round-9: 1-row time-midpoint broadcast onto the events scan +
+        # 1-row (theta, rho_sq, grand moments) broadcast onto user grain
+        "cuped_adjusted_lift",
+        # two-phase rework (VERDICT r8 #2): the band-offset join is a
+        # keyed broadcast; only the 1-row (n, tot) totals cross-join
+        # remains a BNLJ — O(customer grain)·1
+        "pareto_8020_customers",
     }
     checked = 0
     for name, q in sorted(load_all().items()):

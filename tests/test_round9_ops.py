@@ -265,3 +265,75 @@ def test_session_path_truncation_and_gaps(spark, tmp_path):
     got = {r["path"]: r["n_sessions"] for r in q.fn(spark, sf).collect()}
     assert got == {"a>b>c": 1, "a>b": 1, "x>y>z>x>y": 1}
     assert_matches_oracle(q.fn(spark, sf), q.oracle, sf)
+
+
+# ---------------------------------------------------------------------------
+# graph_sssp_weighted / cuped_adjusted_lift
+
+
+def test_sssp_planted_weights_and_tiebreak(spark, tmp_path):
+    """Graph: (1,2) support 2 (w=500000), (1,4) support 2, (2,3) support 4
+    (w=250000).  Degrees tie 1 and 2 at 2 — the smaller id (1) must win
+    the start tie-break.  Hand-computed: d(1)=0, d(2)=d(4)=500000,
+    d(3)=750000 via 1->2->3."""
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    baskets = [(1, [1, 2]), (2, [1, 2]), (3, [1, 4]), (4, [1, 4])] + [
+        (o, [2, 3]) for o in (5, 6, 7, 8)
+    ]
+    rows = [(o, p) for o, parts in baskets for p in parts]
+    spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint").write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    sf = str(tmp_path)
+    q = load_all()["graph_sssp_weighted"]
+    got = {r["id"]: r["dist_ppm"] for r in q.fn(spark, sf).collect()}
+    assert got == {1: 0, 2: 500_000, 4: 500_000, 3: 750_000}
+    assert_matches_oracle(q.fn(spark, sf), q.oracle, sf)
+
+
+def test_cuped_planted_perfect_covariate(spark, tmp_path):
+    """When post = 2 * pre exactly for every user, theta = 2, rho_sq = 1,
+    and the adjusted means collapse to the grand post mean for BOTH arms
+    (all arm differences are explained by the pre-period covariate).
+    Arm membership is replayed in Python to plant two users per arm."""
+    from azure_func_forem_data_etl_spark.functions.xxh64_sql import (
+        SPARK_HASH_SEED,
+        to_signed,
+        xxh64_long,
+    )
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    def arm(uid):
+        return to_signed(xxh64_long(uid, SPARK_HASH_SEED)) % 2
+
+    a0, a1, uid = [], [], 1
+    while len(a0) < 2 or len(a1) < 2:
+        (a0 if arm(uid) == 0 else a1)[:] += [uid] if (
+            (arm(uid) == 0 and len(a0) < 2) or (arm(uid) == 1 and len(a1) < 2)
+        ) else []
+        uid += 1
+    users = {a0[0]: 10.0, a0[1]: 20.0, a1[0]: 30.0, a1[1]: 40.0}
+    rows, eid = [], 0
+    for u, pre in users.items():
+        rows.append((eid, _T0, u, "view", pre, "{}")); eid += 1
+        rows.append(
+            (eid, _T0 + dt.timedelta(hours=10), u, "view", 2 * pre, "{}")
+        ); eid += 1
+    spark.createDataFrame(rows, _EVENTS_SCHEMA).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    sf = str(tmp_path)
+    q = load_all()["cuped_adjusted_lift"]
+    got = {r["arm"]: r for r in q.fn(spark, sf).collect()}
+    assert set(got) == {0, 1}
+    grand_post = 2 * sum(users.values()) / 4
+    for a, uids in ((0, a0), (1, a1)):
+        r = got[a]
+        assert r["n_users"] == 2
+        assert r["theta"] == 2.0
+        assert r["rho_sq"] == 1.0
+        assert r["mean_pre"] == sum(users[u] for u in uids) / 2
+        assert r["mean_post"] == 2 * r["mean_pre"]
+        assert abs(r["adj_mean_post"] - grand_post) < 1e-6
+    assert_matches_oracle(q.fn(spark, sf), q.oracle, sf)
