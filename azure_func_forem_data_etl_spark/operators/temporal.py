@@ -3826,3 +3826,124 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(PATH_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU / MAU stickiness (round 9)
+
+WAU_WINDOW_DAYS = 7   # WAU(x) counts users active in [x-6, x]
+MAU_WINDOW_DAYS = 28  # MAU(x) counts users active in [x-27, x]
+
+
+def _active_user_sweep(ud: DataFrame, window_days: int) -> DataFrame:
+    """(d, delta) sweep marks whose day-ordered prefix sum equals the
+    number of DISTINCT users active within the trailing ``window_days``
+    at each day — WITHOUT a distinct-over-sliding-window.
+
+    Each user-day d makes the user count toward days [d, d+W-1].  Per
+    user, overlapping/touching contribution intervals are merged into
+    islands (gap rule: a new island starts when the previous active day
+    is more than W days back — intervals [d1, d1+W-1] and [d2, d2+W-1]
+    are disjoint iff d2 - d1 > W), so no user is ever double-counted;
+    each island then emits +1 at its start and -1 one day past its end.
+    Everything is keyed by user until the final day-grain aggregation.
+    """
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = ud.select(
+        "user_id",
+        "d",
+        F.coalesce(
+            (F.datediff(F.col("d"), F.lag("d").over(w)) > window_days).cast("int"),
+            F.lit(1),
+        ).alias("new_island"),
+    ).select(
+        "user_id",
+        "d",
+        F.sum("new_island")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    spans = islands.groupBy("user_id", "island").agg(
+        F.min("d").alias("start"),
+        F.date_add(F.max("d"), window_days).alias("stop"),  # first day PAST
+    )
+    return spans.select(
+        F.col("start").alias("d"), F.lit(1).alias("delta")
+    ).unionByName(spans.select(F.col("stop").alias("d"), F.lit(-1).alias("delta")))
+
+
+@register(
+    "dau_mau_stickiness",
+    defer=3,
+    oracle=f"""
+    WITH ud AS MATERIALIZED (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d),
+    wau AS (
+        SELECT dy.d, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+        FROM (SELECT DISTINCT d FROM ud) dy
+            JOIN ud u ON u.d BETWEEN dy.d - {WAU_WINDOW_DAYS - 1} AND dy.d
+        GROUP BY dy.d
+    ),
+    mau AS (
+        SELECT dy.d, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau
+        FROM (SELECT DISTINCT d FROM ud) dy
+            JOIN ud u ON u.d BETWEEN dy.d - {MAU_WINDOW_DAYS - 1} AND dy.d
+        GROUP BY dy.d
+    )
+    SELECT CAST(a.d AS VARCHAR) AS day, a.dau, w.wau, m.mau,
+           1000000 * a.dau // w.wau AS dau_wau_ppm,
+           1000000 * a.dau // m.mau AS dau_mau_ppm
+    FROM dau a JOIN wau w ON w.d = a.d JOIN mau m ON m.d = a.d
+    """,
+    doc=f"Product-health stickiness: per active day, DAU plus trailing "
+    f"{WAU_WINDOW_DAYS}-day WAU and {MAU_WINDOW_DAYS}-day MAU (distinct "
+    "users) and the integral DAU/WAU, DAU/MAU ppm ratios — computed via "
+    "per-user interval merge + day-grain sweep, no distinct-over-"
+    "sliding-window.",
+)
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DAU/MAU board metric, computed the only way that scales: a
+    trailing-window COUNT(DISTINCT user) per day is not decomposable
+    (the naive day x user window join re-materializes the corpus W
+    times), but each user's contribution to "active in the last W days"
+    is a union of intervals.  Merge each user's overlapping intervals
+    into islands with one keyed window (the sessionization gap rule on
+    the day grain), emit +1/-1 sweep marks per island, and the day-
+    ordered prefix sum of the marks IS the trailing distinct count —
+    exactly, with nothing larger than user-day grain ever shuffled.
+    The two prefix sums (WAU, MAU) run on the bounded day grain
+    (corpus span + W rows), the same grain-bounded single window the
+    peak-concurrency sweep's phase 2 uses (temporal.py:3600).
+    """
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    dau = ud.groupBy("d").agg(F.count("*").alias("dau"))
+    wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    curves = []
+    for colname, wdays in (("wau", WAU_WINDOW_DAYS), ("mau", MAU_WINDOW_DAYS)):
+        sweep = _active_user_sweep(ud, wdays)
+        # spine = sweep-change days + active days (zero-delta markers) so
+        # the prefix sum is evaluated exactly at every output day
+        spine = sweep.unionByName(
+            dau.select("d", F.lit(0).alias("delta"))
+        )
+        curves.append(
+            spine.groupBy("d")
+            .agg(F.sum("delta").alias("delta"))
+            .select("d", F.sum("delta").over(wd).alias(colname))
+        )
+    out = (
+        dau.join(curves[0], "d")
+        .join(curves[1], "d")
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+            F.expr("1000000 * dau div wau").alias("dau_wau_ppm"),
+            F.expr("1000000 * dau div mau").alias("dau_mau_ppm"),
+        )
+    )
+    return out

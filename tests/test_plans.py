@@ -207,6 +207,8 @@ def test_plan_lint_every_registry_query(spark):
         # keyed broadcast; only the 1-row (n, tot) totals cross-join
         # remains a BNLJ — O(customer grain)·1
         "pareto_8020_customers",
+        # 1-row beta-binomial prior (m_f, c) broadcast onto user grain
+        "eb_beta_binomial_shrinkage",
     }
     checked = 0
     for name, q in sorted(load_all().items()):

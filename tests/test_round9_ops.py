@@ -337,3 +337,120 @@ def test_cuped_planted_perfect_covariate(spark, tmp_path):
         assert r["mean_post"] == 2 * r["mean_pre"]
         assert abs(r["adj_mean_post"] - grand_post) < 1e-6
     assert_matches_oracle(q.fn(spark, sf), q.oracle, sf)
+
+
+# ---------------------------------------------------------------------------
+# dau_mau_stickiness / setsim_prefix_filter_pairs / eb_beta_binomial_shrinkage
+
+
+def test_dau_mau_interval_merge(spark, tmp_path):
+    """Three planted users stress the island merge that prevents
+    double-counting: u1 active Jan 1/5/20 (1 and 5 OVERLAP in the 7-day
+    window — an unmerged sweep would report WAU=3 on Jan 5), u3 active
+    Jan 1/9 (disjoint week islands), u2 once.  Hand-computed curve:
+
+    day     dau  wau  mau
+    Jan 1    3    3    3
+    Jan 5    1    3    3   (u1 merged: NOT 1+extra from its own overlap)
+    Jan 9    1    2    3
+    Jan 20   1    1    3
+    """
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    def day(n):
+        return dt.datetime(2024, 1, n, 10, 0, 0)
+
+    active = {1: [1, 5, 20], 2: [1], 3: [1, 9]}
+    rows, eid = [], 0
+    for u, days in active.items():
+        for n in days:
+            rows.append((eid, day(n), u, "view", 1.0, "{}")); eid += 1
+            rows.append((eid, day(n), u, "click", 1.0, "{}")); eid += 1  # same-day dup
+    spark.createDataFrame(rows, _EVENTS_SCHEMA).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    sf = str(tmp_path)
+    q = load_all()["dau_mau_stickiness"]
+    got = {r["day"]: (r["dau"], r["wau"], r["mau"]) for r in q.fn(spark, sf).collect()}
+    assert got == {
+        "2024-01-01": (3, 3, 3),
+        "2024-01-05": (1, 3, 3),
+        "2024-01-09": (1, 2, 3),
+        "2024-01-20": (1, 1, 3),
+    }
+    assert_matches_oracle(q.fn(spark, sf), q.oracle, sf)
+
+
+def test_setsim_exact_pairs_and_threshold(spark, tmp_path):
+    """Trigram Jaccard hand-computed on five tiny docs: the identical
+    pair scores 1.0, the one-extra-word pair 4/5 = 0.8, and the
+    one-substitution pair 3/5 = 0.6 sits just UNDER tau=0.7 — the
+    boundary the integer threshold must not admit.  The oracle is the
+    naive all-pairs join, so a prefix filter that dropped (0,3) — the
+    asymmetric-size pair — would also fail the hash compare."""
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    docs = [
+        (0, "a b c d e f"),
+        (1, "a b c d e g"),
+        (2, "a b c d e f"),
+        (3, "a b c d e f g"),
+        (4, "z y x w v u"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs], _DOCS_SCHEMA
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+    q = load_all()["setsim_prefix_filter_pairs"]
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_union"], r["jaccard_ppm"])
+        for r in q.fn(spark, sf).collect()
+    }
+    assert got == {
+        (0, 2): (4, 4, 1_000_000),
+        (0, 3): (4, 5, 800_000),
+        (2, 3): (4, 5, 800_000),
+    }
+    assert_matches_oracle(q.fn(spark, sf), q.oracle, sf)
+
+
+def test_eb_shrinkage_closed_form(spark, tmp_path):
+    """Rates 1/4, 1/4, 3/4, 3/4 give exact moments m=0.5, v=0.0625 ->
+    alpha = beta = 1.5 (c = 3) by hand; posterior means are 2.5/7 and
+    4.5/7.  A second dataset with zero cross-user variance must yield
+    NULL prior/shrunk columns, not a division blow-up."""
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    rows, eid = [], 0
+    for u, k in ((1, 1), (2, 1), (3, 3), (4, 3)):
+        for j in range(4):
+            et = "purchase" if j < k else "view"
+            rows.append((eid, _T0 + dt.timedelta(minutes=eid), u, et, 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(rows, _EVENTS_SCHEMA).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    sf = str(tmp_path)
+    q = load_all()["eb_beta_binomial_shrinkage"]
+    got = {r["user_id"]: r for r in q.fn(spark, sf).collect()}
+    for u in (1, 2, 3, 4):
+        assert got[u]["alpha_x1e6"] == 1_500_000
+        assert got[u]["beta_x1e6"] == 1_500_000
+    assert got[1]["rate_ppm"] == 250_000 and got[1]["shrunk_ppm"] == 357_142
+    assert got[3]["rate_ppm"] == 750_000 and got[3]["shrunk_ppm"] == 642_857
+    assert_matches_oracle(q.fn(spark, sf), q.oracle, sf)
+
+    deg = tmp_path / "deg"
+    deg.mkdir()
+    rows = []
+    for eid, u in enumerate((1, 2, 3)):
+        rows.append((eid, _T0, u, "purchase", 1.0, "{}"))
+    spark.createDataFrame(rows, _EVENTS_SCHEMA).write.parquet(
+        str(deg / "events.parquet")
+    )
+    out = {r["user_id"]: r for r in q.fn(spark, str(deg)).collect()}
+    assert all(
+        out[u]["shrunk_ppm"] is None and out[u]["alpha_x1e6"] is None
+        for u in (1, 2, 3)
+    )
+    assert_matches_oracle(q.fn(spark, str(deg)), q.oracle, str(deg))
