@@ -1695,124 +1695,3 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CAST(1000000 AS BIGINT) * n_inter div least(na, nb) AS LONG)"
         ).alias("containment_ppm"),
     )
-
-
-# ---------------------------------------------------------------------------
-# Exact set-similarity join via prefix filtering (round 9)
-
-SETSIM_NGRAM = 3          # trigram shingles: 31-word vocab needs n>=3 to spread
-SETSIM_TAU_PPM = 700_000  # exact Jaccard threshold (0.7)
-
-
-@register(
-    "setsim_prefix_filter_pairs",
-    defer=3,
-    oracle=f"""
-    WITH psh AS MATERIALIZED ({_sql_shingles(SETSIM_NGRAM)}),
-    psz AS MATERIALIZED (
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM psh GROUP BY 1
-    ),
-    pinter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(COUNT(*) AS BIGINT) AS n_inter
-        FROM psh a JOIN psh b
-            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    )
-    SELECT i.doc_a, i.doc_b, i.n_inter,
-           x.sz + y.sz - i.n_inter AS n_union,
-           1000000 * i.n_inter // (x.sz + y.sz - i.n_inter) AS jaccard_ppm
-    FROM pinter i
-        JOIN psz x ON x.doc_id = i.doc_a
-        JOIN psz y ON y.doc_id = i.doc_b
-    WHERE 1000000 * i.n_inter >= {SETSIM_TAU_PPM} * (x.sz + y.sz - i.n_inter)
-    """,
-    doc=f"EXACT set-similarity join (PPJoin prefix filter): all document "
-    f"pairs with trigram-shingle Jaccard >= 0.7 — zero false negatives, "
-    "unlike the MinHash/SimHash probabilistic tier; candidates blocked "
-    "on each doc's rarest-shingle prefix, verified by exact "
-    "intersection count in the integer domain.",
-)
-def setsim_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The exact complement to MinHash-LSH: prefix filtering (Chaudhuri
-    et al. ICDE'06, Xiao et al. WWW'08) finds EVERY pair with Jaccard >=
-    tau, not just the LSH-probable ones.  Under a global token order
-    (document frequency ascending, rarest first), a pair with J >= tau
-    must share a token inside each side's first ``sz - ceil(tau*sz) + 1``
-    tokens — so the inverted index is built over prefixes only, and the
-    hottest (most frequent) shingles never key a join.  The oracle runs
-    the naive full shingle self-join, so an over-aggressive prefix that
-    dropped a true pair would hash-mismatch: the filter's zero-false-
-    negative guarantee is itself under test.  The ceil is integer
-    (``(tau_ppm*sz + 999999) div 1e6``) — a float ceil could round down
-    at exact-multiple sizes and break exactness.  100 TB shape: one
-    shingle-keyed df agg, one per-doc keyed window for prefix ranks, a
-    prefix-token equi-join (fanout bounded by construction: prefix
-    tokens are the globally rarest), size co-filter tau*max <= min, and
-    an exact-verify agg on candidates — all keyed shuffles, no sampling,
-    no recall caveat.
-    """
-    docs = table(spark, sf_dir, "documents")
-    # consumed by df-agg, sizes, prefix ranks, and both verify sides
-    sh = word_shingles(docs, SETSIM_NGRAM).localCheckpoint(eager=True)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    wdoc = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    prefix = (
-        sh.join(dfreq, "shingle")
-        .select("doc_id", "shingle", F.row_number().over(wdoc).alias("rn"))
-        .join(sizes, "doc_id")
-        .filter(
-            F.col("rn")
-            <= F.col("sz")
-            - F.expr(f"(({SETSIM_TAU_PPM} * sz) + 999999) div 1000000")
-            + 1
-        )
-        .select("doc_id", "shingle", "sz")
-    )
-    a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        # size filter: J >= tau forces tau * max(sz) <= min(sz)
-        .filter(
-            F.lit(1_000_000) * F.least("a.sz", "b.sz")
-            >= F.lit(SETSIM_TAU_PPM) * F.greatest("a.sz", "b.sz")
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sz").alias("sza"),
-            F.col("b.sz").alias("szb"),
-        )
-        .distinct()
-    )
-    sa, sb = sh.alias("sa"), sh.alias("sb")
-    inter = (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b", "sza", "szb")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    return (
-        inter.filter(
-            F.lit(1_000_000) * F.col("n_inter")
-            >= F.lit(SETSIM_TAU_PPM) * (F.col("sza") + F.col("szb") - F.col("n_inter"))
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_inter",
-            (F.col("sza") + F.col("szb") - F.col("n_inter")).alias("n_union"),
-            F.expr("1000000 * n_inter div (sza + szb - n_inter)").alias(
-                "jaccard_ppm"
-            ),
-        )
-    )

@@ -3915,7 +3915,10 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly, with nothing larger than user-day grain ever shuffled.
     The two prefix sums (WAU, MAU) run on the bounded day grain
     (corpus span + W rows), the same grain-bounded single window the
-    peak-concurrency sweep's phase 2 uses (temporal.py:3600).
+    peak-concurrency sweep's phase 2 uses (temporal.py:3600).  This is
+    the 100 TB tier of ``rolling_distinct_users``' day-spine range join
+    (which re-scans the user-day relation once per window day) — same
+    trailing-distinct semantics, one pass.
     """
     ev = table(spark, sf_dir, "events")
     ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()

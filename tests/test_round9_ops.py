@@ -381,35 +381,37 @@ def test_dau_mau_interval_merge(spark, tmp_path):
     assert_matches_oracle(q.fn(spark, sf), q.oracle, sf)
 
 
-def test_setsim_exact_pairs_and_threshold(spark, tmp_path):
-    """Trigram Jaccard hand-computed on five tiny docs: the identical
-    pair scores 1.0, the one-extra-word pair 4/5 = 0.8, and the
-    one-substitution pair 3/5 = 0.6 sits just UNDER tau=0.7 — the
-    boundary the integer threshold must not admit.  The oracle is the
-    naive all-pairs join, so a prefix filter that dropped (0,3) — the
-    asymmetric-size pair — would also fail the hash compare."""
+def test_prefix_filter_simjoin_planted_boundary(spark, tmp_path):
+    """Bigram Jaccard hand-computed on planted docs against the existing
+    PPJoin operator: identical pair 1.0, superset pair 5/6, a pair at
+    EXACTLY the 0.6 threshold (3 shared of union 5 — must be admitted:
+    3/5 is the correctly-rounded double 0.6, so >= holds), and a
+    0.6-adjacent pair at 3/7 that must not."""
     from azure_func_forem_data_etl_spark.plans.registry import load_all
 
     docs = [
-        (0, "a b c d e f"),
-        (1, "a b c d e g"),
-        (2, "a b c d e f"),
-        (3, "a b c d e f g"),
-        (4, "z y x w v u"),
+        (0, "a b c d e f"),       # bigrams {ab,bc,cd,de,ef}
+        (1, "a b c d x y"),       # inter 3, union 7 with doc0 -> 0.43, out
+        (2, "a b c d e f"),       # identical to doc0
+        (3, "a b c d e f g"),     # superset: inter 5, union 6 -> 0.8333
+        (4, "z z z"),             # single bigram, disjoint
+        (5, "p q r s t"),         # {pq,qr,rs,st}
+        (6, "p q r s u"),         # inter 3, union 5 -> exactly 0.6, in
     ]
     spark.createDataFrame(
         [(i, t, "en", "s", len(t)) for i, t in docs], _DOCS_SCHEMA
     ).write.parquet(str(tmp_path / "documents.parquet"))
     sf = str(tmp_path)
-    q = load_all()["setsim_prefix_filter_pairs"]
+    q = load_all()["prefix_filter_simjoin"]
     got = {
-        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_union"], r["jaccard_ppm"])
+        (r["doc_a"], r["doc_b"]): (r["inter_size"], r["jaccard"])
         for r in q.fn(spark, sf).collect()
     }
     assert got == {
-        (0, 2): (4, 4, 1_000_000),
-        (0, 3): (4, 5, 800_000),
-        (2, 3): (4, 5, 800_000),
+        (0, 2): (5, 1.0),
+        (0, 3): (5, 0.833333),
+        (2, 3): (5, 0.833333),
+        (5, 6): (3, 0.6),
     }
     assert_matches_oracle(q.fn(spark, sf), q.oracle, sf)
 

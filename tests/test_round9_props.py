@@ -133,15 +133,24 @@ def test_dau_mau_random_activity_triple_vote(spark, tmp_path, seed):
 
 
 @pytest.mark.parametrize("seed", [0, 1])
-def test_setsim_random_docs_triple_vote(spark, tmp_path, seed):
-    """Prefix-filtered join == naive-oracle == brute-force trigram
-    Jaccard on random docs salted with mutated near-copies."""
+def test_prefix_filter_simjoin_random_docs_triple_vote(spark, tmp_path, seed):
+    """Prefix-filtered join == its oracle == brute-force bigram Jaccard
+    on random docs salted with mutated near-copies — the zero-false-
+    negative guarantee checked against an implementation with no filter
+    at all.  The reference replicates Spark's HALF_UP F.round via
+    Decimal so the float jaccard column compares exactly."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from azure_func_forem_data_etl_spark.operators.dedup import (
+        PREFIX_JOIN_THRESHOLD,
+    )
+
     rng = random.Random(seed)
     vocab = list("abcdefgh")
     texts = []
     for _ in range(12):
         texts.append(" ".join(rng.choice(vocab) for _ in range(rng.randint(4, 12))))
-    for i in range(4):  # mutated copies force some pairs over tau
+    for i in range(4):  # mutated copies force some pairs over the threshold
         base = texts[i].split()
         base[rng.randrange(len(base))] = rng.choice(vocab)
         texts.append(" ".join(base))
@@ -149,23 +158,29 @@ def test_setsim_random_docs_triple_vote(spark, tmp_path, seed):
     spark.createDataFrame(docs, _DOCS_SCHEMA).write.parquet(
         str(tmp_path / "documents.parquet")
     )
-    shingles = {}
+    bigrams = {}
     for i, t in enumerate(texts):
         w = t.split()
-        if len(w) >= 3:
-            shingles[i] = {" ".join(w[j : j + 3]) for j in range(len(w) - 2)}
+        if len(w) >= 2:
+            bigrams[i] = {" ".join(w[j : j + 2]) for j in range(len(w) - 1)}
     expect = {}
-    ids = sorted(shingles)
+    ids = sorted(bigrams)
     for ai, a in enumerate(ids):
         for b in ids[ai + 1 :]:
-            inter = len(shingles[a] & shingles[b])
-            union = len(shingles[a] | shingles[b])
-            if inter and 1_000_000 * inter >= 700_000 * union:
-                expect[(a, b)] = (inter, union, 1_000_000 * inter // union)
-    q = _q("setsim_prefix_filter_pairs")
+            inter = len(bigrams[a] & bigrams[b])
+            union = len(bigrams[a] | bigrams[b])
+            j = inter / union
+            if inter and j >= PREFIX_JOIN_THRESHOLD:
+                jr = float(
+                    Decimal(repr(j)).quantize(
+                        Decimal("0.000001"), rounding=ROUND_HALF_UP
+                    )
+                )
+                expect[(a, b)] = (inter, jr)
+    q = _q("prefix_filter_simjoin")
     sf = str(tmp_path)
     got = {
-        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_union"], r["jaccard_ppm"])
+        (r["doc_a"], r["doc_b"]): (r["inter_size"], r["jaccard"])
         for r in q.fn(spark, sf).collect()
     }
     assert got == expect
