@@ -2027,3 +2027,142 @@ def eb_beta_binomial_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 1_000_000.0
         ).alias("shrunk_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile treatment effects (round 9)
+
+QTE_QUANTILES_PPM = (250_000, 500_000, 750_000, 900_000)
+QTE_BAND_TOTAL = 1_000  # phase-1 rank band width over per-user totals
+
+
+def _qte_oracle() -> str:
+    from azure_func_forem_data_etl_spark.functions import xxh64_sql as X
+
+    hash_ctes = X.xxh64_longs_expr_ctes(
+        "qt", "qpu", ["user_id", "total"], ["user_id"], X.SPARK_HASH_SEED
+    )
+    signed = X.signed64("h")
+    qvals = ", ".join(f"({p})" for p in QTE_QUANTILES_PPM)
+    return f"""
+    WITH qpu AS MATERIALIZED (
+        SELECT user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(19,4))
+                   AS total
+        FROM events GROUP BY user_id
+    ),
+    {hash_ctes},
+    armed AS MATERIALIZED (
+        SELECT user_id, total, ((({signed}) % 2) + 2) % 2 AS arm
+        FROM qt_hash
+    ),
+    ranked AS (
+        SELECT arm, total,
+               row_number() OVER (PARTITION BY arm ORDER BY total, user_id)
+                   AS rn
+        FROM armed
+    ),
+    counts AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n FROM armed GROUP BY arm),
+    targets AS (
+        SELECT c.arm, c.n, q.q_ppm,
+               (q.q_ppm * c.n + 999999) // 1000000 AS trn
+        FROM counts c, (VALUES {qvals}) q(q_ppm)
+    )
+    SELECT CAST(t.q_ppm AS BIGINT) AS q_ppm,
+           MAX(CASE WHEN t.arm = 1 THEN t.n END) AS n_treat,
+           MAX(CASE WHEN t.arm = 0 THEN t.n END) AS n_ctrl,
+           CAST(MAX(CASE WHEN t.arm = 1 THEN r.total END) AS DOUBLE)
+               AS q_treat,
+           CAST(MAX(CASE WHEN t.arm = 0 THEN r.total END) AS DOUBLE)
+               AS q_ctrl,
+           CAST(MAX(CASE WHEN t.arm = 1 THEN r.total END) AS DOUBLE)
+               - CAST(MAX(CASE WHEN t.arm = 0 THEN r.total END) AS DOUBLE)
+               AS qte
+    FROM targets t JOIN ranked r ON r.arm = t.arm AND r.rn = t.trn
+    GROUP BY t.q_ppm
+    """
+
+
+@register(
+    "quantile_treatment_effect",
+    defer=3,
+    oracle=_qte_oracle(),
+    doc="Quantile treatment effects: per hash arm (pmod(xxhash64(user), "
+    "2)), exact type-1 order-statistic quantiles of per-user total value "
+    "at p25/p50/p75/p90 via two-phase banded ranking, and the per-"
+    "quantile treatment-minus-control difference.",
+)
+def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where CUPED reads the MEAN, QTE reads the distribution: a
+    treatment that moves the p90 while leaving the median alone is
+    invisible to the t-test and obvious here (Koenker's quantile lens on
+    the two-sample readout).  Quantiles are exact type-1 order
+    statistics — value at rank ceil(q*n) under the total (total,
+    user_id) order — because sketch quantiles can't feed a defensible
+    launch decision when arms differ by less than the sketch error.
+    Ranking is the pareto two-phase pattern (windows.py:756), keyed by
+    (arm, value band): phase 1 ranks inside each band in parallel,
+    phase 2 prefix-sums per-(arm, band) counts on the bounded band grain
+    and broadcast-joins the offsets back — no unpartitioned window over
+    the user grain.  The ceil is integer ((q_ppm*n + 999999) div 1e6),
+    the metric an exact decimal, so both engines select the identical
+    row; outputs cast to double (scale-4 decimals are double-exact).
+    """
+    ev = table(spark, sf_dir, "events")
+    peruser = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("decimal(19,4)")
+            .alias("total")
+        )
+        .withColumn("arm", F.pmod(F.xxhash64("user_id"), F.lit(2)))
+    )
+    banded = peruser.withColumn(
+        "band", F.floor(F.col("total") / F.lit(QTE_BAND_TOTAL)).cast("long")
+    )
+    wloc = Window.partitionBy("arm", "band").orderBy("total", "user_id")
+    local = banded.select(
+        "arm", "band", "total", F.row_number().over(wloc).alias("lrn")
+    )
+    wband = Window.partitionBy("arm").orderBy("band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        banded.groupBy("arm", "band")
+        .agg(F.count("*").alias("bn"))
+        .select(
+            "arm",
+            "band",
+            F.coalesce(F.sum("bn").over(wband), F.lit(0)).alias("off"),
+        )
+    )
+    ranked = local.join(F.broadcast(offsets), ["arm", "band"]).select(
+        "arm", "total", (F.col("off") + F.col("lrn")).alias("rn")
+    )
+    counts = peruser.groupBy("arm").agg(F.count("*").alias("n"))
+    targets = counts.select(
+        "arm",
+        "n",
+        F.explode(
+            F.array(*[F.lit(p) for p in QTE_QUANTILES_PPM])
+        ).alias("q_ppm"),
+    ).withColumn("trn", F.expr("(q_ppm * n + 999999) div 1000000"))
+    # keyed equi-join on (arm, rank): each arm contributes exactly
+    # len(QTE_QUANTILES_PPM) rows
+    hit = ranked.join(
+        F.broadcast(targets.withColumnRenamed("arm", "t_arm")),
+        (F.col("arm") == F.col("t_arm")) & (F.col("rn") == F.col("trn")),
+    )
+    t1 = F.when(F.col("arm") == 1, F.col("total").cast("double"))
+    t0 = F.when(F.col("arm") == 0, F.col("total").cast("double"))
+    return (
+        hit.groupBy(F.col("q_ppm").cast("long").alias("q_ppm"))
+        .agg(
+            F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_treat"),
+            F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_ctrl"),
+            F.max(t1).alias("q_treat"),
+            F.max(t0).alias("q_ctrl"),
+            (F.max(t1) - F.max(t0)).alias("qte"),
+        )
+    )

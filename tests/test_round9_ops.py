@@ -456,3 +456,55 @@ def test_eb_shrinkage_closed_form(spark, tmp_path):
         for u in (1, 2, 3)
     )
     assert_matches_oracle(q.fn(spark, str(deg)), q.oracle, str(deg))
+
+
+# ---------------------------------------------------------------------------
+# quantile_treatment_effect
+
+
+def test_qte_exact_order_statistics(spark, tmp_path):
+    """Five users per hash arm with distinct single-event totals: with
+    n=5 the type-1 ranks are ceil(q*5) = 2/3/4/5 for p25/50/75/90, so
+    every output value is hand-checkable, including the p90 = max rule
+    and the per-quantile treat-minus-control differences."""
+    from azure_func_forem_data_etl_spark.functions.xxh64_sql import (
+        SPARK_HASH_SEED,
+        to_signed,
+        xxh64_long,
+    )
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    def arm(uid):
+        return to_signed(xxh64_long(uid, SPARK_HASH_SEED)) % 2
+
+    a0, a1, uid = [], [], 1
+    while len(a0) < 5 or len(a1) < 5:
+        if arm(uid) == 0 and len(a0) < 5:
+            a0.append(uid)
+        elif arm(uid) == 1 and len(a1) < 5:
+            a1.append(uid)
+        uid += 1
+    ctrl_vals = [10.0, 20.0, 30.0, 40.0, 50.0]
+    treat_vals = [15.0, 25.0, 35.0, 45.0, 95.0]
+    rows, eid = [], 0
+    for u, v in list(zip(a0, ctrl_vals)) + list(zip(a1, treat_vals)):
+        rows.append((eid, _T0, u, "view", v, "{}")); eid += 1
+    spark.createDataFrame(rows, _EVENTS_SCHEMA).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    sf = str(tmp_path)
+    q = load_all()["quantile_treatment_effect"]
+    got = {r["q_ppm"]: r for r in q.fn(spark, sf).collect()}
+    # rank-2/3/4/5 of the sorted per-arm totals
+    expect = {
+        250_000: (25.0, 20.0),
+        500_000: (35.0, 30.0),
+        750_000: (45.0, 40.0),
+        900_000: (95.0, 50.0),
+    }
+    assert set(got) == set(expect)
+    for p, (qt, qc) in expect.items():
+        r = got[p]
+        assert (r["n_treat"], r["n_ctrl"]) == (5, 5)
+        assert (r["q_treat"], r["q_ctrl"], r["qte"]) == (qt, qc, qt - qc)
+    assert_matches_oracle(q.fn(spark, sf), q.oracle, sf)
