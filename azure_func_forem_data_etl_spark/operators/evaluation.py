@@ -1875,6 +1875,9 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y"),
         )
         .withColumn("arm", F.pmod(F.xxhash64("user_id"), F.lit(2)))
+        # consumed by the moments agg AND the per-arm readout — pin the
+        # user grain once (no corpus rescan per branch)
+        .localCheckpoint(eager=True)
     )
     m = peruser.agg(
         F.count("*").alias("n"),
@@ -1994,7 +1997,11 @@ def eb_beta_binomial_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == EB_RATE_EVENT, 1).otherwise(0)
         ).alias("x"),
     )
-    r = pu.withColumn("rate_ppm", F.expr("1000000 * x div n"))
+    # consumed by the moments agg AND the output projection — pin the
+    # user grain once or the events scan + agg run per reference
+    r = pu.withColumn("rate_ppm", F.expr("1000000 * x div n")).localCheckpoint(
+        eager=True
+    )
     mom = r.agg(
         F.count("*").alias("k"),
         F.sum("rate_ppm").alias("s1"),
@@ -2117,6 +2124,9 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total")
         )
         .withColumn("arm", F.pmod(F.xxhash64("user_id"), F.lit(2)))
+        # consumed by the band ranks, the band offsets, and the arm
+        # counts — pin the user grain once (no corpus rescan per branch)
+        .localCheckpoint(eager=True)
     )
     banded = peruser.withColumn(
         "band", F.floor(F.col("total") / F.lit(QTE_BAND_TOTAL)).cast("long")

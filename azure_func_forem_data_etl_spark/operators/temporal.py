@@ -3866,7 +3866,7 @@ def _active_user_sweep(ud: DataFrame, window_days: int) -> DataFrame:
     spans = islands.groupBy("user_id", "island").agg(
         F.min("d").alias("start"),
         F.date_add(F.max("d"), window_days).alias("stop"),  # first day PAST
-    )
+    ).localCheckpoint(eager=True)  # consumed twice by the +1/-1 union
     return spans.select(
         F.col("start").alias("d"), F.lit(1).alias("delta")
     ).unionByName(spans.select(F.col("stop").alias("d"), F.lit(-1).alias("delta")))
@@ -3921,7 +3921,14 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     trailing-distinct semantics, one pass.
     """
     ev = table(spark, sf_dir, "events")
-    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    # Five consumers (dau x2 via the spine, two island windows) — pin the
+    # user-day grain once or Spark re-runs the corpus distinct per branch
+    # (aggregation subplans are not reused across references).
+    ud = (
+        ev.select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     dau = ud.groupBy("d").agg(F.count("*").alias("dau"))
     wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     curves = []
