@@ -3694,10 +3694,14 @@ def window_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
     users = ev.select("user_id").distinct()
+    # The step frames are user-grain and consumed by every later step
+    # plus the depth join — pin each once, or Spark re-runs its filtered
+    # corpus scan per reference (s1 x3, s2 x2 = 16 scans unpinned).
     s1 = (
         ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
         .groupBy("user_id")
         .agg(F.min("us").alias("t1"))
+        .localCheckpoint(eager=True)
     )
     s2 = (
         ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
@@ -3708,6 +3712,7 @@ def window_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("us").alias("t2"))
+        .localCheckpoint(eager=True)
     )
     s3 = (
         ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
