@@ -493,7 +493,10 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines produce bit-identical doubles — unlike a float corr()
     aggregate, whose partial-sum order varies.  One degree agg + one
     degree-attach join + a single-row moment agg."""
-    edges = copurchase_edges(spark, sf_dir)
+    # edges feeds the degree agg AND both attach joins; ed feeds both
+    # halves of the symmetric union — pin each once or the lineitem
+    # self-join re-runs per reference (10 corpus scans unpinned).
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     deg = _degrees(edges)
     ed = (
         edges.join(
@@ -505,6 +508,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dst",
         )
         .select("x", "y")
+        .localCheckpoint(eager=True)
     )
     sym = ed.unionByName(ed.select(F.col("y").alias("x"), F.col("x").alias("y")))
     mom = sym.agg(
@@ -730,9 +734,14 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-anti hash join; the top-N compiles to TakeOrderedAndProject
     (no global sort materialization).
     """
-    edges = copurchase_edges(spark, sf_dir)
-    adj = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionByName(
-        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    # edges feeds both union halves plus the anti-join; adj feeds the
+    # degree agg and BOTH wedge sides — pin each once or the lineitem
+    # self-join re-runs per reference (9 corpus scans unpinned).
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    adj = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .localCheckpoint(eager=True)
     )
     deg = adj.groupBy(F.col("a").alias("id")).agg(F.count("*").alias("deg"))
     x, y = adj.alias("x"), adj.alias("y")
