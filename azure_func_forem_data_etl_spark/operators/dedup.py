@@ -188,7 +188,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-shingle doc count; this tier is ground truth for MinHash-LSH and
     # must stay sample-sized — fail loudly rather than go O(n²) silently.
     assert_bounded_input(docs.select("doc_id"), "ngram_jaccard_pairs")
-    sh = word_shingles(docs, JACCARD_NGRAM)
+    # consumed by sizes and both self-join sides — pin the (sample-
+    # bounded) shingle explode once
+    sh = word_shingles(docs, JACCARD_NGRAM).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -1174,9 +1176,16 @@ def substring_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     offs = F.sequence(
         F.lit(1), F.col("len") - F.lit(SUBSTR_W - 1), F.lit(SUBSTR_STRIDE)
     )
-    wins = docs.select("doc_id", "text", F.explode(offs).alias("off")).select(
-        "doc_id",
-        F.expr(f"substring(text, off, {SUBSTR_W})").alias("win"),
+    # consumed by the support agg AND the semi-join back — pin the window
+    # explode once (MEMORY_AND_DISK; one materialization beats re-running
+    # the corpus explode per reference)
+    wins = (
+        docs.select("doc_id", "text", F.explode(offs).alias("off"))
+        .select(
+            "doc_id",
+            F.expr(f"substring(text, off, {SUBSTR_W})").alias("win"),
+        )
+        .localCheckpoint(eager=True)
     )
     # Window support by DISTINCT doc (count_distinct folds the dedup into
     # the same aggregation instead of a separate distinct() exchange);
@@ -1191,7 +1200,8 @@ def substring_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("cnt") >= 2) & (F.col("cnt") <= SUBSTR_HOT_CAP))
         .select("win")
     )
-    shared = wins.join(eligible, "win")
+    # both pair sides read it — pin the (already support-capped) frame
+    shared = wins.join(eligible, "win").localCheckpoint(eager=True)
     a = shared.select(F.col("doc_id").alias("doc_a"), "win")
     b = shared.select(F.col("doc_id").alias("doc_b"), "win")
     return (

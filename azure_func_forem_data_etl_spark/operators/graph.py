@@ -87,7 +87,9 @@ def _degrees(edges: DataFrame) -> DataFrame:
 def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two keyed aggs (degree, then histogram); output is at most
     max-degree rows regardless of graph size."""
-    edges = copurchase_edges(spark, sf_dir)
+    # _degrees unions edges twice — pin once so the lineitem self-join
+    # runs a single time
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     return (
         _degrees(edges)
         .groupBy(F.col("deg").alias("degree"))
@@ -661,7 +663,9 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     so membership is far more robust than raw degree.  Output: every
     vertex of the support-thresholded co-purchase graph with its raw
     degree, core membership flag, and within-core degree."""
-    edges = copurchase_edges(spark, sf_dir)
+    # consumed by the raw-degree union (x2) and the iterative peel —
+    # pin once so the lineitem self-join runs a single time
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     raw_deg = (
         edges.select(F.col("src").alias("id"))
         .unionAll(edges.select(F.col("dst").alias("id")))
@@ -1308,9 +1312,13 @@ def item_item_cosine_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts.  No all-pairs anywhere.
     """
     li = table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    # consumed by the per-part counts and both wedge sides — pin the
+    # (order, part) grain once (no corpus re-distinct per reference)
+    op = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     ci = op.groupBy("p").agg(F.count("*").alias("c"))
     a, b = op.alias("a"), op.alias("b")
     cij = (

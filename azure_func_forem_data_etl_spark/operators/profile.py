@@ -2392,9 +2392,13 @@ def event_type_lift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     <=5-type per-basket sets, so fanout is bounded by type-count squared
     per basket, never corpus-quadratic."""
     ev = table(spark, sf_dir, "events")
-    ud = ev.select(
-        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
-    ).distinct()
+    # consumed by the basket count, the margins, and both pair-join
+    # sides — pin the basket grain once (no corpus re-distinct per ref)
+    ud = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"), "event_type")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     tot = ud.select("user_id", "day").distinct().count()
     m = ud.groupBy("event_type").agg(F.count("*").alias("c"))
     a, b = ud.alias("a"), ud.alias("b")
