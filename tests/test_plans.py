@@ -11,6 +11,9 @@ that decide whether a query survives a 100x scale-up:
 
 from __future__ import annotations
 
+import re
+from collections import Counter
+
 from azure_func_forem_data_etl_spark.plans.registry import load_all
 
 
@@ -210,6 +213,16 @@ def test_plan_lint_every_registry_query(spark):
         # 1-row beta-binomial prior (m_f, c) broadcast onto user grain
         "eb_beta_binomial_shrinkage",
     }
+    # Scan budget (round 9): a table appearing more than SCAN_BUDGET times
+    # in the AQE-printed plan (initial + final, so budget 6 = 3 real
+    # derivations) means a shared subframe is being re-derived per
+    # reference — Spark does not reuse non-broadcast aggregation subplans,
+    # so the fix is one eager localCheckpoint on the shared grain (the
+    # round-9 sweep found and fixed 10-scan shapes in assortativity /
+    # link prediction / DAU-MAU).  Three real passes is the ceiling any
+    # current query needs by design (3-step funnels, incremental deltas).
+    SCAN_BUDGET = 6
+    scan_re = re.compile(r"Location:[^\n]*/(\w+)\.parquet")
     checked = 0
     for name, q in sorted(load_all().items()):
         if q.fn.__module__.split(".")[-2] == "streaming":
@@ -219,6 +232,10 @@ def test_plan_lint_every_registry_query(spark):
         if name not in BNLJ_OK:
             assert "BroadcastNestedLoopJoin" not in plan, name
         assert "BatchEvalPython" not in plan, name
+        worst = Counter(scan_re.findall(plan)).most_common(1)
+        if worst:
+            table_name, n = worst[0]
+            assert n <= SCAN_BUDGET, f"{name}: {table_name} scanned {n}x"
         checked += 1
     assert checked >= 55
 
