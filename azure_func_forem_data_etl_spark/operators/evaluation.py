@@ -2176,3 +2176,186 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max(t1) - F.max(t0)).alias("qte"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-sequential A/B monitor (round 9)
+
+GSD_WEEK_US = 7 * 86400 * 1_000_000  # absolute epoch week (no corpus anchor)
+#: Approximate O'Brien-Fleming shape constant: the boundary at look k of K
+#: is C * sqrt(K / k) — very conservative early, ~C at the final look.
+#: (Exact OBF constants need the multivariate normal integral; the SHAPE
+#: is the operational content and is what the monitor replays exactly.)
+GSD_OBF_C = 2.24
+
+
+def _gsd_oracle() -> str:
+    from azure_func_forem_data_etl_spark.functions import xxh64_sql as X
+
+    hash_ctes = X.xxh64_longs_expr_ctes(
+        "gs", "gu", ["user_id", "w_seen", "w_conv", "w_last"], ["user_id"],
+        X.SPARK_HASH_SEED,
+    )
+    signed = X.signed64("h")
+    z = (
+        "(CAST(cx1 AS DOUBLE) / cn1 - CAST(cx0 AS DOUBLE) / cn0)"
+        " / sqrt((CAST(cx0 + cx1 AS DOUBLE) / (cn0 + cn1))"
+        " * (1.0 - CAST(cx0 + cx1 AS DOUBLE) / (cn0 + cn1))"
+        " * (1.0 / cn0 + 1.0 / cn1))"
+    )
+    guard = (
+        "cn0 > 0 AND cn1 > 0 AND cx0 + cx1 > 0 AND cx0 + cx1 < cn0 + cn1"
+    )
+    bound = f"{GSD_OBF_C} * sqrt(CAST(kk AS DOUBLE) / week_k)"
+    return f"""
+    WITH gu AS MATERIALIZED (
+        SELECT user_id,
+               MIN(epoch_us(ts) // {GSD_WEEK_US}) AS w_seen,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(ts) // {GSD_WEEK_US} END) AS w_conv,
+               MAX(epoch_us(ts) // {GSD_WEEK_US}) AS w_last
+        FROM events GROUP BY user_id
+    ),
+    {hash_ctes},
+    armed AS MATERIALIZED (
+        SELECT user_id, w_seen, w_conv, w_last,
+               ((({signed}) % 2) + 2) % 2 AS arm
+        FROM gs_hash
+    ),
+    b AS (SELECT MIN(w_seen) AS w0, MAX(w_last) AS w1 FROM armed),
+    spine AS (
+        SELECT b.w0, b.w1, w.week
+        FROM b, UNNEST(generate_series(b.w0, b.w1)) AS w(week)
+    ),
+    grid AS (
+        SELECT CAST(s.week - s.w0 + 1 AS BIGINT) AS week_k,
+               CAST(s.w1 - s.w0 + 1 AS BIGINT) AS kk,
+               CAST(COUNT(*) FILTER (a.arm = 0 AND a.w_seen <= s.week)
+                    AS BIGINT) AS cn0,
+               CAST(COUNT(*) FILTER (a.arm = 0 AND a.w_conv <= s.week)
+                    AS BIGINT) AS cx0,
+               CAST(COUNT(*) FILTER (a.arm = 1 AND a.w_seen <= s.week)
+                    AS BIGINT) AS cn1,
+               CAST(COUNT(*) FILTER (a.arm = 1 AND a.w_conv <= s.week)
+                    AS BIGINT) AS cx1
+        FROM spine s CROSS JOIN armed a
+        GROUP BY 1, 2
+    )
+    SELECT week_k, cn0 AS n_ctrl, cx0 AS x_ctrl, cn1 AS n_treat,
+           cx1 AS x_treat,
+           CASE WHEN {guard}
+                THEN CAST(floor(({z}) * 1000000.0) AS BIGINT) END AS z_x1e6,
+           CAST(floor(({bound}) * 1000000.0) AS BIGINT) AS bound_x1e6,
+           CASE WHEN {guard} AND abs({z}) >= {bound}
+                THEN 1 ELSE 0 END AS crossed
+    FROM grid
+    """
+
+
+@register(
+    "group_sequential_ab_monitor",
+    defer=3,
+    oracle=_gsd_oracle(),
+    doc="Group-sequential A/B monitor: weekly cumulative per-arm user and "
+    "converter counts (arms via pmod(xxhash64(user_id), 2)), two-"
+    "proportion z per look, O'Brien-Fleming-shaped stopping boundary "
+    "C*sqrt(K/k); flags boundary crossings — the peeking-safe readout.",
+)
+def group_sequential_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fix for the oldest A/B sin — peeking at the p-value every week
+    inflates false positives several-fold; group-sequential designs
+    (Pocock 1977, O'Brien-Fleming 1979) spend alpha across scheduled
+    looks instead.  Each week is a look: cumulative users and converters
+    per hash arm, two-proportion z, and an OBF-shaped boundary
+    C*sqrt(K/k) that is nearly uncrossable early and ~C at the last
+    look.  Exactness: counts reduce to first-seen / first-conversion
+    WEEKS per user (one corpus pass, pinned), cumulated on the bounded
+    week grain; z and the boundary are identical closed-form doubles in
+    both engines (division and sqrt are IEEE-exact), floor-quantized.
+    The oracle computes the same looks from a deliberately different
+    shape (user x week cross join + conditional counts) so the week-
+    grain cumsum logic is independently checked.  100 TB shape: one
+    user-keyed agg, then everything lives on the (arm, week) grain
+    (two bounded windows + one bounded pivot) — no corpus rescan, no
+    unpartitioned window over user rows.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {GSD_WEEK_US}").alias("week"),
+        (F.col("event_type") == "purchase").alias("is_conv"),
+    )
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("week").alias("w_seen"),
+            F.min(F.when(F.col("is_conv"), F.col("week"))).alias("w_conv"),
+            F.max("week").alias("w_last"),
+        )
+        .withColumn("arm", F.pmod(F.xxhash64("user_id"), F.lit(2)))
+        # consumed by the bounds agg and both histograms — pin once
+        .localCheckpoint(eager=True)
+    )
+    bounds = u.agg(F.min("w_seen").alias("w0"), F.max("w_last").alias("w1"))
+    spine = bounds.select(
+        "w0",
+        "w1",
+        F.explode(F.sequence(F.col("w0"), F.col("w1"))).alias("week"),
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("arm"),
+    )
+    seen_h = u.groupBy("arm", F.col("w_seen").alias("week")).agg(
+        F.count("*").alias("ns")
+    )
+    conv_h = (
+        u.filter(F.col("w_conv").isNotNull())
+        .groupBy("arm", F.col("w_conv").alias("week"))
+        .agg(F.count("*").alias("nx"))
+    )
+    wcum = (
+        Window.partitionBy("arm")
+        .orderBy("week")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grid = (
+        spine.join(seen_h, ["arm", "week"], "left")
+        .join(conv_h, ["arm", "week"], "left")
+        .select(
+            "arm",
+            "week",
+            "w0",
+            "w1",
+            F.sum(F.coalesce("ns", F.lit(0))).over(wcum).alias("cn"),
+            F.sum(F.coalesce("nx", F.lit(0))).over(wcum).alias("cx"),
+        )
+    )
+    looks = grid.groupBy(
+        (F.col("week") - F.col("w0") + 1).alias("week_k"),
+        (F.col("w1") - F.col("w0") + 1).alias("kk"),
+    ).agg(
+        F.max(F.when(F.col("arm") == 0, F.col("cn"))).alias("cn0"),
+        F.max(F.when(F.col("arm") == 0, F.col("cx"))).alias("cx0"),
+        F.max(F.when(F.col("arm") == 1, F.col("cn"))).alias("cn1"),
+        F.max(F.when(F.col("arm") == 1, F.col("cx"))).alias("cx1"),
+    )
+    cn0, cx0 = F.col("cn0"), F.col("cx0")
+    cn1, cx1 = F.col("cn1"), F.col("cx1")
+    pooled = (cx0 + cx1).cast("double") / (cn0 + cn1)
+    z = (cx1.cast("double") / cn1 - cx0.cast("double") / cn0) / F.sqrt(
+        pooled * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / cn0 + F.lit(1.0) / cn1)
+    )
+    guard = (
+        (cn0 > 0) & (cn1 > 0) & (cx0 + cx1 > 0) & (cx0 + cx1 < cn0 + cn1)
+    )
+    bound = F.lit(GSD_OBF_C) * F.sqrt(
+        F.col("kk").cast("double") / F.col("week_k")
+    )
+    return looks.select(
+        "week_k",
+        cn0.alias("n_ctrl"),
+        cx0.alias("x_ctrl"),
+        cn1.alias("n_treat"),
+        cx1.alias("x_treat"),
+        F.when(guard, F.floor(z * 1_000_000.0)).alias("z_x1e6"),
+        F.floor(bound * 1_000_000.0).alias("bound_x1e6"),
+        F.when(guard & (F.abs(z) >= bound), 1).otherwise(0).alias("crossed"),
+    )

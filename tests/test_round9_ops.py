@@ -508,3 +508,71 @@ def test_qte_exact_order_statistics(spark, tmp_path):
         assert (r["n_treat"], r["n_ctrl"]) == (5, 5)
         assert (r["q_treat"], r["q_ctrl"], r["qte"]) == (qt, qc, qt - qc)
     assert_matches_oracle(q.fn(spark, sf), q.oracle, sf)
+
+
+# ---------------------------------------------------------------------------
+# group_sequential_ab_monitor
+
+
+def test_gsd_two_looks_hand_counts(spark, tmp_path):
+    """Four users per hash arm, all first seen in epoch-week 1; arm-0
+    converts 1 then 1 more, arm-1 converts 2 then 1 more.  Hand-checked
+    cumulative counts per look; z and the OBF boundary are replayed with
+    the identical IEEE-double formula; neither look crosses."""
+    import math
+
+    from azure_func_forem_data_etl_spark.functions.xxh64_sql import (
+        SPARK_HASH_SEED,
+        to_signed,
+        xxh64_long,
+    )
+    from azure_func_forem_data_etl_spark.operators.evaluation import GSD_OBF_C
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    def arm(uid):
+        return to_signed(xxh64_long(uid, SPARK_HASH_SEED)) % 2
+
+    a0, a1, uid = [], [], 1
+    while len(a0) < 4 or len(a1) < 4:
+        (a0 if arm(uid) == 0 else a1).append(uid)
+        uid += 1
+    a0, a1 = a0[:4], a1[:4]
+    rows, eid = [], 0
+
+    def ev(u, et, days):
+        nonlocal eid
+        rows.append((eid, _T0 + dt.timedelta(days=days), u, et, 1.0, "{}"))
+        eid += 1
+
+    for u in a0 + a1:
+        ev(u, "view", 0)                      # all seen in look 1
+    ev(a0[0], "purchase", 1)                  # look-1 converters
+    ev(a1[0], "purchase", 1)
+    ev(a1[1], "purchase", 1)
+    ev(a0[1], "purchase", 8)                  # look-2 converters (next
+    ev(a1[2], "purchase", 8)                  # epoch week: Thu boundary)
+    spark.createDataFrame(rows, _EVENTS_SCHEMA).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    sf = str(tmp_path)
+    q = load_all()["group_sequential_ab_monitor"]
+    got = {r["week_k"]: r for r in q.fn(spark, sf).collect()}
+    assert set(got) == {1, 2}
+
+    def z_of(cx0, cn0, cx1, cn1):
+        p = (cx0 + cx1) / (cn0 + cn1)
+        return (cx1 / cn1 - cx0 / cn0) / math.sqrt(
+            p * (1.0 - p) * (1.0 / cn0 + 1.0 / cn1)
+        )
+
+    for k, (cx0, cx1) in {1: (1, 2), 2: (2, 3)}.items():
+        r = got[k]
+        assert (r["n_ctrl"], r["x_ctrl"], r["n_treat"], r["x_treat"]) == (
+            4, cx0, 4, cx1,
+        )
+        assert r["z_x1e6"] == math.floor(z_of(cx0, 4, cx1, 4) * 1_000_000.0)
+        assert r["bound_x1e6"] == math.floor(
+            GSD_OBF_C * math.sqrt(2.0 / k) * 1_000_000.0
+        )
+        assert r["crossed"] == 0
+    assert_matches_oracle(q.fn(spark, sf), q.oracle, sf)

@@ -275,6 +275,7 @@ def _random_orders(rng, n=150):
         "session_path_topk",
         "cuped_adjusted_lift",
         "quantile_treatment_effect",
+        "group_sequential_ab_monitor",
     ],
 )
 def test_round9_event_queries_oracle_on_random_events(spark, tmp_path, name, seed):
