@@ -1380,3 +1380,166 @@ def knn_hubness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vectors"),
         F.min("neighbor_id").alias("min_vec_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval (round 9)
+
+MMR_CAND_N = 16          # relevance top-N candidate pool per query
+MMR_K = 5                # diversified picks per query
+MMR_LAMBDA_U = 700_000   # lambda = 0.7 in micro-units (integer score domain)
+
+
+def _mmr_greedy(pool_pdf, pairs_pdf):
+    """Per-query MMR greedy over the bounded candidate pool — exact
+    integer arithmetic: score = lambda_u*rel_u - (1e6-lambda_u)*max_sim_u,
+    ties broken by smallest vec_id.  Runs inside a cogrouped
+    applyInPandas, so each invocation sees ONE query's 16 candidates and
+    their pairwise sims."""
+    import pandas as pd
+
+    if len(pool_pdf) == 0:
+        return pd.DataFrame(
+            columns=["query_id", "pick_rank", "vec_id", "rel_u", "score_u"]
+        )
+    qid = int(pool_pdf["query_id"].iloc[0])
+    rel = dict(zip(pool_pdf["nid"].astype(int), pool_pdf["rel_u"].astype(int)))
+    sim = {
+        (int(a), int(b)): int(s)
+        for a, b, s in zip(pairs_pdf["ca"], pairs_pdf["cb"], pairs_pdf["sim_u"])
+    }
+    lam, anti = MMR_LAMBDA_U, 1_000_000 - MMR_LAMBDA_U
+    chosen, out = [], []
+    for k in range(1, min(MMR_K, len(rel)) + 1):
+        best = None
+        for c, r in rel.items():
+            if c in chosen:
+                continue
+            mx = max((sim[(c, p)] for p in chosen), default=0)
+            score = lam * r - anti * mx
+            if best is None or (score, -c) > (best[1], -best[0]):
+                best = (c, score)
+        chosen.append(best[0])
+        out.append((qid, k, best[0], rel[best[0]], best[1]))
+    return pd.DataFrame(
+        out, columns=["query_id", "pick_rank", "vec_id", "rel_u", "score_u"]
+    )
+
+
+@register(
+    "mmr_diversified_topk",
+    defer=3,
+    oracle=f"""
+    WITH RECURSIVE mq AS MATERIALIZED (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id % {KNN_QUERY_MOD} = 0
+    ),
+    ms AS (
+        SELECT mq.query_id, c.vec_id AS nid,
+               CAST(round(round(list_cosine_similarity(qe,
+                    c.embedding::DOUBLE[]), 6) * 1000000) AS BIGINT) AS rel_u
+        FROM mq, embeddings c WHERE c.vec_id <> mq.query_id
+    ),
+    mpool AS MATERIALIZED (
+        SELECT query_id, nid, rel_u,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel_u DESC, nid) AS rnk
+        FROM ms QUALIFY rnk <= {MMR_CAND_N}
+    ),
+    mpe AS MATERIALIZED (
+        SELECT p.query_id, p.nid, e.embedding::DOUBLE[] AS pv
+        FROM mpool p JOIN embeddings e ON e.vec_id = p.nid
+    ),
+    mpairs AS MATERIALIZED (
+        SELECT a.query_id, a.nid AS ca, b.nid AS cb,
+               CAST(round(round(list_cosine_similarity(a.pv, b.pv), 6)
+                    * 1000000) AS BIGINT) AS sim_u
+        FROM mpe a JOIN mpe b
+            ON a.query_id = b.query_id AND a.nid <> b.nid
+    ),
+    mmr(query_id, pick_rank, picked, vec_id, rel_u, score_u) AS (
+        SELECT query_id, 1, [nid], nid, rel_u,
+               {MMR_LAMBDA_U} * rel_u
+        FROM mpool QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY rel_u DESC, nid) = 1
+        UNION ALL
+        SELECT m.query_id, m.pick_rank + 1, list_append(m.picked, nxt.nid),
+               nxt.nid, nxt.rel_u, nxt.score_u
+        FROM mmr m, LATERAL (
+            SELECT p.nid, p.rel_u,
+                   {MMR_LAMBDA_U} * p.rel_u - {1_000_000 - MMR_LAMBDA_U} * (
+                       SELECT MAX(pr.sim_u) FROM mpairs pr
+                       WHERE pr.query_id = m.query_id AND pr.ca = p.nid
+                         AND list_contains(m.picked, pr.cb)
+                   ) AS score_u
+            FROM mpool p
+            WHERE p.query_id = m.query_id
+              AND NOT list_contains(m.picked, p.nid)
+            ORDER BY score_u DESC, p.nid
+            LIMIT 1
+        ) nxt
+        WHERE m.pick_rank < {MMR_K}
+    )
+    SELECT query_id, CAST(pick_rank AS BIGINT) AS pick_rank, vec_id,
+           rel_u, score_u
+    FROM mmr
+    """,
+    doc=f"MMR diversified retrieval (Carbonell-Goldstein 1998): top-"
+    f"{MMR_CAND_N} relevance pool per query, then {MMR_K} greedy picks "
+    "maximizing lambda*relevance - (1-lambda)*max-sim-to-chosen in the "
+    "exact integer micro-unit domain; distributed per-query via "
+    "cogrouped applyInPandas, replayed step-by-step by a recursive-CTE "
+    "oracle.",
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG re-ranker that fixes top-k's redundancy: pure relevance
+    returns five near-copies of the same passage; MMR trades relevance
+    against similarity-to-already-chosen (Carbonell & Goldstein 1998).
+    Exactness protocol: cosines quantize to integral micro-units at 6dp
+    (the knn-proven cross-engine agreement point), after which the
+    greedy is pure integer arithmetic — argmax ties cannot flip between
+    engines, so a recursive-CTE oracle replays all picks bit-exactly.
+    Scale shape: the relevance pool rides the bounded-broadcast kNN
+    machinery (knn_bruteforce_topk); pairwise sims join only pool
+    members (|pool|^2 per query, constants); the greedy runs PER QUERY
+    inside a cogrouped applyInPandas (Arrow, two query-keyed shuffles) —
+    no driver fold, no cap beyond kNN's own query bound.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    pool = (
+        knn_bruteforce_topk(emb, k=MMR_CAND_N)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("nid"),
+            F.round(F.col("cos_sim") * 1_000_000).cast("long").alias("rel_u"),
+        )
+        # consumed by both pairwise sides and the cogroup — pin once
+        .localCheckpoint(eager=True)
+    )
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    pe = pool.join(e, pool["nid"] == e["vec_id"]).select(
+        "query_id", "nid", F.col("v").alias("pv")
+    )
+    a, b = pe.alias("a"), pe.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.nid") != F.col("b.nid")),
+        )
+        .withColumn("cs", F.round(cosine_expr("a.pv", "b.pv"), 6))
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.nid").alias("ca"),
+            F.col("b.nid").alias("cb"),
+            F.round(F.col("cs") * 1_000_000).cast("long").alias("sim_u"),
+        )
+    )
+    out_schema = (
+        "query_id long, pick_rank long, vec_id long, rel_u long, score_u long"
+    )
+    return (
+        pool.groupBy("query_id")
+        .cogroup(pairs.groupBy("query_id"))
+        .applyInPandas(_mmr_greedy, schema=out_schema)
+    )

@@ -576,3 +576,44 @@ def test_gsd_two_looks_hand_counts(spark, tmp_path):
         )
         assert r["crossed"] == 0
     assert_matches_oracle(q.fn(spark, sf), q.oracle, sf)
+
+
+# ---------------------------------------------------------------------------
+# mmr_diversified_topk
+
+_EMB_SCHEMA = "vec_id bigint, embedding array<float>, label int"
+
+
+def test_mmr_skips_exact_twin(spark, tmp_path):
+    """Three candidates tie on relevance (cos = 1/sqrt(2) to the query);
+    c2 is an exact-direction twin of c1 (sim 1.0), c3 is half-similar
+    (sim 0.5).  Pick 1 is the smallest-id tiebreak (c1); pick 2 must
+    SKIP the twin for c3 (integer scores hand-computed:
+    344,974,900,000 > 194,974,900,000); the twin only enters at pick 3.
+    Pure top-k would have returned c1, c2 adjacent — the redundancy MMR
+    exists to break."""
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),   # query (vec_id % 100 == 0)
+        (1, [1.0, 1.0, 0.0, 0.0], 0),   # rel 707107
+        (2, [2.0, 2.0, 0.0, 0.0], 0),   # exact twin of c1, rel 707107
+        (3, [1.0, 0.0, 1.0, 0.0], 0),   # rel 707107, sim(c1) = 0.5
+        (4, [0.0, 1.0, 1.0, 0.0], 0),   # rel 0
+    ]
+    spark.createDataFrame(vecs, _EMB_SCHEMA).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    sf = str(tmp_path)
+    q = load_all()["mmr_diversified_topk"]
+    got = {
+        r["pick_rank"]: (r["vec_id"], r["rel_u"], r["score_u"])
+        for r in q.fn(spark, sf).collect()
+    }
+    assert got == {
+        1: (1, 707_107, 700_000 * 707_107),
+        2: (3, 707_107, 700_000 * 707_107 - 300_000 * 500_000),
+        3: (2, 707_107, 700_000 * 707_107 - 300_000 * 1_000_000),
+        4: (4, 0, -300_000 * 500_000),
+    }
+    assert_matches_oracle(q.fn(spark, sf), q.oracle, sf)

@@ -321,3 +321,34 @@ def test_containment_oracle_on_random_docs(spark, tmp_path, seed):
     q = _q("shingle_containment_pairs")
     sf = str(tmp_path)
     assert_matches_oracle(q.fn(spark, sf), q.oracle, sf)
+
+
+_EMB_SCHEMA = "vec_id bigint, embedding array<float>, label int"
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_mmr_oracle_on_random_embeddings(spark, tmp_path, seed):
+    """Random unit-ball embeddings salted with near-duplicate clusters
+    around the query vectors — the regime where MMR's picks diverge
+    hardest from pure top-k; the recursive-CTE oracle must replay every
+    greedy step."""
+    rng = random.Random(seed)
+    rows = []
+    for vid in range(0, 220):
+        rows.append((vid, [rng.uniform(-1, 1) for _ in range(8)], 0))
+    # clone each query's vector with small jitter so twins exist
+    for j, (vid, emb, _) in enumerate([r for r in rows if r[0] % 100 == 0]):
+        for c in range(3):
+            rows.append(
+                (
+                    1000 + 10 * j + c,
+                    [x + rng.uniform(-0.01, 0.01) for x in emb],
+                    0,
+                )
+            )
+    spark.createDataFrame(rows, _EMB_SCHEMA).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    q = _q("mmr_diversified_topk")
+    sf = str(tmp_path)
+    assert_matches_oracle(q.fn(spark, sf), q.oracle, sf)
