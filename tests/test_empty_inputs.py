@@ -358,3 +358,59 @@ def test_round7_stats_on_empty_tables(spark, empty_sf, tmp_path):
             assert (r[0] in (0, None)) or all(
                 v in (0, None, 0.0) for v in r[1:]
             ), f"{name}: unexpected non-empty result {r}"
+
+
+@pytest.fixture(scope="module")
+def empty_sf_orders(spark, tmp_path_factory):
+    """Empty-orders companion for the round-9 order-grain queries."""
+    d = tmp_path_factory.mktemp("empty_sf_orders")
+    spark.createDataFrame(
+        [],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(d / "orders.parquet"))
+    return str(d)
+
+
+def test_round9_event_queries_on_empty_corpus(spark, empty_sf):
+    """Cold-start behavior for every round-9 events-grain query: empty in,
+    empty out — no collect()[0] crash, no sequence(null) blow-up."""
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    reg = load_all()
+    for name in [
+        "window_funnel_steps",
+        "session_path_topk",
+        "cuped_adjusted_lift",
+        "dau_mau_stickiness",
+        "eb_beta_binomial_shrinkage",
+        "quantile_treatment_effect",
+        "group_sequential_ab_monitor",
+    ]:
+        assert reg[name].fn(spark, empty_sf).count() == 0, name
+
+
+def test_round9_doc_graph_vec_queries_on_empty_corpus(spark, empty_sf):
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    reg = load_all()
+    for name in [
+        "shingle_containment_pairs",
+        "graph_sssp_weighted",
+        "mmr_diversified_topk",
+    ]:
+        assert reg[name].fn(spark, empty_sf).count() == 0, name
+
+
+def test_round9_order_queries_on_empty_corpus(spark, empty_sf_orders):
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    reg = load_all()
+    for name in ["poisson_bootstrap_totals", "conformal_interval_coverage"]:
+        out = reg[name].fn(spark, empty_sf_orders)
+        # a self-contained observed row (replicate 0 / summary) with zero
+        # counts is also acceptable cold-start behavior
+        rows = out.collect()
+        for r in rows:
+            for v in r.asDict().values():
+                assert v is None or v == 0 or v == 0.0, (name, rows)
