@@ -352,3 +352,117 @@ def test_mmr_oracle_on_random_embeddings(spark, tmp_path, seed):
     q = _q("mmr_diversified_topk")
     sf = str(tmp_path)
     assert_matches_oracle(q.fn(spark, sf), q.oracle, sf)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_qte_random_events_triple_vote(spark, tmp_path, seed):
+    """Spark banded two-phase ranks == DuckDB == Python type-1 order
+    statistics (rank ceil(q*n) under the (total, user_id) order, arms
+    replayed through the xxh64 helper) on random events."""
+    from azure_func_forem_data_etl_spark.functions.xxh64_sql import (
+        SPARK_HASH_SEED,
+        to_signed,
+        xxh64_long,
+    )
+    from azure_func_forem_data_etl_spark.operators.evaluation import (
+        QTE_QUANTILES_PPM,
+    )
+
+    rng = random.Random(seed)
+    rows = _random_events(rng, n_users=14, n_events=150)
+    spark.createDataFrame(rows, _EVENTS_SCHEMA).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    totals = {}
+    for _, _, u, _, v, _ in rows:
+        # replicate decimal(18,4) sums exactly via integer ten-thousandths
+        totals[u] = totals.get(u, 0) + round(v * 10_000)
+    arms = {0: [], 1: []}
+    for u, t in totals.items():
+        a = to_signed(xxh64_long(u, SPARK_HASH_SEED)) % 2
+        arms[a].append((t, u))
+    expect = {}
+    for p in QTE_QUANTILES_PPM:
+        row = {}
+        for a in (0, 1):
+            s = sorted(arms[a])
+            k = (p * len(s) + 999_999) // 1_000_000
+            row[a] = (len(s), s[k - 1][0] / 10_000.0)
+        expect[p] = (
+            row[1][0], row[0][0], row[1][1], row[0][1], row[1][1] - row[0][1]
+        )
+    q = _q("quantile_treatment_effect")
+    sf = str(tmp_path)
+    got = {
+        r["q_ppm"]: (
+            r["n_treat"], r["n_ctrl"], r["q_treat"], r["q_ctrl"], r["qte"]
+        )
+        for r in q.fn(spark, sf).collect()
+    }
+    assert got == expect
+    assert_matches_oracle(q.fn(spark, sf), q.oracle, sf)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_gsd_random_events_triple_vote(spark, tmp_path, seed):
+    """Spark week-grain cumsums == DuckDB cross-join counts == Python
+    brute-force looks (first-seen / first-conversion weeks per user,
+    identical IEEE z and boundary formulas) on random events."""
+    import math
+
+    from azure_func_forem_data_etl_spark.functions.xxh64_sql import (
+        SPARK_HASH_SEED,
+        to_signed,
+        xxh64_long,
+    )
+    from azure_func_forem_data_etl_spark.operators.evaluation import (
+        GSD_OBF_C,
+        GSD_WEEK_US,
+    )
+
+    rng = random.Random(seed + 7)
+    rows = _random_events(rng, n_users=12, n_events=140)
+    spark.createDataFrame(rows, _EVENTS_SCHEMA).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    seen, conv, last = {}, {}, {}
+    for _, ts, u, et, _, _ in rows:
+        w = int(ts.timestamp() * 1_000_000) // GSD_WEEK_US
+        seen[u] = min(seen.get(u, w), w)
+        last[u] = max(last.get(u, w), w)
+        if et == "purchase":
+            conv[u] = min(conv.get(u, w), w)
+    w0, w1 = min(seen.values()), max(last.values())
+    kk = w1 - w0 + 1
+    expect = {}
+    for week in range(w0, w1 + 1):
+        c = {0: [0, 0], 1: [0, 0]}
+        for u in seen:
+            a = to_signed(xxh64_long(u, SPARK_HASH_SEED)) % 2
+            if seen[u] <= week:
+                c[a][0] += 1
+            if conv.get(u, 10**9) <= week:
+                c[a][1] += 1
+        (cn0, cx0), (cn1, cx1) = c[0], c[1]
+        k = week - w0 + 1
+        bound = GSD_OBF_C * math.sqrt(kk / k)
+        if cn0 > 0 and cn1 > 0 and 0 < cx0 + cx1 < cn0 + cn1:
+            p = (cx0 + cx1) / (cn0 + cn1)
+            z = (cx1 / cn1 - cx0 / cn0) / math.sqrt(
+                p * (1.0 - p) * (1.0 / cn0 + 1.0 / cn1)
+            )
+            zq, crossed = math.floor(z * 1e6), int(abs(z) >= bound)
+        else:
+            zq, crossed = None, 0
+        expect[k] = (cn0, cx0, cn1, cx1, zq, math.floor(bound * 1e6), crossed)
+    q = _q("group_sequential_ab_monitor")
+    sf = str(tmp_path)
+    got = {
+        r["week_k"]: (
+            r["n_ctrl"], r["x_ctrl"], r["n_treat"], r["x_treat"],
+            r["z_x1e6"], r["bound_x1e6"], r["crossed"],
+        )
+        for r in q.fn(spark, sf).collect()
+    }
+    assert got == expect
+    assert_matches_oracle(q.fn(spark, sf), q.oracle, sf)
