@@ -2359,3 +2359,165 @@ def group_sequential_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(bound * 1_000_000.0).alias("bound_x1e6"),
         F.when(guard & (F.abs(z) >= bound), 1).otherwise(0).alias("crossed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Qini uplift curve (round 9)
+
+QINI_DECILES = 10
+
+
+def _qini_oracle() -> str:
+    from azure_func_forem_data_etl_spark.functions import xxh64_sql as X
+
+    hash_ctes = X.xxh64_longs_expr_ctes(
+        "qn", "qu", ["user_id", "score", "conv"], ["user_id"], X.SPARK_HASH_SEED
+    )
+    signed = X.signed64("h")
+    return f"""
+    WITH qu AS MATERIALIZED (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS score,
+               CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS conv
+        FROM events GROUP BY user_id
+    ),
+    {hash_ctes},
+    armed AS MATERIALIZED (
+        SELECT user_id, score, conv, ((({signed}) % 2) + 2) % 2 AS arm
+        FROM qn_hash
+    ),
+    ranked AS (
+        SELECT arm, conv,
+               ((row_number() OVER (ORDER BY score DESC, user_id) - 1)
+                * {QINI_DECILES}) // (SELECT COUNT(*) FROM armed) + 1
+                   AS decile
+        FROM armed
+    ),
+    per AS (
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(COUNT(*) FILTER (arm = 1) AS BIGINT) AS dn_t,
+               CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+                   AS dx_t,
+               CAST(COUNT(*) FILTER (arm = 0) AS BIGINT) AS dn_c,
+               CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+                   AS dx_c
+        FROM ranked GROUP BY 1
+    ),
+    cum AS (
+        SELECT decile,
+               SUM(dn_t) OVER w AS cn_t, SUM(dx_t) OVER w AS cx_t,
+               SUM(dn_c) OVER w AS cn_c, SUM(dx_c) OVER w AS cx_c
+        FROM per
+        WINDOW w AS (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT decile,
+           CAST(cn_t AS BIGINT) AS cn_t, CAST(cx_t AS BIGINT) AS cx_t,
+           CAST(cn_c AS BIGINT) AS cn_c, CAST(cx_c AS BIGINT) AS cx_c,
+           CASE WHEN cn_c > 0 THEN
+               CAST(floor((CAST(cx_t AS DOUBLE)
+                    - CAST(cx_c AS DOUBLE) * cn_t / cn_c) * 1000000.0)
+                    AS BIGINT) END AS qini_x1e6
+    FROM cum
+    """
+
+
+@register(
+    "uplift_qini_deciles",
+    defer=3,
+    oracle=_qini_oracle(),
+    doc="Qini uplift curve (Radcliffe 2007): users ranked by a "
+    "deterministic engagement score into deciles, cumulative treated/"
+    "control converter counts per decile (arms via pmod(xxhash64(user), "
+    "2)), qini = cx_t - cx_c * cn_t/cn_c — the uplift-targeting gains "
+    "curve.",
+)
+def uplift_qini_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evaluation curve for 'who should we target': rank users by a
+    score, then ask how many INCREMENTAL conversions the top deciles
+    contain — treated converters minus the control converters scaled to
+    the treated population (Radcliffe's Qini).  A useless score gives a
+    straight line to the overall uplift; a good one bows above it.
+    Score here is the deterministic engagement proxy (click count), so
+    both engines rank identically ((score desc, user_id) total order);
+    integer counts cumulate on the bounded decile grain, and the only
+    float step is the final scaled difference — identical IEEE doubles,
+    floor-quantized.  Decile assignment is exact integer arithmetic
+    ((rank-1)*10 div n + 1), ranked with the banded two-phase pattern
+    (band = the small-int score itself) — no unpartitioned window over
+    the user grain.  100 TB shape: one user-keyed agg, score-band keyed
+    ranking, decile-grain everything after.
+    """
+    ev = table(spark, sf_dir, "events")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("score"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv"),
+        )
+        .withColumn("arm", F.pmod(F.xxhash64("user_id"), F.lit(2)))
+        # consumed by the count agg, the band ranks, and the band offsets
+        .localCheckpoint(eager=True)
+    )
+    n_tot = u.agg(F.count("*").alias("n"))
+    # two-phase global rank over (score desc, user_id): band = score
+    wloc = Window.partitionBy("score").orderBy("user_id")
+    local = u.select(
+        "score", "arm", "conv", F.row_number().over(wloc).alias("lrn")
+    )
+    wband = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        u.groupBy("score")
+        .agg(F.count("*").alias("bn"))
+        .select(
+            "score",
+            F.coalesce(F.sum("bn").over(wband), F.lit(0)).alias("off"),
+        )
+    )
+    ranked = (
+        local.join(F.broadcast(offsets), "score")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "arm",
+            "conv",
+            (
+                (F.col("off") + F.col("lrn") - 1) * QINI_DECILES
+            ).cast("long").alias("rx"),
+            "n",
+        )
+        .select("arm", "conv", F.expr("rx div n + 1").alias("decile"))
+    )
+    per = ranked.groupBy("decile").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("dn_t"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias("dx_t"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("dn_c"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias("dx_c"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "decile",
+        F.sum("dn_t").over(wcum).alias("cn_t"),
+        F.sum("dx_t").over(wcum).alias("cx_t"),
+        F.sum("dn_c").over(wcum).alias("cn_c"),
+        F.sum("dx_c").over(wcum).alias("cx_c"),
+    )
+    qini = (
+        F.col("cx_t").cast("double")
+        - F.col("cx_c").cast("double") * F.col("cn_t") / F.col("cn_c")
+    ) * F.lit(1_000_000.0)
+    return cum.select(
+        "decile",
+        "cn_t",
+        "cx_t",
+        "cn_c",
+        "cx_c",
+        F.when(F.col("cn_c") > 0, F.floor(qini)).alias("qini_x1e6"),
+    )

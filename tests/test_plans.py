@@ -212,6 +212,8 @@ def test_plan_lint_every_registry_query(spark):
         "pareto_8020_customers",
         # 1-row beta-binomial prior (m_f, c) broadcast onto user grain
         "eb_beta_binomial_shrinkage",
+        # 1-row user-count broadcast onto the ranked user grain
+        "uplift_qini_deciles",
     }
     # Scan budget (round 9): a table appearing more than SCAN_BUDGET times
     # in the AQE-printed plan (initial + final, so budget 6 = 3 real

@@ -617,3 +617,73 @@ def test_mmr_skips_exact_twin(spark, tmp_path):
         4: (4, 0, -300_000 * 500_000),
     }
     assert_matches_oracle(q.fn(spark, sf), q.oracle, sf)
+
+
+# ---------------------------------------------------------------------------
+# uplift_qini_deciles
+
+
+def test_qini_hand_computed_curve(spark, tmp_path):
+    """Ten users (five per hash arm) with distinct click-count scores
+    1..10 — one user per decile, fully hand-traceable.  Treated users
+    convert only in the TOP half of the score order, so the qini curve
+    bows up early and flattens: the shape a real uplift score produces.
+    The control arm converts only in the bottom half (negative
+    increments late in the curve)."""
+    from azure_func_forem_data_etl_spark.functions.xxh64_sql import (
+        SPARK_HASH_SEED,
+        to_signed,
+        xxh64_long,
+    )
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    def arm(uid):
+        return to_signed(xxh64_long(uid, SPARK_HASH_SEED)) % 2
+
+    a0, a1, uid = [], [], 1
+    while len(a0) < 5 or len(a1) < 5:
+        if arm(uid) == 0 and len(a0) < 5:
+            a0.append(uid)
+        elif arm(uid) == 1 and len(a1) < 5:
+            a1.append(uid)
+        uid += 1
+    # interleave arms down the score order: rank i (0-based) has score 10-i
+    order = [a1[0], a0[0], a1[1], a0[1], a1[2], a0[2], a1[3], a0[3], a1[4], a0[4]]
+    converts = {a1[0], a1[1], a0[4], a0[3]}  # treated top-2, control bottom-2
+    rows, eid = [], 0
+    for i, u in enumerate(order):
+        for c in range(10 - i):  # score = click count = 10 - rank
+            rows.append((eid, _T0 + dt.timedelta(minutes=eid), u, "click", 1.0, "{}"))
+            eid += 1
+        if u in converts:
+            rows.append((eid, _T0, u, "purchase", 1.0, "{}")); eid += 1
+    spark.createDataFrame(rows, _EVENTS_SCHEMA).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    sf = str(tmp_path)
+    q = load_all()["uplift_qini_deciles"]
+    got = {r["decile"]: r for r in q.fn(spark, sf).collect()}
+    assert set(got) == set(range(1, 11))
+    # replay the curve: cumulative counts down the planted order
+    cn_t = cx_t = cn_c = cx_c = 0
+    for d, u in enumerate(order, start=1):
+        if u in a1:
+            cn_t += 1; cx_t += u in converts
+        else:
+            cn_c += 1; cx_c += u in converts
+        r = got[d]
+        assert (r["cn_t"], r["cx_t"], r["cn_c"], r["cx_c"]) == (
+            cn_t, cx_t, cn_c, cx_c,
+        )
+        if cn_c > 0:
+            import math
+            assert r["qini_x1e6"] == math.floor(
+                (cx_t - cx_c * cn_t / cn_c) * 1_000_000.0
+            )
+        else:
+            assert r["qini_x1e6"] is None
+    # the headline property: qini peaks mid-curve then falls as the
+    # control-arm converters arrive in the bottom deciles
+    curve = [got[d]["qini_x1e6"] for d in range(1, 11) if got[d]["qini_x1e6"] is not None]
+    assert max(curve) > curve[-1]
+    assert_matches_oracle(q.fn(spark, sf), q.oracle, sf)
