@@ -46,10 +46,28 @@ def scoped_checkpoint(df: DataFrame) -> Tuple[DataFrame, Callable[[], None]]:
     Returns ``(checkpointed_frame, release)``; ``release()`` drops the
     blocks the checkpoint created.  Safe to call ``release`` more than
     once.
+
+    Contract (ADVICE r9, ckpt.py): the persisted id is read directly off
+    the checkpointed plan's ``LogicalRDD``, so concurrent persists by
+    other threads/sessions on the same SparkContext are never swept up.
+    The snapshot-diff fallback (plan shape unavailable, e.g. a future
+    Connect backend) IS context-wide and assumes a single-threaded
+    driver — the registry/driver execution model.  Callers must drive
+    every consumer of the checkpointed frame to completion before
+    ``release()``: lineage is truncated, so a lazy plan still referencing
+    the frame becomes unrecoverable once the blocks drop.
     """
     before = persistent_rdd_ids(df)
     ckpt = df.localCheckpoint(eager=True)
-    created = persistent_rdd_ids(ckpt) - before
+    created: set[int] | None = None
+    try:
+        plan = ckpt._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith(".LogicalRDD"):
+            created = {int(plan.rdd().id())}
+    except Exception:  # pragma: no cover - py4j/Connect API drift
+        created = None
+    if created is None:  # pragma: no cover - exercised only on API drift
+        created = persistent_rdd_ids(ckpt) - before
 
     def release() -> None:
         release_rdd_ids(ckpt, created)

@@ -763,7 +763,12 @@ def _materialize_ctes(sql: str, *names: str) -> str:
     import re
 
     for n in names:
-        sql = re.sub(rf"\b{n} AS \(", f"{n} AS MATERIALIZED (", sql, count=1)
+        sql, n_subs = re.subn(rf"\b{n} AS \(", f"{n} AS MATERIALIZED (", sql, count=1)
+        # Fail loud on formatting drift in the shared CTE constants (e.g. a
+        # newline between the name and "AS ("): a silent no-op here quietly
+        # drops the 40s->4s recursive-oracle performance guard (ADVICE r9).
+        if n_subs != 1:
+            raise ValueError(f"CTE {n!r} not found to materialize in oracle SQL")
     return sql
 
 

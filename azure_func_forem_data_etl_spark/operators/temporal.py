@@ -489,12 +489,15 @@ def sessionize_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id breaks ts ties exactly like the oracle's WINDOW clause."""
     events = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_min = (
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    ) / 60.0
+    # Exact-microsecond gap compare (unix_micros, not ts.cast('long') which
+    # truncates to whole seconds): the oracle's `ts - lag(ts) <= INTERVAL
+    # 30 MINUTE` is full-precision, so a sub-second fractional gap straddling
+    # the 1800 s boundary (e.g. 1800.5 s) must split the session on BOTH
+    # sides — same pattern as peak_concurrent_sessions.
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
     marked = events.withColumn(
         "is_start",
-        F.when(gap_min <= 30, F.lit(0)).otherwise(F.lit(1)),
+        F.when(gap_us <= 30 * 60 * 1_000_000, F.lit(0)).otherwise(F.lit(1)),
     )
     numbered = marked.withColumn(
         "session_no", F.sum("is_start").over(w).cast("int")
@@ -1127,12 +1130,13 @@ def session_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     |days|-row re-agg; the rate is one double division of exact counts."""
     events = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_min = (
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    ) / 60.0
+    # exact-micros gap (see sessionize_gap_islands): matches the oracle's
+    # full-precision INTERVAL compare at fractional-second boundaries
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
     numbered = (
         events.withColumn(
-            "is_start", F.when(gap_min <= 30, F.lit(0)).otherwise(F.lit(1))
+            "is_start",
+            F.when(gap_us <= 30 * 60 * 1_000_000, F.lit(0)).otherwise(F.lit(1)),
         )
         .withColumn(
             "session_no",
@@ -3801,11 +3805,12 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_min = (
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    ) / 60.0
+    # exact-micros gap (see sessionize_gap_islands): matches the oracle's
+    # full-precision INTERVAL compare at fractional-second boundaries
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
     marked = events.withColumn(
-        "is_start", F.when(gap_min <= PATH_GAP_MIN, F.lit(0)).otherwise(F.lit(1))
+        "is_start",
+        F.when(gap_us <= PATH_GAP_MIN * 60 * 1_000_000, F.lit(0)).otherwise(F.lit(1)),
     )
     numbered = marked.withColumn("session_no", F.sum("is_start").over(w))
     ws = Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")

@@ -104,6 +104,33 @@ def _latest_rows(root=None) -> dict[str, dict]:
     return latest
 
 
+def _latest_round(root=None) -> dict[str, int]:
+    """Round number of each name's LATEST official CORRECTNESS row.
+
+    Powers the staleness-aware rotation (r9 VERDICT ask #3): with 374
+    registered names and ~47 free driver slots per round, a full evidence
+    refresh takes ~8 rounds, so the checked block must drain
+    oldest-official-evidence-first or a name's last witness can age
+    without bound.  Ties (same round) break by registry order."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(root) if root is not None else Path(__file__).resolve().parents[2]
+    latest: dict[str, int] = {}
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path.name)
+        if m is None:
+            continue
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name in rows:
+            latest[name] = int(m.group(1))
+    return latest
+
+
 def _officially_checked(root=None) -> frozenset[str]:
     """Names whose LATEST official CORRECTNESS_r*.json row is a real check.
 
@@ -226,7 +253,22 @@ def _driver_order(registry: dict[str, Query]) -> dict[str, Query]:
         deferred += round_robin(
             [n for n in unchecked if int(registry[n].defer) == tier]
         )
-    seen = [n for n in rest if n in checked]
+    # Checked rotation: drain oldest-official-evidence-first so no name's
+    # last witness ages past ~len(registry)/window rounds (ties by registry
+    # order), and park terminal rows-only names (no oracle registered —
+    # their official row can never say more than "rows healthy") BEHIND
+    # every hash-verifiable name so official slots stay oracle-checkable
+    # (r9 VERDICT asks #2 and #3: r9 spent 5 of 50 slots re-witnessing
+    # queries whose rows can never hash-match).
+    age = _latest_round()
+    seen = sorted(
+        (n for n in rest if n in checked),
+        key=lambda n: (
+            registry[n].oracle is None,
+            age.get(n, 0),
+            reg_index[n],
+        ),
+    )
     return {n: registry[n] for n in (*sentinels, *requeued, *never, *deferred, *seen)}
 
 

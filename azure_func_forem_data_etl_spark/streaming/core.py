@@ -118,6 +118,15 @@ def run_available_now(
     ``state_partitions`` (see :func:`sized_state_partitions`) applies only
     while the stream runs — the session's shuffle setting is restored
     before returning, and the memory-sink read is unaffected.
+
+    Concurrency contract (ADVICE r9): the set/restore mutates the SHARED
+    session conf, so this assumes the registry/driver execution model —
+    one query at a time on a single-threaded driver.  A concurrent batch
+    plan or second stream on the same session could observe the reduced
+    partition count (or a racing restore); callers that need true
+    isolation should build their streaming plan on ``spark.newSession()``
+    (shared SparkContext, cloned conf) and pass ``state_partitions`` on
+    that session instead.
     """
     spark = sdf.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"

@@ -207,19 +207,23 @@ def test_registry_driver_order_rotates_evidence():
     """The driver grades the FIRST 50 registry entries per round, so the
     ordering contract is load-bearing evidence policy: sentinels lead,
     every never-officially-checked query precedes every already-checked
-    one, and the never-checked block round-robins across modules so each
-    family gains official rows every round."""
+    one, and — in the drained-backlog regime round 9 reached — the checked
+    block rotates oldest-official-evidence-first with terminal rows-only
+    names parked last so official slots stay hash-verifiable (r9 VERDICT
+    asks #1-#3)."""
     from azure_func_forem_data_etl_spark.plans.registry import (
         REGISTRY,
         _SENTINELS,
         _errored_latest,
+        _latest_round,
         _mismatched_latest,
         _officially_checked,
         _upgraded_latest,
         load_all,
     )
 
-    order = list(load_all())
+    reg = load_all()
+    order = list(reg)
     checked = _officially_checked()
     sentinels = [n for n in _SENTINELS if n in order]
     assert order[: len(sentinels)] == sentinels
@@ -237,11 +241,54 @@ def test_registry_driver_order_rotates_evidence():
     flags = [n in checked for n in rest]
     # once the checked block starts, it never goes back to never-checked
     assert flags == sorted(flags), "never-checked queries must precede checked ones"
-    # the first 12 never-checked entries span >= 6 distinct modules
-    never = [n for n in rest if n not in checked][:12]
-    reg = load_all()
-    mods = {reg[n].fn.__module__ for n in never}
-    assert len(mods) >= 6, f"window lacks module diversity: {mods}"
+    never = [n for n in rest if n not in checked]
+    if len(never) >= 12:
+        # backlog regime: the first 12 never-checked entries span >= 6
+        # distinct modules so every family gains official rows per round
+        mods = {reg[n].fn.__module__ for n in never[:12]}
+        assert len(mods) >= 6, f"window lacks module diversity: {mods}"
+    # Drained-backlog invariants (always checked over the checked block):
+    # 1. every hash-verifiable (oracle-registered) name precedes every
+    #    terminal rows-only name — a no_oracle row can never say more than
+    #    "rows healthy", so it must not consume an early official slot;
+    # 2. within each of those two groups, rotation re-checks drain
+    #    oldest-official-evidence-first (ties by registry order).
+    seen = [n for n in rest if n in checked]
+    terminal_flags = [reg[n].oracle is None for n in seen]
+    assert terminal_flags == sorted(terminal_flags), (
+        "terminal rows-only names must sort behind hash-verifiable ones"
+    )
+    age = _latest_round()
+    for group_terminal in (False, True):
+        ages = [age.get(n, 0) for n in seen if (reg[n].oracle is None) == group_terminal]
+        assert ages == sorted(ages), (
+            f"checked rotation (terminal={group_terminal}) must drain "
+            f"oldest-official-evidence-first: {ages}"
+        )
+    # 3. slot yield: the driver's 50-entry window must be dominated by
+    #    oracle-checkable names (terminal rows-only can only appear if the
+    #    registry has fewer than 50 - n_terminal checkable names, which at
+    #    374 registered it never does)
+    window = order[:50]
+    n_checkable = sum(reg[n].oracle is not None for n in window)
+    assert n_checkable >= 48, f"driver window only {n_checkable}/50 oracle-checkable"
+
+
+def test_registry_staleness_rotation_unit(tmp_path):
+    """_latest_round parses round numbers and keeps the LATEST row's round
+    per name; the checked-block ordering derives from it (r9 ask #3)."""
+    import json
+
+    from azure_func_forem_data_etl_spark.plans.registry import _latest_round
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "a": {"err": None}, "b": {"err": None},
+    }))
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({
+        "b": {"err": None}, "c": {"err": "no_oracle", "spark_rows": 1},
+    }))
+    (tmp_path / "not_a_round.json").write_text("{}")
+    assert _latest_round(tmp_path) == {"a": 1, "b": 3, "c": 3}
 
 
 def test_registry_error_rows_requeue(tmp_path):

@@ -1,0 +1,127 @@
+"""Regression tests for the round-9 ADVICE fixes: each test plants the
+exact degenerate shape the advisor flagged and asserts Spark and the
+registered DuckDB oracle agree on it (not just on the fixtures, where the
+shape never occurs)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from tests.oracle import assert_matches_oracle
+
+_EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def _write_events(spark, d, rows):
+    spark.createDataFrame(rows, _EVENTS_SCHEMA).write.parquet(
+        str(d / "events.parquet")
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def fractional_gap_sf(spark, tmp_path_factory):
+    """Events whose consecutive gaps straddle the 30-min session boundary
+    at SUB-SECOND precision (ADVICE r9, temporal.py): user 1's second gap
+    is exactly 1800.5 s — second-truncated arithmetic reads it as 1800 s
+    (<= boundary, merge) while the oracle's full-precision INTERVAL
+    compare reads 1800.5 s (> boundary, split).  User 2 plants the exact
+    1800.000000 s gap (merge on both sides) and a 1800.999999 s gap
+    (split on both sides only under exact micros)."""
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: A --1799.5s-- B --1800.5s-- C   => sessions {A,B} | {C}
+        (0, t0, 1, "A", 1.0, "{}"),
+        (1, t0 + dt.timedelta(seconds=1799, microseconds=500_000), 1, "B", 2.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=3600), 1, "C", 3.0, "{}"),
+        # user 2: A --1800.0s-- B --1800.999999s-- C => sessions {A,B} | {C}
+        (3, t0, 2, "A", 1.0, "{}"),
+        (4, t0 + dt.timedelta(seconds=1800), 2, "B", 2.0, "{}"),
+        (5, t0 + dt.timedelta(seconds=3600, microseconds=999_999), 2, "C", 3.0, "{}"),
+    ]
+    d = tmp_path_factory.mktemp("fracgap")
+    return _write_events(spark, d, rows)
+
+
+def test_sessionize_gap_exact_micros(spark, fractional_gap_sf):
+    """A 1800.5 s gap must START a new session (30 min = 1800 s exactly;
+    the old ts.cast('long') truncation read it as 1800 s and merged)."""
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    q = load_all()["sessionize_gap_islands"]
+    df = q.fn(spark, fractional_gap_sf)
+    pdf = df.toPandas().sort_values(["user_id", "session_no"])
+    # both users: exactly 2 sessions, split after the 2nd event
+    counts = {
+        (int(r.user_id), int(r.session_no)): int(r.n_events)
+        for r in pdf.itertuples()
+    }
+    assert counts == {(1, 1): 2, (1, 2): 1, (2, 1): 2, (2, 2): 1}
+    assert_matches_oracle(df, q.oracle, fractional_gap_sf)
+
+
+def test_session_path_exact_micros(spark, fractional_gap_sf):
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    q = load_all()["session_path_topk"]
+    df = q.fn(spark, fractional_gap_sf)
+    paths = {r["path"]: r["n_sessions"] for r in df.collect()}
+    assert paths == {"A>B": 2, "C": 2}
+    assert_matches_oracle(df, q.oracle, fractional_gap_sf)
+
+
+def test_materialize_ctes_asserts_substitution():
+    """Formatting drift in a shared CTE constant must raise, not silently
+    drop the AS MATERIALIZED performance guard (ADVICE r9, dedup.py)."""
+    from azure_func_forem_data_etl_spark.operators.dedup import _materialize_ctes
+
+    sql = "WITH a AS (SELECT 1), b AS (SELECT 2) SELECT * FROM a, b"
+    out = _materialize_ctes(sql, "a", "b")
+    assert "a AS MATERIALIZED (" in out and "b AS MATERIALIZED (" in out
+    with pytest.raises(ValueError, match="missing_cte"):
+        _materialize_ctes(sql, "missing_cte")
+    # newline between name and AS ( — the exact drift shape flagged
+    with pytest.raises(ValueError, match="'c'"):
+        _materialize_ctes("WITH c\nAS (SELECT 1) SELECT * FROM c", "c")
+
+
+def test_scoped_checkpoint_releases_only_its_own_blocks(spark):
+    """release() must unpersist exactly the checkpoint's RDD and leave a
+    concurrently persisted frame's blocks alone (ADVICE r9, ckpt.py: the
+    old context-wide snapshot diff could sweep up unrelated persists)."""
+    from azure_func_forem_data_etl_spark.operators.ckpt import (
+        persistent_rdd_ids,
+        scoped_checkpoint,
+    )
+
+    bystander = spark.range(100).persist()
+    bystander.count()
+    base = persistent_rdd_ids(bystander)
+    ckpt, release = scoped_checkpoint(spark.range(50).selectExpr("id * 2 AS x"))
+    created = persistent_rdd_ids(ckpt) - base
+    assert len(created) == 1
+    assert ckpt.count() == 50
+    release()
+    after = persistent_rdd_ids(ckpt)
+    assert created.isdisjoint(after), "checkpoint blocks must be released"
+    assert base <= after, "bystander persist must survive release()"
+    release()  # idempotent
+    bystander.unpersist(True)
+
+
+def test_session_bounce_exact_micros(spark, fractional_gap_sf):
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    q = load_all()["session_bounce_rate_daily"]
+    df = q.fn(spark, fractional_gap_sf)
+    pdf = df.toPandas()
+    # 4 sessions on one day, the two singleton {C} sessions are bounces
+    assert len(pdf) == 1
+    assert int(pdf.n_sessions.iloc[0]) == 4
+    assert int(pdf.n_bounces.iloc[0]) == 2
+    assert_matches_oracle(df, q.oracle, fractional_gap_sf)
