@@ -124,6 +124,21 @@ def test_gapfill_no_cross_join(spark, sf_dir):
     assert "Explode" in plan or "Generate" in plan
 
 
+def test_scaling_doc_covers_every_registry_query():
+    """Every registered query must be analyzed (at least mentioned) in
+    SCALING.md — r8 found three missing rows by hand, so the completeness
+    check is now mechanical (r9 VERDICT ask #5).  Names are matched
+    literally; family rows that cover several queries must list each
+    name (the per-query index section exists for exactly that)."""
+    from pathlib import Path
+
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    text = (Path(__file__).resolve().parents[1] / "SCALING.md").read_text()
+    missing = sorted(n for n in load_all() if n not in text)
+    assert not missing, f"registry queries with no SCALING.md entry: {missing}"
+
+
 def test_plan_lint_every_registry_query(spark):
     """Sweep every (batch) registry query's compiled plan for the two
     always-wrong patterns at 100 TB:
