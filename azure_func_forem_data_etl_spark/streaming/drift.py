@@ -104,52 +104,52 @@ def cusum_drift_stream(events: DataFrame) -> DataFrame:
 
 @register(
     "streaming_cusum_drift",
-    # The clamp+reset recurrence IS SQL-expressible as a sequential fold:
-    # DuckDB's list_reduce over the (ts, value)-ordered event list carries
-    # (S, n) plus a string-encoded alarm log (flat accumulator — nested
-    # list accumulators miscompute in list_reduce lambdas on duckdb 1.0),
-    # floats formatted %.17g for exact round-trip.  Same IEEE op order as
-    # the pandas fold => bit-identical cusum values.  (r3 VERDICT ask #4:
+    # The clamp+reset recurrence IS SQL-expressible as a sequential fold.
+    # R10 REWRITE: the original list_reduce encoding (struct accumulator
+    # with a data-dependent CASE branch) MIXES LANES across grouped rows
+    # on duckdb 1.0 — with all 5 event types folded in one query, alarms
+    # from one type's list leaked into another's log (found by the
+    # round-10 random-fixture sweep: signup rows surfaced as click alarms;
+    # correct when run one group at a time).  The recursive CTE below is
+    # the house replay pattern instead: every recursion row is KEYED by
+    # event_type, so the per-type folds advance in lockstep but can never
+    # exchange state.  Step expressions are the literal IEEE ops of the
+    # pandas fold (s' = greatest(0, s + (v - 60.0)); alarm + reset when
+    # s' > 200.0) => bit-identical cusum values.  (r3 VERDICT ask #4:
     # this was the only streaming rows-only query.)
-    oracle=r"""
-    WITH ordered AS (
-      SELECT event_type, ts, event_id, CAST(value AS DOUBLE) AS v FROM events
+    oracle="""
+    WITH RECURSIVE ordered AS MATERIALIZED (
+      -- MATERIALIZED: referenced from the recursive term; inlined it
+      -- would be re-scanned once per fold step
+      SELECT event_type, ts, CAST(value AS DOUBLE) AS v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
     ),
-    packed AS (
-      SELECT event_type,
-             list(struct_pack(ts := ts, v := v) ORDER BY ts, event_id) AS xs
-      FROM ordered GROUP BY event_type
-    ),
-    folded AS (
-      SELECT event_type,
-        list_reduce(
-          list_prepend(
-            {'s': CAST(0 AS DOUBLE), 'n': CAST(0 AS BIGINT),
-             'ts': TIMESTAMP '1970-01-01', 'v': CAST(0 AS DOUBLE), 'acc': ''},
-            list_transform(xs, x -> {'s': CAST(0 AS DOUBLE), 'n': CAST(0 AS BIGINT),
-             'ts': x.ts, 'v': x.v, 'acc': ''})
-          ),
-          (acc, x) -> CASE
-            WHEN greatest(CAST(0 AS DOUBLE), acc.s + (x.v - 60.0)) > 200.0
-            THEN {'s': CAST(0 AS DOUBLE), 'n': CAST(0 AS BIGINT), 'ts': x.ts, 'v': x.v,
-                  'acc': acc.acc || strftime(x.ts, '%Y-%m-%d %H:%M:%S.%f') || '|' ||
-                         format('{:.17g}', greatest(CAST(0 AS DOUBLE), acc.s + (x.v - 60.0))) || '|' ||
-                         CAST(acc.n + 1 AS VARCHAR) || ';'}
-            ELSE {'s': greatest(CAST(0 AS DOUBLE), acc.s + (x.v - 60.0)),
-                  'n': acc.n + 1, 'ts': x.ts, 'v': x.v, 'acc': acc.acc}
-          END
-        ).acc AS alarms_str
-      FROM packed
-    ),
-    split AS (
-      SELECT event_type, unnest(string_split(rtrim(alarms_str, ';'), ';')) AS rec
-      FROM folded WHERE alarms_str <> ''
+    fold(event_type, rn, s, n, alarm_ts, alarm_s, alarm_n) AS (
+      SELECT event_type, 0, CAST(0 AS DOUBLE), CAST(0 AS BIGINT),
+             CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE),
+             CAST(NULL AS BIGINT)
+      FROM (SELECT DISTINCT event_type FROM ordered)
+      UNION ALL
+      SELECT o.event_type, o.rn,
+             CASE WHEN greatest(CAST(0 AS DOUBLE), f.s + (o.v - 60.0)) > 200.0
+                  THEN CAST(0 AS DOUBLE)
+                  ELSE greatest(CAST(0 AS DOUBLE), f.s + (o.v - 60.0)) END,
+             CASE WHEN greatest(CAST(0 AS DOUBLE), f.s + (o.v - 60.0)) > 200.0
+                  THEN CAST(0 AS BIGINT) ELSE f.n + 1 END,
+             CASE WHEN greatest(CAST(0 AS DOUBLE), f.s + (o.v - 60.0)) > 200.0
+                  THEN o.ts END,
+             CASE WHEN greatest(CAST(0 AS DOUBLE), f.s + (o.v - 60.0)) > 200.0
+                  THEN greatest(CAST(0 AS DOUBLE), f.s + (o.v - 60.0)) END,
+             CASE WHEN greatest(CAST(0 AS DOUBLE), f.s + (o.v - 60.0)) > 200.0
+                  THEN f.n + 1 END
+      FROM fold f JOIN ordered o
+        ON o.event_type = f.event_type AND o.rn = f.rn + 1
     )
-    SELECT event_type,
-           CAST(string_split(rec, '|')[1] AS TIMESTAMP) AS drift_ts,
-           CAST(string_split(rec, '|')[2] AS DOUBLE) AS cusum,
-           CAST(string_split(rec, '|')[3] AS BIGINT) AS n_since_reset
-    FROM split
+    SELECT event_type, alarm_ts AS drift_ts, alarm_s AS cusum,
+           alarm_n AS n_since_reset
+    FROM fold WHERE alarm_ts IS NOT NULL
     """,
     doc="Streaming CUSUM level-shift detector (applyInPandasWithState): "
     "per-event-type running S = max(0, S + x - k), alarm + reset at h; "

@@ -1,0 +1,178 @@
+"""Random fixture generator: same schemas/alphabets as the driver's
+synthetic tables (TESTDATA.md), different seed and different shapes.
+
+Powers the registry-wide oracle-on-random-data sweep: every oracle-backed
+query must hash-match its DuckDB twin on data it has never seen, closing
+the "works only on the fixture" gap for the whole registry (the fixtures
+are seed-42; any seed here but 42 exercises new shapes).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import random
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_T0 = dt.datetime(2024, 1, 1)
+_WORDS = (
+    "the a key order sort table scan merge part window small hash join "
+    "batch stream spark dup group query row data slow filter customer line "
+    "value agg column big fast vector"
+).split()
+_REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PTYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+_ETYPES = ["view", "click", "purchase", "signup", "error"]
+_LANGS = ["en", "es", "de", "fr", "zh"]
+
+
+def _tbl(path: Path, name: str, cols: dict, types: dict) -> None:
+    arrays = {c: pa.array(v, type=types[c]) for c, v in cols.items()}
+    pq.write_table(pa.table(arrays), str(path / f"{name}.parquet"))
+
+
+def write_random_fixture(
+    dirpath: str | Path,
+    seed: int,
+    n_customers: int = 120,
+    n_suppliers: int = 9,
+    n_parts: int = 160,
+    n_orders: int = 1100,
+    n_events: int = 900,
+    n_docs: int = 400,
+    n_vecs: int = 400,
+    emb_dim: int = 64,
+) -> str:
+    rng = random.Random(seed)
+    d = Path(dirpath)
+    d.mkdir(parents=True, exist_ok=True)
+    ts_us = pa.timestamp("us")
+
+    _tbl(d, "region",
+         {"r_regionkey": list(range(5)), "r_name": _REGIONS},
+         {"r_regionkey": pa.int32(), "r_name": pa.string()})
+
+    _tbl(d, "nation",
+         {"n_nationkey": list(range(25)),
+          "n_name": [f"NATION_{i}" for i in range(25)],
+          "n_regionkey": [rng.randrange(5) for _ in range(25)]},
+         {"n_nationkey": pa.int32(), "n_name": pa.string(),
+          "n_regionkey": pa.int32()})
+
+    _tbl(d, "customer",
+         {"c_custkey": list(range(1, n_customers + 1)),
+          "c_name": [f"Customer#{i:09d}" for i in range(1, n_customers + 1)],
+          "c_nationkey": [rng.randrange(25) for _ in range(n_customers)],
+          "c_acctbal": [round(rng.uniform(-999.99, 9999.99), 2)
+                        for _ in range(n_customers)],
+          "c_mktsegment": [rng.choice(_SEGMENTS) for _ in range(n_customers)]},
+         {"c_custkey": pa.int64(), "c_name": pa.string(),
+          "c_nationkey": pa.int32(), "c_acctbal": pa.float64(),
+          "c_mktsegment": pa.string()})
+
+    _tbl(d, "supplier",
+         {"s_suppkey": list(range(1, n_suppliers + 1)),
+          "s_name": [f"Supplier#{i:09d}" for i in range(1, n_suppliers + 1)],
+          "s_nationkey": [rng.randrange(25) for _ in range(n_suppliers)],
+          "s_acctbal": [round(rng.uniform(-999.99, 9999.99), 2)
+                        for _ in range(n_suppliers)]},
+         {"s_suppkey": pa.int64(), "s_name": pa.string(),
+          "s_nationkey": pa.int32(), "s_acctbal": pa.float64()})
+
+    _tbl(d, "part",
+         {"p_partkey": list(range(1, n_parts + 1)),
+          "p_name": [" ".join(rng.sample(_WORDS, 3)) for _ in range(n_parts)],
+          "p_brand": [f"Brand#{rng.randint(1, 25)}" for _ in range(n_parts)],
+          "p_type": [rng.choice(_PTYPES) for _ in range(n_parts)],
+          "p_size": [rng.randint(1, 50) for _ in range(n_parts)],
+          "p_retailprice": [round(rng.uniform(900.0, 2000.0), 2)
+                            for _ in range(n_parts)]},
+         {"p_partkey": pa.int64(), "p_name": pa.string(),
+          "p_brand": pa.string(), "p_type": pa.string(),
+          "p_size": pa.int32(), "p_retailprice": pa.float64()})
+
+    odate0 = dt.datetime(1995, 1, 1)
+    odates = [odate0 + dt.timedelta(days=rng.randint(0, 2400))
+              for _ in range(n_orders)]
+    _tbl(d, "orders",
+         {"o_orderkey": list(range(1, n_orders + 1)),
+          "o_custkey": [rng.randint(1, n_customers) for _ in range(n_orders)],
+          "o_orderstatus": [rng.choice("OFP") for _ in range(n_orders)],
+          "o_totalprice": [round(rng.uniform(900.0, 300000.0), 2)
+                           for _ in range(n_orders)],
+          "o_orderdate": odates,
+          "o_orderpriority": [rng.choice(_PRIOS) for _ in range(n_orders)]},
+         {"o_orderkey": pa.int64(), "o_custkey": pa.int64(),
+          "o_orderstatus": pa.string(), "o_totalprice": pa.float64(),
+          "o_orderdate": ts_us, "o_orderpriority": pa.string()})
+
+    li = {k: [] for k in ("l_orderkey", "l_partkey", "l_suppkey",
+                          "l_linenumber", "l_quantity", "l_extendedprice",
+                          "l_discount", "l_tax", "l_returnflag",
+                          "l_linestatus", "l_shipdate")}
+    for ok in range(1, n_orders + 1):
+        for ln in range(1, rng.randint(1, 7) + 1):
+            li["l_orderkey"].append(ok)
+            li["l_partkey"].append(rng.randint(1, n_parts))
+            li["l_suppkey"].append(rng.randint(1, n_suppliers))
+            li["l_linenumber"].append(ln)
+            li["l_quantity"].append(float(rng.randint(1, 50)))
+            li["l_extendedprice"].append(round(rng.uniform(900.0, 100000.0), 2))
+            li["l_discount"].append(round(rng.uniform(0.0, 0.1), 2))
+            li["l_tax"].append(round(rng.uniform(0.0, 0.08), 2))
+            li["l_returnflag"].append(rng.choice("NAR"))
+            li["l_linestatus"].append(rng.choice("FO"))
+            li["l_shipdate"].append(
+                odates[ok - 1] + dt.timedelta(days=rng.randint(1, 120))
+            )
+    _tbl(d, "lineitem", li,
+         {"l_orderkey": pa.int64(), "l_partkey": pa.int64(),
+          "l_suppkey": pa.int64(), "l_linenumber": pa.int32(),
+          "l_quantity": pa.float64(), "l_extendedprice": pa.float64(),
+          "l_discount": pa.float64(), "l_tax": pa.float64(),
+          "l_returnflag": pa.string(), "l_linestatus": pa.string(),
+          "l_shipdate": ts_us})
+
+    _tbl(d, "events",
+         {"event_id": list(range(n_events)),
+          "ts": [_T0 + dt.timedelta(seconds=rng.randint(0, 30 * 86400 - 1),
+                                    microseconds=rng.randint(0, 999_999))
+                 for _ in range(n_events)],
+          "user_id": [rng.randint(1, n_customers) for _ in range(n_events)],
+          "event_type": [rng.choice(_ETYPES) for _ in range(n_events)],
+          "value": [round(rng.uniform(0.5, 200.0), 2) for _ in range(n_events)],
+          "props": [json.dumps({"k": rng.randint(0, 99)}) for _ in range(n_events)]},
+         {"event_id": pa.int64(), "ts": ts_us, "user_id": pa.int64(),
+          "event_type": pa.string(), "value": pa.float64(),
+          "props": pa.string()})
+
+    texts = []
+    for i in range(n_docs):
+        n = rng.randint(10, 120)
+        words = [rng.choice(_WORDS) for _ in range(n)]
+        texts.append(" ".join(words))
+    # plant exact duplicates and near-duplicates like the driver fixture
+    for i in range(0, min(20, n_docs), 2):
+        texts[i + 1] = texts[i] if i % 4 == 0 else texts[i] + " extra tail"
+    _tbl(d, "documents",
+         {"doc_id": list(range(n_docs)),
+          "text": texts,
+          "lang": [rng.choice(_LANGS) for _ in range(n_docs)],
+          "source": [f"src{rng.randint(0, 19)}" for _ in range(n_docs)],
+          "n_chars": [len(t) for t in texts]},
+         {"doc_id": pa.int64(), "text": pa.string(), "lang": pa.string(),
+          "source": pa.string(), "n_chars": pa.int64()})
+
+    embs = [[rng.gauss(0.0, 1.0) for _ in range(emb_dim)] for _ in range(n_vecs)]
+    _tbl(d, "embeddings",
+         {"vec_id": list(range(n_vecs)),
+          "embedding": embs,
+          "label": [rng.randint(0, 9) for _ in range(n_vecs)]},
+         {"vec_id": pa.int64(), "embedding": pa.list_(pa.float32()),
+          "label": pa.int32()})
+    return str(d)
