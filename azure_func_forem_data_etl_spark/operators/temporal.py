@@ -984,13 +984,28 @@ ATTR_WINDOW_H = 24  # touches within this many hours before a purchase
         FROM p JOIN c ON c.user_id = p.user_id
             AND c.c_ts < p.p_ts
             AND c.c_ts >= p.p_ts - INTERVAL {ATTR_WINDOW_H} HOUR
+    ),
+    -- r10 fix: MIN(x ORDER BY y) silently ignores the ORDER BY for
+    -- MIN/MAX in DuckDB, so the old oracle picked the smallest/largest
+    -- touch ID rather than the earliest/latest touch — invisible on the
+    -- fixtures (event_id correlates with ts there), caught by the
+    -- random-fixture sweep where ids are shuffled.  True argmin/argmax
+    -- on the (c_ts, touch_id) total order via row_number, mirroring the
+    -- Spark side's min_by/max_by struct key exactly.
+    r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY purchase_id
+                                  ORDER BY c_ts, touch_id) AS rf,
+               row_number() OVER (PARTITION BY purchase_id
+                                  ORDER BY c_ts DESC, touch_id DESC) AS rl
+        FROM m
     )
     SELECT purchase_id, user_id,
            COUNT(*) AS n_touches,
-           MIN(touch_id ORDER BY c_ts, touch_id) AS first_touch_id,
-           MAX(touch_id ORDER BY c_ts, touch_id) AS last_touch_id,
+           MAX(CASE WHEN rf = 1 THEN touch_id END) AS first_touch_id,
+           MAX(CASE WHEN rl = 1 THEN touch_id END) AS last_touch_id,
            ANY_VALUE(value) / COUNT(*) AS credit_per_touch
-    FROM m GROUP BY purchase_id, user_id
+    FROM r GROUP BY purchase_id, user_id
     """,
     doc=f"Linear multi-touch attribution: each purchase splits credit across the user's clicks in the prior {ATTR_WINDOW_H}h; first/last touch identified.",
 )

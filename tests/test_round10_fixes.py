@@ -75,6 +75,32 @@ def test_session_path_exact_micros(spark, fractional_gap_sf):
     assert_matches_oracle(df, q.oracle, fractional_gap_sf)
 
 
+def test_attribution_first_touch_is_by_time_not_id(spark, tmp_path):
+    """First/last touch must follow the (c_ts, touch_id) total order even
+    when event ids run AGAINST time (found by the r10 random-fixture
+    sweep: DuckDB silently ignores ORDER BY inside MIN/MAX, so the old
+    oracle returned smallest/largest id — invisible on fixtures where
+    ids correlate with ts)."""
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    t0 = dt.datetime(2024, 2, 1, 12, 0, 0)
+    rows = [
+        # ids anti-correlated with time: earliest click has the LARGEST id
+        (900, t0, 1, "click", 1.0, "{}"),
+        (500, t0 + dt.timedelta(hours=1), 1, "click", 1.0, "{}"),
+        (100, t0 + dt.timedelta(hours=2), 1, "click", 1.0, "{}"),
+        (1, t0 + dt.timedelta(hours=3), 1, "purchase", 30.0, "{}"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    q = load_all()["attribution_multi_touch"]
+    row = q.fn(spark, sf).collect()[0]
+    assert row["n_touches"] == 3
+    assert row["first_touch_id"] == 900   # earliest by time
+    assert row["last_touch_id"] == 100    # latest by time
+    assert row["credit_per_touch"] == 10.0
+    assert_matches_oracle(q.fn(spark, sf), q.oracle, sf)
+
+
 def test_materialize_ctes_asserts_substitution():
     """Formatting drift in a shared CTE constant must raise, not silently
     drop the AS MATERIALIZED performance guard (ADVICE r9, dedup.py)."""
