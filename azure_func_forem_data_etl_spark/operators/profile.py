@@ -752,6 +752,11 @@ _PSI_BUCKET_SQL = (
                  * ln((n_cur / CAST(tc AS DOUBLE))
                       / (n_base / CAST(tb AS DOUBLE))), 6) AS psi_term
     FROM cells, tot
+    -- degenerate contract (r10 random sweep): a PSI term is finite only
+    -- for buckets with mass in BOTH periods, and only when both period
+    -- totals are positive — otherwise the row is dropped on BOTH engines
+    -- (Spark ANSI raises DIVIDE_BY_ZERO even on double /)
+    WHERE tb > 0 AND tc > 0 AND n_base > 0 AND n_cur > 0
     """,
     doc="Population Stability Index cells: fixed value buckets, first- vs "
     "second-half-of-month shares, per-bucket PSI contribution.",
@@ -793,7 +798,13 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = cells.agg(F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc"))
     p_base = F.col("n_base") / F.col("tb").cast("double")
     p_cur = F.col("n_cur") / F.col("tc").cast("double")
-    return cells.crossJoin(F.broadcast(tot)).select(
+    # degenerate contract (see oracle): only both-period buckets survive
+    return cells.crossJoin(F.broadcast(tot)).filter(
+        (F.col("tb") > 0)
+        & (F.col("tc") > 0)
+        & (F.col("n_base") > 0)
+        & (F.col("n_cur") > 0)
+    ).select(
         "bucket",
         "n_base",
         "n_cur",
@@ -890,6 +901,9 @@ def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS ks_stat,
            CAST(tb AS BIGINT) AS n_base, CAST(tc AS BIGINT) AS n_cur
     FROM cum
+    -- degenerate contract (r10 random sweep): KS needs BOTH samples
+    -- non-empty; with either period empty both engines return no rows
+    WHERE tb > 0 AND tc > 0
     ORDER BY abs(cb / CAST(tb AS DOUBLE) - cc / CAST(tc AS DOUBLE)) DESC, bin
     LIMIT 1
     """,
@@ -930,6 +944,8 @@ def ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.withColumn("cb", F.sum("n_base").over(w))
         .withColumn("cc", F.sum("n_cur").over(w))
         .crossJoin(F.broadcast(tot))
+        # degenerate contract (see oracle): KS undefined with an empty side
+        .filter((F.col("tb") > 0) & (F.col("tc") > 0))
     )
     diff = F.abs(
         F.col("cb") / F.col("tb").cast("double")
@@ -1537,6 +1553,10 @@ def monetary_unit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / sqrt(k1 / (CAST(d1 AS DOUBLE) * d1)
                         + k2 / (CAST(d2 AS DOUBLE) * d2)), 6) AS z_stat
     FROM s
+    -- degenerate contract (r10 random sweep): the test needs exposure in
+    -- BOTH arms (a weekend-less span has d1 = 0) and at least one event
+    -- (k1 = k2 = 0 makes the variance 0); otherwise no rows, both engines
+    WHERE d1 > 0 AND d2 > 0 AND k1 + k2 > 0
     """,
     doc="Two-sample Poisson rate test: weekend vs weekday daily event "
     "rates with a normal-approximation z.",
@@ -1565,6 +1585,10 @@ def poisson_rate_weekend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (r1 - r2) / F.sqrt(
         F.col("k1") / (F.col("d1").cast("double") * F.col("d1"))
         + F.col("k2") / (F.col("d2").cast("double") * F.col("d2"))
+    )
+    # degenerate contract (see oracle): both arms exposed, >= 1 event
+    s = s.filter(
+        (F.col("d1") > 0) & (F.col("d2") > 0) & (F.col("k1") + F.col("k2") > 0)
     )
     return s.select(
         "k1",
@@ -1837,6 +1861,10 @@ def mcnemar_purchase_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
                         / (CAST(n AS DOUBLE) * n * (n - 1))), 6) AS z_stat
     FROM s
+    -- degenerate contract (r10 random sweep): the run-count variance is
+    -- positive only with both signs present, n > 1, and 2*n1*n2 > n
+    -- (n1 = n2 = 1 zeroes it); otherwise no rows, both engines
+    WHERE n1 > 0 AND n2 > 0 AND n > 1 AND 2 * n1 * n2 > n
     """.format(dsum="CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)"),
     doc="Wald-Wolfowitz runs test on daily revenue vs its lower median: "
     "too few runs = trending/sticky, too many = oscillating.",
@@ -1885,6 +1913,8 @@ def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigma = F.sqrt(
         2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n.cast("double") * n * (n - 1))
     )
+    # degenerate contract (see oracle): variance > 0 or no rows
+    s = s.filter((n1 > 0) & (n2 > 0) & (n > 1) & (2 * n1 * n2 > n))
     return s.select(
         r.alias("n_runs"),
         n1.alias("n_above"),

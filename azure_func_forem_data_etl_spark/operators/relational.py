@@ -1323,8 +1323,13 @@ def keyset_pagination_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 40)
         .select("o_totalprice", "o_orderkey")
         .collect()
-    )[0]
-    c_price, c_key = cursor["o_totalprice"], cursor["o_orderkey"]
+    )
+    if not cursor:
+        # degenerate contract (r10 sparse random sweep): fewer rows than
+        # the cursor depth means there is no page after the cursor — the
+        # oracle's empty cursor_row join yields no rows, so does this
+        return orders.filter(F.lit(False))
+    c_price, c_key = cursor[0]["o_totalprice"], cursor[0]["o_orderkey"]
     return (
         orders.filter(
             (F.col("o_totalprice") < F.lit(c_price))

@@ -1488,6 +1488,9 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
                AS autocorr_lag1
     FROM m
+    -- degenerate contract (r10 random sweep): with < 2 pairs or a
+    -- zero-variance side the denominator is 0 — no rows, both engines
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
     """,
     doc="Lag-1 autocorrelation of daily revenue via decimal-exact moment "
     "sums (explicit Pearson formula, not engine corr()).",
@@ -1526,6 +1529,11 @@ def autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
         F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    # degenerate contract (see oracle): positive variance on both sides
+    m = m.filter(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
     )
     return m.select("n", F.round(num / den, 6).alias("autocorr_lag1"))
 
@@ -2189,6 +2197,9 @@ ACF_MAX_LAG = 7
            round((n * sxy - sx * sy)
                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS acf
     FROM m
+    -- degenerate contract (r10 random sweep): lags with a zero-variance
+    -- side (e.g. lag >= n_days - 1) are dropped on BOTH engines
+    WHERE (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
     """,
     doc=f"Autocorrelation of daily revenue at lags 1..{ACF_MAX_LAG} "
     "(decimal-exact moments per lag) — the weekly-seasonality "
@@ -2228,6 +2239,8 @@ def acf_daily_revenue_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, sx, sy, sxy, sxx, syy = (
         F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
     )
+    # degenerate contract (see oracle): zero-variance lags are dropped
+    m = m.filter((n * sxx - sx * sx) * (n * syy - sy * sy) > 0)
     return m.select(
         "lag",
         n.alias("n_pairs"),

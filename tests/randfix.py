@@ -47,7 +47,12 @@ def write_random_fixture(
     n_docs: int = 400,
     n_vecs: int = 400,
     emb_dim: int = 64,
+    span_days: int = 30,
+    ts_grain_s: int = 0,
 ) -> str:
+    """``ts_grain_s`` > 0 truncates event timestamps to that many seconds
+    (and drops the microsecond part), manufacturing heavy timestamp TIES —
+    the regime where ordering/tie-break divergences hide."""
     rng = random.Random(seed)
     d = Path(dirpath)
     d.mkdir(parents=True, exist_ok=True)
@@ -138,11 +143,15 @@ def write_random_fixture(
           "l_returnflag": pa.string(), "l_linestatus": pa.string(),
           "l_shipdate": ts_us})
 
+    def _event_ts() -> dt.datetime:
+        s = rng.randint(0, span_days * 86400 - 1)
+        if ts_grain_s > 0:
+            return _T0 + dt.timedelta(seconds=(s // ts_grain_s) * ts_grain_s)
+        return _T0 + dt.timedelta(seconds=s, microseconds=rng.randint(0, 999_999))
+
     _tbl(d, "events",
          {"event_id": list(range(n_events)),
-          "ts": [_T0 + dt.timedelta(seconds=rng.randint(0, 30 * 86400 - 1),
-                                    microseconds=rng.randint(0, 999_999))
-                 for _ in range(n_events)],
+          "ts": [_event_ts() for _ in range(n_events)],
           "user_id": [rng.randint(1, n_customers) for _ in range(n_events)],
           "event_type": [rng.choice(_ETYPES) for _ in range(n_events)],
           "value": [round(rng.uniform(0.5, 200.0), 2) for _ in range(n_events)],
@@ -157,7 +166,7 @@ def write_random_fixture(
         words = [rng.choice(_WORDS) for _ in range(n)]
         texts.append(" ".join(words))
     # plant exact duplicates and near-duplicates like the driver fixture
-    for i in range(0, min(20, n_docs), 2):
+    for i in range(0, min(20, n_docs - 1), 2):
         texts[i + 1] = texts[i] if i % 4 == 0 else texts[i] + " extra tail"
     _tbl(d, "documents",
          {"doc_id": list(range(n_docs)),

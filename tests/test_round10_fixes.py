@@ -75,6 +75,57 @@ def test_session_path_exact_micros(spark, fractional_gap_sf):
     assert_matches_oracle(df, q.oracle, fractional_gap_sf)
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "psi_value_drift",
+        "ks_two_sample_drift",
+        "poisson_rate_weekend_test",
+        "runs_test_daily_revenue",
+        "autocorr_daily_revenue",
+        "acf_daily_revenue_lags",
+    ],
+)
+def test_drift_stats_degenerate_inputs_yield_no_rows(spark, tmp_path, name):
+    """A 2-weekday corpus leaves these statistics undefined (empty period
+    / zero exposure arm / zero variance); the contract is NO ROWS on both
+    engines — previously the Spark side died with ANSI DIVIDE_BY_ZERO
+    (found by the r10 tie-heavy random sweep)."""
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)  # Mon; Jan 1-4 has no weekend
+    rows = [
+        (i, t0 + dt.timedelta(days=i), 1 + i % 3, "view", 50.0, "{}")
+        for i in range(4)  # one event/day, constant value -> zero variance
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    q = load_all()[name]
+    df = q.fn(spark, sf)
+    assert df.count() == 0, f"{name} must return no rows on degenerate input"
+    assert_matches_oracle(df, q.oracle, sf)
+
+
+def test_keyset_pagination_short_table_returns_empty_page(spark, tmp_path):
+    """Fewer orders than the cursor depth (40) = no page after the cursor:
+    both engines must return ZERO rows (the Spark side previously raised
+    IndexError on the empty cursor collect — r10 sparse random sweep)."""
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    t0 = dt.datetime(2024, 1, 5)
+    rows = [
+        (k, k % 3 + 1, "O", 1000.0 + k, t0, "1-URGENT") for k in range(1, 11)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    q = load_all()["keyset_pagination_orders"]
+    df = q.fn(spark, str(tmp_path))
+    assert df.count() == 0
+    assert_matches_oracle(df, q.oracle, str(tmp_path))
+
+
 def test_attribution_first_touch_is_by_time_not_id(spark, tmp_path):
     """First/last touch must follow the (c_ts, touch_id) total order even
     when event ids run AGAINST time (found by the r10 random-fixture
