@@ -49,10 +49,13 @@ def write_random_fixture(
     emb_dim: int = 64,
     span_days: int = 30,
     ts_grain_s: int = 0,
+    hot_frac: float = 0.0,
 ) -> str:
     """``ts_grain_s`` > 0 truncates event timestamps to that many seconds
     (and drops the microsecond part), manufacturing heavy timestamp TIES —
-    the regime where ordering/tie-break divergences hide."""
+    the regime where ordering/tie-break divergences hide.  ``hot_frac``
+    > 0 routes that fraction of events/lineitems/docs to ONE hot
+    user/part/lang — the skew regime."""
     rng = random.Random(seed)
     d = Path(dirpath)
     d.mkdir(parents=True, exist_ok=True)
@@ -123,7 +126,9 @@ def write_random_fixture(
     for ok in range(1, n_orders + 1):
         for ln in range(1, rng.randint(1, 7) + 1):
             li["l_orderkey"].append(ok)
-            li["l_partkey"].append(rng.randint(1, n_parts))
+            li["l_partkey"].append(
+                1 if rng.random() < hot_frac else rng.randint(1, n_parts)
+            )
             li["l_suppkey"].append(rng.randint(1, n_suppliers))
             li["l_linenumber"].append(ln)
             li["l_quantity"].append(float(rng.randint(1, 50)))
@@ -152,7 +157,8 @@ def write_random_fixture(
     _tbl(d, "events",
          {"event_id": list(range(n_events)),
           "ts": [_event_ts() for _ in range(n_events)],
-          "user_id": [rng.randint(1, n_customers) for _ in range(n_events)],
+          "user_id": [1 if rng.random() < hot_frac else rng.randint(1, n_customers)
+                      for _ in range(n_events)],
           "event_type": [rng.choice(_ETYPES) for _ in range(n_events)],
           "value": [round(rng.uniform(0.5, 200.0), 2) for _ in range(n_events)],
           "props": [json.dumps({"k": rng.randint(0, 99)}) for _ in range(n_events)]},
@@ -171,7 +177,8 @@ def write_random_fixture(
     _tbl(d, "documents",
          {"doc_id": list(range(n_docs)),
           "text": texts,
-          "lang": [rng.choice(_LANGS) for _ in range(n_docs)],
+          "lang": ["en" if rng.random() < hot_frac else rng.choice(_LANGS)
+                   for _ in range(n_docs)],
           "source": [f"src{rng.randint(0, 19)}" for _ in range(n_docs)],
           "n_chars": [len(t) for t in texts]},
          {"doc_id": pa.int64(), "text": pa.string(), "lang": pa.string(),

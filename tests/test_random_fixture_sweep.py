@@ -41,3 +41,73 @@ def random_sf(tmp_path_factory):
 def test_oracle_parity_on_random_fixture(spark, random_sf, name):
     q = REGISTRY[name]
     assert_matches_oracle(q.fn(spark, random_sf), q.oracle, random_sf)
+
+
+#: Ordering/tie-break-sensitive queries: re-swept on a TIE-HEAVY shape
+#: (2-day span, whole-hour timestamp grain — massive ts collisions).
+#: The r10 offline sweep of the full registry at this shape found the
+#: six DIVIDE_BY_ZERO degenerates; this pins the families where ties
+#: and short spans bite hardest.
+_TIE_SENSITIVE = [
+    "sessionize_gap_islands",
+    "session_bounce_rate_daily",
+    "session_path_topk",
+    "session_window_agg",
+    "session_window_dynamic_gap",
+    "peak_concurrent_sessions",
+    "attribution_multi_touch",
+    "window_funnel_steps",
+    "dau_mau_stickiness",
+    "streaming_cusum_drift",
+    "event_pattern_regex",
+    "interevent_time_profile",
+    "watermark_lateness_audit",
+    "psi_value_drift",
+    "ks_two_sample_drift",
+    "poisson_rate_weekend_test",
+    "runs_test_daily_revenue",
+    "autocorr_daily_revenue",
+    "acf_daily_revenue_lags",
+]
+
+#: Degenerate-shape-sensitive queries: re-swept on a SPARSE shape (tiny
+#: tables — empty groups, single-digit day series, short-of-cursor pages).
+_SPARSE_SENSITIVE = _TIE_SENSITIVE + [
+    "keyset_pagination_orders",
+    "theil_sen_daily_trend",
+    "holt_winters_seasonal",
+    "kaplan_meier_survival",
+    "croston_intermittent_demand",
+    "lttb_downsample_daily",
+    "pareto_8020_customers",
+]
+
+
+@pytest.fixture(scope="session")
+def tieheavy_sf(tmp_path_factory):
+    return write_random_fixture(
+        tmp_path_factory.mktemp("randfix_tie") / "sf", seed=11, n_customers=20,
+        n_events=1200, span_days=2, ts_grain_s=3600, n_orders=800,
+        n_docs=300, n_vecs=300,
+    )
+
+
+@pytest.fixture(scope="session")
+def sparse_sf(tmp_path_factory):
+    return write_random_fixture(
+        tmp_path_factory.mktemp("randfix_sparse") / "sf", seed=23,
+        n_customers=8, n_suppliers=2, n_parts=12, n_orders=30, n_events=40,
+        n_docs=15, n_vecs=30, emb_dim=16, span_days=3,
+    )
+
+
+@pytest.mark.parametrize("name", sorted(set(_TIE_SENSITIVE)))
+def test_oracle_parity_on_tieheavy_fixture(spark, tieheavy_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, tieheavy_sf), q.oracle, tieheavy_sf)
+
+
+@pytest.mark.parametrize("name", sorted(set(_SPARSE_SENSITIVE)))
+def test_oracle_parity_on_sparse_fixture(spark, sparse_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, sparse_sf), q.oracle, sparse_sf)
