@@ -665,8 +665,15 @@ def longest_rising_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ),
     agg AS (
+        -- CAST ... AS VARCHAR AS DOUBLE, not AS DOUBLE directly: the
+        -- value x microsecond products push the scale-4 integer past
+        -- 2^53, where duckdb's direct decimal->double (int128 to double,
+        -- then x 10^-4) compounds two roundings and lands 1 ulp off
+        -- Spark's correctly-rounded BigDecimal cast (r10 skew sweep:
+        -- 88.119999 vs 88.12 on a 15-day single-gap user).  The string
+        -- round-trip is correctly rounded on both engines.
         SELECT user_id,
-               CAST(SUM(v * dt_us) AS DOUBLE) AS wsum,
+               CAST(CAST(SUM(v * dt_us) AS VARCHAR) AS DOUBLE) AS wsum,
                CAST(SUM(dt_us) AS BIGINT) AS span_us,
                CAST(COUNT(*) AS BIGINT) AS n_events
         FROM pts WHERE dt_us IS NOT NULL

@@ -111,3 +111,37 @@ def test_oracle_parity_on_tieheavy_fixture(spark, tieheavy_sf, name):
 def test_oracle_parity_on_sparse_fixture(spark, sparse_sf, name):
     q = REGISTRY[name]
     assert_matches_oracle(q.fn(spark, sparse_sf), q.oracle, sparse_sf)
+
+
+#: Skew-sensitive queries: one hot user/part/lang owns ~60% of the mass,
+#: leaving the cold keys with huge inter-event gaps (the shape that
+#: pushed time_weighted_avg_user's decimal->double cast past 2^53) and
+#: concentrating group sizes (salting, pareto, top-k tie regions).
+_SKEW_SENSITIVE = [
+    "time_weighted_avg_user",
+    "time_weighted_avg_events",
+    "salted_agg_events",
+    "pareto_8020_customers",
+    "brand_revenue_pareto",
+    "user_event_entropy",
+    "dau_mau_stickiness",
+    "session_path_topk",
+    "peak_concurrent_sessions",
+    "mixture_sampling_weighted",
+    "stratified_sample_per_lang",
+    "graph_degree_histogram",
+    "q18_large_volume_customers",
+]
+
+
+@pytest.fixture(scope="session")
+def skew_sf(tmp_path_factory):
+    return write_random_fixture(
+        tmp_path_factory.mktemp("randfix_skew") / "sf", seed=31, hot_frac=0.6
+    )
+
+
+@pytest.mark.parametrize("name", sorted(set(_SKEW_SENSITIVE)))
+def test_oracle_parity_on_skew_fixture(spark, skew_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, skew_sf), q.oracle, skew_sf)

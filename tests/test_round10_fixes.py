@@ -105,6 +105,35 @@ def test_drift_stats_degenerate_inputs_yield_no_rows(spark, tmp_path, name):
     assert_matches_oracle(df, q.oracle, sf)
 
 
+def test_twap_huge_weight_product_rounds_identically(spark, tmp_path):
+    """A value x microsecond weight whose scale-4 integer exceeds 2^53
+    must still hash-match: DuckDB's direct decimal->double cast compounds
+    two roundings there and lands 1 ulp off Spark's correctly-rounded
+    BigDecimal cast (r10 skew sweep, user with one 15-day gap); the
+    oracle now round-trips the cast through VARCHAR."""
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    t0 = dt.datetime(2024, 1, 11, 13, 48, 10, 191365)
+    rows = [
+        (174, t0, 59, "view", 88.12, "{}"),
+        # 15-day gap: 88.12 * 1.31e12 us = 1.158e14 -> scale-4 int 1.16e18
+        (36, t0 + dt.timedelta(microseconds=1314684008111), 59, "view",
+         119.06, "{}"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    q = load_all()["time_weighted_avg_user"]
+    row = q.fn(spark, sf).collect()[0]
+    # the exact rational is 88.12, but the contract is floor-quantization
+    # of the CORRECTLY-ROUNDED double (which sits one ulp below here) —
+    # replicate it: one string-roundtrip cast, one division, one floor
+    import math
+
+    wsum = float(str(round(88.12 * 10_000) * 1_314_684_008_111 / 10_000))
+    expected = math.floor(wsum / 1_314_684_008_111 * 1e6) / 1e6
+    assert row["twap"] == expected == 88.119999
+    assert_matches_oracle(q.fn(spark, sf), q.oracle, sf)
+
+
 def test_keyset_pagination_short_table_returns_empty_page(spark, tmp_path):
     """Fewer orders than the cursor depth (40) = no page after the cursor:
     both engines must return ZERO rows (the Spark side previously raised
