@@ -668,7 +668,10 @@ ES_HASH_P = 1_000_003
         SELECT doc_id, n_chars,
                ln((CAST((doc_id * {ES_HASH_C}) % {ES_HASH_P} AS DOUBLE) + 0.5)
                   / {ES_HASH_P}) / n_chars AS es_key
-        FROM documents
+        -- zero-weight docs can never be sampled (A-ES key undefined);
+        -- the filter also keeps Spark's ANSI division alive on blank
+        -- docs (r10 null-shape random sweep)
+        FROM documents WHERE n_chars > 0
     )
     ORDER BY es_key DESC, doc_id
     LIMIT {ES_SAMPLE_K}
@@ -697,7 +700,9 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / F.lit(float(ES_HASH_P))
     key = F.log(u) / F.col("n_chars")
     return (
-        docs.select("doc_id", "n_chars", key.alias("k"))
+        # zero-weight docs are unsampleable by definition (see oracle)
+        docs.filter(F.col("n_chars") > 0)
+        .select("doc_id", "n_chars", key.alias("k"))
         .orderBy(F.desc("k"), F.asc("doc_id"))
         .limit(ES_SAMPLE_K)
         .select("doc_id", "n_chars", F.round("k", 8).alias("es_key"))

@@ -483,7 +483,12 @@ def multimodal_full_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         "crc32",
         "n_frames",
-        F.element_at("frame_crcs", 1).alias("frame_crc_first"),
+        # when-guarded: an empty decoded payload has NO frames, and ANSI
+        # element_at throws on index 1 of an empty array (r10 null-shape
+        # sweep); the oracle's LEFT JOIN yields NULL there
+        F.when(
+            F.size("frame_crcs") > 0, F.element_at("frame_crcs", 1)
+        ).alias("frame_crc_first"),
         F.expr("aggregate(frame_crcs, 0L, (a, x) -> a + x)").alias("frame_crc_sum"),
         F.size("byte_embedding").alias("emb_dim"),
         F.round(F.element_at("byte_embedding", 1).cast("double"), 6).alias("emb_x0"),
@@ -723,8 +728,13 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(F.col("n_chars") / float(FRAME_STRIDE_CHARS)).cast("long"),
         F.lit(MAX_FRAMES_PER_DOC),
     )
+    # Empty payloads emit ZERO frames: without the filter, n_frames = 0
+    # makes Spark's sequence(1, 0) count DOWN ([1, 0] — two phantom
+    # frames) while the oracle's range(1, 1) is empty (r10 null-shape
+    # random sweep: 204 extra rows on a 25%-blank corpus).
     return (
-        docs.select(
+        docs.filter(F.col("n_chars") > 0)
+        .select(
             "doc_id",
             "text",
             "n_chars",

@@ -50,12 +50,15 @@ def write_random_fixture(
     span_days: int = 30,
     ts_grain_s: int = 0,
     hot_frac: float = 0.0,
+    null_frac: float = 0.0,
 ) -> str:
     """``ts_grain_s`` > 0 truncates event timestamps to that many seconds
     (and drops the microsecond part), manufacturing heavy timestamp TIES —
     the regime where ordering/tie-break divergences hide.  ``hot_frac``
     > 0 routes that fraction of events/lineitems/docs to ONE hot
-    user/part/lang — the skew regime."""
+    user/part/lang — the skew regime.  ``null_frac`` > 0 NULLs that
+    fraction of event props and blanks that fraction of document texts —
+    shapes the driver fixtures never produce."""
     rng = random.Random(seed)
     d = Path(dirpath)
     d.mkdir(parents=True, exist_ok=True)
@@ -161,13 +164,18 @@ def write_random_fixture(
                       for _ in range(n_events)],
           "event_type": [rng.choice(_ETYPES) for _ in range(n_events)],
           "value": [round(rng.uniform(0.5, 200.0), 2) for _ in range(n_events)],
-          "props": [json.dumps({"k": rng.randint(0, 99)}) for _ in range(n_events)]},
+          "props": [None if rng.random() < null_frac
+                    else json.dumps({"k": rng.randint(0, 99)})
+                    for _ in range(n_events)]},
          {"event_id": pa.int64(), "ts": ts_us, "user_id": pa.int64(),
           "event_type": pa.string(), "value": pa.float64(),
           "props": pa.string()})
 
     texts = []
     for i in range(n_docs):
+        if null_frac and rng.random() < null_frac:
+            texts.append("")  # blank doc: zero tokens, zero shingles
+            continue
         n = rng.randint(10, 120)
         words = [rng.choice(_WORDS) for _ in range(n)]
         texts.append(" ".join(words))

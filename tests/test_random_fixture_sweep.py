@@ -145,3 +145,42 @@ def skew_sf(tmp_path_factory):
 def test_oracle_parity_on_skew_fixture(spark, skew_sf, name):
     q = REGISTRY[name]
     assert_matches_oracle(q.fn(spark, skew_sf), q.oracle, skew_sf)
+
+
+#: NULL/blank-sensitive queries: 25% NULL props + 25% blank documents —
+#: shapes the driver fixtures never produce.  The r10 sweep at this
+#: shape caught sequence(1,0) phantom frames, an ANSI element_at crash
+#: on the empty frame list, and a zero-weight A-ES division.
+_NULL_SENSITIVE = [
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_full_features",
+    "multimodal_resize",
+    "weighted_sample_es",
+    "json_functions_props",
+    "map_functions_props",
+    "variant_shred_props",
+    "token_count",
+    "doc_chunking",
+    "text_quality_score",
+    "char_class_entropy",
+    "doc_fingerprint",
+    "tokenizer_fertility_stats",
+    "dataset_card_summary",
+    "pipeline_observe_metrics",
+]
+
+
+@pytest.fixture(scope="session")
+def nullish_sf(tmp_path_factory):
+    return write_random_fixture(
+        tmp_path_factory.mktemp("randfix_null") / "sf", seed=41, null_frac=0.25
+    )
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in set(_NULL_SENSITIVE) if REGISTRY[n].oracle)
+)
+def test_oracle_parity_on_nullish_fixture(spark, nullish_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, nullish_sf), q.oracle, nullish_sf)
