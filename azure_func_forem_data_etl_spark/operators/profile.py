@@ -981,7 +981,9 @@ HILL_TOP_K = 200  # order statistics used by the Hill estimator
            CAST(COUNT(*) AS BIGINT) AS k_used,
            CAST(MAX(x_k) AS DOUBLE) AS x_k
     FROM topk, xk
-    HAVING COUNT(*) >= 2
+    -- degenerate contract (r10 const-values sweep): an all-equal top-k
+    -- zeroes the log-sum and the estimator is undefined — no rows
+    HAVING COUNT(*) >= 2 AND SUM(ln(value / x_k)) > 0
     """,
     doc=f"Hill tail-index estimator over the top-{HILL_TOP_K} event values: "
     "alpha-hat = ((1/(k-1)) * sum ln(x_i / x_k))^-1 — heavy-tail "
@@ -1011,16 +1013,24 @@ def tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     xk = topk.agg(F.min("value").alias("x_k"))
     j = topk.crossJoin(F.broadcast(xk))
-    return j.agg(
-        F.round(
-            1.0 / (F.sum(F.log(F.col("value") / F.col("x_k"))) / (F.count("*") - 1)),
-            6,
-        ).alias("hill_alpha"),
+    s = j.agg(
+        F.sum(F.log(F.col("value") / F.col("x_k"))).alias("sum_logs"),
         F.count("*").alias("k_used"),
         F.max("x_k").cast("double").alias("x_k"),
-        # a single positive value makes the (k-1) divisor zero -> NaN/inf
-        # row (ADVICE r3); the estimator is undefined there, so emit empty
-    ).filter(F.col("k_used") >= 2)
+    )
+    # degenerate contract (see oracle): k >= 2 and a positive log-sum —
+    # a single value (ADVICE r3) or an all-equal top-k (r10 const-values
+    # sweep, ANSI DIVIDE_BY_ZERO) leaves the estimator undefined
+    return (
+        s.filter((F.col("k_used") >= 2) & (F.col("sum_logs") > 0))
+        .select(
+            F.round(
+                1.0 / (F.col("sum_logs") / (F.col("k_used") - 1)), 6
+            ).alias("hill_alpha"),
+            "k_used",
+            "x_k",
+        )
+    )
 
 
 # --- resampling / hypothesis-test statistics (round 7) ---------------------
@@ -1180,6 +1190,9 @@ def jackknife_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS eta_sq
     FROM part
     GROUP BY k, n
+    -- degenerate contract (r10 const-values sweep): zero within-group
+    -- variance leaves F undefined — no rows, both engines
+    HAVING SUM(ssw_i) > 0
     """,
     doc="One-way ANOVA F (and eta-squared effect size) across order "
     "priorities from per-group (n, sum, sum-of-squares) partials.",
@@ -1230,7 +1243,8 @@ def anova_f_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = part.groupBy("k", "n").agg(
         F.sum("ssb_i").cast("double").alias("ssb_d"),
         F.sum("ssw_i").cast("double").alias("ssw_d"),
-    )
+    # degenerate contract (see oracle): SSW = 0 leaves F undefined
+    ).filter(F.col("ssw_d") > 0)
     return agg.select(
         F.col("k").alias("k_groups"),
         F.col("n").alias("n_total"),
@@ -1286,6 +1300,10 @@ _MW_GROUP_B = "error"
            round((r1_twice / 2.0 - n1 * (n1 + 1) / 2.0)
                  / (CAST(n1 AS DOUBLE) * n2), 6) AS cl_effect
     FROM s
+    -- degenerate contract (r10 const-values sweep): both samples
+    -- non-empty, n > 1, and at least two distinct values (a single tied
+    -- value makes tie_term = n^3 - n and zeroes the variance) — no rows
+    WHERE n1 > 0 AND n2 > 0 AND n > 1 AND tie_term < n * n * n - n
     """,
     doc=f"Mann-Whitney U rank test ('{_MW_GROUP_A}' vs '{_MW_GROUP_B}' event "
     "values) with tie-corrected normal z and common-language effect size.",
@@ -1325,6 +1343,12 @@ def mann_whitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigma = F.sqrt(
         (n1.cast("double") * n2 / 12.0)
         * ((n + 1) - F.col("tie_term") / (n.cast("double") * (n - 1)))
+    )
+    # degenerate contract (see oracle): both samples present, n > 1, and
+    # at least two distinct values — else the variance is zero, no rows
+    s = s.filter(
+        (n1 > 0) & (n2 > 0) & (n > 1)
+        & (F.col("tie_term") < n * n * n - n)
     )
     return s.select(
         "n1",
@@ -1649,6 +1673,9 @@ def poisson_rate_weekend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((CAST(SUM(ssb_i) AS DOUBLE) / (k - 1))
                  / (CAST(SUM(ssw_i) AS DOUBLE) / (n - k)), 6) AS bf_stat
     FROM part GROUP BY k, n
+    -- degenerate contract (r10 const-values sweep): all-equal deviations
+    -- zero the within-group SS — no rows, both engines
+    HAVING SUM(ssw_i) > 0
     """,
     doc="Brown-Forsythe robust variance-equality test across order "
     "priorities: ANOVA F on |x - group lower-median| deviations.",
@@ -1709,14 +1736,19 @@ def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "k",
     )
-    return part.groupBy("k", "n").agg(
+    agg = part.groupBy("k", "n").agg(
+        F.sum("ssb_i").cast("double").alias("ssb_d"),
+        F.sum("ssw_i").cast("double").alias("ssw_d"),
+    # degenerate contract (see oracle): SSW = 0 leaves the F undefined
+    ).filter(F.col("ssw_d") > 0)
+    return agg.select(
+        F.col("k").alias("k_groups"),
+        F.col("n").alias("n_total"),
         F.round(
-            (F.sum("ssb_i").cast("double") / (F.col("k") - 1))
-            / (F.sum("ssw_i").cast("double") / (F.col("n") - F.col("k"))),
+            (F.col("ssb_d") / (F.col("k") - 1))
+            / (F.col("ssw_d") / (F.col("n") - F.col("k"))),
             6,
-        ).alias("bf_stat")
-    ).select(
-        F.col("k").alias("k_groups"), F.col("n").alias("n_total"), "bf_stat"
+        ).alias("bf_stat"),
     )
 
 
@@ -2010,6 +2042,9 @@ def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
                AS intercept_qty
     FROM g
+    -- degenerate contract (r10 const-values sweep): a brand with zero
+    -- price variance (incl. n = 1) has no regression line — dropped
+    WHERE n * sxx - sx * sx > 0
     """,
     doc="Per-brand OLS of quantity on extended price (slope scaled per "
     "million currency units) — groupwise regression from exact decimal "
@@ -2045,6 +2080,8 @@ def brand_price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # degenerate contract (see oracle): zero price variance = no line
+    g = g.filter(n * sxx - sx * sx > 0)
     return g.select(
         "brand",
         "n",

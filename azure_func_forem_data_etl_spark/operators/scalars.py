@@ -799,6 +799,9 @@ def string_pad_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS corr_qty_price,
            round((n * sxy - sx * sy) / (n * n - n), 6) AS covar_samp_scaled
     FROM m
+    -- degenerate contract (r10 const-values sweep): Pearson r is
+    -- undefined for a zero-variance side (incl. n = 1 groups) — dropped
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
     """,
     doc="Pearson correlation + covariance from exact decimal moments "
     "(one pass, order-independent — built-in corr() is not).",
@@ -826,6 +829,11 @@ def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = F.sqrt(
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
         * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    # degenerate contract (see oracle): zero-variance groups are dropped
+    m = m.filter(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
     )
     return m.select(
         "l_returnflag",

@@ -284,9 +284,14 @@ QSK_BUCKETS = 64
     oracle=f"""
     WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
     cnts AS (
+        -- hi = lo guard (r10 const-values sweep): a single-valued
+        -- distribution has zero bucket width; everything lands in bucket
+        -- 1 and every quantile reads back lo (est = lo + 0 * width)
         SELECT event_type,
-               LEAST({QSK_BUCKETS}, CAST(floor((value - lo)
-                     / ((hi - lo) / {QSK_BUCKETS})) AS BIGINT) + 1) AS bucket,
+               CASE WHEN hi = lo THEN 1
+                    ELSE LEAST({QSK_BUCKETS}, CAST(floor((value - lo)
+                         / ((hi - lo) / {QSK_BUCKETS})) AS BIGINT) + 1)
+               END AS bucket,
                COUNT(*) AS cnt
         FROM events, b GROUP BY 1, 2
     ),
@@ -326,13 +331,17 @@ def bucketed_quantile_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.crossJoin(F.broadcast(b))
         .select(
             "event_type",
-            F.least(
-                F.lit(QSK_BUCKETS).cast("long"),
-                F.floor(
-                    (F.col("value") - F.col("lo"))
-                    / ((F.col("hi") - F.col("lo")) / F.lit(QSK_BUCKETS))
+            # hi = lo guard (see oracle): constant distribution -> bucket 1
+            F.when(F.col("hi") == F.col("lo"), F.lit(1).cast("long"))
+            .otherwise(
+                F.least(
+                    F.lit(QSK_BUCKETS).cast("long"),
+                    F.floor(
+                        (F.col("value") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / F.lit(QSK_BUCKETS))
+                    )
+                    + 1,
                 )
-                + 1,
             ).alias("bucket"),
         )
         .groupBy("event_type", "bucket")

@@ -51,6 +51,7 @@ def write_random_fixture(
     ts_grain_s: int = 0,
     hot_frac: float = 0.0,
     null_frac: float = 0.0,
+    const_values: bool = False,
 ) -> str:
     """``ts_grain_s`` > 0 truncates event timestamps to that many seconds
     (and drops the microsecond part), manufacturing heavy timestamp TIES —
@@ -58,8 +59,13 @@ def write_random_fixture(
     > 0 routes that fraction of events/lineitems/docs to ONE hot
     user/part/lang — the skew regime.  ``null_frac`` > 0 NULLs that
     fraction of event props and blanks that fraction of document texts —
-    shapes the driver fixtures never produce."""
+    shapes the driver fixtures never produce.  ``const_values`` pins
+    every money/value column to one constant — maximal ordering ties, the
+    regime where every rank/top-k tie-break earns its keep."""
     rng = random.Random(seed)
+
+    def money(lo: float, hi: float) -> float:
+        return 100.0 if const_values else round(rng.uniform(lo, hi), 2)
     d = Path(dirpath)
     d.mkdir(parents=True, exist_ok=True)
     ts_us = pa.timestamp("us")
@@ -79,8 +85,7 @@ def write_random_fixture(
          {"c_custkey": list(range(1, n_customers + 1)),
           "c_name": [f"Customer#{i:09d}" for i in range(1, n_customers + 1)],
           "c_nationkey": [rng.randrange(25) for _ in range(n_customers)],
-          "c_acctbal": [round(rng.uniform(-999.99, 9999.99), 2)
-                        for _ in range(n_customers)],
+          "c_acctbal": [money(-999.99, 9999.99) for _ in range(n_customers)],
           "c_mktsegment": [rng.choice(_SEGMENTS) for _ in range(n_customers)]},
          {"c_custkey": pa.int64(), "c_name": pa.string(),
           "c_nationkey": pa.int32(), "c_acctbal": pa.float64(),
@@ -90,7 +95,7 @@ def write_random_fixture(
          {"s_suppkey": list(range(1, n_suppliers + 1)),
           "s_name": [f"Supplier#{i:09d}" for i in range(1, n_suppliers + 1)],
           "s_nationkey": [rng.randrange(25) for _ in range(n_suppliers)],
-          "s_acctbal": [round(rng.uniform(-999.99, 9999.99), 2)
+          "s_acctbal": [money(-999.99, 9999.99)
                         for _ in range(n_suppliers)]},
          {"s_suppkey": pa.int64(), "s_name": pa.string(),
           "s_nationkey": pa.int32(), "s_acctbal": pa.float64()})
@@ -101,7 +106,7 @@ def write_random_fixture(
           "p_brand": [f"Brand#{rng.randint(1, 25)}" for _ in range(n_parts)],
           "p_type": [rng.choice(_PTYPES) for _ in range(n_parts)],
           "p_size": [rng.randint(1, 50) for _ in range(n_parts)],
-          "p_retailprice": [round(rng.uniform(900.0, 2000.0), 2)
+          "p_retailprice": [money(900.0, 2000.0)
                             for _ in range(n_parts)]},
          {"p_partkey": pa.int64(), "p_name": pa.string(),
           "p_brand": pa.string(), "p_type": pa.string(),
@@ -114,8 +119,7 @@ def write_random_fixture(
          {"o_orderkey": list(range(1, n_orders + 1)),
           "o_custkey": [rng.randint(1, n_customers) for _ in range(n_orders)],
           "o_orderstatus": [rng.choice("OFP") for _ in range(n_orders)],
-          "o_totalprice": [round(rng.uniform(900.0, 300000.0), 2)
-                           for _ in range(n_orders)],
+          "o_totalprice": [money(900.0, 300000.0) for _ in range(n_orders)],
           "o_orderdate": odates,
           "o_orderpriority": [rng.choice(_PRIOS) for _ in range(n_orders)]},
          {"o_orderkey": pa.int64(), "o_custkey": pa.int64(),
@@ -135,7 +139,9 @@ def write_random_fixture(
             li["l_suppkey"].append(rng.randint(1, n_suppliers))
             li["l_linenumber"].append(ln)
             li["l_quantity"].append(float(rng.randint(1, 50)))
-            li["l_extendedprice"].append(round(rng.uniform(900.0, 100000.0), 2))
+            li["l_extendedprice"].append(money(900.0, 100000.0))
+            # discount/tax stay random even under const_values: they are
+            # fractions, and 100.0 would be out-of-domain
             li["l_discount"].append(round(rng.uniform(0.0, 0.1), 2))
             li["l_tax"].append(round(rng.uniform(0.0, 0.08), 2))
             li["l_returnflag"].append(rng.choice("NAR"))
@@ -163,7 +169,7 @@ def write_random_fixture(
           "user_id": [1 if rng.random() < hot_frac else rng.randint(1, n_customers)
                       for _ in range(n_events)],
           "event_type": [rng.choice(_ETYPES) for _ in range(n_events)],
-          "value": [round(rng.uniform(0.5, 200.0), 2) for _ in range(n_events)],
+          "value": [money(0.5, 200.0) for _ in range(n_events)],
           "props": [None if rng.random() < null_frac
                     else json.dumps({"k": rng.randint(0, 99)})
                     for _ in range(n_events)]},

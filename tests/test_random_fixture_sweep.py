@@ -184,3 +184,47 @@ def nullish_sf(tmp_path_factory):
 def test_oracle_parity_on_nullish_fixture(spark, nullish_sf, name):
     q = REGISTRY[name]
     assert_matches_oracle(q.fn(spark, nullish_sf), q.oracle, nullish_sf)
+
+
+#: Variance-sensitive queries: every money/value column pinned to one
+#: constant — maximal ordering ties and ZERO variance everywhere.  The
+#: r10 sweep at this shape found seven ANSI DIVIDE_BY_ZERO crashes
+#: (zero within-group SS, zero Pearson variance, all-tied rank variance,
+#: all-equal Hill log-sum, zero regression variance, zero bucket width).
+_CONST_SENSITIVE = [
+    "anova_f_groups",
+    "levene_brown_forsythe",
+    "agg_correlation",
+    "mann_whitney_value_shift",
+    "tail_index_hill",
+    "brand_price_qty_regression",
+    "simpson_slope_reversals",
+    "bucketed_quantile_estimates",
+    "agg_variance_stddev",
+    "winsorized_value_stats",
+    "regression_value_trend",
+    "runs_test_daily_revenue",
+    "autocorr_daily_revenue",
+    "acf_daily_revenue_lags",
+    "ks_two_sample_drift",
+    "psi_value_drift",
+    "window_topk",
+    "sort_limit_topn",
+    "agg_exact_percentiles",
+]
+
+
+@pytest.fixture(scope="session")
+def const_sf(tmp_path_factory):
+    return write_random_fixture(
+        tmp_path_factory.mktemp("randfix_const") / "sf", seed=53,
+        const_values=True,
+    )
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in set(_CONST_SENSITIVE) if REGISTRY[n].oracle)
+)
+def test_oracle_parity_on_const_fixture(spark, const_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, const_sf), q.oracle, const_sf)
