@@ -77,6 +77,9 @@ MI_EDGES = (15.0, 35.0, 70.0)
            CAST(SUM(n_pos) AS BIGINT) AS n_pos,
            CAST(SUM(n_neg) AS BIGINT) AS n_neg
     FROM cum
+    -- degenerate contract (r10 single-class sweep): AUC needs BOTH
+    -- classes present — no rows otherwise, both engines
+    HAVING SUM(n_pos) > 0 AND SUM(n_neg) > 0
     """,
     doc="Binned ROC-AUC (pairwise win-rate form) for the label-0-vs-rest "
     "classifier score, tie-aware (ties count 1/2).",
@@ -118,14 +121,19 @@ def binned_auc(scored: DataFrame, decimals: int = AUC_BIN_DECIMALS) -> DataFrame
     # ~20k rows max: the unpartitioned window is bin-bounded, not corpus-bounded.
     w = Window.orderBy("score_b").rowsBetween(Window.unboundedPreceding, -1)
     cum = bins.withColumn("neg_below", F.coalesce(F.sum("n_neg").over(w), F.lit(0)))
-    return cum.agg(
-        F.round(
-            F.sum(F.col("n_pos") * (F.col("neg_below") + F.col("n_neg") / F.lit(2.0)))
-            / (F.sum("n_pos") * F.sum("n_neg")),
-            6,
-        ).alias("auc"),
+    agg = cum.agg(
+        F.sum(
+            F.col("n_pos") * (F.col("neg_below") + F.col("n_neg") / F.lit(2.0))
+        ).alias("u"),
         F.sum("n_pos").alias("n_pos"),
         F.sum("n_neg").alias("n_neg"),
+    )
+    # degenerate contract (see oracle): AUC needs both classes present
+    agg = agg.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+    return agg.select(
+        F.round(F.col("u") / (F.col("n_pos") * F.col("n_neg")), 6).alias("auc"),
+        "n_pos",
+        "n_neg",
     )
 
 
@@ -135,12 +143,15 @@ def binned_auc(scored: DataFrame, decimals: int = AUC_BIN_DECIMALS) -> DataFrame
     WITH q AS (
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe, label AS qlabel
         FROM embeddings WHERE vec_id % {KNN_QUERY_MOD} = 0
+          -- zero vectors excluded: cosine undefined (r10 sweep contract)
+          AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
     ),
     s AS (
         SELECT q.query_id, q.qlabel, c.vec_id AS neighbor_id, c.label AS nlabel,
                round(list_cosine_similarity(qe, c.embedding::DOUBLE[]), 6) AS cos_sim
         FROM q, embeddings c
         WHERE c.vec_id <> q.query_id
+          AND list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) > 0
     ),
     r AS (
         SELECT query_id, neighbor_id, cos_sim,
@@ -527,12 +538,15 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe, label AS qlabel
         FROM embeddings WHERE vec_id % {KNN_QUERY_MOD} = 0
+          -- zero vectors excluded: cosine undefined (r10 sweep contract)
+          AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
     ),
     s AS (
         SELECT q.query_id, q.qlabel, c.vec_id AS neighbor_id, c.label AS nlabel,
                round(list_cosine_similarity(qe, c.embedding::DOUBLE[]), 6) AS cos_sim
         FROM q, embeddings c
         WHERE c.vec_id <> q.query_id
+          AND list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) > 0
     ),
     r AS (
         SELECT query_id, CAST(qlabel = nlabel AS INT) AS rel,
@@ -895,6 +909,9 @@ def eval_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT MIN(score_b) FROM d
             WHERE num = (SELECT MAX(num) FROM d)) AS ks_threshold
     FROM d
+    -- degenerate contract (r10 single-class sweep): KS needs both
+    -- classes (den = tp*tq = 0 otherwise) — no rows, both engines
+    HAVING MAX(den) > 0
     """,
     doc="Kolmogorov-Smirnov separation between positive and negative "
     "score distributions (max ECDF gap as an exact integer ratio) and "
@@ -935,16 +952,27 @@ def eval_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tp",
         "tq",
     )
-    return d.agg(
+    agg = d.agg(
         F.max("tp").alias("n_pos"),
         F.max("tq").alias("n_neg"),
-        F.round(F.max("num").cast("double") / F.max("den"), 6).alias("ks_stat"),
+        F.max("num").alias("num_max"),
+        F.max("den").alias("den_max"),
         # num can tie across bins; break ties on the LOWER threshold so the
         # argmax is deterministic and engine-independent (struct ordering:
         # maximal gap first, then minimal score_b)
         F.min_by("score_b", F.struct(-F.col("num"), F.col("score_b"))).alias(
             "ks_threshold"
         ),
+    )
+    # degenerate contract (see oracle): both classes present or no rows
+    agg = agg.filter(F.col("den_max") > 0)
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(F.col("num_max").cast("double") / F.col("den_max"), 6).alias(
+            "ks_stat"
+        ),
+        "ks_threshold",
     )
 
 
@@ -1393,7 +1421,10 @@ def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(n_neg) AS BIGINT) AS nn
         FROM cum
     ),
-    s1 AS (SELECT u2, np, nn, u2 / (2.0 * np * nn) AS a FROM agg),
+    -- degenerate contract (r10 single-class sweep): the CI needs both
+    -- classes present — no rows otherwise, both engines
+    s1 AS (SELECT u2, np, nn, u2 / (2.0 * np * nn) AS a FROM agg
+           WHERE np > 0 AND nn > 0),
     s2 AS (
         SELECT np, nn, a, a / (2.0 - a) AS q1, 2.0 * a * a / (1.0 + a) AS q2
         FROM s1
@@ -1444,7 +1475,8 @@ def auc_confidence_hanley(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_pos") * (2 * F.col("neg_below") + F.col("n_neg"))).alias("u2"),
         F.sum("n_pos").alias("np"),
         F.sum("n_neg").alias("nn"),
-    )
+    # degenerate contract (see oracle): both classes present or no rows
+    ).filter((F.col("np") > 0) & (F.col("nn") > 0))
     s1 = agg.withColumn("a", F.col("u2") / (2.0 * F.col("np") * F.col("nn")))
     s2 = s1.withColumn("q1", F.col("a") / (2.0 - F.col("a"))).withColumn(
         "q2", 2.0 * F.col("a") * F.col("a") / (1.0 + F.col("a"))

@@ -102,12 +102,30 @@ def cosine_expr(a: str, b: str) -> Column:
     return dot / (na * nb)
 
 
+def nonzero_norm(col: str) -> Column:
+    """Predicate: the array<double> column has a positive L2 norm.
+
+    Cosine similarity is UNDEFINED for the zero vector; every
+    cosine-based query excludes zero vectors from queries and candidates
+    (r10 zero-vector sweep: ANSI raises DIVIDE_BY_ZERO on the Spark side
+    while DuckDB's list_cosine_similarity silently returns -1)."""
+    return (
+        F.expr(
+            f"aggregate(zip_with({col}, {col}, (x, y) -> x * y), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        > 0
+    )
+
+
 @register(
     "embedding_cosine_pairs",
     oracle=f"""
     WITH s AS (
         SELECT vec_id, embedding::DOUBLE[] AS e, label
         FROM embeddings WHERE vec_id % {PAIRS_SAMPLE_MOD} = 0
+          -- zero vectors excluded: cosine undefined (r10 sweep contract)
+          AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim,
@@ -124,6 +142,7 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") % PAIRS_SAMPLE_MOD == 0)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"), "label")
+        .filter(nonzero_norm("e"))  # cosine undefined for zero vectors
     )
     # The a.vec_id < b.vec_id theta-join below is a BroadcastNestedLoopJoin —
     # intentional (exact ground truth for the ANN paths) but quadratic, so
@@ -203,12 +222,15 @@ def _partial_topk_mapper(bq, k: int):
     WITH q AS (
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
         FROM embeddings WHERE vec_id % {KNN_QUERY_MOD} = 0
+          -- zero vectors excluded: cosine undefined (r10 sweep contract)
+          AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
     ),
     s AS (
         SELECT q.query_id, c.vec_id AS neighbor_id,
                round(list_cosine_similarity(qe, c.embedding::DOUBLE[]), 6) AS cos_sim
         FROM q, embeddings c
         WHERE c.vec_id <> q.query_id
+          AND list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) > 0
     ),
     r AS (
         SELECT query_id, neighbor_id, cos_sim,
@@ -241,6 +263,9 @@ def knn_bruteforce_topk(
     so each broadcast stays small even at the cap.  Driver memory is
     O(max_queries * dim) by construction, independent of corpus size."""
     spark = emb.sparkSession
+    # zero vectors excluded from BOTH queries and candidates: cosine is
+    # undefined for them (see nonzero_norm; r10 zero-vector sweep)
+    emb = emb.filter(nonzero_norm("embedding"))
     q = emb.filter(F.col("vec_id") % query_mod == 0).select("vec_id", "embedding")
     qpd = q.orderBy("vec_id").limit(max_queries + 1).toPandas()
     if len(qpd) == 0:  # empty corpus/queries: empty result, not a crash
@@ -1433,12 +1458,15 @@ def _mmr_greedy(pool_pdf, pairs_pdf):
     WITH RECURSIVE mq AS MATERIALIZED (
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
         FROM embeddings WHERE vec_id % {KNN_QUERY_MOD} = 0
+          -- zero vectors excluded: cosine undefined (r10 sweep contract)
+          AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
     ),
     ms AS (
         SELECT mq.query_id, c.vec_id AS nid,
                CAST(round(round(list_cosine_similarity(qe,
                     c.embedding::DOUBLE[]), 6) * 1000000) AS BIGINT) AS rel_u
         FROM mq, embeddings c WHERE c.vec_id <> mq.query_id
+          AND list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) > 0
     ),
     mpool AS MATERIALIZED (
         SELECT query_id, nid, rel_u,

@@ -52,6 +52,8 @@ def write_random_fixture(
     hot_frac: float = 0.0,
     null_frac: float = 0.0,
     const_values: bool = False,
+    zero_vec_every: int = 0,
+    single_label: bool = False,
 ) -> str:
     """``ts_grain_s`` > 0 truncates event timestamps to that many seconds
     (and drops the microsecond part), manufacturing heavy timestamp TIES —
@@ -61,7 +63,10 @@ def write_random_fixture(
     fraction of event props and blanks that fraction of document texts —
     shapes the driver fixtures never produce.  ``const_values`` pins
     every money/value column to one constant — maximal ordering ties, the
-    regime where every rank/top-k tie-break earns its keep."""
+    regime where every rank/top-k tie-break earns its keep.
+    ``zero_vec_every`` > 0 zeroes every Nth embedding (cosine-undefined
+    inputs) and ``single_label`` collapses labels to one class (AUC/KS
+    undefined) — the degenerate-embedding regime."""
     rng = random.Random(seed)
 
     def money(lo: float, hi: float) -> float:
@@ -198,11 +203,17 @@ def write_random_fixture(
          {"doc_id": pa.int64(), "text": pa.string(), "lang": pa.string(),
           "source": pa.string(), "n_chars": pa.int64()})
 
-    embs = [[rng.gauss(0.0, 1.0) for _ in range(emb_dim)] for _ in range(n_vecs)]
+    embs = [
+        [0.0] * emb_dim
+        if zero_vec_every and i % zero_vec_every == 0
+        else [rng.gauss(0.0, 1.0) for _ in range(emb_dim)]
+        for i in range(n_vecs)
+    ]
     _tbl(d, "embeddings",
          {"vec_id": list(range(n_vecs)),
           "embedding": embs,
-          "label": [rng.randint(0, 9) for _ in range(n_vecs)]},
+          "label": [0 if single_label else rng.randint(0, 9)
+                    for _ in range(n_vecs)]},
          {"vec_id": pa.int64(), "embedding": pa.list_(pa.float32()),
           "label": pa.int32()})
     return str(d)

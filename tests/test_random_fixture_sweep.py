@@ -228,3 +228,45 @@ def const_sf(tmp_path_factory):
 def test_oracle_parity_on_const_fixture(spark, const_sf, name):
     q = REGISTRY[name]
     assert_matches_oracle(q.fn(spark, const_sf), q.oracle, const_sf)
+
+
+#: Degenerate-embedding-sensitive queries: every 50th vector is the zero
+#: vector (cosine undefined — must be excluded from queries AND
+#: candidates on both engines, incl. query ids 0/100/200 themselves) and
+#: labels collapse to one class (AUC/KS/Hanley undefined => no rows).
+_EMB_SENSITIVE = [
+    "knn_bruteforce",
+    "knn_margin_profile",
+    "knn_hubness_histogram",
+    "knn_label_accuracy",
+    "embedding_cosine_pairs",
+    "mmr_diversified_topk",
+    "eval_ndcg_at_k",
+    "eval_map_at_k",
+    "eval_roc_auc",
+    "eval_ks_separation",
+    "auc_confidence_hanley",
+    "eval_auprc",
+    "eval_calibration_bins",
+    "eval_pr_threshold_sweep",
+    "label_centroid_similarity",
+    "embedding_quantize_int8",
+    "embedding_dim_stats",
+    "isotonic_calibration_pav",
+]
+
+
+@pytest.fixture(scope="session")
+def degenerate_emb_sf(tmp_path_factory):
+    return write_random_fixture(
+        tmp_path_factory.mktemp("randfix_emb") / "sf", seed=99, n_vecs=300,
+        zero_vec_every=50, single_label=True,
+    )
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in set(_EMB_SENSITIVE) if REGISTRY[n].oracle)
+)
+def test_oracle_parity_on_degenerate_embeddings(spark, degenerate_emb_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, degenerate_emb_sf), q.oracle, degenerate_emb_sf)
