@@ -332,11 +332,20 @@ _MEDIA_DECODED_BYTES_SQL = f"""
         END AS b
       FROM wavp w, UNNEST(range(0, w.ds)) t(j)
     ),
+    raw_hex AS (
+      -- r10: true UTF-8 BYTES via hex(encode(text)), not
+      -- ascii(substring(text, ...)) which is per-CHARACTER and only
+      -- equals the byte on ASCII corpora (multibyte sweep finding)
+      SELECT doc_id, lower(hex(encode(text))) AS hx
+      FROM tier WHERE tier = 'raw'
+    ),
     raw_bytes AS (
-      SELECT d.doc_id, t.i,
-             ascii(substring(d.text, CAST(t.i + 1 AS INT), 1)) AS b
-      FROM tier d, UNNEST(range(0, octet_length(encode(d.text)))) t(i)
-      WHERE d.tier = 'raw'
+      SELECT doc_id, t.i,
+             (strpos('0123456789abcdef',
+                     substring(hx, CAST(2 * t.i + 1 AS INT), 1)) - 1) * 16
+             + (strpos('0123456789abcdef',
+                       substring(hx, CAST(2 * t.i + 2 AS INT), 1)) - 1) AS b
+      FROM raw_hex, UNNEST(range(0, length(hx) // 2)) t(i)
     ),
     all_bytes AS (
       SELECT * FROM png_bytes UNION ALL
@@ -437,10 +446,17 @@ def _crc_table_expr() -> str:
                                    AS INT)
              END AS width,
              CASE t.tier WHEN 'png' THEN CAST(3 + t.doc_id % 5 AS INT)
-                         WHEN 'wav' THEN CAST(165 AS INT)  -- 1 + 2*ascii('R')
+                         WHEN 'wav' THEN CAST(165 AS INT)  -- 1 + 2*ord('R')
+                         -- first UTF-8 BYTE via hex (the stub reads
+                         -- buf[0]); ascii(substring) is the code point,
+                         -- wrong on multibyte leads (r10 sweep)
                          ELSE CAST(1 + 2 * CASE
                                 WHEN octet_length(encode(t.text)) = 0 THEN 0
-                                ELSE ascii(substring(t.text, 1, 1)) END AS INT)
+                                ELSE (strpos('0123456789abcdef',
+                                        substring(lower(hex(encode(t.text))), 1, 1)) - 1) * 16
+                                     + (strpos('0123456789abcdef',
+                                        substring(lower(hex(encode(t.text))), 2, 1)) - 1)
+                                END AS INT)
              END AS height
       FROM tier t LEFT JOIN wavp w ON w.doc_id = t.doc_id
     )
@@ -618,20 +634,28 @@ def resize_media(media: DataFrame) -> DataFrame:
 #: (payload bytes mean-pooled into 64 cells, float32) in DuckDB — the
 #: replay behind BOTH multimodal_resize (r5 promotion) and
 #: multimodal_phash_groups (r6 promotion).  The raw-tier payload is the
-#: UTF-8 text (pure ASCII in this corpus, so character position == byte
-#: position and ascii(substring(...)) IS the byte value — fixture-guarded
-#: by tests/test_parity.py::test_documents_text_is_ascii), the bucketing
+#: UTF-8 text; r10 moved the byte extraction from ascii(substring(...))
+#: (per-CHARACTER — only equals the byte on ASCII) to hex(encode(text))
+#: nibble pairs, so the replay is byte-exact on ANY text.  The bucketing
 #: `(i * 64) // n` is integer arithmetic, the per-bucket byte sums are
 #: exact integers in float64, and both sides apply the identical
 #: double->float32 cast (numpy astype vs CAST AS REAL).
 _RAW_THUMB_CELLS_SQL = """
+    doc_hex AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             greatest(octet_length(encode(text)), 1) AS n
+      FROM documents
+    ),
     bytes AS (
       SELECT doc_id, t.i,
-             CASE WHEN octet_length(encode(text)) = 0 THEN 0
-                  ELSE ascii(substring(text, CAST(t.i + 1 AS INT), 1)) END AS b,
-             greatest(octet_length(encode(text)), 1) AS n
-      FROM documents,
-           UNNEST(range(0, greatest(octet_length(encode(text)), 1))) AS t(i)
+             CASE WHEN length(hx) = 0 THEN 0
+                  ELSE (strpos('0123456789abcdef',
+                          substring(hx, CAST(2 * t.i + 1 AS INT), 1)) - 1) * 16
+                       + (strpos('0123456789abcdef',
+                          substring(hx, CAST(2 * t.i + 2 AS INT), 1)) - 1)
+             END AS b,
+             n
+      FROM doc_hex, UNNEST(range(0, n)) AS t(i)
     ),
     cellmeans AS (
       SELECT doc_id, (i * 64) // n AS cell,

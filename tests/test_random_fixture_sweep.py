@@ -270,3 +270,70 @@ def degenerate_emb_sf(tmp_path_factory):
 def test_oracle_parity_on_degenerate_embeddings(spark, degenerate_emb_sf, name):
     q = REGISTRY[name]
     assert_matches_oracle(q.fn(spark, degenerate_emb_sf), q.oracle, degenerate_emb_sf)
+
+
+#: Multibyte-text-sensitive queries: mixed ASCII/Latin-1/CJK/emoji words.
+#: The multimodal byte replays moved to hex(encode(text)) nibble pairs in
+#: r10 and are byte-exact on any text; the three xxh64-replay queries
+#: (simhash, feature hashing, bloom FPR) remain DOCUMENTED as
+#: ASCII-scoped (COVERAGE.md) and are excluded here.
+_UNICODE_SENSITIVE = [
+    "multimodal_resize",
+    "multimodal_phash_groups",
+    "multimodal_full_features",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "token_count",
+    "char_class_entropy",
+    "doc_fingerprint",
+    "text_quality_score",
+    "readability_flesch",
+    "regexp_text_functions",
+    "doc_chunking",
+    "explode_token_counts",
+    "tokenizer_fertility_stats",
+    "dedup_exact_text",
+    "higher_order_array_functions",
+    "string_pad_functions",
+]
+
+_UNI_WORDS = (
+    "the key naive café über 数据 запрос mañana schön 東京 "
+    "Ωμέγα emoji🙂 ligature ﬁle accent́"
+).split()
+
+
+@pytest.fixture(scope="session")
+def unicode_sf(tmp_path_factory):
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("randfix_uni") / "sf"
+    write_random_fixture(d, seed=71)
+    rng = random.Random(71)
+    texts = [
+        " ".join(rng.choice(_UNI_WORDS) for _ in range(rng.randint(8, 90)))
+        for _ in range(400)
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(400), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array([rng.choice(["en", "es", "de", "fr", "zh"])
+                              for _ in range(400)]),
+            "source": pa.array([f"src{rng.randint(0, 19)}" for _ in range(400)]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in set(_UNICODE_SENSITIVE) if REGISTRY[n].oracle)
+)
+def test_oracle_parity_on_unicode_fixture(spark, unicode_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, unicode_sf), q.oracle, unicode_sf)
