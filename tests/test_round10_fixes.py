@@ -105,6 +105,23 @@ def test_drift_stats_degenerate_inputs_yield_no_rows(spark, tmp_path, name):
     assert_matches_oracle(df, q.oracle, sf)
 
 
+def test_multimodal_byte_replay_handles_multibyte_text(spark, tmp_path):
+    """The raw-tier byte replays must agree on NON-ASCII payloads: byte
+    extraction via hex(encode(text)) nibble pairs (r10) — the old
+    ascii(substring(text, i, 1)) read code points at character offsets,
+    so 'café😀' (9 UTF-8 bytes, 5 characters) diverged everywhere."""
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    texts = ["café😀", "数据 запрос", "plain ascii", ""]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    for name in ("multimodal_resize", "multimodal_features"):
+        q = load_all()[name]
+        assert_matches_oracle(q.fn(spark, str(tmp_path)), q.oracle, str(tmp_path))
+
+
 def test_twap_huge_weight_product_rounds_identically(spark, tmp_path):
     """A value x microsecond weight whose scale-4 integer exceeds 2^53
     must still hash-match: DuckDB's direct decimal->double cast compounds
