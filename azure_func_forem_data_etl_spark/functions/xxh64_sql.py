@@ -17,8 +17,11 @@ The generators below emit CTE chains (plain SQL text, one statement) that
 compute the hash VECTORIZED across all rows: variable-length loops (32-byte
 stripes, 8-byte words) become recursive CTEs advancing every row one step
 per iteration; the bounded tail (one 4-byte word, <=3 bytes, fmix) unrolls
-into successive CTE columns.  The byte==char assumption (``ascii(substr)``)
-is guarded by tests/test_parity.py's corpus-wide ASCII check.
+into successive CTE columns.  Byte extraction is TRUE UTF-8: the base CTE
+hex-encodes the text once (``lower(hex(encode(s)))``) and every byte is a
+nibble pair of that hex string, with ``octet_length(encode(s))`` as the
+length — byte-exact on any text, not just ASCII (r11; the same extractor
+proven in operators/multimodal.py's byte replays, r10).
 
 The pure-Python reference (``xxh64_*`` functions) is property-tested
 bit-exact against both Spark and the generated SQL in
@@ -168,11 +171,26 @@ def s_lane_step(v: str, w: str) -> str:
     return s_mul(s_rotl(s_add(v, s_mul(w, _c(P2))), 31), _c(P1))
 
 
-def _word_expr(s: str, start_1b: str) -> str:
-    """Little-endian 8-byte word from string ``s`` at 1-based position
-    ``start_1b`` (ASCII corpus: ascii(substr) IS the byte)."""
+_HEXDIGITS = "0123456789abcdef"
+
+
+def s_byte(hx: str, i0: str) -> str:
+    """True UTF-8 byte (HUGEINT) at 0-based BYTE index ``i0`` of the
+    hex-encoded column ``hx`` (= ``lower(hex(encode(text)))``): the byte is
+    its two nibbles, each located by ``strpos`` over the hex alphabet.
+    Out-of-range access yields a garbage value (never an error —
+    ``substring`` past the end returns '' and ``strpos`` 0), so callers
+    must guard range like the previous ``ascii(substr)`` form did."""
+    hi = f"(strpos('{_HEXDIGITS}', substring({hx}, CAST(2 * ({i0}) + 1 AS BIGINT), 1)) - 1)"
+    lo = f"(strpos('{_HEXDIGITS}', substring({hx}, CAST(2 * ({i0}) + 2 AS BIGINT), 1)) - 1)"
+    return f"CAST({hi} * 16 + {lo} AS HUGEINT)"
+
+
+def _word_expr(hx: str, start0: str) -> str:
+    """Little-endian 8-byte word from hex column ``hx`` at 0-based byte
+    index ``start0``."""
     terms = [
-        f"CAST(ascii(substr({s}, ({start_1b}) + {j}, 1)) AS HUGEINT) * {_c(1 << (8 * j))}"
+        f"{s_byte(hx, f'({start0}) + {j}')} * {_c(1 << (8 * j))}"
         for j in range(8)
     ]
     return "(" + " + ".join(terms) + ")"
@@ -207,15 +225,17 @@ def xxh64_str_ctes(
     # iteration per reference (measured 110 s -> 7 s on the bloom audit).
     base = f"""
     {prefix}_base AS MATERIALIZED (
-        SELECT {keys}, {text_col} AS s, length({text_col}) AS n,
-               CASE WHEN length({text_col}) >= 32
-                    THEN length({text_col}) // 32 ELSE 0 END AS nst,
-               length({text_col}) // 8 AS nw
+        -- encode+hex run ONCE per row via lateral alias refs (DuckDB
+        -- does not CSE repeated encode() calls); n = byte length
+        SELECT {keys}, lower(hex(encode({text_col}))) AS hx,
+               length(hx) // 2 AS n,
+               CASE WHEN n >= 32 THEN n // 32 ELSE 0 END AS nst,
+               n // 8 AS nw
         FROM {src}
     ),
     {prefix}_seeds(seed_id, seed) AS (VALUES {seed_rows}),
     {prefix}_words AS MATERIALIZED (
-        SELECT {keys}, t.wi, {_word_expr('b.s', 't.wi * 8 + 1')} AS w
+        SELECT {keys}, t.wi, {_word_expr('b.hx', 't.wi * 8')} AS w
         FROM {prefix}_base b,
              UNNEST(generate_series(0, b.nw - 1)) AS t(wi)
         WHERE b.nw > 0
@@ -304,12 +324,12 @@ def xxh64_str_ctes(
     # Tail byte values depend only on the KEY (not the seed): computed once
     # per key in _tailgeo, then joined into the per-(key, seed) fold.
     w4_terms = " + ".join(
-        f"CAST(ascii(substr(s, nw * 8 + {j + 1}, 1)) AS HUGEINT) * {_c(1 << (8 * j))}"
+        f"{s_byte('hx', f'nw * 8 + {j}')} * {_c(1 << (8 * j))}"
         for j in range(4)
     )
     tb_cols = ", ".join(
         f"CASE WHEN (n % 4) > {k} THEN "
-        f"CAST(ascii(substr(s, n - (n % 4) + {k + 1}, 1)) AS HUGEINT) "
+        f"{s_byte('hx', f'n - (n % 4) + {k}')} "
         f"ELSE {_c(0)} END AS tb{k}"
         for k in range(3)
     )

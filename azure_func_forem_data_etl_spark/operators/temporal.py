@@ -2377,8 +2377,16 @@ _MK_SCALE = 10**15  # stationary vector held as scaled integers
     ),
     r AS (SELECT i, CAST(SUM(c_ij) AS HUGEINT) AS r_i FROM c GROUP BY 1),
     -- state set = union of sources AND targets: a type appearing only as
-    -- next_type (absorbing last-event state) must still carry pi mass
-    states AS (SELECT i AS s FROM c UNION SELECT j AS s FROM c),
+    -- next_type (absorbing last-event state) must still carry pi mass.
+    -- DISTINCT is explicit, NOT via UNION: inside a WITH RECURSIVE block
+    -- DuckDB 1.0 runs a non-self-referencing ``A UNION B`` member as
+    -- UNION ALL (no dedup!).  It went unnoticed for ten rounds because
+    -- with UNIFORM per-state duplicate counts the pi anchor's duplicated
+    -- rows re-sum to exactly SCALE/k under the first GROUP BY; the r11
+    -- extreme-timestamp sweep produced a corpus with NON-uniform
+    -- duplicates (era-clustered types) and skewed the initial vector.
+    states AS (SELECT DISTINCT s FROM (
+        SELECT i AS s FROM c UNION ALL SELECT j AS s FROM c)),
     n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS k FROM states),
     pi(iter, s, v) AS (
         -- '//' not '/': DuckDB's '/' is FLOAT division even on integers,

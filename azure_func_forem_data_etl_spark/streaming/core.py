@@ -105,9 +105,30 @@ def sized_state_partitions(spark: SparkSession, sf_dir: str, *names: str) -> int
     return max(1, min(ceiling, by_bytes))
 
 
-def run_available_now(
-    sdf: DataFrame, output_mode: str, state_partitions: int | None = None
-) -> DataFrame:
+def stream_session(spark: SparkSession, sf_dir: str, *names: str) -> SparkSession:
+    """An ISOLATED session for one stateful streaming query: a
+    ``newSession()`` clone (shared SparkContext and executors, private
+    SQLConf and catalog) carrying the standard query conf plus an
+    input-sized ``spark.sql.shuffle.partitions``
+    (:func:`sized_state_partitions`, ceiling taken from the CALLER's
+    session — their sizing decision still wins at scale).
+
+    Because the sized setting lives only on the clone, nothing on the
+    caller's shared session is ever mutated: concurrent batch plans or a
+    second stream on that session can neither observe the reduced state
+    partitioning nor race a restore (r10 VERDICT ask #7 — this replaces
+    the previous set/restore contract in :func:`run_available_now`).
+    Build the WHOLE streaming plan (stream_table + any static join side)
+    on the returned session.
+    """
+    sized = sized_state_partitions(spark, sf_dir, *names)
+    clone = spark.newSession()
+    ensure_query_session_conf(clone)
+    clone.conf.set("spark.sql.shuffle.partitions", str(sized))
+    return clone
+
+
+def run_available_now(sdf: DataFrame, output_mode: str) -> DataFrame:
     """Run a streaming plan to completion; return the memory-sink table.
 
     Each run gets a fresh checkpoint + sink name so registry queries are
@@ -115,36 +136,21 @@ def run_available_now(
     once).  Durable jobs (streaming/ingest.py) pass their own long-lived
     checkpoint instead.
 
-    ``state_partitions`` (see :func:`sized_state_partitions`) applies only
-    while the stream runs — the session's shuffle setting is restored
-    before returning, and the memory-sink read is unaffected.
-
-    Concurrency contract (ADVICE r9): the set/restore mutates the SHARED
-    session conf, so this assumes the registry/driver execution model —
-    one query at a time on a single-threaded driver.  A concurrent batch
-    plan or second stream on the same session could observe the reduced
-    partition count (or a racing restore); callers that need true
-    isolation should build their streaming plan on ``spark.newSession()``
-    (shared SparkContext, cloned conf) and pass ``state_partitions`` on
-    that session instead.
+    Never mutates session conf: stateful queries that need input-sized
+    state partitioning build their plan on :func:`stream_session`'s
+    isolated clone instead (the memory sink registers on — and the
+    result is read back from — ``sdf``'s own session either way).
     """
     spark = sdf.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="forem_etl_ckpt_")
-    prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    try:
-        if state_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-        query = (
-            sdf.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    finally:
-        if state_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
     return spark.table(name)

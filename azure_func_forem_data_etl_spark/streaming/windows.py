@@ -30,7 +30,7 @@ from azure_func_forem_data_etl_spark.plans.registry import register
 from azure_func_forem_data_etl_spark.sources.tables import table
 from azure_func_forem_data_etl_spark.streaming.core import (
     run_available_now,
-    sized_state_partitions,
+    stream_session,
     stream_table,
 )
 
@@ -180,6 +180,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     not O(stream) — and late rows beyond it are dropped, which is the
     explicit version of the reference's silent out-of-order drop
     (fetch_articles.py:102-104)."""
+    spark = stream_session(spark, sf_dir, "events")
     signups = (
         stream_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "signup")
@@ -210,7 +211,6 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_available_now(
         joined.select("signup_id", "purchase_id", "user_id"),
         "append",
-        state_partitions=sized_state_partitions(spark, sf_dir, "events"),
     )
     return out
 
@@ -267,6 +267,7 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     from both sides instead of pretending the semantics away.  State
     stays O(interval + lateness window) per key, exactly like the inner
     join."""
+    spark = stream_session(spark, sf_dir, "events")
     signups = (
         stream_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "signup")
@@ -297,7 +298,6 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     out = run_available_now(
         joined.select("signup_id", "purchase_id", "user_id", "s_ts"),
         "append",
-        state_partitions=sized_state_partitions(spark, sf_dir, "events"),
     )
     mx_us = (
         table(spark, sf_dir, "events")
@@ -497,6 +497,7 @@ def streaming_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     the inner join; same boundary-zone discipline as the left-outer
     (rows whose null partner could still legitimately arrive at
     end-of-stream are excluded from BOTH engines' results)."""
+    spark = stream_session(spark, sf_dir, "events")
     signups = (
         stream_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "signup")
@@ -527,7 +528,6 @@ def streaming_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_available_now(
         joined.select("signup_id", "purchase_id", "s_user", "p_user", "s_ts", "p_ts"),
         "append",
-        state_partitions=sized_state_partitions(spark, sf_dir, "events"),
     )
     mx_us = (
         table(spark, sf_dir, "events")
@@ -582,6 +582,7 @@ def streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     not O(stream).  A semi join can actually evict left rows EARLIER
     (on first match) than an inner join could.
     """
+    spark = stream_session(spark, sf_dir, "events")
     signups = (
         stream_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "signup")
@@ -611,7 +612,6 @@ def streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         joined.select("signup_id", "user_id"),
         "append",
-        state_partitions=sized_state_partitions(spark, sf_dir, "events"),
     )
 
 

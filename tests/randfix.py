@@ -30,6 +30,19 @@ _PTYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
 _ETYPES = ["view", "click", "purchase", "signup", "error"]
 _LANGS = ["en", "es", "de", "fr", "zh"]
 
+#: Extreme-timestamp eras (r11 sweep leg): deep pre-epoch (negative epoch
+#: micros), the 1970 epoch straddle, both US DST transitions, far future
+#: past 2100.  Each era spans ~3 days and is keyed by event_type (and by
+#: o_orderkey for orders), so per-series hourly gap-fill spines stay
+#: bounded while the table as a whole spans 1965..2105.
+_TS_ERAS = [
+    (dt.datetime(1965, 6, 1), 3),
+    (dt.datetime(1969, 12, 30), 3),
+    (dt.datetime(2024, 3, 9), 3),
+    (dt.datetime(2024, 11, 2), 3),
+    (dt.datetime(2105, 1, 1), 3),
+]
+
 
 def _tbl(path: Path, name: str, cols: dict, types: dict) -> None:
     arrays = {c: pa.array(v, type=types[c]) for c, v in cols.items()}
@@ -54,6 +67,7 @@ def write_random_fixture(
     const_values: bool = False,
     zero_vec_every: int = 0,
     single_label: bool = False,
+    ts_eras: bool = False,
 ) -> str:
     """``ts_grain_s`` > 0 truncates event timestamps to that many seconds
     (and drops the microsecond part), manufacturing heavy timestamp TIES —
@@ -66,7 +80,11 @@ def write_random_fixture(
     regime where every rank/top-k tie-break earns its keep.
     ``zero_vec_every`` > 0 zeroes every Nth embedding (cosine-undefined
     inputs) and ``single_label`` collapses labels to one class (AUC/KS
-    undefined) — the degenerate-embedding regime."""
+    undefined) — the degenerate-embedding regime.  ``ts_eras`` scatters
+    event/order timestamps across ``_TS_ERAS`` (pre-1970 negative-epoch
+    micros, the epoch straddle, DST-transition weeks, >2100) — the
+    regime where floor-vs-truncate epoch division and date arithmetic
+    diverge."""
     rng = random.Random(seed)
 
     def money(lo: float, hi: float) -> float:
@@ -118,8 +136,14 @@ def write_random_fixture(
           "p_size": pa.int32(), "p_retailprice": pa.float64()})
 
     odate0 = dt.datetime(1995, 1, 1)
-    odates = [odate0 + dt.timedelta(days=rng.randint(0, 2400))
-              for _ in range(n_orders)]
+    if ts_eras:
+        odates = []
+        for ok in range(1, n_orders + 1):
+            e0, edays = _TS_ERAS[ok % len(_TS_ERAS)]
+            odates.append(e0 + dt.timedelta(days=rng.randint(0, edays - 1)))
+    else:
+        odates = [odate0 + dt.timedelta(days=rng.randint(0, 2400))
+                  for _ in range(n_orders)]
     _tbl(d, "orders",
          {"o_orderkey": list(range(1, n_orders + 1)),
           "o_custkey": [rng.randint(1, n_customers) for _ in range(n_orders)],
@@ -162,18 +186,27 @@ def write_random_fixture(
           "l_returnflag": pa.string(), "l_linestatus": pa.string(),
           "l_shipdate": ts_us})
 
-    def _event_ts() -> dt.datetime:
+    def _event_ts(etype: str) -> dt.datetime:
+        if ts_eras:
+            # era keyed by event_type so per-series gap-fill spines
+            # (min..max per type) stay ~3 days, never 140 years
+            e0, edays = _TS_ERAS[_ETYPES.index(etype)]
+            return e0 + dt.timedelta(
+                seconds=rng.randint(0, edays * 86400 - 1),
+                microseconds=rng.randint(0, 999_999),
+            )
         s = rng.randint(0, span_days * 86400 - 1)
         if ts_grain_s > 0:
             return _T0 + dt.timedelta(seconds=(s // ts_grain_s) * ts_grain_s)
         return _T0 + dt.timedelta(seconds=s, microseconds=rng.randint(0, 999_999))
 
+    etypes = [rng.choice(_ETYPES) for _ in range(n_events)]
     _tbl(d, "events",
          {"event_id": list(range(n_events)),
-          "ts": [_event_ts() for _ in range(n_events)],
+          "ts": [_event_ts(et) for et in etypes],
           "user_id": [1 if rng.random() < hot_frac else rng.randint(1, n_customers)
                       for _ in range(n_events)],
-          "event_type": [rng.choice(_ETYPES) for _ in range(n_events)],
+          "event_type": etypes,
           "value": [money(0.5, 200.0) for _ in range(n_events)],
           "props": [None if rng.random() < null_frac
                     else json.dumps({"k": rng.randint(0, 99)})

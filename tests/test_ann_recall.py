@@ -4,12 +4,15 @@ The five ANN queries are terminal rows-only (no DuckDB oracle can replay
 NumPy RNG / float k-means), so recall-vs-exact-kNN floors are their only
 quantitative check — and repo experience says sf0.1 exposes assumptions
 sf0.01 hides.  All pipelines are seeded-deterministic, so recall at a
-fixed SF is a constant; floors sit just under the measured values
-(sf0.1, 2000 vectors: lsh 1.00, ivf 0.45, pq 0.33, ivfpq 0.28,
-trained-ivf 0.71).  The sf0.1 drop for the fixed-codebook variants
-(PQ/IVF-PQ) is the expected quantization behavior on a growing gaussian
-corpus, not a bug: the floors guard the bucketing/encode/ADC machinery,
-not state-of-the-art recall.
+fixed SF is a constant; floors sit just under the measured values.
+
+r11 (r10 VERDICT ask #4): the fixed-budget variants now scale their
+search effort with the corpus — nprobe ~ 2.5*sqrt(n_centroids)
+(similarity._ivf_nprobe), PQ codewords ~ sqrt(corpus) capped at byte
+codes (similarity._pq_codewords), ADC shortlist factor 8 (12 and 1.5x
+nprobe for IVF-PQ, which compounds two approximations).  Measured
+recall@5 moved: ivf 0.45 -> 0.75, pq 0.33 -> 0.73, ivfpq 0.28 -> 0.74
+at sf0.1 (2000 vectors); every variant now clears 0.6 at both SFs.
 """
 
 from __future__ import annotations
@@ -21,13 +24,15 @@ from azure_func_forem_data_etl_spark.sources.tables import table
 SF001 = "/root/testdata/sf0.01"
 SF01 = "/root/testdata/sf0.1"
 
-# (variant, floor at sf0.01, floor at sf0.1)
+# (variant, floor at sf0.01, floor at sf0.1) — measured values r11:
+# lsh 1.00/1.00, ivf 0.92/0.75, pq 0.76/0.73, ivfpq 0.80/0.74,
+# trained-ivf 0.80/0.89
 _FLOORS = {
     "lsh": (0.9, 0.9),
-    "ivf": (0.8, 0.4),
-    "pq": (0.6, 0.3),
-    "ivfpq": (0.5, 0.25),
-    "ivf_trained": (0.6, 0.6),
+    "ivf": (0.85, 0.7),
+    "pq": (0.7, 0.65),
+    "ivfpq": (0.7, 0.65),
+    "ivf_trained": (0.7, 0.8),
 }
 
 

@@ -181,7 +181,7 @@ def test_ann_ivfpq_recall_vs_bruteforce(spark, sf_dir):
 
 def test_pq_codes_shape_and_determinism(spark, sf_dir):
     from azure_func_forem_data_etl_spark.operators.similarity import (
-        PQ_K,
+        PQ_K_MAX,
         PQ_M,
         _pq_encode_mapper,
         _pq_subspaces,
@@ -191,7 +191,7 @@ def test_pq_codes_shape_and_determinism(spark, sf_dir):
 
     emb = table(spark, sf_dir, "embeddings")
     books = pq_train(emb, cache_key=f"{sf_dir}/embeddings")
-    assert len(books) == PQ_M and all(b.shape[0] <= PQ_K for b in books)
+    assert len(books) == PQ_M and all(b.shape[0] <= PQ_K_MAX for b in books)
     dim = sum(b.shape[1] for b in books)
     codes = scale_out(emb.select("vec_id", "embedding"), "vec_id").mapInPandas(
         _pq_encode_mapper(books, _pq_subspaces(dim)),
@@ -201,7 +201,7 @@ def test_pq_codes_shape_and_determinism(spark, sf_dir):
     rows2 = {r.vec_id: tuple(r.codes) for r in codes.collect()}
     assert rows == rows2  # deterministic encode
     assert all(len(c) == PQ_M for c in rows.values())
-    assert all(0 <= x < PQ_K for c in rows.values() for x in c)
+    assert all(0 <= x < PQ_K_MAX for c in rows.values() for x in c)
 
 
 def test_multimodal_resize_shape_and_determinism(spark, sf_dir):

@@ -272,31 +272,12 @@ def test_oracle_parity_on_degenerate_embeddings(spark, degenerate_emb_sf, name):
     assert_matches_oracle(q.fn(spark, degenerate_emb_sf), q.oracle, degenerate_emb_sf)
 
 
-#: Multibyte-text-sensitive queries: mixed ASCII/Latin-1/CJK/emoji words.
-#: The multimodal byte replays moved to hex(encode(text)) nibble pairs in
-#: r10 and are byte-exact on any text; the three xxh64-replay queries
-#: (simhash, feature hashing, bloom FPR) remain DOCUMENTED as
-#: ASCII-scoped (COVERAGE.md) and are excluded here.
-_UNICODE_SENSITIVE = [
-    "multimodal_resize",
-    "multimodal_phash_groups",
-    "multimodal_full_features",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "token_count",
-    "char_class_entropy",
-    "doc_fingerprint",
-    "text_quality_score",
-    "readability_flesch",
-    "regexp_text_functions",
-    "doc_chunking",
-    "explode_token_counts",
-    "tokenizer_fertility_stats",
-    "dedup_exact_text",
-    "higher_order_array_functions",
-    "string_pad_functions",
-]
-
+#: Multibyte-text leg (r11): the WHOLE oracle-backed registry runs on a
+#: corpus of mixed ASCII/Latin-1/CJK/emoji words.  The multimodal byte
+#: replays moved to hex(encode(text)) nibble pairs in r10; r11 ported the
+#: same extractor through functions/xxh64_sql.py, so the last three
+#: ASCII-scoped oracles (simhash, feature hashing, bloom FPR) are now
+#: byte-exact on any UTF-8 input and NOTHING is excluded from this leg.
 _UNI_WORDS = (
     "the key naive café über 数据 запрос mañana schön 東京 "
     "Ωμέγα emoji🙂 ligature ﬁle accent́"
@@ -331,9 +312,31 @@ def unicode_sf(tmp_path_factory):
     return str(d)
 
 
-@pytest.mark.parametrize(
-    "name", sorted(n for n in set(_UNICODE_SENSITIVE) if REGISTRY[n].oracle)
-)
+@pytest.mark.parametrize("name", _ORACLE_BACKED)
 def test_oracle_parity_on_unicode_fixture(spark, unicode_sf, name):
     q = REGISTRY[name]
     assert_matches_oracle(q.fn(spark, unicode_sf), q.oracle, unicode_sf)
+
+
+#: Extreme-timestamp leg (r11): the full temporal family on a fixture
+#: whose event/order timestamps span pre-1970 (negative epoch micros),
+#: the epoch straddle, both US DST-transition weeks, and >2100 — the
+#: regime where floor-vs-truncate epoch division, date_trunc, and
+#: day-delta arithmetic diverge between engines.
+_TEMPORAL_FAMILY = sorted(
+    n for n, q in REGISTRY.items()
+    if q.fn.__module__.endswith(".temporal") and q.oracle is not None
+)
+
+
+@pytest.fixture(scope="session")
+def extreme_ts_sf(tmp_path_factory):
+    return write_random_fixture(
+        tmp_path_factory.mktemp("randfix_xts") / "sf", seed=61, ts_eras=True
+    )
+
+
+@pytest.mark.parametrize("name", _TEMPORAL_FAMILY)
+def test_oracle_parity_on_extreme_timestamps(spark, extreme_ts_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, extreme_ts_sf), q.oracle, extreme_ts_sf)

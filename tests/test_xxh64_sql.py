@@ -14,14 +14,27 @@ import pytest
 from azure_func_forem_data_etl_spark.functions import xxh64_sql as X
 
 
+#: 1-to-4-byte UTF-8 alphabet for the multibyte legs: the SQL replay reads
+#: true bytes via hex(encode(s)) nibble pairs (r11), so char length and
+#: byte length must be allowed to diverge in every geometry branch
+#: (stripes / words / 4-byte word / tail bytes).
+_MB_ALPHABET = "aé€\U0001F600øñш中"
+
+
 def _rand_strs(seed: int, n: int, max_len: int = 150) -> list[str]:
     rng = random.Random(seed)
-    # edge shapes first: empty, tail-only, exact/straddling stripe bounds
+    # edge shapes first: empty, tail-only, exact/straddling stripe bounds —
+    # in ASCII and in multibyte UTF-8 (é = 2 bytes: 16 chars = 32 bytes)
     fixed = ["", "a", "abc", "abcdefg", "abcdefgh", "x" * 31, "x" * 32,
-             "x" * 33, "y" * 63, "y" * 64, "z" * 100]
+             "x" * 33, "y" * 63, "y" * 64, "z" * 100,
+             "é", "€", "\U0001F600", "é" * 15, "é" * 16, "é" * 17,
+             "aé€\U0001F600" * 7, "中" * 21]
     return fixed + [
         "".join(rng.choice(string.printable[:95]) for _ in range(rng.randint(1, max_len)))
         for _ in range(n)
+    ] + [
+        "".join(rng.choice(_MB_ALPHABET) for _ in range(rng.randint(1, 60)))
+        for _ in range(n // 2)
     ]
 
 

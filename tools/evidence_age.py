@@ -24,6 +24,10 @@ def main() -> None:
 
     reg = load_all()
     age = _latest_round()
+    if not age and len(sys.argv) <= 1:
+        # fresh checkout: no CORRECTNESS_r*.json yet and no explicit round
+        print(f"registry: {len(reg)} names — no official evidence yet")
+        raise SystemExit(0)
     current = int(sys.argv[1]) if len(sys.argv) > 1 else max(age.values())
     never = [n for n in reg if n not in age]
     rounds = Counter(age[n] for n in reg if n in age)
@@ -34,8 +38,14 @@ def main() -> None:
     print("|---|---|---|")
     for r in sorted(rounds):
         print(f"| r{r} | {rounds[r]} | {current - r} |")
-    oldest = min(age.values()) if age else None
-    print(f"max evidence age: {current - oldest} rounds (oldest witness r{oldest})")
+    if age:
+        oldest = min(age.values())
+        print(
+            f"max evidence age: {current - oldest} rounds "
+            f"(oldest witness r{oldest})"
+        )
+    else:
+        print("max evidence age: n/a (no official evidence yet)")
     print(
         f"next driver window: {sum(reg[n].oracle is not None for n in window)}/50 "
         f"oracle-checkable; refreshes rounds "
