@@ -1,0 +1,216 @@
+"""Regression tests for the round-11 fixes: each test plants the exact
+degenerate shape that round's sweep legs or ADVICE flagged and asserts
+Spark and the registered DuckDB oracle agree on it (not just on the
+driver fixtures, where the shape never occurs).
+
+Shapes covered:
+1. the DuckDB 1.0 ``WITH RECURSIVE`` footgun — a non-self-referencing
+   ``A UNION B`` member runs as UNION ALL — via a transition matrix with
+   NON-uniform per-state duplicate counts (markov oracle);
+2. PSI one-sided buckets (mass in exactly one period) must emit an
+   epsilon-smoothed finite term instead of vanishing (r10 ADVICE);
+3. the xxh64 SQL replay must be byte-exact on MULTIBYTE text across all
+   geometry branches (stripes / words / 4-byte word / tail bytes) for
+   the three queries whose oracles were ASCII-scoped until r11;
+4. zero-vs-nonzero norm classification must run in DOUBLE: components
+   around 1e-23 square to 0 in float32 but stay positive in double, and
+   both engines must agree on WHICH vectors are excluded (r10 ADVICE).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from tests.oracle import assert_matches_oracle
+
+_EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+# ---------------------------------------------------------------------------
+# 1. markov state-set dedup under the WITH RECURSIVE UNION-ALL footgun
+
+
+@pytest.fixture(scope="module")
+def skewed_transition_sf(spark, tmp_path_factory):
+    """Event sequences whose transition-count matrix has NON-uniform
+    per-state cell counts: 'view' appears as a source in 3 distinct cells
+    but 'error' in exactly 1, so if the oracle's state-set CTE fails to
+    dedup (DuckDB 1.0 runs it as UNION ALL), the duplicated pi-anchor
+    rows NO LONGER cancel through the first GROUP BY re-sum and the
+    stationary vector skews — the exact shape the r11 extreme-timestamp
+    sweep hit.  (Uniform duplicate counts — e.g. the driver fixtures'
+    all-25-cells matrix — cancel exactly, which is why this hid for ten
+    rounds.)"""
+    t0 = dt.datetime(2024, 1, 1)
+    seqs = {
+        1: ["view", "click", "view", "purchase", "view", "signup"],
+        2: ["click", "error", "error", "error"],
+        3: ["view", "click", "purchase", "signup", "error"],
+        4: ["signup", "signup", "click", "click"],
+    }
+    rows = []
+    eid = 0
+    for uid, types in seqs.items():
+        for i, et in enumerate(types):
+            rows.append(
+                (eid, t0 + dt.timedelta(minutes=10 * i), uid, et, 1.0, "{}")
+            )
+            eid += 1
+    d = tmp_path_factory.mktemp("skewtrans")
+    spark.createDataFrame(rows, _EVENTS_SCHEMA).write.parquet(
+        str(d / "events.parquet")
+    )
+    return str(d)
+
+
+def test_markov_oracle_state_set_dedup(spark, skewed_transition_sf):
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    q = load_all()["markov_stationary_event_mix"]
+    assert_matches_oracle(q.fn(spark, skewed_transition_sf), q.oracle,
+                          skewed_transition_sf)
+
+
+# ---------------------------------------------------------------------------
+# 2. PSI one-sided buckets: epsilon-smoothed, not dropped
+
+
+@pytest.fixture(scope="module")
+def one_sided_psi_sf(spark, tmp_path_factory):
+    """Bucket 0 (< 5.0) has mass ONLY in the baseline period and bucket 6
+    (>= 200) ONLY in the current period — the sharpest drift signals in
+    classical PSI.  Pre-r11 both cells were silently dropped, so the
+    psi_term sum under-reported exactly these."""
+    base_ts = dt.datetime(2024, 1, 10)   # < PSI_SPLIT_DATE 2024-01-16
+    cur_ts = dt.datetime(2024, 1, 20)
+    rows = []
+    eid = 0
+    for v, ts, n in [
+        (2.0, base_ts, 5),    # bucket 0: baseline only
+        (50.5, base_ts, 10),  # bucket 4: both periods
+        (50.5, cur_ts, 8),
+        (250.0, cur_ts, 4),   # bucket 6: current only
+    ]:
+        for _ in range(n):
+            rows.append((eid, ts, 1, "view", v, "{}"))
+            eid += 1
+    d = tmp_path_factory.mktemp("psi1side")
+    spark.createDataFrame(rows, _EVENTS_SCHEMA).write.parquet(
+        str(d / "events.parquet")
+    )
+    return str(d)
+
+
+def test_psi_one_sided_buckets_emit_smoothed_terms(spark, one_sided_psi_sf):
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    q = load_all()["psi_value_drift"]
+    df = q.fn(spark, one_sided_psi_sf)
+    assert_matches_oracle(df, q.oracle, one_sided_psi_sf)
+    pdf = df.toPandas().set_index("bucket")
+    # the one-sided buckets are PRESENT with large positive terms
+    assert 0 in pdf.index and 6 in pdf.index
+    assert pdf.loc[0, "psi_term"] > 1.0   # (1/3 - eps) * ln((1/3)/eps) ~ 4.2
+    assert pdf.loc[6, "psi_term"] > 1.0
+    # two-sided buckets keep the classical unsmoothed value
+    assert pdf.loc[4, "n_base"] == 10 and pdf.loc[4, "n_cur"] == 8
+
+
+# ---------------------------------------------------------------------------
+# 3. xxh64 replay byte-exact on multibyte text (simhash / feature
+#    hashing / bloom — the three oracles that were ASCII-scoped pre-r11)
+
+
+@pytest.fixture(scope="module")
+def multibyte_docs_sf(spark, tmp_path_factory):
+    """Documents mixing 1-to-4-byte UTF-8 chars, with byte lengths planted
+    across every xxh64 geometry branch (tail-only, exact 32-byte stripe,
+    straddling) and exact + near duplicates so the near-dup queries emit
+    pairs.  'é'*16 is 16 chars but 32 BYTES — the char-length geometry
+    would route it through the wrong branch entirely."""
+    texts = [
+        "é",                                  # 2 bytes: tail-byte branch
+        "€ab",                                # 5 bytes: 4-byte word + tail
+        "é" * 16,                             # 32 bytes = exactly 1 stripe
+        "é" * 16 + "中",                      # stripe + 3-byte tail
+        "\U0001F600" * 9,                     # 36 bytes: stripe + 4-byte word
+        "naïve café über mañana schön 東京 数据 запрос",
+        "naïve café über mañana schön 東京 数据 запрос",   # exact dup
+        "naïve café über mañana schön 東京 数据 запрос extra",  # near dup
+        "the quick brown fox jumps over the lazy dog",      # pure ASCII
+        "Ωμέγα " * 12,
+    ] * 4  # 40 docs so shingle/bloom stages have some mass
+    rows = [
+        (i, t, ["en", "es", "zh", "de"][i % 4], f"src{i % 5}", len(t))
+        for i, t in enumerate(texts)
+    ]
+    d = tmp_path_factory.mktemp("mbdocs")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name", ["simhash_neardup", "feature_hashing_collisions", "bloom_fpr_audit"]
+)
+def test_xxh64_oracles_byte_exact_on_multibyte(spark, multibyte_docs_sf, name):
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    q = load_all()[name]
+    assert_matches_oracle(q.fn(spark, multibyte_docs_sf), q.oracle,
+                          multibyte_docs_sf)
+
+
+# ---------------------------------------------------------------------------
+# 4. norm classification in double: 1e-23 components underflow float32
+
+
+@pytest.fixture(scope="module")
+def tiny_norm_sf(spark, tmp_path_factory):
+    """vec 0 has components ~1e-23: each square is 1e-46, which underflows
+    to 0.0 in float32 (min subnormal ~1.4e-45) but stays positive in
+    double — so a float-domain norm test calls it a zero vector while the
+    oracle's double-domain test keeps it.  vec 5 is a true zero vector
+    (excluded by both).  Both ids are ``% PAIRS_SAMPLE_MOD == 0`` so they
+    land in embedding_cosine_pairs' sample."""
+    import random
+
+    rng = random.Random(3)
+    dim = 64
+    rows = []
+    for i in range(20):
+        if i == 0:
+            v = [1e-23] * dim
+        elif i == 5:
+            v = [0.0] * dim
+        elif i == 10:
+            # parallel to vec 0 at normal magnitude: cosine(0, 10) = 1.0,
+            # so the (0, 10) pair is emitted IFF vec 0 survives the norm
+            # classification — making the double-vs-float decision visible
+            v = [0.5] * dim
+        else:
+            v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        rows.append((i, [float(x) for x in v], i % 3))
+    d = tmp_path_factory.mktemp("tinynorm")
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_nonzero_norm_double_domain(spark, tiny_norm_sf):
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    q = load_all()["embedding_cosine_pairs"]
+    df = q.fn(spark, tiny_norm_sf)
+    assert_matches_oracle(df, q.oracle, tiny_norm_sf)
+    pdf = df.toPandas()
+    ids = set(pdf["vec_a"]) | set(pdf["vec_b"])
+    assert 0 in ids, "1e-23 vector wrongly classified as zero-norm"
+    assert 5 not in ids, "true zero vector must stay excluded"
