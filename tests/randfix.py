@@ -67,7 +67,7 @@ def write_random_fixture(
     const_values: bool = False,
     zero_vec_every: int = 0,
     single_label: bool = False,
-    ts_eras: bool = False,
+    ts_eras: bool | str = False,
 ) -> str:
     """``ts_grain_s`` > 0 truncates event timestamps to that many seconds
     (and drops the microsecond part), manufacturing heavy timestamp TIES —
@@ -84,7 +84,12 @@ def write_random_fixture(
     event/order timestamps across ``_TS_ERAS`` (pre-1970 negative-epoch
     micros, the epoch straddle, DST-transition weeks, >2100) — the
     regime where floor-vs-truncate epoch division and date arithmetic
-    diverge."""
+    diverge.  ``ts_eras="post1970"`` uses only the post-epoch eras:
+    Structured Streaming's initial watermark is epoch 0, so stateful
+    streaming queries drop pre-1970 event times as late-by-definition
+    (platform semantic, probed r11) — the streaming sweep leg runs in
+    that defined domain."""
+    eras = _TS_ERAS[2:] if ts_eras == "post1970" else _TS_ERAS
     rng = random.Random(seed)
 
     def money(lo: float, hi: float) -> float:
@@ -139,7 +144,7 @@ def write_random_fixture(
     if ts_eras:
         odates = []
         for ok in range(1, n_orders + 1):
-            e0, edays = _TS_ERAS[ok % len(_TS_ERAS)]
+            e0, edays = eras[ok % len(eras)]
             odates.append(e0 + dt.timedelta(days=rng.randint(0, edays - 1)))
     else:
         odates = [odate0 + dt.timedelta(days=rng.randint(0, 2400))
@@ -190,7 +195,7 @@ def write_random_fixture(
         if ts_eras:
             # era keyed by event_type so per-series gap-fill spines
             # (min..max per type) stay ~3 days, never 140 years
-            e0, edays = _TS_ERAS[_ETYPES.index(etype)]
+            e0, edays = eras[_ETYPES.index(etype) % len(eras)]
             return e0 + dt.timedelta(
                 seconds=rng.randint(0, edays * 86400 - 1),
                 microseconds=rng.randint(0, 999_999),
