@@ -97,18 +97,31 @@ def _inertia(corpus: DataFrame, C: np.ndarray) -> float:
     return float(parts["s"].sum())
 
 
+#: Fitted-centroid memo, keyed (cache_key, k, iters): the fit is a pure
+#: function of the (immutable) source table, and FOUR registry queries
+#: fit the same embeddings corpus at the default (k, iters) — one fit
+#: per session instead of one per query (same per-path discipline as
+#: similarity._CENTROID_CACHE; ≤ k·dim doubles per key).
+_KMEANS_CACHE: dict[tuple[str, int, int], np.ndarray] = {}
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
     trace_inertia: bool = False,
+    cache_key: str | None = None,
 ) -> tuple[np.ndarray, list[float]]:
     """Lloyd's iterations; returns (k×dim centroid matrix, inertia trace).
 
     The trace (one extra corpus pass per iteration) is opt-in for tests;
     production fits skip it, costing exactly one pass per iteration.
     Driver memory is O(k·dim + k·n_batches) — bounded by cluster
-    parallelism, never by corpus size."""
+    parallelism, never by corpus size.  ``cache_key`` memoizes the
+    fitted centroids per source path (traced fits are never cached)."""
+    ck = (cache_key, k, iters)
+    if cache_key is not None and not trace_inertia and ck in _KMEANS_CACHE:
+        return _KMEANS_CACHE[ck], []
     corpus = scale_out(emb.select("vec_id", "embedding"), "vec_id")
     init = _sample_centroids(emb, k)
     if len(init) == 0:  # empty corpus: no centroids, no iterations
@@ -131,6 +144,8 @@ def kmeans_fit(
         C = C_new
         if trace_inertia:
             trace.append(_inertia(corpus, C))
+    if cache_key is not None and not trace_inertia:
+        _KMEANS_CACHE[ck] = C
     return C, trace
 
 
@@ -160,7 +175,7 @@ def kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the registered ``kmeans_cluster_profile`` exposes this profile's
     invariant projection instead (r4 VERDICT ask #4)."""
     emb = table(spark, sf_dir, "embeddings")
-    C, _ = kmeans_fit(emb)
+    C, _ = kmeans_fit(emb, cache_key=f"{sf_dir}/embeddings")
     if C.size == 0:
         return spark.createDataFrame(
             [], "cluster_id long, n_vectors long, centroid_norm double"
@@ -218,7 +233,7 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant math runs on bounded driver scalars (same documented
     pattern as the 1-row cursors at relational.py)."""
     emb = table(spark, sf_dir, "embeddings")
-    C, _ = kmeans_fit(emb)
+    C, _ = kmeans_fit(emb, cache_key=f"{sf_dir}/embeddings")
     if C.size == 0:
         return spark.createDataFrame(
             [(0, 1, 1)], _KMEANS_PROFILE_INV_SCHEMA
@@ -288,7 +303,7 @@ def kmeans_partition_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    C, _ = kmeans_fit(emb)
+    C, _ = kmeans_fit(emb, cache_key=f"{sf_dir}/embeddings")
     return ivf_topk(emb, centroids=(np.arange(C.shape[0]), C))
 
 
@@ -505,7 +520,10 @@ def kmeans_assignments_with_dist(emb: DataFrame, C: np.ndarray) -> DataFrame:
     "per duplicate group.",
 )
 def semdedup_remove_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return semdedup(table(spark, sf_dir, "embeddings"))
+    return semdedup(
+        table(spark, sf_dir, "embeddings"),
+        fit_cache_key=f"{sf_dir}/embeddings",
+    )
 
 
 def semdedup(
@@ -513,6 +531,7 @@ def semdedup(
     tau: float = SEMDEDUP_TAU,
     cluster_cap: int = SEMDEDUP_CLUSTER_CAP,
     k: int = KMEANS_K,
+    fit_cache_key: str | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup that
     only ever compares embeddings WITHIN a k-means cluster — the cluster
@@ -539,7 +558,7 @@ def semdedup(
     edge list only.
     """
     spark = emb.sparkSession
-    C, _ = kmeans_fit(emb, k=k)
+    C, _ = kmeans_fit(emb, k=k, cache_key=fit_cache_key)
     if C.size == 0:
         return spark.createDataFrame(
             [], "vec_id long, keep_id long, cluster_id long, group_size long"
