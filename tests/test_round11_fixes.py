@@ -214,3 +214,75 @@ def test_nonzero_norm_double_domain(spark, tiny_norm_sf):
     ids = set(pdf["vec_a"]) | set(pdf["vec_b"])
     assert 0 in ids, "1e-23 vector wrongly classified as zero-norm"
     assert 5 not in ids, "true zero vector must stay excluded"
+
+
+# ---------------------------------------------------------------------------
+# 5. concurrent stateful streams: the isolation the stream_session clone
+#    buys (r10 VERDICT ask #7) exercised for real, not just asserted on
+#    conf values — two interval joins run SIMULTANEOUSLY from different
+#    threads of one shared session and must both match their oracle.
+#    Under the old set/restore contract this raced: thread B could start
+#    its (or a batch) plan inside thread A's reduced-partitions window.
+
+
+def test_concurrent_stateful_streams_are_isolated(spark, sf_dir):
+    import threading
+
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    q = load_all()["streaming_interval_join"]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results: dict[int, object] = {}
+
+    def run(slot: int) -> None:
+        try:
+            results[slot] = q.fn(spark, sf_dir).collect()
+        except Exception as e:  # noqa: BLE001 - surfaced via results
+            results[slot] = e
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for slot, res in results.items():
+        assert not isinstance(res, Exception), f"thread {slot}: {res}"
+    a = sorted(tuple(r) for r in results[0])
+    b = sorted(tuple(r) for r in results[1])
+    assert a == b and len(a) > 0
+    # the shared session's conf was never touched by either stream
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+# ---------------------------------------------------------------------------
+# 6. adaptive ANN knobs: bounds + monotonicity across six decades of
+#    corpus size (the sqrt-scaling contract behind the r11 recall lift)
+
+
+def test_adaptive_ann_knob_bounds():
+    from azure_func_forem_data_etl_spark.operators.similarity import (
+        IVF_MAX_CENTROIDS,
+        IVF_NPROBE,
+        PQ_K_MAX,
+        PQ_K_MIN,
+        _centroid_budget,
+        _ivf_nprobe,
+        _pq_codewords,
+    )
+
+    prev_k = prev_np = 0
+    for n in [0, 1, 10, 500, 2_000, 50_000, 1_000_000, 10**9, 10**12]:
+        k = _pq_codewords(n)
+        assert PQ_K_MIN <= k <= PQ_K_MAX and (k & (k - 1)) == 0  # pow2
+        assert k >= prev_k, "codebooks must not shrink as the corpus grows"
+        prev_k = k
+        nc = _centroid_budget(max(1, n))
+        np_ = _ivf_nprobe(nc)
+        assert IVF_NPROBE <= np_ <= max(IVF_NPROBE, nc)
+        assert np_ >= prev_np or nc <= prev_np, "nprobe tracks list count"
+        prev_np = min(np_, nc)
+    # the probed FRACTION shrinks as lists grow: 4% at the centroid cap
+    assert _ivf_nprobe(IVF_MAX_CENTROIDS) / IVF_MAX_CENTROIDS < 0.05
+    # measured operating points from the r11 recall sweep
+    assert _pq_codewords(500) == 32 and _pq_codewords(2000) == 64
+    assert _ivf_nprobe(11) == 9 and _ivf_nprobe(42) == 17
