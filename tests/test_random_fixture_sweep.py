@@ -377,3 +377,47 @@ def test_streaming_parity_on_post_epoch_extremes(
     assert_matches_oracle(
         q.fn(spark, extreme_ts_post1970_sf), q.oracle, extreme_ts_post1970_sf
     )
+
+
+#: All-duplicates leg (r11): 190 of 200 documents are byte-identical
+#: (plus 10 near-dups of the same base) — the COMPLETE candidate graph
+#: regime for every near-dup family: one giant LSH band bucket, one
+#: connected component spanning ~the whole corpus, maximal group sizes
+#: for keep-one selection.  The dedup/curation/hygiene/tokenize modules
+#: all run here (48 queries, probed green r11).
+_DUP_SENSITIVE = sorted(
+    n for n, q in REGISTRY.items()
+    if q.fn.__module__.rsplit(".", 1)[-1]
+    in ("dedup", "curation", "hygiene", "tokenize")
+    and q.oracle is not None
+)
+
+
+@pytest.fixture(scope="session")
+def all_dup_docs_sf(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("randfix_alldup") / "sf"
+    write_random_fixture(d, seed=77, n_docs=200)
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again " * 3
+    )
+    texts = [base] * 190 + [base + f" tail{i}" for i in range(10)]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(200), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 200),
+            "source": pa.array([f"src{i % 5}" for i in range(200)]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _DUP_SENSITIVE)
+def test_oracle_parity_on_all_duplicates(spark, all_dup_docs_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, all_dup_docs_sf), q.oracle, all_dup_docs_sf)
