@@ -424,6 +424,12 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     if comps.size == 0:  # empty corpus: no covariance, no components
         return spark.createDataFrame([(0, 0.0, 0.0, 0.0, 1, 1, 1)], schema)
     proj = pca_project(emb, mean, comps)
+    if comps.shape[0] < 2:
+        # dim=1 corpus: only one eigendirection exists; the projection
+        # onto the ABSENT second component is 0 by convention, keeping
+        # the output schema stable and the pc2 identities trivially true
+        # (r11 dim=1 probe: F.avg("pc2") used to hard-crash here)
+        proj = proj.withColumn("pc2", F.lit(0.0))
     # score-level aggregates (unrounded projections feed the identities)
     s = proj.agg(
         F.count("*").alias("n"),

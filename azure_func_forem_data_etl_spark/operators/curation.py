@@ -1615,6 +1615,10 @@ def _bloom_fpr_oracle() -> str:
            CAST(1000000 * COUNT(*)
                 // (SELECT COUNT(*) FROM probe_grams) AS BIGINT) AS fpr_ppm
     FROM hits WHERE k_hit = {BLOOM_K}
+    -- degenerate contract (r11 single-row sweep): no probe grams => no
+    -- FPR to measure (x // 0 is NULL in DuckDB but the Spark side's
+    -- integral ppm cannot represent "undefined") — 0 rows on BOTH engines
+    HAVING (SELECT COUNT(*) FROM probe_grams) > 0
     """
 
 
@@ -1680,9 +1684,12 @@ def bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("fpr_ppm", T.LongType()),
         ]
     )
+    if n_probe == 0:
+        # degenerate contract (see oracle): nothing to probe, no FPR row
+        return spark.createDataFrame([], schema)
     # integral ppm: Python floor div on exact ints, never a double divide
     # (a correctly-rounded quotient can land on the next integer)
     return spark.createDataFrame(
-        [(n_bench, n_bits, n_probe, n_fp, 1000000 * n_fp // max(n_probe, 1))],
+        [(n_bench, n_bits, n_probe, n_fp, 1000000 * n_fp // n_probe)],
         schema,
     )

@@ -1533,6 +1533,10 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 // (t.n_docs * (t.n_docs - 1) // 2) AS BIGINT)
                AS reduction_ratio_ppm
     FROM tot t
+    -- degenerate contract (r11 single-row sweep): with < 2 documents the
+    -- all-pairs space is empty and the reduction ratio undefined — no
+    -- rows on BOTH engines
+    WHERE t.n_docs > 1
     """,
     doc="Blocking-quality audit of the (lang, length-band) dedup blocking: "
     "pair completeness vs exact-duplicate ground truth and reduction "
@@ -1566,11 +1570,6 @@ def blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]["p"]
 
     n_docs = blk.count()
-    n_true = int(pairs(blk, "fp"))
-    n_cand = int(pairs(blk, "lang", "band"))
-    n_caught = int(pairs(blk, "fp", "lang", "band"))
-    release_blk()  # all consumers driven; drop the checkpoint's blocks
-    total_pairs = n_docs * (n_docs - 1) // 2
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -1583,6 +1582,15 @@ def blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("reduction_ratio_ppm", T.LongType()),
         ]
     )
+    if n_docs < 2:
+        # degenerate contract (see oracle): no all-pairs space to reduce
+        release_blk()
+        return docs.sparkSession.createDataFrame([], schema)
+    n_true = int(pairs(blk, "fp"))
+    n_cand = int(pairs(blk, "lang", "band"))
+    n_caught = int(pairs(blk, "fp", "lang", "band"))
+    release_blk()  # all consumers driven; drop the checkpoint's blocks
+    total_pairs = n_docs * (n_docs - 1) // 2
     return docs.sparkSession.createDataFrame(
         [
             (

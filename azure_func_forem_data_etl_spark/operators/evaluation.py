@@ -662,6 +662,11 @@ AB_Z_CRIT = 1.96
                         * (1.0 / n_a + 1.0 / n_b))) > {AB_Z_CRIT} AS INT)
                AS significant
     FROM arms
+    -- degenerate contract (r11 single-row sweep): the pooled z needs
+    -- BOTH arms populated and a pooled rate strictly inside (0, 1) —
+    -- otherwise the variance is 0 and the stat is undefined (no rows)
+    WHERE n_a > 0 AND n_b > 0
+      AND conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
     """,
     doc="Two-proportion z-test on an md5-nibble user split (pooled "
     "variance); conversion = any purchase event.",
@@ -707,6 +712,14 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (p_a - p_b) / F.sqrt(
         pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
     )
+    # degenerate contract (see oracle): both arms present, pooled rate
+    # strictly in (0, 1) — else zero variance, no rows
+    arms = arms.filter(
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("conv_a") + F.col("conv_b") > 0)
+        & (F.col("conv_a") + F.col("conv_b") < F.col("n_a") + F.col("n_b"))
+    )
     return arms.select(
         "n_a",
         "n_b",
@@ -743,10 +756,17 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bins
     )
     SELECT CAST(MAX(tp) AS BIGINT) AS n_pos,
-           round(CAST(SUM(CAST(round(p_b * (cp / CAST(cn AS DOUBLE)), 10)
-                                AS DECIMAL(18,10))) AS DOUBLE)
-                 / MAX(tp), 6) AS auprc
+           -- CASE-guarded: the division must not evaluate at tp = 0 even
+           -- though HAVING drops the group (symmetric with the Spark
+           -- side, where ANSI would throw before a post-agg filter)
+           CASE WHEN MAX(tp) > 0 THEN
+               round(CAST(SUM(CAST(round(p_b * (cp / CAST(cn AS DOUBLE)), 10)
+                                    AS DECIMAL(18,10))) AS DOUBLE)
+                     / MAX(tp), 6) END AS auprc
     FROM cum
+    -- degenerate contract (r11 single-row sweep): average precision is
+    -- undefined with zero positives — no rows on BOTH engines
+    HAVING MAX(tp) > 0
     """,
     doc="Binned average precision (AUPRC): per score bin, positives times "
     "precision-at-bin-end, normalized by total positives — same 4dp "
@@ -783,10 +803,16 @@ def eval_auprc(spark: SparkSession, sf_dir: str) -> DataFrame:
     term = F.round(
         F.col("p_b") * (F.col("cp") / F.col("cn").cast("double")), 10
     ).cast("decimal(18,10)")
+    # degenerate contract (see oracle): zero positives => AP undefined.
+    # The division is CASE-guarded — ANSI evaluates the agg projection
+    # before any post-agg filter could drop the row.
     return cum.agg(
         F.max("tp").alias("n_pos"),
-        F.round(F.sum(term).cast("double") / F.max("tp"), 6).alias("auprc"),
-    )
+        F.when(
+            F.max("tp") > 0,
+            F.round(F.sum(term).cast("double") / F.max("tp"), 6),
+        ).alias("auprc"),
+    ).filter(F.col("n_pos") > 0)
 
 
 LIFT_N_BUCKETS = 10
@@ -824,6 +850,9 @@ LIFT_N_BUCKETS = 10
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  / CAST(t.pt AS DOUBLE), 6) AS cum_gain
     FROM b, t
+    -- degenerate contract (r11 single-row sweep): zero positives make
+    -- lift and gains undefined — no rows on BOTH engines
+    WHERE t.pt > 0
     """,
     doc=f"Decile lift/gains table over the score ranking ({LIFT_N_BUCKETS} "
     "NTILE buckets on a total order): response rate, lift vs base, "
@@ -858,7 +887,9 @@ def eval_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     rr = F.col("pos") / F.col("n").cast("double")
     base = F.col("pt") / F.col("nt").cast("double")
     w_gain = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    return b.crossJoin(F.broadcast(t)).select(
+    # degenerate contract (see oracle): zero positives => no rows; the
+    # filter precedes the projection so the divisions never evaluate
+    return b.crossJoin(F.broadcast(t)).filter(F.col("pt") > 0).select(
         "bucket",
         F.col("n").alias("n_rows"),
         F.col("pos").alias("n_pos"),

@@ -1077,10 +1077,13 @@ _MONEY_DEC = "decimal(18,2)"
     ),
     loo AS (
         -- delete-one-group estimates, 6dp-quantized so the later sums
-        -- are exact decimal additions in both engines
+        -- are exact decimal additions in both engines.  t.n > g.n_i
+        -- guards the k=1 degenerate (one group owning every row) where
+        -- the leave-one-out denominator is 0 (r11 single-row sweep)
         SELECT CAST(round(CAST(t.s - g.s_i AS DOUBLE) / (t.n - g.n_i), 6)
                     AS DECIMAL(18,6)) AS theta_i
         FROM g, tot t
+        WHERE t.n > g.n_i
     ),
     jb AS (SELECT CAST(SUM(theta_i) AS DOUBLE) / COUNT(*) AS theta_bar FROM loo)
     SELECT t.k AS n_groups,
@@ -1091,6 +1094,8 @@ _MONEY_DEC = "decimal(18,2)"
                                        AS DECIMAL(28,8)))
                        FROM loo) AS DOUBLE)), 6) AS jack_se
     FROM tot t, jb
+    -- degenerate contract: a delete-one jackknife needs >= 2 groups
+    WHERE t.k > 1
     """,
     doc="Delete-one-nation jackknife standard error of the mean order "
     "value: group-level leave-one-out estimates from one aggregation.",
@@ -1126,7 +1131,13 @@ def jackknife_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = g.agg(
         F.sum("n_i").alias("n"), F.sum("s_i").alias("s"), F.count("*").alias("k")
     )
-    loo = g.crossJoin(F.broadcast(tot)).select(
+    # the filter precedes the LOO projection: at k=1 the only group owns
+    # every row and the (n - n_i) denominator is 0 (r11 sweep); with it,
+    # loo/jb go empty and the query emits 0 rows, matching the oracle's
+    # k > 1 contract
+    loo = g.crossJoin(F.broadcast(tot)).filter(
+        F.col("n") > F.col("n_i")
+    ).select(
         F.round(
             (F.col("s") - F.col("s_i")).cast("double") / (F.col("n") - F.col("n_i")),
             6,
@@ -1412,10 +1423,15 @@ def mann_whitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(r_levels) AS BIGINT) AS r_levels,
            CAST(MAX(c_levels) AS BIGINT) AS c_levels,
            round(CAST(SUM(chi_i) AS DOUBLE), 6) AS chi2,
-           round(sqrt(CAST(SUM(chi_i) AS DOUBLE)
-                      / (MAX(n) * (LEAST(MAX(r_levels), MAX(c_levels)) - 1))),
-                 6) AS cramers_v
+           -- CASE-guarded: min(r,c)=1 zeroes the V denominator
+           CASE WHEN LEAST(MAX(r_levels), MAX(c_levels)) > 1 THEN
+               round(sqrt(CAST(SUM(chi_i) AS DOUBLE)
+                          / (MAX(n) * (LEAST(MAX(r_levels), MAX(c_levels)) - 1))),
+                     6) END AS cramers_v
     FROM contrib
+    -- degenerate contract (r11 single-row sweep): V needs >= 2 levels on
+    -- both axes — a 1xC or Rx1 table has no association to measure
+    HAVING LEAST(MAX(r_levels), MAX(c_levels)) > 1
     """,
     doc="Cramer's V association strength between customer nation and "
     "order priority (bias-uncorrected, chi-square based).",
@@ -1457,22 +1473,20 @@ def cramers_v_nation_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chi_i"),
     )
     chi2 = F.sum("chi_i").cast("double")
+    min_levels = F.least(F.max("r_levels"), F.max("c_levels"))
+    # degenerate contract (see oracle): a 1xC / Rx1 table has no V; the
+    # division is CASE-guarded because ANSI evaluates the agg projection
+    # before a post-agg filter could drop the row
     return contrib.agg(
         F.max("n").alias("n_rows"),
         F.max("r_levels").cast("long").alias("r_levels"),
         F.max("c_levels").cast("long").alias("c_levels"),
         F.round(chi2, 6).alias("chi2"),
-        F.round(
-            F.sqrt(
-                chi2
-                / (
-                    F.max("n")
-                    * (F.least(F.max("r_levels"), F.max("c_levels")) - 1)
-                )
-            ),
-            6,
+        F.when(
+            min_levels > 1,
+            F.round(F.sqrt(chi2 / (F.max("n") * (min_levels - 1))), 6),
         ).alias("cramers_v"),
-    )
+    ).filter(F.least(F.col("r_levels"), F.col("c_levels")) > 1)
 
 
 #: Monetary-unit sampling: targeted picks per ship-month partition.
@@ -1808,8 +1822,13 @@ def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM u
     )
     SELECT n_users, both_p, b AS only_before, c AS only_after,
-           round((b - c) * (b - c) / CAST(b + c AS DOUBLE), 6) AS mcnemar_chi2
+           CASE WHEN b + c > 0 THEN
+               round((b - c) * (b - c) / CAST(b + c AS DOUBLE), 6)
+           END AS mcnemar_chi2
     FROM s
+    -- degenerate contract (r11 single-row sweep): zero discordant pairs
+    -- leave the test undefined — no rows on BOTH engines
+    WHERE b + c > 0
     """,
     doc="McNemar paired test: did users' purchase OVER-REPRESENTATION "
     "(above the 1-in-5 base rate) flip between the first and second half "
@@ -1863,6 +1882,9 @@ def mcnemar_purchase_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = F.sum(F.when((F.col("before_p") == 1) & (F.col("after_p") == 0), 1).otherwise(0))
     c = F.sum(F.when((F.col("before_p") == 0) & (F.col("after_p") == 1), 1).otherwise(0))
+    # degenerate contract (see oracle): zero discordant pairs => test
+    # undefined; the chi2 division is CASE-guarded because ANSI evaluates
+    # the agg projection before any post-agg filter
     return u.agg(
         F.count("*").alias("n_users"),
         F.sum(
@@ -1870,10 +1892,11 @@ def mcnemar_purchase_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("both_p"),
         b.alias("only_before"),
         c.alias("only_after"),
-        F.round(
-            (b - c) * (b - c) / (b + c).cast("double"), 6
+        F.when(
+            (b + c) > 0,
+            F.round((b - c) * (b - c) / (b + c).cast("double"), 6),
         ).alias("mcnemar_chi2"),
-    )
+    ).filter(F.col("only_before") + F.col("only_after") > 0)
 
 
 @register(

@@ -547,6 +547,9 @@ def string_agg_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND((ss - sm * sm / n) / (n - 1), 6) AS var_qty,
            ROUND(SQRT(ROUND((ss - sm * sm / n) / (n - 1), 6)), 6) AS std_qty
     FROM s
+    -- degenerate contract (r11 single-row sweep): sample variance is
+    -- undefined for a 1-row group ((n-1) = 0) — drop it on BOTH engines
+    WHERE n > 1
     """,
     doc="Sample variance/stddev from exact decimal sum + sum-of-squares "
     "(single pass, order-independent), finished in deterministic doubles.",
@@ -568,7 +571,8 @@ def agg_variance_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     var = (F.col("ss") - F.col("sm") * F.col("sm") / F.col("n")) / (F.col("n") - 1)
-    return s.select(
+    # degenerate contract (see oracle): 1-row groups have no sample variance
+    return s.filter(F.col("n") > 1).select(
         "l_returnflag",
         F.round(var, 6).alias("var_qty"),
         F.round(F.sqrt(F.round(var, 6)), 6).alias("std_qty"),

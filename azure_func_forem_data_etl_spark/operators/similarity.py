@@ -888,9 +888,13 @@ def embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(dim AS INT) AS dim,
            CAST(COUNT(*) AS BIGINT) AS n,
            round(CAST(SUM(q) AS DOUBLE) / COUNT(*), 6) AS mean,
-           round((CAST(SUM(q * q) AS DOUBLE)
-                  - CAST(SUM(q) AS DOUBLE) * CAST(SUM(q) AS DOUBLE) / COUNT(*))
-                 / (COUNT(*) - 1), 6) AS var,
+           -- sample variance is undefined for a single vector: NULL (the
+           -- row keeps its well-defined n/mean/min/max; r11 sweep)
+           CASE WHEN COUNT(*) > 1 THEN
+               round((CAST(SUM(q * q) AS DOUBLE)
+                      - CAST(SUM(q) AS DOUBLE) * CAST(SUM(q) AS DOUBLE)
+                        / COUNT(*))
+                     / (COUNT(*) - 1), 6) END AS var,
            min(xd) AS mn,
            max(xd) AS mx
     FROM x
@@ -922,7 +926,11 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return x.groupBy(F.col("dim").cast("int").alias("dim")).agg(
         n.cast("long").alias("n"),
         F.round(s / n, 6).alias("mean"),
-        F.round((ss - s * s / n) / (n - F.lit(1)), 6).alias("var"),
+        # single-vector corpus: sample variance undefined -> NULL (CASE-
+        # guarded so the (n-1) division never evaluates; r11 sweep)
+        F.when(n > 1, F.round((ss - s * s / n) / (n - F.lit(1)), 6)).alias(
+            "var"
+        ),
         F.min("xd").alias("mn"),
         F.max("xd").alias("mx"),
     )

@@ -2116,6 +2116,9 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
                         * (n * sbb - sb * sb)), 6) AS spearman_rho
     FROM s
+    -- degenerate contract (r11 single-row sweep): rho is undefined when
+    -- either rank variance is 0 (one day, or all-tied ranks) — no rows
+    WHERE n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
     """,
     doc="Spearman rank correlation (revenue vs event count, day grain): "
     "Pearson on tie-averaged ranks held as exact integers.",
@@ -2153,7 +2156,11 @@ def spearman_rho_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("b") * F.col("b")).alias("sbb"),
     )
     n, sa, sb, sab, saa, sbb = (F.col(c) for c in ("n", "sa", "sb", "sab", "saa", "sbb"))
-    return s.select(
+    # degenerate contract (see oracle): zero rank variance => no rows;
+    # the filter precedes the rho projection so ANSI never divides
+    return s.filter(
+        (n * saa - sa * sa > 0) & (n * sbb - sb * sb > 0)
+    ).select(
         n.alias("n_days"),
         F.round(
             (n * sab - sa * sb)
@@ -2563,6 +2570,10 @@ def order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT CAST(total AS BIGINT) FROM t) AS n_steps,
            round(CAST(SUM(h_ij) AS DOUBLE), 6) AS entropy_rate_bits
     FROM terms
+    -- degenerate contract (r11 single-row sweep): a corpus with no
+    -- observed transition has no chain — 0 rows on BOTH engines (the
+    -- Spark side's group-on-total naturally vanishes on empty input)
+    HAVING COUNT(*) > 0
     """,
     doc="Entropy rate of the event-type Markov chain: H(next|current) in "
     "bits from the empirical transition matrix.",
@@ -2767,6 +2778,10 @@ def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(ss_dow / n, 4) AS var_deseasoned,
            round(GREATEST(0.0, 1.0 - ss_dow / ss_all), 6) AS seasonal_strength
     FROM v
+    -- degenerate contract (r11 single-row sweep): zero detrended
+    -- variance (one day, or a perfectly flat series) leaves the strength
+    -- ratio undefined — no rows on BOTH engines
+    WHERE ss_all > 0
     """,
     doc="Weekly seasonal strength of daily revenue: 1 - Var(residual "
     "after day-of-week means) / Var(residual after the overall mean), "
@@ -2805,7 +2820,9 @@ def weekly_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = dev.agg(
         F.count("*").alias("n"), sq("d_all").alias("ss_all"), sq("d_dow").alias("ss_dow")
     )
-    return v.select(
+    # degenerate contract (see oracle): flat/one-day series => no rows;
+    # the filter precedes the ratio projection so ANSI never divides
+    return v.filter(F.col("ss_all") > 0).select(
         F.col("n").alias("n_days"),
         F.round(F.col("ss_all") / F.col("n"), 4).alias("var_detrended"),
         F.round(F.col("ss_dow") / F.col("n"), 4).alias("var_deseasoned"),

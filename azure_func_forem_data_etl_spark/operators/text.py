@@ -2044,6 +2044,10 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lt l CROSS JOIN wt
         CROSS JOIN tot t
         LEFT JOIN lw ON lw.lang = l.lang AND lw.word = wt.word
+        -- degenerate contract (r11 single-row sweep): a language that IS
+        -- the whole corpus has no "rest" to diverge from (c - c_l = 0) —
+        -- it emits no rows on BOTH engines
+        WHERE l.c_l < t.c
     ),
     contrib AS (
         SELECT lang,
@@ -2104,6 +2108,10 @@ def js_divergence_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(wt)
         .crossJoin(F.broadcast(tot))
         .join(lw, ["lang", "word"], "left")
+        # degenerate contract (see oracle): a language owning the WHOLE
+        # corpus has no rest-of-corpus distribution (c - c_l = 0); the
+        # filter precedes the q-ratio projection so ANSI never divides
+        .filter(F.col("c_l") < F.col("c"))
         .select(
             "lang",
             "word",

@@ -421,3 +421,26 @@ def all_dup_docs_sf(tmp_path_factory):
 def test_oracle_parity_on_all_duplicates(spark, all_dup_docs_sf, name):
     q = REGISTRY[name]
     assert_matches_oracle(q.fn(spark, all_dup_docs_sf), q.oracle, all_dup_docs_sf)
+
+
+#: Single-row leg (r11): EVERY table has exactly one row — the regime
+#: between empty (test_empty_inputs.py) and sparse, where (n-1), (k-1),
+#: "the rest of the corpus", discordant pairs, probe sets, and all-pairs
+#: spaces all collapse to zero.  The first run of this leg found 12
+#: queries across 9 modules crashing with ANSI DIVIDE_BY_ZERO (or
+#: diverging on NULL-vs-0) instead of honoring the repo contract
+#: "undefined stat => 0 rows on BOTH engines"; each now carries an
+#: explicit degenerate guard mirrored in its oracle.
+@pytest.fixture(scope="session")
+def single_row_sf(tmp_path_factory):
+    return write_random_fixture(
+        tmp_path_factory.mktemp("randfix_n1") / "sf", seed=97,
+        n_customers=1, n_suppliers=1, n_parts=1, n_orders=1, n_events=1,
+        n_docs=1, n_vecs=1, emb_dim=8, span_days=1,
+    )
+
+
+@pytest.mark.parametrize("name", _ORACLE_BACKED)
+def test_oracle_parity_on_single_row_tables(spark, single_row_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, single_row_sf), q.oracle, single_row_sf)
