@@ -1065,11 +1065,15 @@ BATCH_SIZE = 16  # examples per training batch
         FROM documents
     ),
     w AS (
+        -- padding_frac CASE-guarded: an all-blank corpus has zero batch
+        -- capacity SUM(mx*n) and the fraction is undefined (r11 blank-
+        -- docs sweep); such strategy rows are dropped below
         SELECT 'length_grouped' AS strategy,
                CAST(COUNT(*) AS BIGINT) AS n_batches,
                CAST(SUM(mx * n - tot) AS BIGINT) AS padding_chars,
-               round(SUM(mx * n - tot) / CAST(SUM(mx * n) AS DOUBLE), 6)
-                   AS padding_frac
+               CASE WHEN SUM(mx * n) > 0 THEN
+                   round(SUM(mx * n - tot) / CAST(SUM(mx * n) AS DOUBLE), 6)
+               END AS padding_frac
         FROM (SELECT batch_id, MAX(n_chars) AS mx, COUNT(*) AS n,
                      SUM(n_chars) AS tot
               FROM sorted_b GROUP BY batch_id)
@@ -1077,12 +1081,14 @@ BATCH_SIZE = 16  # examples per training batch
         SELECT 'shuffled',
                CAST(COUNT(*) AS BIGINT),
                CAST(SUM(mx * n - tot) AS BIGINT),
-               round(SUM(mx * n - tot) / CAST(SUM(mx * n) AS DOUBLE), 6)
+               CASE WHEN SUM(mx * n) > 0 THEN
+                   round(SUM(mx * n - tot) / CAST(SUM(mx * n) AS DOUBLE), 6)
+               END AS padding_frac
         FROM (SELECT batch_id, MAX(n_chars) AS mx, COUNT(*) AS n,
                      SUM(n_chars) AS tot
               FROM shuffled_b GROUP BY batch_id)
     )
-    SELECT * FROM w
+    SELECT * FROM w WHERE padding_frac IS NOT NULL
     """,
     doc=f"Length-grouped batching audit: padding waste of length-sorted vs "
     f"hash-shuffled batches of {BATCH_SIZE} (the dynamic-batching win, "
@@ -1116,18 +1122,23 @@ def length_grouped_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("tot"),
         )
         pad = F.sum(F.col("mx") * F.col("n") - F.col("tot"))
+        cap = F.sum(F.col("mx") * F.col("n"))
+        # CASE-guarded (see oracle): an all-blank corpus has zero batch
+        # capacity and no padding fraction; the row drops after the union
         return per.agg(
             F.lit(label).alias("strategy"),
             F.count("*").alias("n_batches"),
             pad.cast("long").alias("padding_chars"),
-            F.round(pad / F.sum(F.col("mx") * F.col("n")).cast("double"), 6).alias(
+            F.when(cap > 0, F.round(pad / cap.cast("double"), 6)).alias(
                 "padding_frac"
             ),
         )
 
     sorted_w = waste([F.col("n_chars").desc(), F.col("doc_id")], "length_grouped")
     shuffled = waste([F.md5(F.col("doc_id").cast("string")), F.col("doc_id")], "shuffled")
-    return sorted_w.unionByName(shuffled)
+    return sorted_w.unionByName(shuffled).filter(
+        F.col("padding_frac").isNotNull()
+    )
 
 
 TOPP_MASS = 0.5  # nucleus: smallest doc set covering this quality share
@@ -1368,12 +1379,16 @@ def span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                           * (s.chars_s / CAST(t.c AS DOUBLE)) * 10000, 8)
                     AS DECIMAL(18,8)) AS hhi_i
         FROM s, t
+        -- degenerate contract (r11 blank-docs sweep): zero total
+        -- character mass => shares undefined — no rows on BOTH engines
+        WHERE t.c > 0
     )
     SELECT CAST(MAX(k) AS BIGINT) AS n_sources,
            round(CAST(SUM(hhi_i) AS DOUBLE), 4) AS hhi,
            round(MAX(chars_s) / CAST(MAX(c) AS DOUBLE), 6) AS top_share,
            round(10000.0 / CAST(SUM(hhi_i) AS DOUBLE), 4) AS effective_n
     FROM contrib
+    HAVING COUNT(*) > 0
     """,
     doc="Herfindahl-Hirschman concentration of the corpus across sources "
     "(by character mass, 0-10000 scale) with effective source count.",
@@ -1393,7 +1408,9 @@ def source_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = s.agg(F.sum("chars_s").alias("c"), F.count("*").alias("k"))
     share = F.col("chars_s") / F.col("c").cast("double")
-    contrib = s.crossJoin(F.broadcast(t)).select(
+    # degenerate contract (see oracle): zero character mass => no rows;
+    # the filter precedes the share projection so ANSI never divides
+    contrib = s.crossJoin(F.broadcast(t)).filter(F.col("c") > 0).select(
         "chars_s",
         "c",
         "k",
@@ -1404,7 +1421,7 @@ def source_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("hhi_i").cast("double"), 4).alias("hhi"),
         F.round(F.max("chars_s") / F.max("c").cast("double"), 6).alias("top_share"),
         F.round(10000.0 / F.sum("hhi_i").cast("double"), 4).alias("effective_n"),
-    )
+    ).filter(F.col("n_sources").isNotNull())
 
 
 @register(
@@ -1419,11 +1436,14 @@ def source_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw AS (
         -- alpha = 0.5 applied as sqrt: correctly-rounded in IEEE, so the
         -- scaled share is a deterministic double in any engine; 10dp
-        -- quantization makes the normalization sum exact decimal
+        -- quantization makes the normalization sum exact decimal.
+        -- t.tot > 0: zero total mass => shares undefined, no rows
+        -- (r11 blank-docs sweep)
         SELECT s.source, s.c, t.tot,
                CAST(round(sqrt(s.c / CAST(t.tot AS DOUBLE)), 10)
                     AS DECIMAL(18,10)) AS w_raw
         FROM s, t
+        WHERE t.tot > 0
     ),
     z AS (SELECT SUM(w_raw) AS zsum FROM raw)
     SELECT r.source,
@@ -1453,7 +1473,8 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # shared by t, raw
     )
     t = s.agg(F.sum("c").alias("tot"))
-    raw = s.crossJoin(F.broadcast(t)).select(
+    # degenerate contract (see oracle): zero total mass => no rows
+    raw = s.crossJoin(F.broadcast(t)).filter(F.col("tot") > 0).select(
         "source",
         "c",
         "tot",

@@ -1246,7 +1246,11 @@ def sentiment_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           round(SUM(n_chars) / SUM(n_tokens), 6) AS chars_per_token,
+           -- a language with ZERO tokens (all-blank docs) has no
+           -- chars-per-token: NULL, keeping the row's defined counts
+           -- (r11 blank-docs sweep)
+           CASE WHEN SUM(n_tokens) > 0 THEN
+               round(SUM(n_chars) / SUM(n_tokens), 6) END AS chars_per_token,
            round(SUM(n_tokens) / COUNT(*), 6) AS tokens_per_doc
     FROM t GROUP BY lang
     """,
@@ -1271,7 +1275,12 @@ def tokenizer_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("n_chars").alias("total_chars"),
-        F.round(F.sum("n_chars") / F.sum("n_tokens"), 6).alias("chars_per_token"),
+        # zero-token language: chars/token undefined -> NULL (CASE-
+        # guarded division; r11 blank-docs sweep)
+        F.when(
+            F.sum("n_tokens") > 0,
+            F.round(F.sum("n_chars") / F.sum("n_tokens"), 6),
+        ).alias("chars_per_token"),
         F.round(F.sum("n_tokens") / F.count("*"), 6).alias("tokens_per_doc"),
     )
 
@@ -1400,6 +1409,10 @@ ZIPF_TOP_RANKS = 100
            round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
                AS log10_intercept
     FROM s
+    -- degenerate contract (r11 blank-docs sweep): the OLS fit needs at
+    -- least two distinct ranks (a 1-word vocabulary has zero x-variance)
+    -- — no rows on BOTH engines
+    WHERE n * sxx - sx * sx > 0
     """,
     doc=f"Zipf's-law fit over the top-{ZIPF_TOP_RANKS} word ranks: OLS slope of log10(freq) vs log10(rank); natural corpora fit slope ~ -1.",
 )
@@ -1435,7 +1448,9 @@ def zipf_exponent_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    return s.select(
+    # degenerate contract (see oracle): a 1-word vocabulary has zero
+    # x-variance; the filter precedes the OLS projection
+    return s.filter(n * sxx - sx * sx > 0).select(
         n.alias("n_ranks"),
         F.round(slope, 6).alias("zipf_slope"),
         F.round((sy - slope * sx) / n, 6).alias("log10_intercept"),

@@ -444,3 +444,47 @@ def single_row_sf(tmp_path_factory):
 def test_oracle_parity_on_single_row_tables(spark, single_row_sf, name):
     q = REGISTRY[name]
     assert_matches_oracle(q.fn(spark, single_row_sf), q.oracle, single_row_sf)
+
+
+#: All-blank-documents leg (r11): every document row exists but carries
+#: "" — the zero-token regime (empty vocab, zero character mass, zero
+#: batch capacity), distinct from BOTH the empty-corpus tests (no rows)
+#: and the 25%-blank nullish leg.  Its first run found five queries
+#: crashing with ANSI DIVIDE_BY_ZERO on zero totals
+#: (length_grouped_batches, mixture_temperature_weights,
+#: source_concentration_hhi, tokenizer_fertility_stats,
+#: zipf_exponent_fit); each now carries an explicit degenerate guard.
+_TEXT_FAMILIES = ("text", "tokenize", "dedup", "curation", "hygiene",
+                  "multimodal")
+_BLANK_SENSITIVE = sorted(
+    n for n, q in REGISTRY.items()
+    if q.fn.__module__.rsplit(".", 1)[-1] in _TEXT_FAMILIES
+    and q.oracle is not None
+)
+
+
+@pytest.fixture(scope="session")
+def all_blank_docs_sf(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("randfix_blank") / "sf"
+    write_random_fixture(d, seed=103, n_docs=50)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(50), pa.int64()),
+            "text": pa.array([""] * 50),
+            "lang": pa.array(["en", "es", "de", "fr", "zh"] * 10),
+            "source": pa.array([f"src{i % 5}" for i in range(50)]),
+            "n_chars": pa.array([0] * 50, pa.int64()),
+        }),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _BLANK_SENSITIVE)
+def test_oracle_parity_on_all_blank_docs(spark, all_blank_docs_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, all_blank_docs_sf), q.oracle,
+                          all_blank_docs_sf)
