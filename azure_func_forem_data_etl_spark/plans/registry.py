@@ -62,12 +62,17 @@ def register(
 # The correctness driver samples only the FIRST 50 entries of load_all()
 # per round, so registration order decides which queries accumulate official
 # evidence.  We order the dict so queries with no official CORRECTNESS row yet
-# come first (a few known-green sentinels lead, as a canary for harness-level
-# breakage), which rotates the whole registry through the driver's window
-# across rounds.  Correctness of each query is unaffected — only dict order.
+# come first (a few known-green sentinels lead as a harness canary — but only
+# while that displaces no at-the-recurrence-bound stale name, see the
+# stale-pressure cede in _driver_order), which rotates the whole registry
+# through the driver's window across rounds.  Correctness of each query is
+# unaffected — only dict order.
 
 #: Known-green, cheap queries placed at the head of the ordering each round.
 _SENTINELS = ("dedup_exact_text", "agg_distinct", "filter_like_project")
+
+#: The correctness driver grades exactly this many entries per round.
+_DRIVER_WINDOW = 50
 
 #: Tie-break among never-checked queries: lower = earlier.  Streaming, UDF,
 #: temporal, window, and subquery surfaces had zero official rows after r2
@@ -198,8 +203,8 @@ def _upgraded_latest(registry: dict[str, Query], root=None) -> frozenset[str]:
     return frozenset(upgraded)
 
 
-def _driver_order(registry: dict[str, Query]) -> dict[str, Query]:
-    checked = _officially_checked()
+def _driver_order(registry: dict[str, Query], root=None) -> dict[str, Query]:
+    checked = _officially_checked(root)
     reg_index = {name: i for i, name in enumerate(registry)}
 
     def mod_key(name: str) -> int:
@@ -213,7 +218,8 @@ def _driver_order(registry: dict[str, Query]) -> dict[str, Query]:
     # on a harness error is worse than a missing one.  Check-upgraded names
     # (rows-only row, oracle now registered) follow for the same reason:
     # their official record is stale-weaker than the current check.
-    jump = _errored_latest() | _upgraded_latest(registry) | _mismatched_latest()
+    jump = (_errored_latest(root) | _upgraded_latest(registry, root)
+            | _mismatched_latest(root))
     requeued = sorted(
         (n for n in jump if n in registry and n not in sentinels),
         key=lambda n: reg_index[n],
@@ -260,15 +266,48 @@ def _driver_order(registry: dict[str, Query]) -> dict[str, Query]:
     # every hash-verifiable name so official slots stay oracle-checkable
     # (r9 VERDICT asks #2 and #3: r9 spent 5 of 50 slots re-witnessing
     # queries whose rows can never hash-match).
-    age = _latest_round()
-    seen = sorted(
-        (n for n in rest if n in checked),
-        key=lambda n: (
-            registry[n].oracle is None,
+    age = _latest_round(root)
+    period = -(-len(registry) // _DRIVER_WINDOW)
+    latest = max(age.values(), default=0)
+
+    def seen_key(n: str):
+        # Terminal-last applies only while the terminal name's evidence is
+        # within the natural recurrence bound; an OVERDUE terminal (age >=
+        # period — under a frozen registry it would otherwise never be
+        # re-witnessed at all) rejoins the ordinary staleness rotation.
+        # At most len(terminals)≈9 slots per window can ever be spent this
+        # way, and in practice ≤2 (they age one round per round, same as
+        # everything else), so the window stays ≥48/50 oracle-checkable.
+        overdue = latest - age.get(n, latest) >= period
+        return (
+            registry[n].oracle is None and not overdue,
             age.get(n, 0),
             reg_index[n],
-        ),
-    )
+        )
+
+    seen = sorted((n for n in rest if n in checked), key=seen_key)
+    # Stale-pressure cede (r10 VERDICT ask #3): the sentinel canary is a
+    # luxury paid for with 3 refresh slots per round.  With a frozen
+    # 374-name registry the natural LRU recurrence is ceil(374/50) = 8
+    # rounds; keeping the sentinels in front makes it ceil(374/47) and
+    # pushes MORE names past the bound.  So the sentinels lead only while
+    # that displaces no name already AT the bound: if any of the checked
+    # names the sentinels would push out of the 50-entry window has
+    # evidence age >= period - 1 (it would age past the recurrence bound
+    # by missing this window), the sentinels fold into the age-sorted
+    # rotation instead — fresh evidence sends them to the back, and they
+    # return to the front once the backlog has slack again.  Harness-level
+    # breakage stays detectable without them: any error row requeues its
+    # name at the head of the NEXT window (_errored_latest).
+    free = max(0, _DRIVER_WINDOW - len(sentinels) - len(requeued)
+               - len(never) - len(deferred))
+    displaced = seen[free:free + len(sentinels)]
+    if any(n in age and latest - age[n] >= period - 1 for n in displaced):
+        # only checked sentinels fold back (an error-latest or never-checked
+        # sentinel genuinely needs its window slot, like any requeued name)
+        fold = [n for n in sentinels if n in checked]
+        seen = sorted(seen + fold, key=seen_key)
+        sentinels = [n for n in sentinels if n not in checked]
     return {n: registry[n] for n in (*sentinels, *requeued, *never, *deferred, *seen)}
 
 

@@ -222,11 +222,29 @@ def test_registry_driver_order_rotates_evidence():
         load_all,
     )
 
+    from azure_func_forem_data_etl_spark.plans.registry import _DRIVER_WINDOW
+
     reg = load_all()
     order = list(reg)
     checked = _officially_checked()
+    age = _latest_round()
+    latest = max(age.values(), default=0)
+    period = -(-len(reg) // _DRIVER_WINDOW)
+    # Sentinels lead ONLY when that displaces no at-the-bound stale name
+    # (r10 ask #3 stale-pressure cede); when ceded, they fold into the
+    # age-sorted checked rotation, so every checked name that precedes a
+    # sentinel must have strictly older evidence.
     sentinels = [n for n in _SENTINELS if n in order]
-    assert order[: len(sentinels)] == sentinels
+    if order[: len(sentinels)] == sentinels:
+        pass  # slack regime: canary leads
+    else:
+        for s in sentinels:
+            assert s in order
+            ahead = [n for n in order[: order.index(s)] if n in checked]
+            assert all(age.get(n, 0) <= age.get(s, 0) for n in ahead), (
+                f"ceded sentinel {s} outranked by fresher checked names"
+            )
+        sentinels = [n for n in sentinels if n not in checked]
     # requeued block (error-latest + compare-mismatch + check-upgraded
     # names) directly after the sentinels, before the never-checked
     # round-robin
@@ -254,15 +272,22 @@ def test_registry_driver_order_rotates_evidence():
     # 2. within each of those two groups, rotation re-checks drain
     #    oldest-official-evidence-first (ties by registry order).
     seen = [n for n in rest if n in checked]
-    terminal_flags = [reg[n].oracle is None for n in seen]
+
+    def parked(n):
+        # terminal-last applies only WITHIN the recurrence bound: an
+        # overdue terminal (age >= period) rejoins the staleness rotation,
+        # else a frozen registry would never re-witness it at all
+        overdue = latest - age.get(n, latest) >= period
+        return reg[n].oracle is None and not overdue
+
+    terminal_flags = [parked(n) for n in seen]
     assert terminal_flags == sorted(terminal_flags), (
-        "terminal rows-only names must sort behind hash-verifiable ones"
+        "in-bound terminal rows-only names must sort behind hash-verifiable ones"
     )
-    age = _latest_round()
     for group_terminal in (False, True):
-        ages = [age.get(n, 0) for n in seen if (reg[n].oracle is None) == group_terminal]
+        ages = [age.get(n, 0) for n in seen if parked(n) == group_terminal]
         assert ages == sorted(ages), (
-            f"checked rotation (terminal={group_terminal}) must drain "
+            f"checked rotation (parked={group_terminal}) must drain "
             f"oldest-official-evidence-first: {ages}"
         )
     # 3. slot yield: the driver's 50-entry window must be dominated by
@@ -272,6 +297,81 @@ def test_registry_driver_order_rotates_evidence():
     window = order[:50]
     n_checkable = sum(reg[n].oracle is not None for n in window)
     assert n_checkable >= 48, f"driver window only {n_checkable}/50 oracle-checkable"
+
+
+def test_registry_sentinel_stale_pressure_cede_unit(tmp_path):
+    """Sentinels lead while the window has slack; once keeping them in
+    front would displace a checked name already AT the recurrence bound
+    (age >= period - 1), they fold into the age-sorted rotation.  An
+    overdue terminal rows-only name (age >= period) rejoins the staleness
+    rotation instead of parking behind every oracle-backed name forever
+    (r10 VERDICT ask #3)."""
+    import json
+
+    from azure_func_forem_data_etl_spark.plans.registry import (
+        _SENTINELS,
+        Query,
+        _driver_order,
+        load_all,
+    )
+    from azure_func_forem_data_etl_spark.plans.registry import REGISTRY
+
+    load_all()
+    fn = next(iter(REGISTRY.values())).fn
+    names = list(_SENTINELS) + [f"q{i:02d}" for i in range(60)]
+    fake = {
+        n: Query(name=n, fn=fn, oracle="SELECT 1 AS one", doc="probe")
+        for n in names
+    }
+    # one terminal rows-only name per regime: t_old last checked r1
+    # (overdue at period=2), t_new checked r3 (in-bound, parks last)
+    fake["t_old"] = Query(name="t_old", fn=fn, oracle=None, doc="probe")
+    fake["t_new"] = Query(name="t_new", fn=fn, oracle=None, doc="probe")
+
+    def rows(ns, err=None):
+        return {n: {"err": err, "spark_rows": 1} for n in ns}
+
+    # ---- pressure regime: 60 q-names stale at r2 (age 1 = period - 1),
+    # the terminal t_old at r1 (age 2 = period: overdue), sentinels r3
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(
+        rows(["t_old"], err="no_oracle")
+    ))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(
+        rows([f"q{i:02d}" for i in range(60)])
+    ))
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps(
+        rows(_SENTINELS) | rows(["t_new"], err="no_oracle")
+    ))
+    order = list(_driver_order(fake, root=tmp_path))
+    # period = ceil(65/50) = 2; displaced head names have age 2 >= 1 => cede
+    assert order[0] != _SENTINELS[0], "sentinels must cede under stale pressure"
+    window = order[:50]
+    assert not set(_SENTINELS) & set(window), (
+        "ceded sentinels (fresh r3 evidence) must not burn window slots"
+    )
+    # overdue terminal rejoins the rotation: inside the window, ahead of
+    # every r3-fresh name; in-bound terminal parks at the very back
+    assert "t_old" in window
+    assert order.index("t_old") < min(order.index(s) for s in _SENTINELS)
+    assert order[-1] == "t_new"
+
+    # ---- slack regime: everything fresh at r3 => sentinels lead
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps(
+        rows(names) | rows(["t_old", "t_new"], err="no_oracle")
+    ))
+    order = list(_driver_order(fake, root=tmp_path))
+    assert order[: len(_SENTINELS)] == list(_SENTINELS)
+
+    # ---- an error-latest sentinel keeps its slot even under pressure
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps(
+        rows(_SENTINELS[1:]) | rows([_SENTINELS[0]], err="Traceback: boom")
+        | rows(["t_new"], err="no_oracle")
+    ))
+    order = list(_driver_order(fake, root=tmp_path))
+    assert order[0] == _SENTINELS[0], (
+        "an error-latest sentinel needs a fresh witness and must lead"
+    )
+    assert _SENTINELS[1] not in order[:50] and _SENTINELS[2] not in order[:50]
 
 
 def test_registry_staleness_rotation_unit(tmp_path):
