@@ -488,3 +488,65 @@ def test_oracle_parity_on_all_blank_docs(spark, all_blank_docs_sf, name):
     q = REGISTRY[name]
     assert_matches_oracle(q.fn(spark, all_blank_docs_sf), q.oracle,
                           all_blank_docs_sf)
+
+
+#: Adversarial-text leg (r11): a corpus of PII look-alikes (emails,
+#: phones, SSNs, URLs, IPs), regex metacharacters as standalone tokens
+#: (".*", "[x]", "a|b", backslashes), quote/apostrophe variants (ASCII
+#: and curly), punctuation runs, numerics (hex, float, scientific), and
+#: embedded tabs/newlines as token separators — the regime where Java
+#: regex (Spark) vs RE2-ish (DuckDB) semantics, tokenizer whitespace
+#: assumptions, and PII patterns would diverge.  The word-salad driver
+#: fixture exercises none of this.  First probe: 92/92 text-family
+#: queries pass — pinned here so regex/tokenizer changes can't regress
+#: onto clean-prose-only evidence.
+_ADV_TOKENS = [
+    "alice@example.com", "bob.smith+tag@mail.co.uk", "555-867-5309",
+    "(415) 555-0100", "+1 212 555 0199", "123-45-6789",
+    "https://example.com/a?b=c&d=e#frag", "http://a.b/c%20d",
+    "192.168.1.1", ".*", "a+b", "[x]", "(y)", "{3}", "a|b", "^start",
+    "end$", "back\\slash", "it's", '"quoted"', "`tick`", "don’t",
+    "!!!", "...", "--", "::", "42", "0xFF", "3.14159", "1e10", "-7",
+    "CamelCase", "snake_case", "kebab-case", "the", "data", "query",
+]
+_ADV_SEPS = [" ", " ", " ", " ", "\t", "\n", " "]
+
+
+@pytest.fixture(scope="session")
+def adversarial_text_sf(tmp_path_factory):
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("randfix_advtext") / "sf"
+    write_random_fixture(d, seed=113, n_docs=300)
+    rng = random.Random(113)
+    texts = []
+    for _ in range(300):
+        n = rng.randint(8, 80)
+        parts = [rng.choice(_ADV_TOKENS) for _ in range(n)]
+        out = parts[0]
+        for p in parts[1:]:
+            out += rng.choice(_ADV_SEPS) + p
+        texts.append(out)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(300), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array([rng.choice(["en", "es", "de", "fr", "zh"])
+                              for _ in range(300)]),
+            "source": pa.array([f"src{rng.randint(0, 19)}"
+                                for _ in range(300)]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _BLANK_SENSITIVE)
+def test_oracle_parity_on_adversarial_text(spark, adversarial_text_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, adversarial_text_sf), q.oracle,
+                          adversarial_text_sf)
