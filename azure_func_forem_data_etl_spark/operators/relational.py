@@ -84,9 +84,16 @@ def watermark_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
            {davg} AS avg_k
     FROM (
         SELECT event_type,
-               CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+               -- TRY_CAST, not CAST: DuckDB evaluates the projection before
+               -- the WHERE below filters >18-digit runs out, so a plain
+               -- CAST still overflows; on surviving rows they are identical
+               TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
         FROM events
         WHERE regexp_extract(props, '"k": (\d+)', 1) <> ''
+          -- int64 guard (r11 adversarial-JSON sweep): a >18-digit run is
+          -- malformed by this query's own definition — route it out
+          -- instead of overflowing the ANSI cast
+          AND length(regexp_extract(props, '"k": (\d+)', 1)) <= 18
     )
     WHERE k > 50
     GROUP BY event_type
@@ -98,7 +105,9 @@ def malformed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     k_str = F.regexp_extract("props", r'"k": (\d+)', 1)
     return (
         events.select("event_type", k_str.alias("k_str"))
-        .filter(F.col("k_str") != "")
+        # the length bound routes >int64 digit runs out as malformed
+        # instead of overflowing the ANSI cast (r11 adversarial sweep)
+        .filter((F.col("k_str") != "") & (F.length("k_str") <= 18))
         .select("event_type", F.col("k_str").cast("bigint").alias("k"))
         .filter(F.col("k") > 50)
         .groupBy("event_type")

@@ -148,42 +148,111 @@ def explode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "json_functions_props",
     oracle="""
-    SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k_doubled
-    FROM events
+    WITH x AS (
+        SELECT event_id,
+               TRY_CAST(props AS JSON) AS j,
+               json_extract_string(TRY_CAST(props AS JSON), '$.k') AS js
+        FROM events
+    ), y AS (
+        SELECT event_id,
+               CASE WHEN regexp_matches(js, '^-?[0-9]{1,18}$')
+                    THEN CAST(js AS BIGINT) END AS k,
+               -- from_json strictness replay: value must be a JSON NUMBER
+               -- (integer-typed) inside int64, and duplicate top-level keys
+               -- disqualify the row (Spark's last-duplicate-wins is not
+               -- mirrorable, so the contract excludes dup-key payloads)
+               CASE WHEN json_type(j) = 'OBJECT'
+                     AND len(json_keys(j)) = len(list_distinct(json_keys(j)))
+                     AND json_type(j, '$.k') IN ('BIGINT', 'UBIGINT')
+                    THEN TRY_CAST(js AS BIGINT) END AS k_struct
+        FROM x
+    )
+    SELECT event_id, k, k_struct, k * 2 AS k_doubled FROM y
     """,
     doc="JSON functions: get_json_object path extract + from_json typed struct.",
 )
 def json_functions_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total on ARBITRARY payloads (r11 adversarial-JSON sweep): ``k`` is
+    the $.k value when it is an optionally-signed <=18-digit integer
+    string (engines agree on first-duplicate-wins, quote-unwrapping, and
+    NULL-on-invalid for path extraction; they diverge on '3.5' casts —
+    DuckDB rounds, Spark NULLs — so the integer gate IS the contract).
+    ``k_struct`` is the strict from_json parse, NULL unless the payload is
+    a unique-key object whose k is an integer-typed JSON number in int64
+    (from_json's last-duplicate-wins cannot be replayed in SQL, so
+    duplicate-key rows are contractually NULL on both engines)."""
     events = table(spark, sf_dir, "events")
-    k_path = F.get_json_object("props", "$.k").cast("bigint")
-    k_struct = F.from_json("props", "k BIGINT")["k"]
+    k_path = F.get_json_object("props", "$.k")
+    k = F.when(k_path.rlike(r"^-?[0-9]{1,18}$"), k_path.cast("bigint"))
+    jok = F.json_object_keys("props")
+    k_struct = F.when(
+        F.size(jok) == F.size(F.array_distinct(jok)),
+        F.from_json("props", "k BIGINT")["k"],
+    )
     return events.select(
         "event_id",
-        k_path.alias("k"),
+        k.alias("k"),
         k_struct.alias("k_struct"),
-        (k_path * 2).alias("k_doubled"),
+        (k * 2).alias("k_doubled"),
     )
+
+
+#: str_to_map's domain: a FLAT single-line object of bare-word keys and
+#: scalar values free of the structural characters the brace/quote/space
+#: strip would corrupt (no commas, colons, braces, quotes, or spaces
+#: inside a value).  Shared verbatim by the Spark gate and the DuckDB
+#: oracle, so both engines agree row-by-row on which payloads parse.
+_FLAT_OBJ_RE = (
+    r'^\{"[A-Za-z0-9_]+": "?[^,{}": ]*"?'
+    r'(, "[A-Za-z0-9_]+": "?[^,{}": ]*"?)*\}$'
+)
+_KEY_RE = r'"([A-Za-z0-9_]+)":'
 
 
 @register(
     "map_functions_props",
-    oracle="""
+    oracle=f"""
+    WITH x AS (
+        SELECT event_id,
+               regexp_matches(props, '{_FLAT_OBJ_RE}')
+                 AND len(regexp_extract_all(props, '{_KEY_RE}', 1))
+                     = len(list_distinct(regexp_extract_all(props, '{_KEY_RE}', 1)))
+                 AS safe,
+               regexp_extract(props, '"k": "?(-?[0-9]{{1,18}})"?[,}}]', 1) AS ks,
+               len(regexp_extract_all(props, '{_KEY_RE}', 1)) AS nk
+        FROM events
+    )
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-           len(json_keys(props)) AS n_keys
-    FROM events
+           CASE WHEN safe AND ks <> '' THEN CAST(ks AS BIGINT) END AS k,
+           CASE WHEN safe THEN nk END AS n_keys
+    FROM x
     """,
     doc="Map functions: str_to_map / element_at / map_keys over the props payload.",
 )
 def map_functions_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total on ARBITRARY payloads (r11 adversarial-JSON sweep): the
+    brace/quote/space strip feeding str_to_map corrupts nested values and
+    duplicate keys crash map construction ([DUPLICATED_MAP_KEY]), so the
+    map is built only behind a shared-regex gate — flat unique-key object
+    of bare-word keys and structural-character-free scalars — that the
+    oracle evaluates verbatim.  Outside the gate every derived column is
+    NULL on both engines."""
     events = table(spark, sf_dir, "events")
-    m = F.str_to_map(F.regexp_replace("props", r'[{}" ]', ""), F.lit(","), F.lit(":"))
+    keys = F.regexp_extract_all("props", F.lit(_KEY_RE), F.lit(1))
+    safe = F.col("props").rlike(_FLAT_OBJ_RE) & (
+        F.size(keys) == F.size(F.array_distinct(keys))
+    )
+    m = F.when(
+        safe,
+        F.str_to_map(
+            F.regexp_replace("props", r'[{}" ]', ""), F.lit(","), F.lit(":")
+        ),
+    )
+    kv = F.try_element_at(m, F.lit("k"))
+    k = F.when(kv.rlike(r"^-?[0-9]{1,18}$"), kv.cast("bigint"))
     return events.select(
         "event_id",
-        F.element_at(m, "k").cast("bigint").alias("k"),
+        k.alias("k"),
         F.size(F.map_keys(m)).alias("n_keys"),
     )
 
@@ -647,13 +716,28 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "variant_shred_props",
     oracle="""
+    WITH p AS (
+        SELECT event_type, TRY_CAST(props AS JSON) AS j FROM events
+    ), x AS (
+        SELECT event_type,
+               -- try_parse_json rejects duplicate-key payloads outright;
+               -- mirror via the top-level key list (scope: the fixtures
+               -- carry no NESTED duplicate keys, which Spark also rejects)
+               CASE WHEN json_type(j) = 'OBJECT'
+                     AND len(json_keys(j)) = len(list_distinct(json_keys(j)))
+                    THEN json_extract_string(j, '$.k') END AS js
+        FROM p
+    ), y AS (
+        SELECT event_type,
+               CASE WHEN regexp_matches(js, '^-?[0-9]{1,18}$')
+                    THEN CAST(js AS BIGINT) END AS k
+        FROM x
+    )
     SELECT event_type,
            COUNT(*) AS n_rows,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-               AS sum_k,
-           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-               AS max_k
-    FROM events
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM y
     GROUP BY event_type
     """,
     doc="VARIANT semi-structured path (Spark 4): parse_json once into the "
@@ -665,9 +749,22 @@ def variant_shred_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     fetch_articles.py:58): VARIANT parses once into a binary encoding that
     downstream typed extractions read without re-parsing, and Parquet
     shredding stores hot paths columnar.  Extraction is codegen'd, so this
-    stays a one-scan plan like every other scalar query."""
+    stays a one-scan plan like every other scalar query.
+
+    Total on ARBITRARY payloads (r11 adversarial-JSON sweep): parse is
+    ``try_parse_json`` (malformed and duplicate-key docs -> NULL variant,
+    where the old FAILFAST ``parse_json`` aborted the job) and ``k``
+    counts only when the string view of $.k is an optionally-signed
+    <=18-digit integer — the gate under which Spark's lenient
+    variant_get long coercion ('012' -> 12) and DuckDB's TRY_CAST agree
+    exactly (outside it they diverge: '3.5' rounds vs truncates vs NULLs,
+    ' 7'/'+8' coerce on one side only)."""
     e = table(spark, sf_dir, "events")
-    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    v = F.try_parse_json("props")
+    ks = F.try_variant_get(v, "$.k", "string")
+    k = F.when(
+        ks.rlike(r"^-?[0-9]{1,18}$"), F.try_variant_get(v, "$.k", "long")
+    )
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")

@@ -550,3 +550,65 @@ def test_oracle_parity_on_adversarial_text(spark, adversarial_text_sf, name):
     q = REGISTRY[name]
     assert_matches_oracle(q.fn(spark, adversarial_text_sf), q.oracle,
                           adversarial_text_sf)
+
+
+#: Adversarial-JSON leg (r11): the events.props payload rewritten so 70%
+#: of rows carry hostile JSON — NULL/empty/truncated docs, non-object
+#: roots, wrong-typed / null / missing k, >int64 and 1e308 numerics,
+#: duplicate top-level keys, escaped control characters, nested objects,
+#: arrays, whitespace variants.  First sweep found four defects: FAILFAST
+#: parse_json aborting the job (variant_shred_props), ANSI CAST overflow
+#: on >int64 digit runs (malformed_filter, json_functions_props), and
+#: [DUPLICATED_MAP_KEY] crashing map construction (map_functions_props).
+#: Each now carries a shared both-engine gate: k counts only as an
+#: optionally-signed <=18-digit integer string, duplicate-key payloads
+#: are contractually NULL, and map parsing hides behind a flat-object
+#: regex the oracle evaluates verbatim.  Scope: no NESTED duplicate keys
+#: in the corpus (Spark's try_parse_json rejects them at any depth; the
+#: SQL mirror checks the top level).
+_PROPS_QUERIES = [
+    "malformed_filter", "pipeline_observe_metrics", "variant_shred_props",
+    "scalar_try_functions", "json_functions_props", "map_functions_props",
+]
+
+_ADV_PROPS = [
+    None, "", "not json at all", "{", '{"k": 1', "[1, 2, 3]", "42",
+    '"bare string"', "null", "true", '{"k": null}', '{"k": "str"}',
+    '{"k": 3.5}', '{"k": -7}', '{"k": 99999999999999999999}',
+    '{"k": 1e308}', '{"k": 12, "extra": {"nested": [1, {"deep": true}]}}',
+    '{"K": 12}', '{"k": 12, "k": 13}', '{"k\\u0020x": 1, "k": 8}',
+    '{"k": "line1\\nline2\\ttab"}', '{"k": "quote\\"inside"}',
+    '{"k": "unicode \\u00e9\\u4e2d"}', '{"k": [1, 2]}', '{"k": {}}',
+    '{ "k" : 5 }', '{"k":5}', '\t{"k": 6}\n', '{"other": 1}',
+    '{"k": 0}', '{"k": 99}',
+]
+
+
+@pytest.fixture(scope="session")
+def adversarial_json_sf(tmp_path_factory):
+    import json
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("randfix_advjson") / "sf"
+    write_random_fixture(d, seed=127, n_events=600)
+    t = pq.read_table(str(d / "events.parquet"))
+    rng = random.Random(127)
+    props = [
+        rng.choice(_ADV_PROPS) if rng.random() < 0.7
+        else json.dumps({"k": rng.randint(0, 99)})
+        for _ in range(t.num_rows)
+    ]
+    cols = {c: t.column(c) for c in t.column_names}
+    cols["props"] = pa.array(props, pa.string())
+    pq.write_table(pa.table(cols), str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _PROPS_QUERIES)
+def test_oracle_parity_on_adversarial_json(spark, adversarial_json_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, adversarial_json_sf), q.oracle,
+                          adversarial_json_sf)
