@@ -663,8 +663,28 @@ def chisq_independence_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'orderkey_fk_exists', (SELECT n_rows FROM base), orphan_fk,
            CAST(orphan_fk = 0 AS INT) FROM fk
+    UNION ALL
+    SELECT 'value_finite', n_rows, nonfinite,
+           CAST(nonfinite = 0 AS INT)
+    FROM (
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN isnan(value) OR isinf(value)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS nonfinite
+        FROM events
+    )
+    UNION ALL
+    SELECT 'embedding_finite', n_rows, nonfinite,
+           CAST(nonfinite = 0 AS INT)
+    FROM (
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN len(list_filter(
+                          CAST(embedding AS DOUBLE[]),
+                          x -> isnan(x) OR isinf(x))) > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS nonfinite
+        FROM embeddings
+    )
     """,
-    doc="Deequ-style declarative DQ expectations in one scan (+1 anti join): null/range/PK-uniqueness/FK rules -> (rule, violations, passed) rows.",
+    doc="Deequ-style declarative DQ expectations in one scan (+1 anti join): null/range/PK-uniqueness/FK/finiteness rules -> (rule, violations, passed) rows.",
 )
 def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The data-quality gate pattern (Deequ/dbt-test shape): a declarative
@@ -673,7 +693,17 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, so adding a rule costs zero extra I/O; only the FK rule needs a
     second relation (broadcast-keyed LEFT ANTI count).  Emitting
     (rule, violations, passed) rows lets a pipeline fail-or-quarantine on
-    `WHERE passed = 0` without recomputing anything."""
+    `WHERE passed = 0` without recomputing anything.
+
+    The ``value_finite`` rule (r11 NaN/Inf probe) is the gate for the
+    engine's whole money-measure surface: the exact-decimal arithmetic
+    backbone (functions/exact.py) that makes the oracles bit-exact cannot
+    represent NaN/±Inf by construction — on EITHER engine — so non-finite
+    measures are a data-quality violation to quarantine at ingest, not a
+    value any downstream aggregate is defined over (COVERAGE.md
+    §Finite-domain contract).  NaN also silently evades plain range rules
+    (NaN < lo and NaN > hi are both false), which is why finiteness needs
+    its own rule."""
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders").select("o_orderkey")
     cnt = F.count("*")
@@ -699,15 +729,49 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
         .count()
     )
+    v = F.col("value")
+    ev = (
+        table(spark, sf_dir, "events")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(F.isnan(v) | (F.abs(v) == F.lit(float("inf"))), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("nonfinite"),
+        )
+        .first()
+    )
+
+    def _nonfinite(x):
+        return F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.exists(
+                    F.col("embedding").cast("array<double>"), _nonfinite
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("nonfinite"),
+        )
+        .first()
+    )
     rules = [
-        ("quantity_not_null", base["null_qty"]),
-        ("quantity_in_1_50", base["range_qty"]),
-        ("discount_in_0_01", base["range_disc"]),
-        ("pk_unique", base["dup_pk"]),
-        ("orderkey_fk_exists", orphans),
+        ("quantity_not_null", base["n_rows"], base["null_qty"]),
+        ("quantity_in_1_50", base["n_rows"], base["range_qty"]),
+        ("discount_in_0_01", base["n_rows"], base["range_disc"]),
+        ("pk_unique", base["n_rows"], base["dup_pk"]),
+        ("orderkey_fk_exists", base["n_rows"], orphans),
+        ("value_finite", ev["n_rows"], ev["nonfinite"]),
+        ("embedding_finite", emb["n_rows"], emb["nonfinite"]),
     ]
     return spark.createDataFrame(
-        [(r, base["n_rows"], int(v), int(v == 0)) for r, v in rules],
+        [(r, n, int(v), int(v == 0)) for r, n, v in rules],
         "rule string, n_rows bigint, violations bigint, passed int",
     )
 

@@ -286,3 +286,60 @@ def test_adaptive_ann_knob_bounds():
     # measured operating points from the r11 recall sweep
     assert _pq_codewords(500) == 32 and _pq_codewords(2000) == 64
     assert _ivf_nprobe(11) == 9 and _ivf_nprobe(42) == 17
+
+
+# ---------------------------------------------------------------------------
+# 7. finite-domain gate: the value_finite DQ rule detects NaN/Inf money
+#    values (the r11 NaN/Inf probe showed the exact-decimal backbone is
+#    definitionally finite on BOTH engines — COVERAGE.md §Finite-domain
+#    contract; this rule is the quarantine gate for that whole regime)
+
+
+@pytest.fixture(scope="module")
+def nan_laced_sf(tmp_path_factory):
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.randfix import write_random_fixture
+
+    d = tmp_path_factory.mktemp("nanlace") / "sf"
+    write_random_fixture(d, seed=137, n_events=200)
+    t = pq.read_table(str(d / "events.parquet"))
+    vals = t.column("value").to_pylist()
+    vals[3], vals[17], vals[42] = math.nan, math.inf, -math.inf
+    cols = {c: t.column(c) for c in t.column_names}
+    cols["value"] = pa.array(vals, pa.float64())
+    pq.write_table(pa.table(cols), str(d / "events.parquet"))
+    e = pq.read_table(str(d / "embeddings.parquet"))
+    embs = e.column("embedding").to_pylist()
+    embs[5][0], embs[9][3] = math.nan, math.inf
+    ecols = {c: e.column(c) for c in e.column_names}
+    ecols["embedding"] = pa.array(embs, pa.list_(pa.float32()))
+    pq.write_table(pa.table(ecols), str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_dq_value_finite_rule_fires_on_nan_inf(spark, nan_laced_sf):
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    q = load_all()["dq_expectations_report"]
+    df = q.fn(spark, nan_laced_sf)
+    assert_matches_oracle(df, q.oracle, nan_laced_sf)
+    rows = {r["rule"]: r for r in df.collect()}
+    row = rows["value_finite"]
+    assert row["violations"] == 3 and row["passed"] == 0
+    assert row["n_rows"] == 200
+    emb = rows["embedding_finite"]
+    assert emb["violations"] == 2 and emb["passed"] == 0
+
+
+def test_dq_value_finite_rule_passes_on_clean_corpus(spark, sf_dir):
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    q = load_all()["dq_expectations_report"]
+    row = {
+        r["rule"]: r for r in q.fn(spark, sf_dir).collect()
+    }["value_finite"]
+    assert row["violations"] == 0 and row["passed"] == 1
