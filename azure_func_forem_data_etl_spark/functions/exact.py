@@ -32,12 +32,25 @@ def davg(col: Column | str) -> Column:
     return F.sum(c.cast(DEC)).cast("double") / F.count(c)
 
 
+# The final decimal->double cast round-trips through STRING on the
+# DuckDB side: once the scale-4 integer exceeds 2^53, DuckDB's direct
+# decimal->double (int128 to double, THEN scale by 10^-4) compounds two
+# roundings and can land 1 ulp off Spark's correctly-rounded BigDecimal
+# cast (first seen on time_weighted_avg_user in the r10 skew sweep; hit
+# the whole dsum backbone in the r11 magnitude-spread sweep).  The
+# string round-trip is correctly rounded on both engines and identical
+# to the direct cast below 2^53.
+
+
 def sql_dsum(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS STRING) AS DOUBLE)"
 
 
 def sql_davg(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE) / COUNT({expr})"
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS STRING) AS DOUBLE)"
+        f" / COUNT({expr})"
+    )
 
 
 # --- exact decimal products -------------------------------------------------
@@ -78,5 +91,29 @@ SQL_REVENUE = (
 SQL_CHARGE = SQL_REVENUE + " * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))"
 
 
+def dround(col: Column, k: int = 4) -> Column:
+    """Cross-engine round(double, k) — round HALF_UP on the double's
+    SHORTEST DECIMAL REPR, identically on both engines.
+
+    Plain round diverges at scaled-half boundaries: DuckDB rounds the
+    scaled double (x * 10^k can land exactly on .5 while x itself sits
+    just below the true half), Spark's Round rounds the double's exact
+    binary expansion — e.g. the Flesch score -3973.06434999999965 rounds
+    to -3973.0644 (DuckDB) vs -3973.0643 (Spark), found by the r11
+    long-docs sweep.  Both engines print doubles as the same shortest
+    repr and parse string->decimal HALF_UP, so the string round-trip is
+    the one rounding both sides compute identically."""
+    c = col.cast("string").cast(f"decimal(38,{k})").cast("double")
+    return c
+
+
+def sql_dround(expr: str, k: int = 4) -> str:
+    """Oracle twin of :func:`dround` (see its divergence note)."""
+    return f"CAST(CAST(CAST({expr} AS STRING) AS DECIMAL(38,{k})) AS DOUBLE)"
+
+
 def sql_decsum(expr: str) -> str:
-    return f"CAST(SUM({expr}) AS DOUBLE)"
+    # STRING round-trip for the same 2^53 reason as sql_dsum (charge
+    # runs at scale 6, so its sum's integer form crosses 2^53 a thousand
+    # times sooner than a scale-4 sum)
+    return f"CAST(CAST(SUM({expr}) AS STRING) AS DOUBLE)"

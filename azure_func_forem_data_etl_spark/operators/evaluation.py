@@ -1593,8 +1593,10 @@ def _poisson_bootstrap_oracle() -> str:
     weighted AS (SELECT b, o_totalprice, {w} AS w FROM pb_hash)
     SELECT CAST(b AS INT) AS replicate,
            CAST(SUM(w) AS BIGINT) AS n_eff,
-           CAST(SUM(w * CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-               AS boot_total
+           -- STRING round-trip: the weighted scale-4 sum passes 2^53 on
+           -- the magnitude-spread domain (see exact.sql_dsum)
+           CAST(CAST(SUM(w * CAST(o_totalprice AS DECIMAL(18,4))) AS STRING)
+                AS DOUBLE) AS boot_total
     FROM weighted GROUP BY 1
     UNION ALL
     SELECT 0, CAST(COUNT(*) AS BIGINT), {sql_dsum('o_totalprice')}

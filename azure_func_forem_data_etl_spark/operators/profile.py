@@ -1240,40 +1240,51 @@ def jackknife_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anova_f_groups",
     oracle="""
     WITH g AS (
+        -- DECIMAL(18,2) factors (not 12,2 — totalprice reaches 1e11+ on
+        -- the magnitude-spread sweep); every decimal->double cast below
+        -- round-trips through VARCHAR because the scale-2/4 integer forms
+        -- sit far past 2^53, where duckdb's direct cast is 1 ulp off
+        -- Spark's correctly-rounded BigDecimal cast (see exact.sql_dsum)
         SELECT o_orderpriority AS grp,
                CAST(COUNT(*) AS BIGINT) AS n_i,
                SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s_i,
-               SUM(CAST(o_totalprice AS DECIMAL(12,2))
-                   * CAST(o_totalprice AS DECIMAL(12,2))) AS q_i
+               -- one factor at 38,2: duckdb evaluates DECIMAL(18)*
+               -- DECIMAL(18) in the narrow int64 width and overflows on
+               -- 1e11-scale totalprices; 38,2 forces the hugeint path
+               SUM(CAST(o_totalprice AS DECIMAL(38,2))
+                   * CAST(o_totalprice AS DECIMAL(18,2))) AS q_i
         FROM orders
         GROUP BY 1
     ),
     tot AS (
         SELECT CAST(SUM(n_i) AS BIGINT) AS n,
-               CAST(SUM(s_i) AS DOUBLE) / CAST(SUM(n_i) AS BIGINT) AS m,
+               CAST(CAST(SUM(s_i) AS STRING) AS DOUBLE)
+                   / CAST(SUM(n_i) AS BIGINT) AS m,
                CAST(COUNT(*) AS BIGINT) AS k
         FROM g
     ),
     part AS (
         -- per-group double contributions, quantized to WHOLE units before
         -- the cross-group sum: at 1e11-1e14 magnitudes any sub-unit round
-        -- scale would push x*10^d past 2^53 where engine round() diverges
-        SELECT CAST(round(g.n_i * (CAST(g.s_i AS DOUBLE) / g.n_i - t.m)
-                          * (CAST(g.s_i AS DOUBLE) / g.n_i - t.m), 0)
-                    AS DECIMAL(28,0)) AS ssb_i,
-               CAST(round(CAST(g.q_i AS DOUBLE)
-                          - CAST(g.s_i AS DOUBLE) * CAST(g.s_i AS DOUBLE) / g.n_i, 0)
-                    AS DECIMAL(28,0)) AS ssw_i,
+        -- scale would put round() past 2^53 where engine round() diverges
+        SELECT CAST(round(g.n_i * (CAST(CAST(g.s_i AS STRING) AS DOUBLE) / g.n_i - t.m)
+                          * (CAST(CAST(g.s_i AS STRING) AS DOUBLE) / g.n_i - t.m), 0)
+                    AS DECIMAL(32,0)) AS ssb_i,
+               CAST(round(CAST(CAST(g.q_i AS STRING) AS DOUBLE)
+                          - CAST(CAST(g.s_i AS STRING) AS DOUBLE)
+                            * CAST(CAST(g.s_i AS STRING) AS DOUBLE) / g.n_i, 0)
+                    AS DECIMAL(32,0)) AS ssw_i,
                t.n, t.k
         FROM g, tot t
     )
     SELECT k AS k_groups, n AS n_total,
-           CAST(SUM(ssb_i) AS DOUBLE) AS ssb,
-           CAST(SUM(ssw_i) AS DOUBLE) AS ssw,
-           round((CAST(SUM(ssb_i) AS DOUBLE) / (k - 1))
-                 / (CAST(SUM(ssw_i) AS DOUBLE) / (n - k)), 6) AS f_stat,
-           round(CAST(SUM(ssb_i) AS DOUBLE)
-                 / (CAST(SUM(ssb_i) AS DOUBLE) + CAST(SUM(ssw_i) AS DOUBLE)), 6)
+           CAST(CAST(SUM(ssb_i) AS STRING) AS DOUBLE) AS ssb,
+           CAST(CAST(SUM(ssw_i) AS STRING) AS DOUBLE) AS ssw,
+           round((CAST(CAST(SUM(ssb_i) AS STRING) AS DOUBLE) / (k - 1))
+                 / (CAST(CAST(SUM(ssw_i) AS STRING) AS DOUBLE) / (n - k)), 6) AS f_stat,
+           round(CAST(CAST(SUM(ssb_i) AS STRING) AS DOUBLE)
+                 / (CAST(CAST(SUM(ssb_i) AS STRING) AS DOUBLE)
+                    + CAST(CAST(SUM(ssw_i) AS STRING) AS DOUBLE)), 6)
                AS eta_sq
     FROM part
     GROUP BY k, n
@@ -1291,16 +1302,17 @@ def anova_f_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form over the k-row rollup.
 
     Determinism: Sx and Sx2 run in the exact decimal domain (x is a
-    2-decimal money value, so x2 at scale 4 is exact); each group's two
-    double contributions are quantized to WHOLE units (decimal(28,0))
+    2-decimal money value, so x2 at scale 4 is exact; 18,2 factor width
+    per the magnitude-spread domain); each group's two
+    double contributions are quantized to WHOLE units (decimal(32,0))
     before the cross-group decimal sum — at their 1e11-1e14 magnitudes a
     finer scale would put round() past 2^53 where Spark (BigDecimal) and
     DuckDB (float multiply) disagree, the failure seen on this query's
     first draft.
     """
     o = table(spark, sf_dir, "orders")
-    x2 = F.col("o_totalprice").cast("decimal(12,2)") * F.col("o_totalprice").cast(
-        "decimal(12,2)"
+    x2 = F.col("o_totalprice").cast("decimal(18,2)") * F.col("o_totalprice").cast(
+        "decimal(18,2)"
     )
     g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
         F.count("*").alias("n_i"),
@@ -1315,14 +1327,14 @@ def anova_f_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     m_i = F.col("s_i").cast("double") / F.col("n_i")
     part = g.crossJoin(F.broadcast(tot)).select(
         F.round(F.col("n_i") * (m_i - F.col("m")) * (m_i - F.col("m")), 0)
-        .cast("decimal(28,0)")
+        .cast("decimal(32,0)")
         .alias("ssb_i"),
         F.round(
             F.col("q_i").cast("double")
             - F.col("s_i").cast("double") * F.col("s_i").cast("double") / F.col("n_i"),
             0,
         )
-        .cast("decimal(28,0)")
+        .cast("decimal(32,0)")
         .alias("ssw_i"),
         "n",
         "k",

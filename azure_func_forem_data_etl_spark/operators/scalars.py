@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from azure_func_forem_data_etl_spark.functions.exact import dsum, sql_dsum
+from azure_func_forem_data_etl_spark.functions.exact import dround, dsum, sql_dsum
 from azure_func_forem_data_etl_spark.plans.registry import register
 from azure_func_forem_data_etl_spark.sources.tables import table
 
@@ -1112,33 +1112,99 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "regression_value_trend",
     oracle="""
-    SELECT event_type,
-           CAST(regr_count(value, epoch_us(ts) / 3600000000.0) AS BIGINT) AS n,
-           round(regr_slope(value, epoch_us(ts) / 3600000000.0), 6) AS slope_per_hour,
-           round(regr_intercept(value, epoch_us(ts) / 3600000000.0), 4) AS intercept,
-           round(regr_r2(value, epoch_us(ts) / 3600000000.0), 6) AS r2
-    FROM events
-    GROUP BY event_type
+    WITH m AS (
+        -- exact OLS moments: x = epoch MICROS (exact integers), y = the
+        -- scale-4 decimal value; every sum is exact decimal, then
+        -- STRING round-trips to correctly-rounded doubles (see
+        -- exact.sql_dsum).  The closed forms below are the identical
+        -- IEEE expression tree the Spark side evaluates, so the outputs
+        -- are bit-equal at ANY magnitude — the r11 magnitude sweep
+        -- showed engine regr_* accumulation-order noise exceeding the
+        -- absolute 4dp rounding step on 1e10-scale intercepts.
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(SUM(epoch_us(ts)) AS STRING) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(epoch_us(ts) AS DECIMAL(38,0))
+                             * epoch_us(ts)) AS STRING) AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING)
+                    AS DOUBLE) AS sy,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,4))
+                             * CAST(value AS DECIMAL(18,4))) AS STRING)
+                    AS DOUBLE) AS syy,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,4))
+                             * epoch_us(ts)) AS STRING) AS DOUBLE) AS sxy
+        FROM events
+        GROUP BY event_type
+    ),
+    d AS (
+        SELECT event_type, n, sx, sy,
+               n * sxy - sx * sy AS num,
+               n * sxx - sx * sx AS den,
+               n * syy - sy * sy AS deny
+        FROM m
+    )
+    SELECT event_type, n,
+           CAST(CAST(CAST(CASE WHEN den > 0
+                    THEN (num / den) * 3600000000.0 END
+               AS STRING) AS DECIMAL(38,6)) AS DOUBLE) AS slope_per_hour,
+           CAST(CAST(CAST(CASE WHEN den > 0
+                    THEN sy / n - (num / den) * (sx / n) END
+               AS STRING) AS DECIMAL(38,4)) AS DOUBLE) AS intercept,
+           CAST(CAST(CAST(CASE WHEN den > 0 AND deny > 0
+                    THEN (num * num) / (den * deny) END
+               AS STRING) AS DECIMAL(38,6)) AS DOUBLE) AS r2
+    FROM d
     """,
-    doc="Per-type OLS trend of value over time (regr_slope / intercept / "
-    "r2 over epoch-hours) — the built-in linear-regression aggregates, "
-    "single shuffle, rounded where the two engines' accumulation orders "
-    "can differ in trailing digits.",
+    doc="Per-type OLS trend of value over time (slope per hour, "
+    "intercept, r2) from exact decimal moments (x = epoch micros, "
+    "y = scale-4 value) — deterministic closed forms, not engine "
+    "regr_* (whose accumulation order diverges at large magnitudes).",
 )
 def regression_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL-standard REGR_* aggregates: one partial-aggregated shuffle
-    computes slope/intercept/R² per group — the decomposable-moments
-    formulation (sums of x, y, xy, x², y²), which is exactly why it
-    scales: no per-group sort, no second pass.  Both engines accumulate
-    doubles in different orders, so outputs are rounded (6/4 dp) rather
-    than bit-compared raw."""
+    """OLS via the decomposable-moments formulation — one
+    partial-aggregated shuffle computes (n, Σx, Σx², Σy, Σy², Σxy) per
+    group, which is exactly why it scales: no per-group sort, no second
+    pass.  Unlike engine ``regr_*`` (double accumulators whose partial-
+    aggregation order is nondeterministic), the moments here are EXACT:
+    x is integer epoch micros, y the scale-4 decimal value, sums run in
+    the decimal domain and convert once — the closed forms are then the
+    same deterministic doubles on any engine and partition order.
+    Degenerate contract: zero x-variance (one event, or all at one
+    micro) leaves slope/intercept undefined (NULL), zero y-variance
+    leaves r2 NULL — mirrored by the oracle CASE guards."""
     events = table(spark, sf_dir, "events")
-    x = F.unix_micros("ts") / F.lit(3600000000.0)  # epoch hours
-    return events.groupBy("event_type").agg(
-        F.regr_count("value", x).cast("long").alias("n"),
-        F.round(F.regr_slope("value", x), 6).alias("slope_per_hour"),
-        F.round(F.regr_intercept("value", x), 4).alias("intercept"),
-        F.round(F.regr_r2("value", x), 6).alias("r2"),
+    us = F.unix_micros("ts")
+    m = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        # decimal-domain sum: epoch-micro sums pass the int64 range at
+        # ~5k rows per group (duckdb auto-promotes BIGINT sums to
+        # hugeint; Spark's long sum would overflow under ANSI)
+        F.sum(us.cast("decimal(38,0)")).cast("string").cast("double").alias("sx"),
+        F.sum(us.cast("decimal(38,0)") * us).cast("string").cast("double").alias("sxx"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("string").cast("double").alias("sy"),
+        F.sum(F.col("value").cast("decimal(38,4)") * F.col("value").cast("decimal(18,4)"))
+        .cast("string").cast("double").alias("syy"),
+        F.sum(F.col("value").cast("decimal(38,4)") * us)
+        .cast("string").cast("double").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope_us = num / den
+    return m.select(
+        "event_type",
+        "n",
+        dround(
+            F.when(den > 0, slope_us * F.lit(3600000000.0)), 6
+        ).alias("slope_per_hour"),
+        dround(
+            F.when(den > 0, F.col("sy") / F.col("n") - slope_us * (F.col("sx") / F.col("n"))),
+            4,
+        ).alias("intercept"),
+        dround(
+            F.when((den > 0) & (deny > 0), (num * num) / (den * deny)), 6
+        ).alias("r2"),
     )
 
 

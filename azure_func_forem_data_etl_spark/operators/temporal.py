@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from azure_func_forem_data_etl_spark.functions.exact import dsum, sql_dsum
+from azure_func_forem_data_etl_spark.functions.exact import dround, dsum, sql_dsum
 from azure_func_forem_data_etl_spark.plans.registry import register
 from azure_func_forem_data_etl_spark.sources.tables import table
 
@@ -266,14 +266,16 @@ def gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, hour_start,
            CAST(sv IS NULL AS INT) AS was_gap,
-           round(CASE
+           -- shortest-repr rounding, see exact.sql_dround (r11 magnitude
+           -- sweep: scaled round flips the 6th dp at 1e9 magnitudes)
+           CAST(CAST(CAST(CASE
                WHEN sv IS NOT NULL THEN sv
                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
                    pv + (nv - pv)
                         * (CAST(date_diff('hour', ph, hour_start) AS DOUBLE)
                            / CAST(date_diff('hour', ph, nh) AS DOUBLE))
                ELSE COALESCE(pv, nv)
-           END, 6) AS filled_sum
+           END AS STRING) AS DECIMAL(38,6)) AS DOUBLE) AS filled_sum
     FROM ctx
     """,
     doc="Gap-fill with LINEAR interpolation between neighboring observed "
@@ -334,7 +336,10 @@ def gapfill_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "hour_start",
         F.col("sv").isNull().cast("int").alias("was_gap"),
-        F.round(
+        # shortest-repr rounding (exact.dround): Spark's exact-expansion
+        # round and duckdb's scaled round disagree on 1e9-magnitude
+        # interpolated values (r11 magnitude sweep)
+        dround(
             F.when(F.col("sv").isNotNull(), F.col("sv"))
             .when(
                 F.col("pv").isNotNull() & F.col("nv").isNotNull(),
@@ -362,7 +367,11 @@ def gapfill_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM o WHERE next_ts IS NOT NULL
     )
     SELECT event_type,
-           CAST(SUM(v * CAST(dt AS DECIMAL(12,0))) AS DOUBLE)
+           -- STRING round-trip: the value x seconds decimal sum's
+           -- scale-4 integer form passes 2^53 on large-magnitude values,
+           -- where duckdb's direct decimal->double cast is 1 ulp off
+           -- Spark's correctly-rounded cast (see exact.sql_dsum)
+           CAST(CAST(SUM(v * CAST(dt AS DECIMAL(12,0))) AS STRING) AS DOUBLE)
                / CAST(SUM(dt) AS DOUBLE) AS twa_value,
            CAST(SUM(dt) AS BIGINT) AS total_seconds
     FROM seg GROUP BY event_type
@@ -970,13 +979,27 @@ ATTR_WINDOW_H = 24  # touches within this many hours before a purchase
 @register(
     "attribution_multi_touch",
     oracle=f"""
+    -- first-write-wins by event_id (r11 dup-keys sweep): at-least-once
+    -- delivery re-emits an id with a drifted payload, and grouping by a
+    -- non-deduped purchase_id merges two payloads with an
+    -- engine-arbitrary ANY_VALUE pick; the earliest (ts, value) row is
+    -- the deterministic representative on both engines (identical rows
+    -- make any pick output-equivalent)
     WITH p AS (
-        SELECT event_id AS purchase_id, user_id, ts AS p_ts, value
-        FROM events WHERE event_type = 'purchase'
+        SELECT event_id AS purchase_id, user_id, ts AS p_ts, value FROM (
+            SELECT event_id, user_id, ts, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_id
+                                      ORDER BY ts, value) AS rn
+            FROM events WHERE event_type = 'purchase'
+        ) WHERE rn = 1
     ),
     c AS (
-        SELECT event_id AS touch_id, user_id, ts AS c_ts
-        FROM events WHERE event_type = 'click'
+        SELECT event_id AS touch_id, user_id, ts AS c_ts FROM (
+            SELECT event_id, user_id, ts,
+                   ROW_NUMBER() OVER (PARTITION BY event_id
+                                      ORDER BY ts, value) AS rn
+            FROM events WHERE event_type = 'click'
+        ) WHERE rn = 1
     ),
     m AS (
         SELECT p.purchase_id, p.user_id, p.value,
@@ -1019,13 +1042,25 @@ def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine.  100 TB: same shape as range_join_followup — per-user
     event lists are small, skew capped by the join residual window."""
     ev = table(spark, sf_dir, "events")
-    p = ev.filter(F.col("event_type") == "purchase").select(
+    # first-write-wins by event_id (see oracle note): deterministic
+    # representative for at-least-once re-deliveries of the same id,
+    # applied per filtered leg exactly like the oracle CTEs
+    fw = Window.partitionBy("event_id").orderBy("ts", "value")
+
+    def first_write(leg):
+        return (
+            leg.withColumn("__rn", F.row_number().over(fw))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    p = first_write(ev.filter(F.col("event_type") == "purchase")).select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
         F.col("ts").alias("p_ts"),
         "value",
     )
-    c = ev.filter(F.col("event_type") == "click").select(
+    c = first_write(ev.filter(F.col("event_type") == "click")).select(
         F.col("event_id").alias("touch_id"),
         F.col("user_id").alias("c_user"),
         F.col("ts").alias("c_ts"),
@@ -1427,7 +1462,14 @@ EWMA_ALPHA = 0.2
       FROM ew e JOIN ordered o
         ON o.user_id = e.user_id AND o.rn = e.rn + 1
     )
-    SELECT user_id, event_id, ts, v AS value, round(s, 6) AS ewma FROM ew
+    -- shortest-repr rounding (exact.sql_dround): at 1e9-magnitude
+    -- smoothed values the scaled round (x*1e6 then half-away) and
+    -- numpy's scaled half-even can land on DIFFERENT 6dp neighbours of
+    -- the same bit-identical s (r11 magnitude sweep) — both sides now
+    -- round the double's shortest decimal repr instead
+    SELECT user_id, event_id, ts, v AS value,
+           CAST(CAST(CAST(s AS STRING) AS DECIMAL(38,6)) AS DOUBLE) AS ewma
+    FROM ew
     """,
     doc=f"Per-user EWMA (alpha={EWMA_ALPHA}) of event values via grouped "
     "Arrow batches — the recursive smoothing no window frame can "
@@ -1453,14 +1495,16 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def smooth(pdf):
         pdf = pdf.sort_values(["ts", "event_id"])
-        pdf["ewma"] = (
-            pdf["value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean().round(6)
-        )
+        pdf["ewma"] = pdf["value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean()
         return pdf
 
+    # 6dp rounding happens OUTSIDE pandas via the shortest-repr contract
+    # (exact.dround): numpy's scaled half-even and duckdb's scaled
+    # half-away can disagree on 1e9-magnitude values (r11 magnitude
+    # sweep) even though the unrounded recurrence is bit-identical
     return ev.groupBy("user_id").applyInPandas(
         smooth, schema="user_id long, event_id long, ts timestamp, value double, ewma double"
-    )
+    ).withColumn("ewma", dround(F.col("ewma"), 6))
 
 
 @register(
@@ -1476,11 +1520,17 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM daily
     ),
     m AS (
+        -- widen one factor to DECIMAL(38,4): duckdb evaluates a
+        -- DECIMAL(18)*DECIMAL(18) product in the narrow operand width
+        -- and overflows on 1e13-scale daily revenues (r11 magnitude
+        -- sweep); the VARCHAR round-trips make the decimal->double
+        -- casts correctly rounded past 2^53 (see exact.sql_dsum)
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-               CAST(SUM(x * y) AS DOUBLE) AS sxy,
-               CAST(SUM(x * x) AS DOUBLE) AS sxx,
-               CAST(SUM(y * y) AS DOUBLE) AS syy
+               CAST(CAST(SUM(x) AS STRING) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(y) AS STRING) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(CAST(x AS DECIMAL(38,4)) * y) AS STRING) AS DOUBLE) AS sxy,
+               CAST(CAST(SUM(CAST(x AS DECIMAL(38,4)) * x) AS STRING) AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(CAST(y AS DECIMAL(38,4)) * y) AS STRING) AS DOUBLE) AS syy
         FROM pairs WHERE x IS NOT NULL
     )
     SELECT n,
@@ -1976,7 +2026,17 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "asof_join_nearest",
     defer=True,
     oracle="""
-    WITH p AS (
+    WITH ev AS MATERIALIZED (
+        -- surrogate row key: the back/fwd directions are re-paired row
+        -- by row below, and event_id alone fans out on at-least-once
+        -- inputs where the same id is delivered twice (r11 dup-keys
+        -- sweep); identical full rows make any rid assignment
+        -- output-equivalent
+        SELECT ROW_NUMBER() OVER (ORDER BY event_id, ts, value) AS rid,
+               event_id, user_id, ts, event_type
+        FROM events
+    ),
+    p AS (
         SELECT user_id, p_ts, p_event_id FROM (
             SELECT user_id, ts AS p_ts, event_id AS p_event_id,
                    ROW_NUMBER() OVER (PARTITION BY user_id, ts
@@ -1985,21 +2045,21 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE rn = 1
     ),
     back AS (
-        SELECT e.event_id, e.user_id, e.ts, p.p_ts AS b_ts,
+        SELECT e.rid, e.event_id, e.user_id, e.ts, p.p_ts AS b_ts,
                p.p_event_id AS b_id
-        FROM events e
+        FROM ev e
         ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.p_ts
     ),
     fwd AS (
-        SELECT e.event_id, p.p_ts AS f_ts, p.p_event_id AS f_id
-        FROM events e
+        SELECT e.rid, p.p_ts AS f_ts, p.p_event_id AS f_id
+        FROM ev e
         ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.p_ts
     ),
     paired AS (
         SELECT b.event_id, b.user_id, b.ts, b.b_ts, b.b_id, f.f_ts, f.f_id,
                epoch_us(b.ts) - epoch_us(b.b_ts) AS db,
                epoch_us(f.f_ts) - epoch_us(b.ts) AS df
-        FROM back b JOIN fwd f ON f.event_id = b.event_id
+        FROM back b JOIN fwd f ON f.rid = b.rid
     )
     SELECT event_id, user_id, ts,
            CASE WHEN db IS NOT NULL AND (df IS NULL OR db <= df)
@@ -2755,28 +2815,40 @@ def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dev AS (
         -- detrended = rev - overall mean; deseasoned = rev - dow mean;
-        -- both means from exact decimal sums
-        SELECT CAST(round(rev - CAST(SUM(CAST(rev AS DECIMAL(18,4))) OVER ()
-                                     AS DOUBLE) / COUNT(*) OVER (), 6)
-                    AS DECIMAL(18,6)) AS d_all,
-               CAST(round(rev - CAST(SUM(CAST(rev AS DECIMAL(18,4)))
-                                     OVER (PARTITION BY dow) AS DOUBLE)
-                                / COUNT(*) OVER (PARTITION BY dow), 6)
-                    AS DECIMAL(18,6)) AS d_dow
+        -- both means from exact decimal sums (STRING round-trips: the
+        -- scale-4 sums pass 2^53 on the magnitude-spread domain).
+        -- Deviations quantize to WHOLE units before squaring (the anova
+        -- pattern): at 1e13-magnitude daily revenues a scale-6 square
+        -- needs 40+ digits — past DECIMAL(38) on both engines — and
+        -- sub-unit scaled round() diverges past 2^53 anyway
+        SELECT CAST(round(rev - CAST(CAST(SUM(CAST(rev AS DECIMAL(18,4)))
+                                          OVER () AS STRING)
+                                     AS DOUBLE) / COUNT(*) OVER (), 0)
+                    AS DECIMAL(20,0)) AS d_all,
+               CAST(round(rev - CAST(CAST(SUM(CAST(rev AS DECIMAL(18,4)))
+                                          OVER (PARTITION BY dow) AS STRING)
+                                     AS DOUBLE)
+                                / COUNT(*) OVER (PARTITION BY dow), 0)
+                    AS DECIMAL(20,0)) AS d_dow
         FROM daily
     ),
     v AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(d_all AS DECIMAL(19,6))
-                        * CAST(d_all AS DECIMAL(19,6))) AS DOUBLE) AS ss_all,
-               CAST(SUM(CAST(d_dow AS DECIMAL(19,6))
-                        * CAST(d_dow AS DECIMAL(19,6))) AS DOUBLE) AS ss_dow
+               CAST(CAST(SUM(CAST(d_all AS DECIMAL(38,0)) * d_all)
+                         AS STRING) AS DOUBLE) AS ss_all,
+               CAST(CAST(SUM(CAST(d_dow AS DECIMAL(38,0)) * d_dow)
+                         AS STRING) AS DOUBLE) AS ss_dow
         FROM dev
     )
     SELECT n AS n_days,
-           round(ss_all / n, 4) AS var_detrended,
-           round(ss_dow / n, 4) AS var_deseasoned,
-           round(GREATEST(0.0, 1.0 - ss_dow / ss_all), 6) AS seasonal_strength
+           -- shortest-repr rounds (exact.sql_dround): plain round's
+           -- scale-then-divide re-rounds 1e25-magnitude doubles
+           CAST(CAST(CAST(ss_all / n AS STRING) AS DECIMAL(38,4)) AS DOUBLE)
+               AS var_detrended,
+           CAST(CAST(CAST(ss_dow / n AS STRING) AS DECIMAL(38,4)) AS DOUBLE)
+               AS var_deseasoned,
+           CAST(CAST(CAST(GREATEST(0.0, 1.0 - ss_dow / ss_all) AS STRING)
+                     AS DECIMAL(38,6)) AS DOUBLE) AS seasonal_strength
     FROM v
     -- degenerate contract (r11 single-row sweep): zero detrended
     -- variance (one day, or a perfectly flat series) leaves the strength
@@ -2810,12 +2882,15 @@ def weekly_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("rev").cast("decimal(18,4)")).over(w_dow).cast("double")
         / F.count("*").over(w_dow)
     )
+    # whole-unit quantization before squaring (anova pattern, see the
+    # oracle note): scale-6 squares overflow 38 digits at 1e13-magnitude
+    # daily revenues, and sub-unit scaled round() diverges past 2^53
     dev = daily.select(
-        F.round(F.col("rev") - mean_all, 6).cast("decimal(18,6)").alias("d_all"),
-        F.round(F.col("rev") - mean_dow, 6).cast("decimal(18,6)").alias("d_dow"),
+        F.round(F.col("rev") - mean_all, 0).cast("decimal(20,0)").alias("d_all"),
+        F.round(F.col("rev") - mean_dow, 0).cast("decimal(20,0)").alias("d_dow"),
     )
     sq = lambda c: F.sum(
-        F.col(c).cast("decimal(19,6)") * F.col(c).cast("decimal(19,6)")
+        F.col(c).cast("decimal(38,0)") * F.col(c)
     ).cast("double")
     v = dev.agg(
         F.count("*").alias("n"), sq("d_all").alias("ss_all"), sq("d_dow").alias("ss_dow")
@@ -2824,9 +2899,9 @@ def weekly_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the filter precedes the ratio projection so ANSI never divides
     return v.filter(F.col("ss_all") > 0).select(
         F.col("n").alias("n_days"),
-        F.round(F.col("ss_all") / F.col("n"), 4).alias("var_detrended"),
-        F.round(F.col("ss_dow") / F.col("n"), 4).alias("var_deseasoned"),
-        F.round(
+        dround(F.col("ss_all") / F.col("n"), 4).alias("var_detrended"),
+        dround(F.col("ss_dow") / F.col("n"), 4).alias("var_deseasoned"),
+        dround(
             F.greatest(F.lit(0.0), 1.0 - F.col("ss_dow") / F.col("ss_all")), 6
         ).alias("seasonal_strength"),
     )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from azure_func_forem_data_etl_spark.functions.exact import dround
 from azure_func_forem_data_etl_spark.plans.registry import register
 from azure_func_forem_data_etl_spark.sources.tables import table
 
@@ -846,6 +847,11 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM c
     )
     SELECT doc_id, n_alpha, n_digit, n_space, n_other,
+           -- + 0.0 normalizes IEEE negative zero: a single-class doc
+           -- (r11 long-docs sweep: one unbroken all-alpha token) makes
+           -- every term 0, and negating the sum yields -0.0 here while
+           -- Spark's round emits +0.0; x + 0.0 is the identity for every
+           -- other value
            round(- (CASE WHEN n_alpha = 0 THEN 0.0
                    ELSE (CAST(n_alpha AS DOUBLE) / n) * log2(CAST(n_alpha AS DOUBLE) / n) END
             + CASE WHEN n_digit = 0 THEN 0.0
@@ -854,7 +860,7 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ELSE (CAST(n_space AS DOUBLE) / n) * log2(CAST(n_space AS DOUBLE) / n) END
             + CASE WHEN n_other = 0 THEN 0.0
                    ELSE (CAST(n_other AS DOUBLE) / n) * log2(CAST(n_other AS DOUBLE) / n) END
-           ), 9) AS class_entropy
+           ), 9) + 0.0 AS class_entropy
     FROM f
     """,
     doc="Character-class entropy (alpha/digit/space/other Shannon "
@@ -893,9 +899,12 @@ def char_class_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_digit",
         "n_space",
         "n_other",
-        F.round(
-            -(term("n_alpha") + term("n_digit") + term("n_space") + term("n_other")),
-            9,  # JVM log vs libm log2 differ in the last ulp
+        (
+            F.round(
+                -(term("n_alpha") + term("n_digit") + term("n_space") + term("n_other")),
+                9,  # JVM log vs libm log2 differ in the last ulp
+            )
+            + F.lit(0.0)  # -0.0 -> +0.0, mirroring the oracle (see note)
         ).alias("class_entropy"),
     )
 
@@ -1588,10 +1597,14 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id, n_words, n_sentences, n_syllables,
-           round(206.835
+           -- shortest-repr rounding (sql_dround): plain round(x, 4)
+           -- rounds the SCALED double and flips the last digit when
+           -- x*10^4 lands exactly on .5 (r11 long-docs sweep: a 4000-
+           -- word single-sentence doc scores -3973.06434999999965)
+           CAST(CAST(CAST(206.835
                  - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
-                 - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
-               AS flesch_score
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)
+               AS STRING) AS DECIMAL(38,4)) AS DOUBLE) AS flesch_score
     FROM m WHERE n_words > 0
     """,
     doc="Flesch reading-ease per doc from regex word/sentence/vowel-group counts; identical IEEE formula tree on both engines.",
@@ -1617,7 +1630,7 @@ def readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("n_words") > 0)
     return m.withColumn(
         "flesch_score",
-        F.round(
+        dround(
             206.835
             - 1.015 * (F.col("n_words").cast("double") / F.col("n_sentences"))
             - 84.6 * (F.col("n_syllables").cast("double") / F.col("n_words")),

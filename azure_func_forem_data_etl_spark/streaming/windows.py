@@ -95,7 +95,12 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_dedup_watermark",
     oracle="""
-    SELECT event_type, COUNT(*) AS n_unique
+    -- COUNT(DISTINCT event_id), not COUNT(*): the SOURCE itself may
+    -- carry at-least-once re-deliveries of an id (r11 dup-keys sweep),
+    -- and the dedup keeps one row per id; a retry's event_type is the
+    -- same logical event's type, so the per-type distinct-id count is
+    -- well-defined
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
     FROM events
     GROUP BY event_type
     """,

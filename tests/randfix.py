@@ -68,6 +68,9 @@ def write_random_fixture(
     zero_vec_every: int = 0,
     single_label: bool = False,
     ts_eras: bool | str = False,
+    magnitude_spread: bool = False,
+    long_docs: int = 0,
+    dup_event_frac: float = 0.0,
 ) -> str:
     """``ts_grain_s`` > 0 truncates event timestamps to that many seconds
     (and drops the microsecond part), manufacturing heavy timestamp TIES —
@@ -88,12 +91,35 @@ def write_random_fixture(
     Structured Streaming's initial watermark is epoch 0, so stateful
     streaming queries drop pre-1970 event times as late-by-definition
     (platform semantic, probed r11) — the streaming sweep leg runs in
-    that defined domain."""
+    that defined domain.  ``magnitude_spread`` multiplies each money
+    value by a log-uniform power of ten (per-column cap chosen just
+    inside that column's DECLARED decimal width — l_extendedprice stays
+    under DECIMAL(9,2)'s 1e7, value/totalprice/acctbal under
+    DECIMAL(18,4) with sum headroom) — the regime where double-domain
+    summation order, catastrophic cancellation, and decimal re-cast
+    overflows bite.  ``long_docs`` > 0 rewrites that many documents as
+    extreme-length shapes: tens-of-KB running text, a single unbroken
+    8k-char token, one word repeated thousands of times, and a long
+    multibyte (CJK/emoji) body — the regime where tokenizers, shingle
+    counts, and the byte-replay oracles meet length extremes.
+    ``dup_event_frac`` > 0 re-emits that fraction of events with the
+    SAME event_id but a different ts/value/props payload — the
+    at-least-once-delivery shape where any dedup-by-key that keeps an
+    engine-arbitrary row (Spark dropDuplicates vs a SQL tie-break)
+    silently diverges; invisible on the unique-key driver fixtures."""
     eras = _TS_ERAS[2:] if ts_eras == "post1970" else _TS_ERAS
     rng = random.Random(seed)
 
-    def money(lo: float, hi: float) -> float:
-        return 100.0 if const_values else round(rng.uniform(lo, hi), 2)
+    def money(lo: float, hi: float, mag: int = 0) -> float:
+        if const_values:
+            return 100.0
+        v = rng.uniform(lo, hi)
+        if magnitude_spread and mag:
+            # log-uniform exponent: tiny cents through the column's
+            # declared-width headroom; keeps every value in-domain for
+            # the decimal casts the engine declares (see docstring)
+            v *= 10.0 ** rng.randint(-2, mag)
+        return round(v, 2)
     d = Path(dirpath)
     d.mkdir(parents=True, exist_ok=True)
     ts_us = pa.timestamp("us")
@@ -113,7 +139,7 @@ def write_random_fixture(
          {"c_custkey": list(range(1, n_customers + 1)),
           "c_name": [f"Customer#{i:09d}" for i in range(1, n_customers + 1)],
           "c_nationkey": [rng.randrange(25) for _ in range(n_customers)],
-          "c_acctbal": [money(-999.99, 9999.99) for _ in range(n_customers)],
+          "c_acctbal": [money(-999.99, 9999.99, mag=6) for _ in range(n_customers)],
           "c_mktsegment": [rng.choice(_SEGMENTS) for _ in range(n_customers)]},
          {"c_custkey": pa.int64(), "c_name": pa.string(),
           "c_nationkey": pa.int32(), "c_acctbal": pa.float64(),
@@ -123,7 +149,7 @@ def write_random_fixture(
          {"s_suppkey": list(range(1, n_suppliers + 1)),
           "s_name": [f"Supplier#{i:09d}" for i in range(1, n_suppliers + 1)],
           "s_nationkey": [rng.randrange(25) for _ in range(n_suppliers)],
-          "s_acctbal": [money(-999.99, 9999.99)
+          "s_acctbal": [money(-999.99, 9999.99, mag=6)
                         for _ in range(n_suppliers)]},
          {"s_suppkey": pa.int64(), "s_name": pa.string(),
           "s_nationkey": pa.int32(), "s_acctbal": pa.float64()})
@@ -134,7 +160,7 @@ def write_random_fixture(
           "p_brand": [f"Brand#{rng.randint(1, 25)}" for _ in range(n_parts)],
           "p_type": [rng.choice(_PTYPES) for _ in range(n_parts)],
           "p_size": [rng.randint(1, 50) for _ in range(n_parts)],
-          "p_retailprice": [money(900.0, 2000.0)
+          "p_retailprice": [money(900.0, 2000.0, mag=3)
                             for _ in range(n_parts)]},
          {"p_partkey": pa.int64(), "p_name": pa.string(),
           "p_brand": pa.string(), "p_type": pa.string(),
@@ -153,7 +179,7 @@ def write_random_fixture(
          {"o_orderkey": list(range(1, n_orders + 1)),
           "o_custkey": [rng.randint(1, n_customers) for _ in range(n_orders)],
           "o_orderstatus": [rng.choice("OFP") for _ in range(n_orders)],
-          "o_totalprice": [money(900.0, 300000.0) for _ in range(n_orders)],
+          "o_totalprice": [money(900.0, 300000.0, mag=6) for _ in range(n_orders)],
           "o_orderdate": odates,
           "o_orderpriority": [rng.choice(_PRIOS) for _ in range(n_orders)]},
          {"o_orderkey": pa.int64(), "o_custkey": pa.int64(),
@@ -173,7 +199,7 @@ def write_random_fixture(
             li["l_suppkey"].append(rng.randint(1, n_suppliers))
             li["l_linenumber"].append(ln)
             li["l_quantity"].append(float(rng.randint(1, 50)))
-            li["l_extendedprice"].append(money(900.0, 100000.0))
+            li["l_extendedprice"].append(money(900.0, 100000.0, mag=1))
             # discount/tax stay random even under const_values: they are
             # fractions, and 100.0 would be out-of-domain
             li["l_discount"].append(round(rng.uniform(0.0, 0.1), 2))
@@ -206,16 +232,36 @@ def write_random_fixture(
         return _T0 + dt.timedelta(seconds=s, microseconds=rng.randint(0, 999_999))
 
     etypes = [rng.choice(_ETYPES) for _ in range(n_events)]
-    _tbl(d, "events",
-         {"event_id": list(range(n_events)),
-          "ts": [_event_ts(et) for et in etypes],
-          "user_id": [1 if rng.random() < hot_frac else rng.randint(1, n_customers)
-                      for _ in range(n_events)],
-          "event_type": etypes,
-          "value": [money(0.5, 200.0) for _ in range(n_events)],
-          "props": [None if rng.random() < null_frac
-                    else json.dumps({"k": rng.randint(0, 99)})
-                    for _ in range(n_events)]},
+    ev = {
+        "event_id": list(range(n_events)),
+        "ts": [_event_ts(et) for et in etypes],
+        "user_id": [1 if rng.random() < hot_frac else rng.randint(1, n_customers)
+                    for _ in range(n_events)],
+        "event_type": etypes,
+        "value": [money(0.5, 200.0, mag=7) for _ in range(n_events)],
+        "props": [None if rng.random() < null_frac
+                  else json.dumps({"k": rng.randint(0, 99)})
+                  for _ in range(n_events)],
+    }
+    if dup_event_frac > 0:
+        # re-deliver a sample of events: same event_id/type/user (a retry
+        # is the same logical event) but a DIFFERENT value/props payload
+        # and a ts skewed up to 30 min after the original — inside any
+        # 1-hour lateness bound (a realistic at-least-once retry), so
+        # watermark-scoped dedup still sees both copies, while any
+        # dedup-by-key that keeps an engine-arbitrary row diverges
+        for i in range(n_events):
+            if rng.random() >= dup_event_frac:
+                continue
+            ev["event_id"].append(ev["event_id"][i])
+            ev["event_type"].append(ev["event_type"][i])
+            ev["user_id"].append(ev["user_id"][i])
+            ev["ts"].append(ev["ts"][i] + dt.timedelta(
+                seconds=rng.randint(1, 1800),
+                microseconds=rng.randint(0, 999_999)))
+            ev["value"].append(money(0.5, 200.0, mag=7))
+            ev["props"].append(json.dumps({"k": rng.randint(0, 99)}))
+    _tbl(d, "events", ev,
          {"event_id": pa.int64(), "ts": ts_us, "user_id": pa.int64(),
           "event_type": pa.string(), "value": pa.float64(),
           "props": pa.string()})
@@ -231,6 +277,24 @@ def write_random_fixture(
     # plant exact duplicates and near-duplicates like the driver fixture
     for i in range(0, min(20, n_docs - 1), 2):
         texts[i + 1] = texts[i] if i % 4 == 0 else texts[i] + " extra tail"
+    # extreme-length documents (long-docs leg), planted at the tail so
+    # they never collide with the duplicate pairs above: running text in
+    # the tens of KB, one unbroken 8k-char token (a "word" longer than
+    # any shingle window), one word repeated thousands of times (maximal
+    # n-gram repetition), and a long multibyte body (CJK + emoji — the
+    # byte-replay oracles at length, where bytes != chars)
+    for j in range(min(long_docs, max(0, n_docs - 21))):
+        shape = j % 4
+        if shape == 0:
+            words = [rng.choice(_WORDS) for _ in range(4000)]
+            t = " ".join(words)  # ~24k chars of ordinary prose
+        elif shape == 1:
+            t = "".join(rng.choice("abcdefgh") for _ in range(8000))
+        elif shape == 2:
+            t = " ".join([rng.choice(_WORDS)] * 4000)
+        else:
+            t = "数据处理引擎🚀高速向量 " * 1000  # ~12k chars, ~34k bytes
+        texts[n_docs - 1 - j] = t
     _tbl(d, "documents",
          {"doc_id": list(range(n_docs)),
           "text": texts,

@@ -612,3 +612,86 @@ def test_oracle_parity_on_adversarial_json(spark, adversarial_json_sf, name):
     q = REGISTRY[name]
     assert_matches_oracle(q.fn(spark, adversarial_json_sf), q.oracle,
                           adversarial_json_sf)
+
+
+#: Magnitude-spread leg (r11): every money column multiplied by a
+#: log-uniform power of ten, capped just inside its DECLARED decimal
+#: width (events.value to 2e9, o_totalprice to 3e11, l_extendedprice
+#: under DECIMAL(9,2)'s 1e7).  The regime where scale-4 decimal sums
+#: pass 2^53 — duckdb's direct decimal->double cast compounds two
+#: roundings there and lands 1 ulp off Spark's correctly-rounded cast —
+#: and where scaled round() (x*10^k then half-away) flips last digits.
+#: Its first run failed 11 queries in 4 classes: the whole sql_dsum /
+#: sql_decsum oracle backbone (now STRING round-tripped), too-narrow
+#: DECIMAL(12,2) anova factors + duckdb's narrow-width DECIMAL(18)
+#: multiply (anova, autocorr), scaled-round flips (ewma, gapfill
+#: interp, poisson bootstrap, weekly seasonal), and engine regr_*
+#: accumulation noise exceeding absolute 4dp rounding
+#: (regression_value_trend, rebuilt on exact decimal moments).
+@pytest.fixture(scope="session")
+def magnitude_sf(tmp_path_factory):
+    return write_random_fixture(
+        tmp_path_factory.mktemp("randfix_mag") / "sf", seed=77,
+        magnitude_spread=True,
+    )
+
+
+@pytest.mark.parametrize("name", _ORACLE_BACKED)
+def test_oracle_parity_on_magnitude_spread(spark, magnitude_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, magnitude_sf), q.oracle, magnitude_sf)
+
+
+#: Long-documents leg (r11): a dozen documents rewritten as extreme
+#: length shapes — ~24k-char running prose, a single unbroken 8k-char
+#: token, one word repeated 4000 times, and a ~34k-byte multibyte
+#: (CJK + emoji) body.  The regime where tokenizer/shingle counts,
+#: whole-text byte replays, and per-doc statistics meet length
+#: extremes.  Its first run found two divergences: IEEE negative zero
+#: from a single-class entropy (char_class_entropy, normalized with
+#: + 0.0 on both engines) and a scaled-half rounding flip on a
+#: 4000-word single-sentence Flesch score (readability_flesch, now on
+#: the shortest-repr dround contract).
+_LONGDOC_SENSITIVE = sorted(
+    n for n, q in REGISTRY.items()
+    if q.fn.__module__.rsplit(".", 1)[-1] in _TEXT_FAMILIES
+    and q.oracle is not None
+)
+
+
+@pytest.fixture(scope="session")
+def longdocs_sf(tmp_path_factory):
+    return write_random_fixture(
+        tmp_path_factory.mktemp("randfix_long") / "sf", seed=78,
+        long_docs=12, n_docs=120,
+    )
+
+
+@pytest.mark.parametrize("name", _LONGDOC_SENSITIVE)
+def test_oracle_parity_on_long_docs(spark, longdocs_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, longdocs_sf), q.oracle, longdocs_sf)
+
+
+#: Duplicate-event-id leg (r11): 30% of events re-delivered with the
+#: SAME event_id/type/user but a drifted ts (≤30 min, inside any 1-hour
+#: lateness bound) and a different value/props payload — the
+#: at-least-once-delivery shape, invisible on the unique-key driver
+#: fixtures.  Its first run found three divergences: the asof oracle's
+#: re-pair by event_id fanned out (now paired on a surrogate row key),
+#: attribution grouped two payloads under one purchase_id with an
+#: engine-arbitrary ANY_VALUE pick (now first-write-wins dedup on both
+#: engines), and the streaming dedup oracle counted rows where the
+#: engine counts ids (now COUNT(DISTINCT event_id)).
+@pytest.fixture(scope="session")
+def dupkeys_sf(tmp_path_factory):
+    return write_random_fixture(
+        tmp_path_factory.mktemp("randfix_dup") / "sf", seed=79,
+        dup_event_frac=0.3,
+    )
+
+
+@pytest.mark.parametrize("name", _ORACLE_BACKED)
+def test_oracle_parity_on_dup_event_ids(spark, dupkeys_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, dupkeys_sf), q.oracle, dupkeys_sf)

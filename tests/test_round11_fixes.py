@@ -343,3 +343,83 @@ def test_dq_value_finite_rule_passes_on_clean_corpus(spark, sf_dir):
         r["rule"]: r for r in q.fn(spark, sf_dir).collect()
     }["value_finite"]
     assert row["violations"] == 0 and row["passed"] == 1
+
+# ---------------------------------------------------------------------------
+# 5. the magnitude-sweep rounding contracts (r11): shortest-repr rounding
+#    (exact.dround / sql_dround) and the STRING-round-tripped
+#    decimal->double casts must agree bit-exactly on the exact boundary
+#    values that split the engines' native round/cast implementations
+
+
+def test_dround_agrees_at_scaled_half_boundary(spark):
+    """-3973.06434999999965…: x*1e4 lands EXACTLY on -39730643.5 in
+    double, so duckdb's native round(x, 4) flips to -3973.0644 while
+    Spark's exact-expansion Round gives -3973.0643 (the
+    readability_flesch find).  Both sides of the dround contract must
+    produce the same double here."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from azure_func_forem_data_etl_spark.functions.exact import (
+        dround,
+        sql_dround,
+    )
+
+    # double literals on BOTH engines (Spark SQL parses bare 206.835 as
+    # a decimal; the D suffix forces the double arithmetic the flesch
+    # query performs via Column ops)
+    sp_expr = "206.835D - 1.015D * 4000.0D - 84.6D * (5669.0D / 4000.0D)"
+    dk_expr = ("206.835::DOUBLE - 1.015::DOUBLE * 4000.0::DOUBLE "
+               "- 84.6::DOUBLE * (5669.0::DOUBLE / 4000.0::DOUBLE)")
+    got = (
+        spark.range(1)
+        .select(dround(F.expr(sp_expr), 4).alias("r"))
+        .collect()[0]["r"]
+    )
+    want = duckdb.sql(
+        f"SELECT {sql_dround(f'({dk_expr})', 4)} AS r"
+    ).fetchone()[0]
+    assert got == want == -3973.0643
+    # duckdb's NATIVE round really does disagree — the reason the
+    # contract exists (if an engine upgrade changes this, revisit)
+    native = duckdb.sql(f"SELECT round(({dk_expr}), 4)").fetchone()[0]
+    assert native == -3973.0644
+
+
+def test_sql_dsum_string_trip_past_2_53(spark, tmp_path):
+    """The decimal sum 7114608573322.4500 (the agg_distinct find): its
+    scale-4 integer form 71146085733224500 is past 2^53, where duckdb's
+    direct decimal->double cast (int128 to double, then /1e4) lands on
+    7114608573322.449 — one ulp under the correctly-rounded
+    7114608573322.45 Spark computes.  sql_dsum's STRING round-trip must
+    restore bit-agreement."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from azure_func_forem_data_etl_spark.functions.exact import (
+        dsum,
+        sql_dsum,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"v": pa.array([7114608573322.0, 0.45], pa.float64())}),
+        str(d / "t.parquet"),
+    )
+    got = (
+        spark.read.parquet(str(d / "t.parquet"))
+        .agg(dsum("v").alias("s"))
+        .collect()[0]["s"]
+    )
+    want = duckdb.sql(
+        f"SELECT {sql_dsum('v')} AS s FROM read_parquet('{d}/t.parquet')"
+    ).fetchone()[0]
+    assert got == want == 7114608573322.45
+    direct = duckdb.sql(
+        "SELECT CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) "
+        f"FROM read_parquet('{d}/t.parquet')"
+    ).fetchone()[0]
+    assert direct == 7114608573322.449  # the bug the trip fixes
