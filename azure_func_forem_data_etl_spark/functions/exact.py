@@ -92,24 +92,55 @@ SQL_CHARGE = SQL_REVENUE + " * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(
 
 
 def dround(col: Column, k: int = 4) -> Column:
-    """Cross-engine round(double, k) — round HALF_UP on the double's
-    SHORTEST DECIMAL REPR, identically on both engines.
+    """Cross-engine round(double, k), total on every finite double.
 
     Plain round diverges at scaled-half boundaries: DuckDB rounds the
     scaled double (x * 10^k can land exactly on .5 while x itself sits
     just below the true half), Spark's Round rounds the double's exact
     binary expansion — e.g. the Flesch score -3973.06434999999965 rounds
     to -3973.0644 (DuckDB) vs -3973.0643 (Spark), found by the r11
-    long-docs sweep.  Both engines print doubles as the same shortest
-    repr and parse string->decimal HALF_UP, so the string round-trip is
-    the one rounding both sides compute identically."""
-    c = col.cast("string").cast(f"decimal(38,{k})").cast("double")
-    return c
+    long-docs sweep.  The contract instead rounds HALF_UP on the
+    double's SHORTEST DECIMAL REPR, which both engines print
+    identically, in three regimes (r11 embedding-magnitude sweep):
+
+    - ``|x| < 0.5 * 10^-k``: exactly 0.0.  DuckDB 1.0's scientific
+      string->decimal parse rounds on the FIRST SIGNIFICANT digit
+      regardless of exponent depth ('9e-30'::DECIMAL(38,6) = 1e-6), so
+      sub-half-quantum values must short-circuit before the parse.
+    - ``|x| >= 1e15``: identity.  Above 2^53-ish the quantum is far
+      below ulp(x) so true rounding is a no-op anyway, and the parse
+      becomes untrustworthy: DuckDB prints such doubles in scientific
+      notation and its scientific decimal parse keeps only ~15 mantissa
+      digits ('1.5000000000000002e+20' loses the trailing 2).
+    - mid range: string -> DECIMAL(38,k) -> string -> double.  Both
+      engines print the same shortest repr (plain notation throughout
+      this range), parse string->decimal HALF_UP, print decimals with
+      exact digits, and parse string->double correctly rounded — no
+      step relies on either engine's direct decimal<->double cast
+      (DuckDB's is 1 ulp off past 2^53, see sql_dsum)."""
+    q = F.lit(0.5 * 10.0 ** (-k))
+    mid = (
+        col.cast("string")
+        .cast(f"decimal(38,{k})")
+        .cast("string")
+        .cast("double")
+    )
+    return (
+        F.when(F.abs(col) < q, F.lit(0.0))
+        .when(F.abs(col) >= F.lit(1e15), col + F.lit(0.0))
+        .otherwise(mid)
+    )
 
 
 def sql_dround(expr: str, k: int = 4) -> str:
-    """Oracle twin of :func:`dround` (see its divergence note)."""
-    return f"CAST(CAST(CAST({expr} AS STRING) AS DECIMAL(38,{k})) AS DOUBLE)"
+    """Oracle twin of :func:`dround` (see its regime notes)."""
+    x = f"({expr})"
+    mid = f"CAST(CAST(CAST(CAST(CAST({x} AS STRING) AS DECIMAL(38,{k})) AS STRING) AS DOUBLE) AS DOUBLE)"
+    return (
+        f"(CASE WHEN ABS({x}) < {0.5 * 10.0 ** (-k)!r} THEN 0.0 "
+        f"WHEN ABS({x}) >= 1e15 THEN {x} + 0.0 "
+        f"ELSE {mid} END)"
+    )
 
 
 def sql_decsum(expr: str) -> str:

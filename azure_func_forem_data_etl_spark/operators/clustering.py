@@ -37,7 +37,9 @@ from pyspark.sql import functions as F
 from azure_func_forem_data_etl_spark.operators.similarity import (
     _np_matrix,
     _sample_centroids,
+    bounded_components,
     ivf_topk,
+    sql_bounded_components,
 )
 from azure_func_forem_data_etl_spark.plans.registry import register
 from azure_func_forem_data_etl_spark.sources.tables import scale_out, table
@@ -393,7 +395,7 @@ def pca_project(emb: DataFrame, mean: np.ndarray, comps: np.ndarray) -> DataFram
     # inequalities are generically slack (dim=64 >> 2 components, and the
     # Marchenko-Pastur top-eigenvalue gap at n=500/dim=64 is far above
     # float noise), so rounding cannot flip them.
-    oracle="""
+    oracle=f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
            0.0 AS mean_pc1,
            0.0 AS mean_pc2,
@@ -401,7 +403,10 @@ def pca_project(emb: DataFrame, mean: np.ndarray, comps: np.ndarray) -> DataFram
            1 AS var_ordered,
            1 AS pc1_dominates_axes,
            1 AS within_total_var
-    FROM embeddings
+    -- quantized-moment domain (r11 embedding-magnitude sweep): at 1e25
+    -- components the zero-mean/orthogonality identities drown in
+    -- catastrophic cancellation far above the 4dp rounding grain
+    FROM embeddings WHERE {sql_bounded_components('embedding')}
     """,
     doc="Distributed PCA: mergeable second-moment partials -> driver "
     "eigh -> broadcast top-2 projection; registered as the projection's "
@@ -413,8 +418,12 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimensionality reduction for embedding-space inspection/indexing.
     The unit tests additionally pin orthonormal loadings and deterministic
     signs; this query hash-checks the score-level identities against the
-    oracle's constants + exact count."""
-    emb = table(spark, sf_dir, "embeddings")
+    oracle's constants + exact count.  Out-of-domain vectors
+    (|component| >= 1e4) are excluded wholesale — see
+    similarity.EMB_COMPONENT_BOUND."""
+    emb = table(spark, sf_dir, "embeddings").filter(
+        bounded_components("embedding")
+    )
     schema = (
         "n_vectors long, mean_pc1 double, mean_pc2 double, "
         "score_dot_n double, var_ordered int, pc1_dominates_axes int, "
@@ -661,11 +670,13 @@ def semdedup(
 @register(
     "label_centroid_similarity",
     defer=True,
-    oracle="""
+    oracle=f"""
     WITH pos AS (
         SELECT label, i, CAST(round(CAST(embedding[i] AS DOUBLE), 6)
                               AS DECIMAL(18,6)) AS v
         FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+        -- quantized-moment domain (see similarity.EMB_COMPONENT_BOUND)
+        WHERE {sql_bounded_components('embedding')}
     ),
     cent AS (
         SELECT label, i,
@@ -674,9 +685,9 @@ def semdedup(
     ),
     pair_terms AS (
         SELECT a.label AS label_a, b.label AS label_b,
-               CAST(round(a.c * b.c, 12) AS DECIMAL(18,12)) AS ab,
-               CAST(round(a.c * a.c, 12) AS DECIMAL(18,12)) AS aa,
-               CAST(round(b.c * b.c, 12) AS DECIMAL(18,12)) AS bb
+               CAST(round(a.c * b.c, 12) AS DECIMAL(22,12)) AS ab,
+               CAST(round(a.c * a.c, 12) AS DECIMAL(22,12)) AS aa,
+               CAST(round(b.c * b.c, 12) AS DECIMAL(22,12)) AS bb
         FROM cent a JOIN cent b ON b.i = a.i AND a.label < b.label
     )
     SELECT label_a, label_b,
@@ -702,7 +713,9 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a (labels x dim)-bounded key space; the pair join runs on the
     labels x dim centroid table (640 rows here).
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").filter(
+        bounded_components("embedding")
+    )
     pos = emb.select(
         "label", F.posexplode("embedding").alias("i0", "x")
     ).select(
@@ -721,9 +734,9 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label_a",
             "label_b",
-            F.round(F.col("ca") * F.col("cb"), 12).cast("decimal(18,12)").alias("ab"),
-            F.round(F.col("ca") * F.col("ca"), 12).cast("decimal(18,12)").alias("aa"),
-            F.round(F.col("cb") * F.col("cb"), 12).cast("decimal(18,12)").alias("bb"),
+            F.round(F.col("ca") * F.col("cb"), 12).cast("decimal(22,12)").alias("ab"),
+            F.round(F.col("ca") * F.col("ca"), 12).cast("decimal(22,12)").alias("aa"),
+            F.round(F.col("cb") * F.col("cb"), 12).cast("decimal(22,12)").alias("bb"),
         )
     )
     return terms.groupBy("label_a", "label_b").agg(

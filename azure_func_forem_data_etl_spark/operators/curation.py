@@ -666,7 +666,13 @@ ES_HASH_P = 1_000_003
     SELECT doc_id, n_chars, round(es_key, 8) AS es_key
     FROM (
         SELECT doc_id, n_chars,
-               ln((CAST((doc_id * {ES_HASH_C}) % {ES_HASH_P} AS DOUBLE) + 0.5)
+               -- pmod the id FIRST (r11 id-domain sweep): ids are opaque
+               -- int64s — a raw doc_id * C overflows near 2^62 and a
+               -- negative id makes truncated % negative (ln() of a
+               -- negative u); (id mod P)*C mod P is the same residue on
+               -- every id, bounded under P*C ~ 2.7e15
+               ln((CAST((((doc_id % {ES_HASH_P}) + {ES_HASH_P}) % {ES_HASH_P}
+                         * {ES_HASH_C}) % {ES_HASH_P} AS DOUBLE) + 0.5)
                   / {ES_HASH_P}) / n_chars AS es_key
         -- zero-weight docs can never be sampled (A-ES key undefined);
         -- the filter also keeps Spark's ANSI division alive on blank
@@ -694,8 +700,11 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver) — one pass, no shuffle of the corpus, exactly how you sample
     a 100 TB corpus by token weight."""
     docs = table(spark, sf_dir, "documents")
+    # pmod-first id reduction: same residue on every id, overflow- and
+    # sign-safe (see oracle note; r11 id-domain sweep)
     u = (
-        ((F.col("doc_id") * F.lit(ES_HASH_C)) % F.lit(ES_HASH_P)).cast("double")
+        ((F.pmod(F.col("doc_id"), F.lit(ES_HASH_P)) * F.lit(ES_HASH_C))
+         % F.lit(ES_HASH_P)).cast("double")
         + F.lit(0.5)
     ) / F.lit(float(ES_HASH_P))
     key = F.log(u) / F.col("n_chars")

@@ -18,7 +18,7 @@ count is identical to the naive a<b<c enumeration the oracle runs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from azure_func_forem_data_etl_spark.plans.registry import register
@@ -421,14 +421,30 @@ def pointer_jumping_roots(
 @register(
     "tree_root_pointer_jumping",
     oracle="""
-    WITH RECURSIVE walk(id, cur, depth) AS (
-        SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey >= 1
+    WITH RECURSIVE ranked AS (
+        -- the heap tree hangs off id RANKS, not raw ids (r11 id-domain
+        -- sweep): parent = id at rank max(r div 2, 1) maps the id set
+        -- onto itself for ANY int64 ids, and equals the old
+        -- greatest(id div 2, 1) tree exactly on consecutive 1..n keys
+        SELECT p_partkey AS nid,
+               ROW_NUMBER() OVER (ORDER BY p_partkey) AS r
+        FROM part
+    ),
+    par AS (
+        SELECT c.nid AS id, p.nid AS parent
+        FROM ranked c JOIN ranked p ON p.r = GREATEST(c.r // 2, 1)
+    ),
+    walk(id, cur, depth) AS (
+        SELECT id, id, 0 FROM par
         UNION ALL
-        SELECT w.id, GREATEST(w.cur // 2, 1), w.depth + 1
-        FROM walk w WHERE w.cur > 1
+        SELECT w.id, p.parent, w.depth + 1
+        FROM walk w JOIN par p ON p.id = w.cur
+        WHERE p.parent <> p.id
     )
-    SELECT id, CAST(1 AS BIGINT) AS root, CAST(MAX(depth) AS BIGINT) AS depth
-    FROM walk GROUP BY id
+    SELECT w.id,
+           (SELECT nid FROM ranked WHERE r = 1) AS root,
+           CAST(MAX(w.depth) AS BIGINT) AS depth
+    FROM walk w GROUP BY w.id
     """,
     doc="Hierarchy closure (root + depth per node) via pointer jumping "
     "(O(log depth) self-join rounds) over a heap-shaped part tree; the "
@@ -436,16 +452,24 @@ def pointer_jumping_roots(
     "formulation Spark SQL lacks, re-expressed as iterative doubling.",
 )
 def tree_root_pointer_jumping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The parent function (greatest(id div 2, 1)) shapes the part table
-    into a single binary-heap tree ~log2(n) deep — the oracle CTE walks
-    it step-by-step, the Spark path doubles pointers.  Identical (id,
-    root, depth) out of structurally different algorithms is the point
-    of the test."""
-    part = table(spark, sf_dir, "part").filter(F.col("p_partkey") >= 1)
-    nodes = part.select(
-        F.col("p_partkey").alias("id"),
-        F.greatest(F.expr("p_partkey div 2"), F.lit(1)).alias("parent"),
-    )
+    """The parent function (id of rank max(r div 2, 1)) shapes the part
+    table into a single binary-heap tree ~log2(n) deep — the oracle CTE
+    walks it step-by-step, the Spark path doubles pointers.  Identical
+    (id, root, depth) out of structurally different algorithms is the
+    point of the test.  Ranks (a dimension-sized sort — the TREE here is
+    synthetic; real forests arrive with parent pointers) keep the tree
+    well-formed on any id domain: raw ``id div 2`` points outside the id
+    set the moment keys are not consecutive from 1 (r11 id-domain
+    sweep, where it silently emptied the closure)."""
+    part = table(spark, sf_dir, "part")
+    ranked = part.select(
+        F.col("p_partkey").alias("nid"),
+        F.row_number().over(Window.orderBy("p_partkey")).alias("r"),
+    ).localCheckpoint(eager=True)  # both sides of the rank self-join
+    pr = ranked.select(F.col("nid").alias("parent"), F.col("r").alias("pr"))
+    nodes = ranked.join(
+        pr, F.greatest(F.expr("r div 2"), F.lit(1)) == F.col("pr")
+    ).select(F.col("nid").alias("id"), "parent")
     return pointer_jumping_roots(nodes, "id", "parent")
 
 
@@ -1048,7 +1072,11 @@ BFS_MAX_DEPTH = 6
     ),
     firsts AS (SELECT id, MIN(dist) AS dist FROM reach GROUP BY id)
     SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
-           CAST(SUM(id) AS BIGINT) AS id_checksum
+           -- decimal-domain checksum, surfaced as a correctly-rounded
+           -- double: ids are opaque int64s (r11 id-domain sweep), and a
+           -- BIGINT sum of near-2^62 ids overflows on both engines
+           CAST(CAST(SUM(CAST(id AS HUGEINT)) AS STRING) AS DOUBLE)
+               AS id_checksum
     FROM firsts GROUP BY dist
     """,
     doc=f"BFS level histogram (depth <= {BFS_MAX_DEPTH}) from the smallest "
@@ -1120,7 +1148,13 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     hist = (
         visited.groupBy("dist")
-        .agg(F.count("*").alias("n_nodes"), F.sum("id").alias("id_checksum"))
+        # decimal-domain checksum -> correctly-rounded double (see
+        # oracle note: near-2^62 ids overflow a BIGINT sum)
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(F.col("id").cast("decimal(38,0)"))
+            .cast("string").cast("double").alias("id_checksum"),
+        )
         .collect()
     )
     # The histogram is <= depth+1 rows: collect it and release EVERY block
@@ -1131,7 +1165,7 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             T.StructField("dist", T.IntegerType()),
             T.StructField("n_nodes", T.LongType()),
-            T.StructField("id_checksum", T.LongType()),
+            T.StructField("id_checksum", T.DoubleType()),
         ]
     )
     return spark_.createDataFrame(

@@ -67,43 +67,64 @@ def with_binary_column(docs: DataFrame) -> DataFrame:
 # functions below are plain integer arithmetic a SQL oracle can replay
 # (r4 VERDICT ask #2b).
 
-#: media tier assignment: doc_id % 7 == 0 -> PNG; elif % 11 == 0 -> WAV
+#: media tier assignment: media_base % 7 == 0 -> PNG; elif % 11 == 0 -> WAV
 PNG_DOC_MOD = 7
 WAV_DOC_MOD = 11
 
-#: WAV tier parameter tables (indexed by doc_id arithmetic)
+#: WAV tier parameter tables (indexed by media_base arithmetic)
 WAV_RATES = (8000, 16000, 44100)
 WAV_WIDTHS = (1, 2, 3, 4)  # sample bytes: 8/16/24/32-bit
+
+#: Every media derivation runs on ``media_base(doc_id) = doc_id mod 2^31``
+#: (floored, always non-negative), NOT the raw id: ids are opaque int64s
+#: (r11 id-domain sweep), and the raw-id arithmetic breaks twice at the
+#: extremes — Python/numpy floored ``%`` disagrees with SQL's truncated
+#: ``%`` on NEGATIVE ids, and ``doc_id * 31`` wraps numpy int64 (while
+#: DuckDB promotes or throws) near 2^62.  The 2^31 reduction is the
+#: identity on every realistic id, and the oracle replays it as
+#: ``((doc_id % 2147483648) + 2147483648) % 2147483648`` (SQL_MEDIA_BASE).
+_MEDIA_BASE_MOD = 1 << 31
+SQL_MEDIA_BASE = (
+    f"(((doc_id % {_MEDIA_BASE_MOD}) + {_MEDIA_BASE_MOD}) % {_MEDIA_BASE_MOD})"
+)
+
+
+def media_base(doc_id: int) -> int:
+    """doc_id mod 2^31 (floored, non-negative) — see SQL_MEDIA_BASE."""
+    return doc_id % _MEDIA_BASE_MOD
 
 
 def png_dims(doc_id: int) -> tuple[int, int, int]:
     """(width, height, channels) of the synthetic PNG for ``doc_id`` —
     exercises every color type (gray / gray+alpha / RGB / RGBA)."""
-    return 4 + doc_id % 13, 3 + doc_id % 5, 1 + doc_id % 4
+    b = media_base(doc_id)
+    return 4 + b % 13, 3 + b % 5, 1 + b % 4
 
 
 def media_payload(doc_id: int, text: str) -> tuple[bytes, str]:
     """Deterministic (payload, mime) for one document row.
 
-    PNG pixels: ``(doc_id*31 + y*17 + x*7 + c*3) % 256`` — covers all four
+    PNG pixels: ``(base*31 + y*17 + x*7 + c*3) % 256`` — covers all four
     8-bit color types across doc_ids.  WAV samples:
-    ``((doc_id*7 + frame*13 + chan*5) % 201) - 100`` — small signed
+    ``((base*7 + frame*13 + chan*5) % 201) - 100`` — small signed
     amplitude valid at every sample width (8/16/24/32-bit), mono and
     stereo, three sample rates.  Everything else ships the UTF-8 text as
-    an opaque raw payload (the stub tier).
+    an opaque raw payload (the stub tier).  ``base = media_base(doc_id)``
+    throughout (id-domain contract, see SQL_MEDIA_BASE).
     """
-    if doc_id % PNG_DOC_MOD == 0:
+    b = media_base(doc_id)
+    if b % PNG_DOC_MOD == 0:
         w, h, ch = png_dims(doc_id)
         y, x, c = np.indices((h, w, ch))
-        px = ((doc_id * 31 + y * 17 + x * 7 + c * 3) % 256).astype(np.uint8)
+        px = ((b * 31 + y * 17 + x * 7 + c * 3) % 256).astype(np.uint8)
         return encode_png(px), "image/png"
-    if doc_id % WAV_DOC_MOD == 0:
-        rate = WAV_RATES[doc_id % 3]
-        sampwidth = WAV_WIDTHS[doc_id % 4]
-        n_ch = 1 + doc_id % 2
-        n_frames = 20 + doc_id % 50
+    if b % WAV_DOC_MOD == 0:
+        rate = WAV_RATES[b % 3]
+        sampwidth = WAV_WIDTHS[b % 4]
+        n_ch = 1 + b % 2
+        n_frames = 20 + b % 50
         i, c = np.indices((n_frames, n_ch))
-        v = (doc_id * 7 + i * 13 + c * 5) % 201 - 100
+        v = (b * 7 + i * 13 + c * 5) % 201 - 100
         return encode_wav(v, rate, sampwidth), "audio/wav"
     return text.encode("utf-8"), "text/plain"
 
@@ -260,29 +281,33 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: signed WAV sample value at data-byte j (sample s = j // sw, byte-in-
 #: sample k = j % sw; frame = s // nch, channel = s % nch)
 _WAV_V = (
-    "((w.doc_id*7 + ((t.j // w.sw) // w.nch)*13"
+    "((w.base*7 + ((t.j // w.sw) // w.nch)*13"
     " + ((t.j // w.sw) % w.nch)*5) % 201) - 100"
 )
 
 _MEDIA_DECODED_BYTES_SQL = f"""
     tier AS (
-      SELECT doc_id, text,
-        CASE WHEN doc_id % {PNG_DOC_MOD} = 0 THEN 'png'
-             WHEN doc_id % {WAV_DOC_MOD} = 0 THEN 'wav' ELSE 'raw' END AS tier
+      -- every derivation runs on base = doc_id mod 2^31 (id-domain
+      -- contract, see SQL_MEDIA_BASE: floored and overflow-free on
+      -- negative / near-2^62 ids where raw-id % and * diverge or wrap)
+      SELECT doc_id, {SQL_MEDIA_BASE} AS base, text,
+        CASE WHEN {SQL_MEDIA_BASE} % {PNG_DOC_MOD} = 0 THEN 'png'
+             WHEN {SQL_MEDIA_BASE} % {WAV_DOC_MOD} = 0 THEN 'wav'
+             ELSE 'raw' END AS tier
       FROM documents
     ),
-    png AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 5 AS h,
-                   1 + doc_id % 4 AS ch FROM tier WHERE tier = 'png'),
+    png AS (SELECT doc_id, base, 4 + base % 13 AS w, 3 + base % 5 AS h,
+                   1 + base % 4 AS ch FROM tier WHERE tier = 'png'),
     wavp AS (SELECT *, nf * nch * sw AS ds FROM (
-        SELECT doc_id,
-               [8000, 16000, 44100][CAST(doc_id % 3 AS INT) + 1] AS rate,
-               [1, 2, 3, 4][CAST(doc_id % 4 AS INT) + 1] AS sw,
-               1 + doc_id % 2 AS nch,
-               20 + doc_id % 50 AS nf
+        SELECT doc_id, base,
+               [8000, 16000, 44100][CAST(base % 3 AS INT) + 1] AS rate,
+               [1, 2, 3, 4][CAST(base % 4 AS INT) + 1] AS sw,
+               1 + base % 2 AS nch,
+               20 + base % 50 AS nf
         FROM tier WHERE tier = 'wav')),
     png_bytes AS (
       SELECT p.doc_id, t.j AS i,
-             (p.doc_id*31 + (t.j // (p.w*p.ch))*17
+             (p.base*31 + (t.j // (p.w*p.ch))*17
               + ((t.j % (p.w*p.ch)) // p.ch)*7 + (t.j % p.ch)*3) % 256 AS b
       FROM png p, UNNEST(range(0, CAST(p.w AS BIGINT)*p.h*p.ch)) t(j)
     ),
@@ -440,12 +465,12 @@ def _crc_table_expr() -> str:
     ),
     dims AS (
       SELECT t.doc_id,
-             CASE t.tier WHEN 'png' THEN CAST(4 + t.doc_id % 13 AS INT)
+             CASE t.tier WHEN 'png' THEN CAST(4 + t.base % 13 AS INT)
                          WHEN 'wav' THEN CAST(1 + (44 + w.ds) % 512 AS INT)
                          ELSE CAST(1 + octet_length(encode(t.text)) % 512
                                    AS INT)
              END AS width,
-             CASE t.tier WHEN 'png' THEN CAST(3 + t.doc_id % 5 AS INT)
+             CASE t.tier WHEN 'png' THEN CAST(3 + t.base % 5 AS INT)
                          WHEN 'wav' THEN CAST(165 AS INT)  -- 1 + 2*ord('R')
                          -- first UTF-8 BYTE via hex (the stub reads
                          -- buf[0]); ascii(substring) is the code point,
@@ -531,17 +556,18 @@ _PNG_DECODE_SCHEMA = (
     # decode end-to-end (dims from IHDR, pixels from IDAT).
     oracle=f"""
     WITH img AS (
-      SELECT doc_id,
-             CAST(4 + doc_id % 13 AS INT) AS width,
-             CAST(3 + doc_id % 5 AS INT) AS height,
-             CAST(1 + doc_id % 4 AS INT) AS n_channels
-      FROM documents WHERE doc_id % {PNG_DOC_MOD} = 0
+      -- base = doc_id mod 2^31: the id-domain contract (SQL_MEDIA_BASE)
+      SELECT doc_id, {SQL_MEDIA_BASE} AS base,
+             CAST(4 + {SQL_MEDIA_BASE} % 13 AS INT) AS width,
+             CAST(3 + {SQL_MEDIA_BASE} % 5 AS INT) AS height,
+             CAST(1 + {SQL_MEDIA_BASE} % 4 AS INT) AS n_channels
+      FROM documents WHERE {SQL_MEDIA_BASE} % {PNG_DOC_MOD} = 0
     )
     SELECT i.doc_id,
            ANY_VALUE(i.width) AS width,
            ANY_VALUE(i.height) AS height,
            ANY_VALUE(i.n_channels) AS n_channels,
-           CAST(SUM((i.doc_id * 31
+           CAST(SUM((i.base * 31
                      + (t.j // (i.width * i.n_channels)) * 17
                      + ((t.j % (i.width * i.n_channels)) // i.n_channels) * 7
                      + (t.j % i.n_channels) * 3) % 256) AS BIGINT)
@@ -563,7 +589,8 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Tier predicate at the scan (see multimodal_audio_stats): skip the
     # WAV/text synthesis for the ~86% of rows this query discards.
     media = with_media_column(
-        docs.filter(F.col("doc_id") % PNG_DOC_MOD == 0)
+        # tier is keyed on media_base, not the raw id (SQL_MEDIA_BASE)
+        docs.filter(F.pmod(F.col("doc_id"), _MEDIA_BASE_MOD) % PNG_DOC_MOD == 0)
     ).filter(F.col("media_meta.mime") == "image/png")
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -871,17 +898,19 @@ def extract_audio_stats(media: DataFrame) -> DataFrame:
     # exactly.)  Upgraded from rows-only in r5 (r4 VERDICT ask #2b).
     oracle=f"""
     WITH audio AS (
-      SELECT doc_id,
-             CAST([8000, 16000, 44100][CAST(doc_id % 3 AS INT) + 1] AS INT)
-                 AS sample_rate,
-             CAST(1 + doc_id % 2 AS INT) AS n_channels,
-             CAST(20 + doc_id % 50 AS BIGINT) AS n_frames
+      -- base = doc_id mod 2^31: the id-domain contract (SQL_MEDIA_BASE)
+      SELECT doc_id, {SQL_MEDIA_BASE} AS base,
+             CAST([8000, 16000, 44100][CAST({SQL_MEDIA_BASE} % 3 AS INT) + 1]
+                  AS INT) AS sample_rate,
+             CAST(1 + {SQL_MEDIA_BASE} % 2 AS INT) AS n_channels,
+             CAST(20 + {SQL_MEDIA_BASE} % 50 AS BIGINT) AS n_frames
       FROM documents
-      WHERE doc_id % {WAV_DOC_MOD} = 0 AND doc_id % {PNG_DOC_MOD} <> 0
+      WHERE {SQL_MEDIA_BASE} % {WAV_DOC_MOD} = 0
+        AND {SQL_MEDIA_BASE} % {PNG_DOC_MOD} <> 0
     ),
     samples AS (
       SELECT a.doc_id, a.sample_rate, a.n_channels, a.n_frames, t.i,
-             ((a.doc_id * 7 + (t.i // a.n_channels) * 13
+             ((a.base * 7 + (t.i // a.n_channels) * 13
                + (t.i % a.n_channels) * 5) % 201) - 100 AS v
       FROM audio a,
            UNNEST(range(0, a.n_frames * a.n_channels)) AS t(i)
@@ -921,7 +950,9 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter cannot push back through (round-5 review).  The mime filter
     # stays as the semantic routing contract; it is a no-op here.
     audio_docs = docs.filter(
-        (F.col("doc_id") % WAV_DOC_MOD == 0) & (F.col("doc_id") % PNG_DOC_MOD != 0)
+        # tier is keyed on media_base, not the raw id (SQL_MEDIA_BASE)
+        (F.pmod(F.col("doc_id"), _MEDIA_BASE_MOD) % WAV_DOC_MOD == 0)
+        & (F.pmod(F.col("doc_id"), _MEDIA_BASE_MOD) % PNG_DOC_MOD != 0)
     )
     media = with_media_column(audio_docs).filter(
         F.col("media_meta.mime") == "audio/wav"

@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from azure_func_forem_data_etl_spark.functions.exact import dsum
+from azure_func_forem_data_etl_spark.operators.similarity import bounded_components
 from azure_func_forem_data_etl_spark.plans.registry import register
 from azure_func_forem_data_etl_spark.sources.tables import table
 
@@ -683,6 +684,21 @@ def chisq_independence_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                         THEN 1 ELSE 0 END) AS BIGINT) AS nonfinite
         FROM embeddings
     )
+    UNION ALL
+    -- quantized-moment analytics domain (similarity.EMB_COMPONENT_BOUND,
+    -- r11 embedding-magnitude sweep): vectors carrying any
+    -- |component| >= 1e4 are excluded from dim-stats / centroid / PCA;
+    -- this rule makes that exclusion observable at the gate
+    SELECT 'embedding_component_range', n_rows, oob,
+           CAST(oob = 0 AS INT)
+    FROM (
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN COALESCE(list_max(list_transform(
+                          CAST(embedding AS DOUBLE[]),
+                          x -> abs(x))), 0.0) >= 1e4
+                        THEN 1 ELSE 0 END) AS BIGINT) AS oob
+        FROM embeddings
+    )
     """,
     doc="Deequ-style declarative DQ expectations in one scan (+1 anti join): null/range/PK-uniqueness/FK/finiteness rules -> (rule, violations, passed) rows.",
 )
@@ -758,6 +774,13 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("nonfinite"),
+            # quantized-moment domain rule (similarity.EMB_COMPONENT_BOUND):
+            # same scan, zero extra I/O
+            F.sum(
+                (~bounded_components("embedding")).cast("int")
+            )
+            .cast("long")
+            .alias("oob"),
         )
         .first()
     )
@@ -769,6 +792,7 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("orderkey_fk_exists", base["n_rows"], orphans),
         ("value_finite", ev["n_rows"], ev["nonfinite"]),
         ("embedding_finite", emb["n_rows"], emb["nonfinite"]),
+        ("embedding_component_range", emb["n_rows"], emb["oob"]),
     ]
     return spark.createDataFrame(
         [(r, n, int(v), int(v == 0)) for r, n, v in rules],

@@ -14,7 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from azure_func_forem_data_etl_spark.functions.exact import dround, dsum, sql_dsum
+from azure_func_forem_data_etl_spark.functions.exact import (
+    dround,
+    dsum,
+    sql_dround,
+    sql_dsum,
+)
 from azure_func_forem_data_etl_spark.plans.registry import register
 from azure_func_forem_data_etl_spark.sources.tables import table
 
@@ -819,19 +824,39 @@ def conditional_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            xor(event_id, user_id) AS xor_id,
            event_id & 255 AS and_mask,
            event_id | 4096 AS or_flag,
-           CAST(event_id * 16 AS BIGINT) AS shl4,
-           CAST(floor(event_id / 4) AS BIGINT) AS shr2,
+           -- shl4 is a true two's-complement SHIFT (Spark shiftleft
+           -- wraps like Java <<), so the replay multiplies the
+           -- unsigned-u64 image mod 2^64 and re-signs — a BIGINT
+           -- multiply overflows near 2^62 (r11 id-domain sweep)
+           CAST(CASE WHEN u_shl4 >= 9223372036854775808 THEN
+                     CAST(u_shl4 - 18446744073709551616 AS BIGINT)
+                ELSE CAST(u_shl4 AS BIGINT) END AS BIGINT) AS shl4,
+           -- arithmetic >> == floor division; computed EXACTLY via the
+           -- pmod identity in hugeint (a double floor(x/4) is 256 ulps
+           -- wide at 2^62, and hugeint // truncates toward zero)
+           CAST((CAST(event_id AS HUGEINT)
+                 - (((event_id % 4) + 4) % 4)) // 4 AS BIGINT) AS shr2,
            bit_count(CAST(event_id AS BIGINT)) AS popcount
-    FROM events
+    FROM (
+        SELECT *,
+               ((CASE WHEN event_id < 0
+                      THEN CAST(event_id AS HUGEINT) + 18446744073709551616
+                      ELSE CAST(event_id AS HUGEINT) END) * 16)
+               & 18446744073709551615 AS u_shl4
+        FROM events
+    )
     """,
     doc="Bitwise scalar functions: xor/and/or, shifts (as exact integer "
     "arithmetic twins), popcount — the fingerprint-math primitives.",
 )
 def bitwise_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bit-math surface SimHash/LSH build on, exposed as scalars.
-    Shifts are expressed as *2^k / div-2^k in the oracle (DuckDB's << on
-    non-negative ints is identical); all values stay in int64 so both
-    engines agree bit-for-bit."""
+    Shifts replay in the oracle as unsigned-u64 arithmetic mod 2^64
+    (shl: Java/Spark << wraps two's-complement) and the exact pmod
+    floor-division identity (shr: arithmetic shift) — bit-for-bit on the
+    FULL int64 id domain, negative and near-2^62 included (r11 id-domain
+    sweep; the old *16 / floor(/4) twins held only for small
+    non-negative ids)."""
     events = table(spark, sf_dir, "events")
     return events.select(
         "event_id",
@@ -1111,7 +1136,7 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "regression_value_trend",
-    oracle="""
+    oracle=f"""
     WITH m AS (
         -- exact OLS moments: x = epoch MICROS (exact integers), y = the
         -- scale-4 decimal value; every sum is exact decimal, then
@@ -1144,15 +1169,12 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM m
     )
     SELECT event_type, n,
-           CAST(CAST(CAST(CASE WHEN den > 0
-                    THEN (num / den) * 3600000000.0 END
-               AS STRING) AS DECIMAL(38,6)) AS DOUBLE) AS slope_per_hour,
-           CAST(CAST(CAST(CASE WHEN den > 0
-                    THEN sy / n - (num / den) * (sx / n) END
-               AS STRING) AS DECIMAL(38,4)) AS DOUBLE) AS intercept,
-           CAST(CAST(CAST(CASE WHEN den > 0 AND deny > 0
-                    THEN (num * num) / (den * deny) END
-               AS STRING) AS DECIMAL(38,6)) AS DOUBLE) AS r2
+           {sql_dround("CASE WHEN den > 0 THEN (num / den) * 3600000000.0 END", 6)}
+               AS slope_per_hour,
+           {sql_dround("CASE WHEN den > 0 THEN sy / n - (num / den) * (sx / n) END", 4)}
+               AS intercept,
+           {sql_dround("CASE WHEN den > 0 AND deny > 0 THEN (num * num) / (den * deny) END", 6)}
+               AS r2
     FROM d
     """,
     doc="Per-type OLS trend of value over time (slope per hour, "

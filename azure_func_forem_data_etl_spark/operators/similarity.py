@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from azure_func_forem_data_etl_spark.functions.exact import dround, sql_dround
 from azure_func_forem_data_etl_spark.plans.registry import register
 from azure_func_forem_data_etl_spark.sources.tables import scale_out, table
 
@@ -123,6 +124,41 @@ def nonzero_norm(col: str) -> Column:
             "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
         > 0
+    )
+
+
+#: Component bound for the QUANTIZED-MOMENT embedding analytics
+#: (dim stats, label centroids, PCA): their exact-decimal moment
+#: accumulators quantize components at fixed scales (13,9 / 18,6), which
+#: is only exact for |x| < 1e4.  Real embedding spaces sit at O(1) (unit
+#: or near-unit vectors; even raw fp16 activations cap at 65504 — but
+#: trained embedding components in practice are O(1..10)); components at
+#: 1e25 (r11 embedding-magnitude sweep) are a data-quality condition, not
+#: a statistic to absorb.  Vectors carrying any out-of-bound component
+#: are excluded WHOLESALE (vector-level, so centroid/cosine semantics
+#: stay coherent) and the exclusion is observable via the
+#: `embedding_component_range` DQ rule (profile.dq_expectations_report).
+EMB_COMPONENT_BOUND = 1e4
+
+
+def bounded_components(col: str) -> Column:
+    """Predicate: every component of the array<float> column is within
+    the quantized-moment analytics domain (see EMB_COMPONENT_BOUND);
+    evaluated in DOUBLE like nonzero_norm."""
+    d = f"CAST({col} AS ARRAY<DOUBLE>)"
+    return (
+        F.expr(f"aggregate({d}, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))")
+        < EMB_COMPONENT_BOUND
+    )
+
+
+def sql_bounded_components(expr: str) -> str:
+    """Oracle twin of :func:`bounded_components`."""
+    # COALESCE: list_max of an empty list is NULL, while the Spark
+    # aggregate fold starts at 0.0 — an empty vector is in-domain
+    return (
+        f"COALESCE(list_max(list_transform({expr}::DOUBLE[], x -> abs(x))), 0.0)"
+        f" < {EMB_COMPONENT_BOUND!r}"
     )
 
 
@@ -738,7 +774,7 @@ def ivf_query_index(
 
 @register(
     "embedding_quantize_int8",
-    oracle="""
+    oracle=f"""
     WITH v AS (
         SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
     ),
@@ -749,7 +785,10 @@ def ivf_query_index(
         FROM v
     ),
     q AS (
-        SELECT vec_id, round(scale, 9) AS scale,
+        -- display-scale rounding via the shortest-repr dround contract:
+        -- plain round re-rounds 1e14-magnitude scales on the scaled
+        -- path (r11 embedding-magnitude sweep)
+        SELECT vec_id, {sql_dround("scale", 9)} AS scale,
                list_transform(e, x -> CAST(round(x / scale) AS INT)) AS qv
         FROM s
     )
@@ -782,7 +821,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return q.select(
         "vec_id",
-        F.round("scale_raw", 9).alias("scale"),
+        dround(F.col("scale_raw"), 9).alias("scale"),
         F.element_at("qv", 1).alias("q_first"),
         F.expr("aggregate(qv, 0L, (a, x) -> a + x)").alias("q_sum"),
         F.array_min("qv").alias("q_min"),
@@ -877,13 +916,17 @@ def embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_dim_stats",
-    oracle="""
+    oracle=f"""
     WITH x AS (
         SELECT i - 1 AS dim,
                CAST(round(CAST(embedding[i] AS DOUBLE), 9)
                     AS DECIMAL(13,9)) AS q,
                CAST(embedding[i] AS DOUBLE) AS xd
         FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+        -- quantized-moment domain: vectors with any |component| >= 1e4
+        -- are excluded wholesale (see similarity.EMB_COMPONENT_BOUND;
+        -- observable via the embedding_component_range DQ rule)
+        WHERE {sql_bounded_components('embedding')}
     )
     SELECT CAST(dim AS INT) AS dim,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -913,8 +956,13 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     64 dims and map-side combine the shuffle is O(partitions x dims),
     independent of corpus size.  Double sums are order-dependent, so
     moments accumulate in exact DECIMAL (inputs pre-rounded to 9dp,
-    squares exact at (26,18)); min/max of doubles are order-safe as-is."""
-    emb = table(spark, sf_dir, "embeddings")
+    squares exact at (26,18)); min/max of doubles are order-safe as-is.
+    Domain: the fixed quantization scales are exact only for
+    |component| < 1e4, so out-of-bound vectors are excluded wholesale
+    (bounded_components; r11 embedding-magnitude sweep)."""
+    emb = table(spark, sf_dir, "embeddings").filter(
+        bounded_components("embedding")
+    )
     x = emb.select(
         F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "xd")
     ).select(

@@ -17,7 +17,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from azure_func_forem_data_etl_spark.functions.exact import dround, dsum, sql_dsum
+from azure_func_forem_data_etl_spark.functions.exact import (
+    dround,
+    dsum,
+    sql_dround,
+    sql_dsum,
+)
 from azure_func_forem_data_etl_spark.plans.registry import register
 from azure_func_forem_data_etl_spark.sources.tables import table
 
@@ -226,6 +231,19 @@ def gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Linear-interpolation CASE shared with the oracle f-string below —
+#: observed hours pass through, interior gaps lerp between neighbours,
+#: edges fall back to the nearest observed value.
+_INTERP_CASE = """CASE
+               WHEN sv IS NOT NULL THEN sv
+               WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                   pv + (nv - pv)
+                        * (CAST(date_diff('hour', ph, hour_start) AS DOUBLE)
+                           / CAST(date_diff('hour', ph, nh) AS DOUBLE))
+               ELSE COALESCE(pv, nv)
+           END"""
+
+
 @register(
     "gapfill_hourly_interp",
     oracle=f"""
@@ -268,14 +286,7 @@ def gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sv IS NULL AS INT) AS was_gap,
            -- shortest-repr rounding, see exact.sql_dround (r11 magnitude
            -- sweep: scaled round flips the 6th dp at 1e9 magnitudes)
-           CAST(CAST(CAST(CASE
-               WHEN sv IS NOT NULL THEN sv
-               WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
-                   pv + (nv - pv)
-                        * (CAST(date_diff('hour', ph, hour_start) AS DOUBLE)
-                           / CAST(date_diff('hour', ph, nh) AS DOUBLE))
-               ELSE COALESCE(pv, nv)
-           END AS STRING) AS DECIMAL(38,6)) AS DOUBLE) AS filled_sum
+           {sql_dround(_INTERP_CASE, 6)} AS filled_sum
     FROM ctx
     """,
     doc="Gap-fill with LINEAR interpolation between neighboring observed "
@@ -1468,7 +1479,7 @@ EWMA_ALPHA = 0.2
     -- the same bit-identical s (r11 magnitude sweep) — both sides now
     -- round the double's shortest decimal repr instead
     SELECT user_id, event_id, ts, v AS value,
-           CAST(CAST(CAST(s AS STRING) AS DECIMAL(38,6)) AS DOUBLE) AS ewma
+           {sql_dround("s", 6)} AS ewma
     FROM ew
     """,
     doc=f"Per-user EWMA (alpha={EWMA_ALPHA}) of event values via grouped "
@@ -2843,12 +2854,10 @@ def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n AS n_days,
            -- shortest-repr rounds (exact.sql_dround): plain round's
            -- scale-then-divide re-rounds 1e25-magnitude doubles
-           CAST(CAST(CAST(ss_all / n AS STRING) AS DECIMAL(38,4)) AS DOUBLE)
-               AS var_detrended,
-           CAST(CAST(CAST(ss_dow / n AS STRING) AS DECIMAL(38,4)) AS DOUBLE)
-               AS var_deseasoned,
-           CAST(CAST(CAST(GREATEST(0.0, 1.0 - ss_dow / ss_all) AS STRING)
-                     AS DECIMAL(38,6)) AS DOUBLE) AS seasonal_strength
+           {sql_dround("ss_all / n", 4)} AS var_detrended,
+           {sql_dround("ss_dow / n", 4)} AS var_deseasoned,
+           {sql_dround("GREATEST(0.0, 1.0 - ss_dow / ss_all)", 6)}
+               AS seasonal_strength
     FROM v
     -- degenerate contract (r11 single-row sweep): zero detrended
     -- variance (one day, or a perfectly flat series) leaves the strength

@@ -1946,11 +1946,18 @@ HEAPS_CHECKPOINTS = 16
     dt AS (SELECT doc_id, COUNT(*) AS n_tok FROM w GROUP BY doc_id),
     mx AS (SELECT MAX(doc_id) AS max_id FROM dt),
     cp AS (
-        SELECT CAST(floor(max_id * k / {HEAPS_CHECKPOINTS}.0) AS BIGINT) AS cut
+        -- k / 20.0 FIRST: ids are opaque int64s (r11 id-domain sweep)
+        -- and max_id * k overflows near 2^62 on both engines; the
+        -- double product is exact on every realistic id and identical
+        -- cross-engine at the extremes
+        SELECT CAST(floor(max_id * (k / {HEAPS_CHECKPOINTS}.0)) AS BIGINT) AS cut
         FROM mx, UNNEST(range(1, {HEAPS_CHECKPOINTS} + 1)) AS t(k)
         GROUP BY 1
     ),
     pts AS (
+        -- populated cuts only: extreme-id grids (r11 id-domain sweep)
+        -- leave cuts below every doc_id, where the Spark side's inner
+        -- joins drop the cut and log10(0) would crash here
         SELECT c.cut,
                CAST(round(log10((SELECT CAST(SUM(n_tok) AS BIGINT) FROM dt
                                  WHERE doc_id <= c.cut)), 4)
@@ -1959,6 +1966,7 @@ HEAPS_CHECKPOINTS = 16
                                  WHERE first_doc <= c.cut)), 4)
                     AS DECIMAL(18,4)) AS y
         FROM cp c
+        WHERE EXISTS (SELECT 1 FROM dt WHERE doc_id <= c.cut)
     ),
     s AS (
         SELECT COUNT(*) AS n,
@@ -1972,6 +1980,10 @@ HEAPS_CHECKPOINTS = 16
            round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) + 0.0
                AS log10_k
     FROM s
+    -- degenerate contract (r11 id-domain sweep: extreme ids collapse the
+    -- checkpoint grid to one populated cut): a zero-x-variance fit is
+    -- undefined — no rows, both engines
+    WHERE n * sxx - sx * sx > 0
     """,
     doc=f"Heaps'-law fit: OLS slope of log10(vocab) vs log10(tokens) at "
     f"{HEAPS_CHECKPOINTS} doc-id checkpoints; natural corpora fit beta in "
@@ -2013,7 +2025,10 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_id",
         )
         .select(
-            F.floor(F.col("max_id") * F.col("k") / HEAPS_CHECKPOINTS).alias("cut")
+            # k / 20.0 first — see the oracle note (id-domain contract)
+            F.floor(
+                F.col("max_id") * (F.col("k") / F.lit(float(HEAPS_CHECKPOINTS)))
+            ).alias("cut")
         )
         .distinct()
     )
@@ -2045,7 +2060,9 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # + 0.0 normalizes IEEE -0.0 to 0.0 (the synthetic corpus saturates
     # its vocabulary early, so the slope can be exactly zero — and the two
     # engines disagree on its sign bit otherwise).
-    return s.select(
+    # degenerate contract (see oracle): zero x-variance => no rows; the
+    # filter precedes the slope projection so ANSI never divides by 0
+    return s.filter(n * sxx - sx * sx > 0).select(
         n.alias("n_points"),
         (F.round(slope, 6) + 0.0).alias("heaps_beta"),
         (F.round((sy - slope * sx) / n, 6) + 0.0).alias("log10_k"),

@@ -26,6 +26,7 @@ from typing import Iterator
 
 from pyspark.sql.functions import pandas_udf
 
+from azure_func_forem_data_etl_spark.functions.exact import dround, sql_dround
 from azure_func_forem_data_etl_spark.plans.registry import register
 from azure_func_forem_data_etl_spark.sources.tables import table
 
@@ -112,7 +113,13 @@ def _l2_normalize_batches(batches):
         normed = []
         norms = []
         for v in vecs:
-            n = float(np.sqrt(np.dot(v, v)))
+            # sequential left-to-right sum of squares (cumsum), NOT
+            # np.dot: dot's pairwise/SIMD accumulation diverges from the
+            # oracle's sequential list fold by >1 ulp once norms reach
+            # 1e14 (r11 embedding-magnitude sweep) — the fold order IS
+            # the cross-engine contract
+            sq = v * v
+            n = float(np.sqrt(np.cumsum(sq)[-1])) if len(sq) else 0.0
             norms.append(n)
             normed.append((v / n).tolist() if n > 0 else v.tolist())
         yield pa.RecordBatch.from_pydict(
@@ -122,10 +129,14 @@ def _l2_normalize_batches(batches):
 
 @register(
     "arrow_normalize_embeddings",
-    # The surfaced scalars (norm, first unit component, dim) are plain
-    # float64 math, identical on both engines at 6 dp — summation-order
-    # ulps are far below the rounding grain for O(1..100) norms.
-    oracle="""
+    # The fold order is the contract: both sides sum squares
+    # SEQUENTIALLY left-to-right (numpy cumsum / list_sum), because any
+    # pairwise accumulation diverges by >1 ulp once norms reach 1e14
+    # (r11 embedding-magnitude sweep); rounding is the shortest-repr
+    # dround contract (plain round re-rounds 1e14-magnitude norms on the
+    # scaled path), and + 0.0 normalizes the IEEE -0.0 a tiny-negative
+    # first component leaves behind after rounding.
+    oracle=f"""
     WITH s AS (
         SELECT vec_id, embedding::DOUBLE[] AS e,
                sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
@@ -133,8 +144,9 @@ def _l2_normalize_batches(batches):
         FROM embeddings
     )
     SELECT vec_id,
-           round(nrm, 6) AS norm,
-           round(CASE WHEN nrm > 0 THEN e[1] / nrm ELSE e[1] END, 6) AS unit_x0,
+           {sql_dround("nrm", 6)} AS norm,
+           {sql_dround("CASE WHEN nrm > 0 THEN e[1] / nrm ELSE e[1] END", 6)}
+               + 0.0 AS unit_x0,
            CAST(len(e) AS INT) AS dim
     FROM s
     """,
@@ -160,8 +172,10 @@ def arrow_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stays internal-friendly but the check hashes only what we return).
     return out.select(
         "vec_id",
-        F.round("norm", 6).alias("norm"),
-        F.round(F.element_at("unit", 1), 6).alias("unit_x0"),
+        # shortest-repr rounding (exact.dround): plain round re-rounds
+        # 1e14-magnitude norms on the scaled path; + 0.0: -0.0 -> +0.0
+        dround(F.col("norm"), 6).alias("norm"),
+        (dround(F.element_at("unit", 1), 6) + F.lit(0.0)).alias("unit_x0"),
         F.size("unit").alias("dim"),
     )
 

@@ -71,6 +71,8 @@ def write_random_fixture(
     magnitude_spread: bool = False,
     long_docs: int = 0,
     dup_event_frac: float = 0.0,
+    emb_magnitude_spread: bool = False,
+    id_offset: int = 0,
 ) -> str:
     """``ts_grain_s`` > 0 truncates event timestamps to that many seconds
     (and drops the microsecond part), manufacturing heavy timestamp TIES —
@@ -106,7 +108,17 @@ def write_random_fixture(
     SAME event_id but a different ts/value/props payload — the
     at-least-once-delivery shape where any dedup-by-key that keeps an
     engine-arbitrary row (Spark dropDuplicates vs a SQL tie-break)
-    silently diverges; invisible on the unique-key driver fixtures."""
+    silently diverges; invisible on the unique-key driver fixtures.
+    ``emb_magnitude_spread`` scales each embedding by a log-uniform
+    power of ten spanning float32's usable range (1e-30..1e25, with
+    every 7th vector scaled PER-COMPONENT across 1e-15..1e15) — the
+    regime where float32 squares underflow/overflow while double-domain
+    norms stay finite, and dot products meet catastrophic dynamic
+    range.  ``id_offset`` shifts EVERY surrogate id (cust/supp/part/
+    order/event/doc/vec/user) and its FK references by a constant —
+    ids are opaque int64s, and a negative or near-2^62 offset surfaces
+    any id arithmetic that assumes small positive keys (sums, +1 hops,
+    modulo sign, sequence materialization)."""
     eras = _TS_ERAS[2:] if ts_eras == "post1970" else _TS_ERAS
     rng = random.Random(seed)
 
@@ -136,7 +148,7 @@ def write_random_fixture(
           "n_regionkey": pa.int32()})
 
     _tbl(d, "customer",
-         {"c_custkey": list(range(1, n_customers + 1)),
+         {"c_custkey": [id_offset + i for i in range(1, n_customers + 1)],
           "c_name": [f"Customer#{i:09d}" for i in range(1, n_customers + 1)],
           "c_nationkey": [rng.randrange(25) for _ in range(n_customers)],
           "c_acctbal": [money(-999.99, 9999.99, mag=6) for _ in range(n_customers)],
@@ -146,7 +158,7 @@ def write_random_fixture(
           "c_mktsegment": pa.string()})
 
     _tbl(d, "supplier",
-         {"s_suppkey": list(range(1, n_suppliers + 1)),
+         {"s_suppkey": [id_offset + i for i in range(1, n_suppliers + 1)],
           "s_name": [f"Supplier#{i:09d}" for i in range(1, n_suppliers + 1)],
           "s_nationkey": [rng.randrange(25) for _ in range(n_suppliers)],
           "s_acctbal": [money(-999.99, 9999.99, mag=6)
@@ -155,7 +167,7 @@ def write_random_fixture(
           "s_nationkey": pa.int32(), "s_acctbal": pa.float64()})
 
     _tbl(d, "part",
-         {"p_partkey": list(range(1, n_parts + 1)),
+         {"p_partkey": [id_offset + i for i in range(1, n_parts + 1)],
           "p_name": [" ".join(rng.sample(_WORDS, 3)) for _ in range(n_parts)],
           "p_brand": [f"Brand#{rng.randint(1, 25)}" for _ in range(n_parts)],
           "p_type": [rng.choice(_PTYPES) for _ in range(n_parts)],
@@ -176,8 +188,8 @@ def write_random_fixture(
         odates = [odate0 + dt.timedelta(days=rng.randint(0, 2400))
                   for _ in range(n_orders)]
     _tbl(d, "orders",
-         {"o_orderkey": list(range(1, n_orders + 1)),
-          "o_custkey": [rng.randint(1, n_customers) for _ in range(n_orders)],
+         {"o_orderkey": [id_offset + i for i in range(1, n_orders + 1)],
+          "o_custkey": [id_offset + rng.randint(1, n_customers) for _ in range(n_orders)],
           "o_orderstatus": [rng.choice("OFP") for _ in range(n_orders)],
           "o_totalprice": [money(900.0, 300000.0, mag=6) for _ in range(n_orders)],
           "o_orderdate": odates,
@@ -192,11 +204,12 @@ def write_random_fixture(
                           "l_linestatus", "l_shipdate")}
     for ok in range(1, n_orders + 1):
         for ln in range(1, rng.randint(1, 7) + 1):
-            li["l_orderkey"].append(ok)
+            li["l_orderkey"].append(id_offset + ok)
             li["l_partkey"].append(
-                1 if rng.random() < hot_frac else rng.randint(1, n_parts)
+                id_offset
+                + (1 if rng.random() < hot_frac else rng.randint(1, n_parts))
             )
-            li["l_suppkey"].append(rng.randint(1, n_suppliers))
+            li["l_suppkey"].append(id_offset + rng.randint(1, n_suppliers))
             li["l_linenumber"].append(ln)
             li["l_quantity"].append(float(rng.randint(1, 50)))
             li["l_extendedprice"].append(money(900.0, 100000.0, mag=1))
@@ -233,9 +246,10 @@ def write_random_fixture(
 
     etypes = [rng.choice(_ETYPES) for _ in range(n_events)]
     ev = {
-        "event_id": list(range(n_events)),
+        "event_id": [id_offset + i for i in range(n_events)],
         "ts": [_event_ts(et) for et in etypes],
-        "user_id": [1 if rng.random() < hot_frac else rng.randint(1, n_customers)
+        "user_id": [id_offset
+                    + (1 if rng.random() < hot_frac else rng.randint(1, n_customers))
                     for _ in range(n_events)],
         "event_type": etypes,
         "value": [money(0.5, 200.0, mag=7) for _ in range(n_events)],
@@ -296,7 +310,7 @@ def write_random_fixture(
             t = "数据处理引擎🚀高速向量 " * 1000  # ~12k chars, ~34k bytes
         texts[n_docs - 1 - j] = t
     _tbl(d, "documents",
-         {"doc_id": list(range(n_docs)),
+         {"doc_id": [id_offset + i for i in range(n_docs)],
           "text": texts,
           "lang": ["en" if rng.random() < hot_frac else rng.choice(_LANGS)
                    for _ in range(n_docs)],
@@ -305,14 +319,20 @@ def write_random_fixture(
          {"doc_id": pa.int64(), "text": pa.string(), "lang": pa.string(),
           "source": pa.string(), "n_chars": pa.int64()})
 
-    embs = [
-        [0.0] * emb_dim
-        if zero_vec_every and i % zero_vec_every == 0
-        else [rng.gauss(0.0, 1.0) for _ in range(emb_dim)]
-        for i in range(n_vecs)
-    ]
+    def _emb(i: int) -> list[float]:
+        if zero_vec_every and i % zero_vec_every == 0:
+            return [0.0] * emb_dim
+        v = [rng.gauss(0.0, 1.0) for _ in range(emb_dim)]
+        if emb_magnitude_spread:
+            if i % 7 == 0:  # wild per-component dynamic range
+                return [x * 10.0 ** rng.randint(-15, 15) for x in v]
+            s = 10.0 ** rng.randint(-30, 25)  # per-vector scale
+            return [x * s for x in v]
+        return v
+
+    embs = [_emb(i) for i in range(n_vecs)]
     _tbl(d, "embeddings",
-         {"vec_id": list(range(n_vecs)),
+         {"vec_id": [id_offset + i for i in range(n_vecs)],
           "embedding": embs,
           "label": [0 if single_label else rng.randint(0, 9)
                     for _ in range(n_vecs)]},

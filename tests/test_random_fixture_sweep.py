@@ -695,3 +695,78 @@ def dupkeys_sf(tmp_path_factory):
 def test_oracle_parity_on_dup_event_ids(spark, dupkeys_sf, name):
     q = REGISTRY[name]
     assert_matches_oracle(q.fn(spark, dupkeys_sf), q.oracle, dupkeys_sf)
+
+
+#: Embedding-magnitude leg (r11): each vector scaled by a log-uniform
+#: power of ten across float32's usable range (1e-30..1e25; every 7th
+#: vector scaled per-component).  Its first run found five failures:
+#: numpy np.dot's pairwise accumulation vs the oracle's sequential list
+#: fold past 1e14 norms + sub-quantum/scientific-parse holes in the
+#: first dround draft (arrow_normalize_embeddings — the piecewise dround
+#: regimes exist because of this leg), fixed-scale decimal quantizers
+#: overflowing on 1e12+ components (embedding_dim_stats,
+#: label_centroid_similarity), PCA invariants drowned in catastrophic
+#: cancellation (embedding_pca_project), and a scaled-round flip on the
+#: int8 quantizer's display scale.  Outcome: the quantized-moment
+#: analytics declare a |component| < 1e4 domain with vector-level
+#: exclusion, observable via the embedding_component_range DQ rule.
+_EMB_FAMILIES = ("similarity", "clustering", "udfs", "evaluation",
+                 "dedup", "curation", "profile")
+_EMB_SENSITIVE = sorted(
+    n for n, q in REGISTRY.items()
+    if q.fn.__module__.rsplit(".", 1)[-1] in _EMB_FAMILIES
+    and q.oracle is not None
+)
+
+
+@pytest.fixture(scope="session")
+def embmag_sf(tmp_path_factory):
+    return write_random_fixture(
+        tmp_path_factory.mktemp("randfix_embmag") / "sf", seed=83,
+        emb_magnitude_spread=True,
+    )
+
+
+@pytest.mark.parametrize("name", _EMB_SENSITIVE)
+def test_oracle_parity_on_embedding_magnitudes(spark, embmag_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, embmag_sf), q.oracle, embmag_sf)
+
+
+#: Id-domain legs (r11): every surrogate id (and its FK references)
+#: shifted by a constant — ids are opaque int64s, and the two extremes
+#: break different assumptions.  NEGATIVE ids (offset -5e6): Python's
+#: floored % vs SQL's truncated % split the media-synthesis replays,
+#: and (id*C) % P went negative into ln() (weighted_sample_es).
+#: NEAR-2^62 ids: id*k products overflow int64 on one or both engines
+#: (bitwise shl, heaps checkpoint grid, BFS id checksums) and the
+#: id-div-2 heap tree pointed outside the id set entirely
+#: (tree_root_pointer_jumping, now rank-based).  Media synthesis runs on
+#: media_base = doc_id mod 2^31 (multimodal.SQL_MEDIA_BASE) — identity
+#: on every realistic id, total on all of them.
+@pytest.fixture(scope="session")
+def idneg_sf(tmp_path_factory):
+    return write_random_fixture(
+        tmp_path_factory.mktemp("randfix_idneg") / "sf", seed=89,
+        id_offset=-5_000_000,
+    )
+
+
+@pytest.fixture(scope="session")
+def idbig_sf(tmp_path_factory):
+    return write_random_fixture(
+        tmp_path_factory.mktemp("randfix_idbig") / "sf", seed=91,
+        id_offset=2**62,
+    )
+
+
+@pytest.mark.parametrize("name", _ORACLE_BACKED)
+def test_oracle_parity_on_negative_ids(spark, idneg_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, idneg_sf), q.oracle, idneg_sf)
+
+
+@pytest.mark.parametrize("name", _ORACLE_BACKED)
+def test_oracle_parity_on_huge_ids(spark, idbig_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, idbig_sf), q.oracle, idbig_sf)
