@@ -53,7 +53,7 @@ MI_EDGES = (15.0, 35.0, 70.0)
     "eval_roc_auc",
     oracle=f"""
     WITH scored AS (
-        SELECT round(embedding[1], {AUC_BIN_DECIMALS}) AS score_b,
+        SELECT round(embedding[1], {AUC_BIN_DECIMALS}) + 0.0 AS score_b,
                CAST(label = {POS_LABEL} AS INT) AS is_pos
         FROM embeddings
     ),
@@ -108,7 +108,9 @@ def binned_auc(scored: DataFrame, decimals: int = AUC_BIN_DECIMALS) -> DataFrame
     see ``eval_roc_auc`` for the scale rationale."""
     bins = (
         scored.select(
-            F.round(F.col("score"), decimals).alias("score_b"),
+            # + 0.0: a tiny-negative score rounds to -0.0 here and +0.0
+            # on the oracle's path (r11 combined-extremes probe)
+            (F.round(F.col("score"), decimals) + F.lit(0.0)).alias("score_b"),
             "is_pos",
         )
         .groupBy("score_b")
@@ -737,7 +739,7 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     defer=True,
     oracle=f"""
     WITH scored AS (
-        SELECT round(embedding[1], {AUC_BIN_DECIMALS}) AS score_b,
+        SELECT round(embedding[1], {AUC_BIN_DECIMALS}) + 0.0 AS score_b,
                CAST(label = {POS_LABEL} AS INT) AS is_pos
         FROM embeddings
     ),
@@ -783,7 +785,7 @@ def eval_auprc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = table(spark, sf_dir, "embeddings")
     scored = emb.select(
-        F.round(F.element_at("embedding", 1).cast("double"), AUC_BIN_DECIMALS).alias(
+        (F.round(F.element_at("embedding", 1).cast("double"), AUC_BIN_DECIMALS) + F.lit(0.0)).alias(
             "score_b"
         ),
         (F.col("label") == POS_LABEL).cast("int").alias("is_pos"),
@@ -823,7 +825,7 @@ LIFT_N_BUCKETS = 10
     defer=True,
     oracle=f"""
     WITH scored AS (
-        SELECT vec_id, round(embedding[1], {AUC_BIN_DECIMALS}) AS score_b,
+        SELECT vec_id, round(embedding[1], {AUC_BIN_DECIMALS}) + 0.0 AS score_b,
                CAST(label = {POS_LABEL} AS INT) AS is_pos
         FROM embeddings
     ),
@@ -869,7 +871,7 @@ def eval_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     scored = emb.select(
         "vec_id",
-        F.round(F.element_at("embedding", 1).cast("double"), AUC_BIN_DECIMALS).alias(
+        (F.round(F.element_at("embedding", 1).cast("double"), AUC_BIN_DECIMALS) + F.lit(0.0)).alias(
             "score_b"
         ),
         (F.col("label") == POS_LABEL).cast("int").alias("is_pos"),
@@ -909,7 +911,7 @@ def eval_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- CAST to DOUBLE before rounding: round(FLOAT) stays FLOAT in
         -- DuckDB and score_b is an OUTPUT column here, unlike the AUC
         SELECT round(CAST(embedding[1] AS DOUBLE), {AUC_BIN_DECIMALS})
-                   AS score_b,
+                   + 0.0 AS score_b,
                CAST(label = {POS_LABEL} AS INT) AS is_pos
         FROM embeddings
     ),
@@ -958,7 +960,7 @@ def eval_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = table(spark, sf_dir, "embeddings")
     scored = emb.select(
-        F.round(F.element_at("embedding", 1).cast("double"), AUC_BIN_DECIMALS).alias(
+        (F.round(F.element_at("embedding", 1).cast("double"), AUC_BIN_DECIMALS) + F.lit(0.0)).alias(
             "score_b"
         ),
         (F.col("label") == POS_LABEL).cast("int").alias("is_pos"),
@@ -1013,7 +1015,7 @@ def eval_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH scored AS (
         SELECT round(CAST(embedding[1] AS DOUBLE), {AUC_BIN_DECIMALS})
-                   AS score_b,
+                   + 0.0 AS score_b,
                CAST(label = {POS_LABEL} AS INT) AS is_pos
         FROM embeddings
     ),
@@ -1068,7 +1070,7 @@ def decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = table(spark, sf_dir, "embeddings")
     scored = emb.select(
-        F.round(F.element_at("embedding", 1).cast("double"), AUC_BIN_DECIMALS).alias(
+        (F.round(F.element_at("embedding", 1).cast("double"), AUC_BIN_DECIMALS) + F.lit(0.0)).alias(
             "score_b"
         ),
         (F.col("label") == POS_LABEL).cast("int").alias("is_pos"),
@@ -1211,7 +1213,7 @@ COST_FN = 5.0
     oracle=f"""
     WITH scored AS (
         SELECT round(CAST(embedding[1] AS DOUBLE), {AUC_BIN_DECIMALS})
-                   AS score_b,
+                   + 0.0 AS score_b,
                CAST(label = {POS_LABEL} AS INT) AS is_pos
         FROM embeddings
     ),
@@ -1262,7 +1264,7 @@ def eval_cost_curve_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = table(spark, sf_dir, "embeddings")
     scored = emb.select(
-        F.round(F.element_at("embedding", 1).cast("double"), AUC_BIN_DECIMALS).alias(
+        (F.round(F.element_at("embedding", 1).cast("double"), AUC_BIN_DECIMALS) + F.lit(0.0)).alias(
             "score_b"
         ),
         (F.col("label") == POS_LABEL).cast("int").alias("is_pos"),
@@ -1430,7 +1432,7 @@ def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that produces A; outputs floor-quantized.
     oracle=f"""
     WITH scored AS (
-        SELECT round(embedding[1], {AUC_BIN_DECIMALS}) AS score_b,
+        SELECT round(embedding[1], {AUC_BIN_DECIMALS}) + 0.0 AS score_b,
                CAST(label = {POS_LABEL} AS INT) AS is_pos
         FROM embeddings
     ),
@@ -1487,7 +1489,8 @@ def auc_confidence_hanley(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = table(spark, sf_dir, "embeddings")
     scored = emb.select(
-        F.round(F.element_at("embedding", 1).cast("double"), AUC_BIN_DECIMALS)
+        (F.round(F.element_at("embedding", 1).cast("double"), AUC_BIN_DECIMALS)
+         + F.lit(0.0))
         .alias("score_b"),
         (F.col("label") == POS_LABEL).cast("int").alias("is_pos"),
     )

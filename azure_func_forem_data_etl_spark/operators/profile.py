@@ -2120,7 +2120,10 @@ ENTROPY_BUCKET_BITS = 0.25
         FROM c GROUP BY 1
     ),
     h AS (
-        SELECT user_id, round(log2(n) - sk / n, 6) AS entropy FROM u
+        -- + 0.0: a single-type user's H is a ~1e-11 residual that
+        -- rounds to -0.0 here and +0.0 on the Spark side (r11
+        -- combined-extremes probe)
+        SELECT user_id, round(log2(n) - sk / n, 6) + 0.0 AS entropy FROM u
     )
     SELECT CAST(floor(entropy / {ENTROPY_BUCKET_BITS}) AS BIGINT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_users,
@@ -2149,7 +2152,9 @@ def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double").alias("sk"),
     )
     h = u.select(
-        F.round(F.log2("n") - F.col("sk") / F.col("n"), 6).alias("entropy")
+        # + 0.0 mirrors the oracle's -0.0 normalization (see note)
+        (F.round(F.log2("n") - F.col("sk") / F.col("n"), 6) + F.lit(0.0))
+        .alias("entropy")
     )
     return h.groupBy(
         F.floor(F.col("entropy") / ENTROPY_BUCKET_BITS).cast("long").alias("bucket")

@@ -1866,9 +1866,11 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "changepoint_binary_split",
     oracle=f"""
     WITH daily AS (
-        SELECT CAST(ts AS DATE) AS day, CAST(round(
-            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
-            AS DECIMAL(18,4)) AS rev
+        -- rev stays in the decimal domain end-to-end: the old
+        -- double-and-round detour re-rounded 1e13-scale sums on the
+        -- scaled path (r11 combined-extremes probe)
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS rev
         FROM events GROUP BY 1
     ),
     idx AS (
@@ -1882,22 +1884,26 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     gains AS (
         SELECT day, i, n,
                -- between-segment SS for split after position i:
-               -- k*(m1-m)^2 + (n-k)*(m2-m)^2, all from exact prefix sums
-               i * (CAST(cum AS DOUBLE) / i - CAST(s AS DOUBLE) / n)
-                 * (CAST(cum AS DOUBLE) / i - CAST(s AS DOUBLE) / n)
-               + (n - i) * (CAST(s - cum AS DOUBLE) / (n - i)
-                            - CAST(s AS DOUBLE) / n)
-                 * (CAST(s - cum AS DOUBLE) / (n - i)
-                    - CAST(s AS DOUBLE) / n) AS gain,
-               CAST(cum AS DOUBLE) / i AS mean_left,
-               CAST(s - cum AS DOUBLE) / (n - i) AS mean_right
+               -- k*(m1-m)^2 + (n-k)*(m2-m)^2, all from exact prefix
+               -- sums; decimal->double via STRING (exact.sql_dsum: the
+               -- scale-4 prefix integers pass 2^53 at 1e13 daily sums)
+               i * (CAST(CAST(cum AS STRING) AS DOUBLE) / i
+                    - CAST(CAST(s AS STRING) AS DOUBLE) / n)
+                 * (CAST(CAST(cum AS STRING) AS DOUBLE) / i
+                    - CAST(CAST(s AS STRING) AS DOUBLE) / n)
+               + (n - i) * (CAST(CAST(s - cum AS STRING) AS DOUBLE) / (n - i)
+                            - CAST(CAST(s AS STRING) AS DOUBLE) / n)
+                 * (CAST(CAST(s - cum AS STRING) AS DOUBLE) / (n - i)
+                    - CAST(CAST(s AS STRING) AS DOUBLE) / n) AS gain,
+               CAST(CAST(cum AS STRING) AS DOUBLE) / i AS mean_left,
+               CAST(CAST(s - cum AS STRING) AS DOUBLE) / (n - i) AS mean_right
         FROM idx WHERE i < n
     )
     SELECT CAST(day AS VARCHAR) AS split_day, i AS split_idx,
            CAST(n AS BIGINT) AS n_days,
-           round(gain, 4) AS gain,
-           round(mean_left, 4) AS mean_left,
-           round(mean_right, 4) AS mean_right
+           {sql_dround("gain", 4)} AS gain,
+           {sql_dround("mean_left", 4)} AS mean_left,
+           {sql_dround("mean_right", 4)} AS mean_right
     FROM gains
     ORDER BY gain DESC, i LIMIT 1
     """,
@@ -1915,7 +1921,8 @@ def changepoint_binary_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = table(spark, sf_dir, "events")
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4)
+        # pure decimal rev (see oracle note): no double detour
+        F.sum(F.col("value").cast("decimal(18,4)"))
         .cast("decimal(18,4)")
         .alias("rev")
     )
@@ -1946,9 +1953,9 @@ def changepoint_binary_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day").cast("string").alias("split_day"),
             F.col("i").alias("split_idx"),
             F.col("n").alias("n_days"),
-            F.round("gain", 4).alias("gain"),
-            F.round("mean_left", 4).alias("mean_left"),
-            F.round("mean_right", 4).alias("mean_right"),
+            dround(F.col("gain"), 4).alias("gain"),
+            dround(F.col("mean_left"), 4).alias("mean_left"),
+            dround(F.col("mean_right"), 4).alias("mean_right"),
         )
     )
 

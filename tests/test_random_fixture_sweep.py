@@ -770,3 +770,29 @@ def test_oracle_parity_on_negative_ids(spark, idneg_sf, name):
 def test_oracle_parity_on_huge_ids(spark, idbig_sf, name):
     q = REGISTRY[name]
     assert_matches_oracle(q.fn(spark, idbig_sf), q.oracle, idbig_sf)
+
+
+#: Combined-extremes leg (r11): every r11 axis TOGETHER — magnitude-
+#: spread money, 25% duplicate event ids, long docs, embedding-magnitude
+#: spread, negative id offset, plus hot-key skew, nulls, and a 15-min
+#: timestamp grain.  Interactions are where single-axis fixes leak; its
+#: first run found three: a 2^53 decimal->double cast + scaled round in
+#: changepoint_binary_split's oracle (revenue magnitudes only reach the
+#: boundary under the combined skew+grain shape — rev now stays decimal
+#: end-to-end), and IEEE -0.0 leaking from score bins (eval_ks_
+#: separation + every AUC_BIN_DECIMALS site, now `+ 0.0`-normalized) and
+#: single-type-user entropies (user_event_entropy).
+@pytest.fixture(scope="session")
+def combo_sf(tmp_path_factory):
+    return write_random_fixture(
+        tmp_path_factory.mktemp("randfix_combo") / "sf", seed=101,
+        magnitude_spread=True, dup_event_frac=0.25, long_docs=8,
+        emb_magnitude_spread=True, id_offset=-5_000_000,
+        hot_frac=0.3, null_frac=0.15, ts_grain_s=900,
+    )
+
+
+@pytest.mark.parametrize("name", _ORACLE_BACKED)
+def test_oracle_parity_on_combined_extremes(spark, combo_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, combo_sf), q.oracle, combo_sf)
