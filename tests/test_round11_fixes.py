@@ -423,3 +423,62 @@ def test_sql_dsum_string_trip_past_2_53(spark, tmp_path):
         f"FROM read_parquet('{d}/t.parquet')"
     ).fetchone()[0]
     assert direct == 7114608573322.449  # the bug the trip fixes
+
+
+def test_dround_property_across_magnitudes(spark, tmp_path):
+    """dround == sql_dround bit-for-bit over a deterministic sample
+    spanning the full double range the contract claims: exponents
+    1e-40..1e+40 (both signs), exact zeros, sub-half-quantum values with
+    every leading digit (the DuckDB first-digit parse bug region),
+    scaled-half boundaries, and values straddling the 1e15 identity
+    cut — for k in {4, 6, 9}."""
+    import random
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from azure_func_forem_data_etl_spark.functions.exact import (
+        dround,
+        sql_dround,
+    )
+
+    rng = random.Random(7)
+    vals = [0.0, -0.0, 1e15, -1e15, 999999999999999.9, 1.0000000000000002e15]
+    # every leading digit at deep-tiny exponents (first-digit bug region)
+    vals += [s * d * 10.0 ** -e for s in (1, -1) for d in range(1, 10)
+             for e in (8, 12, 20, 30)]
+    # random magnitudes across the whole claimed range
+    vals += [rng.uniform(1, 10) * 10.0 ** rng.randint(-40, 40)
+             * rng.choice((1, -1)) for _ in range(2000)]
+    # scaled-half neighborhoods: x where x*10^k prints as .5
+    vals += [(n + 0.5) / 10.0 ** 4 for n in
+             (rng.randrange(10 ** 10) for _ in range(200))]
+    d = tmp_path / "v.parquet"
+    pq.write_table(pa.table({"i": pa.array(range(len(vals)), pa.int64()),
+                             "x": pa.array(vals, pa.float64())}), str(d))
+    for k in (4, 6, 9):
+        got = [
+            r["r"]
+            for r in spark.read.parquet(str(d))
+            .select("i", dround(F.col("x"), k).alias("r"))
+            .orderBy("i")
+            .collect()
+        ]
+        want = [
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT {sql_dround('x', k)} AS r "
+                f"FROM read_parquet('{d}') ORDER BY i"
+            ).fetchall()
+        ]
+        assert len(got) == len(want)
+        # repr-compare: the driver's value hash distinguishes -0.0 from
+        # 0.0, so the contract must match signs too (Python == does not)
+        bad = [
+            (i, vals[i], g, w)
+            for i, (g, w) in enumerate(zip(got, want))
+            if repr(g) != repr(w)
+        ]
+        assert not bad, f"k={k}: first divergences {bad[:5]}"
