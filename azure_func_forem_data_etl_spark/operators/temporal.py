@@ -327,18 +327,23 @@ def gapfill_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hour_start")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    fwd = (
+    # the NOCB side runs as a RUNNING frame over the REVERSED order, not
+    # first() over (currentRow, unboundedFollowing): Spark evaluates an
+    # unbounded-FOLLOWING frame by rescanning current..end for every row
+    # — O(n^2) per series, 36 minutes on a 10-year hourly spine (r11
+    # long-span probe) — while the running frame is incremental O(n)
+    fwd_desc = (
         Window.partitionBy("event_type")
-        .orderBy("hour_start")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("hour_start"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_hour = F.when(F.col("sv").isNotNull(), F.col("hour_start"))
     ctx = (
         spine.join(hourly, ["event_type", "hour_start"], "left")
         .withColumn("pv", F.last("sv", ignorenulls=True).over(back))
         .withColumn("ph", F.last(obs_hour, ignorenulls=True).over(back))
-        .withColumn("nv", F.first("sv", ignorenulls=True).over(fwd))
-        .withColumn("nh", F.first(obs_hour, ignorenulls=True).over(fwd))
+        .withColumn("nv", F.last("sv", ignorenulls=True).over(fwd_desc))
+        .withColumn("nh", F.last(obs_hour, ignorenulls=True).over(fwd_desc))
     )
     frac = F.expr("timestampdiff(HOUR, ph, hour_start)").cast("double") / F.expr(
         "timestampdiff(HOUR, ph, nh)"
@@ -2138,10 +2143,18 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exclusive — see docstring for why that is output-equivalent
     order = Window.partitionBy("user_id").orderBy("__ts", F.desc("__is_left"))
     w_back = order.rowsBetween(Window.unboundedPreceding, 0)
-    w_fwd = order.rowsBetween(0, Window.unboundedFollowing)
+    # forward match as a RUNNING frame over the reversed order (right
+    # rows first at equal ts, so the left row's frame still includes the
+    # same-ts purchase): an unbounded-FOLLOWING frame is O(n^2) per user
+    # in Spark (rescans current..end per row) — quadratic on exactly the
+    # hot users skew concentrates (r11 long-span probe, gapfill find)
+    order_desc = Window.partitionBy("user_id").orderBy(
+        F.desc("__ts"), F.asc("__is_left")
+    )
+    w_fwd = order_desc.rowsBetween(Window.unboundedPreceding, 0)
     m = (
         u.withColumn("__b", F.last("__rpay", ignorenulls=True).over(w_back))
-        .withColumn("__f", F.first("__rpay", ignorenulls=True).over(w_fwd))
+        .withColumn("__f", F.last("__rpay", ignorenulls=True).over(w_fwd))
         .filter(F.col("__is_left") == 1)
     )
     db = F.unix_micros("ts") - F.unix_micros(F.col("__b.p_ts"))

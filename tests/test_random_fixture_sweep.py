@@ -796,3 +796,36 @@ def combo_sf(tmp_path_factory):
 def test_oracle_parity_on_combined_extremes(spark, combo_sf, name):
     q = REGISTRY[name]
     assert_matches_oracle(q.fn(spark, combo_sf), q.oracle, combo_sf)
+
+
+#: Long-span leg (r11): a 10-YEAR event window (3650 days, 2000 events)
+#: — the regime where per-series spines inflate 120x (the hourly
+#: gap-fill spine reaches ~435k rows) and anything superlinear in the
+#: series length surfaces.  Its first probe passed 374/374 for
+#: CORRECTNESS but exposed a quadratic PLAN: Spark evaluates a
+#: (currentRow, unboundedFollowing) window frame by rescanning
+#: current..end for every row, so gapfill_hourly_interp's NOCB side ran
+#: 36 minutes on the long spine (asof_join_nearest's forward pass had
+#: the same shape on hot users).  Both now run as RUNNING frames over
+#: the reversed sort — incremental O(n), same results, 8 s on the same
+#: spine.  Scoped to the families where series length bites.
+_SPAN_FAMILIES = ("temporal", "windows")
+_SPAN_SENSITIVE = sorted(
+    n for n, q in REGISTRY.items()
+    if q.fn.__module__.rsplit(".", 1)[-1] in _SPAN_FAMILIES
+    and q.oracle is not None
+)
+
+
+@pytest.fixture(scope="session")
+def longspan_sf(tmp_path_factory):
+    return write_random_fixture(
+        tmp_path_factory.mktemp("randfix_span") / "sf", seed=107,
+        span_days=3650, n_events=2000,
+    )
+
+
+@pytest.mark.parametrize("name", _SPAN_SENSITIVE)
+def test_oracle_parity_on_long_spans(spark, longspan_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, longspan_sf), q.oracle, longspan_sf)
