@@ -295,11 +295,17 @@ def test_gapfill_interp_single_window_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "gapfill_hourly_interp")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # forward+backward frames share one partitioning+ordering: the
-    # chained Window nodes sit on a SINGLE sort (no re-sort, no
-    # re-exchange between frames)
+    # TWO sorts by design since r11: the LOCF side runs on the ascending
+    # sort and the NOCB side on the DESCENDING sort as a running frame —
+    # a shared-sort plan would need a (currentRow, unboundedFollowing)
+    # frame, which Spark evaluates by rescanning current..end per row,
+    # O(n^2) per series (36 min on a 10-year hourly spine, r11 long-span
+    # probe).  Both Window nodes still share ONE hash partitioning.
     n_sort = len(re.findall(r"\(\d+\) Sort\b", plan))
-    assert n_sort == 1, f"expected 1 Sort feeding the windows, got {n_sort}"
+    assert n_sort == 2, f"expected asc+desc sorts for the frames, got {n_sort}"
+    assert "unboundedfollowing" not in plan.lower().replace(" ", ""), (
+        "the O(n^2) unbounded-following frame is back"
+    )
     n_exch = len(re.findall(r"\(\d+\) Exchange\b", plan))
     assert n_exch <= 3, f"expected <=3 Exchanges, got {n_exch}"
 

@@ -393,6 +393,16 @@ def test_binned_auc_equals_exact_pairwise(spark, rows):
     wins = sum(1.0 for sp in pos for sn in neg if sp > sn) + sum(
         0.5 for sp in pos for sn in neg if sp == sn
     )
-    want = round(wins / (len(pos) * len(neg)), 6)
+    # quantize HALF_UP like the engine's round: Python's round() is
+    # half-EVEN, and exact midpoints genuinely occur (2*wins is an
+    # integer, so wins/n lands on x.xxxxx5 whenever 2*wins*10^6/n is an
+    # odd integer — hypothesis found 46.5/64 = 0.7265625)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    want = float(
+        (Decimal(int(wins * 2)) / (2 * len(pos) * len(neg))).quantize(
+            Decimal("1e-6"), ROUND_HALF_UP
+        )
+    )
     assert got.auc == want
     assert got.n_pos == len(pos) and got.n_neg == len(neg)
