@@ -162,11 +162,17 @@ def snapshot_diff_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "changelog_apply_roundtrip",
     oracle="""
     WITH bounds AS (
+        -- the t2 cut stays on the UNFILTERED stream: snapshot_diff (the
+        -- changelog producer) computes its t1/t2 there, and the
+        -- roundtrip only holds if both sides cut at the same instant
         SELECT MIN(epoch_us(ts)) + 3 * (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 4 AS t2
         FROM events
     )
+    -- identified users only (r11 null-FK sweep): CDC is keyed on
+    -- user_id, and a NULL key is un-joinable — the apply side's anti/
+    -- upsert joins drop it while a window partition pools it
     SELECT user_id, event_type AS state
-    FROM events, bounds WHERE epoch_us(ts) <= t2
+    FROM events, bounds WHERE epoch_us(ts) <= t2 AND user_id IS NOT NULL
     QUALIFY row_number() OVER (PARTITION BY user_id
                                ORDER BY ts DESC, event_id DESC) = 1
     """,
@@ -182,7 +188,13 @@ def changelog_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both legs are keyed joins on user_id — one exchange each at scale.
     Correctness is self-certifying: the output must hash-match the
     directly-computed t2 snapshot, which is exactly what the oracle does."""
-    diff = snapshot_diff_user_state(spark, sf_dir).localCheckpoint(eager=True)
+    # identified users only in the SNAPSHOTS (see the oracle note); the
+    # t1 cut below still uses the unfiltered stream, like snapshot_diff
+    diff = (
+        snapshot_diff_user_state(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .localCheckpoint(eager=True)
+    )
     events = table(spark, sf_dir, "events").withColumn(
         "__us", F.unix_micros("ts")
     )
@@ -193,7 +205,8 @@ def changelog_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").desc(), F.col("event_id").desc()
     )
     base = (
-        events.crossJoin(F.broadcast(b))
+        events.filter(F.col("user_id").isNotNull())
+        .crossJoin(F.broadcast(b))
         .filter(F.col("__us") <= F.col("t1"))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -1852,6 +1852,9 @@ def _cuped_oracle() -> str:
         SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid FROM events
     ),
     peruser AS MATERIALIZED (
+        -- identified users only (r11 null-FK sweep): an anonymous
+        -- event has no assignment unit (Spark xxhash64 SKIPS null
+        -- inputs, pooling all anonymous traffic into one pseudo-user)
         SELECT user_id,
                CAST(SUM(CASE WHEN epoch_us(ts) <= b.mid
                              THEN CAST(value AS DECIMAL(18,4))
@@ -1861,7 +1864,8 @@ def _cuped_oracle() -> str:
                              THEN CAST(value AS DECIMAL(18,4))
                              ELSE CAST(0 AS DECIMAL(18,4)) END)
                     AS DECIMAL(19,4)) AS y
-        FROM events, bounds b GROUP BY user_id
+        FROM events, bounds b
+        WHERE user_id IS NOT NULL GROUP BY user_id
     ),
     {hash_ctes},
     armed AS MATERIALIZED (
@@ -1923,9 +1927,15 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size.  The time midpoint comes from a scalar (min, max)
     aggregate cross-joined back — no driver round-trip, no config.
     """
-    ev = table(spark, sf_dir, "events").select(
-        "user_id", F.unix_micros("ts").alias("us"),
-        F.col("value").cast("decimal(18,4)").alias("v"),
+    # identified users only — see the oracle note (r11 null-FK sweep)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            F.col("value").cast("decimal(18,4)").alias("v"),
+        )
     )
     bounds = ev.agg(
         F.expr("(min(us) + max(us)) div 2").alias("mid")
@@ -2121,10 +2131,13 @@ def _qte_oracle() -> str:
     qvals = ", ".join(f"({p})" for p in QTE_QUANTILES_PPM)
     return f"""
     WITH qpu AS MATERIALIZED (
+        -- identified users only (r11 null-FK sweep): an anonymous
+        -- event has no assignment unit (Spark xxhash64 SKIPS null
+        -- inputs, pooling all anonymous traffic into one pseudo-user)
         SELECT user_id,
                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(19,4))
                    AS total
-        FROM events GROUP BY user_id
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
     ),
     {hash_ctes},
     armed AS MATERIALIZED (
@@ -2183,7 +2196,8 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     the metric an exact decimal, so both engines select the identical
     row; outputs cast to double (scale-4 decimals are double-exact).
     """
-    ev = table(spark, sf_dir, "events")
+    # identified users only — see the oracle note (r11 null-FK sweep)
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     peruser = (
         ev.groupBy("user_id")
         .agg(
@@ -2277,12 +2291,15 @@ def _gsd_oracle() -> str:
     bound = f"{GSD_OBF_C} * sqrt(CAST(kk AS DOUBLE) / week_k)"
     return f"""
     WITH gu AS MATERIALIZED (
+        -- identified users only (r11 null-FK sweep): an anonymous
+        -- event has no assignment unit (Spark xxhash64 SKIPS null
+        -- inputs, pooling all anonymous traffic into one pseudo-user)
         SELECT user_id,
                MIN(epoch_us(ts) // {GSD_WEEK_US}) AS w_seen,
                MIN(CASE WHEN event_type = 'purchase'
                         THEN epoch_us(ts) // {GSD_WEEK_US} END) AS w_conv,
                MAX(epoch_us(ts) // {GSD_WEEK_US}) AS w_last
-        FROM events GROUP BY user_id
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
     ),
     {hash_ctes},
     armed AS MATERIALIZED (
@@ -2347,10 +2364,15 @@ def group_sequential_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     (two bounded windows + one bounded pivot) — no corpus rescan, no
     unpartitioned window over user rows.
     """
-    ev = table(spark, sf_dir, "events").select(
-        "user_id",
-        F.expr(f"unix_micros(ts) div {GSD_WEEK_US}").alias("week"),
-        (F.col("event_type") == "purchase").alias("is_conv"),
+    # identified users only — see the oracle note (r11 null-FK sweep)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.expr(f"unix_micros(ts) div {GSD_WEEK_US}").alias("week"),
+            (F.col("event_type") == "purchase").alias("is_conv"),
+        )
     )
     u = (
         ev.groupBy("user_id")
@@ -2444,12 +2466,15 @@ def _qini_oracle() -> str:
     signed = X.signed64("h")
     return f"""
     WITH qu AS MATERIALIZED (
+        -- identified users only (r11 null-FK sweep): an anonymous
+        -- event has no assignment unit (Spark xxhash64 SKIPS null
+        -- inputs, pooling all anonymous traffic into one pseudo-user)
         SELECT user_id,
                CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
                     AS BIGINT) AS score,
                CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                     AS BIGINT) AS conv
-        FROM events GROUP BY user_id
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
     ),
     {hash_ctes},
     armed AS MATERIALIZED (
@@ -2518,7 +2543,8 @@ def uplift_qini_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the user grain.  100 TB shape: one user-keyed agg, score-band keyed
     ranking, decile-grain everything after.
     """
-    ev = table(spark, sf_dir, "events")
+    # identified users only — see the oracle note (r11 null-FK sweep)
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     u = (
         ev.groupBy("user_id")
         .agg(

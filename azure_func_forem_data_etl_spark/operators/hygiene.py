@@ -578,7 +578,12 @@ def _ab_assign_oracle() -> str:
     )
     signed = X.signed64("h")
     return f"""
-    WITH uids AS (SELECT DISTINCT user_id FROM events),
+    -- identified traffic only (r11 null-FK sweep): an anonymous
+    -- (NULL-user) event has no assignment unit — Spark's xxhash64
+    -- SKIPS null inputs (hash = seed), silently pooling all anonymous
+    -- events into one arm, while the SQL hash join drops them
+    WITH uids AS (SELECT DISTINCT user_id FROM events
+                  WHERE user_id IS NOT NULL),
     {hash_ctes},
     arms AS (
         SELECT user_id, (({signed} % {AB_ARMS}) + {AB_ARMS}) % {AB_ARMS} AS arm
@@ -610,7 +615,8 @@ def ab_assignment_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     value sum keeps the readout hash-comparable across engines."""
     from azure_func_forem_data_etl_spark.functions.exact import dsum
 
-    ev = table(spark, sf_dir, "events")
+    # identified traffic only — see the oracle note (r11 null-FK sweep)
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     arm = F.pmod(F.xxhash64("user_id"), F.lit(AB_ARMS))
     return (
         ev.withColumn("arm", arm)

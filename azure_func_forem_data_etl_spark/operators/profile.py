@@ -685,6 +685,19 @@ def chisq_independence_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     UNION ALL
+    -- identified-traffic domain (r11 null-FK sweep): user-keyed
+    -- analytics (assignment hashing, per-user state, CDC, as-of
+    -- attribution) exclude anonymous events; this rule makes the
+    -- excluded mass observable at the gate
+    SELECT 'user_id_present', n_rows, anon,
+           CAST(anon = 0 AS INT)
+    FROM (
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS anon
+        FROM events
+    )
+    UNION ALL
     -- quantized-moment analytics domain (similarity.EMB_COMPONENT_BOUND,
     -- r11 embedding-magnitude sweep): vectors carrying any
     -- |component| >= 1e4 are excluded from dim-stats / centroid / PCA;
@@ -756,6 +769,10 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("nonfinite"),
+            # identified-traffic rule (r11 null-FK sweep): same scan
+            F.sum(F.col("user_id").isNull().cast("int"))
+            .cast("long")
+            .alias("anon"),
         )
         .first()
     )
@@ -791,6 +808,7 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("pk_unique", base["n_rows"], base["dup_pk"]),
         ("orderkey_fk_exists", base["n_rows"], orphans),
         ("value_finite", ev["n_rows"], ev["nonfinite"]),
+        ("user_id_present", ev["n_rows"], ev["anon"]),
         ("embedding_finite", emb["n_rows"], emb["nonfinite"]),
         ("embedding_component_range", emb["n_rows"], emb["oob"]),
     ]

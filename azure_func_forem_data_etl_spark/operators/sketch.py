@@ -223,8 +223,12 @@ def hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY event_type LIMIT 2
     ),
     ab AS (SELECT MIN(event_type) AS ta, MAX(event_type) AS tb FROM t2),
-    ua AS (SELECT DISTINCT e.user_id FROM events e, ab WHERE e.event_type = ab.ta),
-    ub AS (SELECT DISTINCT e.user_id FROM events e, ab WHERE e.event_type = ab.tb)
+    -- identified users only (r11 null-FK sweep): sketch updates SKIP a
+    -- NULL key while DISTINCT keeps it and NOT IN goes three-valued
+    ua AS (SELECT DISTINCT e.user_id FROM events e, ab
+           WHERE e.event_type = ab.ta AND e.user_id IS NOT NULL),
+    ub AS (SELECT DISTINCT e.user_id FROM events e, ab
+           WHERE e.event_type = ab.tb AND e.user_id IS NOT NULL)
     SELECT ab.ta AS type_a, ab.tb AS type_b,
            CAST((SELECT COUNT(*) FROM ua) AS BIGINT) AS distinct_a,
            CAST((SELECT COUNT(*) FROM ub) AS BIGINT) AS distinct_b,
@@ -251,7 +255,8 @@ def theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     KB per sketch); every set operation is driver-cheap scalar algebra
     on two binary values.  The two event types are the lexicographic
     first two — deterministic without data-dependent constants."""
-    events = table(spark, sf_dir, "events")
+    # identified users only — see the oracle note (r11 null-FK sweep)
+    events = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     types = events.select("event_type").distinct().orderBy("event_type").limit(2)
     sks = (
         events.join(F.broadcast(types), "event_type", "left_semi")

@@ -80,10 +80,15 @@ def asof_join(
     "asof_join_purchase",
     oracle="""
     WITH p AS (
+        -- identified purchases only (r11 null-FK sweep): an anonymous
+        -- purchase attributes to no one — the SQL equality join drops
+        -- it anyway, but Spark's NULL-pooling window partition would
+        -- hand it to every other anonymous event
         SELECT user_id, p_ts, p_event_id FROM (
             SELECT user_id, ts AS p_ts, event_id AS p_event_id,
                    ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
-            FROM events WHERE event_type = 'purchase'
+            FROM events
+            WHERE event_type = 'purchase' AND user_id IS NOT NULL
         ) WHERE rn = 1
     )
     SELECT e.event_id, e.user_id, e.ts, p.p_ts, p.p_event_id
@@ -95,7 +100,10 @@ def asof_join(
 def asof_join_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = table(spark, sf_dir, "events")
     purchases = (
-        events.filter(F.col("event_type") == "purchase")
+        # identified purchases only — see the oracle note (null-FK sweep)
+        events.filter(
+            (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+        )
         .withColumn(
             "rn",
             F.row_number().over(
@@ -1465,10 +1473,13 @@ EWMA_ALPHA = 0.2
     # aliasing.
     oracle=f"""
     WITH RECURSIVE ordered AS (
+      -- identified users only (r11 null-FK sweep): a per-USER smoothing
+      -- over pooled anonymous traffic is meaningless, and the recursive
+      -- join's NULL = NULL never advances while Spark's groupBy pools
       SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS v,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS rn
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ),
     ew(user_id, rn, event_id, ts, v, s) AS (
       SELECT user_id, rn, event_id, ts, v, v AS s FROM ordered WHERE rn = 1
@@ -1507,7 +1518,12 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     within a group regardless of partitioning because each group is
     processed whole.
     """
-    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    # identified users only — see the oracle note (r11 null-FK sweep)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
+    )
 
     def smooth(pdf):
         pdf = pdf.sort_values(["ts", "event_id"])
@@ -2060,11 +2076,14 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ),
     p AS (
+        -- identified purchases only (r11 null-FK sweep, same contract
+        -- as asof_join_purchase)
         SELECT user_id, p_ts, p_event_id FROM (
             SELECT user_id, ts AS p_ts, event_id AS p_event_id,
                    ROW_NUMBER() OVER (PARTITION BY user_id, ts
                                       ORDER BY event_id DESC) AS rn
-            FROM events WHERE event_type = 'purchase'
+            FROM events
+            WHERE event_type = 'purchase' AND user_id IS NOT NULL
         ) WHERE rn = 1
     ),
     back AS (
@@ -2112,7 +2131,10 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = table(spark, sf_dir, "events")
     purchases = (
-        events.filter(F.col("event_type") == "purchase")
+        # identified purchases only — see the oracle note (null-FK sweep)
+        events.filter(
+            (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+        )
         .withColumn(
             "rn",
             F.row_number().over(
@@ -4044,7 +4066,12 @@ def _active_user_sweep(ud: DataFrame, window_days: int) -> DataFrame:
     defer=3,
     oracle=f"""
     WITH ud AS MATERIALIZED (
+        -- identified users only (r11 null-FK sweep): "active users"
+        -- cannot count anonymous traffic — and the old mixed NULL
+        -- handling even disagreed with ITSELF (dau's COUNT(*) counted
+        -- the NULL row, wau/mau's COUNT(DISTINCT) dropped it)
         SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        WHERE user_id IS NOT NULL
     ),
     dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d),
     wau AS (
@@ -4087,7 +4114,8 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which re-scans the user-day relation once per window day) — same
     trailing-distinct semantics, one pass.
     """
-    ev = table(spark, sf_dir, "events")
+    # identified users only — see the oracle note (r11 null-FK sweep)
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     # Five consumers (dau x2 via the spine, two island windows) — pin the
     # user-day grain once or Spark re-runs the corpus distinct per branch
     # (aggregation subplans are not reused across references).

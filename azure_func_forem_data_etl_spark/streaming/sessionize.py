@@ -117,11 +117,14 @@ def finalize_sessions(emitted: DataFrame) -> DataFrame:
     "streaming_sessionize_state",
     oracle="""
     WITH marked AS (
+        -- identified users only (r11 null-FK sweep): sessions belong to
+        -- a user; a NULL state key crashes applyInPandasWithState and
+        -- pooling anonymous traffic into one "session" is meaningless
         SELECT user_id, ts,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                          <= INTERVAL '10 minutes'
                     THEN 0 ELSE 1 END AS new_session
-        FROM events
+        FROM events WHERE user_id IS NOT NULL
     ), grp AS (
         SELECT user_id, ts,
                SUM(new_session) OVER (
@@ -140,7 +143,10 @@ def finalize_sessions(emitted: DataFrame) -> DataFrame:
     doc="Custom stateful sessionization (applyInPandasWithState), 10-min gap.",
 )
 def streaming_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = stream_table(spark, sf_dir, "events")
+    # identified users only — see the oracle note (r11 null-FK sweep)
+    events = stream_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
     emitted = run_available_now(sessionize_stream(events), "append")
     return finalize_sessions(emitted)
 

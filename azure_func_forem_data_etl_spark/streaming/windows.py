@@ -471,13 +471,16 @@ def streaming_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) AS mx_us
         FROM events
     ),
+    -- identified users only (r11 null-FK sweep): a NULL join key never
+    -- matches, and the two engines disagree on whether the orphaned
+    -- anonymous rows count as "unmatched" for outer emission
     s AS (
         SELECT event_id AS signup_id, user_id AS s_user, ts AS s_ts
-        FROM events WHERE event_type = 'signup'
+        FROM events WHERE event_type = 'signup' AND user_id IS NOT NULL
     ),
     p AS (
         SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
-        FROM events WHERE event_type = 'purchase'
+        FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
     )
     SELECT s.signup_id, p.purchase_id,
            COALESCE(s.s_user, p.p_user) AS user_id
@@ -503,9 +506,10 @@ def streaming_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rows whose null partner could still legitimately arrive at
     end-of-stream are excluded from BOTH engines' results)."""
     spark = stream_session(spark, sf_dir, "events")
+    # identified users only — see the oracle note (r11 null-FK sweep)
     signups = (
         stream_table(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "signup")
+        .filter((F.col("event_type") == "signup") & F.col("user_id").isNotNull())
         .select(
             F.col("event_id").alias("signup_id"),
             F.col("user_id").alias("s_user"),
@@ -515,7 +519,7 @@ def streaming_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     purchases = (
         stream_table(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
+        .filter((F.col("event_type") == "purchase") & F.col("user_id").isNotNull())
         .select(
             F.col("event_id").alias("purchase_id"),
             F.col("user_id").alias("p_user"),

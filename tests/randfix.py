@@ -73,6 +73,7 @@ def write_random_fixture(
     dup_event_frac: float = 0.0,
     emb_magnitude_spread: bool = False,
     id_offset: int = 0,
+    null_fk_frac: float = 0.0,
 ) -> str:
     """``ts_grain_s`` > 0 truncates event timestamps to that many seconds
     (and drops the microsecond part), manufacturing heavy timestamp TIES —
@@ -118,7 +119,12 @@ def write_random_fixture(
     order/event/doc/vec/user) and its FK references by a constant —
     ids are opaque int64s, and a negative or near-2^62 offset surfaces
     any id arithmetic that assumes small positive keys (sums, +1 hops,
-    modulo sign, sequence materialization)."""
+    modulo sign, sequence materialization).  ``null_fk_frac`` NULLs that
+    fraction of events.user_id — the anonymous-traffic shape: joins must
+    drop the rows identically, GROUP BY must pool them into one NULL
+    group on both engines, and any ORDER BY over the nullable key walks
+    into the engines' OPPOSITE null-ordering defaults (Spark ascending =
+    NULLS FIRST, DuckDB = NULLS LAST)."""
     eras = _TS_ERAS[2:] if ts_eras == "post1970" else _TS_ERAS
     rng = random.Random(seed)
 
@@ -248,7 +254,8 @@ def write_random_fixture(
     ev = {
         "event_id": [id_offset + i for i in range(n_events)],
         "ts": [_event_ts(et) for et in etypes],
-        "user_id": [id_offset
+        "user_id": [None if null_fk_frac and rng.random() < null_fk_frac
+                    else id_offset
                     + (1 if rng.random() < hot_frac else rng.randint(1, n_customers))
                     for _ in range(n_events)],
         "event_type": etypes,
