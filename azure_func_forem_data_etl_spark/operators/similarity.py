@@ -920,7 +920,7 @@ def embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH x AS (
         SELECT i - 1 AS dim,
                CAST(round(CAST(embedding[i] AS DOUBLE), 9)
-                    AS DECIMAL(13,9)) AS q,
+                    AS DECIMAL(14,9)) AS q,
                CAST(embedding[i] AS DOUBLE) AS xd
         FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
         -- quantized-moment domain: vectors with any |component| >= 1e4
@@ -966,7 +966,11 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = emb.select(
         F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "xd")
     ).select(
-        "dim", "xd", F.round("xd", 9).cast("decimal(13,9)").alias("q")
+        # DECIMAL(14,9), not (13,9): the open |x| < 1e4 domain bound
+        # leaves a band [1e4-ulp, 1e4) whose 9dp rounding is exactly
+        # 10000.000000000 — one integer digit past a (13,9) quantizer
+        # (r12 ADVICE; unreachable for float32 inputs, latent for wider)
+        "dim", "xd", F.round("xd", 9).cast("decimal(14,9)").alias("q")
     )
     n = F.count("*")
     s = F.sum("q").cast("double")

@@ -218,8 +218,16 @@ def hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query degrades gracefully to ~1.6% estimates past capacity — which
     # is exactly the regime documented in the docstring.
     oracle="""
+    -- type selection runs on the SAME identified-user universe the
+    -- sketches aggregate (r12 ADVICE): a lexicographically-early type
+    -- occurring only on anonymous (NULL user_id) traffic must not be
+    -- chosen here and then aggregate to an empty sketch on the Spark
+    -- side.  NULL event_type is excluded symmetrically (a NULL type is
+    -- not a type; Spark orders NULLS FIRST, DuckDB NULLS LAST).
     WITH t2 AS (
-        SELECT event_type FROM events GROUP BY event_type
+        SELECT event_type FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY event_type
         ORDER BY event_type LIMIT 2
     ),
     ab AS (SELECT MIN(event_type) AS ta, MAX(event_type) AS tb FROM t2),
@@ -255,9 +263,18 @@ def theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     KB per sketch); every set operation is driver-cheap scalar algebra
     on two binary values.  The two event types are the lexicographic
     first two — deterministic without data-dependent constants."""
-    # identified users only — see the oracle note (r11 null-FK sweep)
+    # identified users only — see the oracle note (r11 null-FK sweep);
+    # the TYPE pick also runs on this filtered universe so both engines
+    # choose from the same set (r12 ADVICE), and NULL types are excluded
+    # symmetrically (Spark sorts NULLS FIRST, DuckDB NULLS LAST)
     events = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    types = events.select("event_type").distinct().orderBy("event_type").limit(2)
+    types = (
+        events.filter(F.col("event_type").isNotNull())
+        .select("event_type")
+        .distinct()
+        .orderBy("event_type")
+        .limit(2)
+    )
     sks = (
         events.join(F.broadcast(types), "event_type", "left_semi")
         .groupBy("event_type")

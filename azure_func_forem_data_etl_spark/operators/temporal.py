@@ -1006,14 +1006,19 @@ ATTR_WINDOW_H = 24  # touches within this many hours before a purchase
     -- first-write-wins by event_id (r11 dup-keys sweep): at-least-once
     -- delivery re-emits an id with a drifted payload, and grouping by a
     -- non-deduped purchase_id merges two payloads with an
-    -- engine-arbitrary ANY_VALUE pick; the earliest (ts, value) row is
-    -- the deterministic representative on both engines (identical rows
-    -- make any pick output-equivalent)
+    -- engine-arbitrary ANY_VALUE pick; the earliest (ts, value, user_id)
+    -- row is the deterministic representative on both engines: user_id
+    -- joins the ORDER BY (r12 ADVICE) so a key-drifted re-delivery tying
+    -- on (ts, value) still picks one total-ordered row, and every key is
+    -- pinned NULLS FIRST (Spark's ASC default; DuckDB defaults NULLS
+    -- LAST) so a NULL payload cannot flip the pick cross-engine
     WITH p AS (
         SELECT event_id AS purchase_id, user_id, ts AS p_ts, value FROM (
             SELECT event_id, user_id, ts, value,
                    ROW_NUMBER() OVER (PARTITION BY event_id
-                                      ORDER BY ts, value) AS rn
+                                      ORDER BY ts NULLS FIRST,
+                                               value NULLS FIRST,
+                                               user_id NULLS FIRST) AS rn
             FROM events WHERE event_type = 'purchase'
         ) WHERE rn = 1
     ),
@@ -1021,7 +1026,9 @@ ATTR_WINDOW_H = 24  # touches within this many hours before a purchase
         SELECT event_id AS touch_id, user_id, ts AS c_ts FROM (
             SELECT event_id, user_id, ts,
                    ROW_NUMBER() OVER (PARTITION BY event_id
-                                      ORDER BY ts, value) AS rn
+                                      ORDER BY ts NULLS FIRST,
+                                               value NULLS FIRST,
+                                               user_id NULLS FIRST) AS rn
             FROM events WHERE event_type = 'click'
         ) WHERE rn = 1
     ),
@@ -1068,8 +1075,15 @@ def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     # first-write-wins by event_id (see oracle note): deterministic
     # representative for at-least-once re-deliveries of the same id,
-    # applied per filtered leg exactly like the oracle CTEs
-    fw = Window.partitionBy("event_id").orderBy("ts", "value")
+    # applied per filtered leg exactly like the oracle CTEs.  user_id
+    # completes the total order over every output-visible column (r12
+    # ADVICE: key drift tying on ts+value), NULLS FIRST pinned on both
+    # engines (Spark's ASC default, made explicit).
+    fw = Window.partitionBy("event_id").orderBy(
+        F.asc_nulls_first("ts"),
+        F.asc_nulls_first("value"),
+        F.asc_nulls_first("user_id"),
+    )
 
     def first_write(leg):
         return (
