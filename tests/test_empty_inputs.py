@@ -116,7 +116,6 @@ def test_new_curation_ops_on_empty_corpus(spark, empty_sf):
         "mixture_sampling_weighted",
         "decontamination_ngram_overlap",
         "fuzzy_levenshtein_pairs",
-        "ml_minhash_neardup",
         "multimodal_frame_sample",
         "multimodal_png_decode",
         "multimodal_audio_stats",
@@ -124,6 +123,17 @@ def test_new_curation_ops_on_empty_corpus(spark, empty_sf):
         "gapfill_hourly_interp",
     ]:
         assert reg[name].fn(spark, empty_sf).count() == 0, name
+
+
+def test_ml_minhash_certificate_on_empty_corpus(spark, empty_sf):
+    """The r12 certificate form is a single-row invariant summary: on an
+    empty corpus there are no pairs, every vacuous invariant is TRUE, and
+    the row count matches the oracle's constant projection (1 row)."""
+    from azure_func_forem_data_etl_spark.plans.registry import load_all
+
+    rows = load_all()["ml_minhash_neardup"].fn(spark, empty_sf).collect()
+    assert len(rows) == 1
+    assert all(v is True for v in rows[0].asDict().values())
 
 
 def test_kmeans_on_empty_corpus(spark, empty_sf):
