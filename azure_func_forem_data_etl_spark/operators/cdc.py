@@ -99,7 +99,11 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
            n.event_type AS new_state
     FROM old_state o FULL OUTER JOIN new_state n ON o.user_id = n.user_id
     WHERE o.user_id IS NULL OR n.user_id IS NULL
-       OR o.event_type <> n.event_type
+       -- IS DISTINCT FROM, not <>: a NULL-typed state transition
+       -- (NULL -> x or x -> NULL) is a real update; the three-valued <>
+       -- silently dropped it from the changelog, which the apply
+       -- roundtrip then could not reconstruct (r12 NULL-heavy sweep)
+       OR o.event_type IS DISTINCT FROM n.event_type
     """,
     doc="Snapshot diff (CDC derivation): latest-state-per-user at two "
     "points in time, FULL OUTER joined on the key; emits "
@@ -143,10 +147,12 @@ def snapshot_diff_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("n_uid"), F.col("event_type").alias("new_state")
     )
     diff = old.join(new, old["o_uid"] == new["n_uid"], "full_outer")
+    # null-safe inequality — see the oracle note (r12 NULL-heavy sweep):
+    # NULL -> x and x -> NULL are real updates the changelog must carry
     return diff.filter(
         F.col("o_uid").isNull()
         | F.col("n_uid").isNull()
-        | (F.col("old_state") != F.col("new_state"))
+        | ~F.col("old_state").eqNullSafe(F.col("new_state"))
     ).select(
         F.coalesce("o_uid", "n_uid").alias("user_id"),
         F.when(F.col("o_uid").isNull(), F.lit("inserted"))

@@ -826,8 +826,11 @@ def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - F.countDistinct(F.md5("text")))
         .cast("long")
         .alias("n_exact_dups"),
+        # divide by COUNT(n_chars), not COUNT(*): avg() skips NULLs on
+        # both engines, so the mean is over docs WITH a length
+        # (r12 NULL-heavy sweep)
         F.round(
-            F.sum("n_chars").cast("double") / F.count("*"), 2
+            F.sum("n_chars").cast("double") / F.count("n_chars"), 2
         ).alias("avg_chars"),
         F.min("n_chars").cast("int").alias("min_chars"),
         F.max("n_chars").cast("int").alias("max_chars"),
@@ -851,9 +854,11 @@ def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state, bit-exact replay of the applyInPandas BFD.
     oracle=rf"""
     WITH RECURSIVE t AS (
+        -- packable docs only (r12 NULL-heavy sweep): a NULL text has no
+        -- token count, and NULL n sorts engine-opposite in the rank
         SELECT doc_id, source,
                CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     ranked AS (
         SELECT source, doc_id, n,
@@ -926,10 +931,15 @@ def sequence_packing_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties resolved to the lowest bin id."""
     import pandas as pd
 
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.size(F.split("text", r"\s+")).alias("n_tokens"),
+    # packable docs only — see the oracle note (r12 NULL-heavy sweep)
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", r"\s+")).alias("n_tokens"),
+        )
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -928,6 +928,9 @@ def ml_minhash_pairs(docs: DataFrame, threshold: float = ML_JACCARD_SIM) -> Data
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
 
+    # docs WITH text only (r12 NULL-heavy sweep): RegexTokenizer throws
+    # on a NULL input column, and a contentless doc has no shingles
+    docs = docs.filter(F.col("text").isNotNull())
     tok = RegexTokenizer(
         inputCol="text", outputCol="toks", pattern=r"\s+", toLowercase=True
     )
@@ -994,6 +997,10 @@ def ml_minhash_certificate(
         hashing_tf_bucket,
     )
 
+    # pin the (small) pair set once: it feeds the id list twice and the
+    # verification join once, and its ml-pipeline lineage re-scans the
+    # corpus per reference (plan-lint scan budget)
+    pairs = pairs.localCheckpoint(eager=True)
     ids = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))

@@ -56,6 +56,9 @@ MI_EDGES = (15.0, 35.0, 70.0)
         SELECT round(embedding[1], {AUC_BIN_DECIMALS}) + 0.0 AS score_b,
                CAST(label = {POS_LABEL} AS INT) AS is_pos
         FROM embeddings
+        -- labeled rows only (r12 NULL-heavy sweep): an unlabeled
+        -- example is neither positive nor negative
+        WHERE label IS NOT NULL
     ),
     bins AS (
         SELECT score_b,
@@ -95,7 +98,9 @@ def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic "sort all N scores" AUC shuffle never happens — this is how
     AUC stays a single cheap pass at 100 TB.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull()  # labeled rows only (r12 NULL-heavy sweep)
+    )
     scored = emb.select(
         F.element_at("embedding", 1).cast("double").alias("score"),
         (F.col("label") == POS_LABEL).cast("int").alias("is_pos"),
@@ -236,6 +241,9 @@ def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 1.0 / (1.0 + exp(-{CAL_STEEPNESS} * embedding[1])) AS p,
                CAST(label = {POS_LABEL} AS INT) AS is_pos
         FROM embeddings
+        -- labeled rows only (r12 NULL-heavy sweep): an unlabeled
+        -- example is neither positive nor negative
+        WHERE label IS NOT NULL
     )
     SELECT LEAST(CAST(floor(p * 10) AS INT), 9) AS bin,
            COUNT(*) AS n_rows,
@@ -263,7 +271,9 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: map-only scoring + a 10-cell hash aggregation; one scan,
     one tiny shuffle.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull()  # labeled rows only (r12 NULL-heavy sweep)
+    )
     p = 1.0 / (1.0 + F.exp(-CAL_STEEPNESS * F.element_at("embedding", 1).cast("double")))
     scored = emb.select(
         p.alias("p"), (F.col("label") == POS_LABEL).cast("int").alias("is_pos")
@@ -372,6 +382,9 @@ PR_THRESHOLDS = tuple(round(0.1 * i, 1) for i in range(2, 9))  # 0.2 .. 0.8
         SELECT 1.0 / (1.0 + exp(-{CAL_STEEPNESS} * embedding[1])) AS p,
                CAST(label = {POS_LABEL} AS INT) AS is_pos
         FROM embeddings
+        -- labeled rows only (r12 NULL-heavy sweep): an unlabeled
+        -- example is neither positive nor negative
+        WHERE label IS NOT NULL
     ),
     t AS (
         SELECT unnest(ARRAY[{", ".join(str(t) for t in PR_THRESHOLDS)}]) AS thr
@@ -404,7 +417,9 @@ def eval_pr_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle volume is |thresholds| x partitions tiny partials — the
     sweep costs one pass no matter how many thresholds.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull()  # labeled rows only (r12 NULL-heavy sweep)
+    )
     p = 1.0 / (1.0 + F.exp(-CAL_STEEPNESS * F.element_at("embedding", 1).cast("double")))
     scored = emb.select(
         p.alias("p"), (F.col("label") == POS_LABEL).cast("int").alias("is_pos")
@@ -437,6 +452,9 @@ def eval_pr_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS DECIMAL(8,6)) AS p6,
                CAST(label = {POS_LABEL} AS INT) AS y
         FROM embeddings
+        -- labeled rows only (r12 NULL-heavy sweep): an unlabeled
+        -- example is neither positive nor negative
+        WHERE label IS NOT NULL
     ),
     bins AS (
         SELECT LEAST(CAST(floor(CAST(p6 AS DOUBLE) * 10) AS INT), 9) AS bin,
@@ -486,7 +504,9 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation; the bin-level reliability/resolution terms are
     8dp-quantized before their 10-row sum.  One scan, 10-cell rollup.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull()  # labeled rows only (r12 NULL-heavy sweep)
+    )
     p = 1.0 / (1.0 + F.exp(-CAL_STEEPNESS * F.element_at("embedding", 1).cast("double")))
     scored = emb.select(
         F.round(p, 6).cast("decimal(8,6)").alias("p6"),
@@ -742,6 +762,9 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT round(embedding[1], {AUC_BIN_DECIMALS}) + 0.0 AS score_b,
                CAST(label = {POS_LABEL} AS INT) AS is_pos
         FROM embeddings
+        -- labeled rows only (r12 NULL-heavy sweep): an unlabeled
+        -- example is neither positive nor negative
+        WHERE label IS NOT NULL
     ),
     bins AS (
         SELECT score_b, CAST(COUNT(*) AS BIGINT) AS n_b,
@@ -783,7 +806,9 @@ def eval_auprc(spark: SparkSession, sf_dir: str) -> DataFrame:
     are 10dp-quantized before the exact decimal sum.  One scan, then
     windows over the bounded bin table.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull()  # labeled rows only (r12 NULL-heavy sweep)
+    )
     scored = emb.select(
         (F.round(F.element_at("embedding", 1).cast("double"), AUC_BIN_DECIMALS) + F.lit(0.0)).alias(
             "score_b"
@@ -828,6 +853,9 @@ LIFT_N_BUCKETS = 10
         SELECT vec_id, round(embedding[1], {AUC_BIN_DECIMALS}) + 0.0 AS score_b,
                CAST(label = {POS_LABEL} AS INT) AS is_pos
         FROM embeddings
+        -- labeled rows only (r12 NULL-heavy sweep): an unlabeled
+        -- example is neither positive nor negative
+        WHERE label IS NOT NULL
     ),
     ranked AS (
         -- deterministic decile assignment: NTILE over a TOTAL order
@@ -868,7 +896,9 @@ def eval_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive NTILE-by-score non-reproducible.  One scan, then arithmetic on
     the 10-row bucket table.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull()  # labeled rows only (r12 NULL-heavy sweep)
+    )
     scored = emb.select(
         "vec_id",
         (F.round(F.element_at("embedding", 1).cast("double"), AUC_BIN_DECIMALS) + F.lit(0.0)).alias(
@@ -914,6 +944,9 @@ def eval_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + 0.0 AS score_b,
                CAST(label = {POS_LABEL} AS INT) AS is_pos
         FROM embeddings
+        -- labeled rows only (r12 NULL-heavy sweep): an unlabeled
+        -- example is neither positive nor negative
+        WHERE label IS NOT NULL
     ),
     bins AS (
         SELECT score_b, CAST(SUM(is_pos) AS BIGINT) AS p_b,
@@ -958,7 +991,9 @@ def eval_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold are exact; only the reported ratio divides.  Same 4dp
     binning as the AUC; windows run over the bounded bin table.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull()  # labeled rows only (r12 NULL-heavy sweep)
+    )
     scored = emb.select(
         (F.round(F.element_at("embedding", 1).cast("double"), AUC_BIN_DECIMALS) + F.lit(0.0)).alias(
             "score_b"
@@ -1018,6 +1053,9 @@ def eval_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + 0.0 AS score_b,
                CAST(label = {POS_LABEL} AS INT) AS is_pos
         FROM embeddings
+        -- labeled rows only (r12 NULL-heavy sweep): an unlabeled
+        -- example is neither positive nor negative
+        WHERE label IS NOT NULL
     ),
     bins AS (
         SELECT score_b, CAST(COUNT(*) AS BIGINT) AS n_b,
@@ -1068,7 +1106,9 @@ def decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows).  The argmin tie-breaks on the lower threshold in both
     engines.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull()  # labeled rows only (r12 NULL-heavy sweep)
+    )
     scored = emb.select(
         (F.round(F.element_at("embedding", 1).cast("double"), AUC_BIN_DECIMALS) + F.lit(0.0)).alias(
             "score_b"
@@ -1127,6 +1167,9 @@ FEATURE_MI_TOP_K = 10
                        ELSE 3 END AS vb,
                CAST(label = {POS_LABEL} AS INT) AS y
         FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+        -- labeled rows only (r12 NULL-heavy sweep): an unlabeled
+        -- example is neither positive nor negative
+        WHERE label IS NOT NULL
     ),
     cells AS (
         SELECT i, vb, y, CAST(COUNT(*) AS BIGINT) AS n_xy FROM pos
@@ -1162,7 +1205,9 @@ def feature_mi_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cell MI terms are 10dp-quantized before the per-dim sum, and the
     top-k is a TakeOrdered with a dim tie-break.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull()  # labeled rows only (r12 NULL-heavy sweep)
+    )
     v = F.col("x").cast("double")
     pos = emb.select(
         (F.col("label") == POS_LABEL).cast("int").alias("y"),
@@ -1216,6 +1261,9 @@ COST_FN = 5.0
                    + 0.0 AS score_b,
                CAST(label = {POS_LABEL} AS INT) AS is_pos
         FROM embeddings
+        -- labeled rows only (r12 NULL-heavy sweep): an unlabeled
+        -- example is neither positive nor negative
+        WHERE label IS NOT NULL
     ),
     bins AS (
         SELECT score_b, CAST(COUNT(*) AS BIGINT) AS n_b,
@@ -1262,7 +1310,9 @@ def eval_cost_curve_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the argmin tie-breaks on the lower threshold.  Degenerate
     all-positive/all-negative policy costs bracket the result.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull()  # labeled rows only (r12 NULL-heavy sweep)
+    )
     scored = emb.select(
         (F.round(F.element_at("embedding", 1).cast("double"), AUC_BIN_DECIMALS) + F.lit(0.0)).alias(
             "score_b"
@@ -1327,6 +1377,9 @@ ISO_BIN_DECIMALS = 2
                    AS score_b,
                CAST(label = {POS_LABEL} AS INT) AS is_pos
         FROM embeddings
+        -- labeled rows only (r12 NULL-heavy sweep): an unlabeled
+        -- example is neither positive nor negative
+        WHERE label IS NOT NULL
     ),
     bins AS (
         SELECT score_b, CAST(COUNT(*) AS BIGINT) AS n,
@@ -1379,7 +1432,9 @@ def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import types as T
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull()  # labeled rows only (r12 NULL-heavy sweep)
+    )
     bins = sorted(
         (r["score_b"], r["n"], r["p"])
         for r in emb.select(
@@ -1435,6 +1490,9 @@ def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT round(embedding[1], {AUC_BIN_DECIMALS}) + 0.0 AS score_b,
                CAST(label = {POS_LABEL} AS INT) AS is_pos
         FROM embeddings
+        -- labeled rows only (r12 NULL-heavy sweep): an unlabeled
+        -- example is neither positive nor negative
+        WHERE label IS NOT NULL
     ),
     bins AS (
         SELECT score_b, COUNT(*) AS n, SUM(is_pos) AS n_pos,
@@ -1487,7 +1545,9 @@ def auc_confidence_hanley(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_roc_auc.  The 2U numerator stays an exact integer; each float
     op is written in the identical order on both engines.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull()  # labeled rows only (r12 NULL-heavy sweep)
+    )
     scored = emb.select(
         (F.round(F.element_at("embedding", 1).cast("double"), AUC_BIN_DECIMALS)
          + F.lit(0.0))
@@ -2133,11 +2193,16 @@ def _qte_oracle() -> str:
     WITH qpu AS MATERIALIZED (
         -- identified users only (r11 null-FK sweep): an anonymous
         -- event has no assignment unit (Spark xxhash64 SKIPS null
-        -- inputs, pooling all anonymous traffic into one pseudo-user)
+        -- inputs, pooling all anonymous traffic into one pseudo-user).
+        -- measured events only (r12 NULL-heavy sweep): a user whose
+        -- events all carry NULL value has a NULL total, which Spark
+        -- ranks NULLS FIRST and DuckDB NULLS LAST — no measurement,
+        -- no rank
         SELECT user_id,
                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(19,4))
                    AS total
-        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        GROUP BY user_id
     ),
     {hash_ctes},
     armed AS MATERIALIZED (
@@ -2196,8 +2261,11 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     the metric an exact decimal, so both engines select the identical
     row; outputs cast to double (scale-4 decimals are double-exact).
     """
-    # identified users only — see the oracle note (r11 null-FK sweep)
-    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    # identified users with measured events only — see the oracle notes
+    # (r11 null-FK sweep; r12 NULL-heavy sweep)
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
     peruser = (
         ev.groupBy("user_id")
         .agg(

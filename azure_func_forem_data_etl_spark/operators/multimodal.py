@@ -57,7 +57,12 @@ def with_binary_column(docs: DataFrame) -> DataFrame:
         F.length(payload).alias("n_bytes"),
         F.lit("stub://decoder").alias("source_uri"),
     )
-    return docs.select("doc_id", payload.alias("payload"), meta.alias("media_meta"))
+    # media domain: docs WITH text (r12 NULL-heavy sweep) — a NULL text
+    # has no bytes to stand in as a payload; every multimodal oracle
+    # carries the same WHERE text IS NOT NULL
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", payload.alias("payload"), meta.alias("media_meta")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -148,8 +153,12 @@ def with_media_column(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    flat = docs.select("doc_id", "text").mapInPandas(
-        gen, schema="doc_id long, payload binary, mime string"
+    # media domain: docs WITH text (r12 NULL-heavy sweep) — see
+    # with_binary_column
+    flat = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .mapInPandas(gen, schema="doc_id long, payload binary, mime string")
     )
     meta = F.struct(
         F.col("mime").alias("mime"),
@@ -254,7 +263,8 @@ def extract_media_features(media: DataFrame) -> DataFrame:
            octet_length(encode(text)) AS n_bytes,
            1 + octet_length(encode(text)) % 512 AS width,
            CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_frames
-    FROM documents
+    -- media domain: docs WITH text (r12 NULL-heavy sweep)
+    FROM documents WHERE text IS NOT NULL
     """,
     doc="Multimodal plumbing: binary payload + metadata -> mapInPandas decode (stub) -> features.",
 )
@@ -294,7 +304,8 @@ _MEDIA_DECODED_BYTES_SQL = f"""
         CASE WHEN {SQL_MEDIA_BASE} % {PNG_DOC_MOD} = 0 THEN 'png'
              WHEN {SQL_MEDIA_BASE} % {WAV_DOC_MOD} = 0 THEN 'wav'
              ELSE 'raw' END AS tier
-      FROM documents
+      -- media domain: docs WITH text (r12 NULL-heavy sweep)
+      FROM documents WHERE text IS NOT NULL
     ),
     png AS (SELECT doc_id, base, 4 + base % 13 AS w, 3 + base % 5 AS h,
                    1 + base % 4 AS ch FROM tier WHERE tier = 'png'),
@@ -561,7 +572,9 @@ _PNG_DECODE_SCHEMA = (
              CAST(4 + {SQL_MEDIA_BASE} % 13 AS INT) AS width,
              CAST(3 + {SQL_MEDIA_BASE} % 5 AS INT) AS height,
              CAST(1 + {SQL_MEDIA_BASE} % 4 AS INT) AS n_channels
-      FROM documents WHERE {SQL_MEDIA_BASE} % {PNG_DOC_MOD} = 0
+      -- media domain: docs WITH text (r12 NULL-heavy sweep)
+      FROM documents
+      WHERE {SQL_MEDIA_BASE} % {PNG_DOC_MOD} = 0 AND text IS NOT NULL
     )
     SELECT i.doc_id,
            ANY_VALUE(i.width) AS width,
@@ -671,7 +684,8 @@ _RAW_THUMB_CELLS_SQL = """
     doc_hex AS (
       SELECT doc_id, lower(hex(encode(text))) AS hx,
              greatest(octet_length(encode(text)), 1) AS n
-      FROM documents
+      -- media domain: docs WITH text (r12 NULL-heavy sweep)
+      FROM documents WHERE text IS NOT NULL
     ),
     bytes AS (
       SELECT doc_id, t.i,
@@ -691,7 +705,8 @@ _RAW_THUMB_CELLS_SQL = """
     ),
     grid AS (
       SELECT d.doc_id, g.cell, COALESCE(cm.m, CAST(0 AS REAL)) AS m
-      FROM (SELECT DISTINCT doc_id FROM documents) d
+      FROM (SELECT DISTINCT doc_id FROM documents
+            WHERE text IS NOT NULL) d
       CROSS JOIN UNNEST(range(0, 64)) AS g(cell)
       LEFT JOIN cellmeans cm ON cm.doc_id = d.doc_id AND cm.cell = g.cell
     )
@@ -759,6 +774,8 @@ MAX_FRAMES_PER_DOC = 16
          UNNEST(range(1, least(CAST(ceil(n_chars / {FRAME_STRIDE_CHARS}.0)
                                     AS BIGINT),
                                {MAX_FRAMES_PER_DOC}) + 1)) AS t(f)
+    -- media domain: docs WITH text (r12 NULL-heavy sweep)
+    WHERE text IS NOT NULL
     """,
     doc="Frame sampling: payload cut into fixed-stride frames, one row "
     "per frame with content digest; fanout capped per document.",
@@ -904,9 +921,11 @@ def extract_audio_stats(media: DataFrame) -> DataFrame:
                   AS INT) AS sample_rate,
              CAST(1 + {SQL_MEDIA_BASE} % 2 AS INT) AS n_channels,
              CAST(20 + {SQL_MEDIA_BASE} % 50 AS BIGINT) AS n_frames
+      -- media domain: docs WITH text (r12 NULL-heavy sweep)
       FROM documents
       WHERE {SQL_MEDIA_BASE} % {WAV_DOC_MOD} = 0
         AND {SQL_MEDIA_BASE} % {PNG_DOC_MOD} <> 0
+        AND text IS NOT NULL
     ),
     samples AS (
       SELECT a.doc_id, a.sample_rate, a.n_channels, a.n_frames, t.i,

@@ -979,13 +979,17 @@ def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
+    # SUM/MAX over an all-NULL value column observe as None — keep the
+    # NULL instead of float()-crashing (r12 NULL-heavy sweep); the
+    # oracle's SUM/MAX return the same NULL
+    as_double = lambda v: None if v is None else float(v)  # noqa: E731
     return spark.createDataFrame(
         [
             (
                 m["n_rows"],
                 m["n_null_props"],
-                float(m["sum_value"]),
-                float(m["max_value"]),
+                as_double(m["sum_value"]),
+                as_double(m["max_value"]),
             )
         ],
         "n_rows long, n_null_props long, sum_value double, max_value double",
@@ -996,9 +1000,12 @@ def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ks_two_sample_drift",
     oracle=f"""
     WITH b AS (
+        -- measured values only (r12 NULL-heavy sweep): a NULL value has
+        -- no bin, and the NULL bin cumulates first on Spark's NULLS
+        -- FIRST vs last on DuckDB's NULLS LAST
         SELECT CAST(floor(value) AS BIGINT) AS bin,
                CAST(ts < TIMESTAMP '{PSI_SPLIT_DATE}' AS INT) AS is_base
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ),
     cells AS (
         SELECT bin,
@@ -1040,7 +1047,8 @@ def ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one scan -> per-(bin, period) counts -> cumulative
     window over the bin-bounded table -> TakeOrdered(1).
     """
-    ev = table(spark, sf_dir, "events")
+    # measured values only — see the oracle note (r12 NULL-heavy sweep)
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     cells = (
         ev.select(
             F.floor("value").cast("long").alias("bin"),
@@ -1413,7 +1421,10 @@ _MW_GROUP_B = "error"
                     AS BIGINT) AS c_a,
                CAST(COUNT(*) AS BIGINT) AS t_v
         FROM events
+        -- measured values only (r12 NULL-heavy sweep): the NULL value
+        -- group ranks first/last engine-opposite in the below window
         WHERE event_type IN ('{_MW_GROUP_A}', '{_MW_GROUP_B}')
+          AND value IS NOT NULL
         GROUP BY 1
     ),
     ranked AS (
@@ -1464,8 +1475,10 @@ def mann_whitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (average ranks held as twice-rank), so U is exact and only the final
     z/effect-size expressions are floating point.
     """
+    # measured values only — see the oracle note (r12 NULL-heavy sweep)
     ev = table(spark, sf_dir, "events").filter(
         F.col("event_type").isin(_MW_GROUP_A, _MW_GROUP_B)
+        & F.col("value").isNotNull()
     )
     vg = ev.groupBy(F.col("value").alias("v")).agg(
         F.sum((F.col("event_type") == _MW_GROUP_A).cast("int")).alias("c_a"),

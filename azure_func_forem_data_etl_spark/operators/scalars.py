@@ -1053,8 +1053,10 @@ def distinct_users_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "quality_percentile_normalize",
     oracle="""
+    -- scored docs only (r12 NULL-heavy sweep): a NULL score would rank
+    -- first on Spark's NULLS FIRST and last on DuckDB's NULLS LAST
     WITH s AS (
-        SELECT doc_id, n_chars FROM documents
+        SELECT doc_id, n_chars FROM documents WHERE n_chars IS NOT NULL
     )
     SELECT doc_id, n_chars,
            percent_rank() OVER (ORDER BY n_chars, doc_id) AS pct_rank,
@@ -1072,7 +1074,12 @@ def quality_percentile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bucketed_quantile_estimates): percentiles from counters, no global
     sort.  The (score, doc_id) tiebreak makes both engines' ranks
     identical."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # scored docs only — see the oracle note (r12 NULL-heavy sweep)
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .filter(F.col("n_chars").isNotNull())
+    )
     w = Window.orderBy("n_chars", "doc_id")
     return docs.select(
         "doc_id",

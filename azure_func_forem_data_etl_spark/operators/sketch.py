@@ -238,17 +238,25 @@ def hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     ub AS (SELECT DISTINCT e.user_id FROM events e, ab
            WHERE e.event_type = ab.tb AND e.user_id IS NOT NULL)
     SELECT ab.ta AS type_a, ab.tb AS type_b,
-           CAST((SELECT COUNT(*) FROM ua) AS BIGINT) AS distinct_a,
-           CAST((SELECT COUNT(*) FROM ub) AS BIGINT) AS distinct_b,
-           CAST((SELECT COUNT(*) FROM (SELECT user_id FROM ua
-                                       UNION SELECT user_id FROM ub)) AS BIGINT)
-               AS union_est,
-           CAST((SELECT COUNT(*) FROM ua
-                 WHERE user_id IN (SELECT user_id FROM ub)) AS BIGINT)
-               AS inter_est,
-           CAST((SELECT COUNT(*) FROM ua
-                 WHERE user_id NOT IN (SELECT user_id FROM ub)) AS BIGINT)
-               AS a_minus_b_est
+           -- no qualifying types (e.g. 100% anonymous traffic): there is
+           -- no sketch, so every estimate is NULL — matching Spark's
+           -- theta_sketch_estimate(NULL) (r12 NULL-heavy sweep)
+           CASE WHEN ab.ta IS NULL THEN NULL ELSE
+               CAST((SELECT COUNT(*) FROM ua) AS BIGINT) END AS distinct_a,
+           CASE WHEN ab.ta IS NULL THEN NULL ELSE
+               CAST((SELECT COUNT(*) FROM ub) AS BIGINT) END AS distinct_b,
+           CASE WHEN ab.ta IS NULL THEN NULL ELSE
+               CAST((SELECT COUNT(*) FROM (SELECT user_id FROM ua
+                                           UNION SELECT user_id FROM ub))
+                    AS BIGINT) END AS union_est,
+           CASE WHEN ab.ta IS NULL THEN NULL ELSE
+               CAST((SELECT COUNT(*) FROM ua
+                     WHERE user_id IN (SELECT user_id FROM ub))
+                    AS BIGINT) END AS inter_est,
+           CASE WHEN ab.ta IS NULL THEN NULL ELSE
+               CAST((SELECT COUNT(*) FROM ua
+                     WHERE user_id NOT IN (SELECT user_id FROM ub))
+                    AS BIGINT) END AS a_minus_b_est
     FROM ab
     """,
     doc="Theta sketch set algebra (theta_sketch_agg / union / intersection / "

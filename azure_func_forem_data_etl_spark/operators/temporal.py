@@ -1490,10 +1490,14 @@ EWMA_ALPHA = 0.2
       -- identified users only (r11 null-FK sweep): a per-USER smoothing
       -- over pooled anonymous traffic is meaningless, and the recursive
       -- join's NULL = NULL never advances while Spark's groupBy pools
+      -- measured events only (r12 NULL-heavy sweep): an unmeasured
+      -- (NULL value) event is not a sample of the series — SQL's NULL
+      -- recurrence would poison s forever while pandas' NaN handling
+      -- resumes; excluding it keeps one well-defined series on both
       SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS v,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS rn
-      FROM events WHERE user_id IS NOT NULL
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
     ),
     ew(user_id, rn, event_id, ts, v, s) AS (
       SELECT user_id, rn, event_id, ts, v, v AS s FROM ordered WHERE rn = 1
@@ -1532,10 +1536,11 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     within a group regardless of partitioning because each group is
     processed whole.
     """
-    # identified users only — see the oracle note (r11 null-FK sweep)
+    # identified users with measured events only — see the oracle notes
+    # (r11 null-FK sweep; r12 NULL-heavy sweep)
     ev = (
         table(spark, sf_dir, "events")
-        .filter(F.col("user_id").isNotNull())
+        .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
         .select("user_id", "event_id", "ts", "value")
     )
 
@@ -1703,6 +1708,11 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         import math
 
         def q6(v: float) -> float:  # floor-quantize: no rounding midpoints
+            # NULL/NaN state (a day whose revenue is entirely
+            # unmeasured poisons the recurrence on both engines) stays
+            # NULL (r12 NULL-heavy sweep)
+            if v is None or math.isnan(v):
+                return None
             return math.floor(v * 1e6) / 1e6
 
         pdf = pdf.sort_values("day").reset_index(drop=True)
@@ -2498,10 +2508,13 @@ _MK_SCALE = 10**15  # stationary vector held as scaled integers
     # 2^127).  Same replay family as the PageRank oracle.
     oracle=f"""
     WITH RECURSIVE seq AS (
+        -- typed events only (r12 NULL-heavy sweep): a NULL event_type is
+        -- not a chain state (python sorted() can't even order it among
+        -- strings); both engines drop those rows BEFORE the lead window
         SELECT user_id, event_type,
                lead(event_type) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS next_type
-        FROM events
+        FROM events WHERE event_type IS NOT NULL
     ),
     c AS (
         SELECT event_type AS i, next_type AS j,
@@ -2563,7 +2576,8 @@ def markov_stationary_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import types as T
 
-    ev = table(spark, sf_dir, "events")
+    # typed events only — see the oracle note (r12 NULL-heavy sweep)
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "event_type", F.lead("event_type").over(w).alias("next_type")
@@ -2827,6 +2841,9 @@ def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         from collections import deque
 
         def q6(v: float) -> float:
+            # NULL/NaN recurrence state stays NULL (r12 NULL-heavy sweep)
+            if v is None or math.isnan(v):
+                return None
             return math.floor(v * 1e6) / 1e6
 
         pdf = pdf.sort_values("day").reset_index(drop=True)
@@ -2838,10 +2855,20 @@ def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         # seed from the first week: exact scaled-integer sum, two float
         # divisions (each correctly rounded) to mirror the SQL
-        # CAST(SUM(decimal) AS DOUBLE) / 7
-        xs = [float(v) for v in pdf["rev"]]
-        scaled = sum(round(x * 10000) for x in xs[:m])
-        l = (scaled / 10000) / m
+        # CAST(SUM(decimal) AS DOUBLE) / 7.  A day with NO measured
+        # revenue carries a NULL rev: SQL SUM skips it (divisor stays 7)
+        # and every later state expression NULL-propagates — mirrored
+        # here as NaN poison through the recurrence (r12 NULL-heavy
+        # sweep); q6 maps NaN back to NULL on output.
+        xs = [
+            float("nan") if v is None else float(v) for v in pdf["rev"]
+        ]
+        seed_meas = [x for x in xs[:m] if not math.isnan(x)]
+        if seed_meas:
+            scaled = sum(round(x * 10000) for x in seed_meas)
+            l = (scaled / 10000) / m
+        else:
+            l = float("nan")  # SUM over an all-NULL week is NULL
         b = 0.0
         sl = deque(x - l for x in xs[:m])
         a, g, c = HW_ALPHA, HW_BETA, HW_GAMMA
@@ -3093,11 +3120,14 @@ MOBILITY_N_TILES = 5
         SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
     ),
     halves AS (
+        -- measured values only (r12 NULL-heavy sweep): an all-NULL-value
+        -- user has a NULL half-total, which NTILE orders engine-opposite
         SELECT e.user_id,
                CASE WHEN epoch_us(e.ts) < (b.lo + b.hi) // 2 THEN 0 ELSE 1 END
                    AS half,
                CAST(e.value AS DECIMAL(18,4)) AS v
         FROM events e, bounds b
+        WHERE e.value IS NOT NULL
     ),
     uv AS (
         SELECT user_id, half, SUM(v) AS val FROM halves GROUP BY 1, 2
@@ -3135,8 +3165,11 @@ def customer_decile_mobility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
     )
     mid = F.floor((F.col("lo") + F.col("hi")) / 2)
+    # measured values only — see the oracle note (r12 NULL-heavy sweep);
+    # the window bounds stay over ALL events like the oracle's bounds CTE
     uv = (
-        ev.crossJoin(F.broadcast(bounds))
+        ev.filter(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(bounds))
         .groupBy(
             "user_id",
             F.when(F.unix_micros("ts") < mid, 0).otherwise(1).alias("half"),
@@ -3538,10 +3571,12 @@ LTTB_POINTS = 20  # output size: first + last + 18 bucketed selections
     # buckets) skip no recursion step.
     oracle=f"""
     WITH RECURSIVE daily AS (
+        -- measured days only (r12 NULL-heavy sweep): a day with no
+        -- measured revenue has no y-value to subtend a triangle
         SELECT CAST(ts AS DATE) AS day,
                CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS HUGEINT)
                    AS ys
-        FROM events GROUP BY 1
+        FROM events WHERE value IS NOT NULL GROUP BY 1
     ),
     pts AS MATERIALIZED (
         SELECT CAST(day AS VARCHAR) AS day, ys,
@@ -3610,7 +3645,8 @@ def lttb_downsample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import types as T
 
-    ev = table(spark, sf_dir, "events")
+    # measured days only — see the oracle note (r12 NULL-heavy sweep)
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     daily = sorted(
         (str(r["day"]), int(r["ys"]))
         for r in ev.groupBy(F.col("ts").cast("date").alias("day"))
@@ -3950,10 +3986,13 @@ PATH_TOPK = 20      # report the K most common paths
     defer=3,
     oracle=f"""
     WITH marked AS (
+        -- typed events only (r12 NULL-heavy sweep): an all-NULL-type
+        -- session aggregates to path NULL via string_agg but '' via
+        -- Spark's array_join — NULL types are not path steps
         SELECT user_id, ts, event_id, event_type,
                CASE WHEN ts - lag(ts) OVER w <= INTERVAL {PATH_GAP_MIN} MINUTE
                     THEN 0 ELSE 1 END AS is_start
-        FROM events
+        FROM events WHERE event_type IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (
@@ -3996,7 +4035,10 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     string so row {PATH_TOPK} is stable.  Cf. sessionize_gap_islands
     (same session definition, aggregate view).
     """
-    events = table(spark, sf_dir, "events")
+    # typed events only — see the oracle note (r12 NULL-heavy sweep)
+    events = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # exact-micros gap (see sessionize_gap_islands): matches the oracle's
     # full-precision INTERVAL compare at fractional-second boundaries

@@ -111,12 +111,16 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_fingerprint",
     oracle="""
+    -- || not concat: DuckDB's concat() treats NULL args as '', while
+    -- Spark's concat (and || here) propagates NULL — a NULL-text doc
+    -- has NO content, so its fingerprint is NULL on both engines
+    -- (r12 NULL-heavy sweep)
     SELECT doc_id,
-           md5(concat(lang, ':', trim(text))) AS fingerprint,
-           substr(md5(concat(lang, ':', trim(text))), 1, 8) AS shard_key
+           md5(lang || ':' || trim(text)) AS fingerprint,
+           substr(md5(lang || ':' || trim(text)), 1, 8) AS shard_key
     FROM documents
     """,
-    doc="Deterministic content fingerprint (md5 over normalized text); shard prefix for routing.",
+    doc="Deterministic content fingerprint (md5 over normalized text); shard prefix for routing; NULL text => NULL fingerprint.",
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -675,10 +679,13 @@ def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_length_quartiles",
     oracle="""
+    -- length-binning domain: docs WITH a length (r12 NULL-heavy sweep —
+    -- a NULL n_chars would land in tile 1 on Spark's NULLS FIRST and
+    -- tile 4 on DuckDB's NULLS LAST)
     WITH t AS (
         SELECT doc_id, n_chars,
                ntile(4) OVER (ORDER BY n_chars, doc_id) AS tile
-        FROM documents
+        FROM documents WHERE n_chars IS NOT NULL
     )
     SELECT CAST(tile AS INT) AS tile,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -702,7 +709,10 @@ def doc_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant (compute 3 cut points, broadcast, map-assign) avoids the sort
     entirely; that shape is ``width_bucket_histogram``'s and the exact
     ntile here doubles as its oracle."""
-    docs = table(spark, sf_dir, "documents")
+    # docs WITH a length only — see the oracle note (r12 NULL-heavy sweep)
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
     w = Window.orderBy("n_chars", "doc_id")
     t = docs.select("doc_id", "n_chars", F.ntile(4).over(w).alias("tile"))
     return t.groupBy(F.col("tile").cast("int").alias("tile")).agg(

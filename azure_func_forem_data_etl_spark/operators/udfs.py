@@ -65,15 +65,23 @@ _QUANTILE_SCHEMA = "event_type string, p25 double, median double, p75 double, n 
 
 def _group_quantiles(pdf: pd.DataFrame) -> pd.DataFrame:
     """Custom per-group aggregate: exact quantiles via numpy (linear
-    interpolation — the quantile_cont definition DuckDB uses)."""
-    v = pdf["value"].to_numpy(dtype=np.float64)
-    q25, q50, q75 = np.quantile(v, [0.25, 0.5, 0.75])
+    interpolation — the quantile_cont definition DuckDB uses).
+
+    NULL values are MEASUREMENTS THAT DIDN'T HAPPEN (r12 NULL-heavy
+    sweep): they are excluded like quantile_cont excludes them, ``n``
+    counts measurements (COUNT(value), not COUNT(*)), and an all-NULL
+    group keeps its row with NULL quantiles on both engines."""
+    v = pdf["value"].dropna().to_numpy(dtype=np.float64)
+    if len(v):
+        q25, q50, q75 = (round(q, 6) for q in np.quantile(v, [0.25, 0.5, 0.75]))
+    else:
+        q25 = q50 = q75 = None
     return pd.DataFrame(
         {
             "event_type": [pdf["event_type"].iloc[0]],
-            "p25": [round(q25, 6)],
-            "median": [round(q50, 6)],
-            "p75": [round(q75, 6)],
+            "p25": [q25],
+            "median": [q50],
+            "p75": [q75],
             "n": [len(v)],
         }
     )
@@ -86,7 +94,9 @@ def _group_quantiles(pdf: pd.DataFrame) -> pd.DataFrame:
            round(quantile_cont(value, 0.25), 6) AS p25,
            round(quantile_cont(value, 0.50), 6) AS median,
            round(quantile_cont(value, 0.75), 6) AS p75,
-           COUNT(*) AS n
+           -- COUNT(value), not COUNT(*): n counts MEASUREMENTS, matching
+           -- the NULL-skipping quantiles (r12 NULL-heavy sweep)
+           COUNT(value) AS n
     FROM events
     GROUP BY event_type
     """,
@@ -249,11 +259,15 @@ def _gini_fn(values: pd.Series) -> float:
 @register(
     "pandas_udaf_gini",
     oracle="""
+    -- measured values only (r12 NULL-heavy sweep): the old unfiltered
+    -- form ranked NULLs (engine-opposite default order) and mixed
+    -- NULL-skipping SUMs with COUNT(*) — concentration is a statistic
+    -- of the observed values
     WITH r AS (
         SELECT event_type, value,
                row_number() OVER (PARTITION BY event_type
                                   ORDER BY value, event_id) AS i
-        FROM events
+        FROM events WHERE value IS NOT NULL
     )
     SELECT event_type,
            round((2.0 * SUM(i * value)) / (COUNT(*) * SUM(value))
@@ -274,7 +288,10 @@ def pandas_udaf_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     order within the tie (i*x summed over a tie block is
     order-invariant); rounding absorbs float-order ulps."""
     gini = pandas_udf(_gini_fn, "double")  # Series -> scalar: GROUPED_AGG
-    events = table(spark, sf_dir, "events")
+    # measured values only — see the oracle note (r12 NULL-heavy sweep);
+    # filtering BEFORE the groupBy also drops all-NULL groups on both
+    # engines symmetrically
+    events = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     # NB: a GROUPED_AGG pandas UDF cannot mix with built-in aggregates
     # in one agg() (INVALID_PANDAS_UDF_PLACEMENT) — single-output UDAF.
     return events.groupBy("event_type").agg(
@@ -363,9 +380,14 @@ def udtf_dynamic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         def eval(self, text, k):  # noqa: ANN001 (Spark calls positionally)
-            t = text or ""
-            w = math.ceil(len(t) / k) if t else 0
-            yield tuple(t[i * w : (i + 1) * w] for i in range(k))
+            # NULL text -> NULL chunks, exactly like substring(NULL)
+            # (r12 NULL-heavy sweep: `text or ""` conflated NULL with
+            # the empty string, whose chunks are '' not NULL)
+            if text is None:
+                yield tuple(None for _ in range(k))
+                return
+            w = math.ceil(len(text) / k) if text else 0
+            yield tuple(text[i * w : (i + 1) * w] for i in range(k))
 
     spark.udtf.register("fixed_width_split", udtf(FixedWidthSplit, useArrow=True))
     table(spark, sf_dir, "documents").select("doc_id", "text").createOrReplaceTempView(

@@ -490,7 +490,13 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(arr)
     lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
     hi = F.element_at(arr, (n / 2 + 1).cast("int"))
-    med = F.when(n % 2 == 1, lo).otherwise((lo + hi) / 2.0)
+    # collect_list skips NULL values exactly like DuckDB's median();
+    # an all-NULL frame leaves n = 0, where element_at(arr, 0) would
+    # throw — the median of no measurements is NULL on both engines
+    # (r12 NULL-heavy sweep)
+    med = F.when(n == 0, F.lit(None)).when(n % 2 == 1, lo).otherwise(
+        (lo + hi) / 2.0
+    )
     return ev.select(
         "event_id",
         "user_id",

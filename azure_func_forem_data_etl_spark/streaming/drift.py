@@ -23,6 +23,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from azure_func_forem_data_etl_spark.plans.registry import register
@@ -89,8 +90,13 @@ def _drift_group(
 
 
 def cusum_drift_stream(events: DataFrame) -> DataFrame:
+    # typed, measured events only — see the oracle note (r12 NULL-heavy
+    # sweep)
     return (
-        events.select("event_type", "ts", "event_id", "value")
+        events.filter(
+            F.col("event_type").isNotNull() & F.col("value").isNotNull()
+        )
+        .select("event_type", "ts", "event_id", "value")
         .groupBy("event_type")
         .applyInPandasWithState(
             _drift_group,
@@ -121,10 +127,15 @@ def cusum_drift_stream(events: DataFrame) -> DataFrame:
     WITH RECURSIVE ordered AS MATERIALIZED (
       -- MATERIALIZED: referenced from the recursive term; inlined it
       -- would be re-scanned once per fold step
+      -- typed, measured events only (r12 NULL-heavy sweep): a NULL
+      -- event_type is not a monitored series (and a NULL per-group
+      -- state key is engine-hostile), and a NULL value is not a sample
+      -- — greatest() NULL-skips differently from the pandas fold's NaN
       SELECT event_type, ts, CAST(value AS DOUBLE) AS v,
              row_number() OVER (PARTITION BY event_type
                                 ORDER BY ts, event_id) AS rn
       FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
     ),
     fold(event_type, rn, s, n, alarm_ts, alarm_s, alarm_n) AS (
       SELECT event_type, 0, CAST(0 AS DOUBLE), CAST(0 AS BIGINT),

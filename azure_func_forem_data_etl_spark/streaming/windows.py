@@ -344,7 +344,10 @@ TOPK_PER_WINDOW = 3
         SELECT c.*,
                CAST(row_number() OVER (
                    PARTITION BY window_start
-                   ORDER BY n_events DESC, event_type
+                   -- NULLS LAST pinned explicitly: the untyped (NULL)
+                   -- group is a real group, and Spark's ASC default
+                   -- orders it FIRST (r12 NULL-heavy sweep)
+                   ORDER BY n_events DESC, event_type NULLS LAST
                ) AS INT) AS rk
         FROM c
     )
@@ -377,9 +380,10 @@ def streaming_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tbl = run_available_now(agg, "complete")
+    # NULLS LAST pinned — see the oracle note (r12 NULL-heavy sweep)
     rk = F.row_number().over(
         Window.partitionBy("window_start").orderBy(
-            F.desc("n_events"), F.asc("event_type")
+            F.desc("n_events"), F.asc_nulls_last("event_type")
         )
     )
     return tbl.withColumn("rk", rk).filter(F.col("rk") <= TOPK_PER_WINDOW)
@@ -455,21 +459,32 @@ def streaming_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_start", "event_type")
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
-    return (
-        tbl.select("window_start", "event_type", "n_events")
-        .join(exact, ["window_start", "event_type"])
-    )
+    # eqNullSafe on event_type: the untyped (NULL) group is a real group
+    # on both engines, and a plain equality join would drop it
+    # (r12 NULL-heavy sweep)
+    t = tbl.select("window_start", "event_type", "n_events")
+    return t.join(
+        exact.withColumnsRenamed(
+            {"window_start": "__ws", "event_type": "__et"}
+        ),
+        (F.col("window_start") == F.col("__ws"))
+        & F.col("event_type").eqNullSafe(F.col("__et")),
+    ).select("window_start", "event_type", "n_events", "n_users")
 
 
 @register(
     "streaming_interval_join_full",
     oracle=f"""
     WITH mx AS (
+        -- the boundary runs over the STREAMS' OWN domain (identified
+        -- users): an anonymous event never enters either stream, so it
+        -- must not advance the end-of-stream watermark the outer
+        -- emission is judged against (r12 NULL-heavy sweep)
         SELECT LEAST(
             MAX(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END),
             MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
         ) AS mx_us
-        FROM events
+        FROM events WHERE user_id IS NOT NULL
     ),
     -- identified users only (r11 null-FK sweep): a NULL join key never
     -- matches, and the two engines disagree on whether the orphaned
@@ -538,8 +553,11 @@ def streaming_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select("signup_id", "purchase_id", "s_user", "p_user", "s_ts", "p_ts"),
         "append",
     )
+    # boundary over the streams' own (identified-user) domain — see the
+    # oracle note (r12 NULL-heavy sweep)
     mx_us = (
         table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
         .agg(
             F.least(
                 F.max(F.when(F.col("event_type") == "signup", F.unix_micros("ts"))),

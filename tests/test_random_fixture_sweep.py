@@ -858,3 +858,80 @@ def nullfk_sf(tmp_path_factory):
 def test_oracle_parity_on_null_fks(spark, nullfk_sf, name):
     q = REGISTRY[name]
     assert_matches_oracle(q.fn(spark, nullfk_sf), q.oracle, nullfk_sf)
+
+
+#: Unicode-grapheme leg (r12): combining-mark / astral-plane documents —
+#: NFD decomposed accents (one grapheme = two code points), mathematical
+#: alphanumerics (every letter a UTF-16 surrogate pair), ZWJ emoji
+#: families + variation selectors + skin tones (one grapheme spans up to
+#: 7 code points), Indic virama clusters — with exact and near duplicates
+#: planted INSIDE the unicode region.  Distinct from the r11 multibyte
+#: leg, which varies BYTE lengths: this one makes code points, code
+#: units, and grapheme clusters all disagree.  First probe: 374/374
+#: clean — the engine's string surface counts code points consistently
+#: on both engines; pinned so it stays that way.
+@pytest.fixture(scope="session")
+def unicode_sf(tmp_path_factory):
+    return write_random_fixture(
+        tmp_path_factory.mktemp("randfix_unicode") / "sf", seed=139,
+        unicode_docs=12,
+    )
+
+
+@pytest.mark.parametrize("name", _ORACLE_BACKED)
+def test_oracle_parity_on_unicode_graphemes(spark, unicode_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, unicode_sf), q.oracle, unicode_sf)
+
+
+#: NULL-heavy leg (r12): EVERY optional column NULL at 50% — user_id,
+#: event_type, value, props, documents.text (true NULL, not blank),
+#: embeddings.label.  First probe failed 26 queries across four contract
+#: classes, all fixed with symmetric domain filters or NULL-propagation
+#: alignment: (1) labeled-rows-only for the binary-eval family (NULL
+#: labels silently counted as negatives, and NULL-keyed argmax picks
+#: diverged); (2) measured-values-only for value statistics (quantiles,
+#: gini, KS, Mann-Whitney, QTE, rolling median, LTTB — Spark orders NULL
+#: FIRST, DuckDB LAST, and COUNT(*) vs NULL-skipping aggregates mixed
+#: denominators); (3) text-bearing-docs-only for media synthesis,
+#: packing, ml-minhash (NULL text crashed RegexTokenizer / payload
+#: encode), with NULL-propagating fingerprints (DuckDB concat() treats
+#: NULL as '' — replaced with ||); (4) typed-events-only for sequence
+#: analytics (markov states, session paths), and IS DISTINCT FROM in the
+#: CDC diff (three-valued <> dropped NULL-state transitions from the
+#: changelog, which the apply roundtrip could not reconstruct).
+@pytest.fixture(scope="session")
+def nullheavy_sf(tmp_path_factory):
+    return write_random_fixture(
+        tmp_path_factory.mktemp("randfix_nullheavy") / "sf", seed=131,
+        null_val_frac=0.5, null_text_frac=0.5, null_etype_frac=0.5,
+        null_label_frac=0.5, null_fk_frac=0.5, null_frac=0.5,
+    )
+
+
+@pytest.mark.parametrize("name", _ORACLE_BACKED)
+def test_oracle_parity_on_null_heavy(spark, nullheavy_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, nullheavy_sf), q.oracle, nullheavy_sf)
+
+
+#: All-NULL leg (r12): every optional column NULL at 100% — the
+#: degenerate extreme where whole domains vanish (no identified users,
+#: no measured values, no text, no labels).  Its probe added the
+#: empty-domain contracts: theta set-ops with no qualifying types emit
+#: NULL estimates on both engines, the Holt/Holt-Winters recurrences
+#: NULL-poison like their oracles' NULL arithmetic, observe() metrics
+#: keep SUM/MAX NULLs, and LTTB runs on measured days only.
+@pytest.fixture(scope="session")
+def allnull_sf(tmp_path_factory):
+    return write_random_fixture(
+        tmp_path_factory.mktemp("randfix_allnull") / "sf", seed=137,
+        null_val_frac=1.0, null_text_frac=1.0, null_etype_frac=1.0,
+        null_label_frac=1.0, null_fk_frac=1.0, null_frac=1.0,
+    )
+
+
+@pytest.mark.parametrize("name", _ORACLE_BACKED)
+def test_oracle_parity_on_all_null(spark, allnull_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, allnull_sf), q.oracle, allnull_sf)
