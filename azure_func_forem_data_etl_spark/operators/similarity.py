@@ -221,53 +221,64 @@ def ann_topk_certificate(
         "neighbor_id",
     )
     pairs = pairs.withColumn("__resim", F.round(cosine_expr("__qe", "__ne"), 6))
-    w = Window.partitionBy("query_id").orderBy("rnk")
-    flg = pairs.select(
-        "query_id",
-        "neighbor_id",
-        "cos_sim",
-        "rnk",
-        "__resim",
-        F.lag("cos_sim").over(w).alias("__prev_sim"),
-        F.lag("neighbor_id").over(w).alias("__prev_nid"),
-    )
-    per = flg.groupBy("query_id").agg(
-        F.count("*").alias("__n"),
-        F.min("rnk").alias("__rmin"),
-        F.max("rnk").alias("__rmax"),
-        F.countDistinct("rnk").alias("__rdist"),
-        F.countDistinct("neighbor_id").alias("__ndist"),
-        F.bool_and(
-            (F.col("cos_sim") == F.col("__resim"))
-            | (F.isnan("cos_sim") & F.isnan("__resim"))
-        ).alias("__sims_exact"),
-        F.bool_and(
-            F.col("__prev_sim").isNull()
-            | (F.col("__prev_sim") > F.col("cos_sim"))
-            | (
-                (F.col("__prev_sim") == F.col("cos_sim"))
-                & (F.col("__prev_nid") < F.col("neighbor_id"))
+    # ONE aggregation (collect the rnk-sorted per-query list), then every
+    # invariant evaluates as a JVM array lambda — no rank window, no
+    # multi-countDistinct Expand: the lag-window formulation cost ~1 s of
+    # extra exchange/stage overhead per bench run (r12 matched-canary
+    # A/B), pure scheduling latency on a queries x k frame.
+    per = pairs.groupBy("query_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("rnk").alias("r"),
+                    F.col("cos_sim").alias("s"),
+                    F.col("neighbor_id").alias("n"),
+                    F.col("__resim").alias("e"),
+                )
             )
-        ).alias("__sims_sorted"),
-        F.bool_and(F.col("neighbor_id") != F.col("query_id")).alias("__no_self"),
+        ).alias("__a")
+    )
+    n = F.size("__a")
+    # NB: sequence(1, 0) counts DOWN in Spark, so the consecutive-pair
+    # folds only evaluate under the n >= 2 guard
+    ranks_dense = F.expr(
+        "forall(sequence(1, size(__a) - 1), i -> __a[i].r = __a[i-1].r + 1)"
+    )
+    sims_sorted = F.expr(
+        "forall(sequence(1, size(__a) - 1), i -> "
+        "__a[i-1].s > __a[i].s OR "
+        "(__a[i-1].s = __a[i].s AND __a[i-1].n < __a[i].n))"
+    )
+    per = per.select(
+        "query_id",
+        n.alias("__n"),
+        (F.element_at("__a", 1)["r"] == 1).alias("__first_rank_1"),
+        F.when(n <= 1, F.lit(True)).otherwise(ranks_dense).alias("__rdense"),
+        F.when(n <= 1, F.lit(True)).otherwise(sims_sorted).alias("__ssorted"),
+        # NaN = NaN is TRUE under Spark's NaN semantics; the isnan leg
+        # keeps the intent explicit
+        F.forall(
+            "__a",
+            lambda x: (x["s"] == x["e"]) | (F.isnan(x["s"]) & F.isnan(x["e"])),
+        ).alias("__sims_exact"),
+        F.forall("__a", lambda x: x["n"] != F.col("query_id")).alias("__no_self"),
+        (
+            F.size(F.array_distinct(F.transform("__a", lambda x: x["n"]))) == n
+        ).alias("__ndistinct"),
     )
     expected = F.least(F.lit(k), F.lit(max(0, n_corpus - 1)))
     true = F.lit(True)
-    return qdom.join(per, "query_id", "left").select(
+    return qdom.join(F.broadcast(per), "query_id", "left").select(
         "query_id",
         (F.coalesce(F.col("__n"), F.lit(0)) == expected).alias("full_k"),
+        # first rank 1 + consecutive ranks = dense 1..n (distinct, max=n)
         F.coalesce(
-            (F.col("__rmin") == 1)
-            & (F.col("__rmax") == F.col("__n"))
-            & (F.col("__rdist") == F.col("__n")),
-            true,
+            F.col("__first_rank_1") & F.col("__rdense"), true
         ).alias("ranks_complete"),
-        F.coalesce("__sims_sorted", true).alias("sims_sorted"),
+        F.coalesce("__ssorted", true).alias("sims_sorted"),
         F.coalesce("__sims_exact", true).alias("sims_exact"),
         F.coalesce("__no_self", true).alias("no_self"),
-        F.coalesce(F.col("__ndist") == F.col("__n"), true).alias(
-            "neighbors_distinct"
-        ),
+        F.coalesce("__ndistinct", true).alias("neighbors_distinct"),
     )
 
 
