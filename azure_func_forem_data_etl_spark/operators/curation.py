@@ -22,6 +22,9 @@ from pyspark.sql import functions as F
 
 from azure_func_forem_data_etl_spark.operators.ckpt import scoped_checkpoint
 from azure_func_forem_data_etl_spark.operators.text import _SW_SQL, _hits, STOPWORDS
+from azure_func_forem_data_etl_spark.functions.textfold import (
+    ascii_fold,
+)
 from azure_func_forem_data_etl_spark.plans.registry import register
 from azure_func_forem_data_etl_spark.sources.tables import table
 
@@ -420,10 +423,10 @@ _DECONTAM_ORACLE_SQL = rf"""
     grams AS (
         SELECT doc_id, split,
                UNNEST(list_transform(
-                   range(1, len(string_split_regex(lower(text), '\s+'))
+                   range(1, len(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'))
                             - {DECONTAM_NGRAM} + 2),
                    i -> array_to_string(
-                       list_slice(string_split_regex(lower(text), '\s+'),
+                       list_slice(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'),
                                   i, i + {DECONTAM_NGRAM} - 1), ' ')))
                    AS gram
         FROM split
@@ -483,7 +486,7 @@ def _decontam_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(hx.isin("c", "d"), "val")
         .otherwise("test")
         .alias("split"),
-        F.split(F.lower("text"), r"\s+").alias("ws"),
+        F.split(ascii_fold("text"), r"\s+").alias("ws"),
     ).filter(F.size("ws") >= n)
     return split.select(
         "doc_id",
@@ -1282,7 +1285,7 @@ _SPAN_NIB_SQL = ", ".join(f"'{n}'" for n in SPAN_MASK_NIBBLES)
     oracle=rf"""
     WITH d AS (
         SELECT doc_id,
-               CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+               CAST(len(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS BIGINT)
                    AS n_tok
         FROM documents
     ),
@@ -1335,7 +1338,7 @@ def span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     d = docs.select(
-        "doc_id", F.size(F.split(F.lower("text"), r"\s+")).cast("long").alias("n_tok")
+        "doc_id", F.size(F.split(ascii_fold("text"), r"\s+")).cast("long").alias("n_tok")
     )
     nblocks = F.floor((F.col("n_tok") + SPAN_LEN - 1) / SPAN_LEN).cast("long")
     blocks = d.select(

@@ -18,6 +18,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from azure_func_forem_data_etl_spark.functions.exact import sql_dsum
+from azure_func_forem_data_etl_spark.functions.textfold import (
+    ascii_fold,
+)
 from azure_func_forem_data_etl_spark.plans.registry import register
 from azure_func_forem_data_etl_spark.sources.tables import table
 
@@ -90,7 +93,7 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH n AS (
         SELECT doc_id, n_chars,
-               trim(regexp_replace(regexp_replace(lower(text),
+               trim(regexp_replace(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
                                                   '[^a-z0-9 ]', ' ', 'g'),
                                    ' +', ' ', 'g')) AS norm
         FROM documents
@@ -113,7 +116,7 @@ def text_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffles."""
     norm = F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            F.regexp_replace(ascii_fold("text"), "[^a-z0-9 ]", " "),
             " +",
             " ",
         )

@@ -12,6 +12,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from azure_func_forem_data_etl_spark.functions.exact import dround
+from azure_func_forem_data_etl_spark.functions.textfold import (
+    ascii_fold,
+)
 from azure_func_forem_data_etl_spark.plans.registry import register
 from azure_func_forem_data_etl_spark.sources.tables import table
 
@@ -377,7 +380,7 @@ REP_MAX_TOP_BIGRAM_FRAC = 0.06
     "quality_repetition_rules",
     oracle=rf"""
     WITH d AS (
-        SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+        SELECT doc_id, string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+') AS ws
         FROM documents
     ),
     wc AS (SELECT doc_id, UNNEST(ws) AS word FROM d),
@@ -437,7 +440,7 @@ def quality_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
-        F.split(F.lower("text"), r"\s+").alias("ws"),
+        F.split(ascii_fold("text"), r"\s+").alias("ws"),
     ).filter(F.size("ws") >= 2)
     d = d.withColumn(
         "bs",
@@ -483,7 +486,7 @@ def quality_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unigram_logprob_score",
     oracle=r"""
     WITH w AS (
-        SELECT doc_id, UNNEST(string_split_regex(lower(text), '\s+')) AS word
+        SELECT doc_id, UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS word
         FROM documents
     ),
     freq AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
@@ -519,7 +522,7 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_log10_prob / n_words."""
     docs = table(spark, sf_dir, "documents")
     w = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+        "doc_id", F.explode(F.split(ascii_fold("text"), r"\s+")).alias("word")
     )
     freq = w.groupBy("word").agg(F.count("*").alias("cnt"))
     tot = w.agg(F.count("*").alias("t"))
@@ -552,7 +555,7 @@ BM25_TOP = 50
     "bm25_topk_docs",
     oracle=rf"""
     WITH w AS (
-        SELECT doc_id, UNNEST(string_split_regex(lower(text), '\s+')) AS word
+        SELECT doc_id, UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS word
         FROM documents
     ),
     dl AS (SELECT doc_id, COUNT(*) AS d_len FROM w GROUP BY doc_id),
@@ -602,7 +605,7 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1e-4 quantum)."""
     docs = table(spark, sf_dir, "documents")
     w = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+        "doc_id", F.explode(F.split(ascii_fold("text"), r"\s+")).alias("word")
     )
     dl = w.groupBy("doc_id").agg(F.count("*").alias("d_len"))
     stats = dl.agg(
@@ -923,7 +926,7 @@ def char_class_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bigram_lm_score",
     oracle=r"""
     WITH toks AS (
-        SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+        SELECT doc_id, string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+') AS ts
         FROM documents
     ),
     bg AS (
@@ -971,7 +974,7 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     — partition-order- and engine-independent), same discipline as the
     unigram scorer."""
     docs = table(spark, sf_dir, "documents")
-    ts = F.split(F.lower("text"), r"\s+")
+    ts = F.split(ascii_fold("text"), r"\s+")
     bg = (
         docs.select("doc_id", ts.alias("ts"))
         .filter(F.size("ts") >= 2)
@@ -1118,7 +1121,7 @@ PMI_MIN_PAIR_COUNT = 20  # ignore rare pairs: PMI is noise at low counts
     "collocation_pmi",
     oracle=rf"""
     WITH toks AS (
-        SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+        SELECT doc_id, string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+') AS ts
         FROM documents
     ),
     bg AS (
@@ -1155,7 +1158,7 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, and broadcast back into the scoring join.  The count floor
     keeps the output to statistically meaningful pairs."""
     docs = table(spark, sf_dir, "documents")
-    ts = F.split(F.lower("text"), r"\s+")
+    ts = F.split(ascii_fold("text"), r"\s+")
     bg = (
         docs.select(ts.alias("ts"))
         .filter(F.size("ts") >= 2)
@@ -1207,7 +1210,7 @@ SENTIMENT_NEG = ("slow", "small")
     oracle=rf"""
     WITH w AS (
         SELECT doc_id,
-               string_split_regex(lower(text), '\s+') AS ws
+               string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+') AS ws
         FROM documents
     )
     SELECT doc_id,
@@ -1234,7 +1237,7 @@ def sentiment_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: map-only — token split, two array filters, one
     division; zero shuffles, embarrassingly parallel over corpus bytes."""
     docs = table(spark, sf_dir, "documents")
-    ws = F.split(F.lower("text"), r"\s+")
+    ws = F.split(ascii_fold("text"), r"\s+")
     d = docs.select("doc_id", ws.alias("ws")).filter(F.size("ws") > 0)
     n_pos = F.size(
         F.filter(F.col("ws"), lambda x: x.isin(*SENTIMENT_POS))
@@ -1316,7 +1319,7 @@ QL_TOP = 50
     "ql_dirichlet_topk",
     oracle=rf"""
     WITH w AS (
-        SELECT doc_id, UNNEST(string_split_regex(lower(text), '\s+')) AS word
+        SELECT doc_id, UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS word
         FROM documents
     ),
     dl AS (SELECT doc_id, COUNT(*) AS dlen FROM w GROUP BY doc_id),
@@ -1367,7 +1370,7 @@ def ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = list(QL_QUERY_TERMS)
     docs = table(spark, sf_dir, "documents")
     w = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+        "doc_id", F.explode(F.split(ascii_fold("text"), r"\s+")).alias("word")
     )
     dl = w.groupBy("doc_id").agg(F.count("*").alias("dlen"))
     qw = w.filter(F.col("word").isin(terms))
@@ -1403,7 +1406,7 @@ ZIPF_TOP_RANKS = 100
     "zipf_exponent_fit",
     oracle=rf"""
     WITH w AS (
-        SELECT UNNEST(string_split_regex(lower(text), '\s+')) AS word
+        SELECT UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS word
         FROM documents
     ),
     freq AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
@@ -1444,7 +1447,7 @@ def zipf_exponent_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form slope is one deterministic double expression at the end.
     Scale: one explode + one vocab agg + a 100-row fit."""
     docs = table(spark, sf_dir, "documents")
-    w = docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+    w = docs.select(F.explode(F.split(ascii_fold("text"), r"\s+")).alias("word"))
     freq = w.groupBy("word").agg(F.count("*").alias("cnt"))
     top = (
         freq.orderBy(F.desc("cnt"), F.asc("word"))
@@ -1599,10 +1602,10 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH m AS (
         SELECT doc_id,
-               len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+               len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+')) AS n_words,
                greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
                    AS n_sentences,
-               len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[aeiouy]+'))
                    AS n_syllables
         FROM documents
     )
@@ -1627,11 +1630,11 @@ def readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the oracle; the Flesch formula is pure double arithmetic on
     exact counts — one map-only pass, no shuffle at all."""
     docs = table(spark, sf_dir, "documents")
-    n_words = F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0))
+    n_words = F.size(F.regexp_extract_all(ascii_fold("text"), F.lit("[a-z0-9]+"), 0))
     n_sent = F.greatest(
         F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), 0)), F.lit(1)
     )
-    n_syll = F.size(F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0))
+    n_syll = F.size(F.regexp_extract_all(ascii_fold("text"), F.lit("[aeiouy]+"), 0))
     m = docs.select(
         "doc_id",
         n_words.alias("n_words"),
@@ -1949,7 +1952,7 @@ HEAPS_CHECKPOINTS = 16
     "heaps_law_fit",
     oracle=rf"""
     WITH w AS (
-        SELECT doc_id, UNNEST(string_split_regex(lower(text), '\s+')) AS word
+        SELECT doc_id, UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS word
         FROM documents
     ),
     firsts AS (SELECT word, MIN(doc_id) AS first_doc FROM w GROUP BY word),
@@ -2014,7 +2017,7 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     w = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+        "doc_id", F.explode(F.split(ascii_fold("text"), r"\s+")).alias("word")
     )
     # materialize the two corpus rollups once: mx/toks/vocab re-reference
     # them and Spark does not reuse aggregation subplans across references
@@ -2083,7 +2086,7 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "js_divergence_langs",
     oracle=r"""
     WITH w AS (
-        SELECT lang, UNNEST(string_split_regex(lower(text), '\s+')) AS word
+        SELECT lang, UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS word
         FROM documents
     ),
     lw AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c_lw
@@ -2147,7 +2150,7 @@ def js_divergence_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     floating point.
     """
     docs = table(spark, sf_dir, "documents")
-    w = docs.select("lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+    w = docs.select("lang", F.explode(F.split(ascii_fold("text"), r"\s+")).alias("word"))
     lw = (
         w.groupBy("lang", "word")
         .agg(F.count("*").alias("c_lw"))
@@ -2207,7 +2210,7 @@ COVERAGE_PCTS = (50, 80, 90, 95, 99)
     "vocab_coverage_curve",
     oracle=rf"""
     WITH w AS (
-        SELECT UNNEST(string_split_regex(lower(text), '\s+')) AS word
+        SELECT UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS word
         FROM documents
     ),
     freq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
@@ -2243,7 +2246,7 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a broadcast join against the 5 fixed thresholds.
     """
     docs = table(spark, sf_dir, "documents")
-    w = docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+    w = docs.select(F.explode(F.split(ascii_fold("text"), r"\s+")).alias("word"))
     freq = w.groupBy("word").agg(F.count("*").alias("cnt"))
     order = Window.orderBy(F.col("cnt").desc(), F.col("word"))
     ranked = freq.select(
@@ -2277,7 +2280,7 @@ BURSTY_TOP_K = 20
     "term_burstiness_vmr",
     oracle=rf"""
     WITH w AS (
-        SELECT doc_id, UNNEST(string_split_regex(lower(text), '\s+')) AS word
+        SELECT doc_id, UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS word
         FROM documents
     ),
     dw AS (SELECT word, doc_id, CAST(COUNT(*) AS BIGINT) AS c
@@ -2317,7 +2320,7 @@ def term_burstiness_vmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     w = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+        "doc_id", F.explode(F.split(ascii_fold("text"), r"\s+")).alias("word")
     )
     dw = (
         w.groupBy("word", "doc_id")
@@ -2358,7 +2361,7 @@ VOCAB_OVERLAP_TOP_K = 500
     defer=True,
     oracle=rf"""
     WITH w AS (
-        SELECT lang, UNNEST(string_split_regex(lower(text), '\s+')) AS word
+        SELECT lang, UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS word
         FROM documents
     ),
     lw AS (SELECT lang, word, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
@@ -2397,7 +2400,7 @@ def vocab_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     touch the corpus.
     """
     docs = table(spark, sf_dir, "documents")
-    w = docs.select("lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+    w = docs.select("lang", F.explode(F.split(ascii_fold("text"), r"\s+")).alias("word"))
     lw = w.groupBy("lang", "word").agg(F.count("*").alias("cnt"))
     topv = (
         lw.select(
@@ -2438,7 +2441,7 @@ def vocab_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     defer=True,
     oracle=r"""
     WITH w AS (
-        SELECT UNNEST(string_split_regex(lower(text), '\s+')) AS word
+        SELECT UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS word
         FROM documents
     ),
     freq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS m FROM w GROUP BY 1),
@@ -2472,7 +2475,7 @@ def yule_k_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form expression — no floats until the final division.
     """
     docs = table(spark, sf_dir, "documents")
-    w = docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+    w = docs.select(F.explode(F.split(ascii_fold("text"), r"\s+")).alias("word"))
     freq = w.groupBy("word").agg(F.count("*").alias("m"))
     fof = freq.groupBy("m").agg(F.count("*").alias("v_m"))
     s = fof.agg(
@@ -2504,7 +2507,7 @@ TTR_BUCKET_LOG2 = 1
     defer=True,
     oracle=r"""
     WITH w AS (
-        SELECT doc_id, UNNEST(string_split_regex(lower(text), '\s+')) AS word
+        SELECT doc_id, UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS word
         FROM documents
     ),
     d AS (
@@ -2533,7 +2536,7 @@ def type_token_ratio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     w = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+        "doc_id", F.explode(F.split(ascii_fold("text"), r"\s+")).alias("word")
     )
     d = w.groupBy("doc_id").agg(
         F.count("*").alias("n_tok"), F.countDistinct("word").alias("n_typ")
@@ -2559,7 +2562,7 @@ GT_TAIL_RS = (1, 2, 5, 10)
     defer=True,
     oracle=rf"""
     WITH w AS (
-        SELECT UNNEST(string_split_regex(lower(text), '\s+')) AS word
+        SELECT UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS word
         FROM documents
     ),
     freq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS m FROM w GROUP BY 1),
@@ -2592,7 +2595,7 @@ def good_turing_tail_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-row threshold spine; one token explode touches the corpus.
     """
     docs = table(spark, sf_dir, "documents")
-    w = docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+    w = docs.select(F.explode(F.split(ascii_fold("text"), r"\s+")).alias("word"))
     freq = w.groupBy("word").agg(F.count("*").alias("m"))
     fof = freq.groupBy("m").agg(F.count("*").alias("v_m")).localCheckpoint(
         eager=True

@@ -79,6 +79,7 @@ def write_random_fixture(
     null_etype_frac: float = 0.0,
     null_label_frac: float = 0.0,
     unicode_docs: int = 0,
+    casefold_docs: int = 0,
 ) -> str:
     """``ts_grain_s`` > 0 truncates event timestamps to that many seconds
     (and drops the microsecond part), manufacturing heavy timestamp TIES —
@@ -145,7 +146,13 @@ def write_random_fixture(
     clusters and zero-width joiners inside words — the regime where
     code-point, code-unit, and grapheme counting diverge between
     engines' string functions (distinct from the multibyte-BYTE-length
-    class the r11 leg covers)."""
+    class the r11 leg covers).  ``casefold_docs`` > 0 rewrites that many
+    documents (planted after the unicode region) as CASE-MAPPING traps —
+    Turkish dotted/dotless I, ß/ẞ, Greek final sigma, titlecase
+    digraphs, compatibility ligatures — the regime where Java's full
+    contextual lowercase (Spark) and utf8proc's simple map (DuckDB)
+    return different strings, which is why the engine's fold contract is
+    ASCII-scoped (functions/textfold.py)."""
     eras = _TS_ERAS[2:] if ts_eras == "post1970" else _TS_ERAS
     rng = random.Random(seed)
 
@@ -370,6 +377,20 @@ def write_random_fixture(
         texts[22] = texts[21]
         if n_docs > 24 and unicode_docs >= 3:
             texts[23] = texts[21] + " extra tail"
+    # case-mapping trap documents (r12 case-fold leg) — see docstring
+    _CASETRAPS = [
+        "İstanbul IJssel TITLE Case ı dotless I plain",
+        "STRASSE Straße GROSS groß ẞIG ẞ",
+        "ΣΙΣΥΦΟΣ σίσυφος ΤΕΛΟΣ MIXEDΣ CASEΣ",
+        "ǅungla ǈubav ǋegoš ǲur DŽungla",
+        "ﬁle ﬂow ﬀ ligatures ST st FFI ﬃ",
+        "ΑΒΓΔΕΖΗΘ αβγδεζηθ Ōsaka ŌSAKA ōsaka",
+    ]
+    for j in range(min(casefold_docs, max(0, n_docs - 36))):
+        base_c = _CASETRAPS[j % len(_CASETRAPS)]
+        texts[29 + j] = (base_c + " ") * rng.randint(2, 8)
+    if casefold_docs >= 2 and n_docs > 31:
+        texts[30] = texts[29]  # exact dup inside the trap region
     if null_text_frac:
         # true NULL text (distinct from null_frac's blank ""): NULL
         # propagates through split/length/regexp where '' yields empties

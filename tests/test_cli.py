@@ -238,9 +238,23 @@ def test_registry_driver_order_rotates_evidence():
     if order[: len(sentinels)] == sentinels:
         pass  # slack regime: canary leads
     else:
+        # requeued names (error-latest / mismatch / check-upgraded) jump
+        # the queue BY DESIGN even when their evidence is fresh — e.g.
+        # the r12 certificate promotions are checked (rows-only latest)
+        # but their stronger oracle needs a new witness — so the ceded-
+        # sentinel age invariant applies to the staleness rotation only
+        jump = (
+            _errored_latest()
+            | _mismatched_latest()
+            | _upgraded_latest(REGISTRY)
+        )
         for s in sentinels:
             assert s in order
-            ahead = [n for n in order[: order.index(s)] if n in checked]
+            ahead = [
+                n
+                for n in order[: order.index(s)]
+                if n in checked and n not in jump
+            ]
             assert all(age.get(n, 0) <= age.get(s, 0) for n in ahead), (
                 f"ceded sentinel {s} outranked by fresher checked names"
             )

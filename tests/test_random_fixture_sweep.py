@@ -935,3 +935,36 @@ def allnull_sf(tmp_path_factory):
 def test_oracle_parity_on_all_null(spark, allnull_sf, name):
     q = REGISTRY[name]
     assert_matches_oracle(q.fn(spark, allnull_sf), q.oracle, allnull_sf)
+
+
+#: Case-fold leg (r12): documents laced with CASE-MAPPING traps —
+#: Turkish dotted/dotless I, ß/ẞ, Greek final sigma, titlecase digraphs,
+#: compatibility ligatures.  Java's full contextual lowercase (Spark:
+#: İ -> i + combining dot, word-final Σ -> ς) and utf8proc's simple map
+#: (DuckDB: İ -> i, Σ -> σ everywhere) return DIFFERENT strings, which
+#: diverged 12 lexical statistics at once on first probe.  The fix is a
+#: contract, not a workaround: tokenization case-folds ASCII A-Z only
+#: (functions/textfold.py ascii_fold / sql_ascii_fold — both engines
+#: implement translate() identically, byte-stable across JDK/UCD
+#: versions), every other code point passing verbatim.  Scoped to the
+#: text-analysis families that fold.
+_FOLD_FAMILIES = ("text", "tokenize", "curation", "hygiene", "dedup")
+_FOLD_SENSITIVE = sorted(
+    n for n, q in REGISTRY.items()
+    if q.fn.__module__.rsplit(".", 1)[-1] in _FOLD_FAMILIES
+    and q.oracle is not None
+)
+
+
+@pytest.fixture(scope="session")
+def casefold_sf(tmp_path_factory):
+    return write_random_fixture(
+        tmp_path_factory.mktemp("randfix_casefold") / "sf", seed=151,
+        casefold_docs=8,
+    )
+
+
+@pytest.mark.parametrize("name", _FOLD_SENSITIVE)
+def test_oracle_parity_on_casefold_traps(spark, casefold_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, casefold_sf), q.oracle, casefold_sf)
