@@ -1314,33 +1314,42 @@ def jackknife_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM g
     ),
     part AS (
-        -- per-group double contributions, quantized to WHOLE units before
-        -- the cross-group sum: at 1e11-1e14 magnitudes any sub-unit round
-        -- scale would put round() past 2^53 where engine round() diverges
-        SELECT CAST(round(g.n_i * (CAST(CAST(g.s_i AS STRING) AS DOUBLE) / g.n_i - t.m)
-                          * (CAST(CAST(g.s_i AS STRING) AS DOUBLE) / g.n_i - t.m), 0)
-                    AS DECIMAL(32,0)) AS ssb_i,
-               CAST(round(CAST(CAST(g.q_i AS STRING) AS DOUBLE)
-                          - CAST(CAST(g.s_i AS STRING) AS DOUBLE)
-                            * CAST(CAST(g.s_i AS STRING) AS DOUBLE) / g.n_i, 0)
-                    AS DECIMAL(32,0)) AS ssw_i,
+        -- per-group double contributions, rounded to WHOLE units (at
+        -- 1e11-1e14 magnitudes any sub-unit round scale would put
+        -- round() past 2^53 where engine round() diverges).  They stay
+        -- DOUBLES: the old DECIMAL(32,0) quantization hit the
+        -- double->decimal conversion gap at 1e22 (Spark converts via
+        -- the shortest decimal repr, DuckDB scales in the float domain
+        -- — 1 unit apart in the 17th digit; r12 combined-extremes
+        -- sweep), so the cross-group sum is an explicit grp-ordered
+        -- sequential fold instead — bit-identical on both engines at
+        -- any magnitude
+        SELECT g.grp,
+               round(g.n_i * (CAST(CAST(g.s_i AS STRING) AS DOUBLE) / g.n_i - t.m)
+                     * (CAST(CAST(g.s_i AS STRING) AS DOUBLE) / g.n_i - t.m), 0)
+                   AS ssb_i,
+               round(CAST(CAST(g.q_i AS STRING) AS DOUBLE)
+                     - CAST(CAST(g.s_i AS STRING) AS DOUBLE)
+                       * CAST(CAST(g.s_i AS STRING) AS DOUBLE) / g.n_i, 0)
+                   AS ssw_i,
                t.n, t.k
         FROM g, tot t
+    ),
+    s AS (
+        SELECT k, n,
+               list_reduce(list(ssb_i ORDER BY grp), (a, b) -> a + b) AS ssb_d,
+               list_reduce(list(ssw_i ORDER BY grp), (a, b) -> a + b) AS ssw_d
+        FROM part GROUP BY k, n
     )
     SELECT k AS k_groups, n AS n_total,
-           CAST(CAST(SUM(ssb_i) AS STRING) AS DOUBLE) AS ssb,
-           CAST(CAST(SUM(ssw_i) AS STRING) AS DOUBLE) AS ssw,
-           round((CAST(CAST(SUM(ssb_i) AS STRING) AS DOUBLE) / (k - 1))
-                 / (CAST(CAST(SUM(ssw_i) AS STRING) AS DOUBLE) / (n - k)), 6) AS f_stat,
-           round(CAST(CAST(SUM(ssb_i) AS STRING) AS DOUBLE)
-                 / (CAST(CAST(SUM(ssb_i) AS STRING) AS DOUBLE)
-                    + CAST(CAST(SUM(ssw_i) AS STRING) AS DOUBLE)), 6)
-               AS eta_sq
-    FROM part
-    GROUP BY k, n
+           ssb_d AS ssb,
+           ssw_d AS ssw,
+           round((ssb_d / (k - 1)) / (ssw_d / (n - k)), 6) AS f_stat,
+           round(ssb_d / (ssb_d + ssw_d), 6) AS eta_sq
+    FROM s
     -- degenerate contract (r10 const-values sweep): zero within-group
     -- variance leaves F undefined — no rows, both engines
-    HAVING SUM(ssw_i) > 0
+    WHERE ssw_d > 0
     """,
     doc="One-way ANOVA F (and eta-squared effect size) across order "
     "priorities from per-group (n, sum, sum-of-squares) partials.",
@@ -1375,23 +1384,34 @@ def anova_f_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("k"),
     )
     m_i = F.col("s_i").cast("double") / F.col("n_i")
+    # contributions stay DOUBLES and cross-group summation is an
+    # explicit grp-ordered sequential fold — the old DECIMAL(32,0)
+    # quantization hit the engines' double->decimal conversion gap at
+    # 1e22 magnitudes (see the oracle note; r12 combined-extremes sweep)
     part = g.crossJoin(F.broadcast(tot)).select(
+        "grp",
         F.round(F.col("n_i") * (m_i - F.col("m")) * (m_i - F.col("m")), 0)
-        .cast("decimal(32,0)")
         .alias("ssb_i"),
         F.round(
             F.col("q_i").cast("double")
             - F.col("s_i").cast("double") * F.col("s_i").cast("double") / F.col("n_i"),
             0,
         )
-        .cast("decimal(32,0)")
         .alias("ssw_i"),
         "n",
         "k",
     )
+
+    def _ordered_fold(col: str):
+        arr = F.transform(
+            F.sort_array(F.collect_list(F.struct(F.col("grp"), F.col(col)))),
+            lambda s: s[col],
+        )
+        return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+
     agg = part.groupBy("k", "n").agg(
-        F.sum("ssb_i").cast("double").alias("ssb_d"),
-        F.sum("ssw_i").cast("double").alias("ssw_d"),
+        _ordered_fold("ssb_i").alias("ssb_d"),
+        _ordered_fold("ssw_i").alias("ssw_d"),
     # degenerate contract (see oracle): SSW = 0 leaves F undefined
     ).filter(F.col("ssw_d") > 0)
     return agg.select(

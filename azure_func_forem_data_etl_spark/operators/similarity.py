@@ -1160,7 +1160,11 @@ from azure_func_forem_data_etl_spark.plans.registry import REGISTRY as _REG
     "knn_label_accuracy",
     oracle=f"""
     WITH knn AS ({_REG["knn_bruteforce"].oracle}),
-    lab AS (SELECT vec_id, CAST(label AS INT) AS label FROM embeddings),
+    -- labeled rows only (r12 NULL-heavy sweep): an unlabeled neighbor
+    -- casts no vote (and the NULL-label vote group argmax-orders
+    -- engine-opposite), and an unlabeled query has no ground truth
+    lab AS (SELECT vec_id, CAST(label AS INT) AS label FROM embeddings
+            WHERE label IS NOT NULL),
     votes AS (
         SELECT k.query_id, l.label, count(*) AS c
         FROM knn k JOIN lab l ON k.neighbor_id = l.vec_id
@@ -1195,7 +1199,10 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     list — never the corpus — and label attachment broadcasts that small
     side into the labels join; two tiny aggregations after."""
     emb = table(spark, sf_dir, "embeddings")
-    lab = emb.select("vec_id", F.col("label").cast("int").alias("label"))
+    # labeled rows only — see the oracle note (r12 NULL-heavy sweep)
+    lab = emb.select("vec_id", F.col("label").cast("int").alias("label")).filter(
+        F.col("label").isNotNull()
+    )
     knn = knn_bruteforce_topk(emb)
     votes = (
         F.broadcast(knn.select("query_id", "neighbor_id"))

@@ -968,3 +968,34 @@ def casefold_sf(tmp_path_factory):
 def test_oracle_parity_on_casefold_traps(spark, casefold_sf, name):
     q = REGISTRY[name]
     assert_matches_oracle(q.fn(spark, casefold_sf), q.oracle, casefold_sf)
+
+
+#: Combined-extremes leg (r12): the r11 combined shape PLUS every new
+#: r12 axis — 30% NULLs on every optional column, unicode-grapheme and
+#: case-trap documents — on top of magnitude-spread money, 25% duplicate
+#: event ids, long docs, embedding-magnitude spread, negative ids,
+#: hot-key skew, and a 15-min timestamp grain.  Interactions are where
+#: single-axis fixes leak; its first run found two: the anova
+#: cross-group sum hit the engines' double->decimal conversion gap at
+#: 1e22 (Spark converts via the shortest decimal repr, DuckDB scales in
+#: the float domain — now an explicit grp-ordered sequential double
+#: fold on both engines), and knn_label_accuracy had escaped the
+#: labeled-rows-only contract (it lives in similarity.py, outside the
+#: evaluation.py blanket fix).
+@pytest.fixture(scope="session")
+def combo12_sf(tmp_path_factory):
+    return write_random_fixture(
+        tmp_path_factory.mktemp("randfix_combo12") / "sf", seed=157,
+        magnitude_spread=True, dup_event_frac=0.25, long_docs=8,
+        emb_magnitude_spread=True, id_offset=-5_000_000,
+        hot_frac=0.3, null_frac=0.15, ts_grain_s=900,
+        null_val_frac=0.3, null_text_frac=0.3, null_etype_frac=0.3,
+        null_label_frac=0.3, null_fk_frac=0.3,
+        unicode_docs=8, casefold_docs=6,
+    )
+
+
+@pytest.mark.parametrize("name", _ORACLE_BACKED)
+def test_oracle_parity_on_combined_extremes_r12(spark, combo12_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, combo12_sf), q.oracle, combo12_sf)
