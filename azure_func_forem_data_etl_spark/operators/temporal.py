@@ -399,6 +399,11 @@ def gapfill_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
                / CAST(SUM(dt) AS DOUBLE) AS twa_value,
            CAST(SUM(dt) AS BIGINT) AS total_seconds
     FROM seg GROUP BY event_type
+    -- degenerate contract (r12 const-ts probe): a series whose
+    -- observations span ZERO seconds has no time-weighted average
+    -- (Spark ANSI raises DIVIDE_BY_ZERO, DuckDB returns inf) — no
+    -- rows, both engines
+    HAVING SUM(dt) > 0
     """,
     doc="Time-weighted average per series: each value weighted by the "
     "seconds until the next observation (hypertable time_weight).",
@@ -425,12 +430,23 @@ def time_weighted_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("dt"),
         F.col("value").cast("decimal(18,4)").alias("v"),
     )
-    return seg.groupBy("event_type").agg(
-        (
-            F.sum(F.col("v") * F.col("dt").cast("decimal(12,0)")).cast("double")
-            / F.sum("dt").cast("double")
-        ).alias("twa_value"),
-        F.sum("dt").cast("long").alias("total_seconds"),
+    # zero-span series contract (see oracle; r12 const-ts probe): the
+    # division is CASE-guarded because ANSI evaluates it inside the
+    # aggregate projection, before any post-agg filter
+    tot = F.sum("dt")
+    return (
+        seg.groupBy("event_type")
+        .agg(
+            F.when(
+                tot > 0,
+                F.sum(F.col("v") * F.col("dt").cast("decimal(12,0)")).cast(
+                    "double"
+                )
+                / tot.cast("double"),
+            ).alias("twa_value"),
+            tot.cast("long").alias("total_seconds"),
+        )
+        .filter(F.col("total_seconds") > 0)
     )
 
 

@@ -999,3 +999,25 @@ def combo12_sf(tmp_path_factory):
 def test_oracle_parity_on_combined_extremes_r12(spark, combo12_sf, name):
     q = REGISTRY[name]
     assert_matches_oracle(q.fn(spark, combo12_sf), q.oracle, combo12_sf)
+
+
+#: Zero-time-span leg (r12): every event carries the SAME timestamp
+#: (1-day span truncated to a 86400 s grain) — the degenerate extreme of
+#: the tie-heavy shape where every inter-event duration is zero.  First
+#: probe found one crash: time_weighted_avg_events divided by a zero
+#: total span (Spark ANSI raises DIVIDE_BY_ZERO, DuckDB returns inf);
+#: the contract is now zero rows on both engines (a series spanning no
+#: time has no time-weighted average), CASE-guarded because ANSI
+#: evaluates aggregate-projection divisions before any post-agg filter.
+@pytest.fixture(scope="session")
+def constts_sf(tmp_path_factory):
+    return write_random_fixture(
+        tmp_path_factory.mktemp("randfix_constts") / "sf", seed=163,
+        span_days=1, ts_grain_s=86400,
+    )
+
+
+@pytest.mark.parametrize("name", _ORACLE_BACKED)
+def test_oracle_parity_on_zero_time_span(spark, constts_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, constts_sf), q.oracle, constts_sf)
