@@ -30,6 +30,15 @@ ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
 
 
+#: Explicit ASCII whitespace class — the tokenizer-split contract.
+#: Java's ``\s`` includes \x0B (vertical tab); RE2's (DuckDB) does not,
+#: so a bare ``\s+`` split tokenizes VT-bearing text differently per
+#: engine (r12 exotic-whitespace sweep: 18 lexical statistics diverged
+#: at once).  Both engines read this explicit class identically; it
+#: equals Java's ``\s`` set exactly, so Spark behavior is unchanged.
+WS_RE = r"[ \t\n\f\r\x0b]+"
+
+
 def ascii_fold(col: str | Column) -> Column:
     """Fold ASCII A-Z to a-z; every other code point passes verbatim."""
     c = F.col(col) if isinstance(col, str) else col

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from azure_func_forem_data_etl_spark.operators.ckpt import scoped_checkpoint
 from azure_func_forem_data_etl_spark.operators.text import _SW_SQL, _hits, STOPWORDS
 from azure_func_forem_data_etl_spark.functions.textfold import (
+    WS_RE,
     ascii_fold,
 )
 from azure_func_forem_data_etl_spark.plans.registry import register
@@ -296,7 +297,7 @@ PACK_BUDGET_TOKENS = 512
     oracle=rf"""
     WITH t AS (
         SELECT doc_id, source,
-               len(string_split_regex(text, '\s+')) AS n_tokens
+               len(string_split_regex(text, '[ \t\n\f\r\x0b]+')) AS n_tokens
         FROM documents
     ),
     c AS (
@@ -330,7 +331,7 @@ def sequence_packing_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB through one task chain).  All-integer math — engine-exact."""
     docs = table(spark, sf_dir, "documents")
     t = docs.select(
-        "doc_id", "source", F.size(F.split("text", r"\s+")).alias("n_tokens")
+        "doc_id", "source", F.size(F.split("text", WS_RE)).alias("n_tokens")
     )
     w = (
         Window.partitionBy("source")
@@ -423,10 +424,10 @@ _DECONTAM_ORACLE_SQL = rf"""
     grams AS (
         SELECT doc_id, split,
                UNNEST(list_transform(
-                   range(1, len(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'))
+                   range(1, len(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+'))
                             - {DECONTAM_NGRAM} + 2),
                    i -> array_to_string(
-                       list_slice(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'),
+                       list_slice(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+'),
                                   i, i + {DECONTAM_NGRAM} - 1), ' ')))
                    AS gram
         FROM split
@@ -486,7 +487,7 @@ def _decontam_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(hx.isin("c", "d"), "val")
         .otherwise("test")
         .alias("split"),
-        F.split(ascii_fold("text"), r"\s+").alias("ws"),
+        F.split(ascii_fold("text"), WS_RE).alias("ws"),
     ).filter(F.size("ws") >= n)
     return split.select(
         "doc_id",
@@ -860,7 +861,7 @@ def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- packable docs only (r12 NULL-heavy sweep): a NULL text has no
         -- token count, and NULL n sorts engine-opposite in the rank
         SELECT doc_id, source,
-               CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n
+               CAST(len(string_split_regex(text, '[ \t\n\f\r\x0b]+')) AS BIGINT) AS n
         FROM documents WHERE text IS NOT NULL
     ),
     ranked AS (
@@ -941,7 +942,7 @@ def sequence_packing_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "source",
-            F.size(F.split("text", r"\s+")).alias("n_tokens"),
+            F.size(F.split("text", WS_RE)).alias("n_tokens"),
         )
     )
 
@@ -1285,7 +1286,7 @@ _SPAN_NIB_SQL = ", ".join(f"'{n}'" for n in SPAN_MASK_NIBBLES)
     oracle=rf"""
     WITH d AS (
         SELECT doc_id,
-               CAST(len(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS BIGINT)
+               CAST(len(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+')) AS BIGINT)
                    AS n_tok
         FROM documents
     ),
@@ -1338,7 +1339,7 @@ def span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     d = docs.select(
-        "doc_id", F.size(F.split(ascii_fold("text"), r"\s+")).cast("long").alias("n_tok")
+        "doc_id", F.size(F.split(ascii_fold("text"), WS_RE)).cast("long").alias("n_tok")
     )
     nblocks = F.floor((F.col("n_tok") + SPAN_LEN - 1) / SPAN_LEN).cast("long")
     blocks = d.select(

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from azure_func_forem_data_etl_spark.functions.exact import dround
 from azure_func_forem_data_etl_spark.functions.textfold import (
+    WS_RE,
     ascii_fold,
 )
 from azure_func_forem_data_etl_spark.plans.registry import register
@@ -24,7 +25,9 @@ _SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 # Token pattern: word runs or single non-word non-space chars (BPE-ish
 # pre-tokenization split, cf. GPT-2 pattern's word/punct split).
-TOKEN_RE = r"[a-z0-9]+|[^a-z0-9\s]"
+# explicit whitespace set, not \s: Java and RE2 disagree on \x0B
+# (see functions/textfold.py WS_RE)
+TOKEN_RE = r"[a-z0-9]+|[^a-z0-9 \t\n\f\r\x0b]"
 
 # Language marker words (the point is the argmax machinery, not NLP
 # accuracy; corpus vocabulary is English tech words).
@@ -380,7 +383,7 @@ REP_MAX_TOP_BIGRAM_FRAC = 0.06
     "quality_repetition_rules",
     oracle=rf"""
     WITH d AS (
-        SELECT doc_id, string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+') AS ws
+        SELECT doc_id, string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+') AS ws
         FROM documents
     ),
     wc AS (SELECT doc_id, UNNEST(ws) AS word FROM d),
@@ -440,7 +443,7 @@ def quality_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
-        F.split(ascii_fold("text"), r"\s+").alias("ws"),
+        F.split(ascii_fold("text"), WS_RE).alias("ws"),
     ).filter(F.size("ws") >= 2)
     d = d.withColumn(
         "bs",
@@ -486,7 +489,7 @@ def quality_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unigram_logprob_score",
     oracle=r"""
     WITH w AS (
-        SELECT doc_id, UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS word
+        SELECT doc_id, UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+')) AS word
         FROM documents
     ),
     freq AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
@@ -522,7 +525,7 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_log10_prob / n_words."""
     docs = table(spark, sf_dir, "documents")
     w = docs.select(
-        "doc_id", F.explode(F.split(ascii_fold("text"), r"\s+")).alias("word")
+        "doc_id", F.explode(F.split(ascii_fold("text"), WS_RE)).alias("word")
     )
     freq = w.groupBy("word").agg(F.count("*").alias("cnt"))
     tot = w.agg(F.count("*").alias("t"))
@@ -555,7 +558,7 @@ BM25_TOP = 50
     "bm25_topk_docs",
     oracle=rf"""
     WITH w AS (
-        SELECT doc_id, UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS word
+        SELECT doc_id, UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+')) AS word
         FROM documents
     ),
     dl AS (SELECT doc_id, COUNT(*) AS d_len FROM w GROUP BY doc_id),
@@ -605,7 +608,7 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1e-4 quantum)."""
     docs = table(spark, sf_dir, "documents")
     w = docs.select(
-        "doc_id", F.explode(F.split(ascii_fold("text"), r"\s+")).alias("word")
+        "doc_id", F.explode(F.split(ascii_fold("text"), WS_RE)).alias("word")
     )
     dl = w.groupBy("doc_id").agg(F.count("*").alias("d_len"))
     stats = dl.agg(
@@ -926,7 +929,7 @@ def char_class_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bigram_lm_score",
     oracle=r"""
     WITH toks AS (
-        SELECT doc_id, string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+') AS ts
+        SELECT doc_id, string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+') AS ts
         FROM documents
     ),
     bg AS (
@@ -974,7 +977,7 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     — partition-order- and engine-independent), same discipline as the
     unigram scorer."""
     docs = table(spark, sf_dir, "documents")
-    ts = F.split(ascii_fold("text"), r"\s+")
+    ts = F.split(ascii_fold("text"), WS_RE)
     bg = (
         docs.select("doc_id", ts.alias("ts"))
         .filter(F.size("ts") >= 2)
@@ -1121,7 +1124,7 @@ PMI_MIN_PAIR_COUNT = 20  # ignore rare pairs: PMI is noise at low counts
     "collocation_pmi",
     oracle=rf"""
     WITH toks AS (
-        SELECT doc_id, string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+') AS ts
+        SELECT doc_id, string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+') AS ts
         FROM documents
     ),
     bg AS (
@@ -1158,7 +1161,7 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, and broadcast back into the scoring join.  The count floor
     keeps the output to statistically meaningful pairs."""
     docs = table(spark, sf_dir, "documents")
-    ts = F.split(ascii_fold("text"), r"\s+")
+    ts = F.split(ascii_fold("text"), WS_RE)
     bg = (
         docs.select(ts.alias("ts"))
         .filter(F.size("ts") >= 2)
@@ -1210,7 +1213,7 @@ SENTIMENT_NEG = ("slow", "small")
     oracle=rf"""
     WITH w AS (
         SELECT doc_id,
-               string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+') AS ws
+               string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+') AS ws
         FROM documents
     )
     SELECT doc_id,
@@ -1237,7 +1240,7 @@ def sentiment_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: map-only — token split, two array filters, one
     division; zero shuffles, embarrassingly parallel over corpus bytes."""
     docs = table(spark, sf_dir, "documents")
-    ws = F.split(ascii_fold("text"), r"\s+")
+    ws = F.split(ascii_fold("text"), WS_RE)
     d = docs.select("doc_id", ws.alias("ws")).filter(F.size("ws") > 0)
     n_pos = F.size(
         F.filter(F.col("ws"), lambda x: x.isin(*SENTIMENT_POS))
@@ -1319,7 +1322,7 @@ QL_TOP = 50
     "ql_dirichlet_topk",
     oracle=rf"""
     WITH w AS (
-        SELECT doc_id, UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS word
+        SELECT doc_id, UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+')) AS word
         FROM documents
     ),
     dl AS (SELECT doc_id, COUNT(*) AS dlen FROM w GROUP BY doc_id),
@@ -1370,7 +1373,7 @@ def ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = list(QL_QUERY_TERMS)
     docs = table(spark, sf_dir, "documents")
     w = docs.select(
-        "doc_id", F.explode(F.split(ascii_fold("text"), r"\s+")).alias("word")
+        "doc_id", F.explode(F.split(ascii_fold("text"), WS_RE)).alias("word")
     )
     dl = w.groupBy("doc_id").agg(F.count("*").alias("dlen"))
     qw = w.filter(F.col("word").isin(terms))
@@ -1406,7 +1409,7 @@ ZIPF_TOP_RANKS = 100
     "zipf_exponent_fit",
     oracle=rf"""
     WITH w AS (
-        SELECT UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS word
+        SELECT UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+')) AS word
         FROM documents
     ),
     freq AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
@@ -1447,7 +1450,7 @@ def zipf_exponent_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form slope is one deterministic double expression at the end.
     Scale: one explode + one vocab agg + a 100-row fit."""
     docs = table(spark, sf_dir, "documents")
-    w = docs.select(F.explode(F.split(ascii_fold("text"), r"\s+")).alias("word"))
+    w = docs.select(F.explode(F.split(ascii_fold("text"), WS_RE)).alias("word"))
     freq = w.groupBy("word").agg(F.count("*").alias("cnt"))
     top = (
         freq.orderBy(F.desc("cnt"), F.asc("word"))
@@ -1952,7 +1955,7 @@ HEAPS_CHECKPOINTS = 16
     "heaps_law_fit",
     oracle=rf"""
     WITH w AS (
-        SELECT doc_id, UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS word
+        SELECT doc_id, UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+')) AS word
         FROM documents
     ),
     firsts AS (SELECT word, MIN(doc_id) AS first_doc FROM w GROUP BY word),
@@ -2017,7 +2020,7 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     w = docs.select(
-        "doc_id", F.explode(F.split(ascii_fold("text"), r"\s+")).alias("word")
+        "doc_id", F.explode(F.split(ascii_fold("text"), WS_RE)).alias("word")
     )
     # materialize the two corpus rollups once: mx/toks/vocab re-reference
     # them and Spark does not reuse aggregation subplans across references
@@ -2086,7 +2089,7 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "js_divergence_langs",
     oracle=r"""
     WITH w AS (
-        SELECT lang, UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS word
+        SELECT lang, UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+')) AS word
         FROM documents
     ),
     lw AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c_lw
@@ -2150,7 +2153,7 @@ def js_divergence_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     floating point.
     """
     docs = table(spark, sf_dir, "documents")
-    w = docs.select("lang", F.explode(F.split(ascii_fold("text"), r"\s+")).alias("word"))
+    w = docs.select("lang", F.explode(F.split(ascii_fold("text"), WS_RE)).alias("word"))
     lw = (
         w.groupBy("lang", "word")
         .agg(F.count("*").alias("c_lw"))
@@ -2210,7 +2213,7 @@ COVERAGE_PCTS = (50, 80, 90, 95, 99)
     "vocab_coverage_curve",
     oracle=rf"""
     WITH w AS (
-        SELECT UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS word
+        SELECT UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+')) AS word
         FROM documents
     ),
     freq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
@@ -2246,7 +2249,7 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a broadcast join against the 5 fixed thresholds.
     """
     docs = table(spark, sf_dir, "documents")
-    w = docs.select(F.explode(F.split(ascii_fold("text"), r"\s+")).alias("word"))
+    w = docs.select(F.explode(F.split(ascii_fold("text"), WS_RE)).alias("word"))
     freq = w.groupBy("word").agg(F.count("*").alias("cnt"))
     order = Window.orderBy(F.col("cnt").desc(), F.col("word"))
     ranked = freq.select(
@@ -2280,7 +2283,7 @@ BURSTY_TOP_K = 20
     "term_burstiness_vmr",
     oracle=rf"""
     WITH w AS (
-        SELECT doc_id, UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS word
+        SELECT doc_id, UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+')) AS word
         FROM documents
     ),
     dw AS (SELECT word, doc_id, CAST(COUNT(*) AS BIGINT) AS c
@@ -2320,7 +2323,7 @@ def term_burstiness_vmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     w = docs.select(
-        "doc_id", F.explode(F.split(ascii_fold("text"), r"\s+")).alias("word")
+        "doc_id", F.explode(F.split(ascii_fold("text"), WS_RE)).alias("word")
     )
     dw = (
         w.groupBy("word", "doc_id")
@@ -2361,7 +2364,7 @@ VOCAB_OVERLAP_TOP_K = 500
     defer=True,
     oracle=rf"""
     WITH w AS (
-        SELECT lang, UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS word
+        SELECT lang, UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+')) AS word
         FROM documents
     ),
     lw AS (SELECT lang, word, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
@@ -2400,7 +2403,7 @@ def vocab_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     touch the corpus.
     """
     docs = table(spark, sf_dir, "documents")
-    w = docs.select("lang", F.explode(F.split(ascii_fold("text"), r"\s+")).alias("word"))
+    w = docs.select("lang", F.explode(F.split(ascii_fold("text"), WS_RE)).alias("word"))
     lw = w.groupBy("lang", "word").agg(F.count("*").alias("cnt"))
     topv = (
         lw.select(
@@ -2441,7 +2444,7 @@ def vocab_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     defer=True,
     oracle=r"""
     WITH w AS (
-        SELECT UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS word
+        SELECT UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+')) AS word
         FROM documents
     ),
     freq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS m FROM w GROUP BY 1),
@@ -2475,7 +2478,7 @@ def yule_k_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form expression — no floats until the final division.
     """
     docs = table(spark, sf_dir, "documents")
-    w = docs.select(F.explode(F.split(ascii_fold("text"), r"\s+")).alias("word"))
+    w = docs.select(F.explode(F.split(ascii_fold("text"), WS_RE)).alias("word"))
     freq = w.groupBy("word").agg(F.count("*").alias("m"))
     fof = freq.groupBy("m").agg(F.count("*").alias("v_m"))
     s = fof.agg(
@@ -2507,7 +2510,7 @@ TTR_BUCKET_LOG2 = 1
     defer=True,
     oracle=r"""
     WITH w AS (
-        SELECT doc_id, UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS word
+        SELECT doc_id, UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+')) AS word
         FROM documents
     ),
     d AS (
@@ -2536,7 +2539,7 @@ def type_token_ratio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     w = docs.select(
-        "doc_id", F.explode(F.split(ascii_fold("text"), r"\s+")).alias("word")
+        "doc_id", F.explode(F.split(ascii_fold("text"), WS_RE)).alias("word")
     )
     d = w.groupBy("doc_id").agg(
         F.count("*").alias("n_tok"), F.countDistinct("word").alias("n_typ")
@@ -2562,7 +2565,7 @@ GT_TAIL_RS = (1, 2, 5, 10)
     defer=True,
     oracle=rf"""
     WITH w AS (
-        SELECT UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS word
+        SELECT UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+')) AS word
         FROM documents
     ),
     freq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS m FROM w GROUP BY 1),
@@ -2595,7 +2598,7 @@ def good_turing_tail_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-row threshold spine; one token explode touches the corpus.
     """
     docs = table(spark, sf_dir, "documents")
-    w = docs.select(F.explode(F.split(ascii_fold("text"), r"\s+")).alias("word"))
+    w = docs.select(F.explode(F.split(ascii_fold("text"), WS_RE)).alias("word"))
     freq = w.groupBy("word").agg(F.count("*").alias("m"))
     fof = freq.groupBy("m").agg(F.count("*").alias("v_m")).localCheckpoint(
         eager=True

@@ -80,6 +80,7 @@ def write_random_fixture(
     null_label_frac: float = 0.0,
     unicode_docs: int = 0,
     casefold_docs: int = 0,
+    wsp_docs: int = 0,
 ) -> str:
     """``ts_grain_s`` > 0 truncates event timestamps to that many seconds
     (and drops the microsecond part), manufacturing heavy timestamp TIES —
@@ -152,7 +153,12 @@ def write_random_fixture(
     digraphs, compatibility ligatures — the regime where Java's full
     contextual lowercase (Spark) and utf8proc's simple map (DuckDB)
     return different strings, which is why the engine's fold contract is
-    ASCII-scoped (functions/textfold.py)."""
+    ASCII-scoped (functions/textfold.py).  ``wsp_docs`` > 0 rewrites that
+    many documents as EXOTIC-WHITESPACE traps — NBSP, ideographic and
+    thin spaces, zero-width spaces inside words, line/paragraph
+    separators, and the \\x0b vertical tab where Java's \\s and RE2's
+    \\s disagree — the regime behind the explicit split class
+    (textfold.WS_RE)."""
     eras = _TS_ERAS[2:] if ts_eras == "post1970" else _TS_ERAS
     rng = random.Random(seed)
 
@@ -391,6 +397,19 @@ def write_random_fixture(
         texts[29 + j] = (base_c + " ") * rng.randint(2, 8)
     if casefold_docs >= 2 and n_docs > 31:
         texts[30] = texts[29]  # exact dup inside the trap region
+    # exotic-whitespace trap documents (r12 whitespace leg) — see docstring
+    _WSTRAPS = [
+        "word joined by nbsp plus normal space",
+        "ideographic　space　separated　words here",
+        "thin space and hair space mixed in",
+        "zero​width​space inside words normally",
+        "em space and en space gaps",
+        "line separator and paragraph separator marks",
+        "tab\tand\nnewline\rand\x0bvertical\x0cform mixed whitespace",
+    ]
+    for j in range(min(wsp_docs, max(0, n_docs - 48))):
+        base_w = _WSTRAPS[j % len(_WSTRAPS)]
+        texts[40 + j] = (base_w + " ") * rng.randint(2, 6)
     if null_text_frac:
         # true NULL text (distinct from null_frac's blank ""): NULL
         # propagates through split/length/regexp where '' yields empties

@@ -1021,3 +1021,26 @@ def constts_sf(tmp_path_factory):
 def test_oracle_parity_on_zero_time_span(spark, constts_sf, name):
     q = REGISTRY[name]
     assert_matches_oracle(q.fn(spark, constts_sf), q.oracle, constts_sf)
+
+
+#: Exotic-whitespace leg (r12): documents carrying NBSP, ideographic /
+#: thin / em spaces, zero-width spaces inside words, line and paragraph
+#: separators, and ASCII control whitespace including \x0b — where
+#: Java's \s (Spark) includes the vertical tab and RE2's \s (DuckDB)
+#: does not, which diverged 18 lexical statistics on first probe.  The
+#: fix is the explicit split class textfold.WS_RE (= Java's \s set
+#: exactly, read identically by both engines) replacing every paired
+#: bare-\s+ tokenizer split; Unicode spaces stay NON-separators on both
+#: engines by the same contract.  Scoped to the folding text families.
+@pytest.fixture(scope="session")
+def wsp_sf(tmp_path_factory):
+    return write_random_fixture(
+        tmp_path_factory.mktemp("randfix_wsp") / "sf", seed=167,
+        wsp_docs=7,
+    )
+
+
+@pytest.mark.parametrize("name", _FOLD_SENSITIVE)
+def test_oracle_parity_on_exotic_whitespace(spark, wsp_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, wsp_sf), q.oracle, wsp_sf)
