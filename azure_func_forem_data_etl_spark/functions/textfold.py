@@ -48,3 +48,23 @@ def ascii_fold(col: str | Column) -> Column:
 def sql_ascii_fold(expr: str) -> str:
     """DuckDB twin of :func:`ascii_fold`."""
     return f"translate({expr}, '{ASCII_UPPER}', '{ASCII_LOWER}')"
+
+
+#: The fold applied to the `text` column — interpolate THIS into DuckDB
+#: oracle strings instead of hand-inlining the translate literal, so the
+#: Spark-side contract (ascii_fold) and every oracle can't drift apart
+#: (r12 ADVICE #2: ~25 inlined copies were one edit away from divergence).
+SQL_FOLD_TEXT = sql_ascii_fold("text")
+
+
+def sql_ws_split(expr: str) -> str:
+    """DuckDB twin of ``F.split(expr, WS_RE)``: whitespace tokenization
+    over the shared explicit class."""
+    return f"string_split_regex({expr}, '{WS_RE}')"
+
+
+#: Whitespace tokenization of the raw / ascii-folded `text` column — the
+#: two oracle-side tokenizer idioms, single-sourced for the same
+#: anti-drift reason as SQL_FOLD_TEXT.
+SQL_SPLIT_TEXT = sql_ws_split("text")
+SQL_SPLIT_FOLDED = sql_ws_split(SQL_FOLD_TEXT)

@@ -41,8 +41,10 @@ from azure_func_forem_data_etl_spark.operators.similarity import (
     _sample_centroids,
     ann_topk_certificate,
     bounded_components,
+    finite_components,
     ivf_topk,
     register_fit_cache,
+    sql_finite_components,
     sql_bounded_components,
 )
 from azure_func_forem_data_etl_spark.plans.registry import register
@@ -128,6 +130,9 @@ def kmeans_fit(
     ck = (cache_key, k, iters)
     if cache_key is not None and not trace_inertia and ck in _KMEANS_CACHE:
         return _KMEANS_CACHE[ck], []
+    # Euclidean domain = finite vectors (r13 specials sweep): one NaN
+    # component would poison every mean it touches; ±Inf every distance
+    emb = emb.filter(finite_components("embedding"))
     corpus = scale_out(emb.select("vec_id", "embedding"), "vec_id")
     init = _sample_centroids(emb, k)
     if len(init) == 0:  # empty corpus: no centroids, no iterations
@@ -170,7 +175,10 @@ def kmeans_assignments(emb: DataFrame, C: np.ndarray) -> DataFrame:
                 }
             )
 
-    corpus = scale_out(emb.select("vec_id", "embedding"), "vec_id")
+    corpus = scale_out(
+        emb.filter(finite_components("embedding")).select("vec_id", "embedding"),
+        "vec_id",
+    )
     return corpus.mapInPandas(mapper, schema="vec_id long, cluster_id long")
 
 
@@ -221,11 +229,13 @@ _KMEANS_PROFILE_INV_SCHEMA = (
     # hull so max|m_i| <= max|x|.  Equality only at singleton/identical
     # clusters, so a 1e-9 relative tolerance absorbs summation-order float
     # noise without ever masking a real violation.
-    oracle="""
+    oracle=f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
            1 AS centroids_in_hull,
            1 AS weighted_ss_bounded
     FROM embeddings
+    -- Euclidean domain: finite vectors only (r13 specials sweep)
+    WHERE {sql_finite_components("embedding::DOUBLE[]")}
     """,
     doc=f"Distributed Lloyd k-means (k={KMEANS_K}, {KMEANS_ITERS} iters): "
     "hash-checkable invariants of the trained clustering's half-step "
@@ -238,7 +248,9 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     need; the data-side energy bounds come from one JVM aggregate.  The
     invariant math runs on bounded driver scalars (same documented
     pattern as the 1-row cursors at relational.py)."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").filter(
+        finite_components("embedding")
+    )
     C, _ = kmeans_fit(emb, cache_key=f"{sf_dir}/embeddings")
     if C.size == 0:
         return spark.createDataFrame(
@@ -280,6 +292,8 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            1 AS clusters_within_k,
            1 AS sizes_positive
     FROM embeddings
+    -- Euclidean domain: finite vectors only (r13 specials sweep)
+    WHERE {sql_finite_components("embedding::DOUBLE[]")}
     """,
     doc=f"Hash-checkable k-means invariants: assignments partition the "
     f"corpus exactly (sum of cluster sizes = corpus count), cluster count "
@@ -316,7 +330,10 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ck = f"{sf_dir}/embeddings"
     C, _ = kmeans_fit(emb, cache_key=ck)
     topk = ivf_topk(emb, centroids=(np.arange(C.shape[0]), C))
-    return ann_topk_certificate(emb, topk, _corpus_count(emb, ck))
+    # probing variant: bounded-count + liveness full_k (r12 ADVICE #1)
+    return ann_topk_certificate(
+        emb, topk, _corpus_count(emb, ck), exact_full_k=False
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -700,11 +717,20 @@ def semdedup(
                CAST(round(b.c * b.c, 12) AS DECIMAL(22,12)) AS bb
         FROM cent a JOIN cent b ON b.i = a.i AND a.label < b.label
     )
-    SELECT label_a, label_b,
-           round(CAST(SUM(ab) AS DOUBLE)
-                 / sqrt(CAST(SUM(aa) AS DOUBLE) * CAST(SUM(bb) AS DOUBLE)),
-                 6) AS cosine
-    FROM pair_terms GROUP BY 1, 2
+    SELECT label_a, label_b, cosine FROM (
+        SELECT label_a, label_b,
+               -- zero-norm centroid (all surviving components below the
+               -- 6dp quantum) => cosine undefined => pair excluded on
+               -- both engines (r13 combo leg; Spark ANSI raises on the
+               -- division, DuckDB silently returns inf — CASE-guarded
+               -- because ANSI evaluates agg projections pre-filter)
+               CASE WHEN SUM(aa) = 0 OR SUM(bb) = 0 THEN NULL
+                    ELSE round(CAST(SUM(ab) AS DOUBLE)
+                               / sqrt(CAST(SUM(aa) AS DOUBLE)
+                                      * CAST(SUM(bb) AS DOUBLE)), 6) END
+                   AS cosine
+        FROM pair_terms GROUP BY 1, 2
+    ) WHERE cosine IS NOT NULL
     """,
     doc="Pairwise cosine similarity between per-label embedding "
     "centroids (dimension-wise exact-decimal means).",
@@ -749,10 +775,20 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cb") * F.col("cb"), 12).cast("decimal(22,12)").alias("bb"),
         )
     )
-    return terms.groupBy("label_a", "label_b").agg(
+    # zero-norm centroid => cosine undefined => pair dropped (oracle
+    # mirrors; r13 combo leg).  The WHEN guard runs INSIDE the agg
+    # projection: ANSI evaluates it before any post-agg filter could.
+    cos = F.when(
+        (F.sum("aa") == 0) | (F.sum("bb") == 0), F.lit(None)
+    ).otherwise(
         F.round(
             F.sum("ab").cast("double")
             / F.sqrt(F.sum("aa").cast("double") * F.sum("bb").cast("double")),
             6,
-        ).alias("cosine")
+        )
+    )
+    return (
+        terms.groupBy("label_a", "label_b")
+        .agg(cos.alias("cosine"))
+        .filter(F.col("cosine").isNotNull())
     )

@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 from azure_func_forem_data_etl_spark.operators.ckpt import scoped_checkpoint
 from azure_func_forem_data_etl_spark.operators.text import _SW_SQL, _hits, STOPWORDS
 from azure_func_forem_data_etl_spark.functions.textfold import (
+    SQL_SPLIT_FOLDED,
+    SQL_SPLIT_TEXT,
     WS_RE,
     ascii_fold,
 )
@@ -297,7 +299,7 @@ PACK_BUDGET_TOKENS = 512
     oracle=rf"""
     WITH t AS (
         SELECT doc_id, source,
-               len(string_split_regex(text, '[ \t\n\f\r\x0b]+')) AS n_tokens
+               len({SQL_SPLIT_TEXT}) AS n_tokens
         FROM documents
     ),
     c AS (
@@ -424,10 +426,10 @@ _DECONTAM_ORACLE_SQL = rf"""
     grams AS (
         SELECT doc_id, split,
                UNNEST(list_transform(
-                   range(1, len(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+'))
+                   range(1, len({SQL_SPLIT_FOLDED})
                             - {DECONTAM_NGRAM} + 2),
                    i -> array_to_string(
-                       list_slice(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+'),
+                       list_slice({SQL_SPLIT_FOLDED},
                                   i, i + {DECONTAM_NGRAM} - 1), ' ')))
                    AS gram
         FROM split
@@ -861,7 +863,7 @@ def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- packable docs only (r12 NULL-heavy sweep): a NULL text has no
         -- token count, and NULL n sorts engine-opposite in the rank
         SELECT doc_id, source,
-               CAST(len(string_split_regex(text, '[ \t\n\f\r\x0b]+')) AS BIGINT) AS n
+               CAST(len({SQL_SPLIT_TEXT}) AS BIGINT) AS n
         FROM documents WHERE text IS NOT NULL
     ),
     ranked AS (
@@ -1286,7 +1288,7 @@ _SPAN_NIB_SQL = ", ".join(f"'{n}'" for n in SPAN_MASK_NIBBLES)
     oracle=rf"""
     WITH d AS (
         SELECT doc_id,
-               CAST(len(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+')) AS BIGINT)
+               CAST(len({SQL_SPLIT_FOLDED}) AS BIGINT)
                    AS n_tok
         FROM documents
     ),

@@ -997,10 +997,21 @@ def ml_minhash_certificate(
         hashing_tf_bucket,
     )
 
-    # pin the (small) pair set once: it feeds the id list twice and the
+    # pin the (small) pair set: it feeds the id list twice and the
     # verification join once, and its ml-pipeline lineage re-scans the
-    # corpus per reference (plan-lint scan budget)
-    pairs = pairs.localCheckpoint(eager=True)
+    # corpus per reference (plan-lint scan budget).  persist(), NOT
+    # localCheckpoint (r12 ADVICE #3): eager=True executed the full
+    # MinHashLSH fit + approxSimilarityJoin at plan-CONSTRUCTION time,
+    # breaking the registry-wide "builders return lazy plans" contract,
+    # and even eager=False runs the AQE query stages at build because
+    # Dataset.checkpoint needs the executed RDD.  persist is fully lazy
+    # (tests/test_certificates.py pins zero build jobs), hides the
+    # lineage behind InMemoryTableScan for the scan-budget lint, and the
+    # first action computes the pair set once into cache (at most twice
+    # if concurrent broadcast stages race the cache fill — bounded).
+    # The handful of cached rows live for the session; the pair set is
+    # O(near-dup pairs above 0.8 Jaccard), tiny by construction.
+    pairs = pairs.persist()
     ids = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))

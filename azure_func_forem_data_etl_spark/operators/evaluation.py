@@ -27,6 +27,7 @@ from azure_func_forem_data_etl_spark.operators.similarity import (
     KNN_K,
     KNN_QUERY_MOD,
     knn_bruteforce_topk,
+    sql_cosine_domain,
 )
 from azure_func_forem_data_etl_spark.sources.tables import table
 
@@ -151,14 +152,14 @@ def binned_auc(scored: DataFrame, decimals: int = AUC_BIN_DECIMALS) -> DataFrame
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe, label AS qlabel
         FROM embeddings WHERE vec_id % {KNN_QUERY_MOD} = 0
           -- zero vectors excluded: cosine undefined (r10 sweep contract)
-          AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+          AND {sql_cosine_domain("embedding::DOUBLE[]")}
     ),
     s AS (
         SELECT q.query_id, q.qlabel, c.vec_id AS neighbor_id, c.label AS nlabel,
                round(list_cosine_similarity(qe, c.embedding::DOUBLE[]), 6) AS cos_sim
         FROM q, embeddings c
         WHERE c.vec_id <> q.query_id
-          AND list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) > 0
+          AND {sql_cosine_domain("c.embedding::DOUBLE[]")}
     ),
     r AS (
         SELECT query_id, neighbor_id, cos_sim,
@@ -561,14 +562,14 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe, label AS qlabel
         FROM embeddings WHERE vec_id % {KNN_QUERY_MOD} = 0
           -- zero vectors excluded: cosine undefined (r10 sweep contract)
-          AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+          AND {sql_cosine_domain("embedding::DOUBLE[]")}
     ),
     s AS (
         SELECT q.query_id, q.qlabel, c.vec_id AS neighbor_id, c.label AS nlabel,
                round(list_cosine_similarity(qe, c.embedding::DOUBLE[]), 6) AS cos_sim
         FROM q, embeddings c
         WHERE c.vec_id <> q.query_id
-          AND list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) > 0
+          AND {sql_cosine_domain("c.embedding::DOUBLE[]")}
     ),
     r AS (
         SELECT query_id, CAST(qlabel = nlabel AS INT) AS rel,
@@ -1909,7 +1910,13 @@ def _cuped_oracle() -> str:
     signed = X.signed64("h")
     return f"""
     WITH bounds AS (
-        SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid FROM events
+        -- midpoint over the EXPERIMENT POPULATION's events (identified
+        -- users), matching the Spark side's post-filter bounds: with
+        -- anonymous traffic at the corpus time extremes the all-events
+        -- midpoint shifts every user's pre/post split (r13 combo leg —
+        -- the same filtered-domain rule as the stream-join boundaries)
+        SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid
+        FROM events WHERE user_id IS NOT NULL
     ),
     peruser AS MATERIALIZED (
         -- identified users only (r11 null-FK sweep): an anonymous

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from azure_func_forem_data_etl_spark.functions.exact import sql_dsum
 from azure_func_forem_data_etl_spark.functions.textfold import (
+    SQL_FOLD_TEXT,
     ascii_fold,
 )
 from azure_func_forem_data_etl_spark.plans.registry import register
@@ -90,10 +91,10 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_normalize_stats",
-    oracle=r"""
+    oracle=rf"""
     WITH n AS (
         SELECT doc_id, n_chars,
-               trim(regexp_replace(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+               trim(regexp_replace(regexp_replace({SQL_FOLD_TEXT},
                                                   '[^a-z0-9 ]', ' ', 'g'),
                                    ' +', ' ', 'g')) AS norm
         FROM documents

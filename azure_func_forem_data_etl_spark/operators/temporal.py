@@ -395,7 +395,13 @@ def gapfill_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- scale-4 integer form passes 2^53 on large-magnitude values,
            -- where duckdb's direct decimal->double cast is 1 ulp off
            -- Spark's correctly-rounded cast (see exact.sql_dsum)
-           CAST(CAST(SUM(v * CAST(dt AS DECIMAL(12,0))) AS STRING) AS DOUBLE)
+           -- the v factor widens to DECIMAL(26,4) FIRST: duckdb multiplies
+           -- in the narrower operand's storage domain, and an int64-backed
+           -- DECIMAL(18,4) x seconds product overflows at value*dt ~ 1e15
+           -- (r13 combo leg: 1e9-magnitude values x 21-hour gaps); Spark
+           -- already promotes the product to an int128-backed DECIMAL(31,4)
+           CAST(CAST(SUM(CAST(v AS DECIMAL(26,4)) * CAST(dt AS DECIMAL(12,0)))
+                     AS STRING) AS DOUBLE)
                / CAST(SUM(dt) AS DOUBLE) AS twa_value,
            CAST(SUM(dt) AS BIGINT) AS total_seconds
     FROM seg GROUP BY event_type

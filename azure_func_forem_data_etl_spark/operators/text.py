@@ -13,6 +13,9 @@ from pyspark.sql import functions as F
 
 from azure_func_forem_data_etl_spark.functions.exact import dround
 from azure_func_forem_data_etl_spark.functions.textfold import (
+    SQL_FOLD_TEXT,
+    SQL_SPLIT_FOLDED,
+    SQL_SPLIT_TEXT,
     WS_RE,
     ascii_fold,
 )
@@ -383,7 +386,7 @@ REP_MAX_TOP_BIGRAM_FRAC = 0.06
     "quality_repetition_rules",
     oracle=rf"""
     WITH d AS (
-        SELECT doc_id, string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+') AS ws
+        SELECT doc_id, {SQL_SPLIT_FOLDED} AS ws
         FROM documents
     ),
     wc AS (SELECT doc_id, UNNEST(ws) AS word FROM d),
@@ -487,9 +490,9 @@ def quality_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "unigram_logprob_score",
-    oracle=r"""
+    oracle=rf"""
     WITH w AS (
-        SELECT doc_id, UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+')) AS word
+        SELECT doc_id, UNNEST({SQL_SPLIT_FOLDED}) AS word
         FROM documents
     ),
     freq AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
@@ -558,7 +561,7 @@ BM25_TOP = 50
     "bm25_topk_docs",
     oracle=rf"""
     WITH w AS (
-        SELECT doc_id, UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+')) AS word
+        SELECT doc_id, UNNEST({SQL_SPLIT_FOLDED}) AS word
         FROM documents
     ),
     dl AS (SELECT doc_id, COUNT(*) AS d_len FROM w GROUP BY doc_id),
@@ -927,9 +930,9 @@ def char_class_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bigram_lm_score",
-    oracle=r"""
+    oracle=rf"""
     WITH toks AS (
-        SELECT doc_id, string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+') AS ts
+        SELECT doc_id, {SQL_SPLIT_FOLDED} AS ts
         FROM documents
     ),
     bg AS (
@@ -1124,7 +1127,7 @@ PMI_MIN_PAIR_COUNT = 20  # ignore rare pairs: PMI is noise at low counts
     "collocation_pmi",
     oracle=rf"""
     WITH toks AS (
-        SELECT doc_id, string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+') AS ts
+        SELECT doc_id, {SQL_SPLIT_FOLDED} AS ts
         FROM documents
     ),
     bg AS (
@@ -1213,7 +1216,7 @@ SENTIMENT_NEG = ("slow", "small")
     oracle=rf"""
     WITH w AS (
         SELECT doc_id,
-               string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+') AS ws
+               {SQL_SPLIT_FOLDED} AS ws
         FROM documents
     )
     SELECT doc_id,
@@ -1322,7 +1325,7 @@ QL_TOP = 50
     "ql_dirichlet_topk",
     oracle=rf"""
     WITH w AS (
-        SELECT doc_id, UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+')) AS word
+        SELECT doc_id, UNNEST({SQL_SPLIT_FOLDED}) AS word
         FROM documents
     ),
     dl AS (SELECT doc_id, COUNT(*) AS dlen FROM w GROUP BY doc_id),
@@ -1409,7 +1412,7 @@ ZIPF_TOP_RANKS = 100
     "zipf_exponent_fit",
     oracle=rf"""
     WITH w AS (
-        SELECT UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+')) AS word
+        SELECT UNNEST({SQL_SPLIT_FOLDED}) AS word
         FROM documents
     ),
     freq AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
@@ -1490,6 +1493,9 @@ HYBRID_RRF_K = 60      # standard RRF dampening constant
 HYBRID_TOP = 20
 
 from azure_func_forem_data_etl_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+from azure_func_forem_data_etl_spark.operators.similarity import (  # noqa: E402
+    sql_cosine_domain,
+)
 
 
 @register(
@@ -1505,6 +1511,7 @@ from azure_func_forem_data_etl_spark.plans.registry import REGISTRY as _REG  # n
     q AS (
         SELECT embedding::DOUBLE[] AS qe FROM embeddings
         WHERE vec_id = {HYBRID_QUERY_VEC}
+          AND {{cosdom}}
     ),
     sem0 AS (
         SELECT vec_id AS doc_id,
@@ -1512,6 +1519,10 @@ from azure_func_forem_data_etl_spark.plans.registry import REGISTRY as _REG  # n
                    AS cos_sim
         FROM embeddings CROSS JOIN q
         WHERE vec_id <> {HYBRID_QUERY_VEC}
+          -- cosine domain (r13 specials sweep): out-of-domain vectors
+          -- produce NaN cosines on Spark but a silent -1 from DuckDB's
+          -- list_cosine_similarity — exclude them identically instead
+          AND {{cosdom}}
     ),
     sem AS (
         SELECT doc_id,
@@ -1533,7 +1544,10 @@ from azure_func_forem_data_etl_spark.plans.registry import REGISTRY as _REG  # n
                    AS rk
         FROM fused
     ) WHERE rk <= {HYBRID_TOP}
-    """.format(bm25=_REG["bm25_topk_docs"].oracle),
+    """.format(
+        bm25=_REG["bm25_topk_docs"].oracle,
+        cosdom=sql_cosine_domain("embedding::DOUBLE[]"),
+    ),
     doc=f"Hybrid retrieval: BM25 lexical ranks x embedding-cosine semantic ranks fused by Reciprocal Rank Fusion (k={HYBRID_RRF_K}), top-{HYBRID_TOP}.",
 )
 def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1547,7 +1561,10 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB each leg is independently the scale path already audited
     (BM25: query-term-pruned aggs; semantic: swap brute-force cosine for
     the ANN tiers)."""
-    from azure_func_forem_data_etl_spark.operators.similarity import cosine_expr
+    from azure_func_forem_data_etl_spark.operators.similarity import (
+        cosine_expr,
+        nonzero_norm,
+    )
 
     bm = bm25_topk_docs(spark, sf_dir)
     lex = bm.select(
@@ -1557,8 +1574,12 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("r_lex"),
     )
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    # cosine domain on both legs (r13 specials sweep; oracle mirrors):
+    # zero-norm and NaN/Inf vectors are outside the semantic scorer
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .filter(nonzero_norm("embedding"))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     )
     q = emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC).select(
         F.col("e").alias("qe")
@@ -1602,13 +1623,13 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "readability_flesch",
-    oracle=r"""
+    oracle=rf"""
     WITH m AS (
         SELECT doc_id,
-               len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9]+')) AS n_words,
+               len(regexp_extract_all({SQL_FOLD_TEXT}, '[a-z0-9]+')) AS n_words,
                greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
                    AS n_sentences,
-               len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[aeiouy]+'))
+               len(regexp_extract_all({SQL_FOLD_TEXT}, '[aeiouy]+'))
                    AS n_syllables
         FROM documents
     )
@@ -1955,7 +1976,7 @@ HEAPS_CHECKPOINTS = 16
     "heaps_law_fit",
     oracle=rf"""
     WITH w AS (
-        SELECT doc_id, UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+')) AS word
+        SELECT doc_id, UNNEST({SQL_SPLIT_FOLDED}) AS word
         FROM documents
     ),
     firsts AS (SELECT word, MIN(doc_id) AS first_doc FROM w GROUP BY word),
@@ -2087,9 +2108,9 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "js_divergence_langs",
-    oracle=r"""
+    oracle=rf"""
     WITH w AS (
-        SELECT lang, UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+')) AS word
+        SELECT lang, UNNEST({SQL_SPLIT_FOLDED}) AS word
         FROM documents
     ),
     lw AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c_lw
@@ -2213,7 +2234,7 @@ COVERAGE_PCTS = (50, 80, 90, 95, 99)
     "vocab_coverage_curve",
     oracle=rf"""
     WITH w AS (
-        SELECT UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+')) AS word
+        SELECT UNNEST({SQL_SPLIT_FOLDED}) AS word
         FROM documents
     ),
     freq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
@@ -2283,7 +2304,7 @@ BURSTY_TOP_K = 20
     "term_burstiness_vmr",
     oracle=rf"""
     WITH w AS (
-        SELECT doc_id, UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+')) AS word
+        SELECT doc_id, UNNEST({SQL_SPLIT_FOLDED}) AS word
         FROM documents
     ),
     dw AS (SELECT word, doc_id, CAST(COUNT(*) AS BIGINT) AS c
@@ -2364,7 +2385,7 @@ VOCAB_OVERLAP_TOP_K = 500
     defer=True,
     oracle=rf"""
     WITH w AS (
-        SELECT lang, UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+')) AS word
+        SELECT lang, UNNEST({SQL_SPLIT_FOLDED}) AS word
         FROM documents
     ),
     lw AS (SELECT lang, word, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
@@ -2442,9 +2463,9 @@ def vocab_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "yule_k_lexical_richness",
     defer=True,
-    oracle=r"""
+    oracle=rf"""
     WITH w AS (
-        SELECT UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+')) AS word
+        SELECT UNNEST({SQL_SPLIT_FOLDED}) AS word
         FROM documents
     ),
     freq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS m FROM w GROUP BY 1),
@@ -2508,9 +2529,9 @@ TTR_BUCKET_LOG2 = 1
 @register(
     "type_token_ratio_profile",
     defer=True,
-    oracle=r"""
+    oracle=rf"""
     WITH w AS (
-        SELECT doc_id, UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+')) AS word
+        SELECT doc_id, UNNEST({SQL_SPLIT_FOLDED}) AS word
         FROM documents
     ),
     d AS (
@@ -2565,7 +2586,7 @@ GT_TAIL_RS = (1, 2, 5, 10)
     defer=True,
     oracle=rf"""
     WITH w AS (
-        SELECT UNNEST(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\f\r\x0b]+')) AS word
+        SELECT UNNEST({SQL_SPLIT_FOLDED}) AS word
         FROM documents
     ),
     freq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS m FROM w GROUP BY 1),

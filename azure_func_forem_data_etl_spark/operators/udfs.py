@@ -17,6 +17,8 @@ deployment salts or pre-aggregates if a single group outgrows an executor.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -131,7 +133,14 @@ def _l2_normalize_batches(batches):
             sq = v * v
             n = float(np.sqrt(np.cumsum(sq)[-1])) if len(sq) else 0.0
             norms.append(n)
-            normed.append((v / n).tolist() if n > 0 else v.tolist())
+            # normalization domain = finite positive norm (r13 specials
+            # sweep): zero / NaN / Inf norms pass the vector through RAW
+            # on BOTH engines (the oracle mirrors this CASE) — dividing
+            # by a non-finite norm turns finite components into NaN/0
+            # lane-by-lane differently per engine
+            normed.append(
+                (v / n).tolist() if (n > 0 and math.isfinite(n)) else v.tolist()
+            )
         yield pa.RecordBatch.from_pydict(
             {"vec_id": tbl["vec_id"], "norm": norms, "unit": normed}
         )
@@ -155,7 +164,13 @@ def _l2_normalize_batches(batches):
     )
     SELECT vec_id,
            {sql_dround("nrm", 6)} AS norm,
-           {sql_dround("CASE WHEN nrm > 0 THEN e[1] / nrm ELSE e[1] END", 6)}
+           -- normalize only under a finite positive norm; zero/NaN/Inf
+           -- norms pass the raw component through (r13 specials sweep —
+           -- the nrm < Inf leg rejects NaN under either engine's NaN
+           -- comparison convention, see similarity.sql_cosine_domain)
+           {sql_dround(
+               "CASE WHEN nrm < 'Infinity'::DOUBLE AND nrm > 0"
+               " THEN e[1] / nrm ELSE e[1] END", 6)}
                + 0.0 AS unit_x0,
            CAST(len(e) AS INT) AS dim
     FROM s

@@ -63,11 +63,21 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if schema is None:
         schema = spark.read.parquet(path).schema
         _SCHEMA_CACHE[key] = schema
-    sdf = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", f"{name}.parquet")
-        .parquet(sf_dir)
-    )
+    if os.path.isdir(path):
+        # directory-form table (every real multi-executor dataset): the
+        # table path IS the stream directory.  The r13 layout sweep
+        # caught the glob branch silently streaming ZERO files here —
+        # pathGlobFilter matches leaf names, and the parts are
+        # part-*.parquet, not <name>.parquet.
+        sdf = spark.readStream.schema(schema).parquet(path)
+    else:
+        # single-file table (driver fixtures): the file source needs a
+        # directory, so stream the sf dir filtered down to the one file
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", f"{name}.parquet")
+            .parquet(sf_dir)
+        )
     if name == "events":
         ts_type = dict(sdf.dtypes).get("ts")
         if ts_type == "bigint":  # TIMESTAMP(NANOS) via nanosAsLong
@@ -87,6 +97,16 @@ _STATE_PARTITION_BYTES = 32 << 20
 _STATE_PARTITIONS_MIN = 8
 
 
+def _table_bytes(path: str) -> int:
+    """Data bytes of a table that may be a single file or a directory of
+    part files (os.stat on a directory reports the inode, not the data)."""
+    if os.path.isdir(path):
+        return sum(
+            os.stat(os.path.join(path, f)).st_size for f in os.listdir(path)
+        )
+    return os.stat(path).st_size
+
+
 def sized_state_partitions(spark: SparkSession, sf_dir: str, *names: str) -> int:
     """State-store partition count sized to the INPUT VOLUME, capped at
     the session's shuffle setting.
@@ -99,7 +119,7 @@ def sized_state_partitions(spark: SparkSession, sf_dir: str, *names: str) -> int
     checkpoint (state partitioning is pinned inside a checkpoint's
     lifetime, never across our runs).
     """
-    total = sum(os.stat(f"{sf_dir}/{n}.parquet").st_size for n in names)
+    total = sum(_table_bytes(f"{sf_dir}/{n}.parquet") for n in names)
     ceiling = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     by_bytes = max(_STATE_PARTITIONS_MIN, -(-total // _STATE_PARTITION_BYTES))
     return max(1, min(ceiling, by_bytes))

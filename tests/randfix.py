@@ -12,6 +12,7 @@ from __future__ import annotations
 import datetime as dt
 import json
 import random
+import zlib
 from pathlib import Path
 
 import pyarrow as pa
@@ -44,9 +45,40 @@ _TS_ERAS = [
 ]
 
 
-def _tbl(path: Path, name: str, cols: dict, types: dict) -> None:
+def _tbl(
+    path: Path,
+    name: str,
+    cols: dict,
+    types: dict,
+    layout_files: int = 0,
+    layout_seed: int = 0,
+) -> None:
+    """``layout_files`` > 1 writes the table as a DIRECTORY of that many
+    part files with the rows SHUFFLED across them — the physical layout
+    of any real multi-executor dataset (thousands of files, no global
+    row order).  Results must be invariant to it; both readers handle
+    the directory form (Spark natively, the oracle via its glob branch)."""
     arrays = {c: pa.array(v, type=types[c]) for c, v in cols.items()}
-    pq.write_table(pa.table(arrays), str(path / f"{name}.parquet"))
+    t = pa.table(arrays)
+    if layout_files <= 1:
+        pq.write_table(t, str(path / f"{name}.parquet"))
+        return
+    idx = list(range(t.num_rows))
+    # zlib.crc32, not hash(): str hash is salted per process and the
+    # fixture must be byte-reproducible from its seed
+    random.Random(layout_seed ^ zlib.crc32(name.encode())).shuffle(idx)
+    d = path / f"{name}.parquet"
+    d.mkdir(parents=True, exist_ok=True)
+    k = min(layout_files, max(1, t.num_rows))
+    per = (len(idx) + k - 1) // k
+    for i in range(k):
+        chunk = idx[i * per : (i + 1) * per]
+        if not chunk:
+            continue
+        pq.write_table(
+            t.take(pa.array(chunk, type=pa.int64())),
+            str(d / f"part-{i:03d}.parquet"),
+        )
 
 
 def write_random_fixture(
@@ -81,6 +113,9 @@ def write_random_fixture(
     unicode_docs: int = 0,
     casefold_docs: int = 0,
     wsp_docs: int = 0,
+    layout_files: int = 0,
+    orphan_fk_frac: float = 0.0,
+    emb_specials: bool = False,
 ) -> str:
     """``ts_grain_s`` > 0 truncates event timestamps to that many seconds
     (and drops the microsecond part), manufacturing heavy timestamp TIES —
@@ -158,7 +193,24 @@ def write_random_fixture(
     thin spaces, zero-width spaces inside words, line/paragraph
     separators, and the \\x0b vertical tab where Java's \\s and RE2's
     \\s disagree — the regime behind the explicit split class
-    (textfold.WS_RE)."""
+    (textfold.WS_RE).  ``layout_files`` > 1 writes every table as a
+    DIRECTORY of that many part files with rows SHUFFLED across them
+    (r13 layout leg) — the physical shape of any 100 TB dataset
+    (thousands of files, no global row order); every result must be
+    invariant to it, so a divergence here is a hidden input-order or
+    partitioning dependence (first/any_value without a frame, limit
+    without order, per-partition RNG).  ``orphan_fk_frac`` rewrites that
+    fraction of FK values (o_custkey, l_partkey, l_suppkey,
+    events.user_id, and l_orderkey at half rate) to ids OUTSIDE the
+    referenced domain (r13 orphan leg) — the dirty-upstream shape where
+    inner joins must drop rows identically on both engines and outer
+    joins must agree on the unmatched rows.  ``emb_specials`` plants
+    IEEE specials in the embedding corpus (r13 specials leg): every
+    11th vector gets a NaN component, every 13th a +Inf, every 17th a
+    -Inf — the regime where norms, dot products and comparisons meet
+    non-finite values, and the two engines' NaN ordering/equality
+    conventions have to be reconciled (or the vectors excluded by an
+    explicit, observable domain gate on BOTH sides)."""
     eras = _TS_ERAS[2:] if ts_eras == "post1970" else _TS_ERAS
     rng = random.Random(seed)
 
@@ -172,22 +224,31 @@ def write_random_fixture(
             # the decimal casts the engine declares (see docstring)
             v *= 10.0 ** rng.randint(-2, mag)
         return round(v, 2)
+    def orphan(domain_max: int, real: int, rate_scale: float = 1.0) -> int:
+        # an id strictly OUTSIDE the referenced table's id range
+        if orphan_fk_frac and rng.random() < orphan_fk_frac * rate_scale:
+            return id_offset + domain_max + 10_000 + rng.randint(0, 99)
+        return real
+
     d = Path(dirpath)
     d.mkdir(parents=True, exist_ok=True)
     ts_us = pa.timestamp("us")
 
-    _tbl(d, "region",
+    def tbl(name: str, cols: dict, types: dict) -> None:
+        _tbl(d, name, cols, types, layout_files=layout_files, layout_seed=seed)
+
+    tbl("region",
          {"r_regionkey": list(range(5)), "r_name": _REGIONS},
          {"r_regionkey": pa.int32(), "r_name": pa.string()})
 
-    _tbl(d, "nation",
+    tbl("nation",
          {"n_nationkey": list(range(25)),
           "n_name": [f"NATION_{i}" for i in range(25)],
           "n_regionkey": [rng.randrange(5) for _ in range(25)]},
          {"n_nationkey": pa.int32(), "n_name": pa.string(),
           "n_regionkey": pa.int32()})
 
-    _tbl(d, "customer",
+    tbl("customer",
          {"c_custkey": [id_offset + i for i in range(1, n_customers + 1)],
           "c_name": [f"Customer#{i:09d}" for i in range(1, n_customers + 1)],
           "c_nationkey": [rng.randrange(25) for _ in range(n_customers)],
@@ -197,7 +258,7 @@ def write_random_fixture(
           "c_nationkey": pa.int32(), "c_acctbal": pa.float64(),
           "c_mktsegment": pa.string()})
 
-    _tbl(d, "supplier",
+    tbl("supplier",
          {"s_suppkey": [id_offset + i for i in range(1, n_suppliers + 1)],
           "s_name": [f"Supplier#{i:09d}" for i in range(1, n_suppliers + 1)],
           "s_nationkey": [rng.randrange(25) for _ in range(n_suppliers)],
@@ -206,7 +267,7 @@ def write_random_fixture(
          {"s_suppkey": pa.int64(), "s_name": pa.string(),
           "s_nationkey": pa.int32(), "s_acctbal": pa.float64()})
 
-    _tbl(d, "part",
+    tbl("part",
          {"p_partkey": [id_offset + i for i in range(1, n_parts + 1)],
           "p_name": [" ".join(rng.sample(_WORDS, 3)) for _ in range(n_parts)],
           "p_brand": [f"Brand#{rng.randint(1, 25)}" for _ in range(n_parts)],
@@ -227,9 +288,9 @@ def write_random_fixture(
     else:
         odates = [odate0 + dt.timedelta(days=rng.randint(0, 2400))
                   for _ in range(n_orders)]
-    _tbl(d, "orders",
+    tbl("orders",
          {"o_orderkey": [id_offset + i for i in range(1, n_orders + 1)],
-          "o_custkey": [id_offset + rng.randint(1, n_customers) for _ in range(n_orders)],
+          "o_custkey": [orphan(n_customers, id_offset + rng.randint(1, n_customers)) for _ in range(n_orders)],
           "o_orderstatus": [rng.choice("OFP") for _ in range(n_orders)],
           "o_totalprice": [money(900.0, 300000.0, mag=6) for _ in range(n_orders)],
           "o_orderdate": odates,
@@ -244,12 +305,15 @@ def write_random_fixture(
                           "l_linestatus", "l_shipdate")}
     for ok in range(1, n_orders + 1):
         for ln in range(1, rng.randint(1, 7) + 1):
-            li["l_orderkey"].append(id_offset + ok)
-            li["l_partkey"].append(
+            li["l_orderkey"].append(orphan(n_orders, id_offset + ok, 0.5))
+            li["l_partkey"].append(orphan(
+                n_parts,
                 id_offset
-                + (1 if rng.random() < hot_frac else rng.randint(1, n_parts))
+                + (1 if rng.random() < hot_frac else rng.randint(1, n_parts)),
+            ))
+            li["l_suppkey"].append(
+                orphan(n_suppliers, id_offset + rng.randint(1, n_suppliers))
             )
-            li["l_suppkey"].append(id_offset + rng.randint(1, n_suppliers))
             li["l_linenumber"].append(ln)
             li["l_quantity"].append(float(rng.randint(1, 50)))
             li["l_extendedprice"].append(money(900.0, 100000.0, mag=1))
@@ -262,7 +326,7 @@ def write_random_fixture(
             li["l_shipdate"].append(
                 odates[ok - 1] + dt.timedelta(days=rng.randint(1, 120))
             )
-    _tbl(d, "lineitem", li,
+    tbl("lineitem", li,
          {"l_orderkey": pa.int64(), "l_partkey": pa.int64(),
           "l_suppkey": pa.int64(), "l_linenumber": pa.int32(),
           "l_quantity": pa.float64(), "l_extendedprice": pa.float64(),
@@ -289,8 +353,12 @@ def write_random_fixture(
         "event_id": [id_offset + i for i in range(n_events)],
         "ts": [_event_ts(et) for et in etypes],
         "user_id": [None if null_fk_frac and rng.random() < null_fk_frac
-                    else id_offset
-                    + (1 if rng.random() < hot_frac else rng.randint(1, n_customers))
+                    else orphan(
+                        n_customers,
+                        id_offset
+                        + (1 if rng.random() < hot_frac
+                           else rng.randint(1, n_customers)),
+                    )
                     for _ in range(n_events)],
         "event_type": [None if null_etype_frac and rng.random() < null_etype_frac
                        else et for et in etypes],
@@ -318,7 +386,7 @@ def write_random_fixture(
                 microseconds=rng.randint(0, 999_999)))
             ev["value"].append(money(0.5, 200.0, mag=7))
             ev["props"].append(json.dumps({"k": rng.randint(0, 99)}))
-    _tbl(d, "events", ev,
+    tbl("events", ev,
          {"event_id": pa.int64(), "ts": ts_us, "user_id": pa.int64(),
           "event_type": pa.string(), "value": pa.float64(),
           "props": pa.string()})
@@ -414,7 +482,7 @@ def write_random_fixture(
         # true NULL text (distinct from null_frac's blank ""): NULL
         # propagates through split/length/regexp where '' yields empties
         texts = [None if rng.random() < null_text_frac else t for t in texts]
-    _tbl(d, "documents",
+    tbl("documents",
          {"doc_id": [id_offset + i for i in range(n_docs)],
           "text": texts,
           "lang": ["en" if rng.random() < hot_frac else rng.choice(_LANGS)
@@ -428,6 +496,13 @@ def write_random_fixture(
         if zero_vec_every and i % zero_vec_every == 0:
             return [0.0] * emb_dim
         v = [rng.gauss(0.0, 1.0) for _ in range(emb_dim)]
+        if emb_specials and i > 0:
+            if i % 11 == 0:
+                v[i % emb_dim] = float("nan")
+            if i % 13 == 0:
+                v[(i + 1) % emb_dim] = float("inf")
+            if i % 17 == 0:
+                v[(i + 2) % emb_dim] = float("-inf")
         if emb_magnitude_spread:
             if i % 7 == 0:  # wild per-component dynamic range
                 return [x * 10.0 ** rng.randint(-15, 15) for x in v]
@@ -436,7 +511,7 @@ def write_random_fixture(
         return v
 
     embs = [_emb(i) for i in range(n_vecs)]
-    _tbl(d, "embeddings",
+    tbl("embeddings",
          {"vec_id": [id_offset + i for i in range(n_vecs)],
           "embedding": embs,
           "label": [None if null_label_frac and rng.random() < null_label_frac

@@ -1044,3 +1044,113 @@ def wsp_sf(tmp_path_factory):
 def test_oracle_parity_on_exotic_whitespace(spark, wsp_sf, name):
     q = REGISTRY[name]
     assert_matches_oracle(q.fn(spark, wsp_sf), q.oracle, wsp_sf)
+
+
+#: Physical-layout leg (r13): every table written as a DIRECTORY of 8
+#: part files with rows SHUFFLED across them — the shape of any real
+#: multi-executor dataset (thousands of files, no global row order;
+#: the driver fixtures are one sorted file each).  Every result must be
+#: invariant to physical layout; a divergence here is a hidden
+#: input-order or partitioning dependence.  First probe (seed 131)
+#: found one: ALL 14 streaming queries silently streamed ZERO files —
+#: stream_table's pathGlobFilter matches leaf names and the parts are
+#: part-*.parquet, not <table>.parquet (streaming/core.py now streams
+#: the table directory directly when the table is a directory).
+@pytest.fixture(scope="session")
+def layout_sf(tmp_path_factory):
+    return write_random_fixture(
+        tmp_path_factory.mktemp("randfix_layout") / "sf", seed=173,
+        layout_files=8,
+    )
+
+
+@pytest.mark.parametrize("name", _ORACLE_BACKED)
+def test_oracle_parity_on_multifile_layout(spark, layout_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, layout_sf), q.oracle, layout_sf)
+
+
+#: Orphan-FK leg (r13): 15% of FK values (o_custkey, l_partkey,
+#: l_suppkey, events.user_id; l_orderkey at half rate) point OUTSIDE the
+#: referenced table — the dirty-upstream shape where inner joins must
+#: drop rows identically, outer joins must agree on unmatched rows, and
+#: referential-integrity/linkage analytics meet real violations.  First
+#: probe (seed 137): zero divergences — the join surface was already
+#: orphan-clean; the leg pins it.
+@pytest.fixture(scope="session")
+def orphanfk_sf(tmp_path_factory):
+    return write_random_fixture(
+        tmp_path_factory.mktemp("randfix_orphan") / "sf", seed=179,
+        orphan_fk_frac=0.15,
+    )
+
+
+@pytest.mark.parametrize("name", _ORACLE_BACKED)
+def test_oracle_parity_on_orphan_fks(spark, orphanfk_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, orphanfk_sf), q.oracle, orphanfk_sf)
+
+
+#: IEEE-specials leg (r13): NaN / +Inf / -Inf components planted across
+#: the embedding corpus (every 11th/13th/17th vector).  First probe
+#: (seed 139) found five divergences — one CRASH (embedding_quantize_int8:
+#: ANSI CAST_OVERFLOW rounding NaN/scale to int — at 100 TB one dirty
+#: vector would kill the whole job) and four value splits rooted in the
+#: engines' different non-finite conventions (Spark propagates NaN and
+#: treats it as largest in ALL comparisons; DuckDB's
+#: list_cosine_similarity silently returns -1 for any non-finite input).
+#: The fix is the FINITE-DOMAIN contract, the same shape as
+#: EMB_COMPONENT_BOUND: nonzero_norm now means positive AND finite
+#: (cosine domain), finite_components gates the Euclidean family
+#: (k-means, quantization), and both twins are written `x < Inf` so
+#: they reject NaN under either engine's NaN-comparison convention
+#: (similarity.sql_cosine_domain / sql_finite_components).  Scoped to
+#: the embedding-consuming families.
+_EMB_FAMILIES = ("similarity", "clustering", "evaluation", "udfs")
+_EMB_SENSITIVE = sorted(
+    {
+        n for n, q in REGISTRY.items()
+        if q.fn.__module__.rsplit(".", 1)[-1] in _EMB_FAMILIES
+        and q.oracle is not None
+    }
+    | {"hybrid_search_rrf"}
+)
+
+
+@pytest.fixture(scope="session")
+def specials_sf(tmp_path_factory):
+    return write_random_fixture(
+        tmp_path_factory.mktemp("randfix_specials") / "sf", seed=181,
+        emb_specials=True,
+    )
+
+
+@pytest.mark.parametrize("name", _EMB_SENSITIVE)
+def test_oracle_parity_on_ieee_specials(spark, specials_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, specials_sf), q.oracle, specials_sf)
+
+
+#: Combined-extremes leg (r13): the r12 combined shape PLUS the three
+#: r13 axes — 4-way shuffled multi-file layout, 10% orphan FKs, IEEE
+#: specials in the embeddings — because interactions are where
+#: single-axis fixes leak (the r12 combo's first run found two such
+#: leaks on top of nine green single-axis legs).
+@pytest.fixture(scope="session")
+def combo13_sf(tmp_path_factory):
+    return write_random_fixture(
+        tmp_path_factory.mktemp("randfix_combo13") / "sf", seed=191,
+        magnitude_spread=True, dup_event_frac=0.25, long_docs=8,
+        emb_magnitude_spread=True, id_offset=-5_000_000,
+        hot_frac=0.3, null_frac=0.15, ts_grain_s=900,
+        null_val_frac=0.3, null_text_frac=0.3, null_etype_frac=0.3,
+        null_label_frac=0.3, null_fk_frac=0.3,
+        unicode_docs=8, casefold_docs=6, wsp_docs=5,
+        layout_files=4, orphan_fk_frac=0.1, emb_specials=True,
+    )
+
+
+@pytest.mark.parametrize("name", _ORACLE_BACKED)
+def test_oracle_parity_on_combined_extremes_r13(spark, combo13_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, combo13_sf), q.oracle, combo13_sf)
