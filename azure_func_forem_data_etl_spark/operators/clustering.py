@@ -48,7 +48,11 @@ from azure_func_forem_data_etl_spark.operators.similarity import (
     sql_bounded_components,
 )
 from azure_func_forem_data_etl_spark.plans.registry import register
-from azure_func_forem_data_etl_spark.sources.tables import scale_out, table
+from azure_func_forem_data_etl_spark.sources.tables import (
+    entity_table,
+    scale_out,
+    table,
+)
 
 _LOG = logging.getLogger(__name__)
 
@@ -326,8 +330,9 @@ def kmeans_partition_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     "output projected as a per-query invariant certificate.",
 )
 def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
-    ck = f"{sf_dir}/embeddings"
+    # canonical vector-store grain (r13 dup-entity leg; oracle mirrors)
+    emb = entity_table(spark, sf_dir, "embeddings")
+    ck = f"{sf_dir}/embeddings#canon"
     C, _ = kmeans_fit(emb, cache_key=ck)
     topk = ivf_topk(emb, centroids=(np.arange(C.shape[0]), C))
     # probing variant: bounded-count + liveness full_k (r12 ADVICE #1)

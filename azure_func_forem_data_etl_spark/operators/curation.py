@@ -29,7 +29,11 @@ from azure_func_forem_data_etl_spark.functions.textfold import (
     ascii_fold,
 )
 from azure_func_forem_data_etl_spark.plans.registry import register
-from azure_func_forem_data_etl_spark.sources.tables import table
+from azure_func_forem_data_etl_spark.sources.tables import (
+    SQL_DOCS_CANON,
+    entity_table,
+    table,
+)
 
 QUALITY_THRESHOLD = 0.25  # drops the bottom ~quartile of the test corpus
 
@@ -56,7 +60,8 @@ def doc_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     inlining deletes a full-corpus self-join + shuffle from the plan.
     Empty docs get NULL qs/n_words via the CASE guard — identical to the
     left join against the size>0-filtered quality output."""
-    docs = table(spark, sf_dir, "documents")
+    # canonical doc grain (r13 dup-entity leg; oracle chain mirrors)
+    docs = entity_table(spark, sf_dir, "documents")
     words = F.split("text", " ")
     nw = F.size(words)
     qs_raw = (
@@ -99,7 +104,9 @@ def doc_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared oracle CTE chain for the SQL-expressible pipeline prefix; ends in
 # a ``docstat`` relation with (doc_id, quality_score, status, split, n_words).
 _DOC_STATUS_SQL_CTES = f"""
-    WITH q AS (
+    WITH documents_canon AS {SQL_DOCS_CANON},
+    -- ^ canonical doc grain (r13 dup-entity leg): one row per doc_id
+    q AS (
         SELECT doc_id, n_words,
                round(0.5 * stopword_ratio
                  + 0.3 * least(n_words / 100.0, 1.0)
@@ -109,13 +116,14 @@ _DOC_STATUS_SQL_CTES = f"""
                    len(words) AS n_words,
                    len(list_distinct(words)) AS n_distinct_words,
                    len(list_filter(words, w -> w IN ({_SW_SQL}))) / len(words) AS stopword_ratio
-            FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)
+            FROM (SELECT doc_id, text, string_split(text, ' ') AS words
+                  FROM documents_canon)
             WHERE len(words) > 0
         )
     ),
     d AS (
         SELECT doc.doc_id, doc.text, q.qs, q.n_words
-        FROM documents doc LEFT JOIN q ON doc.doc_id = q.doc_id
+        FROM documents_canon doc LEFT JOIN q ON doc.doc_id = q.doc_id
     ),
     passing AS (SELECT doc_id, text FROM d WHERE qs >= {QUALITY_THRESHOLD}),
     reps AS (SELECT md5(text) AS fp, MIN(doc_id) AS rep_id FROM passing GROUP BY md5(text)),
@@ -210,7 +218,7 @@ def _curation_full_oracle() -> str:
     WITH RECURSIVE {prefix[len('WITH '):]},
     keptdocs AS (
         SELECT d.doc_id, d.text
-        FROM docstat s JOIN documents d ON d.doc_id = s.doc_id
+        FROM docstat s JOIN documents_canon d ON d.doc_id = s.doc_id
         WHERE s.status = 'kept'
     ),
     {_minhash_sig_band_ctes(source="keptdocs")},
@@ -1077,17 +1085,18 @@ BATCH_SIZE = 16  # examples per training batch
 @register(
     "length_grouped_batches",
     oracle=f"""
-    WITH sorted_b AS (
+    WITH documents_canon AS {SQL_DOCS_CANON},
+    sorted_b AS (
         SELECT n_chars,
                CAST(floor((ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1)
                     / {BATCH_SIZE}) AS BIGINT) AS batch_id
-        FROM documents
+        FROM documents_canon
     ),
     shuffled_b AS (
         SELECT n_chars,
                CAST(floor((ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1)
                     / {BATCH_SIZE}) AS BIGINT) AS batch_id
-        FROM documents
+        FROM documents_canon
     ),
     w AS (
         -- padding_frac CASE-guarded: an all-blank corpus has zero batch
@@ -1133,7 +1142,7 @@ def length_grouped_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     within the pool-boundary batches) so no total order is needed —
     the audit itself only ever aggregates to batch grain.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = entity_table(spark, sf_dir, "documents")
 
     def waste(order_cols: list, label: str) -> DataFrame:
         w = Window.orderBy(*order_cols)

@@ -25,7 +25,12 @@ from pyspark.sql import types as T
 
 from azure_func_forem_data_etl_spark.operators.ckpt import scoped_checkpoint
 from azure_func_forem_data_etl_spark.plans.registry import register
-from azure_func_forem_data_etl_spark.sources.tables import scale_out, table
+from azure_func_forem_data_etl_spark.sources.tables import (
+    SQL_DOCS_CANON,
+    entity_table,
+    scale_out,
+    table,
+)
 
 # ---------------------------------------------------------------------------
 # shared shingle machinery
@@ -162,7 +167,9 @@ JACCARD_THRESHOLD = 0.05
 @register(
     "ngram_jaccard_pairs",
     oracle=f"""
-    WITH sh AS ({_sql_shingles(JACCARD_NGRAM, f"doc_id % {JACCARD_SAMPLE_MOD} = 0")}),
+    -- canonical doc grain (r13 dup-entity leg): one row per doc_id
+    WITH documents_canon AS {SQL_DOCS_CANON},
+    sh AS ({_sql_shingles(JACCARD_NGRAM, f"doc_id % {JACCARD_SAMPLE_MOD} = 0", source="documents_canon")}),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
@@ -182,7 +189,7 @@ JACCARD_THRESHOLD = 0.05
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azure_func_forem_data_etl_spark.operators._guards import assert_bounded_input
 
-    docs = table(spark, sf_dir, "documents").filter(
+    docs = entity_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % JACCARD_SAMPLE_MOD == 0
     )
     # The shingle self-join over this sample grows quadratically with the
@@ -397,7 +404,8 @@ def _minhash_oracle() -> str:
     bucket cap, and the exact-Jaccard verification join."""
     return f"""
     WITH RECURSIVE
-    {_minhash_sig_band_ctes()},
+    documents_canon AS {SQL_DOCS_CANON},
+    {_minhash_sig_band_ctes(source="documents_canon")},
     {_MINHASH_PAIRS_CTES}
     SELECT doc_a, doc_b, jaccard FROM verified
     """
@@ -409,7 +417,8 @@ def _minhash_oracle() -> str:
     doc="MinHash-LSH near-dup: shingle -> 32 minhashes -> 8 banded buckets -> verified pairs.",
 )
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # canonical doc grain (r13 dup-entity leg; oracle mirrors)
+    docs = entity_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs)
 
 
@@ -475,9 +484,10 @@ def _simhash_oracle() -> str:
     )
     return f"""
     WITH RECURSIVE
+    documents_canon AS {SQL_DOCS_CANON},
     dw AS (
         SELECT DISTINCT doc_id, t.word
-        FROM documents, UNNEST(string_split(text, ' ')) AS t(word)
+        FROM documents_canon, UNNEST(string_split(text, ' ')) AS t(word)
     ),
     vocab AS (SELECT DISTINCT word FROM dw),
     {hash_ctes},
@@ -534,7 +544,8 @@ def _simhash_oracle() -> str:
     doc="SimHash near-dup: 32-bit fingerprints, banded search, hamming <= 3.",
 )
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # canonical doc grain (r13 dup-entity leg; oracle mirrors)
+    docs = entity_table(spark, sf_dir, "documents")
     return simhash_pairs(docs)
 
 
@@ -785,7 +796,8 @@ def _neardup_cc_oracle() -> str:
     return _materialize_ctes(
         f"""
     WITH RECURSIVE
-    {_minhash_sig_band_ctes()},
+    documents_canon AS {SQL_DOCS_CANON},
+    {_minhash_sig_band_ctes(source="documents_canon")},
     {_MINHASH_PAIRS_CTES},
     -- MATERIALIZED: und is referenced from the recursive term, and an
     -- inlined CTE would re-run the ENTIRE minhash pipeline once per
@@ -824,7 +836,7 @@ def neardup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     'keep one per group' well-defined — keep ``comp`` (the min doc_id), drop
     every other member.  Returns one row per clustered doc with its cluster
     id and the cluster size."""
-    docs = table(spark, sf_dir, "documents")
+    docs = entity_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs)
     comp = connected_components(pairs, "doc_a", "doc_b")
     sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
@@ -1079,7 +1091,10 @@ def ml_minhash_certificate(
     "projected as a single-row invariant certificate.",
 )
 def ml_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # canonical doc grain (r13 dup-entity leg): the certificate replay
+    # re-featurizes pair members BY ID, which is ambiguous if an id
+    # carries two drifted payloads
+    docs = entity_table(spark, sf_dir, "documents")
     return ml_minhash_certificate(docs, ml_minhash_pairs(docs))
 
 
@@ -1528,7 +1543,8 @@ def _minhash_incremental_oracle() -> str:
     exact-Jaccard verification."""
     return f"""
     WITH RECURSIVE
-    {_minhash_sig_band_ctes()},
+    documents_canon AS {SQL_DOCS_CANON},
+    {_minhash_sig_band_ctes(source="documents_canon")},
     exploded AS (
         SELECT doc_id, band_id, h AS band_hash,
                CAST(doc_id % 5 = 0 AS INT) AS is_new,
@@ -1572,7 +1588,7 @@ def _minhash_incremental_oracle() -> str:
     "buckets, exact-Jaccard verification).",
 )
 def minhash_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = entity_table(spark, sf_dir, "documents")
     old = docs.filter(F.col("doc_id") % 5 != 0)
     new = docs.filter(F.col("doc_id") % 5 == 0)
     return minhash_incremental_pairs(old, new)
@@ -1735,7 +1751,8 @@ CONTAIN_THRESH_PPM = 500_000  # |A∩B| / min(|A|,|B|) >= 0.5
     "shingle_containment_pairs",
     defer=3,
     oracle=f"""
-    WITH csh AS MATERIALIZED ({{}}),
+    WITH documents_canon AS {SQL_DOCS_CANON},
+    csh AS MATERIALIZED ({{}}),
     csizes AS MATERIALIZED (
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM csh GROUP BY 1
     ),
@@ -1763,7 +1780,7 @@ CONTAIN_THRESH_PPM = 500_000  # |A∩B| / min(|A|,|B|) >= 0.5
         JOIN csizes za ON za.doc_id = i.doc_a
         JOIN csizes zb ON zb.doc_id = i.doc_b
     WHERE 1000000 * i.n_inter >= {CONTAIN_THRESH_PPM} * LEAST(za.n_sh, zb.n_sh)
-    """.format(_sql_shingles(CONTAIN_NGRAM)),
+    """.format(_sql_shingles(CONTAIN_NGRAM, source="documents_canon")),
     doc=f"Containment near-dup (Broder): pairs where the smaller doc's "
     f"{CONTAIN_NGRAM}-gram shingle set is >=50% inside the larger's — the "
     "quote/subset relationship Jaccard under-scores on asymmetric "
@@ -1785,7 +1802,7 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df-capped self-join, one intersection agg — all keyed shuffles on
     shingle/doc ids.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = entity_table(spark, sf_dir, "documents")
     # Six consumers below (sizes, rare, a, b, sa, sb) — Spark re-derives a
     # non-broadcast subplan per reference, so materialize the explode once.
     sh = word_shingles(docs, CONTAIN_NGRAM).localCheckpoint(eager=True)

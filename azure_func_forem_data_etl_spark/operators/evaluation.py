@@ -29,7 +29,11 @@ from azure_func_forem_data_etl_spark.operators.similarity import (
     knn_bruteforce_topk,
     sql_cosine_domain,
 )
-from azure_func_forem_data_etl_spark.sources.tables import table
+from azure_func_forem_data_etl_spark.sources.tables import (
+    SQL_EMB_CANON,
+    entity_table,
+    table,
+)
 
 #: Positive class for the binary metrics: label == 0 ("keep" class).
 POS_LABEL = 0
@@ -150,14 +154,15 @@ def binned_auc(scored: DataFrame, decimals: int = AUC_BIN_DECIMALS) -> DataFrame
     oracle=f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe, label AS qlabel
-        FROM embeddings WHERE vec_id % {KNN_QUERY_MOD} = 0
+        -- canonical vector-store grain (r13 dup-entity leg)
+        FROM {SQL_EMB_CANON} embeddings WHERE vec_id % {KNN_QUERY_MOD} = 0
           -- zero vectors excluded: cosine undefined (r10 sweep contract)
           AND {sql_cosine_domain("embedding::DOUBLE[]")}
     ),
     s AS (
         SELECT q.query_id, q.qlabel, c.vec_id AS neighbor_id, c.label AS nlabel,
                round(list_cosine_similarity(qe, c.embedding::DOUBLE[]), 6) AS cos_sim
-        FROM q, embeddings c
+        FROM q, {SQL_EMB_CANON} c
         WHERE c.vec_id <> q.query_id
           AND {sql_cosine_domain("c.embedding::DOUBLE[]")}
     ),
@@ -203,7 +208,8 @@ def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy stage is the k-NN itself, which is the already-audited
     broadcast-query scan.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    # canonical vector-store grain (r13 dup-entity leg; oracle mirrors)
+    emb = entity_table(spark, sf_dir, "embeddings")
     topk = knn_bruteforce_topk(emb)
     labels = emb.select("vec_id", "label")
     g = (
@@ -560,14 +566,15 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe, label AS qlabel
-        FROM embeddings WHERE vec_id % {KNN_QUERY_MOD} = 0
+        -- canonical vector-store grain (r13 dup-entity leg)
+        FROM {SQL_EMB_CANON} embeddings WHERE vec_id % {KNN_QUERY_MOD} = 0
           -- zero vectors excluded: cosine undefined (r10 sweep contract)
           AND {sql_cosine_domain("embedding::DOUBLE[]")}
     ),
     s AS (
         SELECT q.query_id, q.qlabel, c.vec_id AS neighbor_id, c.label AS nlabel,
                round(list_cosine_similarity(qe, c.embedding::DOUBLE[]), 6) AS cos_sim
-        FROM q, embeddings c
+        FROM q, {SQL_EMB_CANON} c
         WHERE c.vec_id <> q.query_id
           AND {sql_cosine_domain("c.embedding::DOUBLE[]")}
     ),
@@ -606,7 +613,8 @@ def eval_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision terms are 10dp-quantized before the per-query decimal sum,
     so the AP is order-independent.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    # canonical vector-store grain (r13 dup-entity leg; oracle mirrors)
+    emb = entity_table(spark, sf_dir, "embeddings")
     topk = knn_bruteforce_topk(emb)
     labels = emb.select("vec_id", "label")
     g = (

@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from azure_func_forem_data_etl_spark.plans.registry import register
-from azure_func_forem_data_etl_spark.sources.tables import table
+from azure_func_forem_data_etl_spark.sources.tables import (
+    SQL_DOCS_CANON,
+    entity_table,
+    table,
+)
 
 #: Minimum co-occurrence count for an edge.  One shared order is noise
 #: (any two parts in any basket); >= 2 keeps the SIGNIFICANT co-purchase
@@ -1385,7 +1389,7 @@ TEXTRANK_MIN_CO = 2
 _WORD_EDGES_SQL = f"""
     SELECT LEAST(words[i], words[i + 1]) AS src,
            GREATEST(words[i], words[i + 1]) AS dst
-    FROM (SELECT string_split(text, ' ') AS words FROM documents),
+    FROM (SELECT string_split(text, ' ') AS words FROM documents_canon),
          UNNEST(generate_series(1, len(words) - 1)) AS t(i)
     WHERE words[i] <> words[i + 1]
     GROUP BY 1, 2 HAVING COUNT(*) >= {TEXTRANK_MIN_CO}
@@ -1399,7 +1403,11 @@ _WORD_EDGES_SQL = f"""
     # replay as pagerank_copurchase, on the word-adjacency graph instead
     # of the co-purchase graph (TextRank, Mihalcea & Tarau 2004).
     oracle=f"""
-    WITH RECURSIVE e AS ({_WORD_EDGES_SQL}),
+    WITH RECURSIVE
+    documents_canon AS {SQL_DOCS_CANON},
+    -- ^ canonical doc grain (r13 dup-entity leg): duplicate doc_ids
+    -- would interleave two copies' tokens in one adjacency window
+    e AS ({_WORD_EDGES_SQL}),
     und AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
     deg AS (SELECT src AS id, CAST(COUNT(*) AS HUGEINT) AS deg
             FROM und GROUP BY src),
@@ -1435,7 +1443,8 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    docs = table(spark, sf_dir, "documents")
+    # canonical doc grain (r13 dup-entity leg; oracle mirrors)
+    docs = entity_table(spark, sf_dir, "documents")
     w = Window.partitionBy("doc_id").orderBy("pos")
     toks = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")

@@ -40,7 +40,11 @@ from azure_func_forem_data_etl_spark.operators.codecs import (
     is_wav,
 )
 from azure_func_forem_data_etl_spark.plans.registry import register
-from azure_func_forem_data_etl_spark.sources.tables import table
+from azure_func_forem_data_etl_spark.sources.tables import (
+    SQL_DOCS_CANON,
+    entity_table,
+    table,
+)
 
 FRAME_BYTES = 64  # "video" frame-sampling stride for the stub decoder
 
@@ -305,7 +309,7 @@ _MEDIA_DECODED_BYTES_SQL = f"""
              WHEN {SQL_MEDIA_BASE} % {WAV_DOC_MOD} = 0 THEN 'wav'
              ELSE 'raw' END AS tier
       -- media domain: docs WITH text (r12 NULL-heavy sweep)
-      FROM documents WHERE text IS NOT NULL
+      FROM documents_canon WHERE text IS NOT NULL
     ),
     png AS (SELECT doc_id, base, 4 + base % 13 AS w, 3 + base % 5 AS h,
                    1 + base % 4 AS ch FROM tier WHERE tier = 'png'),
@@ -422,7 +426,8 @@ def _crc_table_expr() -> str:
     # size): the encoded-PNG payload length is zlib-output-dependent, the
     # one number a relational replay cannot produce.
     oracle=f"""
-    WITH {_MEDIA_DECODED_BYTES_SQL},
+    WITH documents_canon AS {SQL_DOCS_CANON},
+    {_MEDIA_DECODED_BYTES_SQL},
     streams AS (
       SELECT doc_id, CAST(-1 AS BIGINT) AS sid, i AS pos, b FROM all_bytes
       UNION ALL
@@ -526,7 +531,7 @@ def multimodal_full_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm_ops.py).  Runs on ``with_media_column``, so image-tier
     docs flow through the REAL PNG decoder (width/height from actual IHDR,
     CRCs over actual unfiltered pixels) and the rest through the stub."""
-    docs = table(spark, sf_dir, "documents")
+    docs = entity_table(spark, sf_dir, "documents")
     feats = extract_media_features(with_media_column(docs))
     return feats.select(
         "doc_id",
@@ -573,7 +578,7 @@ _PNG_DECODE_SCHEMA = (
              CAST(3 + {SQL_MEDIA_BASE} % 5 AS INT) AS height,
              CAST(1 + {SQL_MEDIA_BASE} % 4 AS INT) AS n_channels
       -- media domain: docs WITH text (r12 NULL-heavy sweep)
-      FROM documents
+      FROM {SQL_DOCS_CANON} documents
       WHERE {SQL_MEDIA_BASE} % {PNG_DOC_MOD} = 0 AND text IS NOT NULL
     )
     SELECT i.doc_id,
@@ -598,7 +603,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Covers all four 8-bit color types (channels cycle with doc_id).
     Map-only: payload bytes stay in their scan partition; only the 5
     scalar columns leave the mapper."""
-    docs = table(spark, sf_dir, "documents")
+    docs = entity_table(spark, sf_dir, "documents")
     # Tier predicate at the scan (see multimodal_audio_stats): skip the
     # WAV/text synthesis for the ~86% of rows this query discards.
     media = with_media_column(
@@ -685,7 +690,7 @@ _RAW_THUMB_CELLS_SQL = """
       SELECT doc_id, lower(hex(encode(text))) AS hx,
              greatest(octet_length(encode(text)), 1) AS n
       -- media domain: docs WITH text (r12 NULL-heavy sweep)
-      FROM documents WHERE text IS NOT NULL
+      FROM documents_canon WHERE text IS NOT NULL
     ),
     bytes AS (
       SELECT doc_id, t.i,
@@ -705,7 +710,7 @@ _RAW_THUMB_CELLS_SQL = """
     ),
     grid AS (
       SELECT d.doc_id, g.cell, COALESCE(cm.m, CAST(0 AS REAL)) AS m
-      FROM (SELECT DISTINCT doc_id FROM documents
+      FROM (SELECT DISTINCT doc_id FROM documents_canon
             WHERE text IS NOT NULL) d
       CROSS JOIN UNNEST(range(0, 64)) AS g(cell)
       LEFT JOIN cellmeans cm ON cm.doc_id = d.doc_id AND cm.cell = g.cell
@@ -718,7 +723,8 @@ _RAW_THUMB_CELLS_SQL = """
     # Promoted rows-only -> oracle in r5: see _RAW_THUMB_CELLS_SQL for the
     # byte/pooling replay argument — the pooled values hash-match exactly.
     oracle=f"""
-    WITH {_RAW_THUMB_CELLS_SQL}
+    WITH documents_canon AS {SQL_DOCS_CANON},
+    {_RAW_THUMB_CELLS_SQL}
     SELECT doc_id,
            CAST(8 AS INT) AS thumb_w, CAST(8 AS INT) AS thumb_h,
            CAST(64 AS INT) AS n_cells,
@@ -735,7 +741,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean, dim) for the registry-facing result — the driver's canonicalizer
     cannot hash list values.  ``resize_media`` keeps the full array and is
     unit-tested for shape/determinism."""
-    docs = table(spark, sf_dir, "documents")
+    docs = entity_table(spark, sf_dir, "documents")
     thumbs = resize_media(with_binary_column(docs))
     return thumbs.select(
         "doc_id",
@@ -922,7 +928,7 @@ def extract_audio_stats(media: DataFrame) -> DataFrame:
              CAST(1 + {SQL_MEDIA_BASE} % 2 AS INT) AS n_channels,
              CAST(20 + {SQL_MEDIA_BASE} % 50 AS BIGINT) AS n_frames
       -- media domain: docs WITH text (r12 NULL-heavy sweep)
-      FROM documents
+      FROM {SQL_DOCS_CANON} documents
       WHERE {SQL_MEDIA_BASE} % {WAV_DOC_MOD} = 0
         AND {SQL_MEDIA_BASE} % {PNG_DOC_MOD} <> 0
         AND text IS NOT NULL
@@ -962,7 +968,7 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectorized.  The mime filter selects the audio tier the way a real
     pipeline routes on metadata; the stub fallback path stays covered by
     unit tests and ``multimodal_full_features``."""
-    docs = table(spark, sf_dir, "documents")
+    docs = entity_table(spark, sf_dir, "documents")
     # Tier predicate pushed to the parquet scan: synthesizing then
     # discarding the other tiers' payloads (PNG encode + zlib for every
     # 7th doc) would be wasted mapper work the post-mapInPandas mime
@@ -1007,7 +1013,8 @@ PHASH_BAND_BITS = 16  # exact-match band width for hamming candidate search
     # rounding it to REAL equals Spark's float-domain Add), the bit is a
     # plain comparison, and the band fold is GROUP BY + HAVING.
     oracle=f"""
-    WITH {_RAW_THUMB_CELLS_SQL},
+    WITH documents_canon AS {SQL_DOCS_CANON},
+    {_RAW_THUMB_CELLS_SQL},
     ranked AS (
       SELECT doc_id, cell, m,
              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY m) AS rn
@@ -1054,7 +1061,7 @@ def multimodal_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature, doc_id) — never payload bytes.  Band groups are
     candidate-sized; the same hot-bucket cap as operators/dedup.py
     applies if a degenerate corpus floods one band."""
-    docs = table(spark, sf_dir, "documents")
+    docs = entity_table(spark, sf_dir, "documents")
     thumbs = resize_media(with_binary_column(docs))
     n_cells = THUMB_SIDE * THUMB_SIDE
     srt = F.sort_array(F.col("thumbnail"))

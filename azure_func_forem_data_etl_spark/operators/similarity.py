@@ -33,7 +33,12 @@ from pyspark.sql.window import Window
 
 from azure_func_forem_data_etl_spark.functions.exact import dround, sql_dround
 from azure_func_forem_data_etl_spark.plans.registry import register
-from azure_func_forem_data_etl_spark.sources.tables import scale_out, table
+from azure_func_forem_data_etl_spark.sources.tables import (
+    SQL_EMB_CANON,
+    entity_table,
+    scale_out,
+    table,
+)
 
 KNN_K = 5
 KNN_QUERY_MOD = 100  # vec_id % 100 == 0 -> 1% of vectors are queries
@@ -230,7 +235,8 @@ ANN_CERT_ORACLE = f"""
            TRUE AS sims_exact,
            TRUE AS no_self,
            TRUE AS neighbors_distinct
-    FROM embeddings
+    -- canonical vector-store grain (r13 dup-entity leg): one row per id
+    FROM {SQL_EMB_CANON} embeddings
     WHERE vec_id % {KNN_QUERY_MOD} = 0
     """
 
@@ -484,14 +490,15 @@ def _partial_topk_mapper(bq, k: int):
     oracle=f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
-        FROM embeddings WHERE vec_id % {KNN_QUERY_MOD} = 0
+        -- canonical vector-store grain (r13 dup-entity leg)
+        FROM {SQL_EMB_CANON} embeddings WHERE vec_id % {KNN_QUERY_MOD} = 0
           -- zero vectors excluded: cosine undefined (r10 sweep contract)
           AND {sql_cosine_domain("embedding::DOUBLE[]")}
     ),
     s AS (
         SELECT q.query_id, c.vec_id AS neighbor_id,
                round(list_cosine_similarity(qe, c.embedding::DOUBLE[]), 6) AS cos_sim
-        FROM q, embeddings c
+        FROM q, {SQL_EMB_CANON} c
         WHERE c.vec_id <> q.query_id
           AND {sql_cosine_domain("c.embedding::DOUBLE[]")}
     ),
@@ -507,7 +514,8 @@ def _partial_topk_mapper(bq, k: int):
     doc="Exact k-NN baseline: broadcast queries, BLAS cosine per Arrow batch, partial+global top-k.",
 )
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return knn_bruteforce_topk(table(spark, sf_dir, "embeddings"))
+    # canonical vector-store grain (r13 dup-entity leg; oracle mirrors)
+    return knn_bruteforce_topk(entity_table(spark, sf_dir, "embeddings"))
 
 
 def knn_bruteforce_topk(
@@ -670,8 +678,10 @@ def lsh_topk(
     doc=f"ANN top-k via random-hyperplane LSH ({LSH_TABLES} tables x {LSH_BITS} bits), exact rescoring of candidates; output projected as a per-query invariant certificate.",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
-    ck = f"{sf_dir}/embeddings"
+    # canonical vector-store grain (r13 dup-entity leg; oracle mirrors);
+    # "#canon" memo key: raw-grain readers share the same source path
+    emb = entity_table(spark, sf_dir, "embeddings")
+    ck = f"{sf_dir}/embeddings#canon"
     # probing variant: bounded-count + liveness full_k (r12 ADVICE #1)
     return ann_topk_certificate(
         emb, lsh_topk(emb, cache_key=ck), _corpus_count(emb, ck),
@@ -928,8 +938,10 @@ def _ivf_probe_rescore(
     doc="ANN top-k via IVF inverted lists (fixed-budget centroids, sqrt-scaled nprobe), exact rescoring; output projected as a per-query invariant certificate.",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
-    ck = f"{sf_dir}/embeddings"
+    # canonical vector-store grain (r13 dup-entity leg; oracle mirrors);
+    # "#canon" memo key: raw-grain readers share the same source path
+    emb = entity_table(spark, sf_dir, "embeddings")
+    ck = f"{sf_dir}/embeddings#canon"
     # probing variant: bounded-count + liveness full_k (r12 ADVICE #1)
     return ann_topk_certificate(
         emb, ivf_topk(emb, cache_key=ck), _corpus_count(emb, ck),
@@ -1242,7 +1254,8 @@ from azure_func_forem_data_etl_spark.plans.registry import REGISTRY as _REG
     -- labeled rows only (r12 NULL-heavy sweep): an unlabeled neighbor
     -- casts no vote (and the NULL-label vote group argmax-orders
     -- engine-opposite), and an unlabeled query has no ground truth
-    lab AS (SELECT vec_id, CAST(label AS INT) AS label FROM embeddings
+    lab AS (SELECT vec_id, CAST(label AS INT) AS label
+            FROM {SQL_EMB_CANON} embeddings
             WHERE label IS NOT NULL),
     votes AS (
         SELECT k.query_id, l.label, count(*) AS c
@@ -1277,7 +1290,7 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the vote operates on the (queries x k)-sized neighbor
     list — never the corpus — and label attachment broadcasts that small
     side into the labels join; two tiny aggregations after."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = entity_table(spark, sf_dir, "embeddings")
     # labeled rows only — see the oracle note (r12 NULL-heavy sweep)
     lab = emb.select("vec_id", F.col("label").cast("int").alias("label")).filter(
         F.col("label").isNotNull()
@@ -1569,8 +1582,10 @@ def pq_topk(
     doc=f"ANN top-k via product quantization ({PQ_M} subspaces, sqrt-scaled 16..256-codeword books, ADC scan), exact rescoring of the shortlist; output projected as a per-query invariant certificate.",
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
-    ck = f"{sf_dir}/embeddings"
+    # canonical vector-store grain (r13 dup-entity leg; oracle mirrors);
+    # "#canon" memo key: raw-grain readers share the same source path
+    emb = entity_table(spark, sf_dir, "embeddings")
+    ck = f"{sf_dir}/embeddings#canon"
     return ann_topk_certificate(
         emb, pq_topk(emb, cache_key=ck), _corpus_count(emb, ck)
     )
@@ -1740,8 +1755,10 @@ def ivfpq_topk(
     doc="ANN top-k via IVF-PQ (coarse routing x ADC code scoring fused into one corpus pass, sqrt-scaled nprobe), exact rescoring; output projected as a per-query invariant certificate.",
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
-    ck = f"{sf_dir}/embeddings"
+    # canonical vector-store grain (r13 dup-entity leg; oracle mirrors);
+    # "#canon" memo key: raw-grain readers share the same source path
+    emb = entity_table(spark, sf_dir, "embeddings")
+    ck = f"{sf_dir}/embeddings#canon"
     return ann_topk_certificate(
         emb, ivfpq_topk(emb, cache_key=ck), _corpus_count(emb, ck)
     )
@@ -1778,7 +1795,7 @@ def knn_margin_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k; the rest is a per-query pivot and a quantized-decimal mean
     over the bounded query set.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = entity_table(spark, sf_dir, "embeddings")
     topk = knn_bruteforce_topk(emb)
     m = topk.groupBy("query_id").agg(
         F.max(F.when(F.col("rnk") == 1, F.col("cos_sim"))).alias("s1"),
@@ -1820,7 +1837,9 @@ def knn_hubness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard screen (a heavy right tail = hubs).  Integer counting
     over the already-bounded k-NN output.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    # canonical vector-store grain (r13 dup-entity leg; the composed
+    # knn oracle is canonical)
+    emb = entity_table(spark, sf_dir, "embeddings")
     topk = knn_bruteforce_topk(emb)
     occ = topk.groupBy("neighbor_id").agg(F.count("*").alias("k_occ"))
     return occ.groupBy(F.col("k_occ").alias("occurrence_count")).agg(
@@ -1877,9 +1896,12 @@ def _mmr_greedy(pool_pdf, pairs_pdf):
     "mmr_diversified_topk",
     defer=3,
     oracle=f"""
-    WITH RECURSIVE mq AS MATERIALIZED (
+    WITH RECURSIVE
+    embeddings_canon AS MATERIALIZED {SQL_EMB_CANON},
+    -- ^ canonical vector-store grain (r13 dup-entity leg)
+    mq AS MATERIALIZED (
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
-        FROM embeddings WHERE vec_id % {KNN_QUERY_MOD} = 0
+        FROM embeddings_canon WHERE vec_id % {KNN_QUERY_MOD} = 0
           -- zero vectors excluded: cosine undefined (r10 sweep contract)
           AND {sql_cosine_domain("embedding::DOUBLE[]")}
     ),
@@ -1887,7 +1909,7 @@ def _mmr_greedy(pool_pdf, pairs_pdf):
         SELECT mq.query_id, c.vec_id AS nid,
                CAST(round(round(list_cosine_similarity(qe,
                     c.embedding::DOUBLE[]), 6) * 1000000) AS BIGINT) AS rel_u
-        FROM mq, embeddings c WHERE c.vec_id <> mq.query_id
+        FROM mq, embeddings_canon c WHERE c.vec_id <> mq.query_id
           AND {sql_cosine_domain("c.embedding::DOUBLE[]")}
     ),
     mpool AS MATERIALIZED (
@@ -1898,7 +1920,7 @@ def _mmr_greedy(pool_pdf, pairs_pdf):
     ),
     mpe AS MATERIALIZED (
         SELECT p.query_id, p.nid, e.embedding::DOUBLE[] AS pv
-        FROM mpool p JOIN embeddings e ON e.vec_id = p.nid
+        FROM mpool p JOIN embeddings_canon e ON e.vec_id = p.nid
     ),
     mpairs AS MATERIALIZED (
         SELECT a.query_id, a.nid AS ca, b.nid AS cb,
@@ -1955,7 +1977,8 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside a cogrouped applyInPandas (Arrow, two query-keyed shuffles) —
     no driver fold, no cap beyond kNN's own query bound.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    # canonical vector-store grain (r13 dup-entity leg; oracle mirrors)
+    emb = entity_table(spark, sf_dir, "embeddings")
     pool = (
         knn_bruteforce_topk(emb, k=MMR_CAND_N)
         .select(

@@ -20,7 +20,11 @@ from azure_func_forem_data_etl_spark.functions.textfold import (
     ascii_fold,
 )
 from azure_func_forem_data_etl_spark.plans.registry import register
-from azure_func_forem_data_etl_spark.sources.tables import table
+from azure_func_forem_data_etl_spark.sources.tables import (
+    SQL_DOCS_CANON,
+    entity_table,
+    table,
+)
 
 # Shared stopword list (kept tiny and identical in Spark + SQL twins).
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
@@ -385,9 +389,11 @@ REP_MAX_TOP_BIGRAM_FRAC = 0.06
 @register(
     "quality_repetition_rules",
     oracle=rf"""
-    WITH d AS (
+    -- canonical doc grain (r13 dup-entity leg): one row per doc_id
+    WITH documents_canon AS {SQL_DOCS_CANON},
+    d AS (
         SELECT doc_id, {SQL_SPLIT_FOLDED} AS ws
-        FROM documents
+        FROM documents_canon
     ),
     wc AS (SELECT doc_id, UNNEST(ws) AS word FROM d),
     bc AS (
@@ -443,7 +449,7 @@ def quality_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 6dp — engine-stable.  Single-word docs carry no bigram
     signal and are excluded (same as the oracle's inner wstat⋈bstat
     join)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = entity_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
         F.split(ascii_fold("text"), WS_RE).alias("ws"),
@@ -798,11 +804,13 @@ NOVELTY_COMMON_DF = 5  # an n-gram in >= this many docs is "common"
 @register(
     "ngram_novelty_score",
     oracle=f"""
-    WITH g AS (
+    WITH documents_canon AS {SQL_DOCS_CANON},
+    g AS (
         SELECT DISTINCT doc_id,
                words[i] || ' ' || words[i + 1] || ' ' || words[i + 2] AS gram
         FROM (
-            SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            SELECT doc_id, string_split(text, ' ') AS words
+            FROM documents_canon
         ), UNNEST(generate_series(1, len(words) - {NOVELTY_NGRAM - 1})) AS t(i)
         WHERE len(words) >= {NOVELTY_NGRAM}
     ),
@@ -830,7 +838,7 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the dedup suite."""
     from azure_func_forem_data_etl_spark.operators.dedup import word_shingles
 
-    docs = table(spark, sf_dir, "documents")
+    docs = entity_table(spark, sf_dir, "documents")
     g = word_shingles(docs, NOVELTY_NGRAM, text_col="text").withColumnRenamed(
         "shingle", "gram"
     )

@@ -30,7 +30,11 @@ from pyspark.sql.functions import pandas_udf
 
 from azure_func_forem_data_etl_spark.functions.exact import dround, sql_dround
 from azure_func_forem_data_etl_spark.plans.registry import register
-from azure_func_forem_data_etl_spark.sources.tables import table
+from azure_func_forem_data_etl_spark.sources.tables import (
+    SQL_DOCS_CANON,
+    entity_table,
+    table,
+)
 
 
 def _burstiness_fn(values: pd.Series) -> pd.Series:
@@ -211,11 +215,12 @@ def arrow_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "udtf_repeated_terms",
-    oracle="""
+    oracle=f"""
+    WITH documents_canon AS {SQL_DOCS_CANON}
     SELECT doc_id, word, CAST(COUNT(*) AS INT) AS cnt
     FROM (
         SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
-        FROM documents
+        FROM documents_canon
     ) t
     WHERE word <> ''
     GROUP BY doc_id, word
@@ -251,9 +256,11 @@ def udtf_repeated_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                     yield w, int(c)
 
     spark.udtf.register("repeated_terms_udtf", RepeatedTerms)
-    table(spark, sf_dir, "documents").select("doc_id", "text").createOrReplaceTempView(
-        "_udtf_docs"
-    )
+    # canonical doc grain (r13 dup-entity leg; oracle mirrors): the
+    # per-(doc_id, word) counts are per-ID semantics
+    entity_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("_udtf_docs")
     return spark.sql(
         "SELECT doc_id, t.word, t.cnt "
         "FROM _udtf_docs, LATERAL repeated_terms_udtf(doc_id, text) t"

@@ -116,6 +116,8 @@ def write_random_fixture(
     layout_files: int = 0,
     orphan_fk_frac: float = 0.0,
     emb_specials: bool = False,
+    dup_doc_frac: float = 0.0,
+    dup_vec_frac: float = 0.0,
 ) -> str:
     """``ts_grain_s`` > 0 truncates event timestamps to that many seconds
     (and drops the microsecond part), manufacturing heavy timestamp TIES —
@@ -210,7 +212,13 @@ def write_random_fixture(
     -Inf — the regime where norms, dot products and comparisons meet
     non-finite values, and the two engines' NaN ordering/equality
     conventions have to be reconciled (or the vectors excluded by an
-    explicit, observable domain gate on BOTH sides)."""
+    explicit, observable domain gate on BOTH sides).  ``dup_doc_frac`` /
+    ``dup_vec_frac`` re-emit that fraction of documents / embeddings
+    with the SAME doc_id/vec_id but a DRIFTED payload (r13 dup-entity
+    leg) — the at-least-once-ingest shape for the two entity tables,
+    where any per-id join, groupBy, or top-k that keeps an
+    engine-arbitrary representative silently diverges (the r11
+    dup_event_frac leg covered only events)."""
     eras = _TS_ERAS[2:] if ts_eras == "post1970" else _TS_ERAS
     rng = random.Random(seed)
 
@@ -482,13 +490,29 @@ def write_random_fixture(
         # true NULL text (distinct from null_frac's blank ""): NULL
         # propagates through split/length/regexp where '' yields empties
         texts = [None if rng.random() < null_text_frac else t for t in texts]
+    doc_ids = [id_offset + i for i in range(n_docs)]
+    doc_texts = list(texts)
+    doc_langs = ["en" if rng.random() < hot_frac else rng.choice(_LANGS)
+                 for _ in range(n_docs)]
+    doc_srcs = [f"src{rng.randint(0, 19)}" for _ in range(n_docs)]
+    if dup_doc_frac > 0:
+        # re-ingest a sample of documents: same doc_id, DRIFTED payload
+        # (an extra token, a different source shard) — the at-least-once
+        # shape where any per-id representative pick must be total-ordered
+        for i in range(n_docs):
+            if rng.random() >= dup_doc_frac:
+                continue
+            doc_ids.append(doc_ids[i])
+            t = doc_texts[i]
+            doc_texts.append(None if t is None else t + " redelivered")
+            doc_langs.append(doc_langs[i])
+            doc_srcs.append(f"src{rng.randint(0, 19)}")
     tbl("documents",
-         {"doc_id": [id_offset + i for i in range(n_docs)],
-          "text": texts,
-          "lang": ["en" if rng.random() < hot_frac else rng.choice(_LANGS)
-                   for _ in range(n_docs)],
-          "source": [f"src{rng.randint(0, 19)}" for _ in range(n_docs)],
-          "n_chars": [None if t is None else len(t) for t in texts]},
+         {"doc_id": doc_ids,
+          "text": doc_texts,
+          "lang": doc_langs,
+          "source": doc_srcs,
+          "n_chars": [None if t is None else len(t) for t in doc_texts]},
          {"doc_id": pa.int64(), "text": pa.string(), "lang": pa.string(),
           "source": pa.string(), "n_chars": pa.int64()})
 
@@ -511,12 +535,23 @@ def write_random_fixture(
         return v
 
     embs = [_emb(i) for i in range(n_vecs)]
+    vec_ids = [id_offset + i for i in range(n_vecs)]
+    labels = [None if null_label_frac and rng.random() < null_label_frac
+              else (0 if single_label else rng.randint(0, 9))
+              for _ in range(n_vecs)]
+    if dup_vec_frac > 0:
+        # re-ingest a sample of vectors: same vec_id, slightly DRIFTED
+        # embedding (a re-encode) and an independently drawn label
+        for i in range(n_vecs):
+            if rng.random() >= dup_vec_frac:
+                continue
+            vec_ids.append(vec_ids[i])
+            embs.append([x + 0.001 * rng.gauss(0.0, 1.0) for x in embs[i]])
+            labels.append(labels[i])
     tbl("embeddings",
-         {"vec_id": [id_offset + i for i in range(n_vecs)],
+         {"vec_id": vec_ids,
           "embedding": embs,
-          "label": [None if null_label_frac and rng.random() < null_label_frac
-                    else (0 if single_label else rng.randint(0, 9))
-                    for _ in range(n_vecs)]},
+          "label": labels},
          {"vec_id": pa.int64(), "embedding": pa.list_(pa.float32()),
           "label": pa.int32()})
     return str(d)

@@ -1106,11 +1106,11 @@ def test_oracle_parity_on_orphan_fks(spark, orphanfk_sf, name):
 #: they reject NaN under either engine's NaN-comparison convention
 #: (similarity.sql_cosine_domain / sql_finite_components).  Scoped to
 #: the embedding-consuming families.
-_EMB_FAMILIES = ("similarity", "clustering", "evaluation", "udfs")
-_EMB_SENSITIVE = sorted(
+_SPECIALS_FAMILIES = ("similarity", "clustering", "evaluation", "udfs")
+_SPECIALS_SENSITIVE = sorted(
     {
         n for n, q in REGISTRY.items()
-        if q.fn.__module__.rsplit(".", 1)[-1] in _EMB_FAMILIES
+        if q.fn.__module__.rsplit(".", 1)[-1] in _SPECIALS_FAMILIES
         and q.oracle is not None
     }
     | {"hybrid_search_rrf"}
@@ -1125,17 +1125,24 @@ def specials_sf(tmp_path_factory):
     )
 
 
-@pytest.mark.parametrize("name", _EMB_SENSITIVE)
+@pytest.mark.parametrize("name", _SPECIALS_SENSITIVE)
 def test_oracle_parity_on_ieee_specials(spark, specials_sf, name):
     q = REGISTRY[name]
     assert_matches_oracle(q.fn(spark, specials_sf), q.oracle, specials_sf)
 
 
-#: Combined-extremes leg (r13): the r12 combined shape PLUS the three
+#: Combined-extremes leg (r13): the r12 combined shape PLUS the four
 #: r13 axes — 4-way shuffled multi-file layout, 10% orphan FKs, IEEE
-#: specials in the embeddings — because interactions are where
-#: single-axis fixes leak (the r12 combo's first run found two such
-#: leaks on top of nine green single-axis legs).
+#: specials in the embeddings, 10% duplicate entity ids — because
+#: interactions are where single-axis fixes leak.  Its first probe
+#: found three: the cuped midpoint ran over the all-events domain in
+#: the oracle but the identified-user domain in Spark (anonymous
+#: traffic at the time extremes shifted every pre/post split), a label
+#: whose surviving components all 6dp-quantize to zero produced a
+#: zero-norm centroid whose cosine Spark ANSI-raised on and DuckDB
+#: silently inf'd, and duckdb's int64-domain DECIMAL(18,4) x seconds
+#: product overflowed at 1e9-magnitude values x multi-hour gaps where
+#: Spark's int128 product was fine.
 @pytest.fixture(scope="session")
 def combo13_sf(tmp_path_factory):
     return write_random_fixture(
@@ -1147,6 +1154,7 @@ def combo13_sf(tmp_path_factory):
         null_label_frac=0.3, null_fk_frac=0.3,
         unicode_docs=8, casefold_docs=6, wsp_docs=5,
         layout_files=4, orphan_fk_frac=0.1, emb_specials=True,
+        dup_doc_frac=0.1, dup_vec_frac=0.1,
     )
 
 
@@ -1154,3 +1162,34 @@ def combo13_sf(tmp_path_factory):
 def test_oracle_parity_on_combined_extremes_r13(spark, combo13_sf, name):
     q = REGISTRY[name]
     assert_matches_oracle(q.fn(spark, combo13_sf), q.oracle, combo13_sf)
+
+
+#: Duplicate-entity leg (r13): 15% of documents and embeddings re-emitted
+#: with the SAME doc_id/vec_id but a DRIFTED payload — the at-least-once
+#: ingest shape for the two ENTITY tables (the r11 dup_event_frac leg
+#: covered only events).  First probe (seed 193) failed 24 queries at
+#: once: every per-id analytic, pair miner, and representative pick
+#: diverged where an engine-arbitrary row won (per-row vs per-id grain in
+#: the UDTF counts, merged word multisets in the repetition stats, dup
+#: query_ids breaking the ANN certificates' per-query invariants, the
+#: curation funnel's md5 rep-pick keyed on a drifted text).  The fix is
+#: ONE contract, the engine's own silver semantics (SURVEY §4.3 dedup-
+#: by-id): per-entity analytics read the CANONICAL grain — exactly one
+#: row per id, picked by a NULL-safe total order over the payload both
+#: engines evaluate identically (sources/tables.py entity_table /
+#: SQL_DOCS_CANON / SQL_EMB_CANON; a no-op pick on unique-id data).
+#: Per-ROW analytics (quality scores, token counts per physical doc)
+#: legitimately keep the physical grain — both engines see the same
+#: duplicated rows and agree.
+@pytest.fixture(scope="session")
+def dupent_sf(tmp_path_factory):
+    return write_random_fixture(
+        tmp_path_factory.mktemp("randfix_dupent") / "sf", seed=197,
+        dup_doc_frac=0.15, dup_vec_frac=0.15,
+    )
+
+
+@pytest.mark.parametrize("name", _ORACLE_BACKED)
+def test_oracle_parity_on_duplicate_entities(spark, dupent_sf, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, dupent_sf), q.oracle, dupent_sf)

@@ -273,3 +273,118 @@ def test_finite_domain_gates_truth_table(spark):
     )
     assert cos == [0, 5]
     assert fin == [0, 1, 5, 6]
+
+
+# ---------------------------------------------------------------------------
+# 8. canonical entity grain (dup-entity leg): deterministic total-order
+# pick, identical on both engines, no-op on unique ids
+
+
+@pytest.fixture(scope="module")
+def dup_entities_sf(spark, tmp_path_factory):
+    """doc 1 and vec 1 are each delivered twice with drifted payloads;
+    doc 2's two copies differ ONLY in lang NULL-vs-'' (the tie the
+    null-flag order keys exist for)."""
+    docs = [
+        (0, "alpha beta gamma alpha beta", "en", "src1", 27),
+        (1, "delta epsilon zeta", "en", "src2", 18),
+        (1, "delta epsilon zeta redelivered", "en", "src9", 30),
+        (2, "eta theta iota", None, "src3", 14),
+        (2, "eta theta iota", "", "src3", 14),
+        (3, "kappa lambda mu kappa", "de", "src4", 21),
+    ]
+    embs = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.0, 1.0, 0.0, 0.0], 1),
+        (1, [0.0, 1.0, 0.001, 0.0], 1),
+        (2, [0.0, 0.0, 1.0, 0.0], None),
+        (2, [0.0, 0.0, 1.0, 0.0], 2),
+        (3, [0.5, 0.5, 0.5, 0.5], 3),
+        (4, [0.9, 0.1, 0.0, 0.1], 0),
+        (5, [0.1, 0.9, 0.1, 0.0], 1),
+    ]
+    d = tmp_path_factory.mktemp("dupent")
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(d / "documents.parquet"))
+    spark.createDataFrame(embs, _EMB_SCHEMA).write.parquet(
+        str(d / "embeddings.parquet")
+    )
+    return str(d)
+
+
+def test_canonical_entity_pick_matches_sql_twin(spark, dup_entities_sf):
+    import duckdb
+
+    from azure_func_forem_data_etl_spark.sources.tables import (
+        SQL_DOCS_CANON,
+        SQL_EMB_CANON,
+        entity_table,
+    )
+
+    got = {
+        r["doc_id"]: (r["text"], r["lang"], r["source"])
+        for r in entity_table(spark, dup_entities_sf, "documents").collect()
+    }
+    assert len(got) == 4  # one row per id
+    # doc 1: the shorter (n_chars-minimal) payload wins
+    assert got[1][0] == "delta epsilon zeta"
+    # doc 2: the null-flag key breaks the NULL-vs-'' tie COALESCE alone
+    # would collapse — non-NULL ('') sorts first (false < true), same on
+    # both engines; the point is determinism, verified against the twin
+    assert got[2][1] == ""
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{dup_entities_sf}/documents.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            f"SELECT doc_id, text, lang, source FROM {SQL_DOCS_CANON} d"
+        ).fetchall()
+    }
+    assert got == want
+
+    gote = {
+        r["vec_id"]: (r["embedding"], r["label"])
+        for r in entity_table(spark, dup_entities_sf, "embeddings").collect()
+    }
+    assert len(gote) == 6
+    # vec 1: the component-wise smaller drifted copy wins
+    assert gote[1][0] == [0.0, 1.0, 0.0, 0.0]
+    # vec 2: identical vectors — the label null-flag breaks the tie
+    # (non-NULL first, false < true)
+    assert gote[2][1] == 2
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{dup_entities_sf}/embeddings.parquet/*.parquet')"
+    )
+    wante = {
+        r[0]: ([round(float(x), 6) for x in r[1]], r[2])
+        for r in con.execute(
+            f"SELECT vec_id, embedding, label FROM {SQL_EMB_CANON} e"
+        ).fetchall()
+    }
+    gote_r = {k: ([round(float(x), 6) for x in v[0]], v[1]) for k, v in gote.items()}
+    assert gote_r == wante
+
+
+def test_dup_entity_queries_match_oracle_on_planted_corpus(
+    spark, dup_entities_sf
+):
+    """Three representative per-id queries agree with their oracles on a
+    corpus with duplicate entity ids (pre-fix: engine-arbitrary picks)."""
+    for name in ("udtf_repeated_terms", "dedup_keep_decision"):
+        q = _load(name)
+        if q.oracle is None:
+            continue
+        try:
+            assert_matches_oracle(
+                q.fn(spark, dup_entities_sf), q.oracle, dup_entities_sf
+            )
+        except Exception as exc:  # pragma: no cover - explicit skip note
+            if "events.parquet" in str(exc) or "lineitem" in str(exc):
+                continue  # query needs tables this planted dir omits
+            raise
