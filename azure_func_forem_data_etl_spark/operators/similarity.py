@@ -93,10 +93,16 @@ def register_fit_cache(cache: dict) -> dict:
 
 def clear_fit_caches() -> None:
     """Invalidate every per-source-path fit/metadata memo (centroid
-    samples, PQ codebooks, k-means fits, corpus counts/dims).  Call
+    samples, PQ codebooks, k-means fits, corpus counts/dims) AND the
+    persisted canonical entity frames (tables._ENTITY_CACHE).  Call
     after rewriting a table at a path previously used as a cache_key."""
+    from azure_func_forem_data_etl_spark.sources.tables import (
+        clear_entity_cache,
+    )
+
     for c in _FIT_CACHES:
         c.clear()
+    clear_entity_cache()
 
 
 def _corpus_dim(emb: DataFrame, cache_key: str | None = None) -> int | None:
