@@ -15,7 +15,6 @@ from azure_func_forem_data_etl_spark.functions.exact import dround
 from azure_func_forem_data_etl_spark.functions.textfold import (
     SQL_FOLD_TEXT,
     SQL_SPLIT_FOLDED,
-    SQL_SPLIT_TEXT,
     WS_RE,
     ascii_fold,
 )
