@@ -50,6 +50,7 @@ from azure_func_forem_data_etl_spark.operators.similarity import (
 from azure_func_forem_data_etl_spark.plans.registry import register
 from azure_func_forem_data_etl_spark.sources.tables import (
     entity_table,
+    entity_table_pinned,
     scale_out,
     table,
 )
@@ -331,7 +332,7 @@ def kmeans_partition_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # canonical vector-store grain (r13 dup-entity leg; oracle mirrors)
-    emb = entity_table(spark, sf_dir, "embeddings")
+    emb = entity_table_pinned(spark, sf_dir, "embeddings")
     ck = f"{sf_dir}/embeddings#canon"
     C, _ = kmeans_fit(emb, cache_key=ck)
     topk = ivf_topk(emb, centroids=(np.arange(C.shape[0]), C))
@@ -613,7 +614,6 @@ def semdedup(
     from pyspark.sql import Window
 
     from azure_func_forem_data_etl_spark.operators.dedup import connected_components
-    from azure_func_forem_data_etl_spark.operators.similarity import cosine_expr
 
     assigned = kmeans_assignments_with_dist(emb, C).localCheckpoint()
     # Cap truncation must be OBSERVABLE (ADVICE r3) but must not cost a
@@ -644,21 +644,40 @@ def semdedup(
     vecs = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    m = capped.join(vecs, "vec_id").select("vec_id", "cluster_id", "e")
+    # r13 (guide §1.2 per-task work): each member's L2 norm is a pure
+    # per-row quantity, but cosine_expr evaluated it once PER PAIR — for a
+    # cap-512 cluster that is 511 redundant 64-element folds per member
+    # and the dominant per-pair cost.  Hoist the norm to a member column
+    # using the IDENTICAL fold expression, and keep the identical
+    # dot/(na*nb) combination, so every cosine is bit-for-bit the same
+    # double as before; only the redundant recomputation is gone.
+    _l2 = (
+        "sqrt(aggregate(zip_with({0}, {0}, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    m = capped.join(vecs, "vec_id").select(
+        "vec_id", "cluster_id", "e", F.expr(_l2.format("e")).alias("nrm")
+    )
     a = m.select(
         F.col("cluster_id"),
         F.col("vec_id").alias("vec_a"),
         F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
     )
     b = m.select(
         F.col("cluster_id"),
         F.col("vec_id").alias("vec_b"),
         F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
     edges = (
         a.join(b, "cluster_id")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim", cosine_expr("ea", "eb"))
+        .withColumn("cos_sim", dot / (F.col("na") * F.col("nb")))
         .filter(F.col("cos_sim") >= tau)
         .select("vec_a", "vec_b")
     )

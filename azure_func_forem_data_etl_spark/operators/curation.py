@@ -49,18 +49,10 @@ def _split_expr(id_col: str) -> F.Column:
     )
 
 
-def doc_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, quality_score, status, split): the SQL-expressible pipeline
-    prefix.  status ∈ {low_quality, exact_dup, kept}; split only for kept.
-    Exact dedup runs among quality survivors (keep min doc_id per md5).
-
-    The quality score is computed INLINE on the scan (same formula as
-    ``text_quality_score``) rather than joining that query's output back
-    on doc_id: both sides of that join were the same documents scan, so
-    inlining deletes a full-corpus self-join + shuffle from the plan.
-    Empty docs get NULL qs/n_words via the CASE guard — identical to the
-    left join against the size>0-filtered quality output."""
-    # canonical doc grain (r13 dup-entity leg; oracle chain mirrors)
+def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned (doc_id, text, qs, n_words) at the canonical grain — the
+    shared input of the curation prefix; see doc_status for the pin
+    rationale."""
     docs = entity_table(spark, sf_dir, "documents")
     words = F.split("text", " ")
     nw = F.size(words)
@@ -69,12 +61,42 @@ def doc_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.3 * F.least(nw / 100.0, F.lit(1.0))
         + 0.2 * (F.size(F.array_distinct(words)) / nw)
     )
-    d = docs.select(
+    return docs.select(
         "doc_id",
         "text",
         F.when(nw > 0, F.round(qs_raw, 6)).alias("qs"),
         F.when(nw > 0, nw).alias("n_words"),
-    )
+    ).localCheckpoint(eager=True)
+
+
+def doc_status(
+    spark: SparkSession, sf_dir: str, d: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, quality_score, status, split): the SQL-expressible pipeline
+    prefix.  status ∈ {low_quality, exact_dup, kept}; split only for kept.
+    Exact dedup runs among quality survivors (keep min doc_id per md5).
+    ``d`` lets a caller that already pinned the scored frame
+    (curation_pipeline_summary) share it instead of pinning twice.
+
+    The quality score is computed INLINE on the scan (same formula as
+    ``text_quality_score``) rather than joining that query's output back
+    on doc_id: both sides of that join were the same documents scan, so
+    inlining deletes a full-corpus self-join + shuffle from the plan.
+    Empty docs get NULL qs/n_words via the CASE guard — identical to the
+    left join against the size>0-filtered quality output.
+
+    r13 optimization: the scored frame is pinned with an eager
+    ``localCheckpoint`` — it feeds THREE plan branches (the rep-group
+    aggregation, the rep join's probe side, and the final status join),
+    and without the pin each branch re-derived the canonical
+    scan+exchange+min_by chain AND re-evaluated the split/array quality
+    expression in its filters (the doc_id join's IsNotNull pushdown made
+    the branches non-identical, so ReuseExchange couldn't dedup them:
+    3 scans + 3 canonical exchanges + 3 SortAggregates observed in the
+    before-plan).  One derivation, computed per invocation."""
+    if d is None:
+        # canonical doc grain (r13 dup-entity leg; oracle chain mirrors)
+        d = _scored_docs(spark, sf_dir)
     # Compute the content fingerprint ONCE and carry it as a column: the
     # rep-join then keys on a column reference instead of re-hashing the
     # full text on both join sides (one md5 pass over the corpus, not two).
@@ -266,13 +288,20 @@ def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_pairs,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    # r13: the pinned scored frame is shared with doc_status AND supplies
+    # the kept docs' text — previously the near-dup stage re-scanned the
+    # RAW documents table for text, which both cost a second scan+join
+    # and (on duplicate-id inputs) shingled an engine-arbitrary physical
+    # row where the oracle shingles the canonical one.  Reading the
+    # pinned canonical text is faster and exactly the oracle's keptdocs
+    # (docstat JOIN documents_canon).
+    d = _scored_docs(spark, sf_dir)
     # doc_status is consumed twice (kept-set below, final bucket join) and
-    # recomputes the full quality scan + dedup join each time — materialize
-    # it once; it is one short row per doc.
-    status = doc_status(spark, sf_dir).localCheckpoint(eager=True)
+    # recomputes the dedup join each time — materialize it once; it is one
+    # short row per doc.
+    status = doc_status(spark, sf_dir, d=d).localCheckpoint(eager=True)
     kept = status.filter(F.col("status") == "kept").select("doc_id", "split", "n_words")
-    kept_docs = kept.join(docs.select("doc_id", "text"), "doc_id")
+    kept_docs = kept.join(d.select("doc_id", "text"), "doc_id")
     pairs = minhash_lsh_pairs(kept_docs)
     comp = connected_components(pairs, "doc_a", "doc_b")
     neardup_losers = comp.filter(F.col("id") != F.col("comp")).select(

@@ -32,6 +32,7 @@ from azure_func_forem_data_etl_spark.operators.similarity import (
 from azure_func_forem_data_etl_spark.sources.tables import (
     SQL_EMB_CANON,
     entity_table,
+    entity_table_pinned,
     table,
 )
 
@@ -209,7 +210,7 @@ def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-query scan.
     """
     # canonical vector-store grain (r13 dup-entity leg; oracle mirrors)
-    emb = entity_table(spark, sf_dir, "embeddings")
+    emb = entity_table_pinned(spark, sf_dir, "embeddings")
     topk = knn_bruteforce_topk(emb)
     labels = emb.select("vec_id", "label")
     g = (
@@ -614,7 +615,7 @@ def eval_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the AP is order-independent.
     """
     # canonical vector-store grain (r13 dup-entity leg; oracle mirrors)
-    emb = entity_table(spark, sf_dir, "embeddings")
+    emb = entity_table_pinned(spark, sf_dir, "embeddings")
     topk = knn_bruteforce_topk(emb)
     labels = emb.select("vec_id", "label")
     g = (

@@ -149,10 +149,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("e1.v").alias("u"), F.col("e2.v").alias("v"))
     closing = oriented.select("u", "v")
     tri = wedges.join(closing, ["u", "v"], "left_semi")
-    n_edges = edges.count()
-    return tri.agg(
-        F.count("*").alias("n_triangles"),
-        F.lit(n_edges).cast("long").alias("n_edges"),
+    # one-row aggregate cross-joined in (the repo's standard scalar-attach
+    # pattern) instead of a separate edges.count() driver action: one job
+    # fewer per run, same result (r13, guide §1.2 — fewer sequential
+    # actions; the count reads the already-checkpointed edge blocks)
+    ecnt = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
+        F.broadcast(ecnt)
     )
 
 

@@ -36,6 +36,7 @@ from azure_func_forem_data_etl_spark.plans.registry import register
 from azure_func_forem_data_etl_spark.sources.tables import (
     SQL_EMB_CANON,
     entity_table,
+    entity_table_pinned,
     scale_out,
     table,
 )
@@ -93,16 +94,10 @@ def register_fit_cache(cache: dict) -> dict:
 
 def clear_fit_caches() -> None:
     """Invalidate every per-source-path fit/metadata memo (centroid
-    samples, PQ codebooks, k-means fits, corpus counts/dims) AND the
-    persisted canonical entity frames (tables._ENTITY_CACHE).  Call
+    samples, PQ codebooks, k-means fits, corpus counts/dims).  Call
     after rewriting a table at a path previously used as a cache_key."""
-    from azure_func_forem_data_etl_spark.sources.tables import (
-        clear_entity_cache,
-    )
-
     for c in _FIT_CACHES:
         c.clear()
-    clear_entity_cache()
 
 
 def _corpus_dim(emb: DataFrame, cache_key: str | None = None) -> int | None:
@@ -521,7 +516,7 @@ def _partial_topk_mapper(bq, k: int):
 )
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # canonical vector-store grain (r13 dup-entity leg; oracle mirrors)
-    return knn_bruteforce_topk(entity_table(spark, sf_dir, "embeddings"))
+    return knn_bruteforce_topk(entity_table_pinned(spark, sf_dir, "embeddings"))
 
 
 def knn_bruteforce_topk(
@@ -686,7 +681,7 @@ def lsh_topk(
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # canonical vector-store grain (r13 dup-entity leg; oracle mirrors);
     # "#canon" memo key: raw-grain readers share the same source path
-    emb = entity_table(spark, sf_dir, "embeddings")
+    emb = entity_table_pinned(spark, sf_dir, "embeddings")
     ck = f"{sf_dir}/embeddings#canon"
     # probing variant: bounded-count + liveness full_k (r12 ADVICE #1)
     return ann_topk_certificate(
@@ -946,7 +941,7 @@ def _ivf_probe_rescore(
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # canonical vector-store grain (r13 dup-entity leg; oracle mirrors);
     # "#canon" memo key: raw-grain readers share the same source path
-    emb = entity_table(spark, sf_dir, "embeddings")
+    emb = entity_table_pinned(spark, sf_dir, "embeddings")
     ck = f"{sf_dir}/embeddings#canon"
     # probing variant: bounded-count + liveness full_k (r12 ADVICE #1)
     return ann_topk_certificate(
@@ -1296,7 +1291,7 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the vote operates on the (queries x k)-sized neighbor
     list — never the corpus — and label attachment broadcasts that small
     side into the labels join; two tiny aggregations after."""
-    emb = entity_table(spark, sf_dir, "embeddings")
+    emb = entity_table_pinned(spark, sf_dir, "embeddings")
     # labeled rows only — see the oracle note (r12 NULL-heavy sweep)
     lab = emb.select("vec_id", F.col("label").cast("int").alias("label")).filter(
         F.col("label").isNotNull()
@@ -1590,7 +1585,7 @@ def pq_topk(
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # canonical vector-store grain (r13 dup-entity leg; oracle mirrors);
     # "#canon" memo key: raw-grain readers share the same source path
-    emb = entity_table(spark, sf_dir, "embeddings")
+    emb = entity_table_pinned(spark, sf_dir, "embeddings")
     ck = f"{sf_dir}/embeddings#canon"
     return ann_topk_certificate(
         emb, pq_topk(emb, cache_key=ck), _corpus_count(emb, ck)
@@ -1763,7 +1758,7 @@ def ivfpq_topk(
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # canonical vector-store grain (r13 dup-entity leg; oracle mirrors);
     # "#canon" memo key: raw-grain readers share the same source path
-    emb = entity_table(spark, sf_dir, "embeddings")
+    emb = entity_table_pinned(spark, sf_dir, "embeddings")
     ck = f"{sf_dir}/embeddings#canon"
     return ann_topk_certificate(
         emb, ivfpq_topk(emb, cache_key=ck), _corpus_count(emb, ck)
@@ -1801,7 +1796,7 @@ def knn_margin_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k; the rest is a per-query pivot and a quantized-decimal mean
     over the bounded query set.
     """
-    emb = entity_table(spark, sf_dir, "embeddings")
+    emb = entity_table_pinned(spark, sf_dir, "embeddings")
     topk = knn_bruteforce_topk(emb)
     m = topk.groupBy("query_id").agg(
         F.max(F.when(F.col("rnk") == 1, F.col("cos_sim"))).alias("s1"),
@@ -1845,7 +1840,7 @@ def knn_hubness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # canonical vector-store grain (r13 dup-entity leg; the composed
     # knn oracle is canonical)
-    emb = entity_table(spark, sf_dir, "embeddings")
+    emb = entity_table_pinned(spark, sf_dir, "embeddings")
     topk = knn_bruteforce_topk(emb)
     occ = topk.groupBy("neighbor_id").agg(F.count("*").alias("k_occ"))
     return occ.groupBy(F.col("k_occ").alias("occurrence_count")).agg(
@@ -1984,7 +1979,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     no driver fold, no cap beyond kNN's own query bound.
     """
     # canonical vector-store grain (r13 dup-entity leg; oracle mirrors)
-    emb = entity_table(spark, sf_dir, "embeddings")
+    emb = entity_table_pinned(spark, sf_dir, "embeddings")
     pool = (
         knn_bruteforce_topk(emb, k=MMR_CAND_N)
         .select(

@@ -180,10 +180,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df derives from tf — one row per (doc, term) means COUNT(*) per term
+    # IS the distinct-doc count: the corpus explodes once and the
+    # countDistinct Expand disappears (r13, guide §2.3/2.4)
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(df, "term")  # df side is |vocab|-sized; Catalyst broadcasts it
+        tf.join(F.broadcast(df), "term")  # df side is |vocab|-sized
         .crossJoin(F.broadcast(n))
         .withColumn(
             "score",
@@ -530,23 +533,32 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference) and summed as DECIMAL so the aggregation is
     associative-exact (same trick as functions/exact.py) — results don't
     depend on partition order or engine; consumers derive the mean as
-    sum_log10_prob / n_words."""
+    sum_log10_prob / n_words.
+
+    r13 optimization (guide §2.3): the corpus-total count derives from
+    the vocabulary-sized frequency table instead of a second full token
+    pass, and log10/round/decimal-cast run once per word TYPE (the
+    scoring join attaches a precomputed logp) instead of once per token.
+    The token stream still explodes twice (frequency pass + scoring
+    pass) — a first-draft single-explode variant that aggregated
+    (doc, word) frequencies replaced those map-only passes with a
+    corpus-sized shuffle and measured ×1.07-1.19 SLOWER at matched
+    conditions, so explode-twice is the deliberate shape."""
     docs = table(spark, sf_dir, "documents")
     w = docs.select(
         "doc_id", F.explode(F.split(ascii_fold("text"), WS_RE)).alias("word")
     )
     freq = w.groupBy("word").agg(F.count("*").alias("cnt"))
-    tot = w.agg(F.count("*").alias("t"))
-    scored = (
-        w.join(F.broadcast(freq), "word")
-        .join(F.broadcast(tot))
-        .withColumn(
-            "logp",
-            F.round(
-                F.log10(F.col("cnt") / F.col("t").cast("double")), 4
-            ).cast("decimal(18,4)"),
+    tot = freq.agg(F.sum("cnt").alias("t"))
+    score = freq.join(F.broadcast(tot)).select(
+        "word",
+        F.round(
+            F.log10(F.col("cnt").cast("double") / F.col("t").cast("double")), 4
         )
+        .cast("decimal(18,4)")
+        .alias("logp"),
     )
+    scored = w.join(F.broadcast(score), "word")
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_words"),
         F.sum("logp").cast("double").alias("sum_log10_prob"),
@@ -1005,25 +1017,34 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bgs"),
         )
     )
+    # r13 optimization (guide §2.3): the prefix-count table derives from
+    # the bigram-count table (c1 = Σ_w2 c12 — every w1-occurrence in the
+    # stream is the prefix of exactly one bigram), deleting the third
+    # full explode + stream-wide w1 aggregation, and log10 runs once per
+    # bigram TYPE (precomputed logp attached by the scoring join) instead
+    # of once per stream row.  The stream still explodes twice — the
+    # single-explode (doc, bgs) aggregation variant traded those map-only
+    # passes for a corpus-sized shuffle and measured ×1.19 slower.
     cb = bg.groupBy("bgs").agg(F.count("*").alias("c12"))
     cw = (
-        bg.select(F.substring_index("bgs", " ", 1).alias("w1"))
-        .groupBy("w1")
-        .agg(F.count("*").alias("c1"))
+        cb.groupBy(F.substring_index("bgs", " ", 1).alias("w1"))
+        .agg(F.sum("c12").alias("c1"))
     )
-    scored = (
-        bg.join(F.broadcast(cb), "bgs")
-        .join(
+    score = (
+        cb.join(
             F.broadcast(cw),
             F.substring_index(F.col("bgs"), " ", 1) == F.col("w1"),
         )
-        .withColumn(
-            "logp",
+        .select(
+            "bgs",
             F.round(
                 F.log10(F.col("c12") / F.col("c1").cast("double")), 4
-            ).cast("decimal(18,4)"),
+            )
+            .cast("decimal(18,4)")
+            .alias("logp"),
         )
     )
+    scored = bg.join(F.broadcast(score), "bgs")
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.sum("logp").cast("double").alias("sum_log10_prob"),

@@ -78,10 +78,18 @@ def scale_out(df: DataFrame, *by: str) -> DataFrame:
     # A frame that already went through a shuffle (aggregate / explicit
     # repartition — e.g. the canonical entity_table grain, r13) is at the
     # session's shuffle width; repartitioning it again would be a pure
-    # extra exchange (measured ~+30% on minhash_lsh at sf0.1).  The
-    # analyzed-plan check is a string inspection, not a compile.
+    # extra exchange (measured ~+30% on minhash_lsh at sf0.1).  The same
+    # holds for a checkpointed frame (LogicalRDD — e.g. entity_table_pinned):
+    # its blocks inherited the pre-checkpoint shuffle width, and the r13
+    # interleaved A/B measured the redundant re-exchange at ×1.57 on
+    # ann_lsh_topk.  The analyzed-plan check is a string inspection, not
+    # a compile.
     plan = df._jdf.queryExecution().analyzed().toString()
-    if "Aggregate [" in plan or "RepartitionByExpression" in plan:
+    if (
+        "Aggregate [" in plan
+        or "RepartitionByExpression" in plan
+        or "LogicalRDD" in plan
+    ):
         return df
     # inputFiles() is a listing, not a plan compile (df.rdd would be); file
     # count under-estimates splits (row groups) but only near the boundary.
@@ -157,51 +165,37 @@ def canonical_embeddings(df: DataFrame) -> DataFrame:
     )
 
 
-#: Per-(session, path, mtime, size) memo of the persisted canonical
-#: frame: the ANN certificate alone references the canonical corpus
-#: three times, and nine registry queries share each fixture's
-#: embeddings — without the memo every reference re-derives the
-#: repartition+agg chain from the scan.  persist() is LAZY (plan
-#: construction still launches no jobs — the test_certificates
-#: lazy-build contract); the first action computes the canonical rows
-#: once into executor cache and every later query on the same source
-#: reuses them.  The (mtime_ns, size) key components invalidate a
-#: rewritten path (same discipline as streaming's _SCHEMA_CACHE); the
-#: session id keeps frames bound to the session that analyzed them.
-#: operators/similarity.clear_fit_caches() drains this too.
-_ENTITY_CACHE: dict[tuple, DataFrame] = {}
-
-
-def clear_entity_cache() -> None:
-    """Unpersist and forget every cached canonical entity frame."""
-    for df in _ENTITY_CACHE.values():
-        try:
-            df.unpersist()
-        except Exception:  # session already stopped — nothing to free
-            pass
-    _ENTITY_CACHE.clear()
-
-
 def entity_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Canonical-grain loader for the two entity tables (memoized +
-    persisted per source snapshot, see _ENTITY_CACHE)."""
-    import os
+    """Canonical-grain loader for the two entity tables.
 
+    Returns a fresh lazy plan per call: scan -> explicit id repartition ->
+    min_by aggregation.  Nothing is persisted across queries — each
+    invocation recomputes the silver grain from the parquet source (a
+    deployment that materializes silver pays this once at ingest; the
+    query engine itself must not memoize results between queries)."""
     if name not in ("documents", "embeddings"):
         raise ValueError(f"entity_table: {name} is not an entity table")
-    path = f"{sf_dir}/{name}.parquet"
-    st = os.stat(path)
-    key = (id(spark), path, st.st_mtime_ns, st.st_size)
-    hit = _ENTITY_CACHE.get(key)
-    if hit is not None:
-        return hit
     df = table(spark, sf_dir, name)
-    canon = (
+    return (
         canonical_documents(df) if name == "documents"
         else canonical_embeddings(df)
-    ).persist()
-    _ENTITY_CACHE[key] = canon
-    return canon
+    )
+
+
+def entity_table_pinned(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Canonical entity read, materialized ONCE for the calling query.
+
+    For plans that reference the canonical frame several times (the ANN
+    search + its certificate's two exact-cosine recompute joins, k-means
+    fit passes, kNN query-collect + corpus scan), a bare entity_table()
+    re-runs the scan+repartition+min_by chain per reference — ReuseExchange
+    dedups only the exchange, not the aggregation above it.  An eager
+    ``localCheckpoint`` computes the silver grain once per *invocation*
+    (executor-local MEMORY_AND_DISK blocks, ContextCleaner-released when
+    the plan is GC'd) — nothing survives the query, so every run still
+    computes from the parquet inputs.  Callers whose plan must stay lazy
+    at build time use entity_table() instead."""
+    return entity_table(spark, sf_dir, name).localCheckpoint(eager=True)
 
 
 #: DuckDB twins — inline subqueries that substitute for the bare view in

@@ -148,6 +148,23 @@ def stream_session(spark: SparkSession, sf_dir: str, *names: str) -> SparkSessio
     return clone
 
 
+#: Scratch root for the REGISTRY streaming queries' throwaway checkpoints.
+#: These checkpoints live exactly one AvailableNow run (fresh dir + fresh
+#: memory sink per invocation, never resumed), so their durability is
+#: irrelevant — but the HDFS-backed state store and the offset/commit logs
+#: fsync every micro-batch, which on a disk-backed /tmp charges real I/O
+#: latency to every stateful streaming query.  A tmpfs scratch (when the
+#: host has one) removes that durability tax without touching semantics;
+#: DURABLE pipelines (streaming/ingest.py, cli.py) pass their own
+#: long-lived checkpointLocation and never come through here.  Override
+#: with SPARK_GRAFT_STREAM_SCRATCH (e.g. to force disk).
+def _stream_scratch_dir() -> str | None:
+    env = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH")
+    if env:
+        return env
+    return "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+
 def run_available_now(sdf: DataFrame, output_mode: str) -> DataFrame:
     """Run a streaming plan to completion; return the memory-sink table.
 
@@ -163,7 +180,9 @@ def run_available_now(sdf: DataFrame, output_mode: str) -> DataFrame:
     """
     spark = sdf.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix="forem_etl_ckpt_")
+    ckpt = tempfile.mkdtemp(
+        prefix="forem_etl_ckpt_", dir=_stream_scratch_dir()
+    )
     query = (
         sdf.writeStream.format("memory")
         .queryName(name)

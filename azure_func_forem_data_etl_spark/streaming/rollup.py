@@ -116,7 +116,10 @@ def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
 
 from azure_func_forem_data_etl_spark.functions.exact import sql_dsum  # noqa: E402
 from azure_func_forem_data_etl_spark.plans.registry import register  # noqa: E402
-from azure_func_forem_data_etl_spark.streaming.core import stream_table  # noqa: E402
+from azure_func_forem_data_etl_spark.streaming.core import (  # noqa: E402
+    _stream_scratch_dir,
+    stream_table,
+)
 import tempfile  # noqa: E402
 
 
@@ -140,7 +143,7 @@ def streaming_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from-scratch aggregate hash-exactly IS the correctness contract of
     incremental view maintenance: count and decimal sum are decomposable,
     so merge order and batch boundaries can't change the result."""
-    base = tempfile.mkdtemp(prefix="forem_etl_rollup_q_")
+    base = tempfile.mkdtemp(prefix="forem_etl_rollup_q_", dir=_stream_scratch_dir())
     rollup_dir = f"{base}/rollup"
     ckpt = f"{base}/ckpt"
     stream = stream_table(spark, sf_dir, "events")

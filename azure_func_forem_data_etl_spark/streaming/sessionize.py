@@ -30,6 +30,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -64,27 +65,49 @@ def _sessionize_group(
     else:
         open_start = open_last = open_n = None
 
-    out: list[tuple[int, pd.Timestamp, pd.Timestamp, int]] = []
-    us = ts.astype(_US) // 1000  # ns -> µs
+    # Vectorized sessionization (r13, guide §4.2): gap boundaries via one
+    # numpy diff instead of a per-event Python loop — emission order,
+    # values, and the state transition are identical to the loop form
+    # (carried-open session closes first; the final group stays open).
+    us = (ts.astype(_US) // 1000).to_numpy()  # ns -> µs
     gap_us = GAP.value // 1000
-    for t in us:
-        if open_last is not None and t - open_last <= gap_us:
-            open_last = t
-            open_n += 1
-        else:
-            if open_last is not None:
-                out.append((user_id, open_start, open_last, open_n))
-            open_start, open_last, open_n = t, t, 1
-    if open_last is not None:
-        out.append((user_id, open_start, open_last, open_n))
+    if len(us):
+        continues = open_last is not None and us[0] - open_last <= gap_us
+        bounds = np.empty(len(us), dtype=bool)
+        bounds[0] = True  # position 0 always opens this batch's first group
+        bounds[1:] = (us[1:] - us[:-1]) > gap_us
+        idx = np.flatnonzero(bounds)
+        ends = np.append(idx[1:], len(us))
+        g_start = us[idx].astype("int64")
+        g_last = us[ends - 1].astype("int64")
+        g_n = (ends - idx).astype("int64")
+        if open_last is not None:
+            if continues:
+                # batch's first group extends the carried-over session
+                g_start[0] = open_start
+                g_n[0] += open_n
+            else:
+                # the carried-over open session closes as its own emission
+                g_start = np.concatenate([[open_start], g_start])
+                g_last = np.concatenate([[open_last], g_last])
+                g_n = np.concatenate([[open_n], g_n])
+        state.update((int(g_start[-1]), int(g_last[-1]), int(g_n[-1])))
+    elif open_last is not None:
+        # no new events this batch: re-emit (and re-pin) the open session,
+        # exactly as the loop form did
+        g_start = np.array([open_start], dtype="int64")
+        g_last = np.array([open_last], dtype="int64")
+        g_n = np.array([open_n], dtype="int64")
         state.update((int(open_start), int(open_last), int(open_n)))
+    else:
+        g_start = g_last = g_n = np.array([], dtype="int64")
 
     yield pd.DataFrame(
         {
-            "user_id": pd.Series([r[0] for r in out], dtype="int64"),
-            "session_start": pd.to_datetime([r[1] for r in out], unit="us"),
-            "session_end": pd.to_datetime([r[2] + GAP.value // 1000 for r in out], unit="us"),
-            "n_events": pd.Series([r[3] for r in out], dtype="int64"),
+            "user_id": pd.Series(np.full(len(g_n), user_id), dtype="int64"),
+            "session_start": pd.to_datetime(g_start, unit="us"),
+            "session_end": pd.to_datetime(g_last + gap_us, unit="us"),
+            "n_events": pd.Series(g_n, dtype="int64"),
         }
     )
 

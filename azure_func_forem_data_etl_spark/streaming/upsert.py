@@ -22,7 +22,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from azure_func_forem_data_etl_spark.plans.registry import register
-from azure_func_forem_data_etl_spark.streaming.core import stream_table
+from azure_func_forem_data_etl_spark.streaming.core import (
+    _stream_scratch_dir,
+    stream_table,
+)
 
 
 def latest_per_key(
@@ -92,7 +95,7 @@ def run_upsert_stream(
 )
 def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = stream_table(spark, sf_dir, "events")
-    root = tempfile.mkdtemp(prefix="forem_etl_upsert_")
+    root = tempfile.mkdtemp(prefix="forem_etl_upsert_", dir=_stream_scratch_dir())
     state = run_upsert_stream(spark, events, root)
     if not os.path.isdir(state):
         # zero micro-batches ran (empty source): no state table was ever
