@@ -583,7 +583,26 @@ def decontamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFra
 
     Driver cost is bounded: the bitmap is built from the DISTINCT bit
     positions (≤ BLOOM_M_BITS rows collected, ~512k worst case), and a
-    loud guard refuses benchmark sides past BLOOM_MAX_BENCH_GRAMS."""
+    loud guard refuses benchmark sides past BLOOM_MAX_BENCH_GRAMS.
+
+    r13 (guide §1.2 per-task work): probe positions use Kirsch-
+    Mitzenmacher double hashing — pos_i = (h1 + i·h2) mod m from TWO
+    xxhash64 draws — instead of K independent seeded hashes, so the
+    per-gram train-side cost drops from {BLOOM_K} hashes to 2 with the
+    same false-positive guarantees (Kirsch & Mitzenmacher, ESA'06).
+    Build and probe share the derivation, so membership stays exact for
+    true entries and the output (post exact-confirm) is unchanged.
+    ``bloom_fpr_audit`` keeps the independent-seed ``_bloom_positions``
+    scheme — its OUTPUT (the measured FPR) depends on the scheme, and
+    declared query results must not move."""
+
+    def _probe_positions(gram: F.Column) -> list[F.Column]:
+        m = F.lit(BLOOM_M_BITS)
+        h1 = F.pmod(F.xxhash64(gram), m)
+        h2 = F.pmod(F.xxhash64(gram, F.lit(1)), m)
+        # pmod'd terms keep (h1 + i*h2) far below 2^63 — no ANSI overflow
+        return [F.pmod(h1 + F.lit(i) * h2, m) for i in range(BLOOM_K)]
+
     grams = _decontam_grams(spark, sf_dir)
     # The benchmark side feeds THREE consumers (guard count, position
     # collect, exact-confirm join) — materialize it once instead of
@@ -608,7 +627,7 @@ def decontamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFra
     # row conversion at that size costs seconds, Arrow costs milliseconds.
     positions = (
         bench.select(
-            F.explode(F.array(*_bloom_positions(F.col("gram")))).alias("pos")
+            F.explode(F.array(*_probe_positions(F.col("gram")))).alias("pos")
         )
         .distinct()
         .toPandas()["pos"]
@@ -636,7 +655,7 @@ def decontamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFra
         word = F.element_at(bitmap, F.shiftright(pos, 6).cast("int") + F.lit(1))
         return F.getbit(word, pos.bitwiseAND(F.lit(63))) == F.lit(1)
 
-    probe = _bloom_positions(F.col("gram"))
+    probe = _probe_positions(F.col("gram"))
     might_contain = probe[0].isNotNull()  # neutral start for the AND chain
     for p in probe:
         might_contain = might_contain & _bit_set(p)

@@ -451,10 +451,14 @@ SIMHASH_MAX_HAMMING = 3
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): sign-aggregated 32-bit fingerprint over word
     hashes.  Bit i of xxhash64(word) votes +1/-1; majority sets the bit."""
+    # hash hoisted to a projected column so the 32 vote aggregates share
+    # ONE xxhash64 evaluation per word by construction (r13; previously
+    # each aggregate's input expression re-derived it and codegen
+    # subexpression elimination was doing the de-dup implicitly)
     words = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
-    )
-    h = F.xxhash64("word")
+    ).select("doc_id", F.xxhash64("word").alias("h"))
+    h = F.col("h")
     votes = [
         F.sum(F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)).alias(f"v_{i}")
         for i in range(SIMHASH_BITS)

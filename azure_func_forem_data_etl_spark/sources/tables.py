@@ -79,16 +79,22 @@ def scale_out(df: DataFrame, *by: str) -> DataFrame:
     # repartition — e.g. the canonical entity_table grain, r13) is at the
     # session's shuffle width; repartitioning it again would be a pure
     # extra exchange (measured ~+30% on minhash_lsh at sf0.1).  The same
-    # holds for a checkpointed frame (LogicalRDD — e.g. entity_table_pinned):
-    # its blocks inherited the pre-checkpoint shuffle width, and the r13
-    # interleaved A/B measured the redundant re-exchange at ×1.57 on
-    # ann_lsh_topk.  The analyzed-plan check is a string inspection, not
-    # a compile.
+    # holds for NARROW derivations of a checkpointed frame (LogicalRDD —
+    # e.g. entity_table_pinned): the blocks inherited the pre-checkpoint
+    # shuffle width, and the r13 interleaved A/B measured the redundant
+    # re-exchange at ×1.57 on ann_lsh_topk.  A JOIN above a checkpoint is
+    # excluded from that fast path: its output partitioning comes from a
+    # fresh ENSURE_REQUIREMENTS exchange that AQE will coalesce to the
+    # data's byte size — tiny-but-expensive-per-row frames (kept docs
+    # entering the shingle pass) then serialize onto one or two tasks,
+    # which is exactly what scale_out exists to prevent (measured ×6.5 on
+    # curation_pipeline_summary when the bypass matched joins).  The
+    # analyzed-plan check is a string inspection, not a compile.
     plan = df._jdf.queryExecution().analyzed().toString()
     if (
         "Aggregate [" in plan
         or "RepartitionByExpression" in plan
-        or "LogicalRDD" in plan
+        or ("LogicalRDD" in plan and "Join" not in plan)
     ):
         return df
     # inputFiles() is a listing, not a plan compile (df.rdd would be); file
