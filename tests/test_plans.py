@@ -169,6 +169,9 @@ def test_plan_lint_every_registry_query(spark):
         "hll_sketch_union",  # 1-row exact-overall broadcast onto the 1-row union agg
         "benford_digit_profile",  # 1-row digit-total broadcast over 9 rows
         "collocation_pmi",  # 1-row bigram-total broadcast — O(n)·1
+        # r13: n_edges attached as a 1-row broadcast onto the 1-row
+        # triangle aggregate (replaced a separate edges.count() action)
+        "graph_triangle_count",
         "chisq_independence_cells",  # 1-row grand-total broadcast onto cells
         "hybrid_search_rrf",  # 1-row query-embedding broadcast — O(n)·1
         # |query terms| (3-row) + 1-row collection-stats broadcasts — O(n)·1
