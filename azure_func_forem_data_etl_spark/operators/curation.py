@@ -581,31 +581,34 @@ def decontamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFra
     positives.  No false negatives by construction, so the output equals
     the exact operator's and shares its DuckDB oracle.
 
-    Driver cost is bounded: the bitmap is built from the DISTINCT bit
-    positions (≤ BLOOM_M_BITS rows collected, ~512k worst case), and a
-    loud guard refuses benchmark sides past BLOOM_MAX_BENCH_GRAMS.
+    Driver cost is bounded: the position transfer is K ints per distinct
+    benchmark gram (numpy dedups driver-side), and a loud guard refuses
+    benchmark sides past BLOOM_MAX_BENCH_GRAMS.
 
-    r13 (guide §1.2 per-task work): probe positions use Kirsch-
-    Mitzenmacher double hashing — pos_i = (h1 + i·h2) mod m from TWO
-    xxhash64 draws — instead of K independent seeded hashes, so the
-    per-gram train-side cost drops from {BLOOM_K} hashes to 2 with the
-    same false-positive guarantees (Kirsch & Mitzenmacher, ESA'06).
-    Build and probe share the derivation, so membership stays exact for
-    true entries and the output (post exact-confirm) is unchanged.
-    ``bloom_fpr_audit`` keeps the independent-seed ``_bloom_positions``
-    scheme — its OUTPUT (the measured FPR) depends on the scheme, and
-    declared query results must not move."""
+    r14 (guide §1.1 measure first): the r13 Kirsch-Mitzenmacher
+    double-hash probes were REVERTED to the {BLOOM_K} independent seeded
+    hashes after a matched A/B — KM's shared h1/h2 draws sit inside the
+    probe AND-chain's conditional branches, where Spark's subexpression
+    elimination does not apply (conditionally-evaluated expressions are
+    excluded from CSE), so each conjunct re-derived both hashes and the
+    "2 hashes instead of {BLOOM_K}" claim executed as ~2×{BLOOM_K}.
+    Measured at sf0.1: independent-seed ×0.76-0.88 vs KM on the same
+    shapes, realized FPR identical (survivors 2814 vs 2797 of 185k train
+    grams).  Build and probe share ``_bloom_positions``, so membership
+    stays exact for true entries and the output (post exact-confirm) is
+    unchanged — and the scheme is again the one ``bloom_fpr_audit``
+    audits.
 
-    def _probe_positions(gram: F.Column) -> list[F.Column]:
-        m = F.lit(BLOOM_M_BITS)
-        h1 = F.pmod(F.xxhash64(gram), m)
-        h2 = F.pmod(F.xxhash64(gram, F.lit(1)), m)
-        # pmod'd terms keep (h1 + i*h2) far below 2^63 — no ANSI overflow
-        return [F.pmod(h1 + F.lit(i) * h2, m) for i in range(BLOOM_K)]
-
+    r14 driver-action fold (guide §1.2 — fewer sequential jobs): the
+    guard count and the distinct-positions shuffle+collect merged into
+    ONE light Arrow transfer — every distinct gram emits exactly
+    {BLOOM_K} array slots, so ``n_bench == len(positions) / {BLOOM_K}``
+    and numpy dedups driver-side (≤ {BLOOM_K}·bench-grams ints, ~10 MB at
+    the guard bound).  4 driver actions → 3 (bench pin, position
+    transfer, main pass)."""
     grams = _decontam_grams(spark, sf_dir)
-    # The benchmark side feeds THREE consumers (guard count, position
-    # collect, exact-confirm join) — materialize it once instead of
+    # The benchmark side feeds BOTH remaining consumers (position
+    # transfer, exact-confirm join) — materialize it once instead of
     # re-deriving grams from the corpus scan each time.  It is small by
     # definition (the guard below enforces that).
     bench = (
@@ -615,25 +618,28 @@ def decontamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFra
         .localCheckpoint()
     )
 
-    n_bench = bench.count()
+    # Arrow transfer (toPandas), not row-by-row collect(): py4j row
+    # conversion at this size costs seconds, Arrow costs milliseconds.
+    # No .distinct() before the transfer: the dedup shuffle costs more
+    # than moving K ints per gram, and the same rows carry the guard
+    # count for free.
+    pos_raw = (
+        bench.select(
+            F.explode(F.array(*_bloom_positions(F.col("gram")))).alias("pos")
+        )
+        .toPandas()["pos"]
+        .to_numpy()
+    )
+    n_bench = len(pos_raw) // BLOOM_K
     if n_bench > BLOOM_MAX_BENCH_GRAMS:
         raise ValueError(
             f"decontamination_bloom_prefilter: benchmark side has {n_bench} "
             f"grams, above BLOOM_MAX_BENCH_GRAMS={BLOOM_MAX_BENCH_GRAMS}; "
             "grow BLOOM_M_BITS before trusting the false-positive rate."
         )
-    # Arrow transfer (toPandas), not row-by-row collect(): the distinct
-    # position set is ≤ min(K * bench grams, BLOOM_M_BITS) rows — py4j
-    # row conversion at that size costs seconds, Arrow costs milliseconds.
-    positions = (
-        bench.select(
-            F.explode(F.array(*_probe_positions(F.col("gram")))).alias("pos")
-        )
-        .distinct()
-        .toPandas()["pos"]
-        .to_numpy()
-    )
     import numpy as np
+
+    positions = np.unique(pos_raw)
 
     words_u = np.zeros(BLOOM_M_BITS // 64, dtype=np.uint64)
     np.bitwise_or.at(
@@ -644,21 +650,26 @@ def decontamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFra
     # The bitmap literal is authored as SQL text and parsed JVM-side:
     # F.lit(list) marshals 8k elements one py4j call each (~4 s); an
     # array(...) SQL expression crosses the bridge as ONE string and
-    # ConstantFolding collapses it to a single array Literal, so probes
-    # execute exactly as fast as a native literal.
+    # ConstantFolding collapses it to a single array Literal.
+    #
+    # r14 (guide §1.1): the probe is ONE ``forall`` over the K positions
+    # with a SINGLE bitmap reference, not an AND chain of K getbit
+    # conjuncts each embedding its own copy of the literal — the 8192-
+    # element array appeared 5× in the expression tree and every fresh
+    # invocation paid >1 s of analyze/optimize walking ~40k literal
+    # nodes (measured: plan build 2.36 s → 0.30 s, full fresh run
+    # 2.60 s → 1.31 s, identical 263 output rows).  The transform lambda
+    # reproduces ``_bloom_positions`` exactly: ``xxhash64(gram, i)`` with
+    # an int32 ``i`` (sequence() elements match ``F.lit(i)``'s type), so
+    # build and probe still share the derivation bit-for-bit.
     words = words_u.view(np.int64)  # two's-complement reinterpretation
-    bitmap = F.expr(
-        "array(" + ",".join(f"{w}L" for w in words) + ")"
+    arr_sql = "array(" + ",".join(f"{w}L" for w in words) + ")"
+    might_contain = F.expr(
+        f"forall(transform(sequence(0, {BLOOM_K - 1}), "
+        f"i -> pmod(xxhash64(gram, i), {BLOOM_M_BITS})), "
+        f"p -> getbit(element_at({arr_sql}, cast(shiftright(p, 6) as int) + 1), "
+        f"cast(p % 64 as int)) = 1)"
     )
-
-    def _bit_set(pos: F.Column) -> F.Column:
-        word = F.element_at(bitmap, F.shiftright(pos, 6).cast("int") + F.lit(1))
-        return F.getbit(word, pos.bitwiseAND(F.lit(63))) == F.lit(1)
-
-    probe = _probe_positions(F.col("gram"))
-    might_contain = probe[0].isNotNull()  # neutral start for the AND chain
-    for p in probe:
-        might_contain = might_contain & _bit_set(p)
 
     return (
         grams.filter(F.col("split") == "train")

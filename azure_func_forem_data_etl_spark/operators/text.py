@@ -21,6 +21,7 @@ from azure_func_forem_data_etl_spark.functions.textfold import (
 from azure_func_forem_data_etl_spark.plans.registry import register
 from azure_func_forem_data_etl_spark.sources.tables import (
     SQL_DOCS_CANON,
+    broadcast_derived,
     entity_table,
     table,
 )
@@ -186,7 +187,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "term")  # df side is |vocab|-sized
+        # df side is |vocab|-sized: hint gated on source size (r14 #7)
+        tf.join(broadcast_derived(df, sf_dir, "documents"), "term")
         .crossJoin(F.broadcast(n))
         .withColumn(
             "score",
@@ -558,7 +560,8 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,4)")
         .alias("logp"),
     )
-    scored = w.join(F.broadcast(score), "word")
+    # |vocab|-sized score table: hint gated on source size (r14 #7)
+    scored = w.join(broadcast_derived(score, sf_dir, "documents"), "word")
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_words"),
         F.sum("logp").cast("double").alias("sum_log10_prob"),
@@ -651,7 +654,7 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(18,4)"
     )
     scored = (
-        tf.join(F.broadcast(df), "word")
+        tf.join(broadcast_derived(df, sf_dir, "documents"), "word")
         .join(dl, "doc_id")
         .join(F.broadcast(stats))
         .select("doc_id", term_score.alias("term_score"))
@@ -1032,7 +1035,7 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     score = (
         cb.join(
-            F.broadcast(cw),
+            broadcast_derived(cw, sf_dir, "documents"),
             F.substring_index(F.col("bgs"), " ", 1) == F.col("w1"),
         )
         .select(
@@ -1044,7 +1047,8 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("logp"),
         )
     )
-    scored = bg.join(F.broadcast(score), "bgs")
+    # |bigram-type|-sized score table: hint gated on source size (r14 #7)
+    scored = bg.join(broadcast_derived(score, sf_dir, "documents"), "bgs")
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.sum("logp").cast("double").alias("sum_log10_prob"),
@@ -1215,8 +1219,8 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     rights = pairs.groupBy("w2").agg(F.sum("c12").alias("c2"))
     return (
         pairs.filter(F.col("c12") >= PMI_MIN_PAIR_COUNT)
-        .join(F.broadcast(lefts), "w1")
-        .join(F.broadcast(rights), "w2")
+        .join(broadcast_derived(lefts, sf_dir, "documents"), "w1")
+        .join(broadcast_derived(rights, sf_dir, "documents"), "w2")
         .join(F.broadcast(tot))
         .select(
             "w1",

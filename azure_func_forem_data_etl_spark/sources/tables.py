@@ -82,26 +82,90 @@ def scale_out(df: DataFrame, *by: str) -> DataFrame:
     # holds for NARROW derivations of a checkpointed frame (LogicalRDD —
     # e.g. entity_table_pinned): the blocks inherited the pre-checkpoint
     # shuffle width, and the r13 interleaved A/B measured the redundant
-    # re-exchange at ×1.57 on ann_lsh_topk.  A JOIN above a checkpoint is
-    # excluded from that fast path: its output partitioning comes from a
-    # fresh ENSURE_REQUIREMENTS exchange that AQE will coalesce to the
-    # data's byte size — tiny-but-expensive-per-row frames (kept docs
-    # entering the shingle pass) then serialize onto one or two tasks,
-    # which is exactly what scale_out exists to prevent (measured ×6.5 on
-    # curation_pipeline_summary when the bypass matched joins).  The
-    # analyzed-plan check is a string inspection, not a compile.
-    plan = df._jdf.queryExecution().analyzed().toString()
-    if (
-        "Aggregate [" in plan
-        or "RepartitionByExpression" in plan
-        or ("LogicalRDD" in plan and "Join" not in plan)
-    ):
+    # re-exchange at ×1.57 on ann_lsh_topk.  A JOIN (or any other
+    # non-narrow node) above those sources is excluded from the fast
+    # path: join output partitioning comes from a fresh
+    # ENSURE_REQUIREMENTS exchange that AQE will coalesce to the data's
+    # byte size — tiny-but-expensive-per-row frames (kept docs entering
+    # the shingle pass) then serialize onto one or two tasks, which is
+    # exactly what scale_out exists to prevent (measured ×6.5 on
+    # curation_pipeline_summary when an earlier string-matching bypass
+    # matched joins).
+    #
+    # r14: the decision WALKS the analyzed logical plan instead of
+    # substring-matching its string rendering (a column or relation whose
+    # NAME contains "Join"/"Aggregate" must not flip the decision — r13
+    # VERDICT #5).  Narrow single-child wrappers are skipped; the first
+    # width-determining node decides.  A LogicalRDD additionally proves
+    # its width with its actual partition count (r13 ADVICE: a
+    # checkpointed JOIN result truncates to LogicalRDD and may carry an
+    # AQE-coalesced 1-2 partitions — plan shape alone cannot see that).
+    _NARROW = ("Project", "Filter", "SubqueryAlias")
+    _WIDE = (
+        "Aggregate",
+        "RepartitionByExpression",
+        "RebalancePartitions",
+        "Window",
+        "Deduplicate",
+        "Sort",
+    )
+    node = df._jdf.queryExecution().analyzed()
+    while node.nodeName() in _NARROW and node.children().length() == 1:
+        node = node.children().head()
+    name = node.nodeName()
+    if name in _WIDE:
         return df
+    if name == "LogicalRDD":
+        # partition count straight off the checkpointed RDD — no job, no
+        # conversion plan
+        if node.rdd().getNumPartitions() >= max(2, target // 2):
+            return df
     # inputFiles() is a listing, not a plan compile (df.rdd would be); file
     # count under-estimates splits (row groups) but only near the boundary.
-    if len(df.inputFiles()) >= max(2, target // 2):
+    elif len(df.inputFiles()) >= max(2, target // 2):
         return df
     return df.repartition(target, *by) if by else df.repartition(target)
+
+
+#: Source-size ceiling for FORCED broadcasts of corpus-derived frames
+#: (vocabulary tables, per-type score tables, doc-frequency tables).
+#: Derived-frame cardinality grows with the corpus (sublinearly — Heaps'
+#: law — but unboundedly), and a forced ``F.broadcast`` of an unbounded
+#: frame is a driver/executor OOM at the 100 TB design point.  Below the
+#: cap the explicit hint stays (Catalyst's size estimate for a post-
+#: aggregation frame is unreliable, so the hint is what guarantees the
+#: broadcast at test scale); above it the hint is dropped and AQE picks
+#: the strategy from the RUNTIME size of the derived frame.
+BROADCAST_HINT_SOURCE_CAP = 1 << 30  # 1 GiB of source parquet
+
+
+def _source_bytes(sf_dir: str, *names: str) -> int:
+    """Bytes of the named source tables (file or directory-of-parts)."""
+    import os
+
+    total = 0
+    for n in names:
+        path = f"{sf_dir}/{n}.parquet"
+        if os.path.isdir(path):
+            total += sum(
+                os.stat(os.path.join(path, f)).st_size
+                for f in os.listdir(path)
+            )
+        else:
+            total += os.stat(path).st_size
+    return total
+
+
+def broadcast_derived(df: DataFrame, sf_dir: str, *sources: str) -> DataFrame:
+    """``F.broadcast`` hint gated on the SOURCE size (r14, guide §3.1).
+
+    For frames DERIVED from a corpus (vocab, per-type scores): keep the
+    hint while the corpus is provably small, let AQE decide beyond
+    ``BROADCAST_HINT_SOURCE_CAP``.  Semantics are identical either way —
+    only the join strategy choice moves."""
+    if _source_bytes(sf_dir, *sources) <= BROADCAST_HINT_SOURCE_CAP:
+        return F.broadcast(df)
+    return df
 
 
 # ---------------------------------------------------------------------------

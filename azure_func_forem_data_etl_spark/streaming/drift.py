@@ -167,5 +167,7 @@ def cusum_drift_stream(events: DataFrame) -> DataFrame:
     "state is one float per monitored series.",
 )
 def streaming_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT routed through stream_session: Python-stateful — state partitions
+    # are Python worker slots (see streaming_sessionize_state, r14)
     events = stream_table(spark, sf_dir, "events")
     return run_available_now(cusum_drift_stream(events), "append")

@@ -118,6 +118,7 @@ from azure_func_forem_data_etl_spark.functions.exact import sql_dsum  # noqa: E4
 from azure_func_forem_data_etl_spark.plans.registry import register  # noqa: E402
 from azure_func_forem_data_etl_spark.streaming.core import (  # noqa: E402
     _stream_scratch_dir,
+    stream_session,
     stream_table,
 )
 import tempfile  # noqa: E402
@@ -143,6 +144,9 @@ def streaming_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from-scratch aggregate hash-exactly IS the correctness contract of
     incremental view maintenance: count and decimal sum are decomposable,
     so merge order and batch boundaries can't change the result."""
+    # input-sized shuffle width for the per-batch partial aggregates and
+    # rollup merges — see streaming_tumbling_window (r14)
+    spark = stream_session(spark, sf_dir, "events")
     base = tempfile.mkdtemp(prefix="forem_etl_rollup_q_", dir=_stream_scratch_dir())
     rollup_dir = f"{base}/rollup"
     ckpt = f"{base}/ckpt"

@@ -166,6 +166,10 @@ def finalize_sessions(emitted: DataFrame) -> DataFrame:
     doc="Custom stateful sessionization (applyInPandasWithState), 10-min gap.",
 )
 def streaming_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT routed through stream_session (r14): unlike the JVM-state window
+    # aggs, each state partition here is a PYTHON WORKER slot — the
+    # interleaved A/B measured input-sized 8-partition state ×1.13 SLOWER
+    # than core-wide state (pandas per-group work wants the parallelism).
     # identified users only — see the oracle note (r11 null-FK sweep)
     events = stream_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull()
@@ -211,27 +215,54 @@ def _sessionize_timeout_group(
     else:
         open_start = open_last = open_n = None
 
-    closed: list[tuple[int, int, int]] = []
-    us = ts.astype(_US) // 1000
-    for t in us:
-        if open_last is not None and t - open_last <= gap_us:
-            open_last = int(t)
-            open_n += 1
-        else:
-            if open_last is not None:
-                closed.append((open_start, open_last, open_n))
-            open_start, open_last, open_n = int(t), int(t), 1
-    if open_last is not None:
-        state.update((int(open_start), int(open_last), int(open_n)))
+    # Vectorized like _sessionize_group (r14, guide §4.2): gap boundaries
+    # via one numpy diff instead of a per-event Python loop.  Group split,
+    # carried-open merge/close, the final-group state update, and the
+    # timeout timestamp are identical to the loop form; only the groups
+    # BEFORE the last are emitted (closed), exactly as before.
+    us = (ts.astype(_US) // 1000).to_numpy()
+    if len(us):
+        continues = open_last is not None and us[0] - open_last <= gap_us
+        bounds = np.empty(len(us), dtype=bool)
+        bounds[0] = True  # position 0 always opens this batch's first group
+        bounds[1:] = (us[1:] - us[:-1]) > gap_us
+        idx = np.flatnonzero(bounds)
+        ends = np.append(idx[1:], len(us))
+        g_start = us[idx].astype("int64")
+        g_last = us[ends - 1].astype("int64")
+        g_n = (ends - idx).astype("int64")
+        if open_last is not None:
+            if continues:
+                # batch's first group extends the carried-over session
+                g_start[0] = open_start
+                g_n[0] += open_n
+            else:
+                # the carried-over open session closes as its own emission
+                g_start = np.concatenate([[open_start], g_start])
+                g_last = np.concatenate([[open_last], g_last])
+                g_n = np.concatenate([[open_n], g_n])
+        # the last group stays open in state; everything before it closed
+        c_start, c_last, c_n = g_start[:-1], g_last[:-1], g_n[:-1]
+        state.update((int(g_start[-1]), int(g_last[-1]), int(g_n[-1])))
         # close when the watermark passes last event + gap (both in epoch ms)
-        state.setTimeoutTimestamp(open_last // 1000 + GAP.value // 1_000_000)
+        state.setTimeoutTimestamp(int(g_last[-1]) // 1000 + GAP.value // 1_000_000)
+    else:
+        # no new events: state untouched (the loop form updated it with its
+        # own values and re-armed the same timeout — observably identical
+        # only when state exists, so mirror the loop exactly)
+        c_start = c_last = c_n = np.array([], dtype="int64")
+        if open_last is not None:
+            state.update((int(open_start), int(open_last), int(open_n)))
+            state.setTimeoutTimestamp(
+                int(open_last) // 1000 + GAP.value // 1_000_000
+            )
 
     yield pd.DataFrame(
         {
-            "user_id": pd.Series([user_id] * len(closed), dtype="int64"),
-            "session_start": pd.to_datetime([c[0] for c in closed], unit="us"),
-            "session_end": pd.to_datetime([c[1] + gap_us for c in closed], unit="us"),
-            "n_events": pd.Series([c[2] for c in closed], dtype="int64"),
+            "user_id": pd.Series(np.full(len(c_n), user_id), dtype="int64"),
+            "session_start": pd.to_datetime(c_start, unit="us"),
+            "session_end": pd.to_datetime(c_last + gap_us, unit="us"),
+            "n_events": pd.Series(c_n, dtype="int64"),
         }
     )
 

@@ -153,6 +153,8 @@ def _velocity_group_state(key, pdfs, state):
     "state semantics either way.",
 )
 def streaming_velocity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT routed through stream_session: Python-stateful — state partitions
+    # are Python worker slots (see streaming_sessionize_state, r14)
     events = stream_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id"
     )

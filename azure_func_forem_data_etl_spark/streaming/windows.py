@@ -48,6 +48,12 @@ from azure_func_forem_data_etl_spark.streaming.core import (
     doc="Tumbling 1h streaming agg (readStream + watermark, complete mode).",
 )
 def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Input-sized state partitioning (r14, guide §2.2): streaming STATE
+    # partitions are pinned at query start (no AQE coalesce), so a
+    # core-count-sized setting pays per-partition state-store maintenance
+    # on every micro-batch regardless of data volume — measured 1.23 s →
+    # 0.82 s at sf0.1 on local[32] routing through stream_session.
+    spark = stream_session(spark, sf_dir, "events")
     events = stream_table(spark, sf_dir, "events")
     agg = (
         events.withWatermark("ts", "1 hour")
@@ -82,6 +88,8 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Sliding 1h/30m streaming agg (readStream + watermark, complete mode).",
 )
 def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # input-sized state partitioning — see streaming_tumbling_window (r14)
+    spark = stream_session(spark, sf_dir, "events")
     events = stream_table(spark, sf_dir, "events")
     agg = (
         events.withWatermark("ts", "1 hour")
@@ -107,6 +115,8 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="dropDuplicatesWithinWatermark over a replayed stream: exactly-once repair.",
 )
 def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # input-sized state partitioning — see streaming_tumbling_window (r14)
+    spark = stream_session(spark, sf_dir, "events")
     # Simulate the reference's replay window: the same source unioned with
     # itself = every event delivered twice within the lateness bound.
     a = stream_table(spark, sf_dir, "events")
@@ -144,6 +154,8 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     window agg's."""
     from azure_func_forem_data_etl_spark.sources.tables import table
 
+    # input-sized state partitioning — see streaming_tumbling_window (r14)
+    spark = stream_session(spark, sf_dir, "events")
     events = stream_table(spark, sf_dir, "events")
     segments = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     agg = (
@@ -370,6 +382,8 @@ def streaming_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit."""
     from pyspark.sql import Window
 
+    # input-sized state partitioning — see streaming_tumbling_window (r14)
+    spark = stream_session(spark, sf_dir, "events")
     events = stream_table(spark, sf_dir, "events")
     agg = (
         events.withWatermark("ts", "1 hour")
@@ -418,6 +432,8 @@ def streaming_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is the downstream window agg's.  The blocklist here is a
     deterministic slice of the customer dim so the batch oracle replays it
     exactly."""
+    # input-sized state partitioning — see streaming_tumbling_window (r14)
+    spark = stream_session(spark, sf_dir, "events")
     events = stream_table(spark, sf_dir, "events")
     blocked = (
         table(spark, sf_dir, "customer")
@@ -684,6 +700,8 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     remains for logic session_window can't express (per-event running
     features inside a session).
     """
+    # input-sized state partitioning — see streaming_tumbling_window (r14)
+    spark = stream_session(spark, sf_dir, "events")
     ev = stream_table(spark, sf_dir, "events").withWatermark("ts", "1 hour")
     agg = (
         ev.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")

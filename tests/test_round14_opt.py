@@ -1,0 +1,228 @@
+"""Round-14 optimization pins.
+
+Function-level contracts for internals the r14 optimization round changed:
+the vectorized ``_sessionize_timeout_group`` (numpy port of the per-event
+loop) and the input-sized streaming state routing.  Spark-level behavior is
+covered by tests/test_streaming.py; these pins diff the changed internals
+against a straight re-implementation of the original loop semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from azure_func_forem_data_etl_spark.streaming.sessionize import (
+    GAP,
+    _sessionize_timeout_group,
+)
+
+GAP_US = GAP.value // 1000
+
+
+class FakeState:
+    """Minimal GroupState stand-in for function-level tests."""
+
+    def __init__(self, value=None):
+        self._value = value
+        self.hasTimedOut = False
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = tuple(v)
+
+    def remove(self):
+        self._value = None
+        self.removed = True
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+def _loop_reference(ts_us, state_tuple):
+    """The pre-r14 per-event loop, verbatim semantics: returns
+    (closed list, new state tuple or None-means-unchanged, timeout ms)."""
+    if state_tuple is not None:
+        open_start, open_last, open_n = state_tuple
+    else:
+        open_start = open_last = open_n = None
+    closed = []
+    for t in ts_us:
+        if open_last is not None and t - open_last <= GAP_US:
+            open_last = int(t)
+            open_n += 1
+        else:
+            if open_last is not None:
+                closed.append((open_start, open_last, open_n))
+            open_start, open_last, open_n = int(t), int(t), 1
+    new_state = timeout = None
+    if open_last is not None:
+        new_state = (int(open_start), int(open_last), int(open_n))
+        timeout = open_last // 1000 + GAP.value // 1_000_000
+    return closed, new_state, timeout
+
+
+def _run_vectorized(ts_us, state_tuple):
+    state = FakeState(state_tuple)
+    pdf = pd.DataFrame(
+        {"ts": pd.to_datetime(np.asarray(ts_us, dtype="int64"), unit="us")}
+    )
+    out = list(_sessionize_timeout_group((7,), iter([pdf]), state))
+    assert len(out) == 1
+    o = out[0]
+    closed = [
+        (
+            int(o["session_start"].iloc[i].value // 1000),
+            int(o["session_end"].iloc[i].value // 1000) - GAP_US,
+            int(o["n_events"].iloc[i]),
+        )
+        for i in range(len(o))
+    ]
+    assert (o["user_id"] == 7).all()
+    return closed, state._value, state.timeout_ms
+
+
+CASES = [
+    # fresh key, one group
+    ([0, 1_000_000], None),
+    # fresh key, two groups (gap break)
+    ([0, 1_000_000, GAP_US * 3, GAP_US * 3 + 5], None),
+    # carried-open extended by the batch's first group
+    ([1_000_000, 2_000_000], (0, 500_000, 3)),
+    # carried-open closes as its own emission (batch starts past the gap)
+    ([GAP_US * 10, GAP_US * 10 + 1], (0, 500_000, 3)),
+    # empty batch with carried state: re-pin, nothing emitted
+    ([], (0, 500_000, 3)),
+    # empty batch, no state
+    ([], None),
+    # many alternating groups
+    (
+        [i * (GAP_US + 1) for i in range(6)]
+        + [6 * (GAP_US + 1) + j for j in range(4)],
+        None,
+    ),
+    # boundary: delta exactly == gap extends (<=), gap+1 breaks
+    ([0, GAP_US, GAP_US * 2 + 1], None),
+]
+
+
+@pytest.mark.parametrize("ts_us,st", CASES)
+def test_timeout_group_matches_loop_reference(ts_us, st):
+    got = _run_vectorized(ts_us, st)
+    want = _loop_reference(ts_us, st)
+    assert got == want
+
+
+def test_timeout_group_timed_out_emits_and_clears():
+    state = FakeState((0, 500_000, 3))
+    state.hasTimedOut = True
+    out = list(_sessionize_timeout_group((9,), iter([]), state))
+    assert len(out) == 1
+    o = out[0]
+    assert len(o) == 1
+    assert int(o["n_events"].iloc[0]) == 3
+    assert int(o["session_start"].iloc[0].value // 1000) == 0
+    assert int(o["session_end"].iloc[0].value // 1000) == 500_000 + GAP_US
+    assert state.removed
+
+
+class TestScaleOutTreeWalk:
+    """scale_out decides from the logical plan TREE (r14): attribute or
+    relation NAMES containing "Join"/"Aggregate" must not flip the
+    decision, and a checkpointed frame proves its width by its actual
+    partition count (the r13 ADVICE trap: a checkpointed join truncates
+    to LogicalRDD and may carry AQE-coalesced 1-2 partitions)."""
+
+    def test_agg_derived_is_fast_path(self, spark, sf_dir):
+        from azure_func_forem_data_etl_spark.sources.tables import (
+            entity_table,
+            scale_out,
+        )
+
+        et = entity_table(spark, sf_dir, "documents")
+        assert scale_out(et, "doc_id") is et
+
+    def test_join_ish_column_names_do_not_flip(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from azure_func_forem_data_etl_spark.sources.tables import (
+            entity_table,
+            scale_out,
+        )
+
+        et = entity_table(spark, sf_dir, "documents")
+        named = et.select(
+            "doc_id",
+            F.col("text").alias("JoinKey"),
+            F.lit(1).alias("Aggregate [x]"),
+        )
+        # still aggregate-derived under the renames -> fast path
+        assert scale_out(named, "doc_id") is named
+        # a bare narrow scan stays widened even when a column is named
+        # like a Join node
+        raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", F.col("text").alias("JoinKey")
+        )
+        assert scale_out(raw, "doc_id") is not raw
+
+    def test_coalesced_checkpoint_is_widened(self, spark, sf_dir):
+        from azure_func_forem_data_etl_spark.sources.tables import (
+            entity_table,
+            entity_table_pinned,
+            scale_out,
+        )
+
+        narrow = (
+            entity_table(spark, sf_dir, "documents")
+            .limit(50)
+            .repartition(1)
+            .localCheckpoint()
+        )
+        assert scale_out(narrow, "doc_id") is not narrow
+        wide = entity_table_pinned(spark, sf_dir, "documents")
+        assert scale_out(wide, "doc_id") is wide
+
+
+def test_broadcast_derived_gates_on_source_bytes(monkeypatch):
+    """The vocab-table broadcast hints are gated on SOURCE size (r14 #7):
+    below the cap the hint applies, above it the frame passes through so
+    AQE decides from runtime size."""
+    from azure_func_forem_data_etl_spark.sources import tables as T
+
+    class FakeDF:
+        pass
+
+    df = FakeDF()
+    calls = []
+    monkeypatch.setattr(
+        T.F, "broadcast", lambda d: calls.append(d) or "hinted"
+    )
+    monkeypatch.setattr(T, "_source_bytes", lambda sf, *n: 1024)
+    assert T.broadcast_derived(df, "/x", "documents") == "hinted"
+    monkeypatch.setattr(
+        T, "_source_bytes", lambda sf, *n: T.BROADCAST_HINT_SOURCE_CAP + 1
+    )
+    assert T.broadcast_derived(df, "/x", "documents") is df
+
+
+def test_random_sequences_match_loop_reference():
+    rng = np.random.default_rng(1234)
+    for _ in range(200):
+        n = int(rng.integers(0, 30))
+        ts = np.cumsum(rng.integers(1, GAP_US * 2, size=n)).tolist()
+        st = None
+        if rng.integers(0, 2):
+            last = int(rng.integers(0, GAP_US * 2))
+            st = (0, last, int(rng.integers(1, 5)))
+            ts = [t + last for t in ts]
+        assert _run_vectorized(ts, st) == _loop_reference(ts, st)

@@ -1,9 +1,9 @@
-"""Snapshot `explain("formatted")` for named queries into plans/r13/.
+"""Snapshot `explain("formatted")` for named queries into plans/r14/.
 
 Usage: python tools/plan_snap.py TAG query [query ...]
        python tools/plan_snap.py TAG --bench          # all bench queries
 
-Writes plans/r13/<query>_<TAG>.txt — the before/after plan evidence for
+Writes plans/r14/<query>_<TAG>.txt — the before/after plan evidence for
 the optimization round (the judge checks plan claims against these).
 Runs at sf0.1 (the bench scale) so AQE/broadcast sizing decisions match
 the measured configuration.  Streaming queries execute at build time;
@@ -23,7 +23,7 @@ from azure_func_forem_data_etl_spark.plans.registry import load_all  # noqa: E40
 from azure_func_forem_data_etl_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
-OUT = Path(REPO, "plans", "r13")
+OUT = Path(REPO, "plans", "r14")
 
 
 def main() -> None:
@@ -53,7 +53,7 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — record the failure, keep going
             plan = f"EXPLAIN FAILED: {e!r}"
         Path(OUT, f"{name}_{tag}.txt").write_text(plan)
-        print(f"wrote plans/r13/{name}_{tag}.txt ({len(plan)} chars)")
+        print(f"wrote plans/r14/{name}_{tag}.txt ({len(plan)} chars)")
     spark.stop()
 
 
