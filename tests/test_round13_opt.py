@@ -24,7 +24,11 @@ def test_scale_out_skips_checkpointed_frames(spark):
     from azure_func_forem_data_etl_spark.sources.tables import scale_out
 
     df = spark.range(0, 1000).withColumnRenamed("id", "k")
-    pinned = df.repartition(8, "k").localCheckpoint(eager=True)
+    # r14: the LogicalRDD fast path proves width with the RDD's actual
+    # partition count (a coalesced checkpoint must NOT take the bypass),
+    # so the pinned snapshot has to be wide to be skipped.
+    width = spark.sparkContext.defaultParallelism
+    pinned = df.repartition(width, "k").localCheckpoint(eager=True)
     out = scale_out(pinned, "k")
     assert out is pinned  # no extra exchange on an already-wide snapshot
 
