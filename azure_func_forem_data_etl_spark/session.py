@@ -175,9 +175,20 @@ def ensure_query_session_conf(spark: SparkSession) -> None:
     # didn't write ourselves — is the caller's sizing decision; leave it
     # alone.  The value-equals-"200" sniff alone can't distinguish an
     # explicit 200, so both signals gate the override.
-    explicitly_set = spark.sparkContext.getConf().contains(
-        "spark.sql.shuffle.partitions"
-    )
+    #
+    # The SparkConf sniff clones the whole context conf over py4j (~20 ms);
+    # the context conf is FROZEN once the SparkContext starts, so the
+    # decision is memoized per application (r14, guide §1.2).  The
+    # runtime `spark.conf` value stays un-memoized: re-checked each call
+    # so a caller that later sets 200 explicitly at session level keeps
+    # its value only if the sniff says it was their choice at build time.
+    app_id = spark.sparkContext.applicationId
+    explicitly_set = _SHUFFLE_CONF_EXPLICIT.get(app_id)
+    if explicitly_set is None:
+        explicitly_set = spark.sparkContext.getConf().contains(
+            "spark.sql.shuffle.partitions"
+        )
+        _SHUFFLE_CONF_EXPLICIT[app_id] = explicitly_set
     if (
         not explicitly_set
         and spark.conf.get("spark.sql.shuffle.partitions", "200") == "200"
@@ -187,3 +198,6 @@ def ensure_query_session_conf(spark: SparkSession) -> None:
             str(max(8, spark.sparkContext.defaultParallelism)),
         )
     ship_package(spark)
+
+
+_SHUFFLE_CONF_EXPLICIT: dict[str, bool] = {}

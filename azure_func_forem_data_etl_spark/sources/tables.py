@@ -7,8 +7,11 @@ column pruning and partition pruning (SURVEY.md §4.2).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from azure_func_forem_data_etl_spark.session import ensure_query_session_conf
 
@@ -26,6 +29,41 @@ TABLES = (
 )
 
 
+#: Parquet SCHEMA memo — catalog metadata, not results (r14, guide §1.2).
+#: ``spark.read.parquet`` pays ~140 ms of driver-side schema inference per
+#: call (footer read + inference machinery); a metastore-backed table pays
+#: it never.  The memo stores exactly what a catalog stores — the file's
+#: StructType, keyed on (path, mtime_ns, size) so any rewrite re-infers —
+#: and nothing computed: every action still scans the parquet inputs.
+#: Bounded (cleared past _SCHEMA_MEMO_CAP) for long test sessions that
+#: write hundreds of throwaway fixture dirs.
+_SCHEMA_MEMO: dict[tuple[str, int, int], StructType] = {}
+_SCHEMA_MEMO_CAP = 256
+
+
+def clear_schema_memo() -> None:
+    """Drop all memoized table schemas (tests / explicit invalidation)."""
+    _SCHEMA_MEMO.clear()
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with the inferred schema memoized per
+    (path, mtime, size) — the catalog-metadata read path for our tables."""
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return spark.read.parquet(path)
+    sch = _SCHEMA_MEMO.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        if len(_SCHEMA_MEMO) >= _SCHEMA_MEMO_CAP:
+            _SCHEMA_MEMO.clear()
+        _SCHEMA_MEMO[key] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table. Lazy — no I/O until an action runs.
 
@@ -39,9 +77,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     zoned TIMESTAMP type, which is why NTZ can't flow through raw.
     """
     ensure_query_session_conf(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = _read_parquet(spark, path)
     if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
+        # the ts physical type comes from the schema memo when present —
+        # df.dtypes is a per-call py4j schema round-trip (~30-50 ms)
+        memo = None
+        try:
+            st = os.stat(path)
+            memo = _SCHEMA_MEMO.get((path, st.st_mtime_ns, st.st_size))
+        except OSError:
+            pass
+        ts_type = (
+            {f.name: f.dataType.simpleString() for f in memo.fields}.get("ts")
+            if memo is not None
+            else dict(df.dtypes).get("ts")
+        )
         if ts_type == "bigint":  # TIMESTAMP(NANOS) via nanosAsLong
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":

@@ -226,3 +226,41 @@ def test_random_sequences_match_loop_reference():
             st = (0, last, int(rng.integers(1, 5)))
             ts = [t + last for t in ts]
         assert _run_vectorized(ts, st) == _loop_reference(ts, st)
+
+
+def test_schema_memo_invalidates_on_rewrite(spark, tmp_path):
+    """The parquet schema memo is catalog metadata keyed on
+    (path, mtime, size): a rewrite at the same path re-infers, and the
+    memoized-read frame still scans the current file contents."""
+    import os
+    import pandas as pd
+
+    from azure_func_forem_data_etl_spark.sources import tables as T
+
+    p = str(tmp_path / "t.parquet")
+    pd.DataFrame({"id": [1, 2, 3]}).to_parquet(p)
+    df1 = T._read_parquet(spark, p)
+    assert [f.name for f in df1.schema.fields] == ["id"]
+    # memo hit on the unchanged file: same schema, data still read live
+    df1b = T._read_parquet(spark, p)
+    assert df1b.count() == 3
+    # rewrite with a different schema at the same path -> re-infer
+    pd.DataFrame({"id": [9], "x": ["a"]}).to_parquet(p)
+    os.utime(p, ns=(1, 1))  # force a distinct mtime even on coarse clocks
+    df2 = T._read_parquet(spark, p)
+    assert {f.name for f in df2.schema.fields} == {"id", "x"}
+    assert df2.count() == 1
+
+
+def test_events_ts_normalized_through_schema_memo(spark):
+    """table('events') still normalizes ts to a session-TZ timestamp when
+    the schema comes from the memo (second read of the same path)."""
+    from azure_func_forem_data_etl_spark.sources import tables as T
+    from tests.conftest import SF_SMOKE
+
+    T.clear_schema_memo()
+    first = T.table(spark, SF_SMOKE, "events")
+    again = T.table(spark, SF_SMOKE, "events")  # memo-hit path
+    assert dict(first.dtypes)["ts"] == "timestamp"
+    assert dict(again.dtypes)["ts"] == "timestamp"
+    assert again.count() == first.count()
