@@ -40,6 +40,27 @@ def release_rdd_ids(df: DataFrame, ids: set[int]) -> None:
             jmap.get(rid).unpersist(True)
 
 
+def checkpointed_rdd_ids(df: DataFrame) -> set[int]:
+    """Persisted RDD id(s) OWNED by a checkpointed frame, read directly
+    off its ``LogicalRDD`` plan node — never a context-wide diff.
+
+    The snapshot-diff idiom (``persistent_rdd_ids`` before/after a
+    checkpoint) is process-global: a concurrent query persisting or
+    checkpointing anything inside the window gets ITS ids swept into the
+    caller's release set, and its blocks dropped mid-use (r14 — surfaced
+    by the thread-parallel oracle sweeps).  Reading the id off the plan is
+    exact regardless of what other driver threads do.  Returns an empty
+    set when the plan is not a LogicalRDD (caller then has nothing it can
+    safely release)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith(".LogicalRDD"):
+            return {int(plan.rdd().id())}
+    except Exception:  # pragma: no cover - py4j/Connect API drift
+        pass
+    return set()
+
+
 def scoped_checkpoint(df: DataFrame) -> Tuple[DataFrame, Callable[[], None]]:
     """``localCheckpoint(eager=True)`` plus an explicit release handle.
 
@@ -59,14 +80,8 @@ def scoped_checkpoint(df: DataFrame) -> Tuple[DataFrame, Callable[[], None]]:
     """
     before = persistent_rdd_ids(df)
     ckpt = df.localCheckpoint(eager=True)
-    created: set[int] | None = None
-    try:
-        plan = ckpt._jdf.queryExecution().analyzed()
-        if plan.getClass().getName().endswith(".LogicalRDD"):
-            created = {int(plan.rdd().id())}
-    except Exception:  # pragma: no cover - py4j/Connect API drift
-        created = None
-    if created is None:  # pragma: no cover - exercised only on API drift
+    created = checkpointed_rdd_ids(ckpt)
+    if not created:  # pragma: no cover - exercised only on API drift
         created = persistent_rdd_ids(ckpt) - before
 
     def release() -> None:

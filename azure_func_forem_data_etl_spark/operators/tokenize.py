@@ -324,16 +324,20 @@ def bpe_learn(
     rounds = 0
     # The finally block releases whatever is still cached when the loop
     # exits (ADVICE r4).  Two storage tiers need releasing: persist()-tier
-    # frames respond to DataFrame.unpersist(), but localCheckpoint blocks
-    # do NOT (unpersist is a cache-manager no-op for checkpointed frames,
-    # round-5 review) — those are released by diffing the context's
-    # persistent-RDD ids against a pre-call snapshot.  Every id born
-    # inside this call is loop-local by construction (the merges result is
-    # plain Python before return), so the diff cannot free anything a
-    # caller still needs; concurrent persists from OTHER threads during
-    # the call are the one caveat, documented here.
-    jsc = spark.sparkContext._jsc
-    rdd_ids_before = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+    # frames respond to DataFrame.unpersist(); localCheckpoint blocks do
+    # NOT (unpersist is a cache-manager no-op for checkpointed frames,
+    # round-5 review) — those are released by their exact RDD ids, read
+    # off each checkpoint's LogicalRDD as it is created
+    # (ckpt.checkpointed_rdd_ids).  r14: this replaced a context-wide
+    # persistent-RDD-map diff, which swept up (and force-dropped) frames
+    # persisted by CONCURRENT driver threads — surfaced by the
+    # thread-parallel oracle sweeps.
+    from azure_func_forem_data_etl_spark.operators.ckpt import (
+        checkpointed_rdd_ids,
+        release_rdd_ids,
+    )
+
+    ckpt_ids: set[int] = set()
     try:
         while len(merges) < n_merges:
             grams = _gram_counts(syms)
@@ -377,6 +381,7 @@ def bpe_learn(
             )
             if rounds % BPE_CHECKPOINT_EVERY == 0:
                 new_syms = new_syms.localCheckpoint()
+                ckpt_ids |= checkpointed_rdd_ids(new_syms)
                 syms.unpersist()
             else:
                 new_syms.persist(StorageLevel.MEMORY_AND_DISK)
@@ -388,10 +393,7 @@ def bpe_learn(
         syms.unpersist(blocking=True)
         if prev is not None:
             prev.unpersist(blocking=True)
-        jmap = jsc.getPersistentRDDs()
-        for rid in jmap.keySet().toArray():
-            if int(rid) not in rdd_ids_before:
-                jmap.get(rid).unpersist(True)
+        release_rdd_ids(syms, ckpt_ids)
     if stats is not None:
         stats["rounds"] = rounds
     return spark.createDataFrame(

@@ -76,6 +76,7 @@ class StorageConfig:
             )
 
 _SHIPPED_APPS: set[str] = set()
+_SHIP_LOCK = __import__("threading").Lock()
 
 
 def ship_package(spark: SparkSession) -> None:
@@ -86,18 +87,32 @@ def ship_package(spark: SparkSession) -> None:
     ``import azure_func_forem_data_etl_spark``.  On a real cluster this is
     the wheel you ship with spark-submit; here we zip the package once per
     session and ``addPyFile`` it.
+
+    Thread-safe (r14): concurrent driver threads (guide §2.6) must not
+    both build the zip — executors verify a fetched file's bytes against
+    the driver copy, and a re-written zip (fresh zipfile timestamps)
+    fails EVERY subsequent task with "exists and does not match
+    contents".  The zip is built under a lock, written to a temp name and
+    atomically renamed.
     """
     app_id = spark.sparkContext.applicationId
     if app_id in _SHIPPED_APPS:
         return
-    pkg_root = Path(__file__).resolve().parent
-    zip_path = Path(tempfile.gettempdir()) / f"forem_etl_pkg_{os.getpid()}.zip"
-    if not zip_path.exists():
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for py in sorted(pkg_root.rglob("*.py")):
-                zf.write(py, arcname=f"{pkg_root.name}/{py.relative_to(pkg_root)}")
-    spark.sparkContext.addPyFile(str(zip_path))
-    _SHIPPED_APPS.add(app_id)
+    with _SHIP_LOCK:
+        if app_id in _SHIPPED_APPS:
+            return
+        pkg_root = Path(__file__).resolve().parent
+        zip_path = Path(tempfile.gettempdir()) / f"forem_etl_pkg_{os.getpid()}.zip"
+        if not zip_path.exists():
+            tmp = zip_path.with_suffix(f".tmp{os.getpid()}.{id(spark)}")
+            with zipfile.ZipFile(tmp, "w") as zf:
+                for py in sorted(pkg_root.rglob("*.py")):
+                    zf.write(
+                        py, arcname=f"{pkg_root.name}/{py.relative_to(pkg_root)}"
+                    )
+            os.replace(tmp, zip_path)
+        spark.sparkContext.addPyFile(str(zip_path))
+        _SHIPPED_APPS.add(app_id)
 
 
 def get_spark(

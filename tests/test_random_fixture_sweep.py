@@ -18,6 +18,9 @@ AvailableNow stream each, like everywhere else in the suite.
 
 from __future__ import annotations
 
+import os
+from concurrent.futures import ThreadPoolExecutor
+
 import pytest
 
 from azure_func_forem_data_etl_spark.plans.registry import load_all
@@ -31,16 +34,68 @@ REGISTRY = load_all()
 #: the SAME random tables, so any mismatch is a real engine divergence.
 _ORACLE_BACKED = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
 
+# ---------------------------------------------------------------------------
+# Chunked, thread-parallel sweep execution (r14, VERDICT item 2).
+#
+# The sweeps grew to ~30 legs x up-to-374 queries; run one-test-per-query
+# they dominate the suite (~7.6k of 8.4k tests) and the full suite never
+# finished inside the driver's verification window (VERIFY_r13
+# tests_ok=false with only passes in the tail).  Each leg now runs its
+# (unchanged) query list in chunks, each chunk fanning its queries over a
+# small driver-side thread pool — Spark's scheduler runs concurrent jobs
+# from one session natively (optimization guide §2.6), each
+# assert_matches_oracle opens its own DuckDB connection, and no two
+# registry queries share mutable session state (temp view names are
+# query-unique; fit memos are keyed and idempotent).  Coverage is
+# IDENTICAL to the per-test form — same queries, same fixtures, same
+# bit-exact oracle compare — only the pytest granularity changes: a
+# failing chunk reports every failing query in its assert message.
+#
+# SPARK_GRAFT_SWEEP_SERIAL=1 restores in-order single-threaded execution
+# inside each chunk (debugging); SPARK_GRAFT_SWEEP_THREADS sizes the pool.
+
+_SWEEP_THREADS = (
+    1
+    if os.environ.get("SPARK_GRAFT_SWEEP_SERIAL")
+    else int(os.environ.get("SPARK_GRAFT_SWEEP_THREADS", "6"))
+)
+_CHUNK = 24
+
+
+def _chunks(names) -> list[list[str]]:
+    names = list(names)
+    return [names[i : i + _CHUNK] for i in range(0, len(names), _CHUNK)]
+
+
+def _chunk_id(c) -> str:
+    return f"{c[0]}..{c[-1]}" if len(c) > 1 else c[0]
+
+
+def _sweep(spark, sf: str, names) -> None:
+    def one(n: str):
+        q = REGISTRY[n]
+        try:
+            assert_matches_oracle(q.fn(spark, sf), q.oracle, sf)
+        except Exception as e:  # noqa: BLE001
+            return f"{n}: {e!r}"[:500]
+        return None
+
+    if _SWEEP_THREADS == 1:
+        fails = [r for r in map(one, names) if r]
+    else:
+        with ThreadPoolExecutor(max_workers=_SWEEP_THREADS) as ex:
+            fails = [r for r in ex.map(one, names) if r]
+    assert not fails, f"{len(fails)} sweep failures:\n" + "\n".join(fails)
+
 
 @pytest.fixture(scope="session")
 def random_sf(tmp_path_factory):
     return write_random_fixture(tmp_path_factory.mktemp("randfix") / "sf", seed=1)
 
 
-@pytest.mark.parametrize("name", _ORACLE_BACKED)
-def test_oracle_parity_on_random_fixture(spark, random_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, random_sf), q.oracle, random_sf)
+@pytest.mark.parametrize("chunk", _chunks(_ORACLE_BACKED), ids=_chunk_id)
+def test_oracle_parity_on_random_fixture(spark, random_sf, chunk):
+    _sweep(spark, random_sf, chunk)
 
 
 #: Ordering/tie-break-sensitive queries: re-swept on a TIE-HEAVY shape
@@ -101,16 +156,14 @@ def sparse_sf(tmp_path_factory):
     )
 
 
-@pytest.mark.parametrize("name", sorted(set(_TIE_SENSITIVE)))
-def test_oracle_parity_on_tieheavy_fixture(spark, tieheavy_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, tieheavy_sf), q.oracle, tieheavy_sf)
+@pytest.mark.parametrize("chunk", _chunks(sorted(set(_TIE_SENSITIVE))), ids=_chunk_id)
+def test_oracle_parity_on_tieheavy_fixture(spark, tieheavy_sf, chunk):
+    _sweep(spark, tieheavy_sf, chunk)
 
 
-@pytest.mark.parametrize("name", sorted(set(_SPARSE_SENSITIVE)))
-def test_oracle_parity_on_sparse_fixture(spark, sparse_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, sparse_sf), q.oracle, sparse_sf)
+@pytest.mark.parametrize("chunk", _chunks(sorted(set(_SPARSE_SENSITIVE))), ids=_chunk_id)
+def test_oracle_parity_on_sparse_fixture(spark, sparse_sf, chunk):
+    _sweep(spark, sparse_sf, chunk)
 
 
 #: Skew-sensitive queries: one hot user/part/lang owns ~60% of the mass,
@@ -141,10 +194,9 @@ def skew_sf(tmp_path_factory):
     )
 
 
-@pytest.mark.parametrize("name", sorted(set(_SKEW_SENSITIVE)))
-def test_oracle_parity_on_skew_fixture(spark, skew_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, skew_sf), q.oracle, skew_sf)
+@pytest.mark.parametrize("chunk", _chunks(sorted(set(_SKEW_SENSITIVE))), ids=_chunk_id)
+def test_oracle_parity_on_skew_fixture(spark, skew_sf, chunk):
+    _sweep(spark, skew_sf, chunk)
 
 
 #: NULL/blank-sensitive queries: 25% NULL props + 25% blank documents —
@@ -179,11 +231,12 @@ def nullish_sf(tmp_path_factory):
 
 
 @pytest.mark.parametrize(
-    "name", sorted(n for n in set(_NULL_SENSITIVE) if REGISTRY[n].oracle)
+    "chunk",
+    _chunks(sorted(n for n in set(_NULL_SENSITIVE) if REGISTRY[n].oracle)),
+    ids=_chunk_id,
 )
-def test_oracle_parity_on_nullish_fixture(spark, nullish_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, nullish_sf), q.oracle, nullish_sf)
+def test_oracle_parity_on_nullish_fixture(spark, nullish_sf, chunk):
+    _sweep(spark, nullish_sf, chunk)
 
 
 #: Variance-sensitive queries: every money/value column pinned to one
@@ -223,11 +276,12 @@ def const_sf(tmp_path_factory):
 
 
 @pytest.mark.parametrize(
-    "name", sorted(n for n in set(_CONST_SENSITIVE) if REGISTRY[n].oracle)
+    "chunk",
+    _chunks(sorted(n for n in set(_CONST_SENSITIVE) if REGISTRY[n].oracle)),
+    ids=_chunk_id,
 )
-def test_oracle_parity_on_const_fixture(spark, const_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, const_sf), q.oracle, const_sf)
+def test_oracle_parity_on_const_fixture(spark, const_sf, chunk):
+    _sweep(spark, const_sf, chunk)
 
 
 #: Degenerate-embedding-sensitive queries: every 50th vector is the zero
@@ -265,11 +319,12 @@ def degenerate_emb_sf(tmp_path_factory):
 
 
 @pytest.mark.parametrize(
-    "name", sorted(n for n in set(_EMB_SENSITIVE) if REGISTRY[n].oracle)
+    "chunk",
+    _chunks(sorted(n for n in set(_EMB_SENSITIVE) if REGISTRY[n].oracle)),
+    ids=_chunk_id,
 )
-def test_oracle_parity_on_degenerate_embeddings(spark, degenerate_emb_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, degenerate_emb_sf), q.oracle, degenerate_emb_sf)
+def test_oracle_parity_on_degenerate_embeddings(spark, degenerate_emb_sf, chunk):
+    _sweep(spark, degenerate_emb_sf, chunk)
 
 
 #: Multibyte-text leg (r11): the WHOLE oracle-backed registry runs on a
@@ -312,10 +367,9 @@ def unicode_sf(tmp_path_factory):
     return str(d)
 
 
-@pytest.mark.parametrize("name", _ORACLE_BACKED)
-def test_oracle_parity_on_unicode_fixture(spark, unicode_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, unicode_sf), q.oracle, unicode_sf)
+@pytest.mark.parametrize("chunk", _chunks(_ORACLE_BACKED), ids=_chunk_id)
+def test_oracle_parity_on_unicode_fixture(spark, unicode_sf, chunk):
+    _sweep(spark, unicode_sf, chunk)
 
 
 #: Extreme-timestamp leg (r11): the full temporal family — plus the
@@ -341,10 +395,9 @@ def extreme_ts_sf(tmp_path_factory):
     )
 
 
-@pytest.mark.parametrize("name", _TEMPORAL_FAMILY)
-def test_oracle_parity_on_extreme_timestamps(spark, extreme_ts_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, extreme_ts_sf), q.oracle, extreme_ts_sf)
+@pytest.mark.parametrize("chunk", _chunks(_TEMPORAL_FAMILY), ids=_chunk_id)
+def test_oracle_parity_on_extreme_timestamps(spark, extreme_ts_sf, chunk):
+    _sweep(spark, extreme_ts_sf, chunk)
 
 
 #: The STREAMING family gets its own extreme-timestamp leg scoped to the
@@ -369,14 +422,9 @@ def extreme_ts_post1970_sf(tmp_path_factory):
     )
 
 
-@pytest.mark.parametrize("name", _STREAMING_FAMILY)
-def test_streaming_parity_on_post_epoch_extremes(
-    spark, extreme_ts_post1970_sf, name
-):
-    q = REGISTRY[name]
-    assert_matches_oracle(
-        q.fn(spark, extreme_ts_post1970_sf), q.oracle, extreme_ts_post1970_sf
-    )
+@pytest.mark.parametrize("chunk", _chunks(_STREAMING_FAMILY), ids=_chunk_id)
+def test_streaming_parity_on_post_epoch_extremes(spark, extreme_ts_post1970_sf, chunk):
+    _sweep(spark, extreme_ts_post1970_sf, chunk)
 
 
 #: All-duplicates leg (r11): 190 of 200 documents are byte-identical
@@ -417,10 +465,9 @@ def all_dup_docs_sf(tmp_path_factory):
     return str(d)
 
 
-@pytest.mark.parametrize("name", _DUP_SENSITIVE)
-def test_oracle_parity_on_all_duplicates(spark, all_dup_docs_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, all_dup_docs_sf), q.oracle, all_dup_docs_sf)
+@pytest.mark.parametrize("chunk", _chunks(_DUP_SENSITIVE), ids=_chunk_id)
+def test_oracle_parity_on_all_duplicates(spark, all_dup_docs_sf, chunk):
+    _sweep(spark, all_dup_docs_sf, chunk)
 
 
 #: Single-row leg (r11): EVERY table has exactly one row — the regime
@@ -440,10 +487,9 @@ def single_row_sf(tmp_path_factory):
     )
 
 
-@pytest.mark.parametrize("name", _ORACLE_BACKED)
-def test_oracle_parity_on_single_row_tables(spark, single_row_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, single_row_sf), q.oracle, single_row_sf)
+@pytest.mark.parametrize("chunk", _chunks(_ORACLE_BACKED), ids=_chunk_id)
+def test_oracle_parity_on_single_row_tables(spark, single_row_sf, chunk):
+    _sweep(spark, single_row_sf, chunk)
 
 
 #: All-blank-documents leg (r11): every document row exists but carries
@@ -483,11 +529,9 @@ def all_blank_docs_sf(tmp_path_factory):
     return str(d)
 
 
-@pytest.mark.parametrize("name", _BLANK_SENSITIVE)
-def test_oracle_parity_on_all_blank_docs(spark, all_blank_docs_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, all_blank_docs_sf), q.oracle,
-                          all_blank_docs_sf)
+@pytest.mark.parametrize("chunk", _chunks(_BLANK_SENSITIVE), ids=_chunk_id)
+def test_oracle_parity_on_all_blank_docs(spark, all_blank_docs_sf, chunk):
+    _sweep(spark, all_blank_docs_sf, chunk)
 
 
 #: Adversarial-text leg (r11): a corpus of PII look-alikes (emails,
@@ -545,11 +589,9 @@ def adversarial_text_sf(tmp_path_factory):
     return str(d)
 
 
-@pytest.mark.parametrize("name", _BLANK_SENSITIVE)
-def test_oracle_parity_on_adversarial_text(spark, adversarial_text_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, adversarial_text_sf), q.oracle,
-                          adversarial_text_sf)
+@pytest.mark.parametrize("chunk", _chunks(_BLANK_SENSITIVE), ids=_chunk_id)
+def test_oracle_parity_on_adversarial_text(spark, adversarial_text_sf, chunk):
+    _sweep(spark, adversarial_text_sf, chunk)
 
 
 #: Adversarial-JSON leg (r11): the events.props payload rewritten so 70%
@@ -607,11 +649,9 @@ def adversarial_json_sf(tmp_path_factory):
     return str(d)
 
 
-@pytest.mark.parametrize("name", _PROPS_QUERIES)
-def test_oracle_parity_on_adversarial_json(spark, adversarial_json_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, adversarial_json_sf), q.oracle,
-                          adversarial_json_sf)
+@pytest.mark.parametrize("chunk", _chunks(_PROPS_QUERIES), ids=_chunk_id)
+def test_oracle_parity_on_adversarial_json(spark, adversarial_json_sf, chunk):
+    _sweep(spark, adversarial_json_sf, chunk)
 
 
 #: Magnitude-spread leg (r11): every money column multiplied by a
@@ -636,10 +676,9 @@ def magnitude_sf(tmp_path_factory):
     )
 
 
-@pytest.mark.parametrize("name", _ORACLE_BACKED)
-def test_oracle_parity_on_magnitude_spread(spark, magnitude_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, magnitude_sf), q.oracle, magnitude_sf)
+@pytest.mark.parametrize("chunk", _chunks(_ORACLE_BACKED), ids=_chunk_id)
+def test_oracle_parity_on_magnitude_spread(spark, magnitude_sf, chunk):
+    _sweep(spark, magnitude_sf, chunk)
 
 
 #: Long-documents leg (r11): a dozen documents rewritten as extreme
@@ -667,10 +706,9 @@ def longdocs_sf(tmp_path_factory):
     )
 
 
-@pytest.mark.parametrize("name", _LONGDOC_SENSITIVE)
-def test_oracle_parity_on_long_docs(spark, longdocs_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, longdocs_sf), q.oracle, longdocs_sf)
+@pytest.mark.parametrize("chunk", _chunks(_LONGDOC_SENSITIVE), ids=_chunk_id)
+def test_oracle_parity_on_long_docs(spark, longdocs_sf, chunk):
+    _sweep(spark, longdocs_sf, chunk)
 
 
 #: Duplicate-event-id leg (r11): 30% of events re-delivered with the
@@ -691,10 +729,9 @@ def dupkeys_sf(tmp_path_factory):
     )
 
 
-@pytest.mark.parametrize("name", _ORACLE_BACKED)
-def test_oracle_parity_on_dup_event_ids(spark, dupkeys_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, dupkeys_sf), q.oracle, dupkeys_sf)
+@pytest.mark.parametrize("chunk", _chunks(_ORACLE_BACKED), ids=_chunk_id)
+def test_oracle_parity_on_dup_event_ids(spark, dupkeys_sf, chunk):
+    _sweep(spark, dupkeys_sf, chunk)
 
 
 #: Embedding-magnitude leg (r11): each vector scaled by a log-uniform
@@ -727,10 +764,9 @@ def embmag_sf(tmp_path_factory):
     )
 
 
-@pytest.mark.parametrize("name", _EMB_SENSITIVE)
-def test_oracle_parity_on_embedding_magnitudes(spark, embmag_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, embmag_sf), q.oracle, embmag_sf)
+@pytest.mark.parametrize("chunk", _chunks(_EMB_SENSITIVE), ids=_chunk_id)
+def test_oracle_parity_on_embedding_magnitudes(spark, embmag_sf, chunk):
+    _sweep(spark, embmag_sf, chunk)
 
 
 #: Id-domain legs (r11): every surrogate id (and its FK references)
@@ -760,16 +796,14 @@ def idbig_sf(tmp_path_factory):
     )
 
 
-@pytest.mark.parametrize("name", _ORACLE_BACKED)
-def test_oracle_parity_on_negative_ids(spark, idneg_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, idneg_sf), q.oracle, idneg_sf)
+@pytest.mark.parametrize("chunk", _chunks(_ORACLE_BACKED), ids=_chunk_id)
+def test_oracle_parity_on_negative_ids(spark, idneg_sf, chunk):
+    _sweep(spark, idneg_sf, chunk)
 
 
-@pytest.mark.parametrize("name", _ORACLE_BACKED)
-def test_oracle_parity_on_huge_ids(spark, idbig_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, idbig_sf), q.oracle, idbig_sf)
+@pytest.mark.parametrize("chunk", _chunks(_ORACLE_BACKED), ids=_chunk_id)
+def test_oracle_parity_on_huge_ids(spark, idbig_sf, chunk):
+    _sweep(spark, idbig_sf, chunk)
 
 
 #: Combined-extremes leg (r11): every r11 axis TOGETHER — magnitude-
@@ -792,10 +826,9 @@ def combo_sf(tmp_path_factory):
     )
 
 
-@pytest.mark.parametrize("name", _ORACLE_BACKED)
-def test_oracle_parity_on_combined_extremes(spark, combo_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, combo_sf), q.oracle, combo_sf)
+@pytest.mark.parametrize("chunk", _chunks(_ORACLE_BACKED), ids=_chunk_id)
+def test_oracle_parity_on_combined_extremes(spark, combo_sf, chunk):
+    _sweep(spark, combo_sf, chunk)
 
 
 #: Long-span leg (r11): a 10-YEAR event window (3650 days, 2000 events)
@@ -825,10 +858,9 @@ def longspan_sf(tmp_path_factory):
     )
 
 
-@pytest.mark.parametrize("name", _SPAN_SENSITIVE)
-def test_oracle_parity_on_long_spans(spark, longspan_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, longspan_sf), q.oracle, longspan_sf)
+@pytest.mark.parametrize("chunk", _chunks(_SPAN_SENSITIVE), ids=_chunk_id)
+def test_oracle_parity_on_long_spans(spark, longspan_sf, chunk):
+    _sweep(spark, longspan_sf, chunk)
 
 
 #: Null-FK leg (r11): 20% of events.user_id is NULL — the
@@ -854,10 +886,9 @@ def nullfk_sf(tmp_path_factory):
     )
 
 
-@pytest.mark.parametrize("name", _ORACLE_BACKED)
-def test_oracle_parity_on_null_fks(spark, nullfk_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, nullfk_sf), q.oracle, nullfk_sf)
+@pytest.mark.parametrize("chunk", _chunks(_ORACLE_BACKED), ids=_chunk_id)
+def test_oracle_parity_on_null_fks(spark, nullfk_sf, chunk):
+    _sweep(spark, nullfk_sf, chunk)
 
 
 #: Unicode-grapheme leg (r12): combining-mark / astral-plane documents —
@@ -878,10 +909,9 @@ def unicode_sf(tmp_path_factory):
     )
 
 
-@pytest.mark.parametrize("name", _ORACLE_BACKED)
-def test_oracle_parity_on_unicode_graphemes(spark, unicode_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, unicode_sf), q.oracle, unicode_sf)
+@pytest.mark.parametrize("chunk", _chunks(_ORACLE_BACKED), ids=_chunk_id)
+def test_oracle_parity_on_unicode_graphemes(spark, unicode_sf, chunk):
+    _sweep(spark, unicode_sf, chunk)
 
 
 #: NULL-heavy leg (r12): EVERY optional column NULL at 50% — user_id,
@@ -909,10 +939,9 @@ def nullheavy_sf(tmp_path_factory):
     )
 
 
-@pytest.mark.parametrize("name", _ORACLE_BACKED)
-def test_oracle_parity_on_null_heavy(spark, nullheavy_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, nullheavy_sf), q.oracle, nullheavy_sf)
+@pytest.mark.parametrize("chunk", _chunks(_ORACLE_BACKED), ids=_chunk_id)
+def test_oracle_parity_on_null_heavy(spark, nullheavy_sf, chunk):
+    _sweep(spark, nullheavy_sf, chunk)
 
 
 #: All-NULL leg (r12): every optional column NULL at 100% — the
@@ -931,10 +960,9 @@ def allnull_sf(tmp_path_factory):
     )
 
 
-@pytest.mark.parametrize("name", _ORACLE_BACKED)
-def test_oracle_parity_on_all_null(spark, allnull_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, allnull_sf), q.oracle, allnull_sf)
+@pytest.mark.parametrize("chunk", _chunks(_ORACLE_BACKED), ids=_chunk_id)
+def test_oracle_parity_on_all_null(spark, allnull_sf, chunk):
+    _sweep(spark, allnull_sf, chunk)
 
 
 #: Case-fold leg (r12): documents laced with CASE-MAPPING traps —
@@ -964,10 +992,9 @@ def casefold_sf(tmp_path_factory):
     )
 
 
-@pytest.mark.parametrize("name", _FOLD_SENSITIVE)
-def test_oracle_parity_on_casefold_traps(spark, casefold_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, casefold_sf), q.oracle, casefold_sf)
+@pytest.mark.parametrize("chunk", _chunks(_FOLD_SENSITIVE), ids=_chunk_id)
+def test_oracle_parity_on_casefold_traps(spark, casefold_sf, chunk):
+    _sweep(spark, casefold_sf, chunk)
 
 
 #: Combined-extremes leg (r12): the r11 combined shape PLUS every new
@@ -995,10 +1022,9 @@ def combo12_sf(tmp_path_factory):
     )
 
 
-@pytest.mark.parametrize("name", _ORACLE_BACKED)
-def test_oracle_parity_on_combined_extremes_r12(spark, combo12_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, combo12_sf), q.oracle, combo12_sf)
+@pytest.mark.parametrize("chunk", _chunks(_ORACLE_BACKED), ids=_chunk_id)
+def test_oracle_parity_on_combined_extremes_r12(spark, combo12_sf, chunk):
+    _sweep(spark, combo12_sf, chunk)
 
 
 #: Zero-time-span leg (r12): every event carries the SAME timestamp
@@ -1017,10 +1043,9 @@ def constts_sf(tmp_path_factory):
     )
 
 
-@pytest.mark.parametrize("name", _ORACLE_BACKED)
-def test_oracle_parity_on_zero_time_span(spark, constts_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, constts_sf), q.oracle, constts_sf)
+@pytest.mark.parametrize("chunk", _chunks(_ORACLE_BACKED), ids=_chunk_id)
+def test_oracle_parity_on_zero_time_span(spark, constts_sf, chunk):
+    _sweep(spark, constts_sf, chunk)
 
 
 #: Exotic-whitespace leg (r12): documents carrying NBSP, ideographic /
@@ -1040,10 +1065,9 @@ def wsp_sf(tmp_path_factory):
     )
 
 
-@pytest.mark.parametrize("name", _FOLD_SENSITIVE)
-def test_oracle_parity_on_exotic_whitespace(spark, wsp_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, wsp_sf), q.oracle, wsp_sf)
+@pytest.mark.parametrize("chunk", _chunks(_FOLD_SENSITIVE), ids=_chunk_id)
+def test_oracle_parity_on_exotic_whitespace(spark, wsp_sf, chunk):
+    _sweep(spark, wsp_sf, chunk)
 
 
 #: Physical-layout leg (r13): every table written as a DIRECTORY of 8
@@ -1064,10 +1088,9 @@ def layout_sf(tmp_path_factory):
     )
 
 
-@pytest.mark.parametrize("name", _ORACLE_BACKED)
-def test_oracle_parity_on_multifile_layout(spark, layout_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, layout_sf), q.oracle, layout_sf)
+@pytest.mark.parametrize("chunk", _chunks(_ORACLE_BACKED), ids=_chunk_id)
+def test_oracle_parity_on_multifile_layout(spark, layout_sf, chunk):
+    _sweep(spark, layout_sf, chunk)
 
 
 #: Orphan-FK leg (r13): 15% of FK values (o_custkey, l_partkey,
@@ -1085,10 +1108,9 @@ def orphanfk_sf(tmp_path_factory):
     )
 
 
-@pytest.mark.parametrize("name", _ORACLE_BACKED)
-def test_oracle_parity_on_orphan_fks(spark, orphanfk_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, orphanfk_sf), q.oracle, orphanfk_sf)
+@pytest.mark.parametrize("chunk", _chunks(_ORACLE_BACKED), ids=_chunk_id)
+def test_oracle_parity_on_orphan_fks(spark, orphanfk_sf, chunk):
+    _sweep(spark, orphanfk_sf, chunk)
 
 
 #: IEEE-specials leg (r13): NaN / +Inf / -Inf components planted across
@@ -1125,10 +1147,9 @@ def specials_sf(tmp_path_factory):
     )
 
 
-@pytest.mark.parametrize("name", _SPECIALS_SENSITIVE)
-def test_oracle_parity_on_ieee_specials(spark, specials_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, specials_sf), q.oracle, specials_sf)
+@pytest.mark.parametrize("chunk", _chunks(_SPECIALS_SENSITIVE), ids=_chunk_id)
+def test_oracle_parity_on_ieee_specials(spark, specials_sf, chunk):
+    _sweep(spark, specials_sf, chunk)
 
 
 #: Combined-extremes leg (r13): the r12 combined shape PLUS the four
@@ -1158,10 +1179,9 @@ def combo13_sf(tmp_path_factory):
     )
 
 
-@pytest.mark.parametrize("name", _ORACLE_BACKED)
-def test_oracle_parity_on_combined_extremes_r13(spark, combo13_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, combo13_sf), q.oracle, combo13_sf)
+@pytest.mark.parametrize("chunk", _chunks(_ORACLE_BACKED), ids=_chunk_id)
+def test_oracle_parity_on_combined_extremes_r13(spark, combo13_sf, chunk):
+    _sweep(spark, combo13_sf, chunk)
 
 
 #: Duplicate-entity leg (r13): 15% of documents and embeddings re-emitted
@@ -1189,7 +1209,6 @@ def dupent_sf(tmp_path_factory):
     )
 
 
-@pytest.mark.parametrize("name", _ORACLE_BACKED)
-def test_oracle_parity_on_duplicate_entities(spark, dupent_sf, name):
-    q = REGISTRY[name]
-    assert_matches_oracle(q.fn(spark, dupent_sf), q.oracle, dupent_sf)
+@pytest.mark.parametrize("chunk", _chunks(_ORACLE_BACKED), ids=_chunk_id)
+def test_oracle_parity_on_duplicate_entities(spark, dupent_sf, chunk):
+    _sweep(spark, dupent_sf, chunk)
