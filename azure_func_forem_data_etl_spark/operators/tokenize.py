@@ -140,6 +140,38 @@ def _apply_merges(triples: list[tuple[str, str, str]]):
     return mapper
 
 
+def _apply_merges_expr(col: F.Column, triples: list[tuple[str, str, str]]) -> F.Column:
+    """JVM-expression form of :func:`_apply_merges` (r14, guide §4.1):
+    the greedy leftmost non-overlapping merge is a left fold — append the
+    symbol unless the accumulator's tail equals ``left`` and the symbol
+    equals ``right``, then replace the tail with ``merged``.  A
+    just-merged symbol can never re-trigger (``merged == left`` would
+    need an empty right symbol), so the fold reproduces the classic
+    i+=2 scan exactly — this is the SAME formulation the DuckDB oracle
+    replays with ``list_reduce``, and the function-level equivalence test
+    diffs it against the Python scanner on random inputs.  One
+    ``aggregate`` per triple, applied in rank order (innermost first);
+    no Python worker round-trip per rewrite pass."""
+    empty = F.expr("CAST(array() AS array<string>)")
+
+    def step(left: str, right: str, merged: str):
+        def fold(acc, x):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return fold
+
+    for left, right, merged in triples:
+        col = F.aggregate(col, empty, step(left, right, merged))
+    return col
+
+
 def _gram_counts(syms: DataFrame) -> DataFrame:
     """(g: array<string>, c: long) — 2-gram AND 3-gram adjacent-symbol
     counts of the word-type table in ONE aggregation (one shuffle, one
@@ -373,8 +405,10 @@ def bpe_learn(
             has_any = joined.contains(F.lit(triples[0][2]))
             for _, _, m in triples[1:]:
                 has_any = has_any | joined.contains(F.lit(m))
-            rewritten = syms.filter(has_any).mapInPandas(
-                _apply_merges(triples), schema="n long, s array<string>"
+            # r14: the rewrite is a JVM array fold (no Python worker pass;
+            # _apply_merges stays as the equivalence-test reference)
+            rewritten = syms.filter(has_any).select(
+                "n", _apply_merges_expr(F.col("s"), triples).alias("s")
             )
             new_syms = (
                 syms.filter(~has_any).unionByName(rewritten).coalesce(n_part)

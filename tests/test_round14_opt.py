@@ -264,3 +264,47 @@ def test_events_ts_normalized_through_schema_memo(spark):
     assert dict(first.dtypes)["ts"] == "timestamp"
     assert dict(again.dtypes)["ts"] == "timestamp"
     assert again.count() == first.count()
+
+
+def test_bpe_rewrite_expr_matches_python_scanner(spark):
+    """_apply_merges_expr (JVM fold, r14) is byte-identical to the
+    _apply_merges Python scanner — random symbol arrays plus adversarial
+    triples: overlapping self-merge (a,a), chained merges whose outputs
+    feed later triples, and multibyte symbols."""
+    import random
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from azure_func_forem_data_etl_spark.operators.tokenize import (
+        _apply_merges,
+        _apply_merges_expr,
+    )
+
+    rng = random.Random(7)
+    alpha = list("abc") + ["ab", "bc", "abc", "€", "好"]
+    rows = [
+        (i, [rng.choice(alpha) for _ in range(rng.randint(0, 12))])
+        for i in range(400)
+    ]
+    triples = [
+        ("a", "b", "ab"),
+        ("ab", "c", "abc"),
+        ("a", "a", "aa"),
+        ("€", "好", "€好"),
+        ("aa", "ab", "aaab"),
+    ]
+    df = spark.createDataFrame(rows, "n long, s array<string>")
+    got = {
+        r.n: list(r.s)
+        for r in df.select(
+            "n", _apply_merges_expr(F.col("s"), triples).alias("s")
+        ).collect()
+    }
+    want_pdf = next(
+        _apply_merges(triples)(
+            iter([pd.DataFrame({"n": [r[0] for r in rows], "s": [r[1] for r in rows]})])
+        )
+    )
+    want = dict(zip(want_pdf["n"], (list(s) for s in want_pdf["s"])))
+    assert got == want
