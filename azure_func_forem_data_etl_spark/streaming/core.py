@@ -158,11 +158,26 @@ def stream_session(spark: SparkSession, sf_dir: str, *names: str) -> SparkSessio
 #: DURABLE pipelines (streaming/ingest.py, cli.py) pass their own
 #: long-lived checkpointLocation and never come through here.  Override
 #: with SPARK_GRAFT_STREAM_SCRATCH (e.g. to force disk).
+#: Minimum free bytes in /dev/shm before the tmpfs default applies —
+#: checkpoints here are tiny (state + offset logs for one AvailableNow
+#: pass over test-scale data), but a memory-constrained host with a
+#: nearly-full tmpfs must fall back to disk /tmp instead of failing the
+#: stream with ENOSPC (r13 ADVICE #4).
+_SHM_MIN_FREE = 256 << 20
+
+
 def _stream_scratch_dir() -> str | None:
     env = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH")
     if env:
         return env
-    return "/dev/shm" if os.path.isdir("/dev/shm") else None
+    if os.path.isdir("/dev/shm"):
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= _SHM_MIN_FREE:
+                return "/dev/shm"
+        except OSError:  # pragma: no cover - statvfs denied
+            pass
+    return None
 
 
 def run_available_now(sdf: DataFrame, output_mode: str) -> DataFrame:

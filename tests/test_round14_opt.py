@@ -308,3 +308,32 @@ def test_bpe_rewrite_expr_matches_python_scanner(spark):
     )
     want = dict(zip(want_pdf["n"], (list(s) for s in want_pdf["s"])))
     assert got == want
+
+
+def test_stream_scratch_falls_back_when_shm_full(monkeypatch):
+    """r13 ADVICE #4: a nearly-full /dev/shm must not take the tmpfs
+    default — fall back to disk /tmp (None) instead of ENOSPC mid-stream.
+    The env override still wins unconditionally."""
+    import os
+
+    from azure_func_forem_data_etl_spark.streaming import core as C
+
+    class FakeStat:
+        f_bavail = 10
+        f_frsize = 4096  # ~40 KB free
+
+    monkeypatch.setattr(C.os, "statvfs", lambda p: FakeStat())
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_SCRATCH", raising=False)
+    if os.path.isdir("/dev/shm"):
+        assert C._stream_scratch_dir() is None
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SCRATCH", "/tmp/forced")
+    assert C._stream_scratch_dir() == "/tmp/forced"
+
+    class BigStat:
+        f_bavail = 1 << 20
+        f_frsize = 4096  # ~4 GB free
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_SCRATCH", raising=False)
+    monkeypatch.setattr(C.os, "statvfs", lambda p: BigStat())
+    if os.path.isdir("/dev/shm"):
+        assert C._stream_scratch_dir() == "/dev/shm"
